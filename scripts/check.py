@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify via sbt,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare values (columns sorted by name, rows sorted, values hashed)."""
+import duckdb, glob, json, os, subprocess, sys
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = "/tmp/graft_verify"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+if os.environ.get("SKIP_VERIFY") != "1":
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        capture_output=True, text=True, cwd="/root/repo")
+    print(r.stdout[-3000:], r.stderr[-3000:])
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+import pandas as pd
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        if str(df[c].dtype) in ("int32", "int64", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = []
+for name, sql in sorted(oracle.items()):
+    if ONLY and name not in ONLY:
+        continue
+    pdir = f"{OUT}/{name}"
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+    try:
+        spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        duck_df = canon(con.execute(sql).df())
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails.append(name); continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+        fails.append(name); continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        fails.append(name); continue
+    eq = True
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        if str(a.dtype).startswith("float"):
+            import numpy as np
+            same = np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+        else:
+            same = a.equals(b.astype(a.dtype))
+        if not same:
+            bad = (a != b)
+            print(f"FAIL {name}: col {c} differs, e.g.\n{spark_df[bad].head(3)}\nvs\n{duck_df[bad].head(3)}")
+            eq = False
+    if eq:
+        print(f"OK   {name}: {len(spark_df)} rows")
+    else:
+        fails.append(name)
+
+print(f"\n{len(oracle) - len(fails)}/{len(oracle)} matched" if not ONLY else "")
+sys.exit(1 if fails else 0)

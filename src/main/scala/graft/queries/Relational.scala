@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.sources.Tables
+
+/** Relational query suite (Q1–Q15) over the TPC-H-ish star schema.
+  *
+  * These exercise the engine surface the pipeline operators build on:
+  * scan → filter → project with pushdown, hash aggregation, broadcast vs
+  * shuffle joins, semi/anti joins, window functions, rollup/cube, set ops,
+  * event-time windows, sessionization and an as-of join composed from
+  * Spark primitives.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/supplier/part) are
+  * explicitly `broadcast()`; fact-fact joins shuffle only after projection;
+  * every aggregate is partial-aggregation friendly (sum/count/min/max).
+  */
+object Relational {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val q01 = QueryDef(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity),2) AS sum_qty,
+      |  round(sum(l_extendedprice),2) AS sum_base_price,
+      |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+      |  round(avg(l_quantity),4) AS avg_qty,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(revenue), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q02 = QueryDef(
+    "q02_revenue_filter",
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  val q03 = QueryDef(
+    "q03_top_orders",
+    """SELECT l_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q04 = QueryDef(
+    "q04_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val hits = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45).select("l_orderkey")
+    Tables(s, dir, "orders")
+      .join(hits, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q05 = QueryDef(
+    "q05_local_supplier",
+    """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val region = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val supplier = Tables(s, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(revenue), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val q06 = QueryDef(
+    "q06_agg_rollup",
+    """SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+      |  count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+  }
+
+  val q07 = QueryDef(
+    "q07_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q08 = QueryDef(
+    "q08_topk_per_group",
+    """SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    CAST(dense_rank() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC) AS BIGINT) AS rnk
+      |  FROM part) t
+      |WHERE rnk <= 2 ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"))
+    Tables(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        dense_rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 2)
+      .orderBy(col("p_brand"), desc("p_retailprice"), col("p_partkey"))
+  }
+
+  val q09 = QueryDef(
+    "q09_distinct_agg",
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_suppkey").as("n_supp"),
+        countDistinct("l_partkey").as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val q10 = QueryDef(
+    "q10_events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  count(*) AS n, round(sum(value),2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+  }
+
+  val q11 = QueryDef(
+    "q11_sessionize",
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+      |d AS (SELECT user_id,
+      |  CASE WHEN lag(tms) OVER w IS NULL
+      |         OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+      |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+      .select(col("user_id"),
+        when(lag("tms", 1).over(w).isNull ||
+             col("tms") - lag("tms", 1).over(w) > 1800000L, 1L).otherwise(0L).as("new_s"))
+      .groupBy("user_id")
+      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // AS-OF join: each purchase matched to the most recent click at-or-before
+  // it by the same user. Spark has no native ASOF; composed as an equi-join
+  // on user_id with a range predicate plus a deterministic argmax
+  // (max of tms*1e6+event_id — event_id stays < 1e6 at tested SFs).
+  val q12 = QueryDef(
+    "q12_asof_join",
+    """WITH p AS (SELECT event_id AS p_event_id, user_id, epoch_ms(ts) AS p_ms
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_event_id, user_id, epoch_ms(ts) AS c_ms
+      |      FROM events WHERE event_type = 'click')
+      |SELECT p_event_id,
+      |  CAST(max(c_ms*1000000 + c_event_id) % 1000000 AS BIGINT) AS click_event_id
+      |FROM p JOIN c ON p.user_id = c.user_id AND c_ms <= p_ms
+      |GROUP BY p_event_id ORDER BY p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts")).as("p_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        unix_millis(col("ts")).as("c_ms"))
+    p.join(c, col("p_user") === col("c_user") && col("c_ms") <= col("p_ms"))
+      .groupBy("p_event_id")
+      .agg((max(col("c_ms") * 1000000L + col("c_event_id")) % 1000000L).as("click_event_id"))
+      .orderBy("p_event_id")
+  }
+
+  val q13 = QueryDef(
+    "q13_cube",
+    """SELECT coalesce(lang,'ALL') AS lang_g, coalesce(source,'ALL') AS source_g,
+      |  count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang_g, source_g""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang_g"),
+        coalesce(col("source"), lit("ALL")).as("source_g"),
+        col("n"), col("chars"))
+      .orderBy("lang_g", "source_g")
+  }
+
+  val q14 = QueryDef(
+    "q14_set_ops",
+    """SELECT DISTINCT l_partkey AS partkey FROM lineitem
+      |INTERSECT
+      |SELECT p_partkey AS partkey FROM part WHERE p_size > 25
+      |ORDER BY partkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem").select(col("l_partkey").as("partkey")).distinct()
+      .intersect(
+        Tables(s, dir, "part").filter(col("p_size") > 25).select(col("p_partkey").as("partkey")))
+      .orderBy("partkey")
+  }
+
+  val q15 = QueryDef(
+    "q15_anti_join",
+    """SELECT c_nationkey, count(*) AS n_cust FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    val big = Tables(s, dir, "orders").filter(col("o_totalprice") > 400000).select("o_custkey")
+    Tables(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("c_nationkey")
+  }
+
+  val queries: Seq[QueryDef] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+}

@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the star-schema test tables (see TESTDATA.md).
+  *
+  * Everything is plain `spark.read.parquet`, so Catalyst sees a real
+  * file-source relation: filter pushdown, column pruning and partition
+  * coalescing all apply. At cluster scale the same entry points accept
+  * directories of many files / partitioned layouts unchanged.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries nanosecond parquet timestamps, which Spark's
+    * vectorized reader rejects. Read `ts` as a nanos-since-epoch long and
+    * rebuild a microsecond TIMESTAMP (Spark's native precision) — identical
+    * to what a ns-capable reader would produce after µs truncation.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Generic readers so pipelines aren't parquet-only. */
+  def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+}
