@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** Every verifiable query the engine ships (SURVEY.md §2b/§2c). */
   def registry: Seq[QueryDef] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+    graft.queries.Text.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
