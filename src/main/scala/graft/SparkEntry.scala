@@ -8,7 +8,10 @@ object SparkEntry {
   /** Every verifiable query the engine ships (SURVEY.md §2b/§2c). */
   def registry: Seq[QueryDef] =
     graft.queries.Relational.queries ++
-    graft.queries.Text.queries
+    graft.queries.Text.queries ++
+    graft.queries.Dedup.queries ++
+    graft.queries.Similarity.queries ++
+    graft.queries.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-row hot paths: polynomial text
+  * hashing and vector cosine similarity. Both implement `doGenCode`, so the
+  * dedup / similarity operators stay inside whole-stage codegen — primitive
+  * loops, no intermediate array allocation (vs the `transform`/`aggregate`
+  * higher-order-function formulation, which materializes lambda arrays per
+  * row). Semantics exactly mirror the DuckDB oracle folds (sequential left
+  * fold, same constants), see [[TextFunctions.polyHashSlow]] and
+  * [[VectorFunctions.cosine]].
+  */
+object GraftExpressions {
+
+  /** h = fold((h, c) => (h*31 + codepoint(c)) mod P) over the string. */
+  case class PolyHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_poly_hash"
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      var h = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = if (Character.isHighSurrogate(s.charAt(i)) && i + 1 < s.length) {
+          val v = s.codePointAt(i); i += 1; v
+        } else s.charAt(i).toInt
+        h = (h * 31L + cp) % TextFunctions.P
+        i += 1
+      }
+      h
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        val cp = ctx.freshName("cp")
+        s"""
+        String $s = $c.toString();
+        long $h = 0L;
+        int $i = 0;
+        while ($i < $s.length()) {
+          int $cp;
+          if (Character.isHighSurrogate($s.charAt($i)) && $i + 1 < $s.length()) {
+            $cp = $s.codePointAt($i); $i++;
+          } else { $cp = (int) $s.charAt($i); }
+          $h = ($h * 31L + $cp) % ${TextFunctions.P}L;
+          $i++;
+        }
+        ${ev.value} = $h;
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PolyHash =
+      copy(child = newChild)
+  }
+
+  /** cosine(a, b) = dot(a,b) / (||a|| * ||b||) over two float arrays, all
+    * three sums accumulated as sequential double left-folds (bit-identical
+    * to the DuckDB `list_reduce` mirror).
+    */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = xs.getFloat(i).toDouble
+        val y = ys.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Idempotently register the expressions in the session's function
+    * registry; callers then use the `Column` helpers below.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_poly_hash",
+      { es: Seq[Expression] => PolyHash(es.head) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      { es: Seq[Expression] => CosineSim(es(0), es(1)) }, "built-in")
+  }
+
+  def polyHash(text: Column): Column = call_function("graft_poly_hash", text)
+  def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+}

@@ -37,4 +37,21 @@ object VectorFunctions {
     val (da, db) = (toDouble(a), toDouble(b))
     dot(da, db) / (norm(da) * norm(db))
   }
+
+  // --------------------------------------------------------------- DuckDB
+
+  /** DuckDB mirror of a sequential left-fold sum over a list expression. */
+  def sqlFoldSum(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  /** DuckDB mirror of dot(toDouble(a), toDouble(b)) — same fold order, so
+    * results are bit-identical to [[GraftExpressions.CosineSim]]'s loop.
+    */
+  def sqlDot(a: String, b: String): String =
+    sqlFoldSum(s"""list_transform(range(1, least(len($a), len($b)) + 1),
+       | i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))""".stripMargin.replace("\n", ""))
+
+  /** DuckDB mirror of cosine(a, b). */
+  def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 }
