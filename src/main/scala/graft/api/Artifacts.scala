@@ -1,0 +1,34 @@
+package graft.api
+
+import org.apache.spark.SparkFiles
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.SparkSession
+
+/** Artifact distribution (reference: file_distribution/ — P2P download of
+  * model weights etc. to every node). Spark already ships two P2P
+  * mechanisms, so this is a thin veneer:
+  *
+  *  - [[distributeFile]]/[[localPath]]: `SparkContext.addFile` replicates a
+  *    file to every executor's scratch dir (fetched once per node, served
+  *    from the driver/NM — the reference's ObjectDownloadRequest analogue).
+  *  - [[broadcastObject]]: torrent-broadcast an in-memory object (Spark's
+  *    BitTorrent-style broadcast IS peer-to-peer chunk distribution).
+  *
+  * Stages resolve artifacts inside `setup()`/`setupOnNode()` — exactly
+  * where the reference guarantees downloads have landed.
+  */
+object Artifacts {
+
+  /** Register a file (local path or any Hadoop-visible URI) for
+    * distribution to all executors.
+    */
+  def distributeFile(spark: SparkSession, path: String): Unit =
+    spark.sparkContext.addFile(path)
+
+  /** Executor-side: absolute local path of a distributed file. */
+  def localPath(fileName: String): String = SparkFiles.get(fileName)
+
+  /** Torrent-broadcast an object (e.g. a small model, a plane matrix). */
+  def broadcastObject[T: scala.reflect.ClassTag](spark: SparkSession, value: T): Broadcast[T] =
+    spark.sparkContext.broadcast(value)
+}

@@ -1,0 +1,209 @@
+package graft.api
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.storage.StorageLevel
+
+/** Spark-native re-expression of the reference pipeline surface
+  * (cosmos_xenna/pipelines/private/specs.py): `Stage`, `StageSpec`,
+  * `PipelineConfig`, `ExecutionMode` and the pipeline runner.
+  *
+  * Mapping (SURVEY.md §2a):
+  *  - A Ray actor pool per stage → Spark tasks over partitions. A stage
+  *    compiles to ONE `mapPartitions`: `setup()` runs once per partition
+  *    (the worker analogue), `setupOnNode()` once per executor JVM,
+  *    `destroy()` on task completion, and samples flow through
+  *    `Iterator.grouped(batchSize)` (the slot-batching analogue).
+  *  - STREAMING mode → Spark's pull-based pipelined execution: chained
+  *    narrow `mapPartitions` never materialize between stages, and
+  *    backpressure is structural (tasks pull; nothing queues unbounded),
+  *    so `slots_per_actor` / `max_queued_multiplier` have no analogue to
+  *    tune (specs.py:462).
+  *  - BATCH mode → persist + count barrier between stages, the analogue
+  *    of "materialize everything between stages" (specs.py:61).
+  *  - SERVING mode → the same compiled chain over a Structured Streaming
+  *    `Dataset` (see graft.streaming.ServingPipeline); the input queue is
+  *    the stream source, the output queue the sink (specs.py:65).
+  *  - Autoscaling (the reference's Rust bin-packing over actor pools) →
+  *    Spark AQE + `spark.dynamicAllocation.*`; `numWorkers` /
+  *    `overProvisionFactor` become explicit `repartition` hints
+  *    (specs.py:306).
+  */
+abstract class Stage[I, O] extends Serializable {
+
+  /** Samples per `process` call (reference: `stage_batch_size`, specs.py:100). */
+  def batchSize: Int = 1
+
+  /** Advisory worker shape (reference: `required_resources`). On a real
+    * cluster this informs executor sizing / dynamic-allocation profiles;
+    * it never affects semantics.
+    */
+  def resources: Resources = Resources()
+
+  /** Once per executor JVM, before the first partition of this stage runs
+    * there (reference: `setup_on_node`, specs.py:258). The natural Spark
+    * analogue of node-level state is a JVM singleton.
+    */
+  def setupOnNode(): Unit = ()
+
+  /** Once per task/partition — the per-worker init hook (load a model,
+    * open a client). Reference: `setup` (specs.py:264).
+    */
+  def setup(): Unit = ()
+
+  /** Transform a batch. Returning an empty Seq drops the samples (the
+    * reference's `None` return, specs.py:309): flatMap semantics make
+    * filtering free.
+    */
+  def process(batch: Seq[I]): Seq[O]
+
+  /** Per-worker teardown, called when the task completes (reference:
+    * `destroy`, specs.py:271).
+    */
+  def destroy(): Unit = ()
+
+  def name: String = getClass.getSimpleName.stripSuffix("$")
+}
+
+/** Advisory resource shape (reference: resources.py:409). */
+final case class Resources(cpus: Double = 1.0, gpus: Double = 0.0, isSpmd: Boolean = false)
+
+sealed trait ExecutionMode
+object ExecutionMode {
+  /** Lazy narrow chain; stages run concurrently via pipelined execution. */
+  case object Streaming extends ExecutionMode
+  /** Materialization barrier (persist+count) between stages. */
+  case object Batch extends ExecutionMode
+  /** Same chain over a Structured Streaming Dataset. */
+  case object Serving extends ExecutionMode
+}
+
+/** Per-stage overrides (reference: StageSpec, specs.py:306). `None` falls
+  * back to the [[PipelineConfig]] value, mirroring
+  * `override_with_pipeline_params` (specs.py:352).
+  */
+final case class StageSpec[I, O](
+    stage: Stage[I, O],
+    numWorkers: Option[Int] = None,
+    numRunAttempts: Option[Int] = None,
+    ignoreFailures: Option[Boolean] = None,
+    failuresReturnNones: Option[Boolean] = None,
+    overProvisionFactor: Option[Double] = None)
+
+/** Pipeline-wide config (reference: PipelineConfig, specs.py:434). */
+final case class PipelineConfig(
+    mode: ExecutionMode = ExecutionMode.Streaming,
+    numRunAttempts: Int = 1,
+    ignoreFailures: Boolean = false,
+    failuresReturnNones: Boolean = false,
+    batchStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+
+/** Typed pipeline builder/compiler: each added stage extends a lazy
+  * `Dataset` chain. The chain IS the pipeline — Catalyst sees one plan, so
+  * column pruning below the first stage and AQE above it still apply.
+  */
+final class Pipeline[I] private (
+    val dataset: Dataset[I],
+    config: PipelineConfig,
+    monitor: Option[PipelineMonitor],
+    index: Int) {
+
+  def stage[O: Encoder](s: Stage[I, O]): Pipeline[O] = stage(StageSpec(s))
+
+  def stage[O: Encoder](spec: StageSpec[I, O]): Pipeline[O] = {
+    val compiled = Pipeline.compile(dataset, spec, config, monitor,
+      f"Stage $index%02d - ${spec.stage.name}")
+    val barriered =
+      if (config.mode == ExecutionMode.Batch && !compiled.isStreaming) {
+        val p = compiled.persist(config.batchStorageLevel)
+        p.count() // the materialization barrier
+        p
+      } else compiled
+    new Pipeline(barriered, config, monitor, index + 1)
+  }
+
+  /** Terminal: the composed (lazy unless Batch) output Dataset. */
+  def run(): Dataset[I] = dataset
+}
+
+object Pipeline {
+
+  def from[I](
+      ds: Dataset[I],
+      config: PipelineConfig = PipelineConfig(),
+      monitor: Option[PipelineMonitor] = None): Pipeline[I] = {
+    require(!(ds.isStreaming && config.mode == ExecutionMode.Batch),
+      "Batch mode requires a bounded input; use Streaming/Serving for streams")
+    new Pipeline(ds, config, monitor, 0)
+  }
+
+  /** JVM-wide once-per-node latch backing `setupOnNode` (the analogue of a
+    * Ray node-level setup; on a multi-executor cluster each executor JVM
+    * runs it once).
+    */
+  private val nodeSetupDone = new ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def setupNodeOnce(key: String)(body: => Unit): Unit =
+    nodeSetupDone.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
+
+  private[graft] def withAttempts[A](n: Int)(body: => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < math.max(n, 1)) {
+      try return body
+      catch { case e: Throwable => last = e; attempt += 1 }
+    }
+    throw last
+  }
+
+  private def compile[I, O: Encoder](
+      ds: Dataset[I],
+      spec: StageSpec[I, O],
+      config: PipelineConfig,
+      monitor: Option[PipelineMonitor],
+      stageName: String): Dataset[O] = {
+    val st = spec.stage
+    val attempts = spec.numRunAttempts.getOrElse(config.numRunAttempts)
+    val ignore = spec.ignoreFailures.getOrElse(config.ignoreFailures)
+    val nones = spec.failuresReturnNones.getOrElse(config.failuresReturnNones)
+    // numWorkers → explicit repartition; over-provision widens it. On a
+    // cluster this sets task parallelism for the stage; locally it is the
+    // worker-count analogue.
+    val scaled = (spec.numWorkers, spec.overProvisionFactor) match {
+      case (Some(n), Some(f)) => ds.repartition(math.max(1, math.ceil(n * f).toInt))
+      case (Some(n), None)    => ds.repartition(n)
+      case _                  => ds
+    }
+    val stats = monitor.map(_.forStage(stageName))
+    scaled.mapPartitions { it =>
+      Pipeline.setupNodeOnce(st.getClass.getName)(st.setupOnNode())
+      st.setup()
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => st.destroy()))
+      val counted = stats.fold(it)(s => it.map { x => s.rowsIn.add(1); x })
+      val out = counted.grouped(st.batchSize).flatMap { batch =>
+        val t0 = System.nanoTime()
+        val res =
+          try {
+            val r = Pipeline.withAttempts(attempts)(st.process(batch))
+            stats.foreach(_.batches.add(1))
+            r
+          } catch {
+            case e: Throwable if nones =>
+              stats.foreach(_.failures.add(1))
+              // The reference's failures_return_nones (specs.py:474): the
+              // failed batch yields placeholder nulls, one per sample, so
+              // downstream stages see aligned cardinality.
+              Seq.fill(batch.size)(null.asInstanceOf[O])
+            case e: Throwable if ignore =>
+              stats.foreach(_.failures.add(1))
+              Seq.empty[O]
+          }
+        stats.foreach(_.processNanos.add(System.nanoTime() - t0))
+        res
+      }
+      stats.fold(out)(s => out.map { x => s.rowsOut.add(1); x })
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, TextFunctions, VectorFunctions}
+
+/** The codegen'd native expressions must agree exactly with their
+  * higher-order-function twins (which in turn mirror the DuckDB oracle).
+  */
+class ExpressionsSuite extends SparkSpec {
+
+  test("PolyHash (codegen) == polyHashSlow (HOF) on real documents") {
+    GraftExpressions.register(spark)
+    val diff = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        GraftExpressions.polyHash(col("text")).as("fast"),
+        TextFunctions.polyHashSlow(col("text")).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("CosineSim (codegen) == cosine (HOF) bit-exactly on embeddings") {
+    GraftExpressions.register(spark)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val pairs = e.as("a").crossJoin(e.as("b"))
+    val diff = pairs.select(
+        GraftExpressions.cosineSim(col("a.embedding"), col("b.embedding")).as("fast"),
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("slow"))
+      .filter(col("fast") =!= col("slow")) // bit equality, not tolerance
+      .count()
+    assert(diff == 0)
+  }
+
+  test("PolyHash stays inside whole-stage codegen") {
+    GraftExpressions.register(spark)
+    val plan = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(GraftExpressions.polyHash(col("text")).as("h"))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen span in the plan string
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}

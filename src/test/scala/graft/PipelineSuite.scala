@@ -1,0 +1,215 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import graft.api._
+
+/** Framework semantics specs: SURVEY.md §2a F1–F15. */
+object PipelineSuite {
+  // JVM-shared probes (executors == driver JVM under local[*]).
+  val nodeSetups = new AtomicInteger(0)
+  val workerSetups = new AtomicInteger(0)
+  val destroys = new AtomicInteger(0)
+  val flakyCalls = new AtomicInteger(0)
+  val maxBatch = new AtomicInteger(0)
+
+  final class AddStage(delta: Int, override val batchSize: Int = 10)
+      extends Stage[Int, Int] {
+    override def setupOnNode(): Unit = { nodeSetups.incrementAndGet(); () }
+    override def setup(): Unit = { workerSetups.incrementAndGet(); () }
+    override def destroy(): Unit = { destroys.incrementAndGet(); () }
+    override def process(batch: Seq[Int]): Seq[Int] = {
+      maxBatch.getAndUpdate(m => math.max(m, batch.size))
+      batch.map(_ + delta)
+    }
+  }
+
+  /** Used ONLY by the F7 lifecycle test: the setupOnNode latch is keyed by
+    * stage class, so a dedicated class keeps the count isolated from other
+    * tests in this JVM.
+    */
+  final class LifecycleStage extends Stage[Int, Int] {
+    override def setupOnNode(): Unit = { nodeSetups.incrementAndGet(); () }
+    override def setup(): Unit = { workerSetups.incrementAndGet(); () }
+    override def destroy(): Unit = { destroys.incrementAndGet(); () }
+    override def process(batch: Seq[Int]): Seq[Int] = batch
+  }
+
+  final class EvenFilterStage extends Stage[Int, Int] {
+    override def batchSize: Int = 7
+    override def process(batch: Seq[Int]): Seq[Int] = batch.filter(_ % 2 == 0)
+  }
+
+  /** Fails on first attempt for every batch containing `poison`. */
+  final class FlakyStage(poison: Int) extends Stage[Int, Int] {
+    override def batchSize: Int = 5
+    private val attempts = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    override def process(batch: Seq[Int]): Seq[Int] = {
+      flakyCalls.incrementAndGet()
+      if (batch.contains(poison)) {
+        val k = batch.min
+        val n = attempts.merge(k, 1, (a, b) => a + b)
+        if (n == 1) throw new RuntimeException(s"flaky on $batch")
+      }
+      batch
+    }
+  }
+
+  /** Always fails on batches containing `poison`. */
+  final class PoisonStage(poison: Int) extends Stage[Int, Int] {
+    override def batchSize: Int = 1
+    override def process(batch: Seq[Int]): Seq[Int] = {
+      if (batch.contains(poison)) throw new RuntimeException("poison")
+      batch
+    }
+  }
+
+  final class PartitionIdStage extends Stage[Int, Int] {
+    override def process(batch: Seq[Int]): Seq[Int] =
+      batch.map(_ => org.apache.spark.TaskContext.getPartitionId())
+  }
+
+  val artifactSum = new AtomicLong(0)
+  final class ArtifactStage(fileName: String) extends Stage[Int, Int] {
+    @transient private var factor: Int = _
+    override def setup(): Unit = {
+      // resolve a distributed artifact exactly where the reference
+      // guarantees downloads have landed (in worker setup)
+      val line = scala.io.Source.fromFile(Artifacts.localPath(fileName)).mkString.trim
+      factor = line.toInt
+    }
+    override def process(batch: Seq[Int]): Seq[Int] = batch.map(_ * factor)
+  }
+}
+
+class PipelineSuite extends SparkSpec {
+  import PipelineSuite._
+
+  private def ints(n: Int, parts: Int = 4) = {
+    import spark.implicits._
+    spark.createDataset(1 to n).repartition(parts)
+  }
+
+  test("F1/F2/F6: stage chain transforms with batching") {
+    import spark.implicits._
+    maxBatch.set(0)
+    val out = Pipeline.from(ints(100))
+      .stage(new AddStage(1))
+      .stage(new AddStage(10))
+      .run().collect().sorted
+    assert(out.toSeq == (12 to 111))
+    assert(maxBatch.get() <= 10 && maxBatch.get() > 1) // grouped(batchSize)
+  }
+
+  test("F7: setup per partition, setupOnNode once per JVM, destroy runs") {
+    import spark.implicits._
+    nodeSetups.set(0); workerSetups.set(0); destroys.set(0)
+    val ds = ints(50, parts = 5)
+    val out = Pipeline.from(ds).stage(new LifecycleStage).run()
+    out.count()
+    assert(nodeSetups.get() == 1)    // JVM singleton (one "node" under local)
+    assert(workerSetups.get() == 5)  // one per partition (worker analogue)
+    assert(destroys.get() == 5)      // teardown per task
+  }
+
+  test("F10: filtering via empty output (flatMap semantics)") {
+    import spark.implicits._
+    val out = Pipeline.from(ints(20))
+      .stage(new EvenFilterStage)
+      .run().collect().sorted
+    assert(out.toSeq == (2 to 20 by 2))
+  }
+
+  test("F8: bounded retries recover transient failures") {
+    import spark.implicits._
+    flakyCalls.set(0)
+    val cfg = PipelineConfig(numRunAttempts = 3)
+    val out = Pipeline.from(ints(20, parts = 2), cfg)
+      .stage(new FlakyStage(poison = 7))
+      .run().collect().sorted
+    assert(out.toSeq == (1 to 20))
+    assert(flakyCalls.get() > 4) // at least one retry happened
+  }
+
+  test("F9a: ignoreFailures drops the failing batch, keeps the rest") {
+    import spark.implicits._
+    val cfg = PipelineConfig(ignoreFailures = true)
+    val out = Pipeline.from(ints(10, parts = 2), cfg)
+      .stage(new PoisonStage(poison = 4))
+      .run().collect().sorted
+    assert(out.toSeq == (1 to 10).filterNot(_ == 4))
+  }
+
+  test("F9b: failuresReturnNones pads failed batches with nulls") {
+    import spark.implicits._
+    val cfg = PipelineConfig(failuresReturnNones = true)
+    val src = spark.createDataset(Seq("a", "bb", "boom", "dddd")).repartition(1)
+    val out = Pipeline.from(src, cfg)
+      .stage(new Stage[String, String] {
+        override def batchSize: Int = 1
+        override def process(b: Seq[String]): Seq[String] = {
+          if (b.contains("boom")) throw new RuntimeException("boom")
+          b.map(_.toUpperCase)
+        }
+      })
+      .run().collect()
+    assert(out.count(_ == null) == 1)
+    assert(out.filter(_ != null).sorted.toSeq == Seq("A", "BB", "DDDD"))
+  }
+
+  test("F11: numWorkers repartitions the stage input") {
+    import spark.implicits._
+    val out = Pipeline.from(ints(40, parts = 2))
+      .stage(StageSpec(new PartitionIdStage, numWorkers = Some(8)))
+      .run().collect().distinct.sorted
+    assert(out.length == 8)
+  }
+
+  test("F4: BATCH mode materializes between stages and preserves results") {
+    import spark.implicits._
+    val cfg = PipelineConfig(mode = ExecutionMode.Batch)
+    val p = Pipeline.from(ints(30), cfg).stage(new AddStage(5, batchSize = 4))
+    // barrier already ran (eager count); result must match streaming mode
+    assert(p.run().collect().sorted.toSeq == (6 to 35))
+  }
+
+  test("F14: Artifacts distributes files to workers") {
+    import spark.implicits._
+    val f = java.io.File.createTempFile("graft-artifact", ".txt")
+    java.nio.file.Files.writeString(f.toPath, "3")
+    Artifacts.distributeFile(spark, f.getAbsolutePath)
+    val out = Pipeline.from(ints(5, parts = 2))
+      .stage(new ArtifactStage(f.getName))
+      .run().collect().sorted
+    assert(out.toSeq == Seq(3, 6, 9, 12, 15))
+  }
+
+  test("F15: PipelineMonitor reports per-stage rows/batches") {
+    import spark.implicits._
+    val mon = new PipelineMonitor(spark)
+    val out = Pipeline.from(ints(100), monitor = Some(mon))
+      .stage(new AddStage(1))
+      .stage(new EvenFilterStage)
+      .run()
+    out.count()
+    val snap = mon.snapshot
+    val s0 = snap.keys.find(_.contains("AddStage")).get
+    val s1 = snap.keys.find(_.contains("EvenFilterStage")).get
+    assert(snap(s0)._1 == 100 && snap(s0)._2 == 100)
+    assert(snap(s1)._1 == 100 && snap(s1)._2 == 50) // filter halves
+    assert(snap(s0)._3 > 0)                         // batches counted
+    assert(mon.report.nonEmpty)
+  }
+
+  test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 10) // no repartition: plan stays narrow
+    val out = Pipeline.from(ds)
+      .stage(new AddStage(1)).stage(new AddStage(2)).stage(new AddStage(3))
+      .run()
+    // three chained mapPartitions keep the input partitioning: narrow
+    assert(out.rdd.getNumPartitions == ds.rdd.getNumPartitions)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.api.{Stage, PipelineConfig, ExecutionMode}
+import graft.streaming.{EventStreams, ServingPipeline}
+
+/** F5 (SERVING mode over Structured Streaming) and E1 (watermark + windowed
+  * event-time aggregation).
+  */
+object StreamingSuite {
+  final case class Req(id: Long, payload: String)
+  final case class Resp(id: Long, result: String)
+}
+
+class StreamingSuite extends SparkSpec {
+  import StreamingSuite._
+
+  test("F5: Stage chain served over a streaming source (queue-in/queue-out)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[Req]
+    val served = ServingPipeline.compile(source.toDS())
+      .stage(new Stage[Req, Resp] {
+        override def batchSize: Int = 4
+        override def process(b: Seq[Req]): Seq[Resp] =
+          b.map(r => Resp(r.id, r.payload.reverse))
+      })
+      .run()
+    val query = ServingPipeline.start(served, "served_out")
+    try {
+      source.addData(Req(1, "abc"), Req(2, "xy"))
+      query.processAllAvailable()
+      source.addData(Req(3, "graft")) // workers stay up; next request batch
+      query.processAllAvailable()
+      val got = spark.table("served_out").as[Resp].collect().sortBy(_.id)
+      assert(got.toSeq == Seq(Resp(1, "cba"), Resp(2, "yx"), Resp(3, "tfarg")))
+    } finally query.stop()
+  }
+
+  test("E1: watermarked tumbling-window aggregation over event-time") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val events = source.toDF().toDF("ts", "event_type")
+    val agg = EventStreams.hourlyCounts(events, delay = "30 minutes")
+    val query = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+      source.addData((t(1, 5), "click"), (t(1, 25), "click"), (t(1, 45), "view"))
+      query.processAllAvailable()
+      // advance event time beyond hour 1 + watermark -> hour-1 windows close
+      source.addData((t(3, 0), "click"))
+      query.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select(col("hour").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().sorted
+      assert(rows.contains(("2026-01-01 01:00:00", "click", 2L)))
+      assert(rows.contains(("2026-01-01 01:00:00", "view", 1L)))
+    } finally query.stop()
+  }
+}
