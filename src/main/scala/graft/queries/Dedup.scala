@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
-import graft.functions.{GraftExpressions, Signatures => Sig}
+import graft.functions.{GraftExpressions, SignatureExpressions => SigX, Signatures => Sig}
 import graft.functions.TextFunctions.tokens
 import graft.functions.VectorFunctions.sqlCosine
 import graft.sources.Tables
@@ -37,9 +37,9 @@ object Dedup {
 
   /** doc_id -> distinct shingle-hash array (shared Spark-side prefix). */
   private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    GraftExpressions.register(s)
+    SigX.register(s)
     Tables(s, dir, "documents")
-      .select(col("doc_id"), Sig.shingleHashes(Sig.tokenHashes(tokens(col("text")))).as("sh"))
+      .select(col("doc_id"), SigX.shingleHash(tokens(col("text"))).as("sh"))
   }
 
   val d01 = QueryDef(
@@ -108,7 +108,7 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     val docs = shingled(s, dir).filter(size(col("sh")) > 0)
     val bands = docs
-      .select(col("doc_id"), explode(Sig.bandKeys(Sig.minhashSig(col("sh")))).as("bk"))
+      .select(col("doc_id"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -123,22 +123,35 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // Hot-chunk cap: a chunk key shared by > MaxChunkDf docs fans the
+  // candidate join out quadratically (measured: 5k docs → 538k candidates
+  // uncapped at sf0.1) while carrying almost no near-dup signal — the same
+  // skew guard as d02's shingle cap, mirrored exactly in the oracle.
+  private val MaxChunkDf = 100
+
   val d04 = QueryDef(
     "d04_simhash",
     s"""WITH t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
        |h AS (SELECT doc_id, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
        |sim AS (SELECT doc_id, ${Sig.sqlSimhash("th")} AS sim FROM h),
-       |ck AS (SELECT doc_id, sim, unnest(${Sig.sqlSimChunkKeys("sim")}) AS ck FROM sim),
+       |ck0 AS (SELECT doc_id, sim, unnest(${Sig.sqlSimChunkKeys("sim")}) AS ck FROM sim),
+       |ck AS (SELECT doc_id, sim, ck FROM (
+       |  SELECT doc_id, sim, ck, count(*) OVER (PARTITION BY ck) AS df FROM ck0)
+       |  WHERE df <= $MaxChunkDf),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        |                a.sim AS sim_a, b.sim AS sim_b
        |         FROM ck a JOIN ck b ON a.ck = b.ck AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    GraftExpressions.register(s)
+    SigX.register(s)
     val sims = Tables(s, dir, "documents")
-      .select(col("doc_id"), Sig.simhash(Sig.tokenHashes(tokens(col("text")))).as("sim"))
-    val chunks = sims.select(col("doc_id"), col("sim"), explode(Sig.simChunkKeys(col("sim"))).as("ck"))
+      .select(col("doc_id"), SigX.simhash(tokens(col("text"))).as("sim"))
+    val chunks = sims
+      .select(col("doc_id"), col("sim"), explode(Sig.simChunkKeys(col("sim"))).as("ck"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("ck")))
+      .filter(col("df") <= MaxChunkDf)
+      .select("doc_id", "sim", "ck")
     chunks.as("a")
       .join(chunks.as("b"), col("a.ck") === col("b.ck") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

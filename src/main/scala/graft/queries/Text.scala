@@ -90,8 +90,10 @@ object Text {
       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, length(text)+1),
       |    i -> CAST(ascii(text[i]) AS BIGINT))), (acc, c) -> (acc*31 + c) % 1000000007) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftExpressions.register(s)
     Tables(s, dir, "documents")
-      .select(col("doc_id"), polyHashSlow(col("text")).as("fingerprint"))
+      .select(col("doc_id"),
+        graft.functions.GraftExpressions.polyHash(col("text")).as("fingerprint"))
       .orderBy("doc_id")
   }
 
@@ -103,11 +105,12 @@ object Text {
        |           i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2])))
        |    ELSE 0 END AS n_shingles
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.SignatureExpressions.register(s)
     val toks = tokens(col("text"))
     Tables(s, dir, "documents")
       .select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(shingles(toks))).cast("long").as("n_shingles"))
+        graft.functions.SignatureExpressions.distinctShingleCount(toks).as("n_shingles"))
       .orderBy("doc_id")
   }
 

@@ -32,6 +32,28 @@ class ExpressionsSuite extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native signature expressions == HOF twins (shingle/minhash/simhash)") {
+    import graft.functions.{SignatureExpressions => SigX, Signatures => Sig}
+    SigX.register(spark)
+    val toks = TextFunctions.tokens(col("text"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = docs.select(
+        SigX.shingleHash(toks).as("fast"),
+        Sig.shingleHashes(Sig.tokenHashes(toks)).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(sh == 0)
+    val bands = docs.select(
+        SigX.minhashBandKeys(SigX.shingleHash(toks)).as("fast"),
+        Sig.bandKeys(Sig.minhashSig(Sig.shingleHashes(Sig.tokenHashes(toks)))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(bands == 0)
+    val sim = docs.select(
+        SigX.simhash(toks).as("fast"),
+        Sig.simhash(Sig.tokenHashes(toks)).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(sim == 0)
+  }
+
   test("PolyHash stays inside whole-stage codegen") {
     GraftExpressions.register(spark)
     val plan = spark.read.parquet(s"$sfDir/documents.parquet")
