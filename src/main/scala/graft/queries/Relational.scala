@@ -282,6 +282,25 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  val q16 = QueryDef(
+    "q16_percentiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // exact interpolated percentiles (Spark `percentile` == quantile_cont):
+    // a full-sort-free aggregate; at very high cardinality swap for
+    // approx_percentile with a bounded error.
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
 }

@@ -127,5 +127,63 @@ object Similarity {
       .orderBy("label", "dim")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03)
+  private val sqlCentroids =
+    s"""cent AS (SELECT label, list(c ORDER BY i) AS cv FROM (
+       |  SELECT label, r.i AS i, avg(CAST(embedding[r.i + 1] AS DOUBLE)) AS c
+       |  FROM embeddings CROSS JOIN range(0, $Dim) r(i) GROUP BY 1, 2)
+       |  GROUP BY label)""".stripMargin
+
+  /** IVF-style ANN: vectors are assigned to coarse cells (nearest label
+    * centroid); a query probes only its own cell — at 100 TB the inverted
+    * file is a partition key, so a probe reads 1/|cells| of the corpus
+    * (nprobe trades recall for scans). Cells here reuse the data's label
+    * structure for determinism; production would k-means the sample.
+    */
+  val s04 = QueryDef(
+    "s04_ivf_knn",
+    s"""WITH $sqlCentroids,
+       |asg AS (SELECT vec_id, embedding, cell FROM (
+       |  SELECT e.vec_id, e.embedding, CAST(c.label AS BIGINT) AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.label) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, cell AS qcell
+       |      FROM asg WHERE vec_id < $NumQueries),
+       |sc AS (SELECT query_id, qcell AS cell, a.vec_id AS neighbor_id,
+       |         round(${sqlCosine("qv", "a.embedding")}, 6) AS cos
+       |       FROM asg a JOIN q ON a.cell = q.qcell AND a.vec_id <> q.query_id)
+       |SELECT query_id, cell,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, cos
+       |FROM sc QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    GraftExpressions.register(s)
+    val e = Tables(s, dir, "embeddings")
+    val cent = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+      .select(col("label").as("clabel"), col("cv"))
+    val w1 = Window.partitionBy("vec_id")
+      .orderBy(graft.functions.VectorFunctions.cosine(col("embedding"), col("cv")).desc,
+        col("clabel"))
+    val asg = e.crossJoin(broadcast(cent))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("clabel").cast("long").as("cell"))
+    val q = asg.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell").as("qcell"))
+    val sc = asg.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qcell").as("cell"), col("vec_id").as("neighbor_id"),
+        round(GraftExpressions.cosineSim(col("qv"), col("embedding")), 6).as("cos"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    sc.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select("query_id", "cell", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }
