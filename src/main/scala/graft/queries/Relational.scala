@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -282,22 +283,34 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  // Discrete percentiles (k-th smallest, k = ceil(p*n)): element selection
+  // rather than interpolation, so both engines return the identical stored
+  // value — engine-specific interpolation ulps would otherwise flip a
+  // rounding boundary. At very high cardinality swap for approx_percentile
+  // with a bounded error.
+  private val q16Ps = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+
   val q16 = QueryDef(
     "q16_percentiles",
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
-      |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    // exact interpolated percentiles (Spark `percentile` == quantile_cont):
-    // a full-sort-free aggregate; at very high cardinality swap for
-    // approx_percentile with a bounded error.
-    Tables(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99"))
+    s"""WITH r AS (SELECT l_returnflag, l_extendedprice,
+       |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+       |  count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
+       |SELECT l_returnflag,
+       |  ${q16Ps.map { case (l, p) =>
+             s"max(CASE WHEN rn = CAST(ceil($p * n) AS BIGINT) THEN l_extendedprice END) AS p$l"
+           }.mkString(",\n  ")}
+       |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("l_returnflag")
+    val r = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w.orderBy("l_extendedprice")))
+      .withColumn("n", count(lit(1)).over(w))
+    val aggs = q16Ps.map { case (l, p) =>
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
+        col("l_extendedprice"))).as(s"p$l")
+    }
+    r.groupBy("l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("l_returnflag")
   }
 
