@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, SignatureExpressions => SigX, Signatures => Sig}
+import graft.functions.TextFunctions.tokens
+
+/** Reusable deduplication operators over arbitrary DataFrames — the
+  * library surface behind the d01–d05 verified queries (SURVEY.md §2c).
+  * All candidate generation is join-based (content keys, LSH band keys,
+  * SimHash chunk keys); nothing is driver-side, so the same plans scale
+  * to 100 TB. Pair outputs use columns (id_a, id_b, ...) with id_a < id_b.
+  */
+object Dedup {
+
+  /** Exact dedup: annotate each row with its duplicate group. The shuffle
+    * key is a 16-byte md5 of the normalized text, never the text itself.
+    * Output: idCol, canonical_id (min id in group), group_size, keep.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(lower(trim(col(textCol))).cast("binary")))
+    df.select(col(idCol),
+        min(idCol).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+      .withColumn("keep", col(idCol) === col("canonical_id"))
+  }
+
+  /** (id, sh): distinct 3-gram shingle hashes per document (one-pass
+    * native expression).
+    */
+  def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    SigX.register(df.sparkSession)
+    df.select(col(idCol).as("_gid"), SigX.shingleHash(tokens(col(textCol))).as("sh"))
+  }
+
+  /** Exact pairwise n-gram Jaccard via shingle equi-join. `maxDf` caps
+    * hot shingles (a shingle in many documents carries no dedup signal
+    * and only fans out the join — the skew guard).
+    * Output: id_a, id_b, jaccard (>= thr).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      thr: Double, maxDf: Int): DataFrame = {
+    val ex = shingled(df, idCol, textCol)
+      .select(col("_gid"), explode(col("sh")).as("shingle"))
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .select("_gid", "shingle")
+    val n = kept.groupBy("_gid").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a._gid") < col("b._gid"))
+      .groupBy(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(n.as("na"), col("id_a") === col("na._gid"))
+      .join(n.as("nb"), col("id_b") === col("nb._gid"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
+  /** MinHash LSH near-dup pairs: 32 minhashes → 8×4 banding → band-key
+    * equi-join for candidates → exact Jaccard verification of candidates
+    * only. Output: id_a, id_b, jaccard (>= thr).
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      thr: Double): DataFrame = {
+    val docs = shingled(df, idCol, textCol).filter(size(col("sh")) > 0)
+    val bands = docs
+      .select(col("_gid"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))
+      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    cand
+      .join(docs.as("sa"), col("id_a") === col("sa._gid"))
+      .join(docs.as("sb"), col("id_b") === col("sb._gid"))
+      .select(col("id_a"), col("id_b"),
+        round(inter * 1.0 / (size(col("sa.sh")) + size(col("sb.sh")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
+  /** SimHash near-dup pairs: 60-bit signature → 4×15-bit pigeonhole chunk
+    * join (full recall for Hamming <= 3) → verified Hamming distance.
+    * `maxChunkDf` caps hot chunk keys, the quadratic-fan-out skew guard.
+    * Output: id_a, id_b, hamming (<= maxHamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxChunkDf: Int = 100): DataFrame = {
+    SigX.register(df.sparkSession)
+    val sims = df.select(col(idCol).as("_gid"), SigX.simhash(tokens(col(textCol))).as("sim"))
+    val chunks = sims
+      .select(col("_gid"), col("sim"), explode(Sig.simChunkKeys(col("sim"))).as("ck"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("ck")))
+      .filter(col("df") <= maxChunkDf)
+      .select("_gid", "sim", "ck")
+    chunks.as("a")
+      .join(chunks.as("b"), col("a.ck") === col("b.ck") && col("a._gid") < col("b._gid"))
+      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact embedding-cosine near-dup pairs (the oracle-exact baseline; the
+    * approximate scale path is [[Similarity.annLsh]] / [[Similarity.ivfKnn]]
+    * bucketing). Output: id_a, id_b, cos (6 dp, >= thr).
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      thr: Double): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
+    e.as("a").join(e.as("b"), col("a._gid") < col("b._gid"))
+      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"),
+        round(GraftExpressions.cosineSim(col("a._v"), col("b._v")), 6).as("cos"))
+      .filter(col("cos") >= thr)
+  }
+}

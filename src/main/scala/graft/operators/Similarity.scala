@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, VectorFunctions}
+
+/** Reusable similarity-search operators over arbitrary DataFrames with an
+  * `array<float>` embedding column — the library surface behind s01–s04.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: queries are broadcast, the corpus streams
+    * once; only (|queries| × k) rows survive the per-query window.
+    * Output: query_id, rank, neighbor_id, cos (6 dp).
+    */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    GraftExpressions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_v"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftExpressions.cosineSim(col("_qv"), col("_v")), 6).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Random-hyperplane LSH bucket id (map-side, one pass per plane). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = array(p.map(v => lit(v.toDouble)): _*)
+      val dot = aggregate(zip_with(vec, planeLit, (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via hyperplane LSH: bucket assignment then an equi-join on the
+    * bucket id (never a cross product). Output: one row per vector with a
+    * bucket-mate — vec_id, bucket, nn_id, cos (its nearest in-bucket
+    * neighbor). More planes → smaller buckets → cheaper join, lower recall.
+    */
+  def annLsh(df: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Int]]): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val b = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val p = b.as("a")
+      .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("nn_id"),
+        round(GraftExpressions.cosineSim(col("a._v"), col("b._v")), 6).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nn_id"))
+    p.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "bucket", "nn_id", "cos")
+  }
+
+  /** Per-group centroids in long form: (label, dim, centroid) — partial
+    * aggregation does the heavy lifting map-side.
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).cast("long").as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(round(avg(col("x").cast("double")), 4).as("centroid"))
+
+  /** Per-group centroids as vectors: (clabel, cv: array<double>). */
+  def centroidVectors(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("clabel"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .groupBy("clabel", "i").agg(avg(col("x").cast("double")).as("c"))
+      .groupBy("clabel")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+
+  /** IVF-style ANN: assign vectors to coarse cells (nearest centroid);
+    * a query probes only its own cell, so a probe reads 1/|cells| of the
+    * corpus — at scale the cell id is a partition key.
+    * Output: query_id, cell, rank, neighbor_id, cos.
+    */
+  def ivfKnn(df: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
+      isQuery: Column, k: Int): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+    val w1 = Window.partitionBy("vec_id")
+      .orderBy(VectorFunctions.cosine(col("_v"), col("cv")).desc, col("clabel"))
+    val asg = e.crossJoin(broadcast(cells))
+      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("_v"), col("clabel").cast("long").as("cell"))
+    val q = asg.filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("_v").as("_qv"), col("cell").as("qcell"))
+    val sc = asg.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qcell").as("cell"), col("vec_id").as("neighbor_id"),
+        round(GraftExpressions.cosineSim(col("_qv"), col("_v")), 6).as("cos"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    sc.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "rank", "neighbor_id", "cos")
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExpressions, SignatureExpressions => SigX}
+import graft.functions.TextFunctions._
+
+/** Reusable text-analysis operators over arbitrary DataFrames — the
+  * library surface behind t01–t05. All are single-pass narrow
+  * transformations: zero shuffle at any scale.
+  */
+object TextAnalysis {
+
+  val DefaultLangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "les", "une"))
+
+  /** Token/char counts and mean word length. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .withColumn("mean_wlen",
+        round((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"), 4))
+
+  /** Marker-word language scores + argmax prediction (first language in
+    * `markers` order wins ties; 'unknown' when no marker hits).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+      markers: Seq[(String, Seq[String])] = DefaultLangMarkers): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(col(idCol) +:
+      markers.map { case (l, ws) => markerCount(toks, ws).as(s"score_$l") }: _*)
+    val best = greatest(markers.map(m => col("score_" + m._1)): _*)
+    val pred = markers.foldRight(lit("unknown")) { case ((l, _), els) =>
+      when(col(s"score_$l") > 0 && col(s"score_$l") >= best, lit(l)).otherwise(els)
+    }
+    scored.withColumn("predicted", pred)
+  }
+
+  /** Stopword-ratio / word-length composite quality score. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a")): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val stops = markerCount(toks, stopwords)
+    val meanW = (length(col(textCol)).cast("long") - nTok + 1) / nTok
+    df.select(col(idCol),
+      round(stops / nTok, 4).as("stop_ratio"),
+      round(meanW, 4).as("mean_wlen"),
+      round(lit(0.6) * (lit(1) - stops / nTok)
+        + lit(0.4) * least(meanW / 8.0, lit(1.0)), 4).as("quality"))
+  }
+
+  /** Polynomial rolling-hash fingerprint (codegen'd). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    df.select(col(idCol), GraftExpressions.polyHash(col(textCol)).as("fingerprint"))
+  }
+
+  /** Token count + distinct 3-gram shingle count (one-pass native). */
+  def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    SigX.register(df.sparkSession)
+    val toks = tokens(col(textCol))
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      SigX.distinctShingleCount(toks).as("n_shingles"))
+  }
+}

@@ -142,12 +142,9 @@ object Relational {
       |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
-    Tables(s, dir, "orders")
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-        row_number().over(w).cast("long").as("rn"))
-      .filter(col("rn") <= 3)
+    graft.operators.Relational.topKPerGroup(
+      Tables(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(desc("o_totalprice"), col("o_orderkey")), k = 3)
       .orderBy("o_custkey", "rn")
   }
 
@@ -159,12 +156,9 @@ object Relational {
       |      ORDER BY p_retailprice DESC) AS BIGINT) AS rnk
       |  FROM part) t
       |WHERE rnk <= 2 ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("p_brand").orderBy(desc("p_retailprice"))
-    Tables(s, dir, "part")
-      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-        dense_rank().over(w).cast("long").as("rnk"))
-      .filter(col("rnk") <= 2)
+    graft.operators.Relational.topKPerGroup(
+      Tables(s, dir, "part").select("p_brand", "p_partkey", "p_retailprice"),
+      Seq("p_brand"), Seq(desc("p_retailprice")), k = 2, rankName = "rnk", dense = true)
       .orderBy(col("p_brand"), desc("p_retailprice"), col("p_partkey"))
   }
 
@@ -203,15 +197,12 @@ object Relational {
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
       |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
-    Tables.events(s, dir)
+    val e = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
-      .select(col("user_id"),
-        when(lag("tms", 1).over(w).isNull ||
-             col("tms") - lag("tms", 1).over(w) > 1800000L, 1L).otherwise(0L).as("new_s"))
+    graft.operators.Relational
+      .sessionize(e, "user_id", col("tms"), col("event_id"), gapMillis = 1800000L)
       .groupBy("user_id")
-      .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
 
@@ -236,9 +227,10 @@ object Relational {
     val c = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
         unix_millis(col("ts")).as("c_ms"))
-    p.join(c, col("p_user") === col("c_user") && col("c_ms") <= col("p_ms"))
-      .groupBy("p_event_id")
-      .agg((max(col("c_ms") * 1000000L + col("c_event_id")) % 1000000L).as("click_event_id"))
+    graft.operators.Relational
+      .asofJoin(p, c, leftKey = "p_user", rightKey = "c_user",
+        leftTs = "p_ms", rightTs = "c_ms", leftId = "p_event_id", rightId = "c_event_id")
+      .withColumnRenamed("asof_c_event_id", "click_event_id")
       .orderBy("p_event_id")
   }
 
