@@ -115,7 +115,12 @@ object Dedup {
       thr: Double): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
-    e.as("a").join(e.as("b"), col("a._gid") < col("b._gid"))
+    // The broadcast-nested-loop pair scan parallelizes over the STREAMED
+    // side's partitions; a small/narrow input (one parquet file) would run
+    // the whole O(n²) scan in a single task. Widen it to the cluster.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val streamed = if (e.rdd.getNumPartitions < par) e.repartition(par) else e
+    streamed.as("a").join(e.as("b"), col("a._gid") < col("b._gid"))
       .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"),
         round(GraftExpressions.cosineSim(col("a._v"), col("b._v")), 6).as("cos"))
       .filter(col("cos") >= thr)
