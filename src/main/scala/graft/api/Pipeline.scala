@@ -44,14 +44,18 @@ abstract class Stage[I, O] extends Serializable {
 
   /** Once per executor JVM, before the first partition of this stage runs
     * there (reference: `setup_on_node`, specs.py:258). The natural Spark
-    * analogue of node-level state is a JVM singleton.
+    * analogue of node-level state is a JVM singleton. Override either
+    * arity; the context overload wins.
     */
   def setupOnNode(): Unit = ()
+  def setupOnNode(ctx: WorkerContext): Unit = setupOnNode()
 
   /** Once per task/partition — the per-worker init hook (load a model,
-    * open a client). Reference: `setup` (specs.py:264).
+    * open a client). Reference: `setup` (specs.py:264), which receives
+    * WorkerMetadata; the Spark analogue is the task context.
     */
   def setup(): Unit = ()
+  def setup(ctx: WorkerContext): Unit = setup()
 
   /** Transform a batch. Returning an empty Seq drops the samples (the
     * reference's `None` return, specs.py:309): flatMap semantics make
@@ -69,6 +73,16 @@ abstract class Stage[I, O] extends Serializable {
 
 /** Advisory resource shape (reference: resources.py:409). */
 final case class Resources(cpus: Double = 1.0, gpus: Double = 0.0, isSpmd: Boolean = false)
+
+/** Per-worker identity handed to the setup hooks (reference:
+  * WorkerMetadata/NodeInfo, resources.py:363/400). partitionId is the
+  * worker analogue; stageAttempt/taskAttempt expose Spark's retry counters.
+  */
+final case class WorkerContext(
+    workerId: String,
+    partitionId: Int,
+    attemptNumber: Int,
+    stageId: Int)
 
 sealed trait ExecutionMode
 object ExecutionMode {
@@ -147,15 +161,8 @@ object Pipeline {
   private[graft] def setupNodeOnce(key: String)(body: => Unit): Unit =
     nodeSetupDone.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
-  private[graft] def withAttempts[A](n: Int)(body: => A): A = {
-    var attempt = 0
-    var last: Throwable = null
-    while (attempt < math.max(n, 1)) {
-      try return body
-      catch { case e: Throwable => last = e; attempt += 1 }
-    }
-    throw last
-  }
+  private[graft] def withAttempts[A](n: Int)(body: => A): A =
+    Retry.withRetries(n)(body)
 
   private def compile[I, O: Encoder](
       ds: Dataset[I],
@@ -177,10 +184,15 @@ object Pipeline {
     }
     val stats = monitor.map(_.forStage(stageName))
     scaled.mapPartitions { it =>
-      Pipeline.setupNodeOnce(st.getClass.getName)(st.setupOnNode())
-      st.setup()
-      Option(TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ => st.destroy()))
+      val tc = Option(TaskContext.get())
+      val ctx = WorkerContext(
+        workerId = tc.map(t => s"${t.stageId()}-${t.partitionId()}").getOrElse("local"),
+        partitionId = tc.map(_.partitionId()).getOrElse(0),
+        attemptNumber = tc.map(_.attemptNumber()).getOrElse(0),
+        stageId = tc.map(_.stageId()).getOrElse(0))
+      Pipeline.setupNodeOnce(st.getClass.getName)(st.setupOnNode(ctx))
+      st.setup(ctx)
+      tc.foreach(_.addTaskCompletionListener[Unit](_ => st.destroy()))
       val counted = stats.fold(it)(s => it.map { x => s.rowsIn.add(1); x })
       val out = counted.grouped(st.batchSize).flatMap { batch =>
         val t0 = System.nanoTime()

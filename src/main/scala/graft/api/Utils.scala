@@ -1,0 +1,71 @@
+package graft.api
+
+/** Batching/grouping helpers (reference: utils/grouping.py) — the same
+  * shapes stages use when re-batching inside `process`.
+  */
+object Grouping {
+
+  /** Split into chunks of at most `chunkSize` (reference:
+    * split_by_chunk_size).
+    */
+  def splitByChunkSize[T](xs: Seq[T], chunkSize: Int): Seq[Seq[T]] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    xs.grouped(chunkSize).toSeq
+  }
+
+  /** Split into exactly `n` chunks with sizes differing by at most one
+    * (reference: split_into_n_chunks).
+    */
+  def splitIntoNChunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
+    require(n > 0, "n must be positive")
+    val base = xs.length / n
+    val extra = xs.length % n
+    val out = Seq.newBuilder[Seq[T]]
+    var i = 0
+    var k = 0
+    while (k < n) {
+      val size = base + (if (k < extra) 1 else 0)
+      out += xs.slice(i, i + size)
+      i += size
+      k += 1
+    }
+    out.result()
+  }
+
+  /** Adjacent pairs (reference: pairwise). */
+  def pairwise[T](xs: Seq[T]): Seq[(T, T)] =
+    if (xs.length < 2) Seq.empty else xs.zip(xs.tail)
+
+  /** Zip two maps over their (required-identical) key sets (reference:
+    * dict_zip).
+    */
+  def dictZip[K, V1, V2](m1: Map[K, V1], m2: Map[K, V2]): Map[K, (V1, V2)] = {
+    require(m1.keySet == m2.keySet,
+      s"key sets differ: ${(m1.keySet diff m2.keySet) ++ (m2.keySet diff m1.keySet)}")
+    m1.map { case (k, v1) => k -> (v1, m2(k)) }
+  }
+}
+
+/** Bounded retry with optional backoff (reference: utils/retry.py
+  * do_with_retries) — the same policy the pipeline applies around
+  * `Stage.process` (`numRunAttempts`).
+  */
+object Retry {
+  def withRetries[A](attempts: Int, backoffMillis: Long = 0,
+      onFailure: Throwable => Unit = _ => ())(body: => A): A = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < math.max(attempts, 1)) {
+      try return body
+      catch {
+        case e: Throwable =>
+          last = e
+          onFailure(e)
+          attempt += 1
+          if (backoffMillis > 0 && attempt < attempts)
+            Thread.sleep(backoffMillis * attempt)
+      }
+    }
+    throw last
+  }
+}

@@ -69,6 +69,8 @@ object PipelineSuite {
       batch.map(_ => org.apache.spark.TaskContext.getPartitionId())
   }
 
+  val ctxPartitions = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   val artifactSum = new AtomicLong(0)
   final class ArtifactStage(fileName: String) extends Stage[Int, Int] {
     @transient private var factor: Int = _
@@ -182,6 +184,34 @@ class PipelineSuite extends SparkSpec {
       .stage(new ArtifactStage(f.getName))
       .run().collect().sorted
     assert(out.toSeq == Seq(3, 6, 9, 12, 15))
+  }
+
+  test("F7b: setup hooks receive worker context (partition identity)") {
+    import spark.implicits._
+    PipelineSuite.ctxPartitions.clear()
+    Pipeline.from(ints(20, parts = 4))
+      .stage(new Stage[Int, Int] {
+        // static object reference: closures are serialized per task, so a
+        // captured local would be mutated on a deserialized copy
+        override def setup(ctx: WorkerContext): Unit = {
+          PipelineSuite.ctxPartitions.add(ctx.partitionId); ()
+        }
+        override def process(b: Seq[Int]): Seq[Int] = b
+      })
+      .run().count()
+    assert(PipelineSuite.ctxPartitions.size() == 4) // one id per worker
+  }
+
+  test("utils: Grouping mirrors the reference batching helpers") {
+    assert(Grouping.splitByChunkSize(1 to 10, 3).map(_.toSeq) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9), Seq(10)))
+    assert(Grouping.splitIntoNChunks(1 to 10, 3).map(_.length) == Seq(4, 3, 3))
+    assert(Grouping.splitIntoNChunks(1 to 10, 3).flatten == (1 to 10))
+    assert(Grouping.pairwise(Seq(1, 2, 3)) == Seq((1, 2), (2, 3)))
+    assert(Grouping.dictZip(Map("a" -> 1), Map("a" -> "x")) == Map("a" -> (1, "x")))
+    var calls = 0
+    val r = Retry.withRetries(3) { calls += 1; if (calls < 3) throw new RuntimeException; 42 }
+    assert(r == 42 && calls == 3)
   }
 
   test("F15: PipelineMonitor reports per-stage rows/batches") {

@@ -41,6 +41,28 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("custom state: flatMapGroupsWithState incremental sessionization") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Long)]
+    val out = graft.streaming.StatefulSessions.sessionCounts(source.toDS(), gapMillis = 1000)
+    val query = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 100ms apart -> 1 session; user 2: one event
+      source.addData((1L, 0L), (1L, 100L), (2L, 50L))
+      query.processAllAvailable()
+      // user 1: next event 5s later -> new session; state carried across batches
+      source.addData((1L, 5100L))
+      query.processAllAvailable()
+      val last = spark.table("sessions")
+        .groupBy("entity").agg(org.apache.spark.sql.functions.max("n_sessions").as("s"),
+          org.apache.spark.sql.functions.max("n_events").as("e"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      assert(last.toSeq == Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+    } finally query.stop()
+  }
+
   test("E1: watermarked tumbling-window aggregation over event-time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
