@@ -61,6 +61,32 @@ object TextAnalysis {
     df.select(col(idCol), GraftExpressions.polyHash(col(textCol)).as("fingerprint"))
   }
 
+  /** BPE-ish regex tokenization: letter runs / digit runs / punctuation
+    * runs (the pre-tokenizer split most BPE vocabularies assume). The
+    * pattern is RE2-safe so oracle engines agree.
+    */
+  val RegexTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  def regexTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = regexp_extract_all(col(textCol), lit(RegexTokenPattern), lit(0))
+    df.select(col(idCol),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      coalesce(round(aggregate(toks, lit(0L), (a, t) => a + length(t))
+        / size(toks).cast("double"), 4), lit(0.0)).as("mean_tok_len"))
+  }
+
+  /** Corpus vocabulary: global token frequencies (one explode + one
+    * aggregation — partial map-side combine carries the load at scale),
+    * top `k` by count with deterministic ties on the token.
+    */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(k)
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

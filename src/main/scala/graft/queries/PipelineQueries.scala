@@ -34,5 +34,26 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01)
+  /** p02: the same stage chain in BATCH mode (persist+count barrier per
+    * stage) — the oracle proves mode changes execution, never answers.
+    */
+  val p02 = QueryDef(
+    "p02_pipeline_batch",
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       |                  length(text) AS n_chars FROM documents)
+       |SELECT doc_id, n_tokens, n_chars, round(n_chars*1.0/n_tokens, 4) AS score
+       |FROM t WHERE n_tokens >= $MinTokens ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.api.{ExecutionMode, PipelineConfig}
+    val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text")).as[DocRow]
+    Pipeline.from(docs, PipelineConfig(mode = ExecutionMode.Batch))
+      .stage(new ParseStage)
+      .stage(new ScoreStage)
+      .stage(new FilterStage(MinTokens))
+      .run()
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02)
 }

@@ -4,6 +4,8 @@ import graft.QueryDef
 import graft.operators.TextAnalysis
 import graft.sources.Tables
 
+import org.apache.spark.sql.functions._
+
 /** Verified-query surface for the text-analysis operators (SURVEY.md §2c
   * T1–T5); implementations live in [[graft.operators.TextAnalysis]].
   * All operators are single-pass narrow transformations — at 100 TB they
@@ -76,5 +78,30 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+  private val rePat = TextAnalysis.RegexTokenPattern
+
+  val t06 = QueryDef(
+    "t06_regex_tokens",
+    s"""WITH r AS (SELECT doc_id, regexp_extract_all(text, '$rePat') AS toks FROM documents)
+       |SELECT doc_id, len(toks) AS n_bpe_tokens,
+       |  len(list_distinct(toks)) AS n_distinct,
+       |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |    round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b)
+       |      / CAST(len(toks) AS DOUBLE), 4) END AS mean_tok_len
+       |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.regexTokenStats(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val t07 = QueryDef(
+    "t07_vocabulary",
+    s"""SELECT token, count(*) AS freq
+       |FROM (SELECT unnest($duckToks) AS token FROM documents)
+       |WHERE length(token) > 0
+       |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin) { (s, dir) =>
+    TextAnalysis.vocabulary(Tables(s, dir, "documents"), "text", 50)
+  }
+
+  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }
