@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftExpressions, SignatureExpressions => SigX, Signatures => Sig}
+import graft.functions.{GraftExpressions, Rounding, SignatureExpressions => SigX, Signatures => Sig}
 import graft.functions.TextFunctions.tokens
 
 /** Reusable deduplication operators over arbitrary DataFrames — the
@@ -57,7 +57,7 @@ object Dedup {
       .join(n.as("na"), col("id_a") === col("na._gid"))
       .join(n.as("nb"), col("id_b") === col("nb._gid"))
       .select(col("id_a"), col("id_b"),
-        round(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 4).as("jaccard"))
+        Rounding.mirrorRound(col("inter") * 1.0 / (col("na.n") + col("nb.n") - col("inter")), 4).as("jaccard"))
       .filter(col("jaccard") >= thr)
   }
 
@@ -79,7 +79,7 @@ object Dedup {
       .join(docs.as("sa"), col("id_a") === col("sa._gid"))
       .join(docs.as("sb"), col("id_b") === col("sb._gid"))
       .select(col("id_a"), col("id_b"),
-        round(inter * 1.0 / (size(col("sa.sh")) + size(col("sb.sh")) - inter), 4).as("jaccard"))
+        Rounding.mirrorRound(inter * 1.0 / (size(col("sa.sh")) + size(col("sb.sh")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= thr)
   }
 

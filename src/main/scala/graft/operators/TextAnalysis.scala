@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftExpressions, SignatureExpressions => SigX}
+import graft.functions.{GraftExpressions, Rounding, SignatureExpressions => SigX}
 import graft.functions.TextFunctions._
 
 /** Reusable text-analysis operators over arbitrary DataFrames — the
@@ -24,7 +24,7 @@ object TextAnalysis {
         size(tokens(col(textCol))).cast("long").as("n_tokens"),
         length(col(textCol)).cast("long").as("n_chars"))
       .withColumn("mean_wlen",
-        round((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"), 4))
+        Rounding.mirrorRound((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"), 4))
 
   /** Marker-word language scores + argmax prediction (first language in
     * `markers` order wins ties; 'unknown' when no marker hits).
@@ -49,9 +49,9 @@ object TextAnalysis {
     val stops = markerCount(toks, stopwords)
     val meanW = (length(col(textCol)).cast("long") - nTok + 1) / nTok
     df.select(col(idCol),
-      round(stops / nTok, 4).as("stop_ratio"),
-      round(meanW, 4).as("mean_wlen"),
-      round(lit(0.6) * (lit(1) - stops / nTok)
+      Rounding.mirrorRound(stops / nTok, 4).as("stop_ratio"),
+      Rounding.mirrorRound(meanW, 4).as("mean_wlen"),
+      Rounding.mirrorRound(lit(0.6) * (lit(1) - stops / nTok)
         + lit(0.4) * least(meanW / 8.0, lit(1.0)), 4).as("quality"))
   }
 
@@ -72,7 +72,7 @@ object TextAnalysis {
     df.select(col(idCol),
       size(toks).cast("long").as("n_bpe_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct"),
-      coalesce(round(aggregate(toks, lit(0L), (a, t) => a + length(t))
+      coalesce(Rounding.mirrorRound(aggregate(toks, lit(0L), (a, t) => a + length(t))
         / size(toks).cast("double"), 4), lit(0.0)).as("mean_tok_len"))
   }
 

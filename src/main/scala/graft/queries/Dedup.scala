@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.functions.{Signatures => Sig}
 import graft.functions.VectorFunctions.sqlCosine
 import graft.operators.{Dedup => Ops}
@@ -46,9 +47,9 @@ object Dedup {
        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |      FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(inter*1.0/(na.n + nb.n - inter), 4) AS jaccard
+       |SELECT id_a, id_b, ${mr("inter*1.0/(na.n + nb.n - inter)", 4)} AS jaccard
        |FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
-       |WHERE round(inter*1.0/(na.n + nb.n - inter), 4) >= $JaccardThr
+       |WHERE ${mr("inter*1.0/(na.n + nb.n - inter)", 4)} >= $JaccardThr
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     Ops.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
       JaccardThr, MaxShingleDf).orderBy("id_a", "id_b")
@@ -62,11 +63,11 @@ object Dedup {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id)
        |SELECT id_a, id_b,
-       |  round(len(list_intersect(sa.sh, sb.sh))*1.0 /
-       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+       |  ${mr("""len(list_intersect(sa.sh, sb.sh))*1.0 /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))""", 4)} AS jaccard
        |FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
-       |WHERE round(len(list_intersect(sa.sh, sb.sh))*1.0 /
-       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) >= $JaccardThr
+       |WHERE ${mr("""len(list_intersect(sa.sh, sb.sh))*1.0 /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))""", 4)} >= $JaccardThr
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     Ops.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text", JaccardThr)
       .orderBy("id_a", "id_b")

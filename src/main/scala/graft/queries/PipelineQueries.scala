@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryDef
 import graft.api.Pipeline
+import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.operators.TextStages._
 import graft.sources.Tables
 
@@ -21,7 +22,7 @@ object PipelineQueries {
     "p01_pipeline_tokens",
     s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
        |                  length(text) AS n_chars FROM documents)
-       |SELECT doc_id, n_tokens, n_chars, round(n_chars*1.0/n_tokens, 4) AS score
+       |SELECT doc_id, n_tokens, n_chars, ${mr("n_chars*1.0/n_tokens", 4)} AS score
        |FROM t WHERE n_tokens >= $MinTokens ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text")).as[DocRow]
@@ -41,7 +42,7 @@ object PipelineQueries {
     "p02_pipeline_batch",
     s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
        |                  length(text) AS n_chars FROM documents)
-       |SELECT doc_id, n_tokens, n_chars, round(n_chars*1.0/n_tokens, 4) AS score
+       |SELECT doc_id, n_tokens, n_chars, ${mr("n_chars*1.0/n_tokens", 4)} AS score
        |FROM t WHERE n_tokens >= $MinTokens ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.api.{ExecutionMode, PipelineConfig}

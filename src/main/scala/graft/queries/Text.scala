@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.operators.TextAnalysis
 import graft.sources.Tables
 
@@ -25,7 +26,7 @@ object Text {
     "t01_token_stats",
     s"""SELECT doc_id, len($duckToks) AS n_tokens,
        |  length(text) AS n_chars,
-       |  round((length(text) - len($duckToks) + 1) / len($duckToks), 4) AS mean_wlen
+       |  ${mr(s"(length(text) - len($duckToks) + 1) / len($duckToks)", 4)} AS mean_wlen
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.tokenStats(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
@@ -47,10 +48,10 @@ object Text {
   val t03 = QueryDef(
     "t03_quality_score",
     s"""SELECT doc_id,
-       |  round(${duckMarkers(Seq("the", "a"))} / len($duckToks), 4) AS stop_ratio,
-       |  round((length(text) - len($duckToks) + 1) / len($duckToks), 4) AS mean_wlen,
-       |  round(0.6 * (1 - ${duckMarkers(Seq("the", "a"))} / len($duckToks))
-       |    + 0.4 * least((length(text) - len($duckToks) + 1) / len($duckToks) / 8.0, 1.0), 4) AS quality
+       |  ${mr(s"${duckMarkers(Seq("the", "a"))} / len($duckToks)", 4)} AS stop_ratio,
+       |  ${mr(s"(length(text) - len($duckToks) + 1) / len($duckToks)", 4)} AS mean_wlen,
+       |  ${mr(s"""0.6 * (1 - ${duckMarkers(Seq("the", "a"))} / len($duckToks))
+       |    + 0.4 * least((length(text) - len($duckToks) + 1) / len($duckToks) / 8.0, 1.0)""", 4)} AS quality
        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text", Seq("the", "a"))
       .orderBy("doc_id")
@@ -86,9 +87,9 @@ object Text {
        |SELECT doc_id, len(toks) AS n_bpe_tokens,
        |  len(list_distinct(toks)) AS n_distinct,
        |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-       |    round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    ${mr("""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b)
-       |      / CAST(len(toks) AS DOUBLE), 4) END AS mean_tok_len
+       |      / CAST(len(toks) AS DOUBLE)""", 4)} END AS mean_tok_len
        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
     TextAnalysis.regexTokenStats(Tables(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
