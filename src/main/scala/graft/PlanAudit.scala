@@ -17,21 +17,24 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.registry.map(_.name)
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
-      df.write.format("noop").mode("overwrite").save() // force final AQE plan
+      // Execute through the Dataset's OWN QueryExecution so AQE finalizes
+      // this plan instance (a sink write would run a separate one and the
+      // reported plan would be the never-executed initial plan).
+      df.collect()
       val plan = df.queryExecution.executedPlan.toString
       val scans = plan.linesIterator.filter(_.contains("FileScan")).map { l =>
         val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(l).getOrElse("")
         val schema = "ReadSchema: [^,]*".r.findFirstIn(l).getOrElse("")
         s"  scan: $pushed $schema"
       }.toSeq
-      val joins = plan.linesIterator
-        .filter(l => l.contains("Join") && !l.contains("BuildRight") == false || l.contains("Join"))
+      val joins = plan.linesIterator.filter(_.contains("Join"))
         .map(_.trim.split(" ").take(2).mkString(" ")).toSeq.distinct
       val exchanges = plan.linesIterator.count(_.trim.startsWith("Exchange"))
       val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
-      println(s"== $n  exchanges=$exchanges codegenSpans=${wsc.distinct.size}")
+      println(s"== $n  exchanges=$exchanges codegenSpans=${wsc.distinct.size}" +
+        (if (plan.contains("isFinalPlan=false")) "  [plan not finalized]" else ""))
       scans.foreach(println)
-      joins.filter(_.contains("Join")).foreach(j => println(s"  join: $j"))
+      joins.foreach(j => println(s"  join: $j"))
     }
     spark.stop()
   }

@@ -37,9 +37,13 @@ object ScaleProbe {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val nEmb = emb.count()
+    // Perturb replicas elementwise (rep-scaled shift) so cross-replica
+    // vectors are near- but not exact duplicates.
     emb.crossJoin(reps)
       .select((col("vec_id") + col("rep") * nEmb).as("vec_id"),
-        col("embedding"), col("label"))
+        transform(col("embedding"),
+          x => (x + col("rep").cast("float") * lit(0.003f)).cast("float")).as("embedding"),
+        col("label"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

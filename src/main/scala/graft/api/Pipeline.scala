@@ -122,24 +122,32 @@ final class Pipeline[I] private (
     val dataset: Dataset[I],
     config: PipelineConfig,
     monitor: Option[PipelineMonitor],
-    index: Int) {
+    index: Int,
+    persisted: Option[Dataset[_]] = None) {
 
   def stage[O: Encoder](s: Stage[I, O]): Pipeline[O] = stage(StageSpec(s))
 
   def stage[O: Encoder](spec: StageSpec[I, O]): Pipeline[O] = {
     val compiled = Pipeline.compile(dataset, spec, config, monitor,
       f"Stage $index%02d - ${spec.stage.name}")
-    val barriered =
-      if (config.mode == ExecutionMode.Batch && !compiled.isStreaming) {
-        val p = compiled.persist(config.batchStorageLevel)
-        p.count() // the materialization barrier
-        p
-      } else compiled
-    new Pipeline(barriered, config, monitor, index + 1)
+    if (config.mode == ExecutionMode.Batch && !compiled.isStreaming) {
+      val p = compiled.persist(config.batchStorageLevel)
+      p.count() // the materialization barrier
+      // the previous stage's materialization has been consumed — free it
+      // (the reference's batch mode likewise drops stage N-1 once stage N
+      // is materialized)
+      persisted.foreach(_.unpersist())
+      new Pipeline(p, config, monitor, index + 1, Some(p))
+    } else new Pipeline(compiled, config, monitor, index + 1, persisted)
   }
 
-  /** Terminal: the composed (lazy unless Batch) output Dataset. */
+  /** Terminal: the composed (lazy unless Batch) output Dataset. In Batch
+    * mode the LAST stage stays persisted (it is the result); call
+    * `unpersistResult()` when done with it.
+    */
   def run(): Dataset[I] = dataset
+
+  def unpersistResult(): Unit = persisted.foreach(_.unpersist())
 }
 
 object Pipeline {
@@ -155,11 +163,15 @@ object Pipeline {
 
   /** JVM-wide once-per-node latch backing `setupOnNode` (the analogue of a
     * Ray node-level setup; on a multi-executor cluster each executor JVM
-    * runs it once).
+    * runs it once). Keyed by a per-compiled-stage id minted on the driver —
+    * NOT the stage class — so two instances of the same stage class (e.g.
+    * differently configured) each get their own node setup.
     */
   private val nodeSetupDone = new ConcurrentHashMap[String, java.lang.Boolean]()
   private[graft] def setupNodeOnce(key: String)(body: => Unit): Unit =
     nodeSetupDone.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
+
+  private val stageIds = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[graft] def withAttempts[A](n: Int)(body: => A): A =
     Retry.withRetries(n)(body)
@@ -174,6 +186,17 @@ object Pipeline {
     val attempts = spec.numRunAttempts.getOrElse(config.numRunAttempts)
     val ignore = spec.ignoreFailures.getOrElse(config.ignoreFailures)
     val nones = spec.failuresReturnNones.getOrElse(config.failuresReturnNones)
+    if (nones) {
+      // The null padding must survive the output encoder: primitives unbox
+      // null to 0 silently and top-level case-class encoders reject null
+      // outright — both would betray the policy. Fail fast with guidance.
+      val cls = implicitly[Encoder[O]].clsTag.runtimeClass
+      require(!cls.isPrimitive &&
+          (classOf[Option[_]].isAssignableFrom(cls) || !classOf[Product].isAssignableFrom(cls)),
+        s"failuresReturnNones needs a null-tolerant output type; got ${cls.getName}. " +
+          "Use Option[O] (None per failed sample) or a reference type like String.")
+    }
+    val nodeKey = s"${st.getClass.getName}#${stageIds.incrementAndGet()}"
     // numWorkers → explicit repartition; over-provision widens it. On a
     // cluster this sets task parallelism for the stage; locally it is the
     // worker-count analogue.
@@ -190,7 +213,7 @@ object Pipeline {
         partitionId = tc.map(_.partitionId()).getOrElse(0),
         attemptNumber = tc.map(_.attemptNumber()).getOrElse(0),
         stageId = tc.map(_.stageId()).getOrElse(0))
-      Pipeline.setupNodeOnce(st.getClass.getName)(st.setupOnNode(ctx))
+      Pipeline.setupNodeOnce(nodeKey)(st.setupOnNode(ctx))
       st.setup(ctx)
       tc.foreach(_.addTaskCompletionListener[Unit](_ => st.destroy()))
       val counted = stats.fold(it)(s => it.map { x => s.rowsIn.add(1); x })

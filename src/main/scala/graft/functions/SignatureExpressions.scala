@@ -81,6 +81,8 @@ object SignatureExpressions {
     */
   case class MinhashBandKeys(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    // empty input -> null result even when the child is non-nullable
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_minhash_bands"
     protected override def nullSafeEval(input: Any): Any = {
       val sh = input.asInstanceOf[ArrayData]

@@ -114,6 +114,25 @@ class PipelineSuite extends SparkSpec {
     assert(destroys.get() == 5)      // teardown per task
   }
 
+  test("F7c: two instances of one stage class each run their node setup") {
+    import spark.implicits._
+    nodeSetups.set(0)
+    Pipeline.from(ints(10, parts = 2))
+      .stage(new LifecycleStage)
+      .stage(new LifecycleStage) // differently-instantiated, same class
+      .run().count()
+    assert(nodeSetups.get() == 2)
+  }
+
+  test("F9c: failuresReturnNones fails fast on null-intolerant output types") {
+    import spark.implicits._
+    val cfg = PipelineConfig(failuresReturnNones = true)
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.from(ints(4), cfg).stage(new AddStage(1)) // Int output: null -> 0
+    }
+    assert(ex.getMessage.contains("null-tolerant"))
+  }
+
   test("F10: filtering via empty output (flatMap semantics)") {
     import spark.implicits._
     val out = Pipeline.from(ints(20))
