@@ -107,6 +107,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate clusters from a near-dup pair set: connected components via
+    * iterative min-label propagation — the standard way to turn pairwise
+    * LSH hits into dedup groups at scale (a Ray/driver union-find would
+    * serialize the whole edge set; this is all joins/aggregations, O(log n)
+    * rounds bounded by the largest cluster's diameter — near-dup clusters
+    * are shallow, so it converges in a few rounds).
+    * Output: id, cluster (min id in the component), keep (id == cluster).
+    */
+  def clusters(all: DataFrame, idCol: String, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = all.select(col(idCol).as("id"), col(idCol).cast("long").as("comp"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    var checksum = labels.agg(sum("comp")).head.getLong(0)
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .persist()
+      // component labels only ever decrease: the sum is a fixpoint witness
+      val nextSum = next.agg(sum("comp")).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == checksum
+      checksum = nextSum
+      rounds += 1
+    }
+    labels.withColumn("keep", col("id") === col("comp"))
+      .select(col("id"), col("comp").as("cluster"), col("keep"))
+  }
+
   /** Exact embedding-cosine near-dup pairs (the oracle-exact baseline; the
     * approximate scale path is [[Similarity.annLsh]] / [[Similarity.ivfKnn]]
     * bucketing). Output: id_a, id_b, cos (6 dp, >= thr).

@@ -103,5 +103,40 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  /** d06: near-dup CLUSTERS — connected components over the d03 pair graph
+    * (min-id label propagation in Spark; transitive closure via recursive
+    * CTE in the oracle). Every document gets a cluster id; keep = canonical.
+    */
+  val d06 = QueryDef(
+    "d06_dup_clusters",
+    s"""WITH RECURSIVE
+       |t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
+       |h AS (SELECT doc_id, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
+       |s AS (SELECT doc_id, ${Sig.sqlShingleHashes("th")} AS sh FROM h),
+       |bands AS (SELECT doc_id, unnest(${Sig.sqlBandKeys("sh")}) AS bk
+       |          FROM s WHERE len(sh) > 0),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |p AS (SELECT id_a, id_b
+       |      FROM cand JOIN s sa ON id_a = sa.doc_id JOIN s sb ON id_b = sb.doc_id
+       |      WHERE ${mr("""len(list_intersect(sa.sh, sb.sh))*1.0 /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))""", 4)} >= $JaccardThr),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p
+       |          UNION SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION
+       |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a)
+       |SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+       |       d.doc_id = coalesce(c.cluster, d.doc_id) AS keep
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val pairs = Ops.minhashLshPairs(docs, "doc_id", "text", JaccardThr)
+    Ops.clusters(docs, "doc_id", pairs)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
 }
