@@ -58,6 +58,8 @@ object ScaleProbe {
     time("d03 minhash-lsh")(graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5).count())
     time("d04 simhash")(graft.operators.Dedup.simhashPairs(d, "doc_id", "text").count())
     time("d02 ngram-jaccard")(graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, 20).count())
+    time("d06 clusters")(graft.operators.Dedup.clusters(d, "doc_id",
+      graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5)).filter(col("keep")).count())
     val e = spark.read.parquet(s"$out/embeddings.parquet")
     time("s02 ann-lsh")(graft.operators.Similarity.annLsh(e, "vec_id", "embedding",
       graft.queries.Similarity.planes).count())
