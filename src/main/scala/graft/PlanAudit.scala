@@ -19,8 +19,9 @@ object PlanAudit {
       val df = SparkEntry.queries(n)(spark, dir)
       // Execute through the Dataset's OWN QueryExecution so AQE finalizes
       // this plan instance (a sink write would run a separate one and the
-      // reported plan would be the never-executed initial plan).
-      df.collect()
+      // reported plan would be the never-executed initial plan). toRdd +
+      // foreach streams without buffering results on the driver.
+      df.queryExecution.toRdd.foreach(_ => ())
       val plan = df.queryExecution.executedPlan.toString
       val scans = plan.linesIterator.filter(_.contains("FileScan")).map { l =>
         val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(l).getOrElse("")

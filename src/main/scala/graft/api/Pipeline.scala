@@ -186,16 +186,19 @@ object Pipeline {
     val attempts = spec.numRunAttempts.getOrElse(config.numRunAttempts)
     val ignore = spec.ignoreFailures.getOrElse(config.ignoreFailures)
     val nones = spec.failuresReturnNones.getOrElse(config.failuresReturnNones)
+    val outCls = implicitly[Encoder[O]].clsTag.runtimeClass
     if (nones) {
-      // The null padding must survive the output encoder: primitives unbox
-      // null to 0 silently and top-level case-class encoders reject null
+      // The padding must survive the output encoder: primitives unbox null
+      // to 0 silently and top-level case-class encoders reject null
       // outright — both would betray the policy. Fail fast with guidance.
-      val cls = implicitly[Encoder[O]].clsTag.runtimeClass
-      require(!cls.isPrimitive &&
-          (classOf[Option[_]].isAssignableFrom(cls) || !classOf[Product].isAssignableFrom(cls)),
-        s"failuresReturnNones needs a null-tolerant output type; got ${cls.getName}. " +
+      require(!outCls.isPrimitive &&
+          (classOf[Option[_]].isAssignableFrom(outCls) || !classOf[Product].isAssignableFrom(outCls)),
+        s"failuresReturnNones needs a null-tolerant output type; got ${outCls.getName}. " +
           "Use Option[O] (None per failed sample) or a reference type like String.")
     }
+    val nonePad: O =
+      if (classOf[Option[_]].isAssignableFrom(outCls)) None.asInstanceOf[O]
+      else null.asInstanceOf[O]
     val nodeKey = s"${st.getClass.getName}#${stageIds.incrementAndGet()}"
     // numWorkers → explicit repartition; over-provision widens it. On a
     // cluster this sets task parallelism for the stage; locally it is the
@@ -228,9 +231,11 @@ object Pipeline {
             case e: Throwable if nones =>
               stats.foreach(_.failures.add(1))
               // The reference's failures_return_nones (specs.py:474): the
-              // failed batch yields placeholder nulls, one per sample, so
-              // downstream stages see aligned cardinality.
-              Seq.fill(batch.size)(null.asInstanceOf[O])
+              // failed batch yields one placeholder per sample so downstream
+              // stages see aligned cardinality. Option outputs get a real
+              // None — chained typed stages receive objects directly (no
+              // encode round-trip), so a raw null would NPE the next stage.
+              Seq.fill(batch.size)(nonePad)
             case e: Throwable if ignore =>
               stats.foreach(_.failures.add(1))
               Seq.empty[O]

@@ -110,9 +110,12 @@ object Dedup {
   /** Duplicate clusters from a near-dup pair set: connected components via
     * iterative min-label propagation — the standard way to turn pairwise
     * LSH hits into dedup groups at scale (a Ray/driver union-find would
-    * serialize the whole edge set; this is all joins/aggregations, O(log n)
-    * rounds bounded by the largest cluster's diameter — near-dup clusters
-    * are shallow, so it converges in a few rounds).
+    * serialize the whole edge set; this is all joins/aggregations). The
+    * label moves one hop per round, so rounds needed = the largest
+    * component's diameter — near-dup clusters are shallow in practice.
+    * Throws if `maxRounds` is reached before the fixpoint (silent
+    * truncation would emit multiple canonicals for one true component).
+    * Ids may be any orderable type (numeric, string, ...).
     * Output: id, cluster (min id in the component), keep (id == cluster).
     */
   def clusters(all: DataFrame, idCol: String, pairs: DataFrame,
@@ -120,30 +123,35 @@ object Dedup {
     // Materialize the edge set ONCE (the pair generation upstream may be a
     // whole LSH pipeline) and truncate lineage per round with an eager
     // localCheckpoint — otherwise every round's plan embeds all previous
-    // rounds and optimizer time dominates (measured 80s → ~8s at 50k docs).
+    // rounds and optimizer time dominates (measured 80s → ~8s at 50k
+    // docs). Superseded rounds' blocks are released by the ContextCleaner
+    // once their Datasets become unreachable (Dataset.unpersist does not
+    // apply to localCheckpoint storage).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = all.select(col(idCol).as("id"), col(idCol).cast("long").as("comp"))
+    var labels = all.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
-    var checksum = labels.agg(sum("comp")).head.getLong(0)
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
       val next = labels.join(neighborMin, col("id") === col("dst"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      // component labels only ever decrease: the sum is a fixpoint witness
-      val nextSum = next.agg(sum("comp")).head.getLong(0)
-      labels.unpersist()
+      // type-agnostic fixpoint witness: any label that still changed?
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
       labels = next
-      converged = nextSum == checksum
-      checksum = nextSum
       rounds += 1
     }
-    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxRounds rounds; a component has " +
+          s"diameter > $maxRounds — raise maxRounds")
     labels.withColumn("keep", col("id") === col("comp"))
       .select(col("id"), col("comp").as("cluster"), col("keep"))
   }

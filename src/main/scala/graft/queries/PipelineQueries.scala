@@ -47,13 +47,16 @@ object PipelineQueries {
     import s.implicits._
     import graft.api.{ExecutionMode, PipelineConfig}
     val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text")).as[DocRow]
-    Pipeline.from(docs, PipelineConfig(mode = ExecutionMode.Batch))
+    val p = Pipeline.from(docs, PipelineConfig(mode = ExecutionMode.Batch))
       .stage(new ParseStage)
       .stage(new ScoreStage)
       .stage(new FilterStage(MinTokens))
-      .run()
-      .toDF()
-      .orderBy("doc_id")
+    val out = p.run().toDF().orderBy("doc_id")
+    // the barriers already ran (Batch is eager); release the result cache
+    // so this long-lived session doesn't accumulate it — the consumer
+    // recomputes lazily like any other query
+    p.unpersistResult()
+    out
   }
 
   val queries: Seq[QueryDef] = Seq(p01, p02)

@@ -36,7 +36,10 @@ object StatefulSessions {
           ts.foreach { t =>
             if (last == Long.MinValue || t - last > gapMillis) nSess += 1
             nEv += 1
-            last = t
+            // events are ordered only within a batch: a cross-batch late
+            // event must not rewind the session clock (it would make the
+            // next in-order event spuriously open a session)
+            last = math.max(last, t)
           }
           state.update(SessionState(nSess, nEv, last))
           Iterator(SessionCount(entity, nSess, nEv))

@@ -178,6 +178,27 @@ class PipelineSuite extends SparkSpec {
     assert(out.filter(_ != null).sorted.toSeq == Seq("A", "BB", "DDDD"))
   }
 
+  test("F9d: failuresReturnNones pads Option outputs with real None") {
+    import spark.implicits._
+    val cfg = PipelineConfig(failuresReturnNones = true)
+    val out = Pipeline.from(spark.createDataset(Seq("ok", "boom")).repartition(1), cfg)
+      .stage(new Stage[String, Option[String]] {
+        override def batchSize: Int = 1
+        override def process(b: Seq[String]): Seq[Option[String]] = {
+          if (b.contains("boom")) throw new RuntimeException("boom")
+          b.map(s => Some(s.toUpperCase))
+        }
+      })
+      // a SECOND typed stage receives the padded objects directly — a raw
+      // null (instead of None) would NPE here
+      .stage(new Stage[Option[String], String] {
+        override def process(b: Seq[Option[String]]): Seq[String] =
+          b.map(_.getOrElse("<failed>"))
+      })
+      .run().collect().sorted
+    assert(out.toSeq == Seq("<failed>", "OK"))
+  }
+
   test("F11: numWorkers repartitions the stage input") {
     import spark.implicits._
     val out = Pipeline.from(ints(40, parts = 2))

@@ -55,11 +55,18 @@ class StreamingSuite extends SparkSpec {
       // user 1: next event 5s later -> new session; state carried across batches
       source.addData((1L, 5100L))
       query.processAllAvailable()
+      // a LATE cross-batch event joins silently (<= lastTs) and must not
+      // rewind the session clock...
+      source.addData((1L, 4900L))
+      query.processAllAvailable()
+      // ...so this in-order event (600ms after 5100) does NOT open a session
+      source.addData((1L, 5700L))
+      query.processAllAvailable()
       val last = spark.table("sessions")
         .groupBy("entity").agg(org.apache.spark.sql.functions.max("n_sessions").as("s"),
           org.apache.spark.sql.functions.max("n_events").as("e"))
         .as[(Long, Long, Long)].collect().sortBy(_._1)
-      assert(last.toSeq == Seq((1L, 2L, 3L), (2L, 1L, 1L)))
+      assert(last.toSeq == Seq((1L, 2L, 5L), (2L, 1L, 1L)))
     } finally query.stop()
   }
 
