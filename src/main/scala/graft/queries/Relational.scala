@@ -306,6 +306,57 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  val q17 = QueryDef(
+    "q17_moving_avg",
+    s"""SELECT o_custkey, o_orderkey,
+       |  ${graft.functions.Rounding.sqlMirrorRound(
+             """avg(o_totalprice) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""", 2)} AS ma3
+       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    // frame-bounded window aggregate: per customer, 3-order moving average
+    // in order-date order (frames evaluate in frame order on both engines)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(-2, Window.currentRow)
+    Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        graft.functions.Rounding.mirrorRound(avg("o_totalprice").over(w), 2).as("ma3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q18: arbitrary per-group logic via `mapGroups` — the typed analogue of
+    * the reference's "any code over a group of samples". Each user's events
+    * are sorted in memory (groups are small; the shuffle is on user_id) and
+    * a custom gap scan runs imperatively.
+    */
+  val q18 = QueryDef(
+    "q18_group_apply",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id FROM events),
+      |d AS (SELECT user_id, t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS gap
+      |      FROM e)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_ms
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("t"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        val ts = it.map(e => (e._2, e._3)).toArray.sortBy(identity)
+        var maxGap = 0L
+        var i = 1
+        while (i < ts.length) {
+          maxGap = math.max(maxGap, ts(i)._1 - ts(i - 1)._1)
+          i += 1
+        }
+        (user, ts.length.toLong, maxGap)
+      }
+      .toDF("user_id", "n_events", "max_gap_ms")
+      .orderBy("user_id")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
+      q17, q18)
 }

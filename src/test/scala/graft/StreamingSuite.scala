@@ -70,6 +70,28 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static join: streaming events enriched with a broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val nations = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val source = MemoryStream[(Long, Int)] // (event_id, nationkey)
+    val enriched = source.toDF().toDF("event_id", "nationkey")
+      .join(org.apache.spark.sql.functions.broadcast(nations),
+        col("nationkey") === col("n_nationkey"))
+      .select("event_id", "n_name")
+    val query = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      source.addData((1L, 0), (2L, 1), (3L, 999)) // 999: no dim match -> dropped
+      query.processAllAvailable()
+      val rows = spark.table("enriched").as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows.map(_._1).toSeq == Seq(1L, 2L))
+      assert(rows.forall(_._2.nonEmpty))
+    } finally query.stop()
+  }
+
   test("E1: watermarked tumbling-window aggregation over event-time") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
