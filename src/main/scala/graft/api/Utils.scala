@@ -46,13 +46,15 @@ object Grouping {
   }
 }
 
-/** Bounded retry with optional backoff (reference: utils/retry.py
-  * do_with_retries) — the same policy the pipeline applies around
-  * `Stage.process` (`numRunAttempts`).
+/** Bounded retry with optional backoff and an exception filter (reference:
+  * utils/retry.py do_with_retries, which retries only listed exception
+  * types) — the same policy the pipeline applies around `Stage.process`
+  * (`numRunAttempts`).
   */
 object Retry {
   def withRetries[A](attempts: Int, backoffMillis: Long = 0,
-      onFailure: Throwable => Unit = _ => ())(body: => A): A = {
+      onFailure: Throwable => Unit = _ => (),
+      retryOn: Throwable => Boolean = _ => true)(body: => A): A = {
     var attempt = 0
     var last: Throwable = null
     while (attempt < math.max(attempts, 1)) {
@@ -61,6 +63,7 @@ object Retry {
         case e: Throwable =>
           last = e
           onFailure(e)
+          if (!retryOn(e)) throw e // unlisted exceptions propagate at once
           attempt += 1
           if (backoffMillis > 0 && attempt < attempts)
             Thread.sleep(backoffMillis * attempt)

@@ -207,6 +207,36 @@ class PipelineSuite extends SparkSpec {
     assert(out.length == 8)
   }
 
+  test("F20: fan-out and fan-in through process (reference dynamic splitting)") {
+    import spark.implicits._
+    // fan-out: each sample becomes 3
+    val out = Pipeline.from(ints(10))
+      .stage(new Stage[Int, Int] {
+        override def batchSize: Int = 4
+        override def process(b: Seq[Int]): Seq[Int] = b.flatMap(x => Seq(x, x, x))
+      })
+      .run().collect()
+    assert(out.length == 30)
+    // fan-in: each batch reduces to a single sample
+    val in = Pipeline.from(ints(100, parts = 2))
+      .stage(new Stage[Int, Int] {
+        override def batchSize: Int = 10
+        override def process(b: Seq[Int]): Seq[Int] = Seq(b.sum)
+      })
+      .run().collect()
+    assert(in.length == 10 && in.sum == (1 to 100).sum)
+  }
+
+  test("utils: Retry honors the exception filter (reference retry semantics)") {
+    var calls = 0
+    intercept[IllegalStateException] {
+      Retry.withRetries(5, retryOn = !_.isInstanceOf[IllegalStateException]) {
+        calls += 1; throw new IllegalStateException("not retryable")
+      }
+    }
+    assert(calls == 1) // unlisted exception propagated immediately
+  }
+
   test("F4: BATCH mode materializes between stages and preserves results") {
     import spark.implicits._
     val cfg = PipelineConfig(mode = ExecutionMode.Batch)
