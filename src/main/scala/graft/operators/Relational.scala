@@ -35,16 +35,30 @@ object Relational {
   }
 
   /** AS-OF join: for each left row, the single most-recent right row with
-    * rightTs <= leftTs on the same key. Spark has no native ASOF operator;
-    * composed as an equi-join on the key plus a range predicate and a
-    * deterministic argmax (ts packed with the id: id must stay < idBound).
-    * The equi-join keeps the shuffle keyed on the join key only.
+    * rightTs <= leftTs on the same key (ties on rightTs broken by max
+    * rightId). Spark has no native ASOF operator; a join + argmax would
+    * materialize every (left × all-prior-right) pair before aggregating —
+    * quadratic under a heavy-tail key. Instead: union both sides, one
+    * window per key ordered by (ts, side, rightId) with a running
+    * `last(rightId) ignore nulls` — right rows sort before left rows at
+    * equal ts, so each left row reads its match off the running value.
+    * ONE shuffle on the key, zero fan-out, ids never packed/bounded.
+    * Left rows with no prior right row are dropped (inner-asof semantics).
+    * Output: one row per left row — leftId, asof_<rightId>.
     */
   def asofJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String, leftId: String, rightId: String,
-      idBound: Long = 1000000L): DataFrame =
-    left.join(right,
-        left(leftKey) === right(rightKey) && right(rightTs) <= left(leftTs))
-      .groupBy(left(leftId))
-      .agg((max(right(rightTs) * idBound + right(rightId)) % idBound).as("asof_" + rightId))
+      leftTs: String, rightTs: String, leftId: String, rightId: String): DataFrame = {
+    val lidT = left.schema(leftId).dataType
+    val ridT = right.schema(rightId).dataType
+    val r = right.select(col(rightKey).as("_k"), col(rightTs).as("_ts"),
+      lit(0).as("_side"), lit(null).cast(lidT).as("_lid"), col(rightId).as("_rid"))
+    val l = left.select(col(leftKey).as("_k"), col(leftTs).as("_ts"),
+      lit(1).as("_side"), col(leftId).as("_lid"), lit(null).cast(ridT).as("_rid"))
+    val w = Window.partitionBy("_k").orderBy(col("_ts"), col("_side"), col("_rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("_asof", last(col("_rid"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_asof").isNotNull)
+      .select(col("_lid").as(leftId), col("_asof").as("asof_" + rightId))
+  }
 }

@@ -207,19 +207,21 @@ object Relational {
   }
 
   // AS-OF join: each purchase matched to the most recent click at-or-before
-  // it by the same user. Spark has no native ASOF; composed as an equi-join
-  // on user_id with a range predicate plus a deterministic argmax
-  // (max of tms*1e6+event_id — event_id stays < 1e6 at tested SFs).
+  // it by the same user (ties by max click id). The Spark side is the
+  // union + per-user window plan (one shuffle, no pair fan-out, no id
+  // bounds); the oracle states the same semantics as a join + row_number
+  // argmax — DuckDB at sf0.01 doesn't need the scale-safe plan.
   val q12 = QueryDef(
     "q12_asof_join",
     """WITH p AS (SELECT event_id AS p_event_id, user_id, epoch_ms(ts) AS p_ms
       |           FROM events WHERE event_type = 'purchase'),
       |c AS (SELECT event_id AS c_event_id, user_id, epoch_ms(ts) AS c_ms
-      |      FROM events WHERE event_type = 'click')
-      |SELECT p_event_id,
-      |  CAST(max(c_ms*1000000 + c_event_id) % 1000000 AS BIGINT) AS click_event_id
-      |FROM p JOIN c ON p.user_id = c.user_id AND c_ms <= p_ms
-      |GROUP BY p_event_id ORDER BY p_event_id""".stripMargin) { (s, dir) =>
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p_event_id, c_event_id, row_number() OVER (
+      |        PARTITION BY p_event_id ORDER BY c_ms DESC, c_event_id DESC) AS rn
+      |      FROM p JOIN c ON p.user_id = c.user_id AND c_ms <= p_ms)
+      |SELECT p_event_id, CAST(c_event_id AS BIGINT) AS click_event_id
+      |FROM j WHERE rn = 1 ORDER BY p_event_id""".stripMargin) { (s, dir) =>
     val ev = Tables.events(s, dir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+import graft.operators.Relational
+
+/** Generic-surface behaviors of the relational operators beyond the oracle
+  * bindings — in particular the asofJoin hazards the round-1 review called
+  * out: ids past any packing bound, heavy-tail keys, tie semantics.
+  */
+class RelationalOpsSuite extends SparkSpec {
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    import spark.implicits._
+    val l = left.toDF("k", "ts", "lid")
+    val r = right.toDF("k", "ts", "rid")
+    Relational.asofJoin(l, r, leftKey = "k", rightKey = "k",
+      leftTs = "ts", rightTs = "ts", leftId = "lid", rightId = "rid")
+  }
+
+  test("asofJoin picks most-recent-prior right row, ids far beyond 1e6") {
+    import spark.implicits._
+    val big = 7_000_000_123L // would alias under the old ts*1e6+id packing
+    val left = Seq((1L, 100L, 10L), (1L, 205L, 11L), (2L, 50L, 20L))
+    val right = Seq(
+      (1L, 90L, big), (1L, 100L, big + 1), (1L, 200L, big + 2),
+      (2L, 60L, 1L)) // after the only left row of user 2 → no match
+    val got = asof(left, right).orderBy("lid").as[(Long, Long)].collect().toSeq
+    // lid=10 at ts=100: right rows at 90 and 100 qualify; ties-by-ts are not
+    // in play — most recent is ts=100 → big+1. lid=11 at 205 → ts=200.
+    assert(got == Seq((10L, big + 1), (11L, big + 2)))
+  }
+
+  test("asofJoin breaks rightTs ties by max rightId") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L))
+    val right = Seq((1L, 100L, 3L), (1L, 100L, 9L), (1L, 100L, 5L))
+    val got = asof(left, right).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 9L)))
+  }
+
+  test("asofJoin heavy-tail key: linear rows, no pair fan-out, one shuffle") {
+    import spark.implicits._
+    // one user with 20k clicks and 200 purchases: the old join-then-argmax
+    // plan would materialize 20k×200 = 4M intermediate rows; the window
+    // plan processes 20.2k rows once.
+    val clicks = (0 until 20000).map(i => (1L, i.toLong * 10, 1_000_000_000L + i))
+    val purchases = (0 until 200).map(i => (1L, i.toLong * 1000 + 5, 2_000_000_000L + i))
+    val df = asof(purchases, clicks)
+    val plan = df.queryExecution.executedPlan
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val nodes = collectAll(plan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[BroadcastNestedLoopJoinExec] || n.isInstanceOf[CartesianProductExec]),
+      "asofJoin must not produce a pair join")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) <= 1,
+      "asofJoin should shuffle once, on the key")
+    val got = df.orderBy("lid").as[(Long, Long)].collect()
+    assert(got.length == 200)
+    // purchase i at ts = 1000*i+5 → latest click at ts <= that is click
+    // index (1000*i+5)/10 = 100*i (ts = 1000*i), id = 1e9 + 100*i
+    got.zipWithIndex.foreach { case ((lid, rid), i) =>
+      assert(lid == 2_000_000_000L + i)
+      assert(rid == 1_000_000_000L + 100L * i)
+    }
+  }
+
+  test("asofJoin drops left rows with no prior right row") {
+    import spark.implicits._
+    val got = asof(Seq((5L, 10L, 1L)), Seq((5L, 11L, 2L))).count()
+    assert(got == 0)
+  }
+}
