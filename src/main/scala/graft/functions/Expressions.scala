@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -115,6 +115,57 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Hyperplane-LSH band keys over a float vector: one long per band,
+    * (bandIndex << 32) | sign-bit pattern of that band's `bits` planes.
+    * `bitsExpr` and `planesExpr` (array<array<double>>) must be foldable —
+    * they're evaluated once per executor, not per row. One pass per row
+    * (bands x bits x dim primitive loop); CodegenFallback, but the
+    * surrounding operators stay in whole-stage codegen. Dot-product fold
+    * order matches the DuckDB mirror ([[EmbeddingLsh.sqlBandKeys]]) so
+    * bucket assignment is bit-identical across engines.
+    */
+  case class HyperplaneBandKeys(vec: Expression, bitsExpr: Expression, planesExpr: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def first: Expression = vec
+    override def second: Expression = bitsExpr
+    override def third: Expression = planesExpr
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_bands"
+
+    @transient private lazy val bits: Int = bitsExpr.eval(null).asInstanceOf[Int]
+    @transient private lazy val planes: Array[Array[Double]] = {
+      val ad = planesExpr.eval(null).asInstanceOf[ArrayData]
+      Array.tabulate(ad.numElements())(j => ad.getArray(j).toDoubleArray())
+    }
+
+    protected override def nullSafeEval(v: Any, b: Any, p: Any): Any = {
+      val xs = v.asInstanceOf[ArrayData]
+      val nBands = planes.length / bits
+      val keys = new Array[Long](nBands)
+      var j = 0
+      while (j < nBands) {
+        var key = j.toLong << 32
+        var k = 0
+        while (k < bits) {
+          val pl = planes(j * bits + k)
+          val n = math.min(xs.numElements(), pl.length)
+          var dot = 0.0
+          var i = 0
+          while (i < n) { dot += xs.getFloat(i).toDouble * pl(i); i += 1 }
+          if (dot > 0) key |= (1L << k)
+          k += 1
+        }
+        keys(j) = key
+        j += 1
+      }
+      new GenericArrayData(keys)
+    }
+
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): HyperplaneBandKeys =
+      copy(vec = f, bitsExpr = s, planesExpr = t)
+  }
+
   /** Idempotently register the expressions in the session's function
     * registry; callers then use the `Column` helpers below.
     */
@@ -124,6 +175,8 @@ object GraftExpressions {
       { es: Seq[Expression] => PolyHash(es.head) }, "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       { es: Seq[Expression] => CosineSim(es(0), es(1)) }, "built-in")
+    reg.createOrReplaceTempFunction("graft_hyperplane_bands",
+      { es: Seq[Expression] => HyperplaneBandKeys(es(0), es(1), es(2)) }, "built-in")
   }
 
   def polyHash(text: Column): Column = call_function("graft_poly_hash", text)

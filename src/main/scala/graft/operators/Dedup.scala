@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftExpressions, Rounding, SignatureExpressions => SigX, Signatures => Sig}
+import graft.functions.{EmbeddingLsh, GraftExpressions, Rounding, SignatureExpressions => SigX, Signatures => Sig}
 import graft.functions.TextFunctions.tokens
 
 /** Reusable deduplication operators over arbitrary DataFrames — the
@@ -156,12 +156,45 @@ object Dedup {
       .select(col("id"), col("comp").as("cluster"), col("keep"))
   }
 
-  /** Exact embedding-cosine near-dup pairs (the oracle-exact baseline; the
-    * approximate scale path is [[Similarity.annLsh]] / [[Similarity.ivfKnn]]
-    * bucketing). Output: id_a, id_b, cos (6 dp, >= thr).
+  /** Banded hyperplane-LSH embedding near-dup pairs — the scale path.
+    * Candidates are pairs colliding in >= 1 of [[EmbeddingLsh.Bands]] band
+    * keys (an equi-join, exactly d03's shape for minhash); only candidates
+    * get the exact cosine, and only those >= thr survive. Contract matches
+    * d03/d04: band-colliding pairs, so recall follows the LSH curve
+    * 1-(1-p^Bits)^Bands — ~1 for true near-dups (cos >= 0.9), intentionally
+    * partial at loose thresholds. At 100 TB the band key is a shuffle key;
+    * bucket fan-out is bounded by sizing Bits to the corpus (2^Bits bucket
+    * ids per band). Output: id_a, id_b, cos (6 dp, >= thr).
+    */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      thr: Double): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
+    val keys = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
+    val cand = keys.as("a")
+      .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))
+      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
+      .distinct()
+    cand
+      .join(e.as("sa"), col("id_a") === col("sa._gid"))
+      .join(e.as("sb"), col("id_b") === col("sb._gid"))
+      .select(col("id_a"), col("id_b"),
+        round(GraftExpressions.cosineSim(col("sa._v"), col("sb._v")), 6).as("cos"))
+      .filter(col("cos") >= thr)
+  }
+
+  /** Exact embedding-cosine near-dup pairs: the all-pairs oracle baseline,
+    * deliberately O(n²) — [[embeddingPairsLsh]] is the scale path. Guarded:
+    * refuses inputs past `maxRows` so the cartesian can't be reached by
+    * accident on a large table (raise the bound explicitly to override).
+    * Output: id_a, id_b, cos (6 dp, >= thr).
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      thr: Double): DataFrame = {
+      thr: Double, maxRows: Long = 200000L): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"embeddingPairs is an exact all-pairs scan ($n rows -> ~${n * n / 2} pairs); " +
+        s"beyond maxRows=$maxRows use embeddingPairsLsh, or raise maxRows explicitly")
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
     // The broadcast-nested-loop pair scan parallelizes over the STREAMED

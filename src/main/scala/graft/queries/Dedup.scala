@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.EmbeddingLsh
 import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.functions.{Signatures => Sig}
 import graft.functions.VectorFunctions.sqlCosine
@@ -92,8 +93,32 @@ object Dedup {
       maxHamming = 3, maxChunkDf = MaxChunkDf).orderBy("id_a", "id_b")
   }
 
+  /** d05: banded hyperplane-LSH near-dup pairs (candidates = band-key
+    * equi-join, exact cosine verification — d03's shape for embeddings).
+    * The oracle embeds the SAME plane literals, so both engines compute
+    * identical band keys; d07 keeps the exact all-pairs baseline.
+    */
   val d05 = QueryDef(
     "d05_embedding_dup",
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |              unnest(${EmbeddingLsh.sqlBandKeys("embedding")}) AS bk
+       |            FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) AS cos
+       |FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+       |          JOIN embeddings eb ON id_b = eb.vec_id
+       |WHERE round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) >= $CosThr
+       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Ops.embeddingPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosThr)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** d07: the exact all-pairs cosine baseline (guarded in the operator;
+    * d05 is the scale path).
+    */
+  val d07 = QueryDef(
+    "d07_embedding_exact",
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |  round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS cos
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -138,5 +163,5 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
+  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

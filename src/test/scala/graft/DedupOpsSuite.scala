@@ -20,6 +20,33 @@ class DedupOpsSuite extends SparkSpec {
       ("d", "d", true), ("e", "d", false)))
   }
 
+  test("embeddingPairsLsh: subset of exact pairs; full recall on true dups") {
+    import spark.implicits._
+    // 20 base vectors + 5 exact duplicates (cos = 1.0 pairs MUST be found:
+    // identical vectors collide in every band)
+    val rnd = new scala.util.Random(11)
+    val base = Seq.tabulate(20)(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val dups = base.take(5).map { case (i, v) => (100L + i, v.clone()) }
+    val df = (base ++ dups).toDF("id", "vec")
+    val lsh = Dedup.embeddingPairsLsh(df, "id", "vec", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingPairs(df, "id", "vec", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must never invent pairs")
+    val dupPairs = (0 until 5).map(i => (i.toLong, 100L + i)).toSet
+    assert(dupPairs.subsetOf(lsh), "identical vectors collide in every band")
+  }
+
+  test("embeddingPairs guardrail refuses inputs past maxRows") {
+    import spark.implicits._
+    val df = Seq.tabulate(10)(i => (i.toLong, Array.fill(4)(1.0f))).toDF("id", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingPairs(df, "id", "vec", 0.5, maxRows = 5)
+    }
+    assert(ex.getMessage.contains("embeddingPairsLsh"))
+    assert(Dedup.embeddingPairs(df, "id", "vec", 0.5, maxRows = 10).count() == 45)
+  }
+
   test("clusters throws instead of silently truncating at maxRounds") {
     import spark.implicits._
     // a 5-node chain needs 4 propagation hops; 1 round cannot converge
