@@ -79,20 +79,39 @@ object Similarity {
   /** IVF-style ANN: assign vectors to coarse cells (nearest centroid);
     * a query probes only its own cell, so a probe reads 1/|cells| of the
     * corpus — at scale the cell id is a partition key.
-    * Output: query_id, cell, rank, neighbor_id, cos.
+    *
+    * Plan shape (the round-2 review's scale fix): nearest-centroid
+    * assignment is a `max_by` aggregation, NOT a row_number window — the
+    * corpus×centroid product collapses map-side (partial aggregation in
+    * the same stage), so only one reduced row per vector reaches the
+    * shuffle and there is no per-vector sort. Queries are assigned by a
+    * separate pass over the (pushdown-filtered, tiny) query subset, so the
+    * corpus assignment is computed exactly ONCE — previously deriving the
+    * query set from the corpus assignment pushed `isQuery` below the
+    * exchange and forced the whole lineage to run twice. The shared
+    * `cells` broadcast subtree is deduplicated by Spark's ReuseExchange.
+    *
+    * `isQuery` must be a predicate over (idCol, vecCol) — it selects the
+    * query subset of `df` before assignment. Output: query_id, cell, rank,
+    * neighbor_id, cos.
     */
   def ivfKnn(df: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
       isQuery: Column, k: Int): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
-    val w1 = Window.partitionBy("vec_id")
-      .orderBy(VectorFunctions.cosine(col("_v"), col("cv")).desc, col("clabel"))
-    val asg = e.crossJoin(broadcast(cells))
-      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("_v"), col("clabel").cast("long").as("cell"))
-    val q = asg.filter(isQuery)
+    // argmax over centroids: max cosine, ties broken by smallest label —
+    // identical selection to ORDER BY cos DESC, clabel ASC ... rn = 1.
+    def assign(in: DataFrame): DataFrame =
+      in.crossJoin(broadcast(cells))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("clabel").cast("long").as("cell"), col("_v").as("v")),
+          struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
+            negate(col("clabel").cast("long")).as("negl"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("_v"))
+    val q = assign(e.filter(isQuery))
       .select(col("vec_id").as("query_id"), col("_v").as("_qv"), col("cell").as("qcell"))
-    val sc = asg.join(broadcast(q),
+    val sc = assign(e).join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qcell").as("cell"), col("vec_id").as("neighbor_id"),
         round(GraftExpressions.cosineSim(col("_qv"), col("_v")), 6).as("cos"))
