@@ -17,6 +17,22 @@ import org.apache.spark.sql.SparkSession
   * Stages resolve artifacts inside `setup()`/`setupOnNode()` — exactly
   * where the reference guarantees downloads have landed.
   */
+/** A declarative per-stage artifact (reference: DownloadRequest /
+  * ObjectDownloadRequest, file_distribution/). Listed in
+  * [[Stage.downloadRequests]]; the pipeline resolves it via
+  * [[Artifacts.distributeFile]] before the stage compiles. Executors read
+  * it at [[localPath]] (Spark controls the scratch location, so there is
+  * no `destination` override — the reference's destination path maps to
+  * the executor-local SparkFiles dir).
+  */
+final case class DownloadRequest(uri: String) {
+  /** Basename the file is registered under on every executor. */
+  def fileName: String = uri.split('/').last
+
+  /** Executor-side absolute local path (valid once the stage runs). */
+  def localPath: String = Artifacts.localPath(fileName)
+}
+
 object Artifacts {
 
   /** Register a file (local path or any Hadoop-visible URI) for

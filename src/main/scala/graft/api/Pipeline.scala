@@ -2,6 +2,8 @@ package graft.api
 
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.storage.StorageLevel
@@ -57,6 +59,16 @@ abstract class Stage[I, O] extends Serializable {
   def setup(): Unit = ()
   def setup(ctx: WorkerContext): Unit = setup()
 
+  /** Declarative per-stage artifacts (reference: `download_requests`,
+    * specs.py:186): every listed file is distributed to all executors via
+    * [[Artifacts.distributeFile]] BEFORE this stage compiles, so `setup()`
+    * and `process` can read it with [[Artifacts.localPath]] /
+    * [[DownloadRequest.localPath]] without manual distribution calls —
+    * the same "downloads have landed before setup" guarantee the
+    * reference makes.
+    */
+  def downloadRequests: Seq[DownloadRequest] = Seq.empty
+
   /** Transform a batch. Returning an empty Seq drops the samples (the
     * reference's `None` return, specs.py:309): flatMap semantics make
     * filtering free.
@@ -102,16 +114,32 @@ final case class StageSpec[I, O](
     stage: Stage[I, O],
     numWorkers: Option[Int] = None,
     numRunAttempts: Option[Int] = None,
+    numSetupAttempts: Option[Int] = None,
     ignoreFailures: Option[Boolean] = None,
     failuresReturnNones: Option[Boolean] = None,
+    resetWorkersOnFailure: Option[Boolean] = None,
     overProvisionFactor: Option[Double] = None)
 
-/** Pipeline-wide config (reference: PipelineConfig, specs.py:434). */
+/** Pipeline-wide config (reference: PipelineConfig, specs.py:434).
+  *
+  *  - `numSetupAttempts`: bounded retry around `Stage.setup()` (reference
+  *    `num_setup_attempts_python`, specs.py:440) — transient setup
+  *    failures (a model-download hiccup) must not kill the task.
+  *  - `resetWorkersOnFailure` (specs.py:457): on an ignored `process`
+  *    failure the worker is torn down and rebuilt — `destroy()`, the
+  *    node-setup latch cleared, `setupOnNode()`/`setup()` re-run — so a
+  *    poisoned node-level singleton can't poison every later batch. As in
+  *    the reference, it only takes effect with `ignoreFailures`; it also
+  *    clears the latch when the task itself fails, so a fresh task
+  *    attempt re-initializes the node.
+  */
 final case class PipelineConfig(
     mode: ExecutionMode = ExecutionMode.Streaming,
     numRunAttempts: Int = 1,
+    numSetupAttempts: Int = 1,
     ignoreFailures: Boolean = false,
     failuresReturnNones: Boolean = false,
+    resetWorkersOnFailure: Boolean = false,
     batchStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
 
 /** Typed pipeline builder/compiler: each added stage extends a lazy
@@ -171,6 +199,11 @@ object Pipeline {
   private[graft] def setupNodeOnce(key: String)(body: => Unit): Unit =
     nodeSetupDone.computeIfAbsent(key, _ => { body; java.lang.Boolean.TRUE })
 
+  /** Clear the once-per-node latch so the next [[setupNodeOnce]] re-runs
+    * the body — the reset path behind `resetWorkersOnFailure`.
+    */
+  private[graft] def resetNodeSetup(key: String): Unit = nodeSetupDone.remove(key)
+
   private val stageIds = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[graft] def withAttempts[A](n: Int)(body: => A): A =
@@ -183,9 +216,15 @@ object Pipeline {
       monitor: Option[PipelineMonitor],
       stageName: String): Dataset[O] = {
     val st = spec.stage
-    val attempts = spec.numRunAttempts.getOrElse(config.numRunAttempts)
     val ignore = spec.ignoreFailures.getOrElse(config.ignoreFailures)
     val nones = spec.failuresReturnNones.getOrElse(config.failuresReturnNones)
+    // failures_return_nones documents "the task will not be retried"
+    // (specs.py:477): padding IS the failure policy, so burn no attempts.
+    val attempts =
+      if (nones) 1 else spec.numRunAttempts.getOrElse(config.numRunAttempts)
+    val setupAttempts = spec.numSetupAttempts.getOrElse(config.numSetupAttempts)
+    // Reference gates worker reset on ignore_failures (specs.py:457).
+    val reset = spec.resetWorkersOnFailure.getOrElse(config.resetWorkersOnFailure) && ignore
     val outCls = implicitly[Encoder[O]].clsTag.runtimeClass
     if (nones) {
       // The padding must survive the output encoder: primitives unbox null
@@ -209,6 +248,9 @@ object Pipeline {
       case _                  => ds
     }
     val stats = monitor.map(_.forStage(stageName))
+    // Resolve declarative artifacts on the driver, before the stage can
+    // run anywhere (reference: download_requests, specs.py:186).
+    st.downloadRequests.foreach(r => Artifacts.distributeFile(ds.sparkSession, r.uri))
     scaled.mapPartitions { it =>
       val tc = Option(TaskContext.get())
       val ctx = WorkerContext(
@@ -216,8 +258,12 @@ object Pipeline {
         partitionId = tc.map(_.partitionId()).getOrElse(0),
         attemptNumber = tc.map(_.attemptNumber()).getOrElse(0),
         stageId = tc.map(_.stageId()).getOrElse(0))
+      if (reset)
+        // a failed task must not leave the node latched: the next task
+        // attempt gets a freshly initialized node (specs.py:457)
+        tc.foreach(_.addTaskFailureListener((_, _) => Pipeline.resetNodeSetup(nodeKey)))
       Pipeline.setupNodeOnce(nodeKey)(st.setupOnNode(ctx))
-      st.setup(ctx)
+      Pipeline.withAttempts(setupAttempts)(st.setup(ctx))
       tc.foreach(_.addTaskCompletionListener[Unit](_ => st.destroy()))
       val counted = stats.fold(it)(s => it.map { x => s.rowsIn.add(1); x })
       val out = counted.grouped(st.batchSize).flatMap { batch =>
@@ -228,7 +274,10 @@ object Pipeline {
             stats.foreach(_.batches.add(1))
             r
           } catch {
-            case e: Throwable if nones =>
+            // NonFatal only: an OutOfMemoryError or a task-kill interrupt
+            // must propagate — swallowing it would convert fatal JVM state
+            // into silently dropped batches and block cancellation.
+            case NonFatal(e) if nones =>
               stats.foreach(_.failures.add(1))
               // The reference's failures_return_nones (specs.py:474): the
               // failed batch yields one placeholder per sample so downstream
@@ -236,8 +285,17 @@ object Pipeline {
               // None — chained typed stages receive objects directly (no
               // encode round-trip), so a raw null would NPE the next stage.
               Seq.fill(batch.size)(nonePad)
-            case e: Throwable if ignore =>
+            case NonFatal(e) if ignore =>
               stats.foreach(_.failures.add(1))
+              if (reset) {
+                // reset_workers_on_failure: tear the worker down and
+                // rebuild it so node/worker state poisoned by the failure
+                // can't poison every later batch.
+                try st.destroy() catch { case NonFatal(_) => () }
+                Pipeline.resetNodeSetup(nodeKey)
+                Pipeline.setupNodeOnce(nodeKey)(st.setupOnNode(ctx))
+                Pipeline.withAttempts(setupAttempts)(st.setup(ctx))
+              }
               Seq.empty[O]
           }
         stats.foreach(_.processNanos.add(System.nanoTime() - t0))

@@ -1,5 +1,7 @@
 package graft.api
 
+import scala.util.control.NonFatal
+
 /** Batching/grouping helpers (reference: utils/grouping.py) — the same
   * shapes stages use when re-batching inside `process`.
   */
@@ -60,7 +62,10 @@ object Retry {
     while (attempt < math.max(attempts, 1)) {
       try return body
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying after an OutOfMemoryError or a
+        // task-kill interrupt would mask fatal JVM state / fight
+        // cancellation — those propagate immediately.
+        case NonFatal(e) =>
           last = e
           onFailure(e)
           if (!retryOn(e)) throw e // unlisted exceptions propagate at once

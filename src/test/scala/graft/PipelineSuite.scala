@@ -71,6 +71,60 @@ object PipelineSuite {
 
   val ctxPartitions = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
+  // ---- setup-retry / worker-reset probes (JVM-shared under local[*]) ----
+  val setupTries = new AtomicInteger(0)
+  final class FlakySetupStage(succeedOn: Int) extends Stage[Int, Int] {
+    override def setup(): Unit = {
+      // transient setup failure — the model-download-hiccup case the
+      // reference built num_setup_attempts_python for (specs.py:440)
+      if (setupTries.incrementAndGet() < succeedOn)
+        throw new RuntimeException("transient setup failure")
+    }
+    override def process(batch: Seq[Int]): Seq[Int] = batch
+  }
+
+  val nodeInits = new AtomicInteger(0)
+  @volatile var nodePoisoned = false
+  final class PoisonedNodeStage extends Stage[Int, Int] {
+    override def batchSize: Int = 1
+    override def setupOnNode(): Unit = {
+      // the FIRST node init comes up poisoned; a re-init heals it — the
+      // "only a reset worker can clear it" scenario from specs.py:457
+      nodePoisoned = nodeInits.incrementAndGet() == 1
+    }
+    override def process(batch: Seq[Int]): Seq[Int] = {
+      if (nodePoisoned) throw new RuntimeException("poisoned node singleton")
+      batch
+    }
+  }
+
+  val nonesProcessCalls = new AtomicInteger(0)
+  final class CountingPoisonStage(poison: Int) extends Stage[Int, String] {
+    override def batchSize: Int = 1
+    override def process(batch: Seq[Int]): Seq[String] = {
+      nonesProcessCalls.incrementAndGet()
+      if (batch.contains(poison)) throw new RuntimeException("poison")
+      batch.map(_.toString)
+    }
+  }
+
+  final class InterruptingStage extends Stage[Int, Int] {
+    override def batchSize: Int = 1
+    override def process(batch: Seq[Int]): Seq[Int] =
+      throw new InterruptedException("task-kill analogue")
+  }
+
+  final class DeclaredArtifactStage(req: DownloadRequest) extends Stage[Int, Int] {
+    override def downloadRequests: Seq[DownloadRequest] = Seq(req)
+    @transient private var factor: Int = _
+    override def setup(): Unit = {
+      // no manual Artifacts call anywhere: the pipeline resolved the
+      // declarative request before this stage could run
+      factor = scala.io.Source.fromFile(req.localPath).mkString.trim.toInt
+    }
+    override def process(batch: Seq[Int]): Seq[Int] = batch.map(_ * factor)
+  }
+
   val artifactSum = new AtomicLong(0)
   final class ArtifactStage(fileName: String) extends Stage[Int, Int] {
     @transient private var factor: Int = _
@@ -197,6 +251,99 @@ class PipelineSuite extends SparkSpec {
       })
       .run().collect().sorted
     assert(out.toSeq == Seq("<failed>", "OK"))
+  }
+
+  test("F8b: numSetupAttempts retries transient setup failures") {
+    import spark.implicits._
+    setupTries.set(0)
+    val out = Pipeline.from(ints(10, parts = 1),
+        PipelineConfig(numSetupAttempts = 3))
+      .stage(new FlakySetupStage(succeedOn = 3))
+      .run().collect().sorted
+    assert(out.toSeq == (1 to 10))
+    assert(setupTries.get() == 3) // failed twice, succeeded on the third
+
+    // without retries the same transient failure kills the job
+    setupTries.set(0)
+    intercept[Exception] {
+      Pipeline.from(ints(10, parts = 1))
+        .stage(new FlakySetupStage(succeedOn = 3)).run().collect()
+    }
+  }
+
+  test("F-reset: resetWorkersOnFailure re-runs node setup after an ignored failure") {
+    import spark.implicits._
+    // poisoned node singleton, reset ON: first batch fails and is dropped,
+    // the worker is rebuilt (setupOnNode re-runs, healing the singleton),
+    // remaining batches pass
+    nodeInits.set(0); nodePoisoned = false
+    val healed = Pipeline.from(ints(5, parts = 1),
+        PipelineConfig(ignoreFailures = true, resetWorkersOnFailure = true))
+      .stage(new PoisonedNodeStage)
+      .run().collect().sorted
+    assert(healed.length == 4, "exactly the first (poisoned) batch is lost")
+    assert(nodeInits.get() >= 2, "node setup must have re-run")
+
+    // same poison, reset OFF: the singleton is never cleared and every
+    // batch dies — the round-2 hazard this feature closes
+    nodeInits.set(0); nodePoisoned = false
+    val stuck = Pipeline.from(ints(5, parts = 1),
+        PipelineConfig(ignoreFailures = true))
+      .stage(new PoisonedNodeStage)
+      .run().collect()
+    assert(stuck.isEmpty)
+    assert(nodeInits.get() == 1)
+  }
+
+  test("F9e: failuresReturnNones never burns retries (reference: no retry when padding)") {
+    import spark.implicits._
+    nonesProcessCalls.set(0)
+    val out = Pipeline.from(ints(4, parts = 1),
+        PipelineConfig(failuresReturnNones = true, numRunAttempts = 5))
+      .stage(new CountingPoisonStage(poison = 3))
+      .run().collect()
+    assert(out.count(_ == null) == 1)
+    assert(out.filter(_ != null).map(_.toInt).sorted.toSeq == Seq(1, 2, 4))
+    // 4 single-element batches, one failing: exactly 4 calls — the failed
+    // batch was padded on FIRST failure, not retried 5 times
+    assert(nonesProcessCalls.get() == 4)
+  }
+
+  test("F9f: fatal errors propagate even under ignoreFailures") {
+    import spark.implicits._
+    // an interrupt is the task-kill path: swallowing it would block
+    // cancellation, so the NonFatal gate must let it out
+    val ex = intercept[Exception] {
+      Pipeline.from(ints(3, parts = 1), PipelineConfig(ignoreFailures = true))
+        .stage(new InterruptingStage)
+        .run().collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[InterruptedException]),
+      s"expected the interrupt to surface, got: $ex")
+  }
+
+  test("utils: Retry propagates fatal errors without burning attempts") {
+    val calls = new AtomicInteger(0)
+    intercept[InterruptedException] {
+      Retry.withRetries(3) {
+        calls.incrementAndGet()
+        throw new InterruptedException("fatal")
+      }
+    }
+    assert(calls.get() == 1)
+  }
+
+  test("F-downloads: declarative downloadRequests resolve before setup") {
+    import spark.implicits._
+    val f = java.io.File.createTempFile("graft_declared_artifact", ".txt")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, "7\n")
+    val out = Pipeline.from(ints(5, parts = 2))
+      .stage(new DeclaredArtifactStage(DownloadRequest(f.getAbsolutePath)))
+      .run().collect().sorted
+    assert(out.toSeq == Seq(7, 14, 21, 28, 35))
   }
 
   test("F11: numWorkers repartitions the stage input") {
