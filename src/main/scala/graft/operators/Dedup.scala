@@ -164,13 +164,21 @@ object Dedup {
     * 1-(1-p^Bits)^Bands — ~1 for true near-dups (cos >= 0.9), intentionally
     * partial at loose thresholds. At 100 TB the band key is a shuffle key;
     * bucket fan-out is bounded by sizing Bits to the corpus (2^Bits bucket
-    * ids per band). Output: id_a, id_b, cos (6 dp, >= thr).
+    * ids per band) AND by `maxBandDf`, the hot-bucket document-frequency
+    * cap (same skew guard as [[ngramJaccardPairs]]/[[simhashPairs]]): a
+    * degenerate corpus of near-identical vectors lands in one bucket and
+    * would go quadratic — keys shared by more than `maxBandDf` vectors are
+    * dropped, bounding any bucket's fan-out at maxBandDf². Output: id_a,
+    * id_b, cos (6 dp, >= thr).
     */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
-      thr: Double): DataFrame = {
+      thr: Double, maxBandDf: Int = 1000): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
     val keys = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("bk")))
+      .filter(col("df") <= maxBandDf)
+      .select("_gid", "bk")
     val cand = keys.as("a")
       .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))
       .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"))

@@ -20,6 +20,7 @@ object Dedup {
   private val JaccardThr = 0.5    // verified-pair threshold (d02, d03)
   private val MaxChunkDf = 100    // hot-chunk cap (d04); see operators.Dedup
   private val CosThr = 0.4        // cosine near-dup threshold (d05)
+  private val MaxBandDf = 1000    // hot band-bucket cap (d05); mirrored in the oracle
 
   // Shared oracle-SQL prefix: tokens -> token hashes -> shingle hashes.
   private val sqlShingleCte =
@@ -100,9 +101,12 @@ object Dedup {
     */
   val d05 = QueryDef(
     "d05_embedding_dup",
-    s"""WITH bk AS (SELECT vec_id, embedding,
-       |              unnest(${EmbeddingLsh.sqlBandKeys("embedding")}) AS bk
-       |            FROM embeddings),
+    s"""WITH bk0 AS (SELECT vec_id, embedding,
+       |               unnest(${EmbeddingLsh.sqlBandKeys("embedding")}) AS bk
+       |             FROM embeddings),
+       |bk AS (SELECT vec_id, bk FROM (
+       |  SELECT vec_id, bk, count(*) OVER (PARTITION BY bk) AS df FROM bk0)
+       |  WHERE df <= $MaxBandDf),
        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |         FROM bk a JOIN bk b ON a.bk = b.bk AND a.vec_id < b.vec_id)
        |SELECT id_a, id_b, round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) AS cos
@@ -110,8 +114,8 @@ object Dedup {
        |          JOIN embeddings eb ON id_b = eb.vec_id
        |WHERE round(${sqlCosine("ea.embedding", "eb.embedding")}, 6) >= $CosThr
        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    Ops.embeddingPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosThr)
-      .orderBy("id_a", "id_b")
+    Ops.embeddingPairsLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+      CosThr, MaxBandDf).orderBy("id_a", "id_b")
   }
 
   /** d07: the exact all-pairs cosine baseline (guarded in the operator;

@@ -37,6 +37,18 @@ class DedupOpsSuite extends SparkSpec {
     assert(dupPairs.subsetOf(lsh), "identical vectors collide in every band")
   }
 
+  test("embeddingPairsLsh hot-bucket cap bounds a degenerate corpus") {
+    import spark.implicits._
+    // 100 identical vectors collide in EVERY band: one quadratic bucket.
+    val df = Seq.tabulate(100)(i => (i.toLong, Array.fill(64)(0.5f))).toDF("id", "vec")
+    val uncapped = Dedup.embeddingPairsLsh(df, "id", "vec", 0.9).count()
+    assert(uncapped == 100L * 99 / 2) // default cap (1000) doesn't bind
+    // a binding cap drops the hot buckets entirely (the d02/d04 DF-cap
+    // contract: keys shared too widely carry no dedup signal)
+    val capped = Dedup.embeddingPairsLsh(df, "id", "vec", 0.9, maxBandDf = 10).count()
+    assert(capped == 0)
+  }
+
   test("embeddingPairs guardrail refuses inputs past maxRows") {
     import spark.implicits._
     val df = Seq.tabulate(10)(i => (i.toLong, Array.fill(4)(1.0f))).toDF("id", "vec")
