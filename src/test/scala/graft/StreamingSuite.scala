@@ -70,6 +70,41 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("F18b: event-time timeout evicts session state; late events can't resurrect it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, Timestamp)]
+    val out = graft.streaming.StatefulSessions.sessionCountsWithTimeout(
+      source.toDS(), gapMillis = 5000, watermarkDelay = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("sessions_wm")
+      .outputMode("append").start()
+    try {
+      def ts(ms: Long) = new Timestamp(ms)
+      // entity 1: one session of two events; watermark ends at 2000
+      source.addData((1L, ts(1000)), (1L, ts(2000)))
+      query.processAllAvailable()
+      // entity 2 far in the future advances the watermark to 100000...
+      source.addData((2L, ts(100000)))
+      query.processAllAvailable()
+      // ...and the next batch fires entity 1's timeout (100000 > 2000+5000)
+      source.addData((2L, ts(101000)))
+      query.processAllAvailable()
+      // a late event below the watermark must NOT resurrect evicted state
+      source.addData((1L, ts(50)))
+      query.processAllAvailable()
+      // a fresh in-watermark event starts over: n_sessions restarts at 1
+      source.addData((1L, ts(102000)))
+      query.processAllAvailable()
+      val e1 = spark.table("sessions_wm")
+        .as[graft.streaming.StatefulSessions.SessionCount].collect()
+        .filter(_.entity == 1L).map(r => (r.n_sessions, r.n_events)).toSeq
+      assert(e1.contains((1L, 2L)), "pre-eviction session emitted")
+      assert(e1.contains((1L, 1L)), "post-eviction events start a FRESH state")
+      assert(!e1.exists(_._1 >= 2L), "evicted state must not carry session counts")
+      assert(!e1.exists(_._2 == 3L), "the late event must not reach the state")
+    } finally query.stop()
+  }
+
   test("stream-static join: streaming events enriched with a broadcast dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
