@@ -19,7 +19,14 @@ final class StageStats private[api] (
 /** Per-stage pipeline statistics (reference: pipelines/private/monitoring.py —
   * per-stage rows in/out, batch counts, processing time). Spark-native:
   * driver-registered `LongAccumulator`s that executors update in-flight, so
-  * stats are live while the job runs and exact after the terminal action.
+  * stats are live while the job runs.
+  *
+  * Accuracy contract: these accumulators update inside TRANSFORMATIONS
+  * (the compiled `mapPartitions`), so Spark guarantees at-least-once, not
+  * exactly-once — a retried or speculatively re-executed task counts its
+  * rows again. That is the right trade for monitoring (live visibility,
+  * zero extra actions); treat the numbers as progress telemetry, not an
+  * audit total. Under a healthy run (no task retries) they are exact.
   */
 final class PipelineMonitor(spark: SparkSession) {
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -25,19 +26,8 @@ object GraftExpressions {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_poly_hash"
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      var h = 0L
-      var i = 0
-      while (i < s.length) {
-        val cp = if (Character.isHighSurrogate(s.charAt(i)) && i + 1 < s.length) {
-          val v = s.codePointAt(i); i += 1; v
-        } else s.charAt(i).toInt
-        h = (h * 31L + cp) % TextFunctions.P
-        i += 1
-      }
-      h
-    }
+    protected override def nullSafeEval(input: Any): Any =
+      SignatureExpressions.polyHash(input.asInstanceOf[UTF8String])
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, c => {
@@ -51,7 +41,8 @@ object GraftExpressions {
         int $i = 0;
         while ($i < $s.length()) {
           int $cp;
-          if (Character.isHighSurrogate($s.charAt($i)) && $i + 1 < $s.length()) {
+          if (Character.isHighSurrogate($s.charAt($i)) && $i + 1 < $s.length()
+              && Character.isLowSurrogate($s.charAt($i + 1))) {
             $cp = $s.codePointAt($i); $i++;
           } else { $cp = (int) $s.charAt($i); }
           $h = ($h * 31L + $cp) % ${TextFunctions.P}L;
@@ -73,6 +64,15 @@ object GraftExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_cosine"
+
+    // getFloat on a non-float ArrayData silently reads garbage bytes —
+    // reject anything but array<float> at analysis time (the generic HOF
+    // VectorFunctions.cosine handles other numeric element types).
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got ${l.sql} and ${r.sql}")
+    }
 
     protected override def nullSafeEval(a: Any, b: Any): Any = {
       val xs = a.asInstanceOf[ArrayData]

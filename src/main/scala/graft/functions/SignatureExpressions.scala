@@ -30,12 +30,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object SignatureExpressions {
   import Signatures._
 
-  private def polyHash(s: UTF8String): Long = {
-    val str = s.toString
+  private[graft] def polyHash(s: UTF8String): Long = polyHashString(s.toString)
+
+  /** The shared codepoint fold. NOTE an unpaired surrogate can only reach
+    * this via a raw JVM String (Spark's UTF8String encode already replaces
+    * it with '?'): the guard advances past a surrogate PAIR only when the
+    * low half is really there — an unpaired high surrogate hashes alone
+    * and must not swallow the following char.
+    */
+  private[graft] def polyHashString(str: String): Long = {
     var h = 0L
     var i = 0
     while (i < str.length) {
-      val cp = if (Character.isHighSurrogate(str.charAt(i)) && i + 1 < str.length) {
+      val cp = if (Character.isHighSurrogate(str.charAt(i)) && i + 1 < str.length &&
+          Character.isLowSurrogate(str.charAt(i + 1))) {
         val v = str.codePointAt(i); i += 1; v
       } else str.charAt(i).toInt
       h = (h * 31L + cp) % P

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Loaders for the star-schema test tables (see TESTDATA.md).
   *
@@ -29,9 +30,19 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Generic readers so pipelines aren't parquet-only. */
-  def csv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
-    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+  /** Generic readers so pipelines aren't parquet-only. Pass `schema` in
+    * production: `inferSchema` is a convenience fallback that SCANS THE
+    * DATA TWICE (once to infer, once to read) — at 100 TB that doubles
+    * ingest cost, an explicit schema reads once.
+    */
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+      schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", header.toString)
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
 
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)

@@ -32,6 +32,34 @@ class ExpressionsSuite extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("PolyHash hashes an unpaired high surrogate without swallowing the next char") {
+    import spark.implicits._
+    import graft.functions.{SignatureExpressions => SigX}
+    GraftExpressions.register(spark)
+    def fold(cs: Seq[Int]): Long =
+      cs.foldLeft(0L)((h, c) => (h * 31 + c) % TextFunctions.P)
+    // the guard branch, on a raw JVM string (only place a lone surrogate
+    // can exist): surrogate hashes alone, 'a' and 'b' BOTH still hash
+    val lone = '\uD800'
+    assert(SigX.polyHashString(s"${lone}ab") ==
+      fold(Seq(lone.toInt, 'a'.toInt, 'b'.toInt)))
+    // through a DataFrame the encoder replaces the lone surrogate with '?'
+    // before any expression sees it — both engines hash the same '?ab'
+    val got = Seq(s"${lone}ab").toDF("t")
+      .select(GraftExpressions.polyHash(col("t"))).as[Long].head()
+    assert(got == fold(Seq('?'.toInt, 'a'.toInt, 'b'.toInt)))
+  }
+
+  test("CosineSim rejects non-float arrays at analysis time") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b") // array<double>
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftExpressions.cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("array<float>"))
+  }
+
   test("native signature expressions == HOF twins (shingle/minhash/simhash)") {
     import graft.functions.{SignatureExpressions => SigX, Signatures => Sig}
     SigX.register(spark)
