@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * designs scale superlinearly better than the O(n²) baselines they
   * replace — evidence for SURVEY.md §4.
   *
-  *   sbt "runMain graft.ScaleProbe 10"
+  *   sbt "runMain graft.ScaleProbe 10"            # dedup/similarity probe
+  *   sbt "runMain graft.ScaleProbe 10 relational" # fact-fact joins at ~sf1
+  *   sbt "runMain graft.ScaleProbe 10 all"
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val mode = args.lift(1).getOrElse("dedup") // dedup | relational | all
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val spark = SparkSession.builder().master("local[32]")
@@ -22,6 +25,11 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    if (mode == "relational" || mode == "all") relational(spark, src, out, factor)
+    if (mode == "relational") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nDocs = docs.count()
@@ -47,11 +55,6 @@ object ScaleProbe {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[scale x$factor] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  out_rows=$n")
-    }
     println(s"[scale x$factor] documents=${nDocs * factor} embeddings=${nEmb * factor}")
     val d = spark.read.parquet(s"$out/documents.parquet")
     time("d01 exact")(graft.operators.Dedup.exact(d, "doc_id", "text").count())
@@ -65,5 +68,55 @@ object ScaleProbe {
       graft.queries.Similarity.planes).count())
     time("s03 centroids")(graft.operators.Similarity.centroids(e, "label", "embedding").count())
     spark.stop()
+  }
+
+  /** Fact-fact joins at ~sf1 (SURVEY §7): replicate orders/lineitem/events
+    * `factor`× from sf0.1 with key-shifted fact ids (dimension keys — cust,
+    * supp, nation — are NOT shifted, so per-dimension-key fan-in grows
+    * factor×, the realistic sf1 shape), copy the dims verbatim, then run
+    * the three heaviest verified queries end-to-end through SparkEntry.
+    */
+  private def timed(factor: Int, name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[scale x$factor] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  out_rows=$n")
+  }
+
+  private def relational(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import spark.implicits._
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    def maxOf(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().get(0).asInstanceOf[Number].longValue + 1
+
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val maxOrder = maxOf(orders, "o_orderkey")
+    orders.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOrder)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    spark.read.parquet(s"$src/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOrder)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    // events: read ts as raw nanos (the source is ns-precision parquet);
+    // the written copy is a plain int64 Tables.events reads unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val (maxEv, maxUser) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
+    ev.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUser)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[scale x$factor] orders=${factor * (maxOrder - 1)} (approx) events replicated $factor x")
+    Seq("q03_top_orders", "q05_local_supplier", "q12_asof_join").foreach { q =>
+      timed(factor, q)(SparkEntry.queries(q)(spark, out).count())
+    }
   }
 }

@@ -32,6 +32,20 @@ import org.apache.spark.storage.StorageLevel
   *    Spark AQE + `spark.dynamicAllocation.*`; `numWorkers` /
   *    `overProvisionFactor` become explicit `repartition` hints
   *    (specs.py:306).
+  *  - Per-stage runtime environments (`Stage.env_info` / `RuntimeEnv`,
+  *    specs.py:174; ray_utils/runtime_envs.py) → DELIBERATE LIMITATION:
+  *    a Ray actor can run each stage in its own conda env; Spark executors
+  *    share one JVM classpath per application, so environment granularity
+  *    is per-PIPELINE, not per-stage. The Spark-native mappings are
+  *    (a) JVM stages: one classpath, isolate libraries at build time
+  *    (shading) — no runtime switch exists to document around;
+  *    (b) native/Python helpers launched by a stage (e.g. a decoder
+  *    subprocess): ship the env as an archive via `downloadRequests` /
+  *    `spark.archives` and exec against it inside `setup()`;
+  *    (c) stages that truly need disjoint runtimes: run them as separate
+  *    pipelines chained through a storage boundary (Batch mode's persist
+  *    is exactly that barrier). This is the standard Spark deployment
+  *    model, not a missing feature of this port.
   */
 abstract class Stage[I, O] extends Serializable {
 
