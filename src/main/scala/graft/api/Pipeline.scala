@@ -264,7 +264,7 @@ object Pipeline {
     val stats = monitor.map(_.forStage(stageName))
     // Resolve declarative artifacts on the driver, before the stage can
     // run anywhere (reference: download_requests, specs.py:186).
-    st.downloadRequests.foreach(r => Artifacts.distributeFile(ds.sparkSession, r.uri))
+    st.downloadRequests.foreach(r => Artifacts.resolve(ds.sparkSession, r))
     scaled.mapPartitions { it =>
       val tc = Option(TaskContext.get())
       val ctx = WorkerContext(
@@ -278,14 +278,23 @@ object Pipeline {
         tc.foreach(_.addTaskFailureListener((_, _) => Pipeline.resetNodeSetup(nodeKey)))
       Pipeline.setupNodeOnce(nodeKey)(st.setupOnNode(ctx))
       Pipeline.withAttempts(setupAttempts)(st.setup(ctx))
+      // per-worker rollup: local counters, ONE accumulator add per task
+      val taskStart = System.nanoTime()
+      val local = new LocalWorkerCounters
+      stats.foreach { s =>
+        tc.foreach(_.addTaskCompletionListener[Unit] { _ =>
+          s.workers.add(ctx.workerId -> local.toStat(System.nanoTime() - taskStart))
+        })
+      }
       tc.foreach(_.addTaskCompletionListener[Unit](_ => st.destroy()))
-      val counted = stats.fold(it)(s => it.map { x => s.rowsIn.add(1); x })
+      val counted = stats.fold(it)(s => it.map { x => s.rowsIn.add(1); local.rowsIn += 1; x })
       val out = counted.grouped(st.batchSize).flatMap { batch =>
         val t0 = System.nanoTime()
         val res =
           try {
             val r = Pipeline.withAttempts(attempts)(st.process(batch))
             stats.foreach(_.batches.add(1))
+            local.batches += 1
             r
           } catch {
             // NonFatal only: an OutOfMemoryError or a task-kill interrupt
@@ -293,6 +302,7 @@ object Pipeline {
             // into silently dropped batches and block cancellation.
             case NonFatal(e) if nones =>
               stats.foreach(_.failures.add(1))
+              local.failures += 1
               // The reference's failures_return_nones (specs.py:474): the
               // failed batch yields one placeholder per sample so downstream
               // stages see aligned cardinality. Option outputs get a real
@@ -301,6 +311,7 @@ object Pipeline {
               Seq.fill(batch.size)(nonePad)
             case NonFatal(e) if ignore =>
               stats.foreach(_.failures.add(1))
+              local.failures += 1
               if (reset) {
                 // reset_workers_on_failure: tear the worker down and
                 // rebuild it so node/worker state poisoned by the failure
@@ -312,10 +323,25 @@ object Pipeline {
               }
               Seq.empty[O]
           }
-        stats.foreach(_.processNanos.add(System.nanoTime() - t0))
+        val dt = System.nanoTime() - t0
+        stats.foreach(_.processNanos.add(dt))
+        local.processNanos += dt
         res
       }
-      stats.fold(out)(s => out.map { x => s.rowsOut.add(1); x })
+      stats.fold(out)(s => out.map { x => s.rowsOut.add(1); local.rowsOut += 1; x })
     }
+  }
+
+  /** Task-local mutable counters backing the per-worker rollup — pushed to
+    * the [[WorkerStatsAccumulator]] exactly once, at task completion.
+    */
+  private final class LocalWorkerCounters {
+    var rowsIn = 0L
+    var rowsOut = 0L
+    var batches = 0L
+    var failures = 0L
+    var processNanos = 0L
+    def toStat(wallNanos: Long): WorkerStat =
+      WorkerStat(rowsIn, rowsOut, batches, failures, processNanos, wallNanos)
   }
 }

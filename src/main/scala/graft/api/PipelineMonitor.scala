@@ -1,9 +1,50 @@
 package graft.api
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.util.LongAccumulator
+import org.apache.spark.util.{AccumulatorV2, LongAccumulator}
+
+/** Per-worker rollup for one stage (reference monitoring.py's per-actor
+  * stats): a worker is a task/partition, `wallNanos` its full task time,
+  * `processNanos` the time inside `Stage.process` — their ratio is the
+  * worker's utilization (the reference's busy-fraction per actor).
+  */
+final case class WorkerStat(
+    rowsIn: Long,
+    rowsOut: Long,
+    batches: Long,
+    failures: Long,
+    processNanos: Long,
+    wallNanos: Long) {
+  def +(o: WorkerStat): WorkerStat = WorkerStat(
+    rowsIn + o.rowsIn, rowsOut + o.rowsOut, batches + o.batches,
+    failures + o.failures, processNanos + o.processNanos, wallNanos + o.wallNanos)
+  def utilization: Double =
+    if (wallNanos <= 0) 0.0 else processNanos.toDouble / wallNanos
+}
+
+/** Accumulates per-worker stats keyed by workerId; merged across tasks on
+  * the driver. One `add` per task (at completion), so accumulator traffic
+  * is O(workers), not O(rows).
+  */
+final class WorkerStatsAccumulator
+    extends AccumulatorV2[(String, WorkerStat), Map[String, WorkerStat]] {
+  private val m = new java.util.concurrent.ConcurrentHashMap[String, WorkerStat]()
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): WorkerStatsAccumulator = {
+    val c = new WorkerStatsAccumulator
+    c.m.putAll(m)
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(v: (String, WorkerStat)): Unit = m.merge(v._1, v._2, _ + _)
+  override def merge(
+      other: AccumulatorV2[(String, WorkerStat), Map[String, WorkerStat]]): Unit =
+    other.value.foreach { case (k, v) => m.merge(k, v, _ + _) }
+  override def value: Map[String, WorkerStat] = m.asScala.toMap
+}
 
 /** Per-stage stats for a compiled pipeline stage. Holds only accumulators
   * (serializable), so it can be captured by the stage's task closure
@@ -14,19 +55,24 @@ final class StageStats private[api] (
     val rowsOut: LongAccumulator,
     val batches: LongAccumulator,
     val failures: LongAccumulator,
-    val processNanos: LongAccumulator) extends Serializable
+    val processNanos: LongAccumulator,
+    val workers: WorkerStatsAccumulator) extends Serializable
 
 /** Per-stage pipeline statistics (reference: pipelines/private/monitoring.py —
-  * per-stage rows in/out, batch counts, processing time). Spark-native:
-  * driver-registered `LongAccumulator`s that executors update in-flight, so
-  * stats are live while the job runs.
+  * per-stage rows in/out, batch counts, processing time, per-worker
+  * utilization). Spark-native: driver-registered accumulators that
+  * executors update in-flight, so stats are live while the job runs; the
+  * per-worker rollup arrives once per task at completion.
   *
-  * Accuracy contract: these accumulators update inside TRANSFORMATIONS
+  * Accuracy contract: the live counters update inside TRANSFORMATIONS
   * (the compiled `mapPartitions`), so Spark guarantees at-least-once, not
   * exactly-once — a retried or speculatively re-executed task counts its
   * rows again. That is the right trade for monitoring (live visibility,
   * zero extra actions); treat the numbers as progress telemetry, not an
   * audit total. Under a healthy run (no task retries) they are exact.
+  *
+  * Queue depths have no analogue by design: Spark tasks PULL — there are
+  * no inter-stage queues to measure (see the F12 mapping in Pipeline).
   */
 final class PipelineMonitor(spark: SparkSession) {
 
@@ -35,12 +81,15 @@ final class PipelineMonitor(spark: SparkSession) {
   private[api] def forStage(name: String): StageStats =
     stages.getOrElseUpdate(name, {
       val sc = spark.sparkContext
+      val w = new WorkerStatsAccumulator
+      sc.register(w, s"$name.workers")
       new StageStats(
         sc.longAccumulator(s"$name.rowsIn"),
         sc.longAccumulator(s"$name.rowsOut"),
         sc.longAccumulator(s"$name.batches"),
         sc.longAccumulator(s"$name.failures"),
-        sc.longAccumulator(s"$name.processNanos"))
+        sc.longAccumulator(s"$name.processNanos"),
+        w)
     })
 
   /** Snapshot: stage → (rowsIn, rowsOut, batches, failures, processMillis). */
@@ -51,8 +100,26 @@ final class PipelineMonitor(spark: SparkSession) {
         s.processNanos.value.longValue / 1000000L)
     }.toMap
 
+  /** Per-worker breakdown: stage → workerId → [[WorkerStat]]. */
+  def workerSnapshot: Map[String, Map[String, WorkerStat]] =
+    stages.map { case (n, s) => n -> s.workers.value }.toMap
+
+  /** Mean busy-fraction of a stage's workers (process time / task wall
+    * time), the reference's per-stage utilization signal: a stage far
+    * below 1.0 is IO/scheduling-bound, not compute-bound.
+    */
+  def utilization(stage: String): Double = {
+    val ws = stages.get(stage).map(_.workers.value).getOrElse(Map.empty)
+    if (ws.isEmpty) 0.0
+    else ws.valuesIterator.map(_.utilization).sum / ws.size
+  }
+
   def report: String =
     snapshot.toSeq.sortBy(_._1).map { case (n, (in, out, b, f, ms)) =>
-      f"$n%-32s in=$in%-8d out=$out%-8d batches=$b%-6d failures=$f%-4d ${ms}ms"
+      val ws = stages(n).workers.value
+      val util = utilization(n)
+      val rate = if (ms > 0) out * 1000.0 / ms else 0.0
+      f"$n%-32s in=$in%-8d out=$out%-8d batches=$b%-6d failures=$f%-4d " +
+        f"${ms}ms workers=${ws.size} util=$util%.2f rate=$rate%.0f rows/s"
     }.mkString("\n")
 }

@@ -108,6 +108,12 @@ object PipelineSuite {
     }
   }
 
+  final class DyingStage extends Stage[Int, Int] {
+    override def destroy(): Unit = { destroys.incrementAndGet(); () }
+    override def process(batch: Seq[Int]): Seq[Int] =
+      throw new RuntimeException("worker died mid-batch")
+  }
+
   final class InterruptingStage extends Stage[Int, Int] {
     override def batchSize: Int = 1
     override def process(batch: Seq[Int]): Seq[Int] =
@@ -121,6 +127,29 @@ object PipelineSuite {
       // no manual Artifacts call anywhere: the pipeline resolved the
       // declarative request before this stage could run
       factor = scala.io.Source.fromFile(req.localPath).mkString.trim.toInt
+    }
+    override def process(batch: Seq[Int]): Seq[Int] = batch.map(_ * factor)
+  }
+
+  final class ArchiveArtifactStage(req: DownloadRequest, inner: String) extends Stage[Int, Int] {
+    override def downloadRequests: Seq[DownloadRequest] = Seq(req)
+    @transient private var factor: Int = _
+    override def setup(): Unit = {
+      // req.localPath is the EXTRACTED directory of the archive
+      val f = new java.io.File(req.localPath, inner)
+      factor = scala.io.Source.fromFile(f).mkString.trim.toInt
+    }
+    override def process(batch: Seq[Int]): Seq[Int] = batch.map(_ * factor)
+  }
+
+  final class DirArtifactStage(req: DownloadRequest) extends Stage[Int, Int] {
+    override def downloadRequests: Seq[DownloadRequest] = Seq(req)
+    @transient private var factor: Int = _
+    override def setup(): Unit = {
+      // req.localPath is the replicated directory: sum every file in it
+      val dir = new java.io.File(req.localPath)
+      factor = dir.listFiles().sortBy(_.getName)
+        .map(f => scala.io.Source.fromFile(f).mkString.trim.toInt).sum
     }
     override def process(batch: Seq[Int]): Seq[Int] = batch.map(_ * factor)
   }
@@ -346,6 +375,60 @@ class PipelineSuite extends SparkSpec {
     assert(out.toSeq == Seq(7, 14, 21, 28, 35))
   }
 
+  test("F-downloads-b: archive requests are unpacked on the worker side") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_arch").toFile
+    val zip = new java.io.File(dir, "bundle.zip")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(zip))
+    zos.putNextEntry(new java.util.zip.ZipEntry("factor.txt"))
+    zos.write("3\n".getBytes)
+    zos.closeEntry(); zos.close()
+    val out = Pipeline.from(ints(4, parts = 2))
+      .stage(new ArchiveArtifactStage(
+        DownloadRequest(zip.getAbsolutePath, unpack = true), "factor.txt"))
+      .run().collect().sorted
+    assert(out.toSeq == Seq(3, 6, 9, 12))
+  }
+
+  test("F-downloads-c: recursive requests replicate a whole directory") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_prefix").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.txt").toPath, "2\n")
+    java.nio.file.Files.writeString(new java.io.File(dir, "b.txt").toPath, "3\n")
+    val out = Pipeline.from(ints(4, parts = 2))
+      .stage(new DirArtifactStage(
+        DownloadRequest(dir.getAbsolutePath, recursive = true)))
+      .run().collect().sorted
+    assert(out.toSeq == Seq(5, 10, 15, 20))
+  }
+
+  test("F-death: a dying worker still runs destroy; the node latch resets for the next attempt") {
+    import spark.implicits._
+    // the reference's segfaulting-worker scenario (test_segfaulting_pipeline):
+    // Ray restarts the dead actor; on Spark the task fails, Spark re-attempts
+    // it (spark.task.maxFailures on a cluster), and graft guarantees
+    // (a) destroy() runs for the dying worker (completion listener fires on
+    //     failure too — no leaked model handles), and
+    // (b) the setupOnNode latch can be cleared so the re-attempt
+    //     re-initializes node state.
+    destroys.set(0)
+    intercept[Exception] {
+      Pipeline.from(ints(3, parts = 1))
+        .stage(new DyingStage)
+        .run().collect()
+    }
+    assert(destroys.get() == 1, "destroy must run when the task fails")
+
+    // the latch reset path used by the task-failure listener
+    val inits = new AtomicInteger(0)
+    Pipeline.setupNodeOnce("death-spec-key")(inits.incrementAndGet())
+    Pipeline.setupNodeOnce("death-spec-key")(inits.incrementAndGet())
+    assert(inits.get() == 1)
+    Pipeline.resetNodeSetup("death-spec-key")
+    Pipeline.setupNodeOnce("death-spec-key")(inits.incrementAndGet())
+    assert(inits.get() == 2, "a cleared latch re-runs node setup")
+  }
+
   test("F11: numWorkers repartitions the stage input") {
     import spark.implicits._
     val out = Pipeline.from(ints(40, parts = 2))
@@ -446,6 +529,22 @@ class PipelineSuite extends SparkSpec {
     assert(snap(s1)._1 == 100 && snap(s1)._2 == 50) // filter halves
     assert(snap(s0)._3 > 0)                         // batches counted
     assert(mon.report.nonEmpty)
+  }
+
+  test("F15b: monitor exposes per-worker stats and utilization") {
+    import spark.implicits._
+    val mon = new PipelineMonitor(spark)
+    Pipeline.from(ints(100, parts = 5), monitor = Some(mon))
+      .stage(new AddStage(1))
+      .run().count()
+    val (stage, workers) = mon.workerSnapshot.find(_._1.contains("AddStage")).get
+    assert(workers.size == 5, "one worker entry per task/partition")
+    assert(workers.values.map(_.rowsIn).sum == 100)
+    assert(workers.values.map(_.rowsOut).sum == 100)
+    assert(workers.values.forall(w => w.wallNanos > 0 && w.processNanos >= 0))
+    val util = mon.utilization(stage)
+    assert(util >= 0.0 && util <= 1.0, s"utilization must be a busy-fraction, got $util")
+    assert(mon.report.contains("workers=5"))
   }
 
   test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
