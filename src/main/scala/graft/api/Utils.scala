@@ -7,19 +7,26 @@ import scala.util.control.NonFatal
   */
 object Grouping {
 
-  /** Split into chunks of at most `chunkSize` (reference:
-    * split_by_chunk_size).
+  /** Split into chunks of at most `chunkSize`; `dropIncompleteChunk`
+    * discards a short tail (reference: split_by_chunk_size).
     */
-  def splitByChunkSize[T](xs: Seq[T], chunkSize: Int): Seq[Seq[T]] = {
+  def splitByChunkSize[T](xs: Seq[T], chunkSize: Int,
+      dropIncompleteChunk: Boolean = false): Seq[Seq[T]] = {
     require(chunkSize > 0, "chunkSize must be positive")
-    xs.grouped(chunkSize).toSeq
+    val chunks = xs.grouped(chunkSize).toSeq
+    if (dropIncompleteChunk && chunks.nonEmpty && chunks.last.length < chunkSize)
+      chunks.init
+    else chunks
   }
 
-  /** Split into exactly `n` chunks with sizes differing by at most one
-    * (reference: split_into_n_chunks).
+  /** Split into `n` chunks with sizes differing by at most one. Mirrors
+    * the reference exactly (split_into_n_chunks): when the input has no
+    * more than `n` elements, each element becomes its own chunk — the
+    * reference never yields empty chunks.
     */
   def splitIntoNChunks[T](xs: Seq[T], n: Int): Seq[Seq[T]] = {
     require(n > 0, "n must be positive")
+    if (xs.length <= n) return xs.map(Seq(_))
     val base = xs.length / n
     val extra = xs.length % n
     val out = Seq.newBuilder[Seq[T]]
@@ -46,6 +53,26 @@ object Grouping {
       s"key sets differ: ${(m1.keySet diff m2.keySet) ++ (m2.keySet diff m1.keySet)}")
     m1.map { case (k, v1) => k -> (v1, m2(k)) }
   }
+}
+
+/** Epsilon-tolerant float comparisons (reference: utils/approx.py) — the
+  * scheduler-side helpers stages reuse for resource math.
+  */
+object Approx {
+  val Epsilon = 1e-6
+
+  def floatEq(a: Double, b: Double, epsilon: Double = Epsilon): Boolean =
+    math.abs(a - b) < epsilon
+  def floatGt(a: Double, b: Double, epsilon: Double = Epsilon): Boolean =
+    (a - b) > epsilon
+  def floatLt(a: Double, b: Double, epsilon: Double = Epsilon): Boolean =
+    (b - a) > epsilon
+  def floatGte(a: Double, b: Double, epsilon: Double = Epsilon): Boolean =
+    !floatLt(a, b, epsilon)
+  def floatLte(a: Double, b: Double, epsilon: Double = Epsilon): Boolean =
+    !floatGt(a, b, epsilon)
+  def isAlmostWhole(x: Double, epsilon: Double = Epsilon): Boolean =
+    math.abs(x - math.round(x)) < epsilon
 }
 
 /** Bounded retry with optional backoff and an exception filter (reference:

@@ -505,13 +505,27 @@ class PipelineSuite extends SparkSpec {
   test("utils: Grouping mirrors the reference batching helpers") {
     assert(Grouping.splitByChunkSize(1 to 10, 3).map(_.toSeq) ==
       Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9), Seq(10)))
+    assert(Grouping.splitByChunkSize(1 to 10, 3, dropIncompleteChunk = true).map(_.toSeq) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7, 8, 9)))
+    assert(Grouping.splitByChunkSize(1 to 9, 3, dropIncompleteChunk = true).size == 3)
     assert(Grouping.splitIntoNChunks(1 to 10, 3).map(_.length) == Seq(4, 3, 3))
     assert(Grouping.splitIntoNChunks(1 to 10, 3).flatten == (1 to 10))
+    // fewer elements than chunks: one singleton per element, never empties
+    assert(Grouping.splitIntoNChunks(Seq(1, 2), 5) == Seq(Seq(1), Seq(2)))
     assert(Grouping.pairwise(Seq(1, 2, 3)) == Seq((1, 2), (2, 3)))
     assert(Grouping.dictZip(Map("a" -> 1), Map("a" -> "x")) == Map("a" -> (1, "x")))
     var calls = 0
     val r = Retry.withRetries(3) { calls += 1; if (calls < 3) throw new RuntimeException; 42 }
     assert(r == 42 && calls == 3)
+  }
+
+  test("utils: Approx mirrors the reference float comparisons") {
+    assert(Approx.floatEq(1.0, 1.0 + 1e-7))
+    assert(!Approx.floatEq(1.0, 1.0 + 1e-5))
+    assert(Approx.floatGt(1.0 + 1e-5, 1.0) && !Approx.floatGt(1.0 + 1e-7, 1.0))
+    assert(Approx.floatLt(1.0, 1.0 + 1e-5) && !Approx.floatLt(1.0, 1.0 + 1e-7))
+    assert(Approx.floatGte(1.0 + 1e-7, 1.0) && Approx.floatLte(1.0, 1.0 + 1e-7))
+    assert(Approx.isAlmostWhole(2.9999999) && !Approx.isAlmostWhole(2.5))
   }
 
   test("F15: PipelineMonitor reports per-stage rows/batches") {
