@@ -32,6 +32,19 @@ import org.apache.spark.storage.StorageLevel
   *    Spark AQE + `spark.dynamicAllocation.*`; `numWorkers` /
   *    `overProvisionFactor` become explicit `repartition` hints
   *    (specs.py:306).
+  *  - `worker_max_lifetime_m` / `worker_restart_interval_m` (periodic
+  *    actor restart for leak hygiene, specs.py) → no analogue NEEDED:
+  *    a Spark "worker" lives exactly one task — setup/destroy bracket
+  *    every partition, so state never outlives a task; executor-JVM
+  *    hygiene belongs to the cluster manager
+  *    (`spark.executor.maxNumFailures`, pod restarts).
+  *  - `max_setup_failure_percentage` (tolerate a fraction of workers
+  *    failing setup, specs.py:445) → DOCUMENTED DIVERGENCE: Ray can run
+  *    with fewer workers because work is redistributed; a Spark task owns
+  *    its partition's DATA, so skipping a failed-setup task would silently
+  *    drop rows. The Spark-native policy is retry (numSetupAttempts here,
+  *    spark.task.maxFailures at task level) and fail the job if setup
+  *    truly cannot succeed.
   *  - Per-stage runtime environments (`Stage.env_info` / `RuntimeEnv`,
   *    specs.py:174; ray_utils/runtime_envs.py) → DELIBERATE LIMITATION:
   *    a Ray actor can run each stage in its own conda env; Spark executors

@@ -92,11 +92,15 @@ object Similarity {
     * `cells` broadcast subtree is deduplicated by Spark's ReuseExchange.
     *
     * `isQuery` must be a predicate over (idCol, vecCol) — it selects the
-    * query subset of `df` before assignment. Output: query_id, cell, rank,
-    * neighbor_id, cos.
+    * query subset of `df` before assignment. `nprobe` (>= 1) is the
+    * standard IVF recall knob: a query probes its `nprobe` nearest cells
+    * (the corpus is always single-cell assigned); probe-1 is the verified
+    * oracle shape, more probes trade a linear cost increase for recall.
+    * Output: query_id, cell, rank, neighbor_id, cos.
     */
   def ivfKnn(df: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
-      isQuery: Column, k: Int): DataFrame = {
+      isQuery: Column, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
     // argmax over centroids: max cosine, ties broken by smallest label —
@@ -109,8 +113,19 @@ object Similarity {
           struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
             negate(col("clabel").cast("long")).as("negl"))).as("m"))
         .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("_v"))
-    val q = assign(e.filter(isQuery))
-      .select(col("vec_id").as("query_id"), col("_v").as("_qv"), col("cell").as("qcell"))
+    // query side: top-nprobe cells each (nprobe rows per query; the query
+    // set is tiny, so the fan-out is broadcast-cheap)
+    val qw = Window.partitionBy("vec_id")
+      .orderBy(VectorFunctions.cosine(col("_v"), col("cv")).desc, col("clabel"))
+    val q =
+      if (nprobe == 1)
+        assign(e.filter(isQuery))
+          .select(col("vec_id").as("query_id"), col("_v").as("_qv"), col("cell").as("qcell"))
+      else
+        e.filter(isQuery).crossJoin(broadcast(cells))
+          .withColumn("rn", row_number().over(qw)).filter(col("rn") <= nprobe)
+          .select(col("vec_id").as("query_id"), col("_v").as("_qv"),
+            col("clabel").cast("long").as("qcell"))
     val sc = assign(e).join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qcell").as("cell"), col("vec_id").as("neighbor_id"),

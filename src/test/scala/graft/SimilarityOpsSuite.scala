@@ -56,6 +56,23 @@ class SimilarityOpsSuite extends SparkSpec {
     assert(got == Seq((0L, 0L, 1L)))
   }
 
+  test("ivfKnn nprobe > 1 recovers neighbors from the second-nearest cell") {
+    import spark.implicits._
+    // query sits just on the cell-0 side of the boundary; its true nearest
+    // neighbor landed in cell 1 — the classic IVF probe-1 recall miss
+    val corpus = corpusOf(Seq(
+      0L -> Seq(1.0f, 0.9f),   // query → cell 0 (barely)
+      1L -> Seq(0.9f, 1.0f),   // cell 1, TRUE nearest neighbor
+      2L -> Seq(1.0f, 0.0f)))  // cell 0, farther
+    val cells = cellsOf(Seq(0L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0)))
+    def neighbors(p: Int) =
+      Similarity.ivfKnn(corpus, "vec_id", "embedding", cells,
+          isQuery = col("vec_id") < 1, k = 1, nprobe = p)
+        .select("neighbor_id").as[Long].collect().toSeq
+    assert(neighbors(1) == Seq(2L), "probe-1 only sees the query's own cell")
+    assert(neighbors(2) == Seq(1L), "probe-2 finds the true neighbor across the boundary")
+  }
+
   test("ivfKnn plan: assignment is aggregation, not a window; one window total") {
     import spark.implicits._
     val corpus = corpusOf((0L until 64L).map(i =>
