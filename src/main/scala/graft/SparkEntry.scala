@@ -12,7 +12,8 @@ object SparkEntry {
     graft.queries.Dedup.queries ++
     graft.queries.Similarity.queries ++
     graft.queries.Multimodal.queries ++
-    graft.queries.PipelineQueries.queries
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.Sampling.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

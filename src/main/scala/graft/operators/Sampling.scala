@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftExpressions
+
+/** Deterministic hash-based sampling and dataset splitting — the way a
+  * training-data pipeline takes samples and train/val/test splits at
+  * 100 TB. Unlike `df.sample()` (RNG per partition: not reproducible
+  * across runs/partitionings, not joinable), a hash of a stable key gives
+  * every row a permanent bucket: the same row lands in the same split in
+  * every run, on any cluster layout, and membership is computable from
+  * the key alone (narrow, no shuffle, no state).
+  *
+  * Group-stable splits fall out of the key choice: hash a user/session id
+  * instead of the row id and all of an entity's rows stay in one split —
+  * the standard leakage guard when splitting training corpora.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): polynomial hash (the same family the
+    * dedup signatures use, DuckDB-mirrorable) of the salted string key.
+    * The salt decorrelates independent samplings of the same keys.
+    */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
+    require(buckets > 0, "buckets must be positive")
+    // polyHash is a non-negative mod-P fold, so % needs no sign fix
+    GraftExpressions.polyHash(concat(lit(salt), key.cast("string"))) % buckets
+  }
+
+  /** Keep rows whose bucket falls below `pct` of `buckets` — a
+    * deterministic `pct/buckets` sample, stable under re-runs and
+    * repartitioning.
+    */
+  def sample(df: DataFrame, keyCol: String, pct: Int, buckets: Int = 100,
+      salt: String = ""): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    df.filter(hashBucket(col(keyCol), buckets, salt) < pct)
+  }
+
+  /** Add a `split` column assigning each row to a named fraction.
+    * `splits` are (name, weight) with weights summing to `buckets`, e.g.
+    * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,
+    * exhaustive, and permanent for a given (key, salt, buckets).
+    */
+  def split(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+      buckets: Int = 100, salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "weights must be positive")
+    require(splits.map(_._2).sum == buckets,
+      s"split weights must sum to buckets=$buckets, got ${splits.map(_._2).sum}")
+    GraftExpressions.register(df.sparkSession)
+    val b = hashBucket(col(keyCol), buckets, salt)
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val expr = splits.init.zip(bounds.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), hi), elseCol) => when(b < hi, lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("split", expr)
+  }
+}
