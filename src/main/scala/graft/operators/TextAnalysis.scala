@@ -18,6 +18,37 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das"),
     "fr" -> Seq("le", "les", "une"))
 
+  /** Conservative redaction patterns (shared with the DuckDB oracle, so
+    * only regex features Java and RE2 treat identically: char classes,
+    * bounded repeats — no lookaround/backrefs). URLs first: an address
+    * inside a URL must redact as part of the URL.
+    */
+  val DefaultRedactions: Seq[(String, String)] = Seq(
+    "https?://[^ ]+" -> "<URL>",
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>")
+
+  /** Canonical text normalization for dedup/tokenization: lowercase,
+    * non-alphanumerics to spaces, whitespace collapsed, trimmed. A
+    * narrow, codegen'd column transform — zero shuffle at any scale.
+    */
+  def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** (idCol, norm_text): normalized copy of each document. */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), normalizeText(col(textCol)).as("norm_text"))
+
+  /** (idCol, red_text): text with `patterns` replaced in order — the
+    * PII-scrub step of a training-data pipeline (email/URL by default).
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)] = DefaultRedactions): DataFrame = {
+    val red = patterns.foldLeft(col(textCol)) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    df.select(col(idCol), red.as("red_text"))
+  }
+
   /** Token/char counts and mean word length. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

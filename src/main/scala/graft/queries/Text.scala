@@ -104,5 +104,27 @@ object Text {
     TextAnalysis.vocabulary(Tables(s, dir, "documents"), "text", 50)
   }
 
-  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  val t08 = QueryDef(
+    "t08_normalize",
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+      |    ' +', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.normalize(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val redactSql = TextAnalysis.DefaultRedactions.foldLeft("text") {
+    case (e, (p, r)) => s"regexp_replace($e, '$p', '$r', 'g')"
+  }
+
+  val t09 = QueryDef(
+    "t09_redact",
+    s"""SELECT doc_id, $redactSql AS red_text
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.redact(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

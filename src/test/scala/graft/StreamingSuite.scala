@@ -70,6 +70,34 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("F5b: served output lands in a durable file sink with checkpointing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toFile
+    val source = MemoryStream[Req]
+    val served = ServingPipeline.compile(source.toDS())
+      .stage(new Stage[Req, Resp] {
+        override def process(b: Seq[Req]): Seq[Resp] =
+          b.map(r => Resp(r.id, r.payload.toUpperCase))
+      })
+      .run()
+    val query = served.writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      source.addData(Req(1, "ab"), Req(2, "cd"))
+      query.processAllAvailable()
+      source.addData(Req(3, "ef"))
+      query.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/out").as[Resp].collect().sortBy(_.id)
+      assert(got.toSeq == Seq(Resp(1, "AB"), Resp(2, "CD"), Resp(3, "EF")))
+      // the checkpoint carries stream progress — the exactly-once ledger
+      // a restarted query resumes from
+      assert(new java.io.File(s"$dir/ckpt/offsets").listFiles().nonEmpty)
+    } finally query.stop()
+  }
+
   test("F18b: event-time timeout evicts session state; late events can't resurrect it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
