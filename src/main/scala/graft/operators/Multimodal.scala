@@ -4,12 +4,16 @@ import graft.api.{Resources, Stage}
 
 /** Multimodal batch plumbing (SURVEY.md §2c M2): image/audio/video travel
   * as opaque `binary` columns with typed metadata; decode / resize /
-  * frame-sample run as batched stages over those bytes.
+  * frame-sample / audio-feature extraction run as batched stages over
+  * those bytes.
   *
-  * The container ships no media codecs, so `FakeCodec.decode` is a STUB: a
-  * deterministic fake that derives dimensions and "pixels" from the payload
-  * bytes alone (marked clearly below; swap in a real JNI/FFmpeg decoder by
-  * replacing that one function). Everything Spark-side — schema, batching,
+  * Decoding is REAL for the container-parseable formats — PPM (P6) images
+  * and WAV (PCM16) audio are pure byte arithmetic, no codec library
+  * needed — and [[DecodeStage]] sniffs the payload magic to route to
+  * them. Only compressed codecs (JPEG/PNG/MP3/H.264), whose libraries
+  * this container lacks, fall back to `FakeCodec`: a clearly-marked
+  * deterministic stand-in (swap in a JNI/FFmpeg decoder by replacing
+  * that one function). Everything Spark-side — schema, batching,
   * partition flow, stage composition — is real and spec-tested.
   */
 object Multimodal {
@@ -18,8 +22,85 @@ object Multimodal {
   final case class DecodedFrame(id: Long, width: Int, height: Int, pixels: Array[Byte])
   final case class ResizedFrame(id: Long, width: Int, height: Int, pixels: Array[Byte])
   final case class FrameSample(id: Long, frameIdx: Int, digest: Long)
+  final case class AudioClip(id: Long, sampleRate: Int, channels: Int, samples: Array[Short])
+  final case class AudioFeatures(id: Long, durationMs: Long, rms: Double, zeroCrossRate: Double)
 
-  /** STUB decoder — deterministic fake standing in for a real image codec.
+  /** Real decoders for formats that are pure byte arithmetic. */
+  object Codecs {
+
+    /** Binary PPM (P6): "P6 <w> <h> <maxval>" header (whitespace/comment
+      * separated) followed by raw RGB triplets. Returns (w, h, luma):
+      * pixels are converted to 8-bit luma (BT.601 integer weights) so the
+      * [[DecodedFrame]] contract — one byte per pixel — holds for real
+      * and fake decodes alike.
+      */
+    def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6', "not a P6 PPM")
+      var i = 2
+      def skipSpace(): Unit = {
+        var go = true
+        while (go && i < bytes.length) {
+          val c = bytes(i).toChar
+          if (c == '#') while (i < bytes.length && bytes(i) != '\n') i += 1
+          else if (c.isWhitespace) i += 1
+          else go = false
+        }
+      }
+      def int(): Int = {
+        skipSpace()
+        var v = 0
+        while (i < bytes.length && bytes(i).toChar.isDigit) { v = v * 10 + (bytes(i) - '0'); i += 1 }
+        v
+      }
+      val (w, h, maxv) = (int(), int(), int())
+      require(w > 0 && h > 0 && maxv == 255, s"unsupported PPM: ${w}x$h max=$maxv")
+      i += 1 // the single whitespace byte after maxval
+      val need = w * h * 3
+      require(bytes.length - i >= need, "truncated PPM payload")
+      val luma = new Array[Byte](w * h)
+      var p = 0
+      while (p < w * h) {
+        val r = bytes(i + 3 * p) & 0xff
+        val g = bytes(i + 3 * p + 1) & 0xff
+        val b = bytes(i + 3 * p + 2) & 0xff
+        luma(p) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        p += 1
+      }
+      (w, h, luma)
+    }
+
+    /** WAV (RIFF) with PCM16 data: walks the chunk list to fmt/data.
+      * Returns (sampleRate, channels, interleaved samples).
+      */
+    def decodeWavPcm16(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(at: Int): String = new String(bytes, at, 4, "US-ASCII")
+      require(bytes.length >= 12 && fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a WAV")
+      var at = 12
+      var rate = 0; var channels = 0; var bits = 0
+      var samples: Array[Short] = null
+      while (at + 8 <= bytes.length) {
+        val id = fourcc(at)
+        val size = bb.getInt(at + 4)
+        if (id == "fmt ") {
+          require(bb.getShort(at + 8) == 1, "only PCM wav supported")
+          channels = bb.getShort(at + 10)
+          rate = bb.getInt(at + 12)
+          bits = bb.getShort(at + 22)
+          require(bits == 16, s"only PCM16 supported, got $bits-bit")
+        } else if (id == "data") {
+          val n = size / 2
+          samples = Array.tabulate(n)(k => bb.getShort(at + 8 + 2 * k))
+        }
+        at += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && samples != null, "missing fmt/data chunk")
+      (rate, channels, samples)
+    }
+  }
+
+  /** STUB decoder — deterministic fake standing in for the COMPRESSED
+    * codecs (JPEG/PNG/H.264) whose libraries this container lacks.
     * Width/height derive from a byte-sum hash; "pixels" are the payload
     * bytes tiled to width*height. Deterministic → spec-testable.
     */
@@ -35,16 +116,56 @@ object Multimodal {
     }
   }
 
-  /** Batched GPU-shaped decode stage (a real decoder would want the batch
-    * to amortize codec state; `resources` advertises the GPU shape).
+  /** Batched GPU-shaped decode stage (a real decoder wants the batch to
+    * amortize codec state; `resources` advertises the GPU shape). PPM
+    * payloads decode for real; anything else hits the FakeCodec stub.
     */
   final class DecodeStage(override val batchSize: Int = 8)
       extends Stage[MediaRow, DecodedFrame] {
     override def resources: Resources = Resources(cpus = 1.0, gpus = 0.25)
     override def process(batch: Seq[MediaRow]): Seq[DecodedFrame] =
       batch.map { m =>
-        val (w, h, px) = FakeCodec.decode(m.payload)
+        val (w, h, px) =
+          if (m.payload.length >= 2 && m.payload(0) == 'P' && m.payload(1) == '6')
+            Codecs.decodePpm(m.payload)
+          else FakeCodec.decode(m.payload)
         DecodedFrame(m.id, w, h, px)
+      }
+  }
+
+  /** Real audio decode: WAV/PCM16 payloads to sample arrays. */
+  final class AudioDecodeStage(override val batchSize: Int = 8)
+      extends Stage[MediaRow, AudioClip] {
+    override def process(batch: Seq[MediaRow]): Seq[AudioClip] =
+      batch.map { m =>
+        val (rate, ch, samples) = Codecs.decodeWavPcm16(m.payload)
+        AudioClip(m.id, rate, ch, samples)
+      }
+  }
+
+  /** Real DSP features over decoded audio: duration, RMS level (of the
+    * full-scale range), zero-crossing rate per sample — the standard
+    * cheap quality/speech-detection signals of an audio data pipeline.
+    */
+  final class AudioFeatureStage(override val batchSize: Int = 32)
+      extends Stage[AudioClip, AudioFeatures] {
+    override def process(batch: Seq[AudioClip]): Seq[AudioFeatures] =
+      batch.map { c =>
+        val n = c.samples.length
+        var sumSq = 0.0
+        var crossings = 0L
+        var i = 0
+        while (i < n) {
+          val x = c.samples(i) / 32768.0
+          sumSq += x * x
+          if (i > 0 && ((c.samples(i) >= 0) != (c.samples(i - 1) >= 0))) crossings += 1
+          i += 1
+        }
+        val frames = n / math.max(1, c.channels)
+        AudioFeatures(c.id,
+          durationMs = frames * 1000L / c.sampleRate,
+          rms = if (n == 0) 0.0 else math.sqrt(sumSq / n),
+          zeroCrossRate = if (n < 2) 0.0 else crossings.toDouble / (n - 1))
       }
   }
 

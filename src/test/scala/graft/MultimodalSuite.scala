@@ -40,6 +40,53 @@ class MultimodalSuite extends SparkSpec {
     }
   }
 
+  test("M2b: real PPM payloads decode exactly (dimensions + luma bytes)") {
+    import spark.implicits._
+    // a real 4x2 P6 image, synthesized byte-for-byte
+    val w = 4; val h = 2
+    val rgb = Array.tabulate[Byte](w * h * 3)(i => (i * 7 % 251).toByte)
+    val header = s"P6\n# comment\n$w $h\n255\n".getBytes("US-ASCII")
+    val ppm = header ++ rgb
+    def luma(p: Int): Byte = {
+      val (r, g, b) = (rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff, rgb(3 * p + 2) & 0xff)
+      ((r * 299 + g * 587 + b * 114) / 1000).toByte
+    }
+    val media = spark.createDataset(Seq(MediaRow(1L, ppm)))
+    val decoded = Pipeline.from(media).stage(new DecodeStage()).run().collect()
+    assert(decoded.length == 1)
+    assert(decoded.head.width == w && decoded.head.height == h)
+    assert(decoded.head.pixels.toSeq == (0 until w * h).map(luma),
+      "pixels must be the exact BT.601 luma plane of the source RGB")
+    // and a resize of the real image keeps exact nearest-neighbor bytes
+    val resized = Pipeline.from(media)
+      .stage(new DecodeStage()).stage(new ResizeStage(2, 1)).run().collect().head
+    assert(resized.pixels.toSeq == Seq(luma(0), luma(2)))
+  }
+
+  test("M2c: real WAV/PCM16 payloads decode to samples; features are exact DSP") {
+    import spark.implicits._
+    // synthesize a real RIFF/WAVE file: 1 channel, 8000 Hz, 16-bit PCM,
+    // a 4000-sample square wave alternating +/-1000 every sample
+    val rate = 8000
+    val n = 4000
+    val samples = Array.tabulate(n)(i => if (i % 2 == 0) 1000.toShort else (-1000).toShort)
+    val dataBytes = 2 * n
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(bb.putShort(_))
+    val media = spark.createDataset(Seq(MediaRow(7L, bb.array())))
+    val feats = Pipeline.from(media)
+      .stage(new AudioDecodeStage())
+      .stage(new AudioFeatureStage())
+      .run().collect().head
+    assert(feats.durationMs == 500)                      // 4000 / 8000 Hz
+    assert(math.abs(feats.rms - 1000.0 / 32768) < 1e-9)  // constant magnitude
+    assert(feats.zeroCrossRate == 1.0)                   // sign flips every sample
+  }
+
   private def Tables() = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
