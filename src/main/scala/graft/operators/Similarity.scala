@@ -42,13 +42,23 @@ object Similarity {
   /** ANN via hyperplane LSH: bucket assignment then an equi-join on the
     * bucket id (never a cross product). Output: one row per vector with a
     * bucket-mate — vec_id, bucket, nn_id, cos (its nearest in-bucket
-    * neighbor). More planes → smaller buckets → cheaper join, lower recall.
+    * neighbor). More planes → smaller buckets → cheaper join, lower
+    * recall; size `planes` so 2^planes ≈ corpus/expected-bucket-size.
+    * `maxBucketDf` is the hot-bucket guard (the d02/d04/d05 DF-cap
+    * pattern): the within-bucket join is quadratic in bucket size, so
+    * vectors in buckets larger than the cap are dropped from the join
+    * rather than letting one degenerate bucket dominate the stage.
     */
   def annLsh(df: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Seq[Int]]): DataFrame = {
+      planes: Seq[Seq[Int]], maxBucketDf: Int = Int.MaxValue): DataFrame = {
     GraftExpressions.register(df.sparkSession)
-    val b = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
+    val b0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
       lshBucket(col(vecCol), planes).as("bucket"))
+    val b =
+      if (maxBucketDf == Int.MaxValue) b0
+      else b0.withColumn("df", count(lit(1)).over(Window.partitionBy("bucket")))
+        .filter(col("df") <= maxBucketDf)
+        .select("vec_id", "_v", "bucket")
     val p = b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),

@@ -73,6 +73,17 @@ class SimilarityOpsSuite extends SparkSpec {
     assert(neighbors(2) == Seq(1L), "probe-2 finds the true neighbor across the boundary")
   }
 
+  test("annLsh hot-bucket cap drops degenerate buckets from the join") {
+    import spark.implicits._
+    // 50 identical vectors share one bucket: an uncapped within-bucket
+    // join is quadratic; a binding cap removes the bucket entirely
+    val corpus = corpusOf((0L until 50L).map(i => i -> Seq(1.0f, 0.5f)))
+    val planes = graft.queries.Similarity.planes
+    assert(Similarity.annLsh(corpus, "vec_id", "embedding", planes).count() == 50)
+    assert(Similarity.annLsh(corpus, "vec_id", "embedding", planes,
+      maxBucketDf = 10).count() == 0)
+  }
+
   test("ivfKnn plan: assignment is aggregation, not a window; one window total") {
     import spark.implicits._
     val corpus = corpusOf((0L until 64L).map(i =>
