@@ -1,8 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+import org.apache.spark.storage.StorageLevel
 
 /** Generic relational operators Spark lacks as single calls, composed from
   * Catalyst primitives so pushdown/AQE still apply (SURVEY.md §2b).
@@ -32,6 +37,87 @@ object Relational {
       when(prev.isNull || tsMillis - prev > gapMillis, 1L).otherwise(0L))
     marked.withColumn("session_id",
       sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Exact per-group discrete percentiles (value at rank ceil(p*n)) that
+    * stay PARALLEL under low-cardinality groups. `row_number over
+    * (partition by group order by value)` caps parallelism at the number
+    * of groups — with 3 groups, 3 tasks sort everything no matter how big
+    * the cluster is. Here the data is RANGE-partitioned on (group, value)
+    * — Spark's sampling range partitioner balances rows across ALL
+    * partitions regardless of group skew — sorted within partitions, then
+    * two cheap metadata passes select the target ranks: (1) per-partition
+    * per-group counts (|partitions|×|groups| rows to the driver) yield
+    * each partition's starting rank per group; (2) each partition scans
+    * once, emitting only rows whose global in-group rank is a target.
+    * Ties are safe: equal values share a value, so any rank in a tie run
+    * selects the same answer. Runs its Spark jobs EAGERLY (the selection
+    * needs the count metadata) and returns a tiny local result — one row
+    * per group: (groupCol, p<label>...).
+    */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)], partitions: Int = 0): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 })
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val sorted = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .repartitionByRange(par, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .as[(String, Double)]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perPart: Array[(Int, Map[String, Long])] = sorted.mapPartitions { it =>
+        val counts = mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => counts.update(g, counts.getOrElse(g, 0L) + 1) }
+        Iterator.single((TaskContext.getPartitionId(), counts.toMap))
+      }.collect()
+      val totals: Map[String, Long] = perPart.iterator.flatMap(_._2)
+        .toSeq.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
+      val targets: Map[String, Seq[(String, Long)]] = totals.map { case (g, n) =>
+        g -> ps.map { case (label, p) => label -> math.max(1L, math.ceil(p * n).toLong) }
+      }
+      val offsets: Map[(Int, String), Long] = {
+        val running = mutable.Map.empty[String, Long]
+        perPart.sortBy(_._1).flatMap { case (pid, counts) =>
+          counts.map { case (g, c) =>
+            val start = running.getOrElse(g, 0L)
+            running.update(g, start + c)
+            (pid, g) -> start
+          }
+        }.toMap
+      }
+      val bc = spark.sparkContext.broadcast((offsets, targets))
+      val picked: Array[(String, String, Double)] = sorted.mapPartitions { it =>
+        val (offs, tgts) = bc.value
+        val pid = TaskContext.getPartitionId()
+        var curG: String = null
+        var rank = 0L
+        var curTargets: Seq[(String, Long)] = Nil
+        val out = mutable.ArrayBuffer.empty[(String, String, Double)]
+        it.foreach { case (g, v) =>
+          if (g != curG) {
+            curG = g
+            rank = offs.getOrElse((pid, g), 0L)
+            curTargets = tgts.getOrElse(g, Nil)
+          }
+          rank += 1
+          curTargets.foreach { case (label, t) => if (t == rank) out += ((g, label, v)) }
+        }
+        out.iterator
+      }.collect()
+      val byGroup = picked.groupBy(_._1)
+      val rows = totals.keys.toSeq.sorted.map { g =>
+        val vals = byGroup.getOrElse(g, Array.empty)
+        Row.fromSeq(g +: ps.map { case (label, _) =>
+          vals.find(_._2 == label).map(x => x._3: java.lang.Double).orNull
+        })
+      }
+      val schema = StructType(StructField(groupCol, StringType) +:
+        ps.map { case (label, _) => StructField(s"p$label", DoubleType) })
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    } finally sorted.unpersist()
   }
 
   /** AS-OF join: for each left row, the single most-recent right row with

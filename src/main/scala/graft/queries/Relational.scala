@@ -294,17 +294,12 @@ object Relational {
              s"max(CASE WHEN rn = CAST(ceil($p * n) AS BIGINT) THEN l_extendedprice END) AS p$l"
            }.mkString(",\n  ")}
        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy("l_returnflag")
-    val r = Tables(s, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_extendedprice"))
-      .withColumn("rn", row_number().over(w.orderBy("l_extendedprice")))
-      .withColumn("n", count(lit(1)).over(w))
-    val aggs = q16Ps.map { case (l, p) =>
-      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"),
-        col("l_extendedprice"))).as(s"p$l")
-    }
-    r.groupBy("l_returnflag")
-      .agg(aggs.head, aggs.tail: _*)
+    // NOT the oracle's window plan: partitionBy(l_returnflag) would cap
+    // the sort at 3-way parallelism forever. The operator range-partitions
+    // on (group, value) and selects ranks via two metadata passes — same
+    // exact answer, parallel at any scale (see Relational.exactPercentiles).
+    graft.operators.Relational.exactPercentiles(
+        Tables(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", q16Ps)
       .orderBy("l_returnflag")
   }
 

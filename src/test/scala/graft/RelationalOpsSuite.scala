@@ -76,4 +76,23 @@ class RelationalOpsSuite extends SparkSpec {
     val got = asof(Seq((5L, 10L, 1L)), Seq((5L, 11L, 2L))).count()
     assert(got == 0)
   }
+
+  test("exactPercentiles matches the naive per-group rank selection") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // heavy duplicates + lopsided group sizes + a singleton group
+    val data = Seq.fill(3000)(("a", (rnd.nextInt(40) * 25).toDouble)) ++
+      Seq.fill(500)(("b", rnd.nextDouble() * 100)) ++
+      Seq(("c", 42.0))
+    val df = rnd.shuffle(data).toDF("g", "v").repartition(13)
+    val ps = Seq("50" -> 0.5, "90" -> 0.9, "99" -> 0.99)
+    val got = Relational.exactPercentiles(df, "g", "v", ps, partitions = 7)
+      .orderBy("g").as[(String, Double, Double, Double)].collect().toSeq
+    val expected = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, xs) =>
+      val sortedVs = xs.map(_._2).sorted
+      def at(p: Double) = sortedVs(math.max(1, math.ceil(p * sortedVs.size).toInt) - 1)
+      (g, at(0.5), at(0.9), at(0.99))
+    }
+    assert(got == expected)
+  }
 }
