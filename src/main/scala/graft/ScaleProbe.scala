@@ -64,6 +64,8 @@ object ScaleProbe {
     time("d06 clusters")(graft.operators.Dedup.clusters(d, "doc_id",
       graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5)).filter(col("keep")).count())
     val e = spark.read.parquet(s"$out/embeddings.parquet")
+    time("d05 embedding-lsh")(graft.operators.Dedup.embeddingPairsLsh(
+      e, "vec_id", "embedding", 0.4).count())
     time("s02 ann-lsh")(graft.operators.Similarity.annLsh(e, "vec_id", "embedding",
       graft.queries.Similarity.planes).count())
     time("s03 centroids")(graft.operators.Similarity.centroids(e, "label", "embedding").count())

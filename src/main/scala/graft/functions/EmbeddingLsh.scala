@@ -20,8 +20,13 @@ import graft.functions.VectorFunctions.sqlFoldSum
   */
 object EmbeddingLsh {
 
-  val Bits = 6     // planes per band -> 2^6 bucket ids per band
-  val Bands = 24   // OR across bands
+  // Geometry tuned for SELECTIVITY first (round-3 scale probe: at 10×
+  // near-dup density, 6-bit buckets produced 66M distinct candidates for
+  // 193k true pairs — verification swamped everything). 2^10 bucket ids
+  // per band keeps clustered corpora spread thin; 32 bands restore
+  // recall: at cos 0.9, p = 0.856 per plane → 1-(1-p^10)^32 ≈ 0.9995.
+  val Bits = 10    // planes per band -> 2^10 bucket ids per band
+  val Bands = 32   // OR across bands
   val Dim = 64     // plane dimensionality; must cover the vector dim
 
   /** Bands*Bits deterministic hyperplanes, components in [-5, 5]. */
