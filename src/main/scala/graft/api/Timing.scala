@@ -24,6 +24,9 @@ final class RateLimiter(
     freqHz: Double,
     clock: () => Double = Timing.systemClock,
     sleeper: Double => Unit = Timing.systemSleep) {
+  // the reference raises ZeroDivisionError on freqHz=0; 1.0/0 in Scala is
+  // Infinity, which would silently sleep(Long.MaxValue) — fail fast instead
+  require(freqHz > 0, s"RateLimiter frequency must be positive, got $freqHz")
   private var lastTime = 0.0
 
   def sleep(): Unit = {
@@ -59,6 +62,7 @@ final class RateLimitedCaller(
 final class RateLimitChecker(
     freqHz: Double,
     clock: () => Double = Timing.systemClock) {
+  require(freqHz > 0, s"RateLimitChecker frequency must be positive, got $freqHz")
   private var nextTime = 0.0
 
   def canCall(checkOnly: Boolean = false): Boolean = {

@@ -7,11 +7,12 @@ import graft.api.{Resources, Stage}
   * frame-sample / audio-feature extraction run as batched stages over
   * those bytes.
   *
-  * Decoding is REAL for the container-parseable formats — PPM (P6) images
-  * and WAV (PCM16) audio are pure byte arithmetic, no codec library
-  * needed — and [[DecodeStage]] sniffs the payload magic to route to
-  * them. Only compressed codecs (JPEG/PNG/MP3/H.264), whose libraries
-  * this container lacks, fall back to `FakeCodec`: a clearly-marked
+  * Decoding is REAL for every format the JVM can open without external
+  * libraries: PPM (P6) and WAV (PCM16) are pure byte arithmetic, and
+  * JPEG / PNG (plus GIF/BMP) decode through the JDK's built-in
+  * `javax.imageio` codecs. [[DecodeStage]] sniffs the payload magic to
+  * route to the right decoder. Only codecs genuinely absent from the
+  * JDK (MP3/H.264) fall back to `FakeCodec`: a clearly-marked
   * deterministic stand-in (swap in a JNI/FFmpeg decoder by replacing
   * that one function). Everything Spark-side — schema, batching,
   * partition flow, stage composition — is real and spec-tested.
@@ -82,6 +83,10 @@ object Multimodal {
       while (at + 8 <= bytes.length) {
         val id = fourcc(at)
         val size = bb.getInt(at + 4)
+        // an untrusted size field must not send the walker backwards
+        // (infinite loop) or past the buffer (raw IndexOutOfBounds)
+        require(size >= 0 && at + 8 + size <= bytes.length,
+          s"corrupt WAV chunk '$id' at offset $at: declared size $size exceeds payload")
         if (id == "fmt ") {
           require(bb.getShort(at + 8) == 1, "only PCM wav supported")
           channels = bb.getShort(at + 10)
@@ -97,12 +102,37 @@ object Multimodal {
       require(rate > 0 && samples != null, "missing fmt/data chunk")
       (rate, channels, samples)
     }
+
+    /** Compressed raster formats (JPEG/PNG/GIF/BMP) via the JDK's
+      * built-in `javax.imageio` readers — zero external dependencies.
+      * Decodes to the same (w, h, BT.601 luma plane) contract as
+      * [[decodePpm]], so downstream resize/frame-sample stages are
+      * format-agnostic.
+      */
+    def decodeImageIo(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode payload (unknown/corrupt format)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val argb = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read, any source color model
+      val luma = new Array[Byte](w * h)
+      var p = 0
+      while (p < luma.length) {
+        val v = argb(p)
+        val r = (v >> 16) & 0xff
+        val g = (v >> 8) & 0xff
+        val b = v & 0xff
+        luma(p) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        p += 1
+      }
+      (w, h, luma)
+    }
   }
 
-  /** STUB decoder — deterministic fake standing in for the COMPRESSED
-    * codecs (JPEG/PNG/H.264) whose libraries this container lacks.
-    * Width/height derive from a byte-sum hash; "pixels" are the payload
-    * bytes tiled to width*height. Deterministic → spec-testable.
+  /** STUB decoder — deterministic fake standing in for codecs the JDK
+    * genuinely lacks (MP3/H.264 video). Width/height derive from a
+    * byte-sum hash; "pixels" are the payload bytes tiled to
+    * width*height. Deterministic → spec-testable.
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
@@ -117,18 +147,22 @@ object Multimodal {
   }
 
   /** Batched GPU-shaped decode stage (a real decoder wants the batch to
-    * amortize codec state; `resources` advertises the GPU shape). PPM
-    * payloads decode for real; anything else hits the FakeCodec stub.
+    * amortize codec state; `resources` advertises the GPU shape).
+    * Routes by payload magic: P6 PPM, JPEG (FFD8), and PNG (89 50 4E 47)
+    * decode for real; payloads with no JDK codec hit the FakeCodec stub.
     */
   final class DecodeStage(override val batchSize: Int = 8)
       extends Stage[MediaRow, DecodedFrame] {
     override def resources: Resources = Resources(cpus = 1.0, gpus = 0.25)
     override def process(batch: Seq[MediaRow]): Seq[DecodedFrame] =
       batch.map { m =>
+        val p = m.payload
+        def is(at: Int, b: Int) = p.length > at && (p(at) & 0xff) == b
         val (w, h, px) =
-          if (m.payload.length >= 2 && m.payload(0) == 'P' && m.payload(1) == '6')
-            Codecs.decodePpm(m.payload)
-          else FakeCodec.decode(m.payload)
+          if (is(0, 'P') && is(1, '6')) Codecs.decodePpm(p)
+          else if (is(0, 0xff) && is(1, 0xd8)) Codecs.decodeImageIo(p)                         // JPEG
+          else if (is(0, 0x89) && is(1, 'P') && is(2, 'N') && is(3, 'G')) Codecs.decodeImageIo(p) // PNG
+          else FakeCodec.decode(p)
         DecodedFrame(m.id, w, h, px)
       }
   }
@@ -144,28 +178,41 @@ object Multimodal {
   }
 
   /** Real DSP features over decoded audio: duration, RMS level (of the
-    * full-scale range), zero-crossing rate per sample — the standard
-    * cheap quality/speech-detection signals of an audio data pipeline.
+    * full-scale range), zero-crossing rate — the standard cheap
+    * quality/speech-detection signals of an audio data pipeline.
+    * Zero-crossings are counted PER CHANNEL (stride = `channels`):
+    * adjacent interleaved samples belong to different channels, so a
+    * naive flat scan would count phantom flips on stereo clips.
     */
   final class AudioFeatureStage(override val batchSize: Int = 32)
       extends Stage[AudioClip, AudioFeatures] {
     override def process(batch: Seq[AudioClip]): Seq[AudioFeatures] =
       batch.map { c =>
         val n = c.samples.length
+        val ch = math.max(1, c.channels)
+        val frames = n / ch
         var sumSq = 0.0
-        var crossings = 0L
         var i = 0
         while (i < n) {
           val x = c.samples(i) / 32768.0
           sumSq += x * x
-          if (i > 0 && ((c.samples(i) >= 0) != (c.samples(i - 1) >= 0))) crossings += 1
           i += 1
         }
-        val frames = n / math.max(1, c.channels)
+        var crossings = 0L
+        var c0 = 0
+        while (c0 < ch) {
+          var f = 1
+          while (f < frames) {
+            if ((c.samples(f * ch + c0) >= 0) != (c.samples((f - 1) * ch + c0) >= 0)) crossings += 1
+            f += 1
+          }
+          c0 += 1
+        }
+        val comparisons = ch.toLong * math.max(0, frames - 1)
         AudioFeatures(c.id,
           durationMs = frames * 1000L / c.sampleRate,
           rms = if (n == 0) 0.0 else math.sqrt(sumSq / n),
-          zeroCrossRate = if (n < 2) 0.0 else crossings.toDouble / (n - 1))
+          zeroCrossRate = if (comparisons == 0) 0.0 else crossings.toDouble / comparisons)
       }
   }
 

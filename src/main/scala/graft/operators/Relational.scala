@@ -54,25 +54,52 @@ object Relational {
     * selects the same answer. Runs its Spark jobs EAGERLY (the selection
     * needs the count metadata) and returns a tiny local result — one row
     * per group: (groupCol, p<label>...).
+    *
+    * DRIVER-METADATA COST: the count pass ships |partitions| × |groups|
+    * (group, count) entries to the driver — metadata-sized at the design
+    * point (few groups, many partitions), but 10⁶ groups × 10⁴ partitions
+    * would be 10¹⁰ rows. When any partition sees more than
+    * `maxExactGroups` distinct groups, the operator AUTO-FALLS-BACK to
+    * the plain `row_number` window plan over the same persisted
+    * projection: with many groups that plan is already parallel (its
+    * weakness — parallelism capped at |groups| — only bites when groups
+    * are few, exactly when the range-partitioned path is safe). Null
+    * values are filtered (a percentile over nulls is undefined).
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(String, Double)], partitions: Int = 0): DataFrame = {
+      ps: Seq[(String, Double)], partitions: Int = 0,
+      maxExactGroups: Int = 4096): DataFrame = {
     require(ps.nonEmpty && ps.forall { case (_, p) => p > 0 && p <= 1 })
     val spark = df.sparkSession
     import spark.implicits._
     val par = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val sorted = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .repartitionByRange(par, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .as[(String, Double)]
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var bc: org.apache.spark.broadcast.Broadcast[
+      (Map[(Int, String), Long], Map[String, Seq[(String, Long)]])] = null
     try {
-      val perPart: Array[(Int, Map[String, Long])] = sorted.mapPartitions { it =>
+      // per-partition group counts; a partition that sees too many groups
+      // truncates its map and raises the overflow flag instead of
+      // shipping an unbounded map to the driver
+      val perPart: Array[(Int, Map[String, Long], Boolean)] = sorted.mapPartitions { it =>
         val counts = mutable.LinkedHashMap.empty[String, Long]
-        it.foreach { case (g, _) => counts.update(g, counts.getOrElse(g, 0L) + 1) }
-        Iterator.single((TaskContext.getPartitionId(), counts.toMap))
+        var overflow = false
+        it.foreach { case (g, _) =>
+          if (!overflow) {
+            counts.update(g, counts.getOrElse(g, 0L) + 1)
+            if (counts.size > maxExactGroups) { overflow = true; counts.clear() }
+          }
+        }
+        Iterator.single((TaskContext.getPartitionId(), counts.toMap, overflow))
       }.collect()
+      val distinctGroups = perPart.iterator.flatMap(_._2.keysIterator).toSet
+      if (perPart.exists(_._3) || distinctGroups.size > maxExactGroups)
+        return windowPercentiles(sorted.toDF("g", "v"), groupCol, ps)
       val totals: Map[String, Long] = perPart.iterator.flatMap(_._2)
         .toSeq.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
       val targets: Map[String, Seq[(String, Long)]] = totals.map { case (g, n) =>
@@ -80,7 +107,7 @@ object Relational {
       }
       val offsets: Map[(Int, String), Long] = {
         val running = mutable.Map.empty[String, Long]
-        perPart.sortBy(_._1).flatMap { case (pid, counts) =>
+        perPart.sortBy(_._1).flatMap { case (pid, counts, _) =>
           counts.map { case (g, c) =>
             val start = running.getOrElse(g, 0L)
             running.update(g, start + c)
@@ -88,7 +115,7 @@ object Relational {
           }
         }.toMap
       }
-      val bc = spark.sparkContext.broadcast((offsets, targets))
+      bc = spark.sparkContext.broadcast((offsets, targets))
       val picked: Array[(String, String, Double)] = sorted.mapPartitions { it =>
         val (offs, tgts) = bc.value
         val pid = TaskContext.getPartitionId()
@@ -117,7 +144,31 @@ object Relational {
       val schema = StructType(StructField(groupCol, StringType) +:
         ps.map { case (label, _) => StructField(s"p$label", DoubleType) })
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-    } finally sorted.unpersist()
+    } finally {
+      if (bc != null) bc.destroy() // a broadcast per call would otherwise accumulate
+      sorted.unpersist()
+    }
+  }
+
+  /** The plain window percentile plan — `row_number` per group, pick rank
+    * ceil(p*n). Parallelism is capped at |groups|, which is exactly why
+    * [[exactPercentiles]] uses it only as the HIGH-cardinality fallback
+    * (many groups = many window partitions = parallel). Input: (g, v)
+    * with non-null v; output schema matches the range-partitioned path.
+    */
+  private def windowPercentiles(gv: DataFrame, groupCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val w = Window.partitionBy("g").orderBy("v")
+    val ranked = gv
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+    val aggs = ps.map { case (label, p) =>
+      val target = greatest(lit(1L), ceil(col("n") * p).cast("long"))
+      max(when(col("rn") === target, col("v"))).as(s"p$label")
+    }
+    ranked.groupBy(col("g").as(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(groupCol)
   }
 
   /** AS-OF join: for each left row, the single most-recent right row with

@@ -63,6 +63,44 @@ class MultimodalSuite extends SparkSpec {
     assert(resized.pixels.toSeq == Seq(luma(0), luma(2)))
   }
 
+  test("M2d: real JPEG and PNG payloads decode via JDK ImageIO (w/h + luma)") {
+    import spark.implicits._
+    val w = 24; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 10) % 256; val g = (y * 16) % 256; val b = (x + y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer in this JDK")
+      bos.toByteArray
+    }
+    def luma(x: Int, y: Int): Int = {
+      val v = img.getRGB(x, y)
+      ((((v >> 16) & 0xff) * 299) + (((v >> 8) & 0xff) * 587) + ((v & 0xff) * 114)) / 1000
+    }
+    val png = encode("png")
+    val jpg = encode("jpg")
+    // real container magics, so DecodeStage routes them to ImageIO
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P')
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val media = spark.createDataset(Seq(MediaRow(1L, png), MediaRow(2L, jpg)))
+    val decoded = Pipeline.from(media).stage(new DecodeStage()).run().collect()
+      .map(f => f.id -> f).toMap
+    val expected = for (y <- 0 until h; x <- 0 until w) yield luma(x, y).toByte
+    // PNG is lossless: exact dimensions AND byte-exact luma plane
+    val pngF = decoded(1L)
+    assert(pngF.width == w && pngF.height == h)
+    assert(pngF.pixels.toSeq == expected)
+    // JPEG is lossy: exact dimensions, luma within codec quantization error
+    val jpgF = decoded(2L)
+    assert(jpgF.width == w && jpgF.height == h)
+    val maxErr = (0 until w * h)
+      .map(p => math.abs((jpgF.pixels(p) & 0xff) - (expected(p) & 0xff))).max
+    assert(maxErr <= 24, s"JPEG luma deviates up to $maxErr from source — not a real decode")
+  }
+
   test("M2c: real WAV/PCM16 payloads decode to samples; features are exact DSP") {
     import spark.implicits._
     // synthesize a real RIFF/WAVE file: 1 channel, 8000 Hz, 16-bit PCM,
@@ -85,6 +123,33 @@ class MultimodalSuite extends SparkSpec {
     assert(feats.durationMs == 500)                      // 4000 / 8000 Hz
     assert(math.abs(feats.rms - 1000.0 / 32768) < 1e-9)  // constant magnitude
     assert(feats.zeroCrossRate == 1.0)                   // sign flips every sample
+  }
+
+  test("M2e: stereo ZCR strides by channel; corrupt WAV chunk sizes fail fast") {
+    import graft.operators.Multimodal.Codecs
+    // stereo clip: ch0 flips sign every frame (ZCR 1), ch1 constant (ZCR 0)
+    val frames = 1000
+    val samples = Array.tabulate(2 * frames) { i =>
+      if (i % 2 == 0) { if ((i / 2) % 2 == 0) 1000.toShort else (-1000).toShort }
+      else 500.toShort
+    }
+    val clip = AudioClip(1L, 8000, 2, samples)
+    val feats = new AudioFeatureStage().process(Seq(clip)).head
+    assert(feats.zeroCrossRate == 0.5, "per-channel ZCR: (1.0 + 0.0) / 2 channels")
+    assert(feats.durationMs == frames * 1000L / 8000)
+    // corrupt chunk sizes must raise a descriptive error, not hang or IOOBE
+    def wavWithDataSize(declared: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(declared).putShort(0).putShort(0)
+      bb.array()
+    }
+    val neg = intercept[IllegalArgumentException](Codecs.decodeWavPcm16(wavWithDataSize(-8)))
+    assert(neg.getMessage.contains("corrupt WAV chunk"))
+    val over = intercept[IllegalArgumentException](Codecs.decodeWavPcm16(wavWithDataSize(1 << 20)))
+    assert(over.getMessage.contains("corrupt WAV chunk"))
   }
 
   private def Tables() = {

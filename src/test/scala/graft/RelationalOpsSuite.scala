@@ -95,4 +95,29 @@ class RelationalOpsSuite extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("exactPercentiles: high-cardinality groups fall back to the window plan, same answers") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 60 groups of varied sizes, plus null values that must be ignored
+    val data = (0 until 60).flatMap { g =>
+      Seq.fill(20 + g)((f"g$g%02d", rnd.nextDouble() * 100))
+    }
+    val withNulls = data.map { case (g, v) => (g, v: java.lang.Double) } ++
+      Seq(("g00", null: java.lang.Double), ("g59", null: java.lang.Double))
+    val df = rnd.shuffle(withNulls).toDF("g", "v").repartition(9)
+    val ps = Seq("50" -> 0.5, "90" -> 0.9)
+    // maxExactGroups below |groups| → window fallback; default → exact path
+    val fallback = Relational.exactPercentiles(df, "g", "v", ps, partitions = 7, maxExactGroups = 10)
+      .orderBy("g").as[(String, Double, Double)].collect().toSeq
+    val exact = Relational.exactPercentiles(df, "g", "v", ps, partitions = 7)
+      .orderBy("g").as[(String, Double, Double)].collect().toSeq
+    val expected = data.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, xs) =>
+      val sortedVs = xs.map(_._2).sorted
+      def at(p: Double) = sortedVs(math.max(1, math.ceil(p * sortedVs.size).toInt) - 1)
+      (g, at(0.5), at(0.9))
+    }
+    assert(fallback == expected, "window-fallback path must match the naive selection")
+    assert(exact == expected, "range-partitioned path must ignore nulls and match")
+  }
 }
