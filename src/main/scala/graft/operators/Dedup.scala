@@ -137,15 +137,17 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val neighborMin = edges.join(labels, col("src") === col("id"))
         .groupBy(col("dst")).agg(min("comp").as("ncomp"))
+      // fixpoint witness rides the update join itself: the new label is
+      // least(old, neighbor-min) <= old, so "changed" is exactly new < old.
+      // Checking it is then a narrow scan of the just-checkpointed blocks
+      // — one join per round, not two (the old plan re-joined next
+      // against labels every round, doubling the hottest loop's work).
+      val newComp = least(col("comp"), coalesce(col("ncomp"), col("comp")))
       val next = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("id"), newComp.as("comp"), (newComp < col("comp")).as("_changed"))
         .localCheckpoint(true)
-      // type-agnostic fixpoint witness: any label that still changed?
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("_changed")).isEmpty
+      labels = next.select("id", "comp")
       rounds += 1
     }
     if (!converged)

@@ -18,6 +18,10 @@ object Similarity {
   private val TopK = 5
   private val NumPlanes = 8
   private val Dim = 64
+  // hot-bucket document-frequency cap (the d05 pattern): the within-bucket
+  // join is quadratic in bucket size; the cap is mirrored in the oracle SQL
+  // and BINDS at every test sf (largest bucket: 9 @ sf0.01, 23 @ sf0.1)
+  private val MaxBucketDf = 8
 
   /** Deterministic hyperplanes with small-integer components in [-5, 5]
     * (exactly representable as doubles → identical literals both engines).
@@ -58,8 +62,11 @@ object Similarity {
 
   val s02 = QueryDef(
     "s02_ann_lsh",
-    s"""WITH b AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
-       |           FROM embeddings),
+    s"""WITH b0 AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket
+       |            FROM embeddings),
+       |b AS (SELECT vec_id, embedding, bucket FROM (
+       |  SELECT vec_id, embedding, bucket, count(*) OVER (PARTITION BY bucket) AS df
+       |  FROM b0) WHERE df <= $MaxBucketDf),
        |p AS (SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS nn_id,
        |        round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS cos
        |      FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
@@ -67,7 +74,8 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nn_id) AS rn
        |  FROM p) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-    Ops.annLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", planes)
+    Ops.annLsh(Tables(s, dir, "embeddings"), "vec_id", "embedding", planes,
+      maxBucketDf = MaxBucketDf)
       .orderBy("vec_id")
   }
 
