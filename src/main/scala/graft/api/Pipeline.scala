@@ -110,18 +110,49 @@ abstract class Stage[I, O] extends Serializable {
   def name: String = getClass.getSimpleName.stripSuffix("$")
 }
 
-/** Advisory resource shape (reference: resources.py:409). */
+/** Resource shape (reference: resources.py:409). `cpus`/`gpus` are
+  * advisory sizing hints (see [[GpuResources]] for the cluster mapping);
+  * `isSpmd = true` CHANGES EXECUTION: the stage compiles to Spark's
+  * barrier mode (`RDD.barrier()`) — the gang-scheduling analogue of the
+  * reference's SPMD worker groups (resources.py:423, torchrun-style
+  * distributed inference). All tasks of a barrier stage are scheduled
+  * together or not at all, and each worker gets rank / world-size /
+  * peer-address / allGather rendezvous via [[WorkerContext.spmd]].
+  */
 final case class Resources(cpus: Double = 1.0, gpus: Double = 0.0, isSpmd: Boolean = false)
+
+/** Gang coordination surface for SPMD (barrier) stages — the Spark
+  * analogue of the reference's WorkerMetadata.rank / world_size /
+  * rendevous_params (resources.py:363, smoke_test_multi_node_spmd.py):
+  * `rank` ∈ [0, worldSize); `peerAddresses(0)` is the conventional
+  * rendezvous master (MASTER_ADDR analogue); `gather(msg)` is
+  * `BarrierTaskContext.allGather` — every worker contributes a string and
+  * receives all workers' strings in rank order (use it to exchange ports,
+  * NCCL ids, shard manifests); `sync()` is a plain barrier.
+  */
+final case class SpmdContext(
+    rank: Int,
+    worldSize: Int,
+    peerAddresses: Seq[String],
+    gather: String => Seq[String],
+    sync: () => Unit)
 
 /** Per-worker identity handed to the setup hooks (reference:
   * WorkerMetadata/NodeInfo, resources.py:363/400). partitionId is the
   * worker analogue; stageAttempt/taskAttempt expose Spark's retry counters.
+  * `spmd` is populated only inside barrier (isSpmd) stages.
+  * `gpuAddresses` are the task's ASSIGNED GPU device addresses when the
+  * stage runs under a GPU ResourceProfile (see [[GpuResources]]) — the
+  * reference's per-actor CUDA visibility (ray_utils/gpu.py); empty on
+  * CPU-only clusters/local mode.
   */
 final case class WorkerContext(
     workerId: String,
     partitionId: Int,
     attemptNumber: Int,
-    stageId: Int)
+    stageId: Int,
+    spmd: Option[SpmdContext] = None,
+    gpuAddresses: Seq[String] = Nil)
 
 sealed trait ExecutionMode
 object ExecutionMode {
@@ -278,13 +309,64 @@ object Pipeline {
     // Resolve declarative artifacts on the driver, before the stage can
     // run anywhere (reference: download_requests, specs.py:186).
     st.downloadRequests.foreach(r => Artifacts.resolve(ds.sparkSession, r))
-    scaled.mapPartitions { it =>
+    val body: (Iterator[I], WorkerContext) => Iterator[O] =
+      partitionBody(st, ignore, nones, attempts, setupAttempts, reset,
+        nonePad, nodeKey, stats)
+    if (st.resources.isSpmd) {
+      // SPMD gang stage → Spark barrier execution: every task of the
+      // stage is scheduled together or not at all (the reference's "one
+      // actor per GPU, all coordinated as a single worker group",
+      // resources.py:423). Barrier mode is RDD-level by design in Spark,
+      // so the stage hops out of Catalyst for its imperative gang work
+      // and hops back via createDataset; numWorkers IS the world size.
+      require(!scaled.isStreaming,
+        "SPMD (barrier) stages need a bounded input: Spark barrier mode is batch-only")
+      val session = scaled.sparkSession
+      implicit val oTag: scala.reflect.ClassTag[O] = implicitly[Encoder[O]].clsTag
+      val rdd = scaled.rdd.barrier().mapPartitions { it =>
+        val btc = org.apache.spark.BarrierTaskContext.get()
+        val infos = btc.getTaskInfos()
+        val spmd = SpmdContext(
+          rank = btc.partitionId(),
+          worldSize = infos.length,
+          peerAddresses = infos.map(_.address).toIndexedSeq,
+          gather = msg => btc.allGather(msg).toIndexedSeq,
+          sync = () => btc.barrier())
+        btc.barrier() // gang rendezvous: no worker enters setup until all are up
+        body(it, currentCtx().copy(spmd = Some(spmd)))
+      }
+      session.createDataset(rdd)
+    } else scaled.mapPartitions(it => body(it, currentCtx()))
+  }
+
+  /** Worker identity from the live task (partition = worker). */
+  private def currentCtx(): WorkerContext = {
+    val tc = Option(TaskContext.get())
+    WorkerContext(
+      workerId = tc.map(t => s"${t.stageId()}-${t.partitionId()}").getOrElse("local"),
+      partitionId = tc.map(_.partitionId()).getOrElse(0),
+      attemptNumber = tc.map(_.attemptNumber()).getOrElse(0),
+      stageId = tc.map(_.stageId()).getOrElse(0),
+      gpuAddresses = tc.toSeq.flatMap(t =>
+        t.resources().get("gpu").toSeq.flatMap(_.addresses)))
+  }
+
+  /** The per-partition worker loop — setup-on-node latch, setup retries,
+    * batch processing with the failure policies, per-worker stats, destroy
+    * on completion. Shared verbatim by the regular `mapPartitions` path
+    * and the SPMD barrier path (which only enriches the context).
+    */
+  private def partitionBody[I, O](
+      st: Stage[I, O],
+      ignore: Boolean,
+      nones: Boolean,
+      attempts: Int,
+      setupAttempts: Int,
+      reset: Boolean,
+      nonePad: O,
+      nodeKey: String,
+      stats: Option[StageStats])(it: Iterator[I], ctx: WorkerContext): Iterator[O] = {
       val tc = Option(TaskContext.get())
-      val ctx = WorkerContext(
-        workerId = tc.map(t => s"${t.stageId()}-${t.partitionId()}").getOrElse("local"),
-        partitionId = tc.map(_.partitionId()).getOrElse(0),
-        attemptNumber = tc.map(_.attemptNumber()).getOrElse(0),
-        stageId = tc.map(_.stageId()).getOrElse(0))
       if (reset)
         // a failed task must not leave the node latched: the next task
         // attempt gets a freshly initialized node (specs.py:457)
@@ -342,7 +424,6 @@ object Pipeline {
         res
       }
       stats.fold(out)(s => out.map { x => s.rowsOut.add(1); local.rowsOut += 1; x })
-    }
   }
 
   /** Task-local mutable counters backing the per-worker rollup — pushed to
