@@ -91,6 +91,14 @@ object Signatures {
   /** token list from `text` */
   val sqlToks = "string_split(text, ' ')"
 
+  /** polynomial hash of a string column/expression `c` (mirror of
+    * GraftExpressions.polyHash / the t04 fingerprint fold)
+    */
+  def sqlPolyHashStr(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | list_transform(range(1, length($c)+1), i -> CAST(ascii($c[i]) AS BIGINT))),
+       | (acc, x) -> (acc*31 + x) % $P)""".stripMargin.replace("\n", "")
+
   /** per-token polynomial hashes (mirror of tokenHashes) over column `toks` */
   def sqlTokenHashes(toks: String): String =
     s"""list_transform($toks, t -> list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -107,6 +107,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minOverlap` distinct shingles with any test/benchmark document —
+    * the step that strips eval-set passages out of a training corpus.
+    * Shape: shingle equi-join between the corpora (never a cross
+    * product). The document-frequency cap applies to the TRAIN side (a
+    * shingle in many training docs is boilerplate, not contamination
+    * signal — and it is the quadratic fan-out risk); the test corpus is
+    * a benchmark, tiny by construction, so at scale Spark broadcasts its
+    * shingle set and the whole check is one map-side join over the
+    * training shingles. Output: train_id, test_id, overlap (distinct
+    * shared shingles, >= minOverlap).
+    */
+  def contaminationPairs(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, minOverlap: Int, maxDf: Int = 100): DataFrame = {
+    val tr = shingled(train, idCol, textCol)
+      .select(col("_gid").as("train_id"), explode(col("sh")).as("shingle"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val te = shingled(test, idCol, textCol)
+      .select(col("_gid").as("test_id"), explode(col("sh")).as("shingle"))
+    tr.join(te, "shingle")
+      .groupBy("train_id", "test_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   /** Duplicate clusters from a near-dup pair set: connected components via
     * iterative min-label propagation — the standard way to turn pairwise
     * LSH hits into dedup groups at scale (a Ray/driver union-find would

@@ -118,6 +118,39 @@ object TextAnalysis {
       .orderBy(desc("freq"), col("token"))
       .limit(k)
 
+  /** Gopher-style repetition quality signals (the standard "is this doc
+    * degenerate boilerplate?" filters of a training-data pipeline):
+    * duplicate-word fraction, duplicate-bigram fraction, and
+    * top-word fraction (share of the most frequent token). Bigram
+    * signals are NARROW (array arithmetic per row, zero shuffle); the
+    * top-word multiplicity aggregates on (id, token) — partial map-side
+    * combine carries it at scale, and the shuffle key is the 16-byte-ish
+    * (id, token) pair, never the text. Output: idCol, n_tokens,
+    * dup_word_frac, dup_bigram_frac, top_word_frac (4 dp).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nb = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+      (a, b) => concat(a, lit(" "), b))
+    val narrow = df.select(col(idCol),
+      nb.cast("long").as("_nb"),
+      size(array_distinct(bigrams)).cast("long").as("_nbd"))
+    val words = df.select(col(idCol), explode(toks).as("_w"))
+      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol)).agg(
+        sum("_c").as("_n"), count(lit(1)).as("_nd"), max("_c").as("_top"))
+    narrow.join(words, idCol)
+      .select(col(idCol),
+        col("_n").cast("long").as("n_tokens"),
+        Rounding.mirrorRound((col("_n") - col("_nd")) * 1.0 / col("_n"), 4).as("dup_word_frac"),
+        when(col("_nb") === 0, lit(0.0))
+          .otherwise(Rounding.mirrorRound((col("_nb") - col("_nbd")) * 1.0 / col("_nb"), 4))
+          .as("dup_bigram_frac"),
+        Rounding.mirrorRound(col("_top") * 1.0 / col("_n"), 4).as("top_word_frac"))
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

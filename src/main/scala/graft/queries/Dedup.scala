@@ -167,5 +167,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  private val ContamTestPct = 10  // hash-bucket % held out as the "benchmark"
+  private val MinContamOverlap = 5 // distinct shared shingles to flag
+
+  /** q21: benchmark decontamination — training docs sharing >=
+    * MinContamOverlap distinct shingles with any held-out test doc. The
+    * test split is the deterministic q20 hash sample (salt 'contam:'),
+    * so both engines agree on membership bit-for-bit; the join mirrors
+    * d02's capped shingle equi-join across the two corpora.
+    */
+  val q21 = QueryDef(
+    "q21_decontaminate",
+    s"""$sqlShingleCte,
+       |k AS (SELECT doc_id, 'contam:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
+       |m AS (SELECT doc_id, ${Sig.sqlPolyHashStr("kk")} % 100 < $ContamTestPct AS is_test
+       |      FROM k),
+       |ex AS (SELECT s.doc_id, unnest(sh) AS shingle FROM s),
+       |tr AS (SELECT doc_id, shingle FROM (
+       |    SELECT e.doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM ex e JOIN m USING (doc_id) WHERE NOT is_test)
+       |  WHERE df <= $MaxShingleDf),
+       |te AS (SELECT e.doc_id, shingle FROM ex e JOIN m USING (doc_id) WHERE is_test)
+       |SELECT tr.doc_id AS train_id, te.doc_id AS test_id,
+       |  CAST(count(*) AS BIGINT) AS overlap
+       |FROM tr JOIN te USING (shingle)
+       |GROUP BY 1, 2 HAVING count(*) >= $MinContamOverlap
+       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.functions.GraftExpressions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val isTest = graft.operators.Sampling.hashBucket(
+      org.apache.spark.sql.functions.col("doc_id"), 100, "contam:") < ContamTestPct
+    Ops.contaminationPairs(docs.filter(!isTest), docs.filter(isTest),
+        "doc_id", "text", MinContamOverlap, MaxShingleDf)
+      .orderBy("train_id", "test_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21)
 }

@@ -18,9 +18,7 @@ object Sampling {
     * column `c` — the same formula t04 verifies against document text.
     */
   private def sqlPolyHash(c: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_transform(range(1, length($c)+1), i -> CAST(ascii($c[i]) AS BIGINT))),
-       |  (acc, x) -> (acc*31 + x) % 1000000007)""".stripMargin
+    graft.functions.Signatures.sqlPolyHashStr(c)
 
   val q19 = QueryDef(
     "q19_hash_split",

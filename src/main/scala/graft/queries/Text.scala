@@ -126,5 +126,31 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  /** t10: Gopher-style repetition quality signals — the degenerate-
+    * boilerplate filters (duplicate-word/bigram fractions, top-word
+    * share) a corpus-curation pipeline applies before training.
+    */
+  val t10 = QueryDef(
+    "t10_repetition",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |wc AS (SELECT doc_id, w, count(*) AS c
+       |       FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+       |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd, max(c) AS top
+       |       FROM wc GROUP BY 1),
+       |b AS (SELECT doc_id,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+       |      FROM t)
+       |SELECT ws.doc_id, ws.n AS n_tokens,
+       |  ${mr("(ws.n - ws.nd) * 1.0 / ws.n", 4)} AS dup_word_frac,
+       |  CASE WHEN len(b.bg) = 0 THEN 0.0
+       |       ELSE ${mr("(len(b.bg) - len(list_distinct(b.bg))) * 1.0 / len(b.bg)", 4)}
+       |  END AS dup_bigram_frac,
+       |  ${mr("ws.top * 1.0 / ws.n", 4)} AS top_word_frac
+       |FROM ws JOIN b ON ws.doc_id = b.doc_id
+       |ORDER BY ws.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.repetitionStats(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }

@@ -72,4 +72,43 @@ class DedupOpsSuite extends SparkSpec {
     val ok = Dedup.clusters(all, "id", pairs, maxRounds = 10)
     assert(ok.filter(col("keep")).count() == 1)
   }
+
+  test("contaminationPairs flags train docs overlapping test docs; cap drops boilerplate") {
+    import spark.implicits._
+    // tokens are 3-gram shingled, so overlap = shared distinct 3-grams
+    val test = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
+    val train = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog today"), // contains the test passage
+      (2L, "quick brown fox something else entirely different here now"),          // 1 shared shingle
+      (3L, "completely unrelated text with no shared phrases at all ok")
+    ).toDF("id", "text")
+    val got = Dedup.contaminationPairs(train, test, "id", "text",
+        minOverlap = 5, maxDf = 100)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(x => (x._1, x._2)) == Seq((1L, 100L)),
+      "only the doc embedding the test passage is contaminated")
+    assert(got.head._3 >= 5)
+    // a binding train-side DF cap removes ubiquitous (boilerplate) shingles
+    val boiler = (1L to 50L).map(i => (i, s"the quick brown fox jumps over the lazy dog today"))
+      .toDF("id", "text")
+    val capped = Dedup.contaminationPairs(boiler, test, "id", "text",
+      minOverlap = 1, maxDf = 10)
+    assert(capped.count() == 0, "shingles in >maxDf train docs carry no signal")
+  }
+
+  test("repetitionStats: exact fractions on known token patterns") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a a a a"),        // 4 tokens, 1 distinct; bigrams: 3 total 1 distinct
+      (2L, "a b c d"),        // no repetition
+      (3L, "x")               // single token: no bigrams
+    ).toDF("id", "text")
+    val got = TextAnalysis.repetitionStats(df, "id", "text")
+      .orderBy("id").as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0.75, 0.6667, 1.0), // bigrams "a a"×3 -> (3-1)/3 rounded
+      (2L, 4L, 0.0, 0.0, 0.25),
+      (3L, 1L, 0.0, 0.0, 1.0)))
+  }
 }
