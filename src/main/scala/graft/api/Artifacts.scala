@@ -81,3 +81,64 @@ object Artifacts {
   def broadcastObject[T: scala.reflect.ClassTag](spark: SparkSession, value: T): Broadcast[T] =
     spark.sparkContext.broadcast(value)
 }
+
+/** Quota/cache-managed artifact distribution (reference:
+  * file_distribution/data_plane.rs + object_store_download.rs — chunked
+  * P2P distribution with per-node disk quotas and cache reuse). Spark's
+  * fetch layer already IS the chunked transport (torrent broadcast /
+  * driver-served files, fetched once per node and reused from the
+  * executor cache); what Spark lacks is the ADMISSION policy — nothing
+  * stops a pipeline from registering more artifact bytes than executor
+  * scratch disks hold. This manager adds that policy on the driver:
+  *
+  *  - **cache reuse**: a `uri` already registered is a no-op (the
+  *    per-node fetch cache already serves repeat readers; Spark itself
+  *    would warn on a same-content re-add and THROW on a changed-content
+  *    one, neither of which a pipeline re-running a stage wants).
+  *  - **disk quota**: a registration pushing the total artifact bytes
+  *    past `quotaBytes` fails fast on the driver — with the usage
+  *    breakdown — before any executor starts fetching a doomed
+  *    download (the reference's disk-quota check, data_plane.rs).
+  *  - **eviction**: none, by design — SparkFiles live for the
+  *    application (the reference's data plane owns its files and can
+  *    evict mid-job; Spark's executor cache cleans at app end).
+  *    Pipelines that must rotate truly huge artifact sets split at a
+  *    storage boundary (Batch-mode persist) into separate applications.
+  *
+  * Sizes are resolved through the Hadoop filesystem of each uri
+  * (local/HDFS/object store alike); directories count their full tree.
+  */
+final class ArtifactManager(spark: SparkSession, quotaBytes: Long) {
+  require(quotaBytes > 0, "quotaBytes must be positive")
+  private val registered = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  def usedBytes: Long = registered.values.sum
+  def registeredUris: Seq[String] = registered.keys.toSeq.sorted
+
+  /** Distribute unless already registered (cache reuse); enforce the
+    * quota before Spark starts shipping anything. Returns the request so
+    * stages can chain `.localPath`.
+    */
+  def distribute(r: DownloadRequest): DownloadRequest = synchronized {
+    if (!registered.contains(r.uri)) {
+      val size = sizeOf(r.uri)
+      val used = usedBytes
+      if (used + size > quotaBytes) {
+        val breakdown = registered.toSeq.sortBy(_._1)
+          .map { case (u, s) => s"  $u: $s bytes" }.mkString("\n")
+        throw new IllegalStateException(
+          s"artifact quota exceeded: ${r.uri} needs $size bytes but only " +
+            s"${quotaBytes - used} of $quotaBytes remain.\nRegistered:\n$breakdown")
+      }
+      Artifacts.resolve(spark, r)
+      registered.put(r.uri, size)
+    }
+    r
+  }
+
+  /** Recursive byte size through the uri's Hadoop filesystem. */
+  private def sizeOf(uri: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+}

@@ -122,4 +122,99 @@ final class PipelineMonitor(spark: SparkSession) {
       f"$n%-32s in=$in%-8d out=$out%-8d batches=$b%-6d failures=$f%-4d " +
         f"${ms}ms workers=${ws.size} util=$util%.2f rate=$rate%.0f rows/s"
     }.mkString("\n")
+
+  /** Console table render at a verbosity level (reference:
+    * monitoring.py's `display()` + utils/verbosity.py levels).
+    *  - None: empty.
+    *  - Info: one aligned row per stage (the reference's INFO pipeline
+    *    stats table).
+    *  - Debug: Info plus a per-WORKER sub-table per stage (rows/s,
+    *    busy-fraction utilization per worker — the per-actor view).
+    */
+  def render(verbosity: Verbosity): String = verbosity match {
+    case Verbosity.None => ""
+    case Verbosity.Info => renderStageTable
+    case Verbosity.Debug =>
+      val workers = workerSnapshot.toSeq.sortBy(_._1).map { case (stage, ws) =>
+        val rows = ws.toSeq.sortBy(_._1).map { case (wid, s) =>
+          f"    $wid%-12s in=${s.rowsIn}%-8d out=${s.rowsOut}%-8d " +
+            f"batches=${s.batches}%-6d failures=${s.failures}%-4d util=${s.utilization}%.2f"
+        }
+        s"  $stage workers:\n${rows.mkString("\n")}"
+      }
+      (renderStageTable +: workers).mkString("\n")
+  }
+
+  private def renderStageTable: String = {
+    val header = f"${"stage"}%-32s ${"in"}%-8s ${"out"}%-8s ${"batches"}%-8s " +
+      f"${"failures"}%-9s ${"time_ms"}%-8s ${"workers"}%-8s ${"util"}%-5s rows/s"
+    val rows = snapshot.toSeq.sortBy(_._1).map { case (n, (in, out, b, f, ms)) =>
+      val nw = stages(n).workers.value.size
+      val rate = if (ms > 0) out * 1000.0 / ms else 0.0
+      f"$n%-32s $in%-8d $out%-8d $b%-8d $f%-9d $ms%-8d $nw%-8d ${utilization(n)}%-5.2f $rate%.0f"
+    }
+    (header +: rows).mkString("\n")
+  }
+
+  /** Rate-limited live reporting (reference: monitoring loop — stats are
+    * rendered at most `freqHz` per second at the configured verbosity;
+    * NONE renders nothing). Pull-style: call [[maybeReport]] from any
+    * driver loop (e.g. between Batch-mode stages or a streaming
+    * progress listener); or [[start]] a daemon thread that reports every
+    * `1/freqHz` seconds until [[stop]].
+    */
+  def reporter(verbosity: Verbosity, freqHz: Double = 0.2,
+      sink: String => Unit = println(_),
+      clock: () => Double = Timing.systemClock): ConsoleReporter =
+    new ConsoleReporter(this, verbosity, freqHz, sink, clock)
+}
+
+/** Verbosity for monitor rendering (reference: utils/verbosity.py
+  * VerbosityLevel NONE/INFO/DEBUG).
+  */
+sealed trait Verbosity
+object Verbosity {
+  case object None extends Verbosity
+  case object Info extends Verbosity
+  case object Debug extends Verbosity
+}
+
+final class ConsoleReporter private[api] (
+    monitor: PipelineMonitor,
+    verbosity: Verbosity,
+    freqHz: Double,
+    sink: String => Unit,
+    clock: () => Double) {
+  private val limiter = new RateLimitedCaller(freqHz, clock)
+  @volatile private var thread: Option[Thread] = None
+
+  /** Render+emit if the rate budget allows and verbosity demands it;
+    * returns whether a report was emitted.
+    */
+  def maybeReport(): Boolean =
+    verbosity != Verbosity.None &&
+      limiter.maybeDo(sink(monitor.render(verbosity))).isDefined
+
+  /** Emit unconditionally (the final end-of-pipeline report). */
+  def reportNow(): Unit =
+    if (verbosity != Verbosity.None) sink(monitor.render(verbosity))
+
+  /** Background daemon reporting every 1/freqHz seconds until [[stop]]. */
+  def start(): Unit = synchronized {
+    require(thread.isEmpty, "reporter already started")
+    val t = new Thread(() => {
+      try while (!Thread.interrupted()) {
+        Thread.sleep(math.max(1L, (1000.0 / freqHz).toLong))
+        reportNow()
+      } catch { case _: InterruptedException => () }
+    }, "graft-monitor-reporter")
+    t.setDaemon(true)
+    t.start()
+    thread = Some(t)
+  }
+
+  def stop(): Unit = synchronized {
+    thread.foreach(_.interrupt())
+    thread = None
+  }
 }

@@ -561,6 +561,57 @@ class PipelineSuite extends SparkSpec {
     assert(mon.report.contains("workers=5"))
   }
 
+  test("F15c: render verbosity levels; rate-limited console reporter") {
+    import spark.implicits._
+    val mon = new PipelineMonitor(spark)
+    Pipeline.from(ints(60, parts = 3), monitor = Some(mon))
+      .stage(new AddStage(1)).run().count()
+    assert(mon.render(Verbosity.None).isEmpty)
+    val info = mon.render(Verbosity.Info)
+    assert(info.linesIterator.next().startsWith("stage"), "Info has a header row")
+    assert(info.contains("AddStage") && info.contains("60"))
+    assert(!info.contains("workers:"), "Info has no per-worker section")
+    val debug = mon.render(Verbosity.Debug)
+    assert(debug.contains("workers:") && debug.contains("util="),
+      "Debug adds the per-worker sub-table")
+    // reporter: injectable clock, rate-limited like the reference loop
+    var clock = 0.0
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rep = mon.reporter(Verbosity.Info, freqHz = 1.0, sink = out += _, clock = () => clock)
+    assert(rep.maybeReport());  assert(!rep.maybeReport()) // within the period
+    clock = 1.5
+    assert(rep.maybeReport())
+    assert(out.size == 2 && out.forall(_.contains("AddStage")))
+    val silent = mon.reporter(Verbosity.None, freqHz = 100.0, sink = out += _)
+    assert(!silent.maybeReport() && out.size == 2, "NONE renders nothing")
+  }
+
+  test("F14b: ArtifactManager — cache reuse and disk quota admission") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota").toFile
+    def mk(name: String, bytes: Int): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.FileOutputStream(f)
+      w.write(new Array[Byte](bytes)); w.close(); f
+    }
+    val a = mk("model_a.bin", 600)
+    val b = mk("model_b.bin", 300)
+    val c = mk("model_c.bin", 200)
+    val mgr = new ArtifactManager(spark, quotaBytes = 1000)
+    mgr.distribute(DownloadRequest(a.getAbsolutePath))
+    assert(mgr.usedBytes == 600)
+    // cache reuse: same uri again is a no-op, not a double-count
+    mgr.distribute(DownloadRequest(a.getAbsolutePath))
+    assert(mgr.usedBytes == 600 && mgr.registeredUris.size == 1)
+    mgr.distribute(DownloadRequest(b.getAbsolutePath))
+    assert(mgr.usedBytes == 900)
+    // quota admission: fails fast on the driver with the usage breakdown
+    val ex = intercept[IllegalStateException](mgr.distribute(DownloadRequest(c.getAbsolutePath)))
+    assert(ex.getMessage.contains("quota exceeded") && ex.getMessage.contains("model_a.bin"))
+    assert(mgr.usedBytes == 900, "rejected artifact is not counted")
+    // and the admitted artifacts really are distributed (readable by workers)
+    assert(new java.io.File(Artifacts.localPath("model_a.bin")).length() == 600)
+  }
+
   test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
     import spark.implicits._
     val ds = spark.createDataset(1 to 10) // no repartition: plan stays narrow
