@@ -39,6 +39,21 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), buckets, salt) < pct)
   }
 
+  /** Stratified hash sample: an independent `pct`-per-`buckets` sample
+    * within every stratum (the per-language / per-source balanced-take
+    * of a corpus pipeline). The membership hash salts the key with the
+    * STRATUM, so the samples are decorrelated across strata while each
+    * stays deterministic, permanent, and layout-independent — all the
+    * q20 guarantees, per group, with zero shuffle (the stratum is part
+    * of the row).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      pct: Int, buckets: Int = 100, salt: String = ""): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val key = concat(col(strataCol).cast("string"), lit(":"), col(keyCol).cast("string"))
+    df.filter(GraftExpressions.polyHash(concat(lit(salt), key)) % buckets < pct)
+  }
+
   /** Add a `split` column assigning each row to a named fraction.
     * `splits` are (name, weight) with weights summing to `buckets`, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,

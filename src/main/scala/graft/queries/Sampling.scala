@@ -46,5 +46,63 @@ object Sampling {
       .select("doc_id").orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20)
+  private val PackBudget = 512
+  private val PackShards = 8
+
+  /** q22: sequence packing — greedy first-fit token-budget packing in id
+    * order within deterministic hash shards
+    * ([[graft.operators.Packing]]). The oracle replays the same greedy
+    * rule with a recursive CTE: rows advance one per iteration per
+    * shard, carrying (pack, fill, pos) state — sequential semantics
+    * expressed relationally, so both engines agree row for row.
+    */
+  val q22 = QueryDef(
+    "q22_pack_sequences",
+    s"""WITH RECURSIVE k AS (
+       |  SELECT doc_id, 'pack:' || CAST(doc_id AS VARCHAR) AS kk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |d AS (SELECT doc_id, ${sqlPolyHash("kk")} % $PackShards AS shard, n,
+       |        row_number() OVER (PARTITION BY ${sqlPolyHash("kk")} % $PackShards
+       |                           ORDER BY doc_id) AS rn
+       |      FROM k),
+       |p(shard, rn, doc_id, n, pack, fill, pos) AS (
+       |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT), n, CAST(0 AS BIGINT)
+       |  FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.shard, d.rn, d.doc_id, d.n,
+       |    CASE WHEN p.fill > 0 AND p.fill + d.n > $PackBudget
+       |         THEN p.pack + 1 ELSE p.pack END,
+       |    CASE WHEN p.fill > 0 AND p.fill + d.n > $PackBudget
+       |         THEN d.n ELSE p.fill + d.n END,
+       |    CASE WHEN p.fill > 0 AND p.fill + d.n > $PackBudget
+       |         THEN CAST(0 AS BIGINT) ELSE p.pos + 1 END
+       |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+       |SELECT doc_id, CAST(shard AS BIGINT) AS shard, pack, pos AS pack_pos
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).as("n"))
+    graft.operators.Packing.packSequences(docs, "doc_id", "n",
+        budget = PackBudget, shards = PackShards, salt = "pack:")
+      .orderBy("doc_id")
+  }
+
+  /** q23: stratified hash sample — an independent deterministic sample
+    * per stratum (the stratum salts the key, so strata are decorrelated
+    * while each stays permanent and layout-independent).
+    */
+  val q23 = QueryDef(
+    "q23_stratified_sample",
+    s"""WITH k AS (SELECT doc_id, lang,
+       |  'strat:' || lang || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |  FROM documents)
+       |SELECT doc_id, lang FROM k
+       |WHERE ${sqlPolyHash("kk")} % 100 < 25
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ops.stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang",
+        pct = 25, salt = "strat:")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23)
 }

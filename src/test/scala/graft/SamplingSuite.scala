@@ -52,4 +52,55 @@ class SamplingSuite extends SparkSpec {
       Sampling.split(df, "id", Seq("a" -> 50, "b" -> 40)) // sums to 90, not 100
     }
   }
+
+  test("stratifiedSample: independent deterministic sample inside every stratum") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val got = Sampling.stratifiedSample(df, "id", "lang", pct = 20, salt = "s:")
+      .as[(Long, String)].collect().toSeq
+    val perStratum = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // every stratum sampled at ~20% of its own 1000 rows
+    assert(perStratum.keySet == Set("lang0", "lang1", "lang2"))
+    perStratum.values.foreach(n => assert(n > 120 && n < 280, s"~200 expected, got $n"))
+    // deterministic, and decorrelated across strata: the id sets sampled
+    // in different strata differ (the stratum salts the hash)
+    val again = Sampling.stratifiedSample(df, "id", "lang", pct = 20, salt = "s:")
+      .as[(Long, String)].collect().toSeq
+    assert(got.toSet == again.toSet)
+    val ids0 = got.filter(_._2 == "lang0").map(_._1 % 1000).toSet
+    val ids1 = got.filter(_._2 == "lang1").map(_._1 % 1000).toSet
+    assert(ids0 != ids1, "strata draw different hash sequences")
+  }
+
+  test("packSequences: greedy budget fill, oversized docs, layout independence") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // one shard so the greedy order is fully predictable
+    val docs = Seq(
+      (1L, 40L), (2L, 50L), (3L, 20L),  // 40+50 fit a 100-budget; +20 overflows
+      (4L, 250L),                       // oversized: its own pack
+      (5L, 10L)
+    ).toDF("doc_id", "n")
+    val got = Packing.packSequences(docs, "doc_id", "n", budget = 100, shards = 1)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 0L), (2L, 0L, 0L, 1L),   // pack 0: 40+50 = 90
+      (3L, 0L, 1L, 0L),                      // 90+20 > 100 -> pack 1
+      (4L, 0L, 2L, 0L),                      // 20+250 > 100 -> pack 2 (oversized, alone)
+      (5L, 0L, 3L, 0L)))                     // 250+10 > 100 -> pack 3
+    // same packs regardless of input partitioning (hash shards + id order)
+    val big = (1L to 2000L).map(i => (i, 1 + i % 97)).toDF("doc_id", "n")
+    val a = Packing.packSequences(big.repartition(3), "doc_id", "n", 512, shards = 8)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packSequences(big.repartition(17), "doc_id", "n", 512, shards = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "packing is layout-independent")
+    // every pack respects the budget unless it is a single oversized doc
+    val byPack = a.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0)).groupBy(_._1)
+    val n = big.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byPack.values.foreach { members =>
+      val tot = members.map(m => n(m._2)).sum
+      assert(tot <= 512 || members.size == 1, s"overfull pack: $tot tokens")
+    }
+  }
 }
