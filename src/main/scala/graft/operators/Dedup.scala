@@ -128,9 +128,22 @@ object Dedup {
       .drop("df")
     val te = shingled(test, idCol, textCol)
       .select(col("_gid").as("test_id"), explode(col("sh")).as("shingle"))
-    tr.join(te, "shingle")
+    // the test corpus is a benchmark — tiny by contract — so its shingle
+    // set broadcasts and the check is map-side over the training shingles
+    tr.join(broadcast(te), "shingle")
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
+  }
+
+  /** The scrub itself: `train` minus every document [[contaminationPairs]]
+    * flags — an anti-join on the flagged train ids, so the output is the
+    * decontaminated corpus ready for training.
+    */
+  def decontaminate(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, minOverlap: Int, maxDf: Int = 100): DataFrame = {
+    val flagged = contaminationPairs(train, test, idCol, textCol, minOverlap, maxDf)
+      .select(col("train_id")).distinct()
+    train.join(flagged, train(idCol) === flagged("train_id"), "left_anti")
   }
 
   /** Duplicate clusters from a near-dup pair set: connected components via

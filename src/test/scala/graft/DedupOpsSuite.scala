@@ -96,6 +96,19 @@ class DedupOpsSuite extends SparkSpec {
     assert(capped.count() == 0, "shingles in >maxDf train docs carry no signal")
   }
 
+  test("decontaminate removes exactly the flagged train docs") {
+    import spark.implicits._
+    val test = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
+    val train = Seq(
+      (1L, "intro words then the quick brown fox jumps over the lazy dog today"),
+      (2L, "quick brown fox something else entirely different here now"),
+      (3L, "completely unrelated text with no shared phrases at all ok")
+    ).toDF("id", "text")
+    val clean = Dedup.decontaminate(train, test, "id", "text", minOverlap = 5)
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    assert(clean.columns.toSeq == train.columns.toSeq, "schema passes through")
+  }
+
   test("repetitionStats: exact fractions on known token patterns") {
     import spark.implicits._
     import graft.operators.TextAnalysis

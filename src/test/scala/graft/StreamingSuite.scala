@@ -41,6 +41,44 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("E2: streaming exact dedup keeps first arrival; watermark bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // unbounded variant: duplicates suppressed across micro-batches
+    val src = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDedup.firstArrival(
+      src.toDS().toDF("id", "fp"), Seq("fp"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      src.addData((1L, "a"), (2L, "b"), (3L, "a")) // 3 is a dup of 1 in-batch
+      q.processAllAvailable()
+      src.addData((4L, "b"), (5L, "c"))            // 4 is a dup across batches
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").as[(Long, String)].collect().sortBy(_._1)
+      assert(got.map(_._2).sorted.toSeq == Seq("a", "b", "c"))
+      assert(got.map(_._1).toSet.intersect(Set(3L, 4L)).isEmpty,
+        "later duplicates are dropped, first arrivals kept")
+    } finally q.stop()
+    // bounded variant compiles to watermarked dedup state (semantics:
+    // duplicates suppressed within the horizon, state evicted past it)
+    val src2 = MemoryStream[(java.sql.Timestamp, String)]
+    val bounded = graft.streaming.StreamingDedup.firstArrivalBounded(
+      src2.toDS().toDF("ts", "fp"), "ts", "10 minutes", Seq("fp"))
+    val q2 = bounded.writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      src2.addData((new Timestamp(0L), "x"), (new Timestamp(1000L), "x"))
+      q2.processAllAvailable()
+      assert(spark.table("dedup_bounded").count() == 1,
+        "in-horizon duplicate suppressed under the watermark")
+    } finally q2.stop()
+    // batch inputs are rejected (use operators.Dedup.exact there)
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.firstArrival(Seq((1L, "a")).toDF("id", "fp"), Seq("fp"))
+    }
+  }
+
   test("custom state: flatMapGroupsWithState incremental sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
