@@ -561,6 +561,62 @@ class PipelineSuite extends SparkSpec {
     assert(mon.report.contains("workers=5"))
   }
 
+  test("reference parity: fan-out into an oversized batch stage cannot hang (test_batch_size_hang)") {
+    import spark.implicits._
+    // the reference shape: batch-1 stage fans each sample out 2000x, then
+    // a batch-2000 stage consumes; a pull-based chain must stream through
+    val out = Pipeline.from(ints(4, parts = 2))
+      .stage(new Stage[Int, Int] {
+        override def batchSize: Int = 1
+        override def process(b: Seq[Int]): Seq[Int] = Seq.fill(2000)(b.head)
+      })
+      .stage(new Stage[Int, Int] {
+        override def batchSize: Int = 2000
+        override def process(b: Seq[Int]): Seq[Int] = b
+      })
+      .stage(new Stage[Int, Int] {
+        override def batchSize: Int = 1
+        override def process(b: Seq[Int]): Seq[Int] = b
+      })
+      .run()
+    assert(out.count() == 4L * 2000)
+  }
+
+  test("reference parity: complex multi-stage pipeline (test_complex_pipeline shape)") {
+    import spark.implicits._
+    val mon = new PipelineMonitor(spark)
+    // 5 stages, mixed batch sizes, filtering, fan-out, an ignored-failure
+    // stage, and monitoring — the reference's end-to-end smoke shape
+    val out = Pipeline.from(ints(200, parts = 8),
+        PipelineConfig(ignoreFailures = true), Some(mon))
+      .stage(new Stage[Int, Int] {               // x2 map, small batches
+        override def batchSize: Int = 3
+        override def process(b: Seq[Int]): Seq[Int] = b.map(_ * 2)
+      })
+      .stage(new Stage[Int, Int] {               // drop odd (none here) + fan-out x3
+        override def batchSize: Int = 16
+        override def process(b: Seq[Int]): Seq[Int] = b.flatMap(x => Seq(x, x, x))
+      })
+      .stage(new Stage[Int, Int] {               // a poisoned batch is dropped, not fatal
+        override def batchSize: Int = 50
+        override def process(b: Seq[Int]): Seq[Int] =
+          if (b.contains(42)) throw new RuntimeException("poison") else b
+      })
+      .stage(new Stage[Int, String] {            // type change
+        override def batchSize: Int = 7
+        override def process(b: Seq[Int]): Seq[String] = b.map(x => s"v$x")
+      })
+      .run().collect()
+    // 200 inputs ->x3 = 600, minus the dropped poisoned batches (those
+    // containing 42 = 2*21, tripled): every surviving row is well-formed
+    assert(out.nonEmpty && out.length < 600)
+    assert(out.forall(_.startsWith("v")))
+    assert(out.count(_ == "v42") == 0, "poisoned batches were dropped")
+    val snap = mon.snapshot
+    assert(snap.size == 4, "all four stages monitored")
+    assert(snap.values.map(_._4).sum > 0, "the failure was counted")
+  }
+
   test("F15c: render verbosity levels; rate-limited console reporter") {
     import spark.implicits._
     val mon = new PipelineMonitor(spark)
