@@ -30,6 +30,33 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Deterministic hyperplane family: small-integer components in
+    * [-5, 5] from an LCG stream (exactly representable as doubles, so an
+    * external SQL oracle can embed identical literals). The same
+    * generator backs the verified s02 planes and the scale probe.
+    */
+  def genPlanes(num: Int, dim: Int, seed: Long = 2026L): IndexedSeq[IndexedSeq[Int]] = {
+    val it = Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    IndexedSeq.fill(num)(IndexedSeq.fill(dim)(Math.floorMod(it.next(), 11L).toInt - 5))
+  }
+
+  /** Corpus-sized hyperplane geometry — the scale rule the ANN probe
+    * validated (SURVEY §4): with a FIXED plane count, per-bucket
+    * occupancy grows linearly with the corpus and the within-bucket join
+    * goes quadratic; sizing `planes ≈ log2(corpus / targetBucketSize)`
+    * keeps expected bucket size — and so candidates per vector —
+    * constant as the corpus grows. Floor 4 planes; pair with a
+    * `maxBucketDf` cap for skewed (clustered) corpora, where the MEAN
+    * bucket is fine but hot buckets still need the guard.
+    */
+  def sizedPlanes(corpusSize: Long, targetBucketSize: Int, dim: Int,
+      seed: Long = 2026L): IndexedSeq[IndexedSeq[Int]] = {
+    require(corpusSize > 0 && targetBucketSize > 0)
+    val num = math.max(4,
+      math.ceil(math.log(corpusSize.toDouble / targetBucketSize) / math.log(2)).toInt)
+    genPlanes(num, dim, seed)
+  }
+
   /** Random-hyperplane LSH bucket id (map-side, one pass per plane). */
   def lshBucket(vec: Column, planes: Seq[Seq[Int]]): Column =
     planes.zipWithIndex.map { case (p, j) =>

@@ -25,11 +25,9 @@ object Similarity {
 
   /** Deterministic hyperplanes with small-integer components in [-5, 5]
     * (exactly representable as doubles → identical literals both engines).
+    * Shared generator: [[graft.operators.Similarity.genPlanes]].
     */
-  val planes: IndexedSeq[IndexedSeq[Int]] = {
-    val it = Iterator.iterate(2026L)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
-    IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(Math.floorMod(it.next(), 11L).toInt - 5))
-  }
+  val planes: IndexedSeq[IndexedSeq[Int]] = Ops.genPlanes(NumPlanes, Dim)
 
   /** DuckDB mirror of [[Ops.lshBucket]] over column name `e`. */
   private def sqlBucket(e: String): String = {

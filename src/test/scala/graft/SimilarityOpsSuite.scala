@@ -102,4 +102,24 @@ class SimilarityOpsSuite extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
       "corpus×centroid products must be broadcast, never a cartesian shuffle")
   }
+
+  test("sizedPlanes keeps expected bucket size constant as the corpus grows") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // generator parity: the verified s02 planes come from the same stream
+    assert(Similarity.genPlanes(8, 64) == graft.queries.Similarity.planes)
+    // sizing rule: planes = ceil(log2(n / target)), floored at 4
+    assert(Similarity.sizedPlanes(40000, 8, 64).length == 13)
+    assert(Similarity.sizedPlanes(100, 64, 64).length == 4)
+    // empirically: a uniform-ish corpus lands near the target bucket size
+    val rnd = new scala.util.Random(3)
+    val n = 4096
+    val df = (0 until n).map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "vec")
+    val planes = Similarity.sizedPlanes(n, targetBucketSize = 8, dim = 16)
+    val sizes = df.select(Similarity.lshBucket(col("vec"), planes).as("b"))
+      .groupBy("b").count().select("count").as[Long].collect()
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(mean >= 2 && mean <= 32, s"mean occupied-bucket size $mean should track target 8")
+  }
 }
