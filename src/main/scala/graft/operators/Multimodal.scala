@@ -112,6 +112,33 @@ object Multimodal {
     def decodeImageIo(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "ImageIO could not decode payload (unknown/corrupt format)")
+      toLuma(img)
+    }
+
+    /** Multi-frame container decode (animated GIF — the one video-like
+      * format the JDK reads natively): one (w, h, luma) per frame, in
+      * presentation order. The real decode path behind
+      * [[VideoFrameSampleStage]]; an FFmpeg-backed H.264 decoder slots
+      * in by replacing this function only.
+      */
+    def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int, Array[Byte])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "no ImageIO reader for payload")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        require(n > 0, "no frames in container")
+        (0 until n).map(i => toLuma(r.read(i)))
+      } finally {
+        r.dispose()
+        iis.close()
+      }
+    }
+
+    private def toLuma(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
       val w = img.getWidth
       val h = img.getHeight
       val argb = img.getRGB(0, 0, w, h, null, 0, w) // one bulk read, any source color model
@@ -228,6 +255,30 @@ object Multimodal {
           f.pixels(sy * f.width + sx)
         }
         ResizedFrame(f.id, targetW, targetH, px)
+      }
+  }
+
+  final case class VideoFrame(id: Long, frameIdx: Int, width: Int, height: Int, pixels: Array[Byte])
+
+  /** REAL video frame sampling: decodes a multi-frame container
+    * (animated GIF via the JDK reader — magic `GIF8`) and keeps every
+    * `every`-th frame as a luma plane, the decode→sample front of a
+    * video curation pipeline. Non-GIF payloads are rejected per sample
+    * (clear error) rather than faked — compose with [[DecodeStage]] for
+    * still images.
+    */
+  final class VideoFrameSampleStage(every: Int, override val batchSize: Int = 8)
+      extends Stage[MediaRow, VideoFrame] {
+    require(every > 0, "sample interval must be positive")
+    override def resources: Resources = Resources(cpus = 1.0, gpus = 0.25)
+    override def process(batch: Seq[MediaRow]): Seq[VideoFrame] =
+      batch.flatMap { m =>
+        val p = m.payload
+        require(p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8',
+          s"VideoFrameSampleStage expects a GIF container, id=${m.id}")
+        Codecs.decodeGifFrames(p).zipWithIndex.collect {
+          case ((w, h, luma), idx) if idx % every == 0 => VideoFrame(m.id, idx, w, h, luma)
+        }
       }
   }
 

@@ -125,6 +125,52 @@ class MultimodalSuite extends SparkSpec {
     assert(feats.zeroCrossRate == 1.0)                   // sign flips every sample
   }
 
+  test("M2f: real multi-frame GIF decodes; VideoFrameSampleStage keeps every k-th frame") {
+    import spark.implicits._
+    // write a REAL 6-frame animated GIF with the JDK's sequence writer:
+    // frame i is solid gray level 20*i+20 (solid frames survive GIF's
+    // palette quantization exactly)
+    val w = 12; val h = 9
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val levels = (0 until 6).map(i => 20 * i + 20)
+    levels.foreach { g =>
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gph = img.createGraphics()
+      gph.setColor(new java.awt.Color(g, g, g)); gph.fillRect(0, 0, w, h); gph.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val gif = bos.toByteArray
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    // direct decode: 6 frames, exact dims, solid luma = gray level
+    val frames = Codecs.decodeGifFrames(gif)
+    assert(frames.length == 6)
+    frames.zip(levels).foreach { case ((fw, fh, luma), g) =>
+      assert(fw == w && fh == h)
+      assert(luma.forall(b => (b & 0xff) == g), s"solid frame must stay level $g")
+    }
+    // stage: every 2nd frame -> indices 0, 2, 4
+    val media = spark.createDataset(Seq(MediaRow(9L, gif)))
+    val sampled = Pipeline.from(media).stage(new VideoFrameSampleStage(every = 2))
+      .run().collect().sortBy(_.frameIdx)
+    assert(sampled.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    sampled.foreach { f =>
+      assert(f.width == w && f.height == h)
+      assert(f.pixels.forall(b => (b & 0xff) == levels(f.frameIdx)))
+    }
+    // non-GIF payloads are rejected with a clear error, not faked
+    val bad = spark.createDataset(Seq(MediaRow(1L, Array[Byte]('P', '6', ' '))))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Pipeline.from(bad).stage(new VideoFrameSampleStage(every = 1)).run().collect()
+    }
+    assert(ex.getMessage.contains("GIF container") ||
+      Option(ex.getCause).exists(_.getMessage.contains("GIF container")))
+  }
+
   test("M2e: stereo ZCR strides by channel; corrupt WAV chunk sizes fail fast") {
     import graft.operators.Multimodal.Codecs
     // stereo clip: ch0 flips sign every frame (ZCR 1), ch1 constant (ZCR 0)
