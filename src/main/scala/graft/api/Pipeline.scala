@@ -321,6 +321,20 @@ object Pipeline {
       // and hops back via createDataset; numWorkers IS the world size.
       require(!scaled.isStreaming,
         "SPMD (barrier) stages need a bounded input: Spark barrier mode is batch-only")
+      // Gang collectives make single-worker re-initialization unsound: a
+      // setup() that calls gather()/sync() (the reason SpmdContext exists)
+      // and is re-run on ONE worker issues a different number of
+      // collectives than its peers — the gang deadlocks until the barrier
+      // timeout. Spark's own model agrees: a failed barrier stage retries
+      // ALL tasks together. So per-worker setup retries and worker resets
+      // are rejected loudly rather than silently dropped.
+      require(setupAttempts == 1,
+        "SPMD stages cannot use numSetupAttempts > 1: re-running setup() on one " +
+          "gang member desynchronizes its collectives (Spark retries the whole " +
+          "barrier stage on failure — rely on that)")
+      require(!reset,
+        "SPMD stages cannot use resetWorkersOnFailure: rebuilding one gang member " +
+          "mid-stage desynchronizes its collectives")
       val session = scaled.sparkSession
       implicit val oTag: scala.reflect.ClassTag[O] = implicitly[Encoder[O]].clsTag
       val rdd = scaled.rdd.barrier().mapPartitions { it =>

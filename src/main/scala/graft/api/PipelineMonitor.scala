@@ -114,13 +114,21 @@ final class PipelineMonitor(spark: SparkSession) {
     else ws.valuesIterator.map(_.utilization).sum / ws.size
   }
 
-  def report: String =
+  /** One computed row per stage: (name, in, out, batches, failures, ms,
+    * workers, utilization, rate) — the single source both console
+    * renderers format from.
+    */
+  private def stageRows: Seq[(String, Long, Long, Long, Long, Long, Int, Double, Double)] =
     snapshot.toSeq.sortBy(_._1).map { case (n, (in, out, b, f, ms)) =>
-      val ws = stages(n).workers.value
-      val util = utilization(n)
+      val nw = stages(n).workers.value.size
       val rate = if (ms > 0) out * 1000.0 / ms else 0.0
+      (n, in, out, b, f, ms, nw, utilization(n), rate)
+    }
+
+  def report: String =
+    stageRows.map { case (n, in, out, b, f, ms, nw, util, rate) =>
       f"$n%-32s in=$in%-8d out=$out%-8d batches=$b%-6d failures=$f%-4d " +
-        f"${ms}ms workers=${ws.size} util=$util%.2f rate=$rate%.0f rows/s"
+        f"${ms}ms workers=$nw util=$util%.2f rate=$rate%.0f rows/s"
     }.mkString("\n")
 
   /** Console table render at a verbosity level (reference:
@@ -148,10 +156,8 @@ final class PipelineMonitor(spark: SparkSession) {
   private def renderStageTable: String = {
     val header = f"${"stage"}%-32s ${"in"}%-8s ${"out"}%-8s ${"batches"}%-8s " +
       f"${"failures"}%-9s ${"time_ms"}%-8s ${"workers"}%-8s ${"util"}%-5s rows/s"
-    val rows = snapshot.toSeq.sortBy(_._1).map { case (n, (in, out, b, f, ms)) =>
-      val nw = stages(n).workers.value.size
-      val rate = if (ms > 0) out * 1000.0 / ms else 0.0
-      f"$n%-32s $in%-8d $out%-8d $b%-8d $f%-9d $ms%-8d $nw%-8d ${utilization(n)}%-5.2f $rate%.0f"
+    val rows = stageRows.map { case (n, in, out, b, f, ms, nw, util, rate) =>
+      f"$n%-32s $in%-8d $out%-8d $b%-8d $f%-9d $ms%-8d $nw%-8d $util%-5.2f $rate%.0f"
     }
     (header +: rows).mkString("\n")
   }
@@ -185,6 +191,7 @@ final class ConsoleReporter private[api] (
     freqHz: Double,
     sink: String => Unit,
     clock: () => Double) {
+  require(freqHz > 0, s"reporter frequency must be positive, got $freqHz")
   private val limiter = new RateLimitedCaller(freqHz, clock)
   @volatile private var thread: Option[Thread] = None
 

@@ -84,8 +84,10 @@ object Multimodal {
         val id = fourcc(at)
         val size = bb.getInt(at + 4)
         // an untrusted size field must not send the walker backwards
-        // (infinite loop) or past the buffer (raw IndexOutOfBounds)
-        require(size >= 0 && at + 8 + size <= bytes.length,
+        // (infinite loop) or past the buffer (raw IndexOutOfBounds);
+        // sum in Long — a size near Int.MaxValue overflows the Int sum
+        // and would slip past the bound it is checked against
+        require(size >= 0 && at + 8L + size <= bytes.length,
           s"corrupt WAV chunk '$id' at offset $at: declared size $size exceeds payload")
         if (id == "fmt ") {
           require(bb.getShort(at + 8) == 1, "only PCM wav supported")
@@ -175,8 +177,11 @@ object Multimodal {
 
   /** Batched GPU-shaped decode stage (a real decoder wants the batch to
     * amortize codec state; `resources` advertises the GPU shape).
-    * Routes by payload magic: P6 PPM, JPEG (FFD8), and PNG (89 50 4E 47)
-    * decode for real; payloads with no JDK codec hit the FakeCodec stub.
+    * Routes by payload magic: P6 PPM decodes by direct byte arithmetic;
+    * JPEG (FFD8), PNG (89 50 4E 47), GIF (GIF8 — first frame; see
+    * [[VideoFrameSampleStage]] for all frames) and BMP (BM) decode via
+    * the JDK's ImageIO; only payloads with no JDK codec hit the
+    * FakeCodec stub.
     */
   final class DecodeStage(override val batchSize: Int = 8)
       extends Stage[MediaRow, DecodedFrame] {
@@ -185,10 +190,14 @@ object Multimodal {
       batch.map { m =>
         val p = m.payload
         def is(at: Int, b: Int) = p.length > at && (p(at) & 0xff) == b
+        val imageIo =
+          (is(0, 0xff) && is(1, 0xd8)) ||                                // JPEG
+          (is(0, 0x89) && is(1, 'P') && is(2, 'N') && is(3, 'G')) ||     // PNG
+          (is(0, 'G') && is(1, 'I') && is(2, 'F') && is(3, '8')) ||      // GIF
+          (is(0, 'B') && is(1, 'M'))                                     // BMP
         val (w, h, px) =
           if (is(0, 'P') && is(1, '6')) Codecs.decodePpm(p)
-          else if (is(0, 0xff) && is(1, 0xd8)) Codecs.decodeImageIo(p)                         // JPEG
-          else if (is(0, 0x89) && is(1, 'P') && is(2, 'N') && is(3, 'G')) Codecs.decodeImageIo(p) // PNG
+          else if (imageIo) Codecs.decodeImageIo(p)
           else FakeCodec.decode(p)
         DecodedFrame(m.id, w, h, px)
       }

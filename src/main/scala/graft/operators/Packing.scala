@@ -30,6 +30,12 @@ object Packing {
   def packSequences(df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, shards: Int = 0, salt: String = ""): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    // the in-shard greedy order is NUMERIC id order; a silent cast of a
+    // string id would null out and crash deep in the encoder instead
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences orders by numeric id; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — map string ids to a " +
+        "stable numeric surrogate (e.g. polyHash) first")
     val spark = df.sparkSession
     import spark.implicits._
     GraftExpressions.register(spark)

@@ -60,11 +60,14 @@ object Relational {
     * point (few groups, many partitions), but 10⁶ groups × 10⁴ partitions
     * would be 10¹⁰ rows. When any partition sees more than
     * `maxExactGroups` distinct groups, the operator AUTO-FALLS-BACK to
-    * the plain `row_number` window plan over the same persisted
-    * projection: with many groups that plan is already parallel (its
-    * weakness — parallelism capped at |groups| — only bites when groups
-    * are few, exactly when the range-partitioned path is safe). Null
-    * values are filtered (a percentile over nulls is undefined).
+    * the plain `row_number` window plan over the same (g, v)
+    * projection — rebuilt from source, NOT from the persisted sort,
+    * whose range shuffle the window plan has no use for: with many
+    * groups that plan is already parallel (its weakness — parallelism
+    * capped at |groups| — only bites when groups are few, exactly when
+    * the range-partitioned path is safe). Null values AND null groups
+    * are filtered (a percentile over nulls is undefined; both paths
+    * agree).
     */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)], partitions: Int = 0,
@@ -73,9 +76,10 @@ object Relational {
     val spark = df.sparkSession
     import spark.implicits._
     val par = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val sorted = df.select(col(groupCol).cast("string").as("g"),
+    val gv = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val sorted = gv
       .repartitionByRange(par, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .as[(String, Double)]
@@ -99,7 +103,7 @@ object Relational {
       }.collect()
       val distinctGroups = perPart.iterator.flatMap(_._2.keysIterator).toSet
       if (perPart.exists(_._3) || distinctGroups.size > maxExactGroups)
-        return windowPercentiles(sorted.toDF("g", "v"), groupCol, ps)
+        return windowPercentiles(gv, groupCol, ps)
       val totals: Map[String, Long] = perPart.iterator.flatMap(_._2)
         .toSeq.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).sum }
       val targets: Map[String, Seq[(String, Long)]] = totals.map { case (g, n) =>

@@ -51,7 +51,7 @@ object Sampling {
       pct: Int, buckets: Int = 100, salt: String = ""): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val key = concat(col(strataCol).cast("string"), lit(":"), col(keyCol).cast("string"))
-    df.filter(GraftExpressions.polyHash(concat(lit(salt), key)) % buckets < pct)
+    df.filter(hashBucket(key, buckets, salt) < pct)
   }
 
   /** Add a `split` column assigning each row to a named fraction.

@@ -162,6 +162,11 @@ class MultimodalSuite extends SparkSpec {
       assert(f.width == w && f.height == h)
       assert(f.pixels.forall(b => (b & 0xff) == levels(f.frameIdx)))
     }
+    // a still-image DecodeStage also takes GIF (first frame, real decode)
+    val still = Pipeline.from(spark.createDataset(Seq(MediaRow(3L, gif))))
+      .stage(new DecodeStage()).run().collect().head
+    assert(still.width == w && still.height == h)
+    assert(still.pixels.forall(b => (b & 0xff) == levels.head), "first frame, real luma")
     // non-GIF payloads are rejected with a clear error, not faked
     val bad = spark.createDataset(Seq(MediaRow(1L, Array[Byte]('P', '6', ' '))))
     val ex = intercept[org.apache.spark.SparkException] {

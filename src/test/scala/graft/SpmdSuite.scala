@@ -52,6 +52,21 @@ class SpmdSuite extends SparkSpec {
     assert(out.map(_.master).distinct.length == 1)
   }
 
+  test("F-SPMD: per-worker setup retries and worker resets are rejected (gang-desync guard)") {
+    import spark.implicits._
+    val in = spark.createDataset(Seq(In(1)))
+    val retry = intercept[IllegalArgumentException] {
+      Pipeline.from(in).stage(StageSpec(new GangStage, numSetupAttempts = Some(2))).run()
+    }
+    assert(retry.getMessage.contains("desynchronizes"))
+    val reset = intercept[IllegalArgumentException] {
+      Pipeline.from(in, graft.api.PipelineConfig(
+          ignoreFailures = true, resetWorkersOnFailure = true))
+        .stage(new GangStage).run()
+    }
+    assert(reset.getMessage.contains("desynchronizes"))
+  }
+
   test("F-SPMD: streaming input is rejected (barrier mode is batch-only)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
