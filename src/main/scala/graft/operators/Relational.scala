@@ -175,6 +175,45 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Sequential conversion funnel (the ClickHouse `windowFunnel` shape):
+    * for each entity, greedily match `steps` in order — step k+1 must
+    * occur STRICTLY after the matched step k, earliest-first (so the
+    * result is deterministic and independent of tie order). One shuffle
+    * on the entity; each entity's events are scanned once in ts order
+    * inside `mapGroups` (state = one timestamp per step — events per
+    * entity are bounded in practice, the same contract every funnel
+    * engine makes). Entities appear even when they complete 0 steps.
+    * Output: entityCol (long), reached (steps completed), t1..tk
+    * epoch-ms (null where not reached).
+    */
+  def funnel(df: DataFrame, entityCol: String, tsMillis: Column,
+      stepCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = steps.length
+    val packed = df
+      .select(col(entityCol).cast("long").as("e"), tsMillis.cast("long").as("t"),
+        col(stepCol).cast("string").as("s"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (e, it) =>
+        val evs = it.toArray.sortBy(_._2)
+        val times = Array.fill[Option[Long]](n)(None)
+        var k = 0
+        evs.foreach { case (_, t, s) =>
+          if (k < n && s == steps(k) && (k == 0 || t > times(k - 1).get)) {
+            times(k) = Some(t)
+            k += 1
+          }
+        }
+        (e, k.toLong, times.toSeq)
+      }
+    val outCols = col("_1").as(entityCol) +: col("_2").as("reached") +:
+      (0 until n).map(i => col("_3").getItem(i).as(s"t${i + 1}"))
+    packed.select(outCols: _*)
+  }
+
   /** AS-OF join: for each left row, the single most-recent right row with
     * rightTs <= leftTs on the same key (ties on rightTs broken by max
     * rightId). Spark has no native ASOF operator; a join + argmax would

@@ -353,7 +353,33 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q24: sequential conversion funnel view → click → purchase
+    * ([[graft.operators.Relational.funnel]]). The oracle expresses the
+    * same greedy earliest-chain as chained mins: t1 = earliest view,
+    * t2 = earliest click strictly after t1, t3 = earliest purchase
+    * strictly after t2 — provably the greedy match.
+    */
+  val q24 = QueryDef(
+    "q24_funnel",
+    """WITH e AS (SELECT user_id AS e, epoch_ms(ts) AS t, event_type AS s FROM events),
+      |u1 AS (SELECT e, min(t) AS t1 FROM e WHERE s = 'view' GROUP BY e),
+      |u2 AS (SELECT e.e, min(t) AS t2 FROM e JOIN u1 USING (e)
+      |       WHERE s = 'click' AND t > t1 GROUP BY e.e),
+      |u3 AS (SELECT e.e, min(t) AS t3 FROM e JOIN u2 USING (e)
+      |       WHERE s = 'purchase' AND t > t2 GROUP BY e.e)
+      |SELECT u.e AS user_id,
+      |  CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |            WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS reached,
+      |  t1, t2, t3
+      |FROM (SELECT DISTINCT e FROM e) u
+      |LEFT JOIN u1 USING (e) LEFT JOIN u2 USING (e) LEFT JOIN u3 USING (e)
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.funnel(Tables.events(s, dir), "user_id", unix_millis(col("ts")),
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18)
+      q17, q18, q24)
 }

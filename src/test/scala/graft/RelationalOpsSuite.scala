@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -94,6 +95,29 @@ class RelationalOpsSuite extends SparkSpec {
       (g, at(0.5), at(0.9), at(0.99))
     }
     assert(got == expected)
+  }
+
+  test("funnel: greedy earliest chain, strict-after, partial completion") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1 completes A->B->C, with decoys: the B BEFORE the first A
+      // must not count; the chain takes the EARLIEST valid each step
+      (1L, 5L, "B"), (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "B"), (1L, 40L, "C"),
+      // user 2: A and B at the SAME ts — strict-after rejects the B
+      (2L, 10L, "A"), (2L, 10L, "B"),
+      // user 3: only decoy steps
+      (3L, 10L, "X"),
+      // user 4: steps arrive out of order in the input (shuffled rows)
+      (4L, 300L, "C"), (4L, 100L, "A"), (4L, 200L, "B")
+    ).toDF("u", "ts", "step").repartition(5)
+    val got = Relational.funnel(events, "u", col("ts"), "step", Seq("A", "B", "C"))
+      .orderBy("u")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(10L), Some(20L), Some(40L)),
+      (2L, 1L, Some(10L), None, None),
+      (3L, 0L, None, None, None),
+      (4L, 3L, Some(100L), Some(200L), Some(300L))))
   }
 
   test("exactPercentiles: high-cardinality groups fall back to the window plan, same answers") {
