@@ -175,6 +175,33 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Range join on a numeric key: pairs every left row with the right
+    * rows whose key falls in [leftKey + lower, leftKey + upper] (the
+    * time-correlation join — "errors within ±5 s of a purchase").
+    * Spark plans a raw inequality join as a broadcast-nested-loop —
+    * O(|L|·|R|) comparisons, the classic 100 TB cartesian trap. Here
+    * both sides are BINNED at the window width, so candidates meet in a
+    * hash EQUI-join on the bin id: each left row explodes to the ≤ 2
+    * bins its window overlaps, each right row lands in exactly one, and
+    * the exact range predicate then keeps true matches. Shuffle key =
+    * bin id; fan-out is bounded by rows-per-bin (pick the window, and
+    * therefore the bin width, for the correlation you mean — a window
+    * spanning half the corpus is a cross join no matter the plan).
+    * `leftKey`/`rightKey` must reference distinctly-named columns.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftKey: Column,
+      rightKey: Column, lower: Long, upper: Long): DataFrame = {
+    require(upper >= lower, s"empty range [$lower, $upper]")
+    val w = math.max(1L, upper - lower + 1)
+    def binOf(x: Column) = ((x - pmod(x, lit(w))) / w).cast("long") // floor div, exact for |x| < 2^53
+    val l = left.withColumn("_bin",
+      explode(sequence(binOf(leftKey + lower), binOf(leftKey + upper))))
+    val r = right.withColumn("_rbin", binOf(rightKey))
+    l.join(r, col("_bin") === col("_rbin") &&
+        rightKey >= leftKey + lower && rightKey <= leftKey + upper)
+      .drop("_bin", "_rbin")
+  }
+
   /** Sequential conversion funnel (the ClickHouse `windowFunnel` shape):
     * for each entity, greedily match `steps` in order — step k+1 must
     * occur STRICTLY after the matched step k, earliest-first (so the

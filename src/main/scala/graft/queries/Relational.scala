@@ -379,7 +379,29 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q25: time-correlation range join — errors within ±5 s of any
+    * purchase ([[graft.operators.Relational.rangeJoin]]: binned hash
+    * equi-join, never the nested-loop plan a raw BETWEEN join gets).
+    */
+  val q25 = QueryDef(
+    "q25_range_join",
+    """WITH e AS (SELECT event_id, epoch_ms(ts) AS t, event_type AS s FROM events),
+      |p AS (SELECT event_id AS purchase_id, t AS pt FROM e WHERE s = 'purchase'),
+      |c AS (SELECT event_id AS error_id, t AS et FROM e WHERE s = 'error')
+      |SELECT purchase_id, error_id, CAST(et - pt AS BIGINT) AS delta_ms
+      |FROM p JOIN c ON et BETWEEN pt - 5000 AND pt + 5000
+      |ORDER BY purchase_id, error_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_millis(col("ts")).as("pt"))
+    val c = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), unix_millis(col("ts")).as("et"))
+    graft.operators.Relational.rangeJoin(p, c, col("pt"), col("et"), -5000, 5000)
+      .select(col("purchase_id"), col("error_id"), (col("et") - col("pt")).as("delta_ms"))
+      .orderBy("purchase_id", "error_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24)
+      q17, q18, q24, q25)
 }

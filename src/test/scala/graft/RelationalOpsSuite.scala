@@ -97,6 +97,42 @@ class RelationalOpsSuite extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rangeJoin: matches the naive inequality join, without its nested-loop plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val l = (1L to 400L).map(i => (i, rnd.nextInt(100000).toLong)).toDF("lid", "lt")
+    val r = (1L to 400L).map(i => (i, rnd.nextInt(100000).toLong)).toDF("rid", "rt")
+    val got = Relational.rangeJoin(l, r, col("lt"), col("rt"), -250, 250)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = l.join(r, col("rt") >= col("lt") - 250 && col("rt") <= col("lt") + 250)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == naive, "binned join must find exactly the naive matches")
+    assert(got.nonEmpty)
+    // asymmetric window too (strictly-after correlation)
+    val asym = Relational.rangeJoin(l, r, col("lt"), col("rt"), 1, 500)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val asymNaive = l.join(r, col("rt") >= col("lt") + 1 && col("rt") <= col("lt") + 500)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(asym == asymNaive)
+    // the plan is a hash equi-join on the bin — never the O(n^2) fallback
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: collectAll(q.plan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val df = Relational.rangeJoin(l, r, col("lt"), col("rt"), -250, 250)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[BroadcastNestedLoopJoinExec] || n.isInstanceOf[CartesianProductExec]),
+      "rangeJoin must bin into an equi-join, not a nested-loop scan")
+    val naiveDf = l.join(r, col("rt") >= col("lt") - 250 && col("rt") <= col("lt") + 250)
+    naiveDf.collect()
+    val naiveNodes = collectAll(naiveDf.queryExecution.executedPlan)
+    assert(naiveNodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      s"sanity: raw inequality join plan was ${naiveNodes.map(_.getClass.getSimpleName)}")
+  }
+
   test("funnel: greedy earliest chain, strict-after, partial completion") {
     import spark.implicits._
     val events = Seq(
