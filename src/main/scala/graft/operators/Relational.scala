@@ -175,6 +175,29 @@ object Relational {
       .orderBy(groupCol)
   }
 
+  /** Cohort retention matrix: entities are cohorted by the period of
+    * their FIRST event; each (cohort, periods-since) cell counts the
+    * distinct entities active in that later period. Two aggregations —
+    * first-event per entity (map-side partial min), then the
+    * cohort×offset distinct count — joined through a broadcast-friendly
+    * per-entity table; the analytics backbone behind every retention
+    * dashboard. `periodMs` is the bucket (week = 7*86400*1000).
+    * Output: cohort (period index of first event), offset (periods
+    * since cohort), n_active (distinct entities).
+    */
+  def retention(df: DataFrame, entityCol: String, tsMillis: Column,
+      periodMs: Long): DataFrame = {
+    require(periodMs > 0)
+    // floor, not cast-truncate: the oracle mirrors `floor(t / p)` textually
+    // (DuckDB CAST rounds half-even; floor agrees across engines)
+    val period = floor(tsMillis / periodMs).cast("long")
+    val e = df.select(col(entityCol).as("_e"), period.as("_p"))
+    val firsts = e.groupBy("_e").agg(min("_p").as("_cohort"))
+    e.join(firsts, "_e")
+      .groupBy(col("_cohort").as("cohort"), (col("_p") - col("_cohort")).as("offset"))
+      .agg(countDistinct("_e").as("n_active"))
+  }
+
   /** Range join on a numeric key: pairs every left row with the right
     * rows whose key falls in [leftKey + lower, leftKey + upper] (the
     * time-correlation join — "errors within ±5 s of a purchase").

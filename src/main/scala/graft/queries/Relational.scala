@@ -401,7 +401,24 @@ object Relational {
       .orderBy("purchase_id", "error_id")
   }
 
+  /** q26: weekly cohort retention over events
+    * ([[graft.operators.Relational.retention]]).
+    */
+  val q26 = QueryDef(
+    "q26_retention",
+    """WITH e AS (SELECT user_id,
+      |    CAST(floor(epoch_ms(ts) / 604800000.0) AS BIGINT) AS p FROM events),
+      |f AS (SELECT user_id, min(p) AS cohort FROM e GROUP BY user_id)
+      |SELECT cohort, p - cohort AS offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.retention(Tables.events(s, dir), "user_id",
+        unix_millis(col("ts")), periodMs = 604800000L)
+      .orderBy("cohort", "offset")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25)
+      q17, q18, q24, q25, q26)
 }
