@@ -58,6 +58,11 @@ object ScaleProbe {
     time("d02 ngram-jaccard")(graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, 20).count())
     time("d06 clusters")(graft.operators.Dedup.clusters(d, "doc_id",
       graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5)).filter(col("keep")).count())
+    graft.functions.GraftExpressions.register(spark)
+    val isTest = graft.operators.Sampling.hashBucket(col("doc_id"), 100, "contam:") < 10
+    time("d08 contamination")(graft.operators.Dedup.contaminationPairs(
+      d.filter(!isTest), d.filter(isTest), "doc_id", "text",
+      minOverlap = 5, maxDf = 20).count())
     val e = spark.read.parquet(s"$out/embeddings.parquet")
     time("d05 embedding-lsh")(graft.operators.Dedup.embeddingPairsLsh(
       e, "vec_id", "embedding", 0.4).count())
