@@ -119,25 +119,62 @@ object Multimodal {
 
     /** Multi-frame container decode (animated GIF — the one video-like
       * format the JDK reads natively): one (w, h, luma) per frame, in
-      * presentation order. The real decode path behind
-      * [[VideoFrameSampleStage]]; an FFmpeg-backed H.264 decoder slots
-      * in by replacing this function only.
+      * presentation order, each COMPOSITED onto the logical screen.
+      * Real-world animated GIFs are inter-frame optimized — frame k
+      * stores only the changed sub-rectangle plus its left/top offset
+      * and a disposal method — and the JDK reader's `read(i)` returns
+      * exactly that sub-image, so raw frames would have wrong sizes and
+      * delta-only content. Frames are therefore drawn at their declared
+      * offsets onto a persistent canvas; `restoreToBackgroundColor`
+      * disposal clears the frame rect (the `restorePrevious` method,
+      * vanishingly rare, is treated as no-dispose). The real decode
+      * path behind [[VideoFrameSampleStage]]; an FFmpeg-backed H.264
+      * decoder slots in by replacing this function only.
       */
     def decodeGifFrames(bytes: Array[Byte]): IndexedSeq[(Int, Int, Array[Byte])] = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "no ImageIO reader for payload")
-      val r = readers.next()
       try {
-        r.setInput(iis)
-        val n = r.getNumImages(true)
-        require(n > 0, "no frames in container")
-        (0 until n).map(i => toLuma(r.read(i)))
-      } finally {
-        r.dispose()
-        iis.close()
-      }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no ImageIO reader for payload")
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          require(n > 0, "no frames in container")
+          def attrs(i: Int): (Int, Int, String) = {
+            val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            def node(name: String) = Option(tree.getElementsByTagName(name).item(0))
+              .map(_.asInstanceOf[javax.imageio.metadata.IIOMetadataNode])
+            val desc = node("ImageDescriptor")
+            val gce = node("GraphicControlExtension")
+            (desc.map(_.getAttribute("imageLeftPosition").toInt).getOrElse(0),
+              desc.map(_.getAttribute("imageTopPosition").toInt).getOrElse(0),
+              gce.map(_.getAttribute("disposalMethod")).getOrElse("none"))
+          }
+          val first = r.read(0)
+          val (x0, y0, _) = attrs(0)
+          val cw = math.max(r.getWidth(0) + x0, first.getWidth + x0)
+          val ch = math.max(r.getHeight(0) + y0, first.getHeight + y0)
+          val canvas = new java.awt.image.BufferedImage(
+            cw, ch, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = canvas.createGraphics()
+          try {
+            (0 until n).map { i =>
+              val frame = if (i == 0) first else r.read(i)
+              val (x, y, disposal) = attrs(i)
+              g.drawImage(frame, x, y, null)
+              val out = toLuma(canvas)
+              if (disposal == "restoreToBackgroundColor") {
+                g.setColor(java.awt.Color.BLACK)
+                g.fillRect(x, y, frame.getWidth, frame.getHeight)
+              }
+              out
+            }
+          } finally g.dispose()
+        } finally r.dispose()
+      } finally iis.close()
     }
 
     private def toLuma(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {

@@ -215,6 +215,12 @@ object Relational {
   def rangeJoin(left: DataFrame, right: DataFrame, leftKey: Column,
       rightKey: Column, lower: Long, upper: Long): DataFrame = {
     require(upper >= lower, s"empty range [$lower, $upper]")
+    // shared names make 'rightKey >= leftKey + lower' ambiguous; with
+    // failAmbiguousSelfJoin disabled Spark silently resolves both refs to
+    // one side and the range predicate degrades to always-true — fail loud
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin sides must not share column names (ambiguous key refs): ${shared.mkString(", ")}")
     val w = math.max(1L, upper - lower + 1)
     def binOf(x: Column) = ((x - pmod(x, lit(w))) / w).cast("long") // floor div, exact for |x| < 2^53
     val l = left.withColumn("_bin",
@@ -239,6 +245,14 @@ object Relational {
   def funnel(df: DataFrame, entityCol: String, tsMillis: Column,
       stepCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // a silent long-cast would merge fractional ids and null out strings
+    // (crashing deep in the encoder) — same guard as packSequences
+    require(Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType, org.apache.spark.sql.types.ByteType)
+        .contains(df.schema(entityCol).dataType),
+      s"funnel groups by an integral entity id; '$entityCol' is " +
+        s"${df.schema(entityCol).dataType.simpleString} — map other id types to a " +
+        "stable numeric surrogate (e.g. polyHash) first")
     val spark = df.sparkSession
     import spark.implicits._
     val n = steps.length

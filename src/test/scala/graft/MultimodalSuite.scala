@@ -176,6 +176,49 @@ class MultimodalSuite extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("GIF container")))
   }
 
+  test("M2g: optimized GIFs (sub-rect frames at offsets) composite onto the canvas") {
+    // real-world animated GIFs store only changed sub-rectangles; the
+    // decoder must composite, not emit raw delta frames
+    val w = 16; val h = 10
+    def solid(sw: Int, sh: Int, level: Int) = {
+      val img = new java.awt.image.BufferedImage(sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level)); g.fillRect(0, 0, sw, sh); g.dispose()
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def meta(img: java.awt.image.BufferedImage, x: Int, y: Int) = {
+      val m = writer.getDefaultImageMetadata(new javax.imageio.ImageTypeSpecifier(img), null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = m.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+        .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      desc.setAttribute("imageLeftPosition", x.toString)
+      desc.setAttribute("imageTopPosition", y.toString)
+      m.setFromTree(fmt, tree)
+      m
+    }
+    val full = solid(w, h, 100)
+    val delta = solid(4, 3, 200) // frame 1: only a 4x3 patch at (5, 2)
+    writer.writeToSequence(new javax.imageio.IIOImage(full, null, meta(full, 0, 0)), null)
+    writer.writeToSequence(new javax.imageio.IIOImage(delta, null, meta(delta, 5, 2)), null)
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val frames = Codecs.decodeGifFrames(bos.toByteArray)
+    assert(frames.length == 2)
+    frames.foreach { case (fw, fh, _) => assert(fw == w && fh == h,
+      "every composited frame spans the full logical screen") }
+    assert(frames(0)._3.forall(b => (b & 0xff) == 100))
+    val f1 = frames(1)._3
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = if (x >= 5 && x < 9 && y >= 2 && y < 5) 200 else 100
+      assert((f1(y * w + x) & 0xff) == expect, s"composited pixel ($x,$y)")
+    }
+  }
+
   test("M2e: stereo ZCR strides by channel; corrupt WAV chunk sizes fail fast") {
     import graft.operators.Multimodal.Codecs
     // stereo clip: ch0 flips sign every frame (ZCR 1), ch1 constant (ZCR 0)
