@@ -211,6 +211,12 @@ object Dedup {
     * would go quadratic — keys shared by more than `maxBandDf` vectors are
     * dropped, bounding any bucket's fan-out at maxBandDf². Output: id_a,
     * id_b, cos (6 dp, >= thr).
+    *
+    * DENSITY NOTE (×50 probe, SURVEY §4): when a large fraction of the
+    * corpus is pairwise-similar at `thr`, the TRUE output is itself
+    * quadratic-ish and the op becomes output-bound — enumeration is
+    * then the wrong question; raise `thr`, tighten `maxBandDf`, or go
+    * straight to [[clusters]] over a sparser pair set.
     */
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       thr: Double, maxBandDf: Int = 1000): DataFrame = {

@@ -127,7 +127,10 @@ object Multimodal {
       * delta-only content. Frames are therefore drawn at their declared
       * offsets onto a persistent canvas; `restoreToBackgroundColor`
       * disposal clears the frame rect (the `restorePrevious` method,
-      * vanishingly rare, is treated as no-dispose). The real decode
+      * vanishingly rare, is treated as no-dispose). The canvas spans
+      * frame 0's extent — in a well-formed GIF the first frame paints
+      * the full logical screen; later frames drawing outside it clip
+      * rather than error. The real decode
       * path behind [[VideoFrameSampleStage]]; an FFmpeg-backed H.264
       * decoder slots in by replacing this function only.
       */
