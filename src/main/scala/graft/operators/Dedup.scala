@@ -107,6 +107,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Incremental near-dup check: MinHash-LSH pairs between a NEW batch
+    * and the full corpus (existing ∪ new) — the daily-increment ingest
+    * gate ("is today's crawl already in the corpus?"). Band keys from
+    * the new side equi-join against band keys of BOTH sides, so
+    * existing×existing pairs — the quadratic bulk an incremental check
+    * must never pay for — are structurally impossible: the existing
+    * corpus participates only through its band-key index, which at
+    * 100 TB is precomputed once and stored, making the daily check
+    * proportional to |new| × collision rate. Candidates are verified
+    * with exact Jaccard like [[minhashLshPairs]]. Output: new_id (from
+    * the new batch), other_id (either side), jaccard >= thr; new×new
+    * pairs appear once (normalized new_id < other_id).
+    */
+  def incrementalMinhashPairs(newDf: DataFrame, existingDf: DataFrame,
+      idCol: String, textCol: String, thr: Double): DataFrame = {
+    val nw = shingled(newDf, idCol, textCol).filter(size(col("sh")) > 0)
+    val ex = shingled(existingDf, idCol, textCol).filter(size(col("sh")) > 0)
+    def bands(d: DataFrame) =
+      d.select(col("_gid"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
+    val bandsNew = bands(nw)
+    val bandsAll = bandsNew.withColumn("_isNew", lit(true))
+      .unionByName(bands(ex).withColumn("_isNew", lit(false)))
+    val cand = bandsNew.as("a")
+      .join(bandsAll.as("b"), col("a.bk") === col("b.bk") && col("a._gid") =!= col("b._gid"))
+      // a new×new pair collides in both orientations — keep new_id < other_id;
+      // new×existing pairs exist once and keep their natural orientation
+      .filter(!col("b._isNew") || col("a._gid") < col("b._gid"))
+      .select(col("a._gid").as("new_id"), col("b._gid").as("other_id"))
+      .distinct()
+    val docs = nw.unionByName(ex)
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    cand
+      .join(docs.as("sa"), col("new_id") === col("sa._gid"))
+      .join(docs.as("sb"), col("other_id") === col("sb._gid"))
+      .select(col("new_id"), col("other_id"),
+        Rounding.mirrorRound(inter * 1.0 / (size(col("sa.sh")) + size(col("sb.sh")) - inter), 4).as("jaccard"))
+      .filter(col("jaccard") >= thr)
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * `minOverlap` distinct shingles with any test/benchmark document —
     * the step that strips eval-set passages out of a training corpus.

@@ -202,5 +202,41 @@ object Dedup {
       .orderBy("train_id", "test_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21)
+  private val IncNewPct = 10 // hash-bucket % treated as "today's batch"
+
+  /** q27: incremental ingest dedup — MinHash pairs between a new batch
+    * (deterministic hash sample) and the full corpus, existing×existing
+    * structurally excluded ([[graft.operators.Dedup.incrementalMinhashPairs]]).
+    */
+  val q27 = QueryDef(
+    "q27_incremental_dedup",
+    s"""$sqlShingleCte,
+       |k AS (SELECT doc_id, 'inc:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
+       |m AS (SELECT doc_id, ${Sig.sqlPolyHashStr("kk")} % 100 < $IncNewPct AS is_new
+       |      FROM k),
+       |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+       |bn AS (SELECT s2.doc_id, unnest(${Sig.sqlBandKeys("sh")}) AS bk
+       |       FROM s2 JOIN m USING (doc_id) WHERE is_new),
+       |ba AS (SELECT s2.doc_id, unnest(${Sig.sqlBandKeys("sh")}) AS bk, m.is_new
+       |       FROM s2 JOIN m USING (doc_id)),
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
+       |         FROM bn a JOIN ba b ON a.bk = b.bk AND a.doc_id <> b.doc_id
+       |         WHERE NOT b.is_new OR a.doc_id < b.doc_id)
+       |SELECT new_id, other_id,
+       |  ${mr("""len(list_intersect(sa.sh, sb.sh))*1.0 /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))""", 4)} AS jaccard
+       |FROM cand JOIN s sa ON new_id = sa.doc_id JOIN s sb ON other_id = sb.doc_id
+       |WHERE ${mr("""len(list_intersect(sa.sh, sb.sh))*1.0 /
+       |      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))""", 4)} >= $JaccardThr
+       |ORDER BY new_id, other_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftExpressions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val isNew = graft.operators.Sampling.hashBucket(
+      org.apache.spark.sql.functions.col("doc_id"), 100, "inc:") < IncNewPct
+    Ops.incrementalMinhashPairs(docs.filter(isNew), docs.filter(!isNew),
+        "doc_id", "text", JaccardThr)
+      .orderBy("new_id", "other_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27)
 }

@@ -96,6 +96,28 @@ class DedupOpsSuite extends SparkSpec {
     assert(capped.count() == 0, "shingles in >maxDf train docs carry no signal")
   }
 
+  test("incrementalMinhashPairs: new pairs only, existing×existing excluded, new×new once") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    def nearDup(tag: String) = s"$base extra$tag"
+    // 1≈2 both NEW; 3 (new) ≈ 4 (existing); 5≈6 both EXISTING
+    val newDf = Seq((1L, nearDup("a")), (2L, nearDup("b")), (3L, nearDup("c")),
+      (7L, "totally different content with nothing shared at all here now ok fine"))
+      .toDF("id", "text")
+    val exDf = Seq((4L, nearDup("d")), (5L, nearDup("e")), (6L, nearDup("f")))
+      .toDF("id", "text")
+    val got = Dedup.incrementalMinhashPairs(newDf, exDf, "id", "text", thr = 0.5)
+      .select("new_id", "other_id").as[(Long, Long)].collect().toSet
+    // every pair touches a new doc; new ids are 1, 2, 3, 7
+    assert(got.forall { case (n, _) => Set(1L, 2L, 3L, 7L).contains(n) })
+    assert(!got.contains((5L, 6L)) && !got.contains((6L, 5L)),
+      "existing×existing pairs are structurally excluded")
+    assert(got.contains((1L, 2L)) && !got.contains((2L, 1L)), "new×new appears once, ordered")
+    // all near-dups of the new docs are found (vs both corpora)
+    assert(got == Set((1L, 2L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 4L), (2L, 5L), (2L, 6L),
+      (2L, 3L), (1L, 3L), (3L, 4L), (3L, 5L), (3L, 6L)))
+  }
+
   test("decontaminate removes exactly the flagged train docs") {
     import spark.implicits._
     val test = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("id", "text")
