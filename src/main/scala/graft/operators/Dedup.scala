@@ -74,11 +74,21 @@ object Dedup {
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))
       .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
       .distinct()
+    verifyJaccard(cand, "id_a", docs, "id_b", docs, thr)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against (id, sh)
+    * shingle tables — the shared tail of every MinHash path; left/right
+    * sides may come from different corpora.
+    */
+  private def verifyJaccard(cand: DataFrame, leftCol: String, leftDocs: DataFrame,
+      rightCol: String, rightDocs: DataFrame, thr: Double): DataFrame = {
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
     cand
-      .join(docs.as("sa"), col("id_a") === col("sa._gid"))
-      .join(docs.as("sb"), col("id_b") === col("sb._gid"))
-      .select(col("id_a"), col("id_b"),
+      .join(leftDocs.as("sa"), col(leftCol) === col("sa._gid"))
+      .join(rightDocs.as("sb"), col(rightCol) === col("sb._gid"))
+      .select(col(leftCol), col(rightCol),
         Rounding.mirrorRound(inter * 1.0 / (size(col("sa.sh")) + size(col("sb.sh")) - inter), 4).as("jaccard"))
       .filter(col("jaccard") >= thr)
   }
@@ -119,9 +129,24 @@ object Dedup {
     * with exact Jaccard like [[minhashLshPairs]]. Output: new_id (from
     * the new batch), other_id (either side), jaccard >= thr; new×new
     * pairs appear once (normalized new_id < other_id).
+    *
+    * PRECONDITION: the two corpora's ids must be DISJOINT (an id on
+    * both sides would make its verify rows ambiguous and its own
+    * new-vs-old comparison structurally excluded). Checked by default;
+    * `checkDisjoint = false` skips the extra semi-join pass when the id
+    * scheme guarantees it (e.g. date-prefixed ingest ids).
     */
   def incrementalMinhashPairs(newDf: DataFrame, existingDf: DataFrame,
-      idCol: String, textCol: String, thr: Double): DataFrame = {
+      idCol: String, textCol: String, thr: Double,
+      checkDisjoint: Boolean = true): DataFrame = {
+    if (checkDisjoint) {
+      val overlap = newDf.select(col(idCol))
+        .join(existingDf.select(col(idCol)), idCol, "left_semi").limit(1)
+      require(overlap.isEmpty,
+        s"newDf and existingDf share ids (e.g. ${overlap.collect().mkString}) — " +
+          "incremental dedup needs disjoint id spaces; re-ingested ids must be " +
+          "renamed or removed from the existing side first")
+    }
     val nw = shingled(newDf, idCol, textCol).filter(size(col("sh")) > 0)
     val ex = shingled(existingDf, idCol, textCol).filter(size(col("sh")) > 0)
     def bands(d: DataFrame) =
@@ -136,14 +161,11 @@ object Dedup {
       .filter(!col("b._isNew") || col("a._gid") < col("b._gid"))
       .select(col("a._gid").as("new_id"), col("b._gid").as("other_id"))
       .distinct()
-    val docs = nw.unionByName(ex)
-    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-    cand
-      .join(docs.as("sa"), col("new_id") === col("sa._gid"))
-      .join(docs.as("sb"), col("other_id") === col("sb._gid"))
-      .select(col("new_id"), col("other_id"),
-        Rounding.mirrorRound(inter * 1.0 / (size(col("sa.sh")) + size(col("sb.sh")) - inter), 4).as("jaccard"))
-      .filter(col("jaccard") >= thr)
+    // new_id only ever names new-batch docs — resolve it against nw alone
+    // (joining the union would re-scan the whole existing corpus's
+    // shingles for zero extra matches); other_id can be either side.
+    verifyJaccard(cand, "new_id", nw, "other_id", nw.unionByName(ex), thr)
+      .select("new_id", "other_id", "jaccard")
   }
 
   /** Benchmark decontamination: training documents sharing at least

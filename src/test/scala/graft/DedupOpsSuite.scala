@@ -116,6 +116,11 @@ class DedupOpsSuite extends SparkSpec {
     // all near-dups of the new docs are found (vs both corpora)
     assert(got == Set((1L, 2L), (1L, 4L), (1L, 5L), (1L, 6L), (2L, 4L), (2L, 5L), (2L, 6L),
       (2L, 3L), (1L, 3L), (3L, 4L), (3L, 5L), (3L, 6L)))
+    // overlapping id spaces are rejected (ambiguous verify + suppressed self-pair)
+    val clash = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashPairs(newDf, newDf.limit(1), "id", "text", 0.5)
+    }
+    assert(clash.getMessage.contains("disjoint"))
   }
 
   test("decontaminate removes exactly the flagged train docs") {
