@@ -239,12 +239,22 @@ object Relational {
     * inside `mapGroups` (state = one timestamp per step — events per
     * entity are bounded in practice, the same contract every funnel
     * engine makes). Entities appear even when they complete 0 steps.
+    * `windowMs` is windowFunnel's completion window: with Some(w), a
+    * step only matches within w ms of the matched FIRST step; on
+    * expiry the scan restarts the chain at the current event if it is a
+    * first-step event (the greedy sliding restart), so a conversion
+    * beginning later than the first attempt is still found; the longest
+    * chain across restarts is reported. Greedy caveat: a chain
+    * OVERLAPPING a live one (a second step-1 event before the live
+    * chain expires) is not tracked — exact multi-chain tracking costs
+    * per-window state; the greedy answer is the standard funnel trade.
     * Output: entityCol (long), reached (steps completed), t1..tk
     * epoch-ms (null where not reached).
     */
   def funnel(df: DataFrame, entityCol: String, tsMillis: Column,
-      stepCol: String, steps: Seq[String]): DataFrame = {
+      stepCol: String, steps: Seq[String], windowMs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowMs.forall(_ > 0), "completion window must be positive")
     // a silent long-cast would merge fractional ids and null out strings
     // (crashing deep in the encoder) — same guard as packSequences
     require(Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
@@ -263,15 +273,23 @@ object Relational {
       .groupByKey(_._1)
       .mapGroups { (e, it) =>
         val evs = it.toArray.sortBy(_._2)
-        val times = Array.fill[Option[Long]](n)(None)
+        var best = (0, Array.fill[Option[Long]](n)(None))
+        var times = Array.fill[Option[Long]](n)(None)
         var k = 0
         evs.foreach { case (_, t, s) =>
+          val expired = windowMs.exists(w => k > 0 && t - times(0).get > w)
+          if (expired) {
+            if (k > best._1) best = (k, times)
+            times = Array.fill[Option[Long]](n)(None)
+            k = 0
+          }
           if (k < n && s == steps(k) && (k == 0 || t > times(k - 1).get)) {
             times(k) = Some(t)
             k += 1
           }
         }
-        (e, k.toLong, times.toSeq)
+        if (k > best._1) best = (k, times)
+        (e, best._1.toLong, best._2.toSeq)
       }
     val outCols = col("_1").as(entityCol) +: col("_2").as("reached") +:
       (0 until n).map(i => col("_3").getItem(i).as(s"t${i + 1}"))

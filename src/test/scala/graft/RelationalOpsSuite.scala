@@ -156,6 +156,28 @@ class RelationalOpsSuite extends SparkSpec {
       (4L, 3L, Some(100L), Some(200L), Some(300L))))
   }
 
+  test("funnel: completion window expires stale chains; restart finds later conversions") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: first chain expires after 2 steps (C arrives past the
+      // window); a complete conversion starts later and must be found
+      (1L, 0L, "A"), (1L, 100L, "B"), (1L, 5000L, "C"),
+      (1L, 6000L, "A"), (1L, 6100L, "B"), (1L, 6200L, "C"),
+      // user 2: all steps inside the window -> complete on the first try
+      (2L, 0L, "A"), (2L, 400L, "B"), (2L, 900L, "C")
+    ).toDF("u", "ts", "step")
+    val got = Relational.funnel(events, "u", col("ts"), "step", Seq("A", "B", "C"),
+        windowMs = Some(1000L))
+      .orderBy("u").as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, Some(6000L), Some(6100L), Some(6200L)),
+      (2L, 3L, Some(0L), Some(400L), Some(900L))))
+    // without a window, user 1's first chain completes at the late C
+    val unbounded = Relational.funnel(events, "u", col("ts"), "step", Seq("A", "B", "C"))
+      .orderBy("u").as[(Long, Long, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    assert(unbounded.head == (1L, 3L, Some(0L), Some(100L), Some(5000L)))
+  }
+
   test("exactPercentiles: high-cardinality groups fall back to the window plan, same answers") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
