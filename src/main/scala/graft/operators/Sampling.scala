@@ -54,6 +54,32 @@ object Sampling {
     df.filter(hashBucket(key, buckets, salt) < pct)
   }
 
+  /** Balanced fixed-count take: exactly `n` rows per stratum (fewer when
+    * a stratum is smaller), chosen by HASH ORDER — deterministic,
+    * layout-independent, and unbiased (the hash is a uniform shuffle of
+    * each stratum), unlike "first n" (arrival-order bias) or RNG
+    * sampling (irreproducible). Ties on the hash break by the key, so
+    * selection is total-ordered. One shuffle on the stratum; the window
+    * is per-stratum, parallel across strata — the source-balancing
+    * ("equal docs per language/domain") take of a corpus pipeline.
+    */
+  def takePerGroup(df: DataFrame, keyCol: String, strataCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "take count must be positive")
+    GraftExpressions.register(df.sparkSession)
+    // polyHash alone is ORDER-PRESERVING for short keys (no modular
+    // wraparound: hashes of "s:1".."s:9" are consecutive integers and the
+    // salt only adds a constant) — fine for bucketing, useless as a
+    // shuffle order. Post-multiplying by a large constant mod the prime
+    // is a bijection that scrambles order and makes salts independent.
+    val h = pmod(
+      GraftExpressions.polyHash(concat(lit(salt), col(keyCol).cast("string"))) * lit(2654435761L),
+      lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(h, col(keyCol))
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= n).drop("_rk")
+  }
+
   /** Add a `split` column assigning each row to a named fraction.
     * `splits` are (name, weight) with weights summing to `buckets`, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,

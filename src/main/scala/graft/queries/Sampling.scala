@@ -104,5 +104,23 @@ object Sampling {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23)
+  /** q28: balanced fixed-count take — 20 docs per language by hash
+    * order ([[graft.operators.Sampling.takePerGroup]]): the
+    * source-balancing step, deterministic and unbiased.
+    */
+  val q28 = QueryDef(
+    "q28_balanced_take",
+    s"""WITH k AS (SELECT doc_id, lang,
+       |  'bal:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
+       |r AS (SELECT doc_id, lang, row_number() OVER (
+       |        PARTITION BY lang
+       |        ORDER BY (${sqlPolyHash("kk")} * 2654435761) % 1000000007, doc_id) AS rk
+       |      FROM k)
+       |SELECT doc_id, lang FROM r WHERE rk <= 20
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ops.takePerGroup(Tables(s, dir, "documents"), "doc_id", "lang", n = 20, salt = "bal:")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28)
 }

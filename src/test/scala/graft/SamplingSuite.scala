@@ -72,6 +72,25 @@ class SamplingSuite extends SparkSpec {
     assert(ids0 != ids1, "strata draw different hash sequences")
   }
 
+  test("takePerGroup: exactly n per stratum, deterministic, small strata intact") {
+    import spark.implicits._
+    val df = ((1L to 900L).map(i => (i, s"g${i % 3}")) ++ Seq((1000L, "tiny"), (1001L, "tiny")))
+      .toDF("id", "g").repartition(7)
+    val got = Sampling.takePerGroup(df, "id", "g", n = 50, salt = "t:")
+      .as[(Long, String)].collect().toSeq
+    val byG = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(Seq("g0", "g1", "g2").forall(g => byG(g).size == 50), "exactly n per full stratum")
+    assert(byG("tiny") == Set(1000L, 1001L), "strata smaller than n are kept whole")
+    // deterministic across partitionings
+    val again = Sampling.takePerGroup(df.repartition(3), "id", "g", n = 50, salt = "t:")
+      .as[(Long, String)].collect().toSet
+    assert(again == got.toSet)
+    // a different salt draws a different balanced subset
+    val other = Sampling.takePerGroup(df, "id", "g", n = 50, salt = "u:")
+      .as[(Long, String)].collect().toSet
+    assert(other != got.toSet)
+  }
+
   test("packSequences: greedy budget fill, oversized docs, layout independence") {
     import spark.implicits._
     import graft.operators.Packing
