@@ -230,21 +230,38 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = all.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // Propagate ONLY over nodes incident to an edge: a node with no pair can
+    // never change label, and dup pairs are a sliver of the corpus — looping
+    // over `all` would shuffle + checkpoint every corpus row every round
+    // (billions of rows/round at 100 TB for a few million duplicate nodes).
+    // The untouched corpus is stitched back with ONE final left join.
+    //
+    // Round 0 needs no join: initial labels are the identity, so the first
+    // update is comp0(v) = least(v, min incoming src) — one aggregation over
+    // the edge set. It also needs no fixpoint probe: any edge (a,b) with
+    // a < b lowers b's label, so round 0 changes something iff edges exist
+    // (and with no edges the loop below converges immediately on empty
+    // inputs). `edges` holds both orientations, so dst covers incident nodes.
+    var labels = edges.groupBy(col("dst"))
+      .agg(min(col("src")).as("_m"))
+      .select(col("dst").as("id"), least(col("dst"), col("_m")).as("comp"))
       .localCheckpoint(true)
     var converged = false
-    var rounds = 0
+    var rounds = 1
     while (!converged && rounds < maxRounds) {
-      val neighborMin = edges.join(labels, col("src") === col("id"))
-        .groupBy(col("dst")).agg(min("comp").as("ncomp"))
-      // fixpoint witness rides the update join itself: the new label is
-      // least(old, neighbor-min) <= old, so "changed" is exactly new < old.
-      // Checking it is then a narrow scan of the just-checkpointed blocks
-      // — one join per round, not two (the old plan re-joined next
-      // against labels every round, doubling the hottest loop's work).
-      val newComp = least(col("comp"), coalesce(col("ncomp"), col("comp")))
-      val next = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), newComp.as("comp"), (newComp < col("comp")).as("_changed"))
+      // One shuffle-join + one aggregation per round: neighbor labels arrive
+      // as messages (src's comp addressed to dst), each node's own label
+      // rides along as a self-message, and min() over both is the update.
+      // The fixpoint witness rides the same aggregation — new < old, where
+      // old is the self-message — so convergence costs a narrow scan of the
+      // just-checkpointed blocks, not another join (the previous shape
+      // joined neighbor-mins back against labels every round: two joins).
+      val msgs = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("_nid"), col("comp"), lit(false).as("_self"))
+        .unionByName(labels.select(col("id").as("_nid"), col("comp"), lit(true).as("_self")))
+      val next = msgs.groupBy(col("_nid"))
+        .agg(min(col("comp")).as("comp"), min(when(col("_self"), col("comp"))).as("_old"))
+        .select(col("_nid").as("id"), col("comp"), (col("comp") < col("_old")).as("_changed"))
         .localCheckpoint(true)
       converged = next.filter(col("_changed")).isEmpty
       labels = next.select("id", "comp")
@@ -254,8 +271,12 @@ object Dedup {
       throw new IllegalStateException(
         s"clusters() did not converge in $maxRounds rounds; a component has " +
           s"diameter > $maxRounds — raise maxRounds")
-    labels.withColumn("keep", col("id") === col("comp"))
-      .select(col("id"), col("comp").as("cluster"), col("keep"))
+    // Stitch the full corpus back: nodes with no incident edge are their own
+    // singleton cluster. One join, after the loop — never inside it.
+    all.select(col(idCol).as("id"))
+      .join(labels.withColumnRenamed("comp", "_comp"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_comp"), col("id")).as("cluster"))
+      .withColumn("keep", col("id") === col("cluster"))
   }
 
   /** Banded hyperplane-LSH embedding near-dup pairs — the scale path.
