@@ -320,6 +320,41 @@ object Dedup {
       .filter(col("cos") >= thr)
   }
 
+  /** Semantic deduplication — the SemDeDup recipe (Abbas et al., 2023,
+    * arXiv:2303.09540): k-means the embedding space into cells, then look
+    * for near-duplicates ONLY within each cell, pruning every document
+    * that has a lower-id near-dup in its cell. Clustering makes the
+    * quadratic step local: total pair work is Σ|cell|² ≈ n²/k, so `k` is
+    * the scale knob — size it so n/k stays a constant target cell size
+    * (same rule as [[graft.operators.Similarity.sizedPlanes]]), and the
+    * within-cell join cost per cell stays flat as the corpus grows. For
+    * cells that are still degenerate (a hot semantic cluster), route the
+    * within-cell step through [[embeddingPairsLsh]] instead of raising k.
+    *
+    * Clustering is [[graft.operators.Similarity.kmeans]] (deterministic
+    * seeds, `iters` Lloyd rounds); the within-cell check is an equi-join
+    * on the cell id — never a cross product. Cosine ≥ `thr` marks a
+    * near-dup (the paper prunes at 1-ε; `thr` = 1-ε).
+    *
+    * Output: one row per input — (idCol, cell, keep); keep = false iff a
+    * lower-id near-dup shares the cell ("keep one representative per
+    * duplicate set" with the library's canonical min-id convention).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, thr: Double, salt: String = ""): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val asg = Similarity.kmeansAssign(df, idCol, vecCol, k, iters, salt)
+      .localCheckpoint(true) // the assignment feeds both join sides + output
+    val dups = asg.as("x")
+      .join(asg.as("y"), col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(GraftExpressions.cosineSim(col("x._v"), col("y._v")), 6) >= thr)
+      .select(col("y.vec_id").as("vec_id")).distinct()
+      .withColumn("_dup", lit(true))
+    asg.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id").as(idCol), col("cell"),
+        not(coalesce(col("_dup"), lit(false))).as("keep"))
+  }
+
   /** Exact embedding-cosine near-dup pairs: the all-pairs oracle baseline,
     * deliberately O(n²) — [[embeddingPairsLsh]] is the scale path. Guarded:
     * refuses inputs past `maxRows` so the cartesian can't be reached by

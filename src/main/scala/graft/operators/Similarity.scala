@@ -135,6 +135,74 @@ object Similarity {
     * oracle shape, more probes trade a linear cost increase for recall.
     * Output: query_id, cell, rank, neighbor_id, cos.
     */
+  /** Spherical k-means (Lloyd's algorithm, cosine assignment) with fully
+    * deterministic seeding — the clustering front of semantic dedup
+    * ([[Dedup.semanticDedup]]) and of IVF index building.
+    *
+    * Seeds are the `k` vectors FIRST IN SCRAMBLED-HASH ORDER of the salted
+    * id (the q28 take: polyHash alone is order-preserving for short keys,
+    * so it is post-multiplied mod a prime — a bijection that shuffles
+    * order): an unbiased, layout-independent, oracle-mirrorable pick,
+    * where "first k ids" would correlate with insertion order. The pick
+    * is a distributed TakeOrdered (never a global sort); only the k
+    * seed rows see a window.
+    *
+    * Each iteration: (1) assignment — corpus × broadcast(centroids)
+    * collapses map-side via `max_by` (the s04 plan shape: one reduced row
+    * per vector reaches the shuffle, no per-vector sort; ties broken by
+    * smallest centroid label); (2) update — per-(cell, dim) `avg` partial
+    * aggregation reassembled into centroid vectors. Centroids (k rows)
+    * are checkpointed per iteration so the plan stays bounded for large
+    * `iters` (the d06 lineage lesson). Empty cells drop out, exactly as
+    * they do in the SQL mirror. After `iters` update rounds a final
+    * assignment against the last centroids is returned.
+    *
+    * Output: (idCol, cell) — every input row assigned to one cell.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, salt: String = ""): DataFrame =
+    kmeansAssign(df, idCol, vecCol, k, iters, salt)
+      .select(col("vec_id").as(idCol), col("cell"))
+
+  /** [[kmeans]] keeping the vector column — (vec_id, cell, _v) — so
+    * downstream within-cell work (semantic dedup) avoids a re-join.
+    */
+  private[operators] def kmeansAssign(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, iters: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(iters >= 0, "iters must be >= 0")
+    GraftExpressions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+    val h = pmod(
+      GraftExpressions.polyHash(concat(lit(salt), col("vec_id").cast("string"))) * lit(2654435761L),
+      lit(1000000007L))
+    // distributed top-k by scrambled hash; the k survivors get labels
+    // 0..k-1 in the same order (a window over k rows, not the corpus)
+    val seedW = Window.orderBy(col("_h"), col("vec_id"))
+    var cents = e.select(col("vec_id"), VectorFunctions.toDouble(col("_v")).as("cv"), h.as("_h"))
+      .orderBy(col("_h"), col("vec_id")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("long").as("clabel"), col("cv"))
+      .localCheckpoint(true)
+    def assign(cs: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cs))
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("clabel").as("cell"), col("_v").as("v")),
+          struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
+            negate(col("clabel")).as("negl"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("_v"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cell").as("clabel"), posexplode(col("_v")).as(Seq("i", "x")))
+        .groupBy("clabel", "i").agg(avg(col("x").cast("double")).as("c"))
+        .groupBy("clabel")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          p => p.getField("c")).as("cv"))
+        .localCheckpoint(true)
+    }
+    assign(cents)
+  }
+
   def ivfKnn(df: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
       isQuery: Column, k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")

@@ -238,5 +238,50 @@ object Dedup {
       .orderBy("new_id", "other_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27)
+  private val SemK = 8      // k-means cells (scale knob: size so n/k is constant)
+  private val SemIters = 1  // Lloyd update rounds (unrolled in the oracle)
+  private val SemDim = 64   // embedding dimensionality (centroid reassembly)
+
+  /** d09: SemDeDup semantic dedup — deterministic spherical k-means
+    * (scrambled-hash seeds, one Lloyd round, both unrolled in the oracle
+    * as seed → assign → centroid-update → assign CTEs), then a within-cell
+    * cosine check pruning every vector with a lower-id near-dup in its
+    * cell. Assignment ranks on the bit-identical cosine fold (the s04
+    * precedent); centroid averages follow the s03/s04 avg parity.
+    */
+  val d09 = QueryDef(
+    "d09_semantic_dedup",
+    s"""WITH k0 AS (SELECT vec_id, embedding,
+       |              'sem:' || CAST(vec_id AS VARCHAR) AS kk FROM embeddings),
+       |h AS (SELECT vec_id, embedding,
+       |        (${Sig.sqlPolyHashStr("kk")} * 2654435761) % 1000000007 AS hh
+       |      FROM k0),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS BIGINT) AS clabel,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT $SemK)),
+       |a1 AS (SELECT vec_id, embedding, clabel AS cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+       |c1 AS (SELECT clabel, list(c ORDER BY i) AS cv FROM (
+       |  SELECT cell AS clabel, r.i AS i, avg(CAST(embedding[r.i + 1] AS DOUBLE)) AS c
+       |  FROM a1 CROSS JOIN range(0, $SemDim) r(i) GROUP BY 1, 2) GROUP BY clabel),
+       |a2 AS (SELECT vec_id, embedding, clabel AS cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+       |d AS (SELECT DISTINCT y.vec_id FROM a2 x JOIN a2 y
+       |        ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |      WHERE round(${sqlCosine("x.embedding", "y.embedding")}, 6) >= $CosThr)
+       |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+       |FROM a2 a LEFT JOIN d ON a.vec_id = d.vec_id
+       |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+    Ops.semanticDedup(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        SemK, SemIters, CosThr, "sem:")
+      .orderBy("vec_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09)
 }

@@ -122,4 +122,66 @@ class SimilarityOpsSuite extends SparkSpec {
     val mean = sizes.sum.toDouble / sizes.length
     assert(mean >= 2 && mean <= 32, s"mean occupied-bucket size $mean should track target 8")
   }
+
+  /** Two well-separated direction blobs for the spherical-k-means tests:
+    * members of a blob have pairwise cosine ~1, across blobs ~orthogonal.
+    */
+  private def blobs(perBlob: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(7)
+    def near(base: Array[Float], id: Long) =
+      (id, base.map(x => x + rnd.nextFloat() * 0.01f))
+    val b1 = Array.fill(16)(0f).updated(0, 1f).updated(1, 0.2f)
+    val b2 = Array.fill(16)(0f).updated(8, 1f).updated(9, -0.3f)
+    (0 until perBlob).map(i => near(b1, i.toLong)) ++
+      (0 until perBlob).map(i => near(b2, (100 + i).toLong))
+  }
+
+  test("kmeans separates direction blobs and assigns every row") {
+    import spark.implicits._
+    val df = blobs(20).toDF("vec_id", "embedding")
+    val asg = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(asg.size == 40, "every input row gets exactly one cell")
+    val cells1 = (0L until 20L).map(asg).toSet
+    val cells2 = (100L until 120L).map(asg).toSet
+    assert(cells1.size == 1 && cells2.size == 1, "each blob lands in one cell")
+    assert(cells1 != cells2, "the blobs land in different cells")
+  }
+
+  test("kmeans assignment is layout-independent (repartition invariance)") {
+    import spark.implicits._
+    val df = blobs(15).toDF("vec_id", "embedding")
+    val a = Similarity.kmeans(df, "vec_id", "embedding", 3, 1)
+      .as[(Long, Long)].collect().toMap
+    val b = Similarity.kmeans(df.repartition(7), "vec_id", "embedding", 3, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "deterministic seeds + argmax assignment: layout cannot matter")
+  }
+
+  test("kmeans tolerates k larger than the corpus (fewer seeds, no crash)") {
+    import spark.implicits._
+    val df = blobs(2).toDF("vec_id", "embedding") // 4 vectors, k = 9
+    val asg = Similarity.kmeans(df, "vec_id", "embedding", 9, 1)
+      .as[(Long, Long)].collect()
+    assert(asg.length == 4)
+  }
+
+  test("semanticDedup prunes lower-id near-dups within a cell only") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // blob members are pairwise near-identical (cos ~ 1): within each
+    // cell only the smallest id survives a tight threshold
+    val df = blobs(5).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDedup(df, "vec_id", "embedding",
+        k = 2, iters = 1, thr = 0.999)
+      .select("vec_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 10, "one output row per input row")
+    assert(got(0L) && got(100L), "cell-minimum ids are kept")
+    assert((1L until 5L).forall(!got(_)), "blob-1 near-dups pruned")
+    assert((101L until 105L).forall(!got(_)), "blob-2 near-dups pruned")
+    // a loose-enough k-means cut with an impossible threshold prunes nothing
+    val none = Dedup.semanticDedup(df, "vec_id", "embedding", 2, 1, thr = 1.1)
+      .filter(!col("keep")).count()
+    assert(none == 0)
+  }
 }
