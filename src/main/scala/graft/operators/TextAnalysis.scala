@@ -151,6 +151,57 @@ object TextAnalysis {
         Rounding.mirrorRound(col("_top") * 1.0 / col("_n"), 4).as("top_word_frac"))
   }
 
+  /** Corpus-LM document scoring — the CCNet-style "how surprising is this
+    * document under a language model of the (reference) corpus?" quality
+    * signal, with a bigram model with add-one smoothing standing in for
+    * the external 5-gram KenLM (which would be a model artifact
+    * distributed via Artifacts at deploy): P(w2|w1) =
+    * (c(w1 w2) + 1) / (c(w1 ·) + V). Output: idCol, n_bigrams, avg_logp —
+    * the mean natural-log probability per bigram (more negative = more
+    * surprising; CCNet keeps the middle of the distribution). Documents
+    * with fewer than 2 tokens score null with n_bigrams = 0.
+    *
+    * Two passes, all join-based: (1) model build over `ref` (defaults to
+    * `df` itself) — bigram counts, context counts, and the vocabulary
+    * size, each a partial-aggregated groupBy whose shuffle key is the
+    * token pair, never the text; (2) scoring — the document bigrams
+    * equi-join the model tables (left joins, so scoring a corpus against
+    * a DIFFERENT reference handles unseen bigrams/contexts via the
+    * smoothing floor 1/(c1 + V)). At 100 TB the model tables are
+    * shuffle-join sides keyed by (w1, w2)/(w1) — broadcastable when the
+    * reference is a curated subset.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String,
+      ref: Option[DataFrame] = None): DataFrame = {
+    def bigrams(in: DataFrame, id: org.apache.spark.sql.Column): DataFrame = {
+      val toks = tokens(col(textCol))
+      val nb = greatest(size(toks) - 1, lit(0))
+      in.select(id.as("_id"),
+          explode(zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+        .select(col("_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    }
+    val refDf = ref.getOrElse(df)
+    val rbg = bigrams(refDf, col(idCol))
+    val bc = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val cc = rbg.groupBy("w1").agg(count(lit(1)).as("_c1"))
+    val v = refDf.select(explode(tokens(col(textCol))).as("_tok"))
+      .agg(countDistinct("_tok").as("_v"))
+    val scored = bigrams(df, col(idCol))
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(cc, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("_id"),
+        log((coalesce(col("_c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("_c1"), lit(0L)) + col("_v"))).as("_lp"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("_nb"), avg("_lp").as("_avg"))
+    df.select(col(idCol)).join(scored, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nb"), lit(0L)).as("n_bigrams"),
+        col("_avg").as("avg_logp"))
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

@@ -152,5 +152,33 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** t11: corpus-bigram-LM document scoring (the CCNet perplexity-filter
+    * shape): add-one-smoothed P(w2|w1) trained on the corpus itself,
+    * mean ln-probability per document. Counts are integers (exact on
+    * both engines); the only floats are the final division + ln, whose
+    * libm ulp differences sit ~1e-15, far under the 1e-9 gate.
+    */
+  val t11 = QueryDef(
+    "t11_bigram_lm",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |          i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b FROM t),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |cc AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(toks) AS tok FROM t)),
+       |sc AS (SELECT g.doc_id,
+       |         ln((coalesce(bc.c12, 0) + 1.0) / (coalesce(cc.c1, 0) + v.v)) AS lp
+       |       FROM bg g LEFT JOIN bc ON g.w1 = bc.w1 AND g.w2 = bc.w2
+       |         LEFT JOIN cc ON g.w1 = cc.w1 CROSS JOIN v),
+       |agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logp
+       |        FROM sc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.bigramLm(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }

@@ -151,4 +151,33 @@ class DedupOpsSuite extends SparkSpec {
       (2L, 4L, 0.0, 0.0, 0.25),
       (3L, 1L, 0.0, 0.0, 1.0)))
   }
+
+  test("bigramLm: exact smoothed scores; short docs null; unseen floors") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // ref corpus: bigrams (a,b)x2, (b,a)x1; contexts a->2, b->1; V=2
+    val ref = Seq((10L, "a b a b")).toDF("id", "text")
+    val df = Seq(
+      (1L, "a b"),   // seen: ln((2+1)/(2+2))
+      (2L, "b a"),   // seen: ln((1+1)/(1+2))
+      (3L, "a z"),   // unseen bigram, seen context: ln(1/(2+2))
+      (4L, "z q"),   // unseen context: smoothing floor ln(1/(0+2))
+      (5L, "x")      // single token: no bigrams -> null score
+    ).toDF("id", "text")
+    val got = TextAnalysis.bigramLm(df, "id", "text", ref = Some(ref))
+      .orderBy("id")
+      .select("id", "n_bigrams", "avg_logp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    assert(got(0) == ((1L, 1L, Some(math.log(3.0 / 4)))))
+    assert(got(1) == ((2L, 1L, Some(math.log(2.0 / 3)))))
+    assert(got(2) == ((3L, 1L, Some(math.log(1.0 / 4)))))
+    assert(got(3) == ((4L, 1L, Some(math.log(1.0 / 2)))))
+    assert(got(4) == ((5L, 0L, None)))
+    // self-trained scoring: every bigram seen, scores strictly negative
+    val self = TextAnalysis.bigramLm(ref, "id", "text")
+      .select("avg_logp").as[Double].collect()
+    assert(self.length == 1 && self.head < 0)
+  }
 }
