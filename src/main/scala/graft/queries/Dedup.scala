@@ -180,7 +180,7 @@ object Dedup {
     "q21_decontaminate",
     s"""$sqlShingleCte,
        |k AS (SELECT doc_id, 'contam:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
-       |m AS (SELECT doc_id, ${Sig.sqlPolyHashStr("kk")} % 100 < $ContamTestPct AS is_test
+       |m AS (SELECT doc_id, ((${Sig.sqlPolyHashStr("kk")} * 2654435761) % 1000000007) % 100 < $ContamTestPct AS is_test
        |      FROM k),
        |ex AS (SELECT s.doc_id, unnest(sh) AS shingle FROM s),
        |tr AS (SELECT doc_id, shingle FROM (
@@ -212,7 +212,7 @@ object Dedup {
     "q27_incremental_dedup",
     s"""$sqlShingleCte,
        |k AS (SELECT doc_id, 'inc:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
-       |m AS (SELECT doc_id, ${Sig.sqlPolyHashStr("kk")} % 100 < $IncNewPct AS is_new
+       |m AS (SELECT doc_id, ((${Sig.sqlPolyHashStr("kk")} * 2654435761) % 1000000007) % 100 < $IncNewPct AS is_new
        |      FROM k),
        |s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
        |bn AS (SELECT s2.doc_id, unnest(${Sig.sqlBandKeys("sh")}) AS bk

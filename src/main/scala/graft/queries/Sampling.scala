@@ -20,11 +20,18 @@ object Sampling {
   private def sqlPolyHash(c: String): String =
     graft.functions.Signatures.sqlPolyHashStr(c)
 
+  /** DuckDB mirror of [[graft.operators.Sampling.hashBucket]]'s scrambled
+    * hash (before the `% buckets`): the order-shuffling bijection that
+    * makes bucket thresholds fair for structured key families.
+    */
+  private def sqlScram(c: String): String =
+    s"((${sqlPolyHash(c)} * 2654435761) % 1000000007)"
+
   val q19 = QueryDef(
     "q19_hash_split",
     s"""WITH k AS (SELECT doc_id, 'split:' || CAST(doc_id AS VARCHAR) AS kk
        |           FROM documents),
-       |b AS (SELECT doc_id, ${sqlPolyHash("kk")} % 100 AS bucket FROM k)
+       |b AS (SELECT doc_id, ${sqlScram("kk")} % 100 AS bucket FROM k)
        |SELECT doc_id,
        |  CASE WHEN bucket < 80 THEN 'train'
        |       WHEN bucket < 90 THEN 'val'
@@ -40,7 +47,7 @@ object Sampling {
     s"""WITH k AS (SELECT doc_id, 's1:' || CAST(doc_id AS VARCHAR) AS kk
        |           FROM documents)
        |SELECT doc_id FROM k
-       |WHERE ${sqlPolyHash("kk")} % 100 < 37
+       |WHERE ${sqlScram("kk")} % 100 < 37
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Ops.sample(Tables(s, dir, "documents"), "doc_id", pct = 37, salt = "s1:")
       .select("doc_id").orderBy("doc_id")
@@ -62,8 +69,8 @@ object Sampling {
        |  SELECT doc_id, 'pack:' || CAST(doc_id AS VARCHAR) AS kk,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
        |  FROM documents),
-       |d AS (SELECT doc_id, ${sqlPolyHash("kk")} % $PackShards AS shard, n,
-       |        row_number() OVER (PARTITION BY ${sqlPolyHash("kk")} % $PackShards
+       |d AS (SELECT doc_id, ${sqlScram("kk")} % $PackShards AS shard, n,
+       |        row_number() OVER (PARTITION BY ${sqlScram("kk")} % $PackShards
        |                           ORDER BY doc_id) AS rn
        |      FROM k),
        |p(shard, rn, doc_id, n, pack, fill, pos) AS (
@@ -97,7 +104,7 @@ object Sampling {
        |  'strat:' || lang || ':' || CAST(doc_id AS VARCHAR) AS kk
        |  FROM documents)
        |SELECT doc_id, lang FROM k
-       |WHERE ${sqlPolyHash("kk")} % 100 < 25
+       |WHERE ${sqlScram("kk")} % 100 < 25
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Ops.stratifiedSample(Tables(s, dir, "documents"), "doc_id", "lang",
         pct = 25, salt = "strat:")
@@ -122,5 +129,29 @@ object Sampling {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28)
+  /** q29: temperature resampling (data mixing) — per-language keep-rate
+    * (n_min/n_l)^(1-alpha) at alpha = 0.5, membership by the group-salted
+    * hash predicate. sqrt is IEEE-correctly-rounded on both engines, so
+    * the floor()'d per-group threshold — and therefore every row's
+    * membership — is bit-identical.
+    */
+  val q29 = QueryDef(
+    "q29_temperature_sample",
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT min(n) AS nmin FROM c),
+       |r AS (SELECT lang,
+       |        CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * 1000000) AS BIGINT) AS thr
+       |      FROM c CROSS JOIN m),
+       |k AS (SELECT d.doc_id, d.lang,
+       |        'temp:' || d.lang || ':' || CAST(d.doc_id AS VARCHAR) AS kk, r.thr
+       |      FROM documents d JOIN r ON d.lang = r.lang)
+       |SELECT doc_id, lang FROM k
+       |WHERE ${sqlScram("kk")} % 1000000 < thr
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ops.temperatureSample(Tables(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, salt = "temp:")
+      .select("doc_id", "lang").orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29)
 }

@@ -122,4 +122,26 @@ class SamplingSuite extends SparkSpec {
       assert(tot <= 512 || members.size == 1, s"overfull pack: $tot tokens")
     }
   }
+
+  test("temperatureSample: alpha=1 no-op, smallest group intact, counts track n^alpha") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // groups sized 100 / 400 / 1600 (16:4:1)
+    val df = ((0 until 100).map(i => (i.toLong, "small")) ++
+      (0 until 400).map(i => (1000L + i, "mid")) ++
+      (0 until 1600).map(i => (10000L + i, "big"))).toDF("id", "grp")
+    assert(Sampling.temperatureSample(df, "id", "grp", alpha = 1.0).count() == 2100,
+      "alpha = 1 keeps everything")
+    val kept = Sampling.temperatureSample(df, "id", "grp", alpha = 0.5)
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 100, "the smallest group is never downsampled")
+    // expected kept: sqrt(nmin * n) = 200 (mid), 400 (big); hash noise ~ ±1/sqrt(n)
+    assert(kept("mid") > 160 && kept("mid") < 240, s"mid kept ${kept("mid")} ~ 200")
+    assert(kept("big") > 330 && kept("big") < 470, s"big kept ${kept("big")} ~ 400")
+    // membership is permanent and layout-independent
+    val a = Sampling.temperatureSample(df, "id", "grp", 0.5).select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(df.repartition(13), "id", "grp", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }
