@@ -33,11 +33,18 @@ object Sampling {
     * prime is a bijection that shuffles the order (the q28 lesson, now
     * applied to membership); only then is `% buckets` a fair bucket.
     */
-  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
-    require(buckets > 0, "buckets must be positive")
+  /** The scrambled hash itself: polyHash of the salted key, then the
+    * order-shuffling bijection (× large odd constant, mod the prime).
+    * Non-negative; uniform enough to threshold, order by, or bucket.
+    */
+  def scrambledHash(key: Column, salt: String = ""): Column =
     pmod(
       GraftExpressions.polyHash(concat(lit(salt), key.cast("string"))) * lit(2654435761L),
-      lit(1000000007L)) % buckets
+      lit(1000000007L))
+
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
+    require(buckets > 0, "buckets must be positive")
+    scrambledHash(key, salt) % buckets
   }
 
   /** Keep rows whose bucket falls below `pct` of `buckets` — a
@@ -78,17 +85,39 @@ object Sampling {
       salt: String = ""): DataFrame = {
     require(n > 0, "take count must be positive")
     GraftExpressions.register(df.sparkSession)
-    // polyHash alone is ORDER-PRESERVING for short keys (no modular
-    // wraparound: hashes of "s:1".."s:9" are consecutive integers and the
-    // salt only adds a constant) — fine for bucketing, useless as a
-    // shuffle order. Post-multiplying by a large constant mod the prime
-    // is a bijection that scrambles order and makes salts independent.
-    val h = pmod(
-      GraftExpressions.polyHash(concat(lit(salt), col(keyCol).cast("string"))) * lit(2654435761L),
-      lit(1000000007L))
+    // see scrambledHash: raw polyHash order is degenerate for short keys
+    val h = scrambledHash(col(keyCol), salt)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCol).orderBy(h, col(keyCol))
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= n).drop("_rk")
+  }
+
+  /** Deterministic global shuffle into write-ready training shards — the
+    * "shuffle the corpus before training" step, without RNG: every row
+    * gets (shard, shard_pos) from the scrambled hash of its salted key,
+    * so the order is uniform, permanent, layout-independent, and a new
+    * salt ("epoch2") is a fresh decorrelated shuffle. Scale shape: shard
+    * assignment is a narrow map (`hash % shards`); within-shard positions
+    * are a window PER SHARD (parallelism = shards — size `shards` to the
+    * cluster exactly as you size output files); there is no global sort
+    * or global row_number anywhere. Pair with [[graft.sources.Sinks]]
+    * partitioned writes: repartition by shard, sortWithinPartitions by
+    * shard_pos, and each shard lands as one ordered file.
+    *
+    * Output: all input columns + shard (0..shards-1) + shard_pos
+    * (0-based rank within the shard, hash order, key tiebreak).
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, shards: Int,
+      salt: String = ""): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    GraftExpressions.register(df.sparkSession)
+    val h = scrambledHash(col(keyCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", (col("_h") % shards).cast("long"))
+      .withColumn("shard_pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_h")
   }
 
   /** Temperature resampling — the multilingual-pretraining data-mixing

@@ -153,5 +153,24 @@ object Sampling {
       .select("doc_id", "lang").orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29)
+  /** q30: deterministic shuffle-to-shards — the pre-training global
+    * shuffle as (shard, shard_pos) from one scrambled hash: shard
+    * assignment is narrow, positions are a per-shard window (parallel
+    * across shards, no global sort), and re-salting is a fresh epoch
+    * shuffle.
+    */
+  val q30 = QueryDef(
+    "q30_shuffle_shards",
+    s"""WITH k AS (SELECT doc_id, 'ep1:' || CAST(doc_id AS VARCHAR) AS kk
+       |           FROM documents),
+       |h AS (SELECT doc_id, ${sqlScram("kk")} AS h FROM k)
+       |SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard,
+       |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT)
+       |    AS shard_pos
+       |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ops.shuffleShards(Tables(s, dir, "documents"), "doc_id", shards = 8, salt = "ep1:")
+      .select("doc_id", "shard", "shard_pos").orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30)
 }

@@ -24,4 +24,20 @@ object Sinks {
 
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Write-ready training shards: rows carrying (shardCol, posCol) — e.g.
+    * [[graft.operators.Sampling.shuffleShards]] output — land as one
+    * `shardCol=N` directory per shard, each holding ONE file whose row
+    * order is the shard's position order (repartition by shard gives one
+    * task per shard; sortWithinPartitions makes the task's file ordered;
+    * parquet preserves in-file row order). A training job reads shard
+    * directories independently and streams rows in shuffle order.
+    */
+  def trainingShards(df: DataFrame, path: String, shardCol: String = "shard",
+      posCol: String = "shard_pos", mode: SaveMode = SaveMode.Overwrite): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode(mode).partitionBy(shardCol).parquet(path)
+  }
 }

@@ -144,4 +144,30 @@ class SamplingSuite extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("shuffleShards: partition of the input, dense per-shard positions, epoch decorrelation") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = (0 until 800).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    val s1 = Sampling.shuffleShards(df, "id", shards = 8, salt = "ep1:")
+      .select("id", "shard", "shard_pos").as[(Long, Long, Long)].collect()
+    assert(s1.length == 800, "every row is assigned, none duplicated")
+    assert(s1.map(_._2).toSet.subsetOf((0L until 8L).toSet))
+    // positions are dense 0..n-1 within each shard
+    s1.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // contiguous ids spread across shards (the scramble at work)
+    val sizes = s1.groupBy(_._2).view.mapValues(_.length).values.toSeq
+    assert(sizes.min > 50, s"shards roughly balanced: $sizes")
+    // layout independence
+    val s1b = Sampling.shuffleShards(df.repartition(11), "id", 8, "ep1:")
+      .select("id", "shard", "shard_pos").as[(Long, Long, Long)].collect()
+    assert(s1.sortBy(_._1).toSeq == s1b.sortBy(_._1).toSeq)
+    // a new salt is a fresh, decorrelated epoch shuffle
+    val s2 = Sampling.shuffleShards(df, "id", 8, "ep2:")
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val sameShard = s1.count(r => s2(r._1) == r._2)
+    assert(sameShard < 300, s"epochs decorrelated: $sameShard/800 kept their shard")
+  }
 }

@@ -24,4 +24,24 @@ class SinksSuite extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
     assert(en.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("trainingShards: one ordered file per shard directory") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+    val sharded = graft.operators.Sampling.shuffleShards(df, "id", shards = 4, salt = "w:")
+    val tmp = Files.createTempDirectory("graft-shards").toString
+    Sinks.trainingShards(sharded, s"$tmp/out")
+    val shardDirs = new java.io.File(s"$tmp/out").listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: one file per shard, got ${files.length}")
+      // parquet preserves in-file row order: the shard streams in shuffle order
+      val pos = spark.read.parquet(files.head.getPath).select("shard_pos").as[Long].collect()
+      assert(pos.toSeq == (0L until pos.length).toSeq, s"${d.getName} not in position order")
+    }
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 500)
+  }
 }
