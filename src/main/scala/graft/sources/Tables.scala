@@ -46,4 +46,24 @@ object Tables {
 
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
+
+  /** Text corpus: one row per line (`value`), the raw-crawl entry point.
+    * `wholeFile = true` reads one row per FILE instead (document-per-file
+    * corpora); at scale pair with a small-files compaction pass — a
+    * billion tiny files is a listing problem before it is a read problem.
+    */
+  def text(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
+  /** Multimodal payload ingest: Spark's `binaryFile` source — one row per
+    * file with (path, modificationTime, length, content: binary), the
+    * front door for image/audio/video directories feeding
+    * [[graft.operators.Multimodal]] decode stages (m01's binary+metadata
+    * shape straight from storage). `glob` prunes at LISTING time
+    * (pathGlobFilter), so `*.jpg` never reads the `.json` sidecars.
+    * Files larger than `spark.sql.sources.binaryFile.maxLength` (int max)
+    * fail fast — shard long videos upstream.
+    */
+  def binaryFiles(spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
 }

@@ -33,4 +33,31 @@ class SourcesSuite extends SparkSpec {
     assert(ev.schema("ts").dataType.typeName == "timestamp")
     assert(ev.count() > 0)
   }
+
+  test("text reader: line mode and whole-file mode") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-text")
+    java.nio.file.Files.write(tmp.resolve("a.txt"), "one\ntwo\nthree".getBytes)
+    java.nio.file.Files.write(tmp.resolve("b.txt"), "four".getBytes)
+    assert(Tables.text(spark, tmp.toString).count() == 4)
+    val whole = Tables.text(spark, tmp.toString, wholeFile = true)
+    assert(whole.count() == 2)
+    assert(whole.collect().map(_.getString(0)).toSet == Set("one\ntwo\nthree", "four"))
+  }
+
+  test("binaryFiles: payload + metadata rows, glob prunes at listing time") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bin")
+    val payload = Array[Byte](0xFF.toByte, 0xD8.toByte, 1, 2, 3)
+    java.nio.file.Files.write(tmp.resolve("x.jpg"), payload)
+    java.nio.file.Files.write(tmp.resolve("x.json"), "{\"caption\":\"hi\"}".getBytes)
+    val all = Tables.binaryFiles(spark, tmp.toString)
+    assert(all.count() == 2)
+    val jpgs = Tables.binaryFiles(spark, tmp.toString, glob = "*.jpg")
+    val rows = jpgs.select("path", "length", "content").collect()
+    assert(rows.length == 1, "sidecar json pruned by the listing-time glob")
+    assert(rows.head.getLong(1) == 5L)
+    assert(rows.head.getAs[Array[Byte]](2).toSeq == payload.toSeq)
+    // the binary source feeds the m01 shape directly: payload magic routing
+    assert(jpgs.filter(col("length") > 0).count() == 1)
+  }
 }
