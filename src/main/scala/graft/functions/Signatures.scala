@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object Signatures {
   val P: Long = TextFunctions.P // 1e9+7
   val B: Long = 1000003L        // token-hash combiner base
+  val B2: Long = 1000033L       // independent second base (span-key pairs)
 
   val NumMinhash = 32
   val BandRows = 4  // 8 bands x 4 rows
@@ -58,6 +59,27 @@ object Signatures {
   def minhashSig(sh: Column): Column =
     array((0 until NumMinhash).map(k =>
       array_min(transform(sh, h => (h * minA(k) + minB(k)) % P))): _*)
+
+  /** Positioned n-gram span keys over token-hash column `th`: element at
+    * 0-based index s is a struct of TWO independent polynomial folds of
+    * th(s..s+n-1) (combiner bases [[B]] and [[B2]], same modulus [[P]]).
+    * One fold mod 1e9+7 collides at corpus scale (birthday bound ≈ √P
+    * distinct grams ≈ 30k); the PAIR has ~2^60 effective space, so span
+    * join/shuffle keys stay 16 bytes with negligible collision odds at
+    * 100 TB — the reason the scrub never shuffles gram STRINGS. Empty
+    * array when the document has fewer than n tokens.
+    */
+  def spanKeys(th: Column, n: Int): Column = {
+    require(n >= 2, "span length must be >= 2")
+    def fold(base: Long)(s: Column): Column =
+      (1 until n).foldLeft(element_at(th, s + 1)) { (acc, k) =>
+        (acc * base + element_at(th, s + k + 1)) % P
+      }
+    when(size(th) >= n,
+      transform(sequence(lit(0), size(th) - n), s =>
+        struct(fold(B)(s).as("h1"), fold(B2)(s).as("h2"))))
+      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
+  }
 
   /** LSH band keys: one string per band, prefixed with the band index so a
     * single equi-join column suffices.
@@ -111,6 +133,14 @@ object Signatures {
        | range(1, len($th)-1),
        | i -> (($th[i]*$B + $th[i+1]) % $P * $B + $th[i+2]) % $P))
        | ELSE CAST([] AS BIGINT[]) END""".stripMargin.replace("\n", "")
+
+  /** DuckDB mirror of one [[spanKeys]] fold at 0-based start expression `s`
+    * over token-hash list column `th` (1-based list indexing).
+    */
+  def sqlSpanFold(th: String, s: String, n: Int, base: Long): String =
+    (1 until n).foldLeft(s"$th[$s+1]") { (acc, k) =>
+      s"(($acc)*$base + $th[$s+${k + 1}]) % $P"
+    }
 
   /** list of band-key strings over shingle-hash column `sh` */
   def sqlBandKeys(sh: String): String = {

@@ -207,6 +207,62 @@ object Dedup {
     train.join(flagged, train(idCol) === flagged("train_id"), "left_anti")
   }
 
+  /** Duplicated-span scrub — the ExactSubstr shape (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) re-expressed relationally: instead of a suffix
+    * array over the concatenated corpus, every length-`n` token window
+    * gets a 16-byte span key ([[graft.functions.Signatures.spanKeys]]:
+    * two independent polynomial folds of the token hashes), windows whose
+    * key occurs at least `minCount` times ANYWHERE in the corpus
+    * (including self-repeats within one document — the paper's semantics)
+    * mark their `n` token positions as duplicated, and the scrub drops
+    * exactly the covered positions, keeping the rest of the document in
+    * order.
+    *
+    * Scale shape: span keys are narrow map-side work; the occurrence
+    * count is a partial-aggregation `groupBy` on the 16-byte key (hot
+    * boilerplate spans combine map-side — the reason this is not a
+    * window, which has no partial agg); flagged windows come back via a
+    * left-semi equi-join on the same key (AQE's skew-join splits any
+    * mega-hot span); per-document coverage is a `collect_set` of window
+    * starts bounded by the document's own length; the scrub itself is a
+    * narrow array expression. Nothing driver-side, no gram strings on
+    * the wire.
+    *
+    * Output: idCol, n_tokens, dup_tokens (positions covered by some
+    * duplicated window), dup_frac (4 dp), scrubbed (uncovered tokens
+    * joined by ' '; '' when fully covered).
+    */
+  def spanScrub(df: DataFrame, idCol: String, textCol: String, n: Int = 8,
+      minCount: Int = 2): DataFrame = {
+    require(n >= 2, "span length must be >= 2")
+    require(minCount >= 2, "minCount must be >= 2 (1 would scrub everything)")
+    GraftExpressions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("_gid"), tokens(col(textCol)).as("_toks"))
+    val withTh = base.select(col("_gid"), col("_toks"), Sig.tokenHashes(col("_toks")).as("_th"))
+    def grams =
+      withTh.select(col("_gid"), posexplode(Sig.spanKeys(col("_th"), n)).as(Seq("s", "g")))
+        .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    val dup = grams.groupBy("h1", "h2").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount)
+      .select("h1", "h2")
+    val dupStarts = grams.join(dup, Seq("h1", "h2"), "left_semi")
+      .groupBy("_gid").agg(collect_set(col("s")).as("_starts"))
+    val covered = array_distinct(flatten(transform(col("_starts"), s =>
+      sequence(s, s + n - 1))))
+    withTh.join(dupStarts, Seq("_gid"), "left")
+      .select(col("_gid"), col("_toks"),
+        coalesce(col("_starts"), array().cast("array<int>")).as("_starts"))
+      .select(col("_gid").as(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        covered.as("_cov"), col("_toks"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("_cov")).cast("long").as("dup_tokens"),
+        Rounding.mirrorRound(size(col("_cov")) * 1.0 / col("n_tokens"), 4).as("dup_frac"),
+        concat_ws(" ",
+          filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))).as("scrubbed"))
+  }
+
   /** Duplicate clusters from a near-dup pair set: connected components via
     * iterative min-label propagation — the standard way to turn pairwise
     * LSH hits into dedup groups at scale (a Ray/driver union-find would

@@ -283,5 +283,47 @@ object Dedup {
       .orderBy("vec_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09)
+  private val SpanN = 8        // duplicated-span window length (tokens)
+  private val SpanMinCount = 2 // occurrences anywhere in the corpus to flag
+
+  /** q31: duplicated-span scrub (the ExactSubstr shape, Lee et al. 2022) —
+    * every 8-token window occurring >= 2 times in the corpus marks its
+    * positions duplicated; the scrub keeps exactly the uncovered tokens in
+    * order. Both engines compute the identical 16-byte span-key pair
+    * (two polynomial folds over the shared token hashes), so flagged
+    * windows — and the scrubbed text — match byte for byte.
+    */
+  val q31 = QueryDef(
+    "q31_span_scrub", {
+      val f1 = Sig.sqlSpanFold("th", "s", SpanN, Sig.B)
+      val f2 = Sig.sqlSpanFold("th", "s", SpanN, Sig.B2)
+      s"""WITH t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
+         |h AS (SELECT doc_id, toks, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
+         |g0 AS (SELECT doc_id, unnest(range(0, len(th) - $SpanN + 1)) AS s, th FROM h),
+         |g AS (SELECT doc_id, s, $f1 AS h1, $f2 AS h2 FROM g0),
+         |dupg AS (SELECT h1, h2 FROM g GROUP BY h1, h2
+         |         HAVING count(*) >= $SpanMinCount),
+         |ds AS (SELECT DISTINCT g.doc_id, g.s FROM g JOIN dupg USING (h1, h2)),
+         |cov0 AS (SELECT doc_id, unnest(range(s, s + $SpanN)) AS p FROM ds),
+         |cov AS (SELECT DISTINCT doc_id, p FROM cov0),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY 1),
+         |tok0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t),
+         |tok AS (SELECT doc_id, p, toks[p + 1] AS tk FROM tok0),
+         |unc AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+         |        WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                          WHERE c.doc_id = k.doc_id AND c.p = k.p)),
+         |sc AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS scrubbed
+         |       FROM unc GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(cnt.c, 0) AS BIGINT) AS dup_tokens,
+         |  ${mr("coalesce(cnt.c, 0) * 1.0 / len(toks)", 4)} AS dup_frac,
+         |  coalesce(sc.scrubbed, '') AS scrubbed
+         |FROM t LEFT JOIN cnt USING (doc_id) LEFT JOIN sc USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+    Ops.spanScrub(Tables(s, dir, "documents"), "doc_id", "text",
+      n = SpanN, minCount = SpanMinCount).orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31)
 }

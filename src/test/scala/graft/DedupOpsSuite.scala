@@ -180,4 +180,64 @@ class DedupOpsSuite extends SparkSpec {
       .select("avg_logp").as[Double].collect()
     assert(self.length == 1 && self.head < 0)
   }
+
+  test("spanScrub removes exactly the tokens covered by duplicated windows") {
+    import spark.implicits._
+    // Docs 1 and 2 share the 4-token run "a b c d" (positions 1-4 in doc 1,
+    // 0-3 in doc 2); every other token is unique corpus-wide.
+    val df = Seq(
+      (1L, "u1 a b c d u2 u3"),
+      (2L, "a b c d v1 v2"),
+      (3L, "w1 w2 w3 w4 w5")
+    ).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", n = 4, minCount = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 4L, 0.5714, "u1 u2 u3"),
+      (2L, 6L, 4L, 0.6667, "v1 v2"),
+      (3L, 5L, 0L, 0.0, "w1 w2 w3 w4 w5")))
+  }
+
+  test("spanScrub: overlapping duplicated windows merge their coverage") {
+    import spark.implicits._
+    // Docs share a 5-token run; with n=4 two overlapping windows are
+    // duplicated in each doc and their union covers all 5 positions.
+    val df = Seq(
+      (1L, "a b c d e x1"),
+      (2L, "y1 a b c d e")
+    ).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", n = 4, minCount = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 6L, 5L, 0.8333, "x1"),
+      (2L, 6L, 5L, 0.8333, "y1")))
+  }
+
+  test("spanScrub counts self-repeats within one document (paper semantics)") {
+    import spark.implicits._
+    // "a b c d" occurs twice inside doc 1 alone -> both occurrences scrubbed;
+    // a fully-covered doc scrubs to the empty string.
+    val df = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "z1 z2 z3 z4 z5")
+    ).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", n = 4, minCount = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 8L, 8L, 1.0, ""),
+      (2L, 5L, 0L, 0.0, "z1 z2 z3 z4 z5")))
+  }
+
+  test("spanScrub leaves documents shorter than the window untouched") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("id", "text")
+    val got = Dedup.spanScrub(df, "id", "text", n = 4, minCount = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    // identical docs, but no length-4 window exists -> nothing flagged
+    assert(got == Seq((1L, 3L, 0L, 0.0, "a b c"), (2L, 3L, 0L, 0.0, "a b c")))
+  }
 }
