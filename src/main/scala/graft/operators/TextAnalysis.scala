@@ -202,6 +202,62 @@ object TextAnalysis {
         col("_avg").as("avg_logp"))
   }
 
+  /** Hashed linear text classifier — the fastText architecture (bag of
+    * hashed token features → linear layer → threshold) as a narrow column
+    * expression: every token maps to feature bucket hash(token) mod
+    * `dim`, the document score is the MEAN of the bucket weights, and the
+    * label is score > 0. This is the shape of every model-based quality
+    * filter in the curation literature (CCNet's fastText language filter,
+    * the "looks-like-Wikipedia" classifiers gating GPT-3/LLaMA corpora).
+    *
+    * Weights are the swap point. With a trained `weights` table
+    * ((bucket, weight), `dim` rows — a model artifact shipped via
+    * [[graft.api.Artifacts]] at deploy) inference is one explode + one
+    * BROADCAST join + one per-document re-aggregation. With the default
+    * derived table — bucket id scrambled to a deterministic pseudo-random
+    * weight in [-1, 1], the honest stand-in for trained parameters in a
+    * container with no model files — the operator collapses to ONE
+    * narrow whole-stage-codegen expression: zero shuffle, zero join, at
+    * any corpus size. Missing buckets in a supplied table weigh 0.
+    *
+    * Output: idCol, n_tokens, score (6 dp), label (score > 0). Summation
+    * is in token order on both engines (sequential fold), so the oracle
+    * matches bit for bit.
+    */
+  def hashClassifier(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 4096, weights: Option[DataFrame] = None): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    GraftExpressions.register(df.sparkSession)
+    import org.apache.spark.sql.Column
+    val toks = tokens(col(textCol))
+    // Knuth multiplicative scramble (the Sampling.scrambledHash constant):
+    // decorrelates the bucket from hash order, and the weight from the
+    // bucket id.
+    def bucketOf(h: Column): Column = (h * lit(2654435761L)) % P % dim
+    def weightOf(b: Column): Column =
+      (((b + 1) * lit(2654435761L)) % P % 2001 - 1000) / 1000.0
+    weights match {
+      case None =>
+        val ws = transform(graft.functions.Signatures.tokenHashes(toks),
+          h => weightOf(bucketOf(h)))
+        val score = Rounding.mirrorRound(
+          aggregate(ws, lit(0.0), (a, x) => a + x) / size(toks), 6)
+        df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+            score.as("score"))
+          .withColumn("label", col("score") > 0)
+      case Some(w) =>
+        val ex = df.select(col(idCol).as("_id"), explode(toks).as("_tok"))
+          .select(col("_id"), bucketOf(GraftExpressions.polyHash(col("_tok"))).as("bucket"))
+        val sc = ex.join(broadcast(w.select(col("bucket"), col("weight"))), Seq("bucket"), "left")
+          .groupBy("_id")
+          .agg(sum(coalesce(col("weight"), lit(0.0))).as("_s"), count(lit(1)).as("_n"))
+        df.select(col(idCol)).join(sc, col(idCol) === col("_id"))
+          .select(col(idCol), col("_n").as("n_tokens"),
+            Rounding.mirrorRound(col("_s") / col("_n"), 6).as("score"))
+          .withColumn("label", col("score") > 0)
+    }
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

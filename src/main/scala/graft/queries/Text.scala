@@ -180,5 +180,33 @@ object Text {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+  private val ClsDim = 4096 // hashing-trick feature buckets (t12)
+
+  /** t12: hashed linear classifier (the fastText inference shape) with
+    * the derived deterministic weight table — both engines compute the
+    * identical token hash → bucket → weight arithmetic and sum in token
+    * order, so scores (and labels) are bit-identical.
+    */
+  val t12 = QueryDef(
+    "t12_quality_classifier",
+    s"""WITH t AS (SELECT doc_id, ${graft.functions.Signatures.sqlToks} AS toks FROM documents),
+       |h AS (SELECT doc_id, toks,
+       |        ${graft.functions.Signatures.sqlTokenHashes("toks")} AS th FROM t),
+       |w AS (SELECT doc_id, len(toks) AS n,
+       |        list_transform(th, x ->
+       |          (CAST((x * 2654435761 % 1000000007 % $ClsDim + 1)
+       |                * 2654435761 % 1000000007 % 2001 AS BIGINT) - 1000) / 1000.0) AS ws
+       |      FROM h),
+       |s AS (SELECT doc_id, n,
+       |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ws),
+       |                    (a, b) -> a + b) / n AS sc
+       |      FROM w)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  ${mr("sc", 6)} AS score, ${mr("sc", 6)} > 0 AS label
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.hashClassifier(Tables(s, dir, "documents"), "doc_id", "text",
+      dim = ClsDim).orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Generic-surface behaviors of the dedup operators not covered by the
   * oracle queries (which bind numeric ids).
@@ -179,6 +179,35 @@ class DedupOpsSuite extends SparkSpec {
     val self = TextAnalysis.bigramLm(ref, "id", "text")
       .select("avg_logp").as[Double].collect()
     assert(self.length == 1 && self.head < 0)
+  }
+
+  test("hashClassifier: supplied-weights path agrees with the derived table") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "beta beta")).toDF("id", "text")
+    val dim = 64
+    // materialize the SAME derived weight formula as an explicit table —
+    // the broadcast-join inference path must reproduce the narrow path
+    val weights = (0 until dim).map { b =>
+      (b.toLong, (((b + 1) * 2654435761L) % 1000000007L % 2001 - 1000) / 1000.0)
+    }.toDF("bucket", "weight")
+    val narrow = TextAnalysis.hashClassifier(df, "id", "text", dim)
+      .orderBy("id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    val joined = TextAnalysis.hashClassifier(df, "id", "text", dim, Some(weights))
+      .orderBy("id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(narrow == joined)
+    assert(narrow.map(_._2) == Seq(3L, 1L, 2L)) // n_tokens
+    // doc 3 is two copies of one token: score == that token's bucket weight
+    val betaScore = narrow(2)._3
+    assert(betaScore >= -1.0 && betaScore <= 1.0)
+  }
+
+  test("hashClassifier: buckets missing from a supplied table weigh zero") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val empty = Seq.empty[(Long, Double)].toDF("bucket", "weight")
+    val got = TextAnalysis.hashClassifier(df, "id", "text", 64, Some(empty))
+      .as[(Long, Long, Double, Boolean)].collect().head
+    assert(got == ((1L, 3L, 0.0, false)))
   }
 
   test("spanScrub removes exactly the tokens covered by duplicated windows") {
