@@ -44,4 +44,36 @@ class SinksSuite extends SparkSpec {
     val back = spark.read.parquet(s"$tmp/out")
     assert(back.count() == 500)
   }
+
+  test("bucketed tables join with ZERO exchange (co-located join)") {
+    import spark.implicits._
+    val facts = (0 until 2000).map(i => (i.toLong % 100, i.toLong)).toDF("key", "a")
+    val dims = (0 until 1000).map(i => (i.toLong % 100, s"v$i")).toDF("key", "b")
+    val tmp = Files.createTempDirectory("graft-bucketed").toString
+    Sinks.bucketed(facts, "bt_facts", "key", 8, sortCols = Seq("key"),
+      path = Some(s"$tmp/facts"))
+    Sinks.bucketed(dims, "bt_dims", "key", 8, sortCols = Seq("key"),
+      path = Some(s"$tmp/dims"))
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      // disable broadcast so the exchange-free plan is bucketing's doing,
+      // not a small-table special case
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bt_facts").join(spark.table("bt_dims"), "key")
+      val n = j.count()
+      assert(n == 2000L * 10) // 20 fact rows x 10 dim rows per key
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${plan.take(2000)}")
+      // same join WITHOUT bucketing shuffles both sides
+      val raw = facts.join(dims, "key")
+      raw.count()
+      assert(raw.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.sql("DROP TABLE IF EXISTS bt_facts")
+      spark.sql("DROP TABLE IF EXISTS bt_dims")
+    }
+  }
 }
