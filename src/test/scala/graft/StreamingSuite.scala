@@ -79,6 +79,43 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("E3: streaming near-dup flags band collisions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    val textC = "red green blue cyan magenta yellow black white"
+    val src = MemoryStream[(Long, Timestamp, String)]
+    val out = graft.streaming.StreamingNearDup.nearDupFlags(
+      src.toDS(), watermarkDelay = "5 seconds", windowSize = "10 seconds")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      def ts(s: Long) = new Timestamp(s * 1000)
+      src.addData((1L, ts(1), textA), (2L, ts(2), textB))
+      q.processAllAvailable()
+      // doc 3 duplicates doc 1 (all bands collide); doc 4 is novel
+      src.addData((3L, ts(4), textA), (4L, ts(5), textC))
+      q.processAllAvailable()
+      // push the watermark far past the first window to flush the rollup
+      src.addData((99L, ts(1000), "flush flush flush flush"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("doc_id", "near_dup").as[(Long, Boolean)].collect().toMap
+      assert(got(1L) == false, "first arrival owns its bands")
+      assert(got(2L) == false)
+      assert(got(3L) == true, "identical later doc collides on every band")
+      assert(got(4L) == false, "novel doc owns fresh bands")
+      // every emitted doc carries all NumBands band verdicts
+      val nb = spark.table("neardup_out").select("n_bands").as[Long].collect()
+      assert(nb.forall(_ == graft.functions.Signatures.NumBands.toLong))
+    } finally q.stop()
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingNearDup.nearDupFlags(
+        Seq((1L, new Timestamp(0L), "x")).toDS(), "5 seconds")
+    }
+  }
+
   test("custom state: flatMapGroupsWithState incremental sessionization") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
