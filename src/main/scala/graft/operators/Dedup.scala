@@ -335,6 +335,58 @@ object Dedup {
       .withColumn("keep", col("id") === col("cluster"))
   }
 
+  /** End-to-end near-deduplication — the composed corpus output a
+    * pipeline actually ships: MinHash-LSH pairs ([[minhashLshPairs]]) →
+    * connected components ([[clusters]]) → keep one canonical (min-id)
+    * document per duplicate cluster. Returns the SURVIVING input rows
+    * with all their columns (the deduplicated corpus), via one final
+    * left-semi join on the keep set. Each stage's scale shape is its
+    * own: banded equi-join candidates, join-based label propagation,
+    * then a semi-join keyed by id.
+    */
+  def nearDedup(df: DataFrame, idCol: String, textCol: String,
+      thr: Double): DataFrame = {
+    val keep = clusters(df, idCol, minhashLshPairs(df, idCol, textCol, thr))
+      .filter(col("keep")).select(col("id").as("_keep_id"))
+    df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
+  }
+
+  /** Bloom-filter membership gate — the shuffle-free "have we seen this
+    * before?" check against a REFERENCE corpus (blocklists, benchmark
+    * fingerprints, yesterday's curated set). The reference side collapses
+    * to a bloom filter over its content fingerprints (built distributed
+    * via Spark's `stat.bloomFilter` partial aggregation, merged on the
+    * driver, then BROADCAST); the incoming batch is then annotated by a
+    * NARROW `might_contain` scan — no join, no shuffle of either side,
+    * which is the point: an anti-join would shuffle the full batch at
+    * every ingest tick.
+    *
+    * Bloom semantics, stated plainly: NO false negatives (every true
+    * member is flagged), false positives at ~`fpp` (a flagged row may be
+    * novel — route flagged rows to the exact d01 backstop when the
+    * answer must be exact). Size honestly: the filter costs ~1.2 bytes
+    * per expected item at fpp=1% — fine up to reference sets of ~10⁹
+    * fingerprints (≈1.2 GB broadcast); past that, shard the reference
+    * and gate against per-shard blooms, or use the stored band-key index
+    * ([[incrementalMinhashPairs]]) instead.
+    *
+    * Output: every `newDf` row + `probably_seen` (true ⇒ likely in the
+    * reference; false ⇒ DEFINITELY novel).
+    */
+  def bloomSeen(newDf: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    def fp(c: org.apache.spark.sql.Column) = md5(lower(trim(c)).cast("binary"))
+    val items = if (expectedItems > 0) expectedItems
+      else math.max(reference.count(), 1L)
+    val bloom = reference.select(fp(col(textCol)).as("_fp"))
+      .stat.bloomFilter("_fp", items, fpp)
+    val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
+    val seen = udf((s: String) => bc.value.mightContainString(s))
+    newDf.withColumn("probably_seen", seen(fp(col(textCol))))
+  }
+
   /** Banded hyperplane-LSH embedding near-dup pairs — the scale path.
     * Candidates are pairs colliding in >= 1 of [[EmbeddingLsh.Bands]] band
     * keys (an equi-join, exactly d03's shape for minhash); only candidates

@@ -181,6 +181,35 @@ class DedupOpsSuite extends SparkSpec {
     assert(self.length == 1 && self.head < 0)
   }
 
+  test("nearDedup ships the deduplicated corpus: canonical kept, dups dropped") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog today",
+      "completely different content about spark and catalyst plans",
+      "a third unrelated document mentioning shuffles and joins")
+    // ids 10..12 originals; 20 is an exact copy of 10 (near-dup certain)
+    val df = (texts.zipWithIndex.map { case (t, i) => (10L + i, t) } :+ (20L, texts.head))
+      .toDF("id", "text")
+    val out = Dedup.nearDedup(df, "id", "text", thr = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(10L, 11L, 12L), s"canonical min-id survives, copy dropped: $out")
+  }
+
+  test("bloomSeen: no false negatives; novel rows mostly pass") {
+    import spark.implicits._
+    val ref = (0 until 100).map(i => (i.toLong, s"reference document number $i body"))
+      .toDF("id", "text")
+    val members = (0 until 50).map(i => (1000L + i, s"reference document number $i body"))
+    val novel = (0 until 50).map(i => (2000L + i, s"brand new unseen text $i payload"))
+    val got = Dedup.bloomSeen((members ++ novel).toDF("id", "text"), ref, "id", "text")
+      .select("id", "probably_seen").as[(Long, Boolean)].collect().toMap
+    // bloom contract: every true member IS flagged (no false negatives)
+    assert(members.forall { case (id, _) => got(id) }, "false negative!")
+    // false positives at ~1%: out of 50 novel docs, ~0 expected
+    val fps = novel.count { case (id, _) => got(id) }
+    assert(fps <= 5, s"implausible false-positive rate: $fps/50")
+  }
+
   test("hashClassifier: supplied-weights path agrees with the derived table") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "beta beta")).toDF("id", "text")
