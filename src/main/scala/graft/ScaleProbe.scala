@@ -58,6 +58,10 @@ object ScaleProbe {
     time("d02 ngram-jaccard")(graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, 20).count())
     time("d06 clusters")(graft.operators.Dedup.clusters(d, "doc_id",
       graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5)).filter(col("keep")).count())
+    // worst case for the span scrub: every cross-replica doc family shares
+    // its full token run except the appended replica marker
+    time("q31 span-scrub")(graft.operators.Dedup.spanScrub(d, "doc_id", "text")
+      .filter(col("dup_tokens") > 0).count())
     graft.functions.GraftExpressions.register(spark)
     val isTest = graft.operators.Sampling.hashBucket(col("doc_id"), 100, "contam:") < 10
     time("d08 contamination")(graft.operators.Dedup.contaminationPairs(
