@@ -154,6 +154,68 @@ object Sampling {
       .select(df.columns.map(col): _*)
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every raw-corpus document by how much more likely its hashed
+    * n-gram features are under a TARGET corpus (the
+    * "looks-like-Wikipedia" distribution) than under the raw corpus
+    * itself — log w(x) = Σ_f [ln p̂_target(f) − ln p̂_raw(f)] over the
+    * document's unigram+bigram feature buckets, with add-one smoothing
+    * over `dim` buckets. Selection = top-k by weight (deterministic —
+    * no Gumbel noise; ties break on id).
+    *
+    * Scale shape: featurization is narrow (token hashes → bucket ids,
+    * the t12 hashing trick); the two corpus feature distributions are
+    * partial-agg groupBys bounded by `dim` rows each, so the log-ratio
+    * table is TINY and BROADCASTS — scoring is a map-side join + one
+    * per-doc sum, no shuffle of the corpus beyond the per-doc
+    * aggregation. Buckets absent from both corpora contribute the
+    * constant ln((T_raw + dim)/(T_target + dim)) via coalesce.
+    *
+    * Output: idCol, n_feats, logw (4 dp). Feed `orderBy(desc("logw"),
+    * idCol).limit(k)` for the selection — a TakeOrdered, parallel at any
+    * corpus size.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int = 4096): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    GraftExpressions.register(raw.sparkSession)
+    import graft.functions.{Signatures => Sig}
+    import graft.functions.TextFunctions.{tokens, P}
+    val Scramble = 2654435761L
+    def features(df: DataFrame): DataFrame = {
+      val th = Sig.tokenHashes(tokens(col(textCol)))
+      val uni = transform(th, h => (h * Scramble) % P % dim)
+      val n = greatest(size(th) - 1, lit(0))
+      val bi = zip_with(slice(th, lit(1), n), slice(th, lit(2), n),
+        (a, b) => (((a * Sig.B + b) % P) * Scramble) % P % dim)
+      df.select(col(idCol).as("_id"), explode(concat(uni, bi)).as("bucket"))
+    }
+    def dist(df: DataFrame) = features(df).groupBy("bucket").agg(count(lit(1)).as("c"))
+    val rawF = features(raw)
+    val tc = dist(target)
+    val rc = dist(raw)
+    val totals = tc.agg(sum("c").as("tt")).crossJoin(rc.agg(sum("c").as("rt")))
+    // log-ratio per observed bucket; <= 2*dim rows -> broadcast
+    val ratio = tc.withColumnRenamed("c", "ct")
+      .join(rc.withColumnRenamed("c", "cr"), Seq("bucket"), "full_outer")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log(coalesce(col("ct"), lit(0L)) + 1.0) - log(col("tt") + dim)
+          - log(coalesce(col("cr"), lit(0L)) + 1.0) + log(col("rt") + dim)).as("lr"))
+    val default = totals.select(
+      (log(lit(1.0)) - log(col("tt") + dim) - log(lit(1.0)) + log(col("rt") + dim)).as("lr0"))
+    val scored = rawF
+      .join(broadcast(ratio), Seq("bucket"), "left")
+      .crossJoin(broadcast(default))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("lr"), col("lr0"))).as("_lw"))
+    raw.select(col(idCol)).join(scored, col(idCol) === col("_id"))
+      .select(col(idCol), col("n_feats"),
+        graft.functions.Rounding.mirrorRound(col("_lw"), 4).as("logw"))
+  }
+
   /** Add a `split` column assigning each row to a named fraction.
     * `splits` are (name, weight) with weights summing to `buckets`, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,

@@ -172,5 +172,57 @@ object Sampling {
       .select("doc_id", "shard", "shard_pos").orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30)
+  private val DsirDim = 4096     // hashed-feature buckets
+  private val DsirTargetPct = 10 // hash-bucket % playing the target corpus
+
+  /** q32: DSIR importance weights (Xie et al. 2023) — raw docs scored by
+    * Σ_f [ln p̂_target(f) − ln p̂_raw(f)] over hashed unigram+bigram
+    * buckets with add-one smoothing; the target corpus is the
+    * deterministic 10% hash split (salt 'dsir:'). Both engines share the
+    * token-hash → bucket arithmetic and the smoothing formula; sums of
+    * logs are rounded to 4 dp (the t11 log-parity precedent).
+    */
+  val q32 = QueryDef(
+    "q32_dsir_weights", {
+      val Sg = graft.functions.Signatures
+      val uni = s"x * 2654435761 % 1000000007 % $DsirDim"
+      val bi = s"((th[i] * ${Sg.B} + th[i+1]) % 1000000007) * 2654435761 % 1000000007 % $DsirDim"
+      s"""WITH k AS (SELECT doc_id, text,
+         |             'dsir:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
+         |m AS (SELECT doc_id, text, ${sqlScram("kk")} % 100 < $DsirTargetPct AS is_t
+         |      FROM k),
+         |t AS (SELECT doc_id, is_t, string_split(text, ' ') AS toks FROM m),
+         |h AS (SELECT doc_id, is_t, ${Sg.sqlTokenHashes("toks")} AS th FROM t),
+         |f AS (SELECT doc_id, is_t,
+         |        unnest(list_transform(th, x -> $uni)) AS bucket FROM h
+         |      UNION ALL
+         |      SELECT doc_id, is_t,
+         |        unnest(list_transform(range(1, len(th)), i -> $bi)) AS bucket FROM h),
+         |tc AS (SELECT bucket, count(*) AS ct FROM f WHERE is_t GROUP BY 1),
+         |rc AS (SELECT bucket, count(*) AS cr FROM f WHERE NOT is_t GROUP BY 1),
+         |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+         |               (SELECT coalesce(sum(cr), 0) FROM rc) AS rt),
+         |ratio AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         |            ln(coalesce(ct, 0) + 1.0) - ln(tt + $DsirDim)
+         |            - ln(coalesce(cr, 0) + 1.0) + ln(rt + $DsirDim) AS lr
+         |          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+         |          CROSS JOIN tot),
+         |dflt AS (SELECT ln(1.0) - ln(tt + $DsirDim)
+         |                - ln(1.0) + ln(rt + $DsirDim) AS lr0 FROM tot),
+         |s AS (SELECT f.doc_id, count(*) AS n_feats,
+         |        sum(coalesce(r.lr, d.lr0)) AS lw
+         |      FROM f LEFT JOIN ratio r USING (bucket) CROSS JOIN dflt d
+         |      WHERE NOT f.is_t GROUP BY 1)
+         |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+         |  ${graft.functions.Rounding.sqlMirrorRound("lw", 4)} AS logw
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftExpressions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val isT = Ops.hashBucket(col("doc_id"), 100, "dsir:") < DsirTargetPct
+    Ops.dsirWeights(docs.filter(!isT), docs.filter(isT), "doc_id", "text",
+      dim = DsirDim).orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32)
 }

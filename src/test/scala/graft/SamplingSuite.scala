@@ -170,4 +170,28 @@ class SamplingSuite extends SparkSpec {
     val sameShard = s1.count(r => s2(r._1) == r._2)
     assert(sameShard < 300, s"epochs decorrelated: $sameShard/800 kept their shard")
   }
+
+  test("dsirWeights: target-like docs outrank target-unlike docs") {
+    import spark.implicits._
+    // target distribution: documents about "spark catalyst plans"
+    val target = (0 until 20).map(i => (100L + i, "spark catalyst plans optimize queries"))
+      .toDF("id", "text")
+    val raw = Seq(
+      (1L, "spark catalyst plans optimize queries"), // exactly target-like
+      (2L, "spark catalyst tungsten codegen"),       // partially target-like
+      (3L, "bananas oranges apples grapes melons")   // disjoint from target
+    ).toDF("id", "text")
+    val got = Sampling.dsirWeights(raw, target, "id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // n_feats = unigrams + bigrams = 2*len - 1
+    assert(got.map(_._2) == Seq(9L, 7L, 9L))
+    val w = got.map(r => r._1 -> r._3).toMap
+    assert(w(1L) > w(2L), s"exact match outranks partial: $w")
+    assert(w(2L) > w(3L), s"partial match outranks disjoint: $w")
+    // selection is a plain deterministic top-k over the weights
+    val top = Sampling.dsirWeights(raw, target, "id", "text")
+      .orderBy(org.apache.spark.sql.functions.desc("logw"), $"id")
+      .limit(2).select("id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
 }
