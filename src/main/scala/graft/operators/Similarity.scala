@@ -203,6 +203,117 @@ object Similarity {
     assign(cents)
   }
 
+  /** Squared Euclidean distance between two double-array columns. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** One subvector row per (vector, subspace): (vec_id, sub, sv). */
+  private def subVectors(in: DataFrame, m: Int, subDim: Int): DataFrame =
+    in.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("_v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
+
+  /** Product-quantization codebooks (the PQ recipe of Jégou et al. 2011,
+    * "Product quantization for nearest neighbor search"): the vector
+    * space splits into `m` equal subspaces, each clustered independently
+    * with `k` L2 k-means centroids, so a `dim`-float vector compresses to
+    * `m` small codes — at (m=8, k=256) that is 256 bytes of float32 down
+    * to 8 bytes, the difference between an embedding store that fits in
+    * cluster memory and one that doesn't at 100 TB.
+    *
+    * Determinism mirrors [[kmeans]]: seeds are the k corpus vectors first
+    * in scrambled-hash order (each contributing its m subvectors), Lloyd
+    * assignment is a map-side `max_by` argmin (ties → smallest code),
+    * updates are per-(sub, code, dim) partial-agg averages, centroids
+    * (m·k rows) checkpointed per round. Output: (sub, code, cv).
+    */
+  def pqCodebooks(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int, k: Int, iters: Int, salt: String = ""): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    require(k > 0 && iters >= 0)
+    GraftExpressions.register(df.sparkSession)
+    val subDim = dim / m
+    val e = df.select(col(idCol).as("vec_id"), VectorFunctions.toDouble(col(vecCol)).as("_v"))
+    val h = pmod(
+      GraftExpressions.polyHash(concat(lit(salt), col("vec_id").cast("string"))) * lit(2654435761L),
+      lit(1000000007L))
+    val seedW = Window.orderBy(col("_h"), col("vec_id"))
+    val seeds = e.withColumn("_h", h).orderBy(col("_h"), col("vec_id")).limit(k)
+      .select((row_number().over(seedW) - 1).cast("long").as("code"), col("_v"))
+    var cb = seeds
+      .select(col("code"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("_v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "cv")))
+      .localCheckpoint(true)
+    def assign(cbs: DataFrame): DataFrame =
+      subVectors(e, m, subDim).join(broadcast(cbs), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(max_by(struct(col("code"), col("sv")),
+          struct(negate(sqDist(col("sv"), col("cv"))).as("nd"),
+            negate(col("code")).as("negc"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"), col("m.sv").as("sv"))
+    for (_ <- 1 to iters) {
+      cb = assign(cb)
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i").agg(avg(col("x")).as("c"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          p => p.getField("c")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** Encode vectors against PQ codebooks: (idCol, codes) where codes(s)
+    * is the nearest (L2, ties → smallest) centroid code of subspace s.
+    * The codebooks (m·k rows) broadcast; encoding is map-side argmin +
+    * one per-vector re-aggregation.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(m > 0 && dim % m == 0)
+    val subDim = dim / m
+    val e = df.select(col(idCol).as("vec_id"), VectorFunctions.toDouble(col(vecCol)).as("_v"))
+    subVectors(e, m, subDim).join(broadcast(codebooks), "sub")
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("code"),
+        struct(negate(sqDist(col("sv"), col("cv"))).as("nd"),
+          negate(col("code")).as("negc"))).as("code"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+      .select(col("vec_id").as(idCol), col("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) k-NN over PQ codes: each query computes a
+    * distance table against the broadcast codebooks (m·k entries —
+    * query-side, the vectors stay uncompressed only here), and the scan
+    * is pure COMPRESSED-DOMAIN work: corpus codes equi-join the table on
+    * (sub, code) and sum m partial distances per (query, vector) — the
+    * corpus's float vectors are never read. adc_d2 is exactly the L2²
+    * between the query and the RECONSTRUCTED corpus vector (the defining
+    * ADC identity, spec-asserted). Output: query_id, rank, neighbor_id,
+    * adc_d2 (6 dp), top-k per query by (adc_d2, neighbor_id).
+    */
+  def pqKnn(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int, m: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0)
+    val subDim = dim / m
+    val q = queries.select(col(idCol).as("vec_id"), VectorFunctions.toDouble(col(vecCol)).as("_v"))
+    val dt = subVectors(q, m, subDim).join(broadcast(codebooks), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        sqDist(col("sv"), col("cv")).as("d2"))
+    val cx = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val sc = cx.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(round(sum(col("d2")), 6).as("adc_d2"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_d2")
+  }
+
   def ivfKnn(df: DataFrame, idCol: String, vecCol: String, cells: DataFrame,
       isQuery: Column, k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")

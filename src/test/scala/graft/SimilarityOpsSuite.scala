@@ -184,4 +184,62 @@ class SimilarityOpsSuite extends SparkSpec {
       .filter(!col("keep")).count()
     assert(none == 0)
   }
+
+  // two well-separated values per subspace half: vectors are built from
+  // per-subspace "letters", so PQ with k=2 per subspace can code exactly
+  private def pqCorpus: Seq[(Long, Seq[Float])] = {
+    val lo = Seq(0.0f, 0.1f); val hi = Seq(5.0f, 5.1f)
+    Seq(
+      (0L, lo ++ lo), (1L, lo ++ hi), (2L, hi ++ lo), (3L, hi ++ hi),
+      (4L, lo.map(_ + 0.01f) ++ lo), (5L, hi ++ hi.map(_ - 0.01f)))
+  }
+
+  test("pq: encode compresses letter-built vectors losslessly to codes") {
+    import spark.implicits._
+    val df = pqCorpus.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2)
+    assert(cb.count() == 4) // 2 subspaces x 2 codes
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, dim = 4, m = 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    // same-letter vectors share the subspace code; different letters differ
+    assert(codes(0L)(0) == codes(1L)(0) && codes(0L)(0) == codes(4L)(0))
+    assert(codes(2L)(0) == codes(3L)(0) && codes(2L)(0) != codes(0L)(0))
+    assert(codes(0L)(1) == codes(2L)(1) && codes(1L)(1) == codes(3L)(1))
+    assert(codes(0L)(1) != codes(1L)(1))
+    // layout independence: encoding survives a repartition
+    val codes2 = Similarity.pqEncode(df.repartition(7), "vec_id", "embedding",
+        cb, dim = 4, m = 2).as[(Long, Seq[Long])].collect().toMap
+    assert(codes == codes2)
+  }
+
+  test("pq: ADC distance equals exact L2^2 to the reconstructed vector") {
+    import spark.implicits._
+    val df = pqCorpus.toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebooks(df, "vec_id", "embedding", 4, 2, 2, 2)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, 4, 2)
+    val queries = Seq((100L, Seq(0.05f, 0.05f, 5.05f, 5.05f))).toDF("vec_id", "embedding")
+    val knn = Similarity.pqKnn(codes, cb, queries, "vec_id", "embedding",
+        dim = 4, m = 2, k = 6)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(knn.length == 6)
+    // reconstruct each corpus vector from its codes and compare distances
+    val book = cb.as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codeMap = codes.as[(Long, Seq[Long])].collect().toMap
+    // the engine widens float32 inputs to double: compare against the
+    // widened values, not the decimal literals
+    val qv = Seq(0.05f, 0.05f, 5.05f, 5.05f).map(_.toDouble)
+    knn.foreach { case (_, _, nid, adc) =>
+      val rec = codeMap(nid).zipWithIndex.flatMap { case (c, s) => book((s, c)) }
+      val exact = qv.zip(rec).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(adc - BigDecimal(exact).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6,
+        s"ADC identity violated for $nid: $adc vs $exact")
+    }
+    // nearest neighbor is the hi-hi corner the query sits closest to? no:
+    // query is lo-lo in subspace 0 and hi-hi in subspace 1 -> vec 1
+    assert(knn.find(_._2 == 1L).map(_._3).contains(1L),
+      s"rank-1 should be the matching-letter vector: ${knn.toSeq}")
+  }
 }
