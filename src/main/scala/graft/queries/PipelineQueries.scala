@@ -129,5 +129,106 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03)
+  private val P4SpanN = 8        // duplicated-span window (q31)
+  private val P4MaxDupFrac = 0.5 // scrub gate: max duplicated-token fraction
+  private val P4Dim = 4096       // classifier + DSIR hashed-feature buckets
+  private val P4TargetPct = 10   // DSIR target split (%)
+
+  /** p04: the ROUND-5 curation stack end-to-end as one verified query —
+    * duplicated-span scrub (q31) with a dup-fraction gate, model-based
+    * quality filtering (t12's hashed linear classifier) over the SCRUBBED
+    * text, then DSIR importance weighting (q32) of the survivors against
+    * a deterministic target split. Each stage consumes the previous
+    * stage's output; the oracle chains the same three mirrors as one CTE
+    * pipeline, so scrub coverage, classifier scores, and importance
+    * weights all match bit for bit through the composition.
+    */
+  val p04 = QueryDef(
+    "p04_curation_scrubbed", {
+      val Sg = graft.functions.Signatures
+      val scram = (c: String) => s"((${Sg.sqlPolyHashStr(c)} * 2654435761) % 1000000007)"
+      val f1 = Sg.sqlSpanFold("th", "s", P4SpanN, Sg.B)
+      val f2 = Sg.sqlSpanFold("th", "s", P4SpanN, Sg.B2)
+      val uni = s"x * 2654435761 % 1000000007 % $P4Dim"
+      val bi = s"((th2[i] * ${Sg.B} + th2[i+1]) % 1000000007) * 2654435761 % 1000000007 % $P4Dim"
+      s"""WITH t0 AS (SELECT doc_id, ${Sg.sqlToks} AS toks FROM documents),
+         |h0 AS (SELECT doc_id, toks, ${Sg.sqlTokenHashes("toks")} AS th FROM t0),
+         |g0 AS (SELECT doc_id, unnest(range(0, len(th) - $P4SpanN + 1)) AS s, th FROM h0),
+         |g AS (SELECT doc_id, s, $f1 AS h1, $f2 AS h2 FROM g0),
+         |dupg AS (SELECT h1, h2 FROM g GROUP BY h1, h2 HAVING count(*) >= 2),
+         |dsx AS (SELECT DISTINCT g.doc_id, g.s FROM g JOIN dupg USING (h1, h2)),
+         |cov AS (SELECT DISTINCT doc_id, p FROM (
+         |          SELECT doc_id, unnest(range(s, s + $P4SpanN)) AS p FROM dsx)),
+         |cnt AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY 1),
+         |tok AS (SELECT doc_id, p, toks[p + 1] AS tk FROM (
+         |          SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t0)),
+         |unc AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+         |        WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |                          WHERE c.doc_id = k.doc_id AND c.p = k.p)),
+         |scb AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS stext
+         |        FROM unc GROUP BY 1),
+         |kept1 AS (SELECT t0.doc_id, coalesce(scb.stext, '') AS stext
+         |          FROM t0 LEFT JOIN cnt USING (doc_id) LEFT JOIN scb USING (doc_id)
+         |          WHERE ${mr("coalesce(cnt.c, 0) * 1.0 / len(toks)", 4)} <= $P4MaxDupFrac),
+         |t1 AS (SELECT doc_id, stext, string_split(stext, ' ') AS toks1 FROM kept1),
+         |h1 AS (SELECT doc_id, stext, ${Sg.sqlTokenHashes("toks1")} AS th1 FROM t1),
+         |s1 AS (SELECT doc_id, stext,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list_transform(th1, x ->
+         |             (CAST((x * 2654435761 % 1000000007 % $P4Dim + 1)
+         |                   * 2654435761 % 1000000007 % 2001 AS BIGINT) - 1000) / 1000.0)),
+         |           (a, b) -> a + b) / len(th1) AS sc
+         |       FROM h1),
+         |kept2 AS (SELECT doc_id, stext, ${mr("sc", 6)} AS score FROM s1
+         |          WHERE ${mr("sc", 6)} > 0),
+         |k3 AS (SELECT doc_id, stext, score,
+         |         'p4:' || CAST(doc_id AS VARCHAR) AS kk FROM kept2),
+         |m2 AS (SELECT doc_id, stext, score,
+         |         ${scram("kk")} % 100 < $P4TargetPct AS is_t
+         |       FROM k3),
+         |t2 AS (SELECT doc_id, is_t, string_split(stext, ' ') AS toks2 FROM m2),
+         |h2 AS (SELECT doc_id, is_t, ${Sg.sqlTokenHashes("toks2")} AS th2 FROM t2),
+         |f AS (SELECT doc_id, is_t,
+         |        unnest(list_transform(th2, x -> $uni)) AS bucket FROM h2
+         |      UNION ALL
+         |      SELECT doc_id, is_t,
+         |        unnest(list_transform(range(1, len(th2)), i -> $bi)) AS bucket FROM h2),
+         |tc AS (SELECT bucket, count(*) AS ct FROM f WHERE is_t GROUP BY 1),
+         |rc AS (SELECT bucket, count(*) AS cr FROM f WHERE NOT is_t GROUP BY 1),
+         |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+         |               (SELECT coalesce(sum(cr), 0) FROM rc) AS rt),
+         |ratio AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket,
+         |            ln(coalesce(ct, 0) + 1.0) - ln(tt + $P4Dim)
+         |            - ln(coalesce(cr, 0) + 1.0) + ln(rt + $P4Dim) AS lr
+         |          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+         |          CROSS JOIN tot),
+         |dflt AS (SELECT ln(1.0) - ln(tt + $P4Dim)
+         |                - ln(1.0) + ln(rt + $P4Dim) AS lr0 FROM tot),
+         |sd AS (SELECT f.doc_id, count(*) AS n_feats,
+         |         sum(coalesce(r.lr, d.lr0)) AS lw
+         |       FROM f LEFT JOIN ratio r USING (bucket) CROSS JOIN dflt d
+         |       WHERE NOT f.is_t GROUP BY 1)
+         |SELECT sd.doc_id, m2.score, CAST(sd.n_feats AS BIGINT) AS n_feats,
+         |  ${mr("sd.lw", 4)} AS logw
+         |FROM sd JOIN m2 ON sd.doc_id = m2.doc_id
+         |ORDER BY sd.doc_id""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.{Dedup, Sampling, TextAnalysis}
+    graft.functions.GraftExpressions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val scr = Dedup.spanScrub(docs, "doc_id", "text", n = P4SpanN, minCount = 2)
+    val kept1 = scr.filter(col("dup_frac") <= P4MaxDupFrac)
+      .select(col("doc_id"), col("scrubbed").as("stext"))
+    val cls = TextAnalysis.hashClassifier(kept1, "doc_id", "stext", dim = P4Dim)
+    val kept2 = kept1.join(
+      cls.filter(col("label")).select("doc_id", "score"), "doc_id")
+    val isT = Sampling.hashBucket(col("doc_id"), 100, "p4:") < P4TargetPct
+    Sampling.dsirWeights(kept2.filter(!isT), kept2.filter(isT),
+        "doc_id", "stext", dim = P4Dim)
+      .join(kept2.select("doc_id", "score"), "doc_id")
+      .select(col("doc_id"), col("score"), col("n_feats"), col("logw"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04)
 }
