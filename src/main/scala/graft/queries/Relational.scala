@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.sources.Tables
 
 /** Relational query suite (Q1–Q15) over the TPC-H-ish star schema.
@@ -418,7 +419,35 @@ object Relational {
       .orderBy("cohort", "offset")
   }
 
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q33: PIVOT — per-user wide metrics table (avg value per event type).
+    * The pivot VALUES are passed explicitly: at scale the implicit form
+    * first runs a collect-distinct over the pivot column (an extra
+    * corpus pass + a driver-sized value list); with explicit values the
+    * whole pivot is ONE partial-aggregated groupBy, each cell a
+    * conditional aggregate — exactly the CASE WHEN plan the oracle
+    * spells out. Missing (user, type) cells are null on both engines.
+    */
+  val q33 = QueryDef(
+    "q33_pivot", {
+      val cells = PivotTypes.map(t =>
+        s"${mr(s"avg(CASE WHEN event_type = '$t' THEN value END)", 4)} AS ${t}_avg")
+      s"""SELECT user_id, ${cells.mkString(", ")}
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    }) { (s, dir) =>
+    val p = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", PivotTypes)
+      .agg(avg(col("value")))
+    PivotTypes.foldLeft(p) { (df, t) =>
+        df.withColumn(s"${t}_avg",
+          graft.functions.Rounding.mirrorRound(col(t), 4)).drop(t)
+      }
+      .orderBy("user_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26)
+      q17, q18, q24, q25, q26, q33)
 }
