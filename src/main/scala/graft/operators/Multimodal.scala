@@ -331,6 +331,81 @@ object Multimodal {
       }
   }
 
+  final case class FrameHash(id: Long, frameIdx: Int, phash: Long)
+
+  /** Average-hash (aHash) perceptual frame signature: the luma plane is
+    * nearest-neighbor-reduced to 8×8, each cell contributes one bit
+    * (above/below the 64-cell mean) → a 64-bit hash whose Hamming
+    * distance measures visual similarity. Invariant to resolution and to
+    * uniform brightness shifts (the mean moves with the pixels); robust
+    * to small noise — the standard cheap perceptual key for frame-level
+    * video dedup.
+    */
+  final class FrameHashStage(override val batchSize: Int = 32)
+      extends Stage[VideoFrame, FrameHash] {
+    override def process(batch: Seq[VideoFrame]): Seq[FrameHash] =
+      batch.map { f =>
+        val px = Array.tabulate(64) { i =>
+          val (ty, tx) = (i / 8, i % 8)
+          val sy = math.min(f.height - 1, ty * f.height / 8)
+          val sx = math.min(f.width - 1, tx * f.width / 8)
+          f.pixels(sy * f.width + sx) & 0xff
+        }
+        val mean = px.sum / 64.0
+        var h = 0L
+        var i = 0
+        while (i < 64) { if (px(i) >= mean) h |= (1L << i); i += 1 }
+        FrameHash(f.id, f.frameIdx, h)
+      }
+  }
+
+  /** Video-level near-duplicate pairs over frame perceptual hashes — the
+    * reference's video-curation dedup re-expressed relationally: two
+    * videos are near-dups when at least `minFrac` of the shorter video's
+    * sampled frames have a frame in the other within Hamming
+    * `maxHamming`. Shape is the d04 discipline applied per frame: the
+    * 64-bit phash splits into 4×16-bit pigeonhole chunk keys (full
+    * recall for Hamming ≤ 3), candidates come from a chunk equi-join
+    * (never frames × frames), `maxChunkDf` caps degenerate chunks (flat
+    * frames — intros, black frames — share hashes corpus-wide and are
+    * exactly the boilerplate that carries no dedup signal), and only
+    * colliding frame pairs pay the exact Hamming check.
+    *
+    * Input: one row per sampled frame (idCol, frameCol, hashCol) — the
+    * output of [[VideoFrameSampleStage]] → [[FrameHashStage]]. Output:
+    * id_a, id_b, matched (distinct a-frames with a match), frac
+    * (matched / min(|a|, |b|), 4 dp, >= minFrac).
+    */
+  def videoNearDupPairs(frames: org.apache.spark.sql.DataFrame, idCol: String,
+      frameCol: String, hashCol: String, maxHamming: Int = 3,
+      minFrac: Double = 0.5, maxChunkDf: Int = 10000): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val f = frames.select(col(idCol).as("_vid"), col(frameCol).as("_fi"),
+      col(hashCol).as("_ph"))
+    val nf = f.groupBy("_vid").agg(countDistinct("_fi").as("_nf"))
+    val chunks = f.select(col("_vid"), col("_fi"), col("_ph"),
+        explode(array((0 until 4).map(k => concat_ws("_", lit(k.toString),
+          shiftright(col("_ph"), k * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("ck"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("ck")))
+      .filter(col("df") <= maxChunkDf)
+      .drop("df")
+    val m = chunks.as("a").join(chunks.as("b"),
+        col("a.ck") === col("b.ck") && col("a._vid") < col("b._vid"))
+      .select(col("a._vid").as("id_a"), col("b._vid").as("id_b"),
+        col("a._fi").as("fa"), col("a._ph").as("pa"), col("b._ph").as("pb"))
+      .distinct()
+      .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
+    val matched = m.groupBy("id_a", "id_b").agg(countDistinct(col("fa")).as("matched"))
+    matched
+      .join(nf.select(col("_vid").as("id_a"), col("_nf").as("_na")), "id_a")
+      .join(nf.select(col("_vid").as("id_b"), col("_nf").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("matched"),
+        graft.functions.Rounding.mirrorRound(
+          col("matched") * 1.0 / least(col("_na"), col("_nb")), 4).as("frac"))
+      .filter(col("frac") >= minFrac)
+  }
+
   /** Sample every k-th "frame" (row stripe) and fingerprint it — the
     * video-frame-sampling analogue over the fake pixel planes.
     */

@@ -125,6 +125,49 @@ class MultimodalSuite extends SparkSpec {
     assert(feats.zeroCrossRate == 1.0)                   // sign flips every sample
   }
 
+  test("M3: video near-dup — decode -> frame aHash -> chunk-join pairs") {
+    import spark.implicits._
+    def gifOf(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(img =>
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null))
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val w = 16; val h = 16
+    // frame j: two-tone split at column (or row) 2+j — two exact colors
+    // survive GIF palette quantization losslessly
+    def frame(dark: Int, bright: Int, split: Int, vertical: Boolean) = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(bright, bright, bright)); g.fillRect(0, 0, w, h)
+      g.setColor(new java.awt.Color(dark, dark, dark))
+      if (vertical) g.fillRect(0, 0, split * 2, h) else g.fillRect(0, 0, w, split * 2)
+      g.dispose(); img
+    }
+    val vidA = gifOf((0 until 4).map(j => frame(40, 200, 2 + j, vertical = true)))
+    // B = A's geometry, uniformly brighter: aHash is brightness-invariant
+    val vidB = gifOf((0 until 4).map(j => frame(60, 220, 2 + j, vertical = true)))
+    // C = horizontal splits: visually different frames
+    val vidC = gifOf((0 until 4).map(j => frame(40, 200, 2 + j, vertical = false)))
+    val media = spark.createDataset(Seq(
+      MediaRow(1L, vidA), MediaRow(2L, vidB), MediaRow(3L, vidC)))
+    val hashes = Pipeline.from(media)
+      .stage(new VideoFrameSampleStage(every = 1))
+      .stage(new FrameHashStage())
+      .run().toDF()
+    val pairs = videoNearDupPairs(hashes, "id", "frameIdx", "phash",
+        maxHamming = 3, minFrac = 0.5)
+      .select("id_a", "id_b", "matched", "frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 4L, 1.0)),
+      s"A~B near-dup (every frame matches), C distinct: $pairs")
+  }
+
   test("M2f: real multi-frame GIF decodes; VideoFrameSampleStage keeps every k-th frame") {
     import spark.implicits._
     // write a REAL 6-frame animated GIF with the JDK's sequence writer:
