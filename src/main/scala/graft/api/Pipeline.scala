@@ -198,7 +198,8 @@ final case class PipelineConfig(
     ignoreFailures: Boolean = false,
     failuresReturnNones: Boolean = false,
     resetWorkersOnFailure: Boolean = false,
-    batchStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+    batchStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    checkpointDir: Option[String] = None)
 
 /** Typed pipeline builder/compiler: each added stage extends a lazy
   * `Dataset` chain. The chain IS the pipeline — Catalyst sees one plan, so
@@ -214,17 +215,41 @@ final class Pipeline[I] private (
   def stage[O: Encoder](s: Stage[I, O]): Pipeline[O] = stage(StageSpec(s))
 
   def stage[O: Encoder](spec: StageSpec[I, O]): Pipeline[O] = {
-    val compiled = Pipeline.compile(dataset, spec, config, monitor,
-      f"Stage $index%02d - ${spec.stage.name}")
-    if (config.mode == ExecutionMode.Batch && !compiled.isStreaming) {
-      val p = compiled.persist(config.batchStorageLevel)
-      p.count() // the materialization barrier
-      // the previous stage's materialization has been consumed — free it
-      // (the reference's batch mode likewise drops stage N-1 once stage N
-      // is materialized)
-      persisted.foreach(_.unpersist())
-      new Pipeline(p, config, monitor, index + 1, Some(p))
-    } else new Pipeline(compiled, config, monitor, index + 1, persisted)
+    if (config.mode == ExecutionMode.Batch && !dataset.isStreaming
+        && config.checkpointDir.isDefined) {
+      // CHECKPOINTED batch: each stage materializes to DURABLE storage
+      // (parquet + _SUCCESS marker) instead of executor block storage, and
+      // a stage whose checkpoint already exists is SKIPPED ENTIRELY — its
+      // process/setup never run — so a rerun after a mid-pipeline failure
+      // (driver loss included, which persist() does not survive) resumes
+      // at the first incomplete stage. The caller owns the directory
+      // lifecycle: one dir per pipeline VERSION (stages are addressed by
+      // position; editing the chain invalidates the dir), delete to force
+      // a full recompute. This is Batch mode's storage-boundary contract
+      // (see `envInfo` note) made automatic.
+      val spark = dataset.sparkSession
+      val path = s"${config.checkpointDir.get}/stage-$index"
+      val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) {
+        val compiled = Pipeline.compile(dataset, spec, config, monitor,
+          f"Stage $index%02d - ${spec.stage.name}")
+        compiled.write.mode("overwrite").parquet(path) // the barrier
+      }
+      new Pipeline(spark.read.parquet(path).as[O], config, monitor, index + 1, persisted)
+    } else {
+      val compiled = Pipeline.compile(dataset, spec, config, monitor,
+        f"Stage $index%02d - ${spec.stage.name}")
+      if (config.mode == ExecutionMode.Batch && !compiled.isStreaming) {
+        val p = compiled.persist(config.batchStorageLevel)
+        p.count() // the materialization barrier
+        // the previous stage's materialization has been consumed — free it
+        // (the reference's batch mode likewise drops stage N-1 once stage N
+        // is materialized)
+        persisted.foreach(_.unpersist())
+        new Pipeline(p, config, monitor, index + 1, Some(p))
+      } else new Pipeline(compiled, config, monitor, index + 1, persisted)
+    }
   }
 
   /** Terminal: the composed (lazy unless Batch) output Dataset. In Batch

@@ -35,6 +35,22 @@ object PipelineSuite {
     override def process(batch: Seq[Int]): Seq[Int] = batch
   }
 
+  val ckptCalls = new AtomicInteger(0)
+  val boom = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  final class CountingAdd(delta: Int) extends Stage[Int, Int] {
+    override def process(batch: Seq[Int]): Seq[Int] = {
+      ckptCalls.addAndGet(batch.size); batch.map(_ + delta)
+    }
+  }
+
+  final class BoomStage extends Stage[Int, Int] {
+    override def process(batch: Seq[Int]): Seq[Int] = {
+      if (boom.get) throw new RuntimeException("boom")
+      batch
+    }
+  }
+
   final class EvenFilterStage extends Stage[Int, Int] {
     override def batchSize: Int = 7
     override def process(batch: Seq[Int]): Seq[Int] = batch.filter(_ % 2 == 0)
@@ -473,6 +489,34 @@ class PipelineSuite extends SparkSpec {
     val p = Pipeline.from(ints(30), cfg).stage(new AddStage(5, batchSize = 4))
     // barrier already ran (eager count); result must match streaming mode
     assert(p.run().collect().sorted.toSeq == (6 to 35))
+  }
+
+  test("F4b: checkpointed batch resumes at the first incomplete stage") {
+    import spark.implicits._
+    import PipelineSuite.{BoomStage, CountingAdd}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val cfg = PipelineConfig(mode = ExecutionMode.Batch, checkpointDir = Some(dir))
+    def build() = Pipeline.from(ints(20), cfg)
+      .stage(new CountingAdd(1)).stage(new BoomStage)
+    PipelineSuite.ckptCalls.set(0)
+    PipelineSuite.boom.set(true)
+    // first run: stage 0 checkpoints durably, stage 1 fails mid-pipeline
+    intercept[Exception] { build() }
+    val afterFirst = PipelineSuite.ckptCalls.get
+    assert(afterFirst == 20, "stage 0 processed every row before the failure")
+    assert(new java.io.File(s"$dir/stage-0/_SUCCESS").exists,
+      "completed stage left a durable checkpoint")
+    assert(!new java.io.File(s"$dir/stage-1/_SUCCESS").exists,
+      "failed stage left no completion marker")
+    // fix the failure, rerun the SAME pipeline + dir: stage 0 is skipped
+    // entirely (its process never runs again), stage 1 resumes from its
+    // stored output
+    PipelineSuite.boom.set(false)
+    assert(build().run().collect().sorted.toSeq == (2 to 21))
+    assert(PipelineSuite.ckptCalls.get == afterFirst, "stage 0 was not recomputed")
+    // fully-checkpointed rerun: no stage executes at all
+    assert(build().run().collect().sorted.toSeq == (2 to 21))
+    assert(PipelineSuite.ckptCalls.get == afterFirst)
   }
 
   test("F14: Artifacts distributes files to workers") {
