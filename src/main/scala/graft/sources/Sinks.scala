@@ -25,6 +25,49 @@ object Sinks {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Small-file compaction — the writer-side hygiene every long-lived
+    * 100 TB table needs: incremental appends (streaming sinks, per-batch
+    * ingest) accumulate thousands of tiny files whose open/footer
+    * overhead eventually dominates scans. Rewrites `path` into
+    * `ceil(rows / rowsPerFile)` files via a round-robin repartition (no
+    * key skew — file sizes are uniform by construction) and an ATOMIC
+    * directory swap (write to a sibling temp dir, then rename), so a
+    * concurrent reader never sees a half-written table.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      rowsPerFile: Long): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val df = spark.read.parquet(path)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    val tmp = path + "._compacting"
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  /** Range-clustered write — data skipping for range/equality predicates
+    * on `clusterCols` WITHOUT partitioning by them (partitionBy needs
+    * low cardinality; clustering doesn't): rows are range-partitioned
+    * and sorted on the cluster key, so each parquet file (and each row
+    * group inside it) covers a NARROW, non-overlapping key range, and a
+    * selective filter prunes whole files via footer min/max stats
+    * instead of scanning the table. The per-file disjointness is
+    * spec-asserted. `files` is the output parallelism — size to the
+    * cluster exactly like shuffle partitions.
+    */
+  def clusteredWrite(df: DataFrame, path: String, files: Int,
+      clusterCols: Seq[String], mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(files > 0 && clusterCols.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val cs = clusterCols.map(col)
+    df.repartitionByRange(files, cs: _*)
+      .sortWithinPartitions(cs: _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Bucketed table — Spark's CO-LOCATED JOIN primitive, and the single
     * biggest shuffle saver at 100 TB: two tables bucketed by the same key
     * into the same bucket count are join-ready as written (each bucket

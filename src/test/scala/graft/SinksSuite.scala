@@ -45,6 +45,47 @@ class SinksSuite extends SparkSpec {
     assert(back.count() == 500)
   }
 
+  test("compact rewrites a many-file table into evenly-sized files") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    val path = s"$tmp/t"
+    // simulate incremental ingest: 40 appends of 25 rows = 40+ tiny files
+    (0 until 40).foreach { i =>
+      (0 until 25).map(j => (i * 25L + j, s"row$i-$j")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    def parquetFiles() = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 40)
+    Sinks.compact(spark, path, rowsPerFile = 250)
+    assert(parquetFiles() == 4, s"1000 rows / 250 per file, got ${parquetFiles()}")
+    val back = spark.read.parquet(path)
+    assert(back.count() == 1000)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 1000L).toSet)
+  }
+
+  test("clusteredWrite: per-file key ranges are disjoint (data skipping)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-cluster").toString
+    val path = s"$tmp/t"
+    // ids arrive shuffled (hash order) — an unclustered write would give
+    // every file the full min..max span, so min/max stats prune nothing
+    val df = (0 until 2000).map(i => ((i * 2654435761L) % 2000, i.toLong))
+      .toDF("key", "payload")
+    Sinks.clusteredWrite(df, path, files = 8, clusterCols = Seq("key"))
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("key"), max("key")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA < loB, s"file ranges overlap: ${ranges.toSeq}")
+    }
+    assert(spark.read.parquet(path).count() == 2000)
+  }
+
   test("bucketed tables join with ZERO exchange (co-located join)") {
     import spark.implicits._
     val facts = (0 until 2000).map(i => (i.toLong % 100, i.toLong)).toDF("key", "a")
