@@ -258,6 +258,102 @@ object TextAnalysis {
     }
   }
 
+  /** BPE merge-table training at corpus scale — the Sennrich et al. 2016
+    * recipe ("Neural Machine Translation of Rare Words with Subword
+    * Units") with the scale structure real trainers use: the corpus is
+    * touched EXACTLY ONCE (the word-frequency groupBy); every merge round
+    * then operates on the VOCABULARY table (distinct words × their symbol
+    * sequences, weighted by frequency), which is orders of magnitude
+    * smaller than the corpus and roughly corpus-size-independent (Heaps'
+    * law). Each round: adjacent-pair counts (flatMap + partial-agg sum),
+    * the argmax pair (ties → lexicographically smallest — fully
+    * deterministic), and a narrow typed map applying the merge
+    * greedily left-to-right; the vocab is locally checkpointed per round
+    * (the d06 lineage discipline). Words start as character symbols.
+    *
+    * Returns the ordered merge list (driver-sized by construction:
+    * `numMerges` entries IS the model). Encode with [[bpeEncode]] /
+    * [[bpeSegment]]. Training stops early if no pair repeats.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toSeq: Seq[String], f) }
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val top = vocab.flatMap { case (s, f) =>
+          if (s.length < 2) Iterator.empty
+          else s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, f))
+        }
+        .toDF("a", "b", "f").groupBy("a", "b").agg(sum("f").as("cnt"))
+        .filter(col("cnt") >= 2) // a pair seen once carries no signal
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, _) = top.head
+        merges += ((a, b))
+        val next = vocab.map { case (s, f) => (applyMerge(s, a, b), f) }
+          .localCheckpoint(true)
+        vocab = next
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One greedy left-to-right pass replacing adjacent (a, b) with a+b —
+    * the standard BPE application order ("aaa" under (a,a) → [aa, a]).
+    */
+  private def applyMerge(sym: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val s = sym.toIndexedSeq
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** Segment one word with a trained merge list (merges applied in rank
+    * order) — pure, for spot checks and single-word use.
+    */
+  def bpeSegment(word: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(word.map(_.toString): Seq[String]) {
+      case (s, (a, b)) => applyMerge(s, a, b)
+    }
+
+  /** Corpus encoding with a trained merge list: per-document word and
+    * subword counts — the "how many tokens is this corpus under my
+    * tokenizer" pass that sizes every training run. Scale shape: the
+    * merge list broadcasts inside a closure; segmentation runs ONCE PER
+    * DISTINCT WORD (a typed map over the vocabulary), and the corpus
+    * re-joins the tiny (word → n_subwords) table — broadcast — rather
+    * than re-segmenting every occurrence.
+    * Output: idCol, n_words, n_subwords.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+    val seg = words.select("w").distinct().as[String]
+      .map(w => (w, bpeSegment(w, merges).length.toLong))
+      .toDF("w", "_ns")
+    words.join(broadcast(seg), "w")
+      .groupBy("_id")
+      .agg(count(lit(1)).as("n_words"), sum("_ns").as("n_subwords"))
+      .select(col("_id").as(idCol), col("n_words"), col("n_subwords"))
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

@@ -239,6 +239,23 @@ class DedupOpsSuite extends SparkSpec {
     assert(got == ((1L, 3L, 0.0, false)))
   }
 
+  test("bpeTrain learns the classic merges; encode counts subwords; early stop") {
+    import spark.implicits._
+    val df = Seq((1L, "low low low lower"), (2L, "lowest")).toDF("id", "text")
+    // word freqs: low:3, lower:1, lowest:1. Pair counts round 1:
+    // (l,o)=5, (o,w)=5 tie -> lexicographic; then (lo,w)=5; then
+    // (low,e)=2; every remaining pair occurs once -> early stop.
+    val merges = TextAnalysis.bpeTrain(df, "text", numMerges = 10)
+    assert(merges == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(TextAnalysis.bpeSegment("lowly", merges) == Seq("low", "l", "y"))
+    assert(TextAnalysis.bpeSegment("lowest", merges) == Seq("lowe", "s", "t"))
+    val enc = TextAnalysis.bpeEncode(df, "id", "text", merges)
+      .orderBy("id").as[(Long, Long, Long)].collect().toSeq
+    // doc 1: low x3 (1 subword each) + lower = [lowe, r] -> 4 words, 5 subwords
+    // doc 2: lowest = [lowe, s, t] -> 1 word, 3 subwords
+    assert(enc == Seq((1L, 4L, 5L), (2L, 1L, 3L)))
+  }
+
   test("spanScrub removes exactly the tokens covered by duplicated windows") {
     import spark.implicits._
     // Docs 1 and 2 share the 4-token run "a b c d" (positions 1-4 in doc 1,
