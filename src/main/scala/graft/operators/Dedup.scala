@@ -383,8 +383,10 @@ object Dedup {
     val bloom = reference.select(fp(col(textCol)).as("_fp"))
       .stat.bloomFilter("_fp", items, fpp)
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
-    val seen = udf((s: String) => bc.value.mightContainString(s))
-    newDf.withColumn("probably_seen", seen(fp(col(textCol))))
+    val seen = udf((s: String) => s != null && bc.value.mightContainString(s))
+    // null text hashes to null -> definitely not in the reference
+    newDf.withColumn("probably_seen",
+      coalesce(seen(fp(col(textCol))), lit(false)))
   }
 
   /** Banded hyperplane-LSH embedding near-dup pairs — the scale path.

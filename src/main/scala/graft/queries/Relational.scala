@@ -447,7 +447,30 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q34: UNPIVOT (melt) — the inverse reshape of q33: a wide per-item
+    * metrics row unfolds to long (metric, value) rows. Spark's native
+    * `unpivot` is a narrow one-pass expansion (no shuffle, no UDF); the
+    * oracle is the textbook UNION ALL of one SELECT per column. Nulls in
+    * value columns are dropped by both (unpivot's contract), making the
+    * reshape exactly invertible with q33's pivot.
+    */
+  val q34 = QueryDef(
+    "q34_unpivot", {
+      val cols = Seq("p_retailprice" -> "retailprice", "p_size" -> "size")
+      cols.map { case (c, m) =>
+        s"""SELECT p_partkey, '$m' AS metric, CAST($c AS DOUBLE) AS value
+           |FROM part WHERE $c IS NOT NULL""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY p_partkey, metric")
+    }) { (s, dir) =>
+    Tables(s, dir, "part")
+      .select(col("p_partkey"), col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
+        "metric", "value")
+      .orderBy("p_partkey", "metric")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33)
+      q17, q18, q24, q25, q26, q33, q34)
 }

@@ -30,9 +30,12 @@ object Sinks {
     * ingest) accumulate thousands of tiny files whose open/footer
     * overhead eventually dominates scans. Rewrites `path` into
     * `ceil(rows / rowsPerFile)` files via a round-robin repartition (no
-    * key skew — file sizes are uniform by construction) and an ATOMIC
-    * directory swap (write to a sibling temp dir, then rename), so a
-    * concurrent reader never sees a half-written table.
+    * key skew — file sizes are uniform by construction), staged through a
+    * sibling temp dir then swapped in (delete + rename). The swap is
+    * near-atomic, not transactional: a reader that lists the directory in
+    * the tiny delete→rename window errors and retries — run compaction in
+    * the table's maintenance window, or use a table format with snapshot
+    * isolation when readers can never pause.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       rowsPerFile: Long): Unit = {

@@ -79,6 +79,33 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("E4: stream-stream interval join pairs events within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      imps.toDS().toDF("imp_id", "its", "key"),
+      clicks.toDS().toDF("click_id", "cts", "key"),
+      "key", "its", "cts", within = "10 seconds", watermarkDelay = "5 seconds")
+      .select(col("l.imp_id"), col("r.click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, ts(10), "a"), (2L, ts(10), "b"))
+      q.processAllAvailable()
+      // click on a within 10s -> attributed; late click on b (40s) -> not
+      clicks.addData((100L, ts(15), "a"), (200L, ts(40), "b"))
+      q.processAllAvailable()
+      // key with no impression never joins
+      clicks.addData((300L, ts(16), "zzz"))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L)), s"only the in-window pair attributes: $got")
+    } finally q.stop()
+  }
+
   test("E3: streaming near-dup flags band collisions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
