@@ -20,6 +20,14 @@ object Signatures {
   val B: Long = 1000003L        // token-hash combiner base
   val B2: Long = 1000033L       // independent second base (span-key pairs)
 
+  /** THE order-shuffling multiplier (Knuth's 2^32/φ): every scrambled-hash
+    * site — sampling buckets, k-means/PQ seeds, classifier/DSIR feature
+    * buckets — multiplies by this constant mod [[P]] so the formula stays
+    * bit-identical across operators AND across the SQL oracles that embed
+    * it as a literal. Change it nowhere or everywhere.
+    */
+  val Scramble: Long = 2654435761L
+
   val NumMinhash = 32
   val BandRows = 4  // 8 bands x 4 rows
   val NumBands: Int = NumMinhash / BandRows

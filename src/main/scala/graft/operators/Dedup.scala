@@ -283,8 +283,17 @@ object Dedup {
     // docs). Superseded rounds' blocks are released by the ContextCleaner
     // once their Datasets become unreachable (Dataset.unpersist does not
     // apply to localCheckpoint storage).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Drop pair endpoints that are not in `all` (e.g. a pair set computed
+    // before a filter pass): a foreign id must never become a cluster
+    // label — it would mark every real member keep=false and silently
+    // lose the whole cluster downstream. Two semi-joins over the pair
+    // set, paid once before the loop.
+    val ids = all.select(col(idCol).as("_vid"))
+    val inAll = pairs.select(col("id_a"), col("id_b"))
+      .join(ids, col("id_a") === col("_vid"), "left_semi")
+      .join(ids, col("id_b") === col("_vid"), "left_semi")
+    val edges = inAll.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(inAll.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     // Propagate ONLY over nodes incident to an edge: a node with no pair can
     // never change label, and dup pairs are a sliver of the corpus — looping

@@ -379,30 +379,40 @@ object Multimodal {
   def videoNearDupPairs(frames: org.apache.spark.sql.DataFrame, idCol: String,
       frameCol: String, hashCol: String, maxHamming: Int = 3,
       minFrac: Double = 0.5, maxChunkDf: Int = 10000): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val f = frames.select(col(idCol).as("_vid"), col(frameCol).as("_fi"),
       col(hashCol).as("_ph"))
     val nf = f.groupBy("_vid").agg(countDistinct("_fi").as("_nf"))
-    val chunks = f.select(col("_vid"), col("_fi"), col("_ph"),
-        explode(array((0 until 4).map(k => concat_ws("_", lit(k.toString),
-          shiftright(col("_ph"), k * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("ck"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("ck")))
-      .filter(col("df") <= maxChunkDf)
-      .drop("df")
+    val keyed = f.select(col("_vid"), col("_fi"), col("_ph"),
+      explode(array((0 until 4).map(k => concat_ws("_", lit(k.toString),
+        shiftright(col("_ph"), k * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("ck"))
+    // hot-chunk cap as a partial-agg groupBy + broadcast ANTI join (the
+    // spanScrub discipline — a window would shuffle every frame-chunk row
+    // with the hot keys landing on single tasks; the hot-key LIST is tiny
+    // by definition, so it broadcasts)
+    val hot = keyed.groupBy("ck").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > maxChunkDf).select("ck")
+    val chunks = keyed.join(broadcast(hot), Seq("ck"), "left_anti")
     val m = chunks.as("a").join(chunks.as("b"),
         col("a.ck") === col("b.ck") && col("a._vid") < col("b._vid"))
       .select(col("a._vid").as("id_a"), col("b._vid").as("id_b"),
-        col("a._fi").as("fa"), col("a._ph").as("pa"), col("b._ph").as("pb"))
+        col("a._fi").as("fa"), col("b._fi").as("fb"),
+        col("a._ph").as("pa"), col("b._ph").as("pb"))
       .distinct()
       .filter(bit_count(col("pa").bitwiseXOR(col("pb"))) <= maxHamming)
-    val matched = m.groupBy("id_a", "id_b").agg(countDistinct(col("fa")).as("matched"))
+    // matched coverage is measured on the SHORTER video's frames (the
+    // documented contract): many long-video frames matching one frame of
+    // a short video must not inflate the fraction past 1
+    val matched = m.groupBy("id_a", "id_b")
+      .agg(countDistinct(col("fa")).as("_ma"), countDistinct(col("fb")).as("_mb"))
     matched
       .join(nf.select(col("_vid").as("id_a"), col("_nf").as("_na")), "id_a")
       .join(nf.select(col("_vid").as("id_b"), col("_nf").as("_nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("matched"),
+      .select(col("id_a"), col("id_b"),
+        when(col("_na") <= col("_nb"), col("_ma")).otherwise(col("_mb")).as("matched"),
         graft.functions.Rounding.mirrorRound(
-          col("matched") * 1.0 / least(col("_na"), col("_nb")), 4).as("frac"))
+          when(col("_na") <= col("_nb"), col("_ma")).otherwise(col("_mb"))
+            * 1.0 / least(col("_na"), col("_nb")), 4).as("frac"))
       .filter(col("frac") >= minFrac)
   }
 

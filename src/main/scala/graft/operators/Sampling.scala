@@ -19,10 +19,21 @@ import graft.functions.GraftExpressions
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets): scrambled polynomial hash (the same
-    * family the dedup signatures use, DuckDB-mirrorable) of the salted
-    * string key. The salt decorrelates independent samplings of the same
+  /** The scrambled hash itself: polyHash of the salted key, then the
+    * order-shuffling bijection (× [[graft.functions.Signatures.Scramble]],
+    * mod the prime). Non-negative; uniform enough to threshold, order by,
+    * or bucket. The salt decorrelates independent samplings of the same
     * keys.
+    */
+  def scrambledHash(key: Column, salt: String = ""): Column =
+    pmod(
+      GraftExpressions.polyHash(concat(lit(salt), key.cast("string")))
+        * lit(graft.functions.Signatures.Scramble),
+      lit(graft.functions.TextFunctions.P))
+
+  /** Stable bucket in [0, buckets): [[scrambledHash]] of the salted
+    * string key, mod buckets (the same hash family the dedup signatures
+    * use, DuckDB-mirrorable).
     *
     * The scramble step is load-bearing: polyHash alone is ORDER-PRESERVING
     * for short keys (no modular wraparound), so a structured key family —
@@ -33,15 +44,6 @@ object Sampling {
     * prime is a bijection that shuffles the order (the q28 lesson, now
     * applied to membership); only then is `% buckets` a fair bucket.
     */
-  /** The scrambled hash itself: polyHash of the salted key, then the
-    * order-shuffling bijection (× large odd constant, mod the prime).
-    * Non-negative; uniform enough to threshold, order by, or bucket.
-    */
-  def scrambledHash(key: Column, salt: String = ""): Column =
-    pmod(
-      GraftExpressions.polyHash(concat(lit(salt), key.cast("string"))) * lit(2654435761L),
-      lit(1000000007L))
-
   def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
     require(buckets > 0, "buckets must be positive")
     scrambledHash(key, salt) % buckets
@@ -169,8 +171,7 @@ object Sampling {
     * partial-agg groupBys bounded by `dim` rows each, so the log-ratio
     * table is TINY and BROADCASTS — scoring is a map-side join + one
     * per-doc sum, no shuffle of the corpus beyond the per-doc
-    * aggregation. Buckets absent from both corpora contribute the
-    * constant ln((T_raw + dim)/(T_target + dim)) via coalesce.
+    * aggregation.
     *
     * Output: idCol, n_feats, logw (4 dp). Feed `orderBy(desc("logw"),
     * idCol).limit(k)` for the selection — a TakeOrdered, parallel at any
@@ -182,7 +183,7 @@ object Sampling {
     GraftExpressions.register(raw.sparkSession)
     import graft.functions.{Signatures => Sig}
     import graft.functions.TextFunctions.{tokens, P}
-    val Scramble = 2654435761L
+    val Scramble = Sig.Scramble
     def features(df: DataFrame): DataFrame = {
       val th = Sig.tokenHashes(tokens(col(textCol)))
       val uni = transform(th, h => (h * Scramble) % P % dim)
@@ -196,21 +197,21 @@ object Sampling {
     val tc = dist(target)
     val rc = dist(raw)
     val totals = tc.agg(sum("c").as("tt")).crossJoin(rc.agg(sum("c").as("rt")))
-    // log-ratio per observed bucket; <= 2*dim rows -> broadcast
+    // log-ratio per observed bucket; <= 2*dim rows -> broadcast. Every
+    // scored feature comes from `raw`, so its bucket is in rc and
+    // therefore in this table by construction — scoring raw against its
+    // own distribution needs no unseen-bucket floor. (Scoring a THIRD
+    // corpus against these two would need one: ln((rt+dim)/(tt+dim)).)
     val ratio = tc.withColumnRenamed("c", "ct")
       .join(rc.withColumnRenamed("c", "cr"), Seq("bucket"), "full_outer")
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         (log(coalesce(col("ct"), lit(0L)) + 1.0) - log(col("tt") + dim)
           - log(coalesce(col("cr"), lit(0L)) + 1.0) + log(col("rt") + dim)).as("lr"))
-    val default = totals.select(
-      (log(lit(1.0)) - log(col("tt") + dim) - log(lit(1.0)) + log(col("rt") + dim)).as("lr0"))
     val scored = rawF
-      .join(broadcast(ratio), Seq("bucket"), "left")
-      .crossJoin(broadcast(default))
+      .join(broadcast(ratio), Seq("bucket"))
       .groupBy("_id")
-      .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("lr"), col("lr0"))).as("_lw"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("_lw"))
     raw.select(col(idCol)).join(scored, col(idCol) === col("_id"))
       .select(col(idCol), col("n_feats"),
         graft.functions.Rounding.mirrorRound(col("_lw"), 4).as("logw"))

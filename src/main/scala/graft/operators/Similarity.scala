@@ -173,9 +173,7 @@ object Similarity {
     require(iters >= 0, "iters must be >= 0")
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
-    val h = pmod(
-      GraftExpressions.polyHash(concat(lit(salt), col("vec_id").cast("string"))) * lit(2654435761L),
-      lit(1000000007L))
+    val h = Sampling.scrambledHash(col("vec_id"), salt)
     // distributed top-k by scrambled hash; the k survivors get labels
     // 0..k-1 in the same order (a window over k rows, not the corpus)
     val seedW = Window.orderBy(col("_h"), col("vec_id"))
@@ -234,9 +232,7 @@ object Similarity {
     GraftExpressions.register(df.sparkSession)
     val subDim = dim / m
     val e = df.select(col(idCol).as("vec_id"), VectorFunctions.toDouble(col(vecCol)).as("_v"))
-    val h = pmod(
-      GraftExpressions.polyHash(concat(lit(salt), col("vec_id").cast("string"))) * lit(2654435761L),
-      lit(1000000007L))
+    val h = Sampling.scrambledHash(col("vec_id"), salt)
     val seedW = Window.orderBy(col("_h"), col("vec_id"))
     val seeds = e.withColumn("_h", h).orderBy(col("_h"), col("vec_id")).limit(k)
       .select((row_number().over(seedW) - 1).cast("long").as("code"), col("_v"))

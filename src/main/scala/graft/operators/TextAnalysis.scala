@@ -182,7 +182,10 @@ object TextAnalysis {
         .select(col("_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
     }
     val refDf = ref.getOrElse(df)
-    val rbg = bigrams(refDf, col(idCol))
+    // the reference bigram table feeds BOTH model aggregations (pair
+    // counts and context counts) — materialize it once instead of
+    // re-tokenizing the reference corpus per consumer
+    val rbg = bigrams(refDf, col(idCol)).localCheckpoint(true)
     val bc = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
     val cc = rbg.groupBy("w1").agg(count(lit(1)).as("_c1"))
     val v = refDf.select(explode(tokens(col(textCol))).as("_tok"))
@@ -229,13 +232,14 @@ object TextAnalysis {
     require(dim > 0, "dim must be positive")
     GraftExpressions.register(df.sparkSession)
     import org.apache.spark.sql.Column
+    val Scramble = graft.functions.Signatures.Scramble
     val toks = tokens(col(textCol))
-    // Knuth multiplicative scramble (the Sampling.scrambledHash constant):
+    // Knuth multiplicative scramble (the canonical Signatures.Scramble):
     // decorrelates the bucket from hash order, and the weight from the
     // bucket id.
-    def bucketOf(h: Column): Column = (h * lit(2654435761L)) % P % dim
+    def bucketOf(h: Column): Column = (h * lit(Scramble)) % P % dim
     def weightOf(b: Column): Column =
-      (((b + 1) * lit(2654435761L)) % P % 2001 - 1000) / 1000.0
+      (((b + 1) * lit(Scramble)) % P % 2001 - 1000) / 1000.0
     weights match {
       case None =>
         val ws = transform(graft.functions.Signatures.tokenHashes(toks),

@@ -202,11 +202,8 @@ object PipelineQueries {
          |            - ln(coalesce(cr, 0) + 1.0) + ln(rt + $P4Dim) AS lr
          |          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
          |          CROSS JOIN tot),
-         |dflt AS (SELECT ln(1.0) - ln(tt + $P4Dim)
-         |                - ln(1.0) + ln(rt + $P4Dim) AS lr0 FROM tot),
-         |sd AS (SELECT f.doc_id, count(*) AS n_feats,
-         |         sum(coalesce(r.lr, d.lr0)) AS lw
-         |       FROM f LEFT JOIN ratio r USING (bucket) CROSS JOIN dflt d
+         |sd AS (SELECT f.doc_id, count(*) AS n_feats, sum(r.lr) AS lw
+         |       FROM f JOIN ratio r USING (bucket)
          |       WHERE NOT f.is_t GROUP BY 1)
          |SELECT sd.doc_id, m2.score, CAST(sd.n_feats AS BIGINT) AS n_feats,
          |  ${mr("sd.lw", 4)} AS logw

@@ -449,10 +449,10 @@ object Relational {
 
   /** q34: UNPIVOT (melt) — the inverse reshape of q33: a wide per-item
     * metrics row unfolds to long (metric, value) rows. Spark's native
-    * `unpivot` is a narrow one-pass expansion (no shuffle, no UDF); the
-    * oracle is the textbook UNION ALL of one SELECT per column. Nulls in
-    * value columns are dropped by both (unpivot's contract), making the
-    * reshape exactly invertible with q33's pivot.
+    * `unpivot` is a narrow one-pass expansion (no shuffle, no UDF) that
+    * KEEPS null cells (verified on 4.1.2), so null rows are dropped with
+    * an EXPLICIT filter matching the oracle's `IS NOT NULL` — never rely
+    * on an engine's implicit null contract in a mirrored query.
     */
   val q34 = QueryDef(
     "q34_unpivot", {
@@ -467,6 +467,7 @@ object Relational {
         col("p_size").cast("double").as("size"))
       .unpivot(Array(col("p_partkey")), Array(col("retailprice"), col("size")),
         "metric", "value")
+      .filter(col("value").isNotNull)
       .orderBy("p_partkey", "metric")
   }
 

@@ -207,11 +207,8 @@ object Sampling {
          |            - ln(coalesce(cr, 0) + 1.0) + ln(rt + $DsirDim) AS lr
          |          FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
          |          CROSS JOIN tot),
-         |dflt AS (SELECT ln(1.0) - ln(tt + $DsirDim)
-         |                - ln(1.0) + ln(rt + $DsirDim) AS lr0 FROM tot),
-         |s AS (SELECT f.doc_id, count(*) AS n_feats,
-         |        sum(coalesce(r.lr, d.lr0)) AS lw
-         |      FROM f LEFT JOIN ratio r USING (bucket) CROSS JOIN dflt d
+         |s AS (SELECT f.doc_id, count(*) AS n_feats, sum(r.lr) AS lw
+         |      FROM f JOIN ratio r USING (bucket)
          |      WHERE NOT f.is_t GROUP BY 1)
          |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
          |  ${graft.functions.Rounding.sqlMirrorRound("lw", 4)} AS logw

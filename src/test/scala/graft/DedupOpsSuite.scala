@@ -9,6 +9,17 @@ import graft.operators.{Dedup, TextAnalysis}
   */
 class DedupOpsSuite extends SparkSpec {
 
+  test("clusters ignores pair endpoints absent from the corpus") {
+    import spark.implicits._
+    // id 0 appears only in the pair set (e.g. pairs computed before a
+    // filter pass): it must not become anyone's cluster label
+    val all = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(all, "id", pairs)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 1L, true), (2L, 2L, true), (3L, 2L, false)))
+  }
+
   test("clusters works with string ids and finds components") {
     import spark.implicits._
     val all = Seq("a", "b", "c", "d", "e").toDF("id")

@@ -166,6 +166,23 @@ class MultimodalSuite extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((1L, 2L, 4L, 1.0)),
       s"A~B near-dup (every frame matches), C distinct: $pairs")
+    // asymmetric lengths: a long video repeating ONE of a short video's
+    // frames must measure coverage on the SHORT side (frac <= 1, never
+    // the long side's inflated match count)
+    val longVid = gifOf(Seq.fill(6)(frame(40, 200, 3, vertical = true)))
+    val shortVid = gifOf(Seq(
+      frame(40, 200, 3, vertical = true), frame(40, 200, 3, vertical = false)))
+    val h2 = Pipeline.from(spark.createDataset(Seq(
+        MediaRow(10L, longVid), MediaRow(11L, shortVid))))
+      .stage(new VideoFrameSampleStage(every = 1))
+      .stage(new FrameHashStage())
+      .run().toDF()
+    val p2 = videoNearDupPairs(h2, "id", "frameIdx", "phash",
+        maxHamming = 3, minFrac = 0.0)
+      .select("id_a", "id_b", "matched", "frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(p2 == Seq((10L, 11L, 1L, 0.5)),
+      s"1 of the short video's 2 frames matches -> frac 0.5: $p2")
   }
 
   test("M2f: real multi-frame GIF decodes; VideoFrameSampleStage keeps every k-th frame") {
