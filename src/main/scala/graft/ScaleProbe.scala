@@ -135,6 +135,18 @@ object ScaleProbe {
       Similarity.ivfKnn(e, "vec_id", "embedding", cells, col("vec_id") < 8, k = 5).count())
     time("s04 ivf-knn nprobe-4")(
       Similarity.ivfKnn(e, "vec_id", "embedding", cells, col("vec_id") < 8, k = 5, nprobe = 4).count())
+    // PQ: codebook training cost is corpus-linear per Lloyd round; the
+    // compressed-domain ADC scan is |corpus| x m tiny rows per query set
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", dim = 64,
+      m = 8, k = 16, iters = 1, salt = "pq:").localCheckpoint(true)
+    time("s05 pq encode")(
+      Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8).count())
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8)
+      .localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < 8)
+    time("s05 pq adc-knn (8 queries)")(
+      Similarity.pqKnn(codes, cb, queries, "vec_id", "embedding",
+        dim = 64, m = 8, k = 5).count())
   }
 
   /** Fact-fact joins at ~sf1 (SURVEY §7): replicate orders/lineitem/events
