@@ -262,6 +262,39 @@ object TextAnalysis {
     }
   }
 
+  /** Corpus report card — the per-group summary every curation run ends
+    * with (the numbers that go in a dataset card): document and token
+    * counts, the exact MEDIAN document length (rank-based: the value at
+    * row floor((n+1)/2) in (length, id) order — deterministic,
+    * oracle-mirrorable, no interpolation ambiguity), and the exact-dup
+    * footprint (d01 semantics: same normalized text, min-id canonical).
+    * Two window passes partitioned by fingerprint / group + one final
+    * aggregation; token counting is narrow.
+    *
+    * Output per group: groupCol, n_docs, n_tokens, median_tokens,
+    * dup_docs (non-canonical copies), dup_frac (4 dp).
+    */
+  def corpusReport(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
+      size(tokens(col(textCol))).cast("long").as("_n"),
+      md5(lower(trim(col(textCol))).cast("binary")).as("_fp"))
+    val keep = t.withColumn("_keep",
+      col("_id") === min("_id").over(Window.partitionBy("_fp")))
+    val ranked = keep
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("_g").orderBy(col("_n"), col("_id"))))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("_g")))
+    ranked.groupBy(col("_g").as(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_n").as("n_tokens"),
+        max(when(col("_rk") === floor((col("_cnt") + 1) / 2), col("_n"))).as("median_tokens"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_frac",
+        Rounding.mirrorRound(col("dup_docs") * 1.0 / col("n_docs"), 4))
+  }
+
   /** BPE merge-table training at corpus scale — the Sennrich et al. 2016
     * recipe ("Neural Machine Translation of Rare Words with Subword
     * Units") with the scale structure real trainers use: the corpus is

@@ -208,5 +208,32 @@ object Text {
       dim = ClsDim).orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12)
+  /** t13: corpus report card — per-language doc/token counts, exact
+    * rank-based median doc length, and the exact-dup footprint (the
+    * dataset-card numbers a curation run publishes).
+    */
+  val t13 = QueryDef(
+    "t13_corpus_report",
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |             md5(lower(trim(text))) AS fp FROM documents),
+       |k AS (SELECT doc_id, lang, n,
+       |        doc_id = min(doc_id) OVER (PARTITION BY fp) AS keep FROM t),
+       |r AS (SELECT lang, n, keep,
+       |        row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rk,
+       |        count(*) OVER (PARTITION BY lang) AS cnt FROM k)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(max(CASE WHEN rk = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+       |           THEN n END) AS BIGINT) AS median_tokens,
+       |  CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |  ${mr("sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) * 1.0 / count(*)", 4)}
+       |    AS dup_frac
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    TextAnalysis.corpusReport(Tables(s, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("lang")
+  }
+
+  val queries: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
