@@ -360,6 +360,28 @@ object Dedup {
     df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
   }
 
+  /** [[nearDedup]] keeping the BEST row per duplicate cluster instead of
+    * the min-id one — the production policy ("of these near-identical
+    * crawls, keep the highest-quality copy"): `rankCol` scores rows
+    * (higher wins; ties break on smallest id, so selection stays total
+    * and deterministic, for ids of ANY orderable type). Two partial-agg
+    * passes keyed by the cluster id (best rank, then min id among rows
+    * achieving it) — never a per-cluster sort.
+    */
+  def nearDedupBest(df: DataFrame, idCol: String, textCol: String,
+      thr: Double, rankCol: String): DataFrame = {
+    val cl = clusters(df, idCol, minhashLshPairs(df, idCol, textCol, thr))
+      .select(col("id"), col("cluster"))
+    val ranked = df.select(col(idCol).as("id"), col(rankCol).as("_rank")).join(cl, "id")
+    val best = ranked.groupBy("cluster").agg(max(col("_rank")).as("_bestRank"))
+    // null-safe rank match: an all-null-rank cluster still keeps a row
+    // (min id) instead of silently vanishing
+    val winner = ranked.as("x").join(best.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x._rank") <=> col("y._bestRank"))
+      .groupBy(col("x.cluster")).agg(min(col("x.id")).as("_keep_id"))
+    df.join(winner.select("_keep_id"), df(idCol) === col("_keep_id"), "left_semi")
+  }
+
   /** Bloom-filter membership gate — the shuffle-free "have we seen this
     * before?" check against a REFERENCE corpus (blocklists, benchmark
     * fingerprints, yesterday's curated set). The reference side collapses

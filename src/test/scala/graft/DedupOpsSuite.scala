@@ -206,6 +206,23 @@ class DedupOpsSuite extends SparkSpec {
     assert(out == Set(10L, 11L, 12L), s"canonical min-id survives, copy dropped: $out")
   }
 
+  test("nearDedupBest keeps the highest-ranked copy per cluster, not min id") {
+    import spark.implicits._
+    val t = "the quick brown fox jumps over the lazy dog today"
+    val df = Seq(
+      (10L, t, 0.2), (20L, t, 0.9),                       // dup cluster: 20 wins on rank
+      (30L, "a completely different document entirely", 0.1)) // singleton survives
+      .toDF("id", "text", "quality")
+    val got = Dedup.nearDedupBest(df, "id", "text", thr = 0.5, rankCol = "quality")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(20L, 30L), s"rank beats min-id: $got")
+    // rank ties fall back to min id (total, deterministic selection)
+    val tied = Seq((10L, t, 0.5), (20L, t, 0.5)).toDF("id", "text", "quality")
+    val g2 = Dedup.nearDedupBest(tied, "id", "text", 0.5, "quality")
+      .select("id").as[Long].collect().toSet
+    assert(g2 == Set(10L))
+  }
+
   test("bloomSeen: no false negatives; novel rows mostly pass") {
     import spark.implicits._
     val ref = (0 until 100).map(i => (i.toLong, s"reference document number $i body"))

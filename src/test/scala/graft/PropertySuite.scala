@@ -1,0 +1,55 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Property-based invariants (scalacheck generators sampled under
+  * deterministic seeds — the plus-bridge artifact is not in the offline
+  * cache, so the property loop is explicit) for contracts the oracle
+  * queries rely on but cannot express directly.
+  */
+class PropertySuite extends SparkSpec {
+
+  private val word =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val mergeList = Gen.listOf(Gen.zip(
+    Gen.alphaLowerChar.map(_.toString), Gen.alphaLowerChar.map(_.toString)))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("bpeSegment properties: concat-back, non-empty pieces, determinism (200 cases)") {
+    (0 until 200).foreach { i =>
+      val w = sample(word, i)
+      val merges = sample(mergeList, 1000 + i)
+      val seg = TextAnalysis.bpeSegment(w, merges)
+      assert(seg.mkString == w, s"case $i: segments must concatenate to the word")
+      assert(seg.nonEmpty && seg.forall(_.nonEmpty), s"case $i: no empty pieces")
+      assert(seg.length <= w.length, s"case $i: merging never splits")
+      assert(seg == TextAnalysis.bpeSegment(w, merges), s"case $i: deterministic")
+    }
+  }
+
+  test("spanScrub invariant: dup_tokens + |scrubbed| == n_tokens, dup_frac in [0,1]") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with planted repeats: enough
+    // structure to exercise overlap merging without a flaky generator
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val planted = Seq.fill(6)(vocab(rnd.nextInt(6))).mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val noise = Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(6))).mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"$noise $planted" else noise)
+    }
+    val got = Dedup.spanScrub(docs.toDF("id", "text"), "id", "text", n = 4, minCount = 2)
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(got.length == 40)
+    got.foreach { case (id, n, dup, frac, scrubbed) =>
+      val kept = if (scrubbed.isEmpty) 0 else scrubbed.split(" ", -1).length
+      assert(dup + kept == n, s"doc $id: $dup covered + $kept kept != $n")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+  }
+}

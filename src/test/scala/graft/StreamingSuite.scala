@@ -79,6 +79,30 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("narrow text operators compose over streams (classifier on a live source)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "zeta"))
+    val src = MemoryStream[(Long, String)]
+    // the derived-weights classifier is one narrow codegen expression, so
+    // it applies to a streaming DataFrame unchanged — ingest-time quality
+    // scoring with zero state
+    val out = graft.operators.TextAnalysis.hashClassifier(
+      src.toDS().toDF("id", "text"), "id", "text")
+    val q = out.writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cls_stream")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      val batch = graft.operators.TextAnalysis.hashClassifier(
+          rows.toDF("id", "text"), "id", "text")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(streamed == batch, "stream and batch scoring agree row for row")
+    } finally q.stop()
+  }
+
   test("E4: stream-stream interval join pairs events within the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
