@@ -139,10 +139,12 @@ object ScaleProbe {
     // compressed-domain ADC scan is |corpus| x m tiny rows per query set
     val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", dim = 64,
       m = 8, k = 16, iters = 1, salt = "pq:").localCheckpoint(true)
-    time("s05 pq encode")(
-      Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8).count())
-    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8)
-      .localCheckpoint(true)
+    var codes: org.apache.spark.sql.DataFrame = null
+    time("s05 pq encode") {
+      codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, dim = 64, m = 8)
+        .localCheckpoint(true) // eager: the timer measures the one encode job
+      codes.count()
+    }
     val queries = e.filter(col("vec_id") < 8)
     time("s05 pq adc-knn (8 queries)")(
       Similarity.pqKnn(codes, cb, queries, "vec_id", "embedding",

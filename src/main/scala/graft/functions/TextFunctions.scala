@@ -20,6 +20,15 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(text, " ", -1)
 
+  /** THE exact-dup content fingerprint (d01 semantics): md5 of the
+    * lowercased, trimmed text — 16 bytes on the wire, never the text.
+    * Single definition shared by every consumer (exact dedup, bloom
+    * gate, corpus report) so the normalization can never drift between
+    * them.
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(lower(trim(text)).cast("binary"))
+
   /** Polynomial rolling hash over characters: fold h = (h*31 + ascii(c)) mod P.
     * DuckDB equivalent:
     * `list_reduce(list_prepend(0, list_transform(range(1, length(s)+1),

@@ -20,7 +20,7 @@ object Dedup {
     * Output: idCol, canonical_id (min id in group), group_size, keep.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(lower(trim(col(textCol))).cast("binary")))
+    val w = Window.partitionBy(graft.functions.TextFunctions.contentFingerprint(col(textCol)))
     df.select(col(idCol),
         min(idCol).over(w).as("canonical_id"),
         count(lit(1)).over(w).as("group_size"))
@@ -275,7 +275,7 @@ object Dedup {
     * Output: id, cluster (min id in the component), keep (id == cluster).
     */
   def clusters(all: DataFrame, idCol: String, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
+      maxRounds: Int = 20, checkIds: Boolean = true): DataFrame = {
     // Materialize the edge set ONCE (the pair generation upstream may be a
     // whole LSH pipeline) and truncate lineage per round with an eager
     // localCheckpoint — otherwise every round's plan embeds all previous
@@ -287,11 +287,18 @@ object Dedup {
     // before a filter pass): a foreign id must never become a cluster
     // label — it would mark every real member keep=false and silently
     // lose the whole cluster downstream. Two semi-joins over the pair
-    // set, paid once before the loop.
-    val ids = all.select(col(idCol).as("_vid"))
-    val inAll = pairs.select(col("id_a"), col("id_b"))
-      .join(ids, col("id_a") === col("_vid"), "left_semi")
-      .join(ids, col("id_b") === col("_vid"), "left_semi")
+    // set, paid once before the loop; the corpus side ships only its id
+    // column. Call sites whose pairs derive from `all` itself (nearDedup,
+    // the d06 binding) pass checkIds = false — there the guard is
+    // provably a no-op and the corpus-id shuffles would be pure cost.
+    val inAll =
+      if (!checkIds) pairs.select(col("id_a"), col("id_b"))
+      else {
+        val ids = all.select(col(idCol).as("_vid"))
+        pairs.select(col("id_a"), col("id_b"))
+          .join(ids, col("id_a") === col("_vid"), "left_semi")
+          .join(ids, col("id_b") === col("_vid"), "left_semi")
+      }
     val edges = inAll.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(inAll.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -355,7 +362,8 @@ object Dedup {
     */
   def nearDedup(df: DataFrame, idCol: String, textCol: String,
       thr: Double): DataFrame = {
-    val keep = clusters(df, idCol, minhashLshPairs(df, idCol, textCol, thr))
+    val keep = clusters(df, idCol, minhashLshPairs(df, idCol, textCol, thr),
+        checkIds = false) // pairs derive from df: endpoints ⊆ corpus
       .filter(col("keep")).select(col("id").as("_keep_id"))
     df.join(keep, df(idCol) === col("_keep_id"), "left_semi")
   }
@@ -370,7 +378,8 @@ object Dedup {
     */
   def nearDedupBest(df: DataFrame, idCol: String, textCol: String,
       thr: Double, rankCol: String): DataFrame = {
-    val cl = clusters(df, idCol, minhashLshPairs(df, idCol, textCol, thr))
+    val cl = clusters(df, idCol, minhashLshPairs(df, idCol, textCol, thr),
+        checkIds = false) // pairs derive from df: endpoints ⊆ corpus
       .select(col("id"), col("cluster"))
     val ranked = df.select(col(idCol).as("id"), col(rankCol).as("_rank")).join(cl, "id")
     val best = ranked.groupBy("cluster").agg(max(col("_rank")).as("_bestRank"))
@@ -408,7 +417,7 @@ object Dedup {
       textCol: String, fpp: Double = 0.01,
       expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    def fp(c: org.apache.spark.sql.Column) = md5(lower(trim(c)).cast("binary"))
+    def fp(c: org.apache.spark.sql.Column) = graft.functions.TextFunctions.contentFingerprint(c)
     val items = if (expectedItems > 0) expectedItems
       else math.max(reference.count(), 1L)
     val bloom = reference.select(fp(col(textCol)).as("_fp"))

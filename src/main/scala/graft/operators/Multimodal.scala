@@ -373,8 +373,9 @@ object Multimodal {
     *
     * Input: one row per sampled frame (idCol, frameCol, hashCol) — the
     * output of [[VideoFrameSampleStage]] → [[FrameHashStage]]. Output:
-    * id_a, id_b, matched (distinct a-frames with a match), frac
-    * (matched / min(|a|, |b|), 4 dp, >= minFrac).
+    * id_a, id_b, matched (distinct matched frames OF THE SHORTER VIDEO —
+    * the side coverage is measured on), frac (matched / min(|a|, |b|),
+    * 4 dp, in [0, 1], >= minFrac).
     */
   def videoNearDupPairs(frames: org.apache.spark.sql.DataFrame, idCol: String,
       frameCol: String, hashCol: String, maxHamming: Int = 3,

@@ -182,10 +182,13 @@ object TextAnalysis {
         .select(col("_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
     }
     val refDf = ref.getOrElse(df)
-    // the reference bigram table feeds BOTH model aggregations (pair
-    // counts and context counts) — materialize it once instead of
-    // re-tokenizing the reference corpus per consumer
-    val rbg = bigrams(refDf, col(idCol)).localCheckpoint(true)
+    // the reference bigram table feeds both model aggregations; it stays
+    // LAZY on purpose — materializing it would store a corpus-scale
+    // intermediate (~one row per token) in executor blocks to save two
+    // NARROW re-tokenization scans, a bad trade at scale (checkpoints in
+    // this repo hold sliver-sized state: centroids, edges, model tables).
+    // Persist bc/cc yourself when scoring many corpora against one model.
+    val rbg = bigrams(refDf, col(idCol))
     val bc = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
     val cc = rbg.groupBy("w1").agg(count(lit(1)).as("_c1"))
     val v = refDf.select(explode(tokens(col(textCol))).as("_tok"))
@@ -265,11 +268,18 @@ object TextAnalysis {
   /** Corpus report card — the per-group summary every curation run ends
     * with (the numbers that go in a dataset card): document and token
     * counts, the exact MEDIAN document length (rank-based: the value at
-    * row floor((n+1)/2) in (length, id) order — deterministic,
+    * rank floor((n+1)/2) in length order — deterministic,
     * oracle-mirrorable, no interpolation ambiguity), and the exact-dup
     * footprint (d01 semantics: same normalized text, min-id canonical).
-    * Two window passes partitioned by fingerprint / group + one final
-    * aggregation; token counting is narrow.
+    *
+    * Scale shape: NOTHING windows over the corpus by group (a dominant
+    * group — English at half the corpus — would land on one task). The
+    * counts are partial-agg groupBys; the median comes from a per-group
+    * LENGTH HISTOGRAM (bounded by |groups| × distinct lengths — tiny),
+    * where the rank-r value is the smallest length whose cumulative
+    * count reaches r; only the histogram sees a window. The dup window
+    * partitions by FINGERPRINT (dup groups are small by nature), exactly
+    * like d01.
     *
     * Output per group: groupCol, n_docs, n_tokens, median_tokens,
     * dup_docs (non-canonical copies), dup_frac (4 dp).
@@ -279,20 +289,24 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val t = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
       size(tokens(col(textCol))).cast("long").as("_n"),
-      md5(lower(trim(col(textCol))).cast("binary")).as("_fp"))
+      graft.functions.TextFunctions.contentFingerprint(col(textCol)).as("_fp"))
     val keep = t.withColumn("_keep",
       col("_id") === min("_id").over(Window.partitionBy("_fp")))
-    val ranked = keep
-      .withColumn("_rk", row_number().over(
-        Window.partitionBy("_g").orderBy(col("_n"), col("_id"))))
-      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy("_g")))
-    ranked.groupBy(col("_g").as(groupCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum("_n").as("n_tokens"),
-        max(when(col("_rk") === floor((col("_cnt") + 1) / 2), col("_n"))).as("median_tokens"),
+    val aggs = keep.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"),
         sum(when(!col("_keep"), 1L).otherwise(0L)).as("dup_docs"))
-      .withColumn("dup_frac",
-        Rounding.mirrorRound(col("dup_docs") * 1.0 / col("n_docs"), 4))
+    // histogram median: tiny table, windows are per-group over distinct
+    // lengths, not over documents
+    val hist = t.groupBy(col("_g"), col("_n")).agg(count(lit(1)).as("_c"))
+    val cum = hist.withColumn("_cum",
+      sum("_c").over(Window.partitionBy("_g").orderBy("_n")))
+    val med = cum.join(aggs.select(col("_g"), col("n_docs")), "_g")
+      .filter(col("_cum") >= floor((col("n_docs") + 1) / 2))
+      .groupBy(col("_g")).agg(min(col("_n")).as("median_tokens"))
+    aggs.join(med, "_g")
+      .select(col("_g").as(groupCol), col("n_docs"), col("n_tokens"),
+        col("median_tokens"), col("dup_docs"),
+        Rounding.mirrorRound(col("dup_docs") * 1.0 / col("n_docs"), 4).as("dup_frac"))
   }
 
   /** BPE merge-table training at corpus scale — the Sennrich et al. 2016
