@@ -162,7 +162,7 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     val pairs = Ops.minhashLshPairs(docs, "doc_id", "text", JaccardThr)
-    Ops.clusters(docs, "doc_id", pairs)
+    Ops.clusters(docs, "doc_id", pairs, checkIds = false) // pairs ⊆ docs
       .withColumnRenamed("id", "doc_id")
       .orderBy("doc_id")
   }
