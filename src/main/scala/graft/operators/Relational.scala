@@ -323,4 +323,35 @@ object Relational {
       .filter(col("_side") === 1 && col("_asof").isNotNull)
       .select(col("_lid").as(leftId), col("_asof").as("asof_" + rightId))
   }
+
+  /** Time-series gap fill (forward fill / LOCF): every entity gets a
+    * DENSE bucket grid from its first to its last observation, missing
+    * buckets carry the last observed value forward, and `observed` marks
+    * real vs filled rows — the resample-then-fill step of feature
+    * pipelines and dashboards. Within-bucket conflicts resolve
+    * deterministically to the observation with the greatest `tie`
+    * (pass struct(ts, id): latest event wins, id breaks exact ties) via
+    * a `max_by` partial aggregation — no within-bucket sort.
+    *
+    * Scale shape: the grid explode is bounded by each entity's own span
+    * (`sequence(b0, b1)` — never a global calendar cross join); the fill
+    * window partitions per ENTITY, parallel across entities (entity
+    * cardinality is the parallelism, the safe direction — contrast the
+    * corpusReport median note, where groups are FEW and windows would
+    * serialize). Output: entityCol, bucket, value (filled), observed.
+    */
+  def gapFill(df: DataFrame, entityCol: String, bucket: Column,
+      value: Column, tie: Column): DataFrame = {
+    val base = df.select(col(entityCol).as("_e"), bucket.as("_b"),
+      value.as("_v"), tie.as("_t"))
+    val obs = base.groupBy("_e", "_b").agg(max_by(col("_v"), col("_t")).as("_v"))
+    val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
+    val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val w = Window.partitionBy("_e").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("_e", "_b"), "left")
+      .select(col("_e").as(entityCol), col("_b").as("bucket"),
+        last(col("_v"), ignoreNulls = true).over(w).as("value"),
+        col("_v").isNotNull.as("observed"))
+  }
 }

@@ -471,7 +471,68 @@ object Relational {
       .orderBy("p_partkey", "metric")
   }
 
+  /** q35: semi-structured JSON extraction — event properties travel as a
+    * JSON string column; `from_json` parses each row ONCE into a typed
+    * struct (schema declared, so Catalyst prunes and codegens the
+    * access) — the scale rule vs per-field `get_json_object`, which
+    * re-parses the document for every field extracted. Null-safe: rows
+    * whose JSON lacks the field aggregate as null (skipped by avg/max,
+    * counted by n_events).
+    */
+  val q35 = QueryDef(
+    "q35_json_props",
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       |  ${mr("avg(CAST(json_extract_string(props, '$.k') AS BIGINT))", 4)} AS avg_k,
+       |  CAST(max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS max_k
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .getField("k")
+    Tables.events(s, dir)
+      .select(col("event_type"), k.as("_k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("_k").as("sum_k"),
+        graft.functions.Rounding.mirrorRound(avg("_k"), 4).as("avg_k"),
+        max("_k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** q36: time-series gap fill — per-user HOURLY grid with forward fill
+    * ([[graft.operators.Relational.gapFill]]): dense buckets from each
+    * user's first to last event, last observed value carried forward,
+    * real vs filled rows flagged. Within-hour conflicts resolve to the
+    * latest (ts, event_id) on both engines (max_by struct ↔ row_number
+    * DESC), and the floor-hour arithmetic is shared textually (the q26
+    * precedent).
+    */
+  val q36 = QueryDef(
+    "q36_gapfill",
+    s"""WITH e AS (SELECT user_id,
+       |             CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS b,
+       |             value, ts, event_id FROM events),
+       |o AS (SELECT user_id, b, value AS v FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY user_id, b
+       |          ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+       |      WHERE rn = 1),
+       |sp AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM o GROUP BY 1),
+       |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM sp),
+       |f AS (SELECT g.user_id, g.b, o.v FROM g LEFT JOIN o USING (user_id, b))
+       |SELECT user_id, b AS bucket,
+       |  ${mr("last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING)", 2)} AS value,
+       |  (v IS NOT NULL) AS observed
+       |FROM f ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.operators.Relational.gapFill(ev, "user_id",
+        bucket = floor(unix_millis(col("ts")) / 3600000.0).cast("long"),
+        value = col("value"),
+        tie = struct(col("ts"), col("event_id")))
+      .withColumn("value", graft.functions.Rounding.mirrorRound(col("value"), 2))
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36)
 }

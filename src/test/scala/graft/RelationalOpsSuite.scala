@@ -202,4 +202,28 @@ class RelationalOpsSuite extends SparkSpec {
     assert(fallback == expected, "window-fallback path must match the naive selection")
     assert(exact == expected, "range-partitioned path must ignore nulls and match")
   }
+
+  test("gapFill: dense per-entity grid, forward fill, deterministic conflicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // entity 1: observations at buckets 10 (v=1.0) and 13 (two events in
+    // the bucket: tie resolves to the later (t, id) -> v=5.0); entity 2:
+    // a single observation (span of one bucket, nothing filled)
+    val df = Seq(
+      (1L, 10L, 1.0, 100L, 1L),
+      (1L, 13L, 4.0, 200L, 2L),
+      (1L, 13L, 5.0, 200L, 3L), // same t as id=2 -> id breaks the tie
+      (2L, 7L, 9.0, 50L, 4L)
+    ).toDF("e", "b", "v", "t", "id")
+    val got = graft.operators.Relational.gapFill(df, "e",
+        bucket = col("b"), value = col("v"), tie = struct(col("t"), col("id")))
+      .orderBy("e", "bucket")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10L, 1.0, true),
+      (1L, 11L, 1.0, false), // filled from bucket 10
+      (1L, 12L, 1.0, false),
+      (1L, 13L, 5.0, true),  // max (t, id) observation wins
+      (2L, 7L, 9.0, true)))
+  }
 }
