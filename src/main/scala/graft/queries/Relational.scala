@@ -532,7 +532,46 @@ object Relational {
       .orderBy("user_id", "bucket")
   }
 
+  /** Shared ANSI SQL text run VERBATIM by both engines — these two
+    * queries exercise the `spark.sql` entrypoint itself (the north-star
+    * API surface next to the DataFrame DSL): the engines' dialects agree
+    * on the full text, so the oracle IS the Spark query string.
+    */
+  private val GroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private val CorrelatedSql =
+    """SELECT n.n_name,
+      |  CAST((SELECT count(*) FROM supplier s
+      |        WHERE s.s_nationkey = n.n_nationkey) AS BIGINT) AS n_suppliers
+      |FROM nation n ORDER BY n.n_name""".stripMargin
+
+  /** q37: GROUPING SETS — the irregular multi-level aggregate between
+    * ROLLUP (q06) and CUBE (q13), through `spark.sql`. One shuffle; each
+    * grouping set is a partial-agg expansion, not a re-scan.
+    */
+  val q37 = QueryDef("q37_grouping_sets", GroupingSetsSql) { (s, dir) =>
+    Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql(GroupingSetsSql)
+  }
+
+  /** q38: correlated scalar subquery — Catalyst DECORRELATES it into an
+    * aggregate + left join (verify with explain: no per-row subquery
+    * execution exists in the plan), the transformation that makes
+    * naively-written analyst SQL scale.
+    */
+  val q38 = QueryDef("q38_correlated_subquery", CorrelatedSql) { (s, dir) =>
+    Tables(s, dir, "nation").createOrReplaceTempView("nation")
+    Tables(s, dir, "supplier").createOrReplaceTempView("supplier")
+    s.sql(CorrelatedSql)
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34, q35, q36)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38)
 }
