@@ -57,7 +57,8 @@ object ScaleProbe {
     time("d04 simhash")(graft.operators.Dedup.simhashPairs(d, "doc_id", "text").count())
     time("d02 ngram-jaccard")(graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, 20).count())
     time("d06 clusters")(graft.operators.Dedup.clusters(d, "doc_id",
-      graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5)).filter(col("keep")).count())
+      graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5),
+      checkIds = false).filter(col("keep")).count()) // the shipped d06 path
     // worst case for the span scrub: every cross-replica doc family shares
     // its full token run except the appended replica marker
     time("q31 span-scrub")(graft.operators.Dedup.spanScrub(d, "doc_id", "text")

@@ -187,7 +187,11 @@ object TextAnalysis {
     // intermediate (~one row per token) in executor blocks to save two
     // NARROW re-tokenization scans, a bad trade at scale (checkpoints in
     // this repo hold sliver-sized state: centroids, edges, model tables).
-    // Persist bc/cc yourself when scoring many corpora against one model.
+    // CONTRACT: `ref` must be deterministic across jobs — the two model
+    // aggregations scan it independently, so a nondeterministic ref
+    // (df.sample, a mutating source) would give bc and cc inconsistent
+    // snapshots; stabilize such a ref yourself (persist/localCheckpoint)
+    // before passing it. Persist bc/cc when scoring many corpora.
     val rbg = bigrams(refDf, col(idCol))
     val bc = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
     val cc = rbg.groupBy("w1").agg(count(lit(1)).as("_c1"))
@@ -298,10 +302,15 @@ object TextAnalysis {
     // histogram median: tiny table, windows are per-group over distinct
     // lengths, not over documents
     val hist = t.groupBy(col("_g"), col("_n")).agg(count(lit(1)).as("_c"))
-    val cum = hist.withColumn("_cum",
-      sum("_c").over(Window.partitionBy("_g").orderBy("_n")))
-    val med = cum.join(aggs.select(col("_g"), col("n_docs")), "_g")
-      .filter(col("_cum") >= floor((col("n_docs") + 1) / 2))
+    // the rank threshold needs only per-group doc counts, which the tiny
+    // histogram already holds (sum of its own buckets) — deriving them
+    // here keeps the dup-window subtree out of the median branch, so the
+    // corpus is scanned once per output, not twice
+    val cum = hist
+      .withColumn("_cum", sum("_c").over(Window.partitionBy("_g").orderBy("_n")))
+      .withColumn("_tot", sum("_c").over(Window.partitionBy("_g")))
+    val med = cum
+      .filter(col("_cum") >= floor((col("_tot") + 1) / 2))
       .groupBy(col("_g")).agg(min(col("_n")).as("median_tokens"))
     aggs.join(med, "_g")
       .select(col("_g").as(groupCol), col("n_docs"), col("n_tokens"),
