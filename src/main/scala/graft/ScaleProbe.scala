@@ -198,7 +198,7 @@ object ScaleProbe {
 
     println(s"[scale x$factor] orders=${factor * (maxOrder - 1)} (approx) events replicated $factor x")
     Seq("q03_top_orders", "q05_local_supplier", "q12_asof_join",
-        "q09_distinct_agg", "q16_percentiles").foreach { q =>
+        "q09_distinct_agg", "q16_percentiles", "q36_gapfill").foreach { q =>
       timed(factor, q)(SparkEntry.queries(q)(spark, out).count())
     }
   }
