@@ -571,7 +571,24 @@ object Relational {
     s.sql(CorrelatedSql)
   }
 
+  private val NtileSql =
+    """SELECT c_nationkey, c_custkey,
+      |  CAST(ntile(4) OVER (PARTITION BY c_nationkey
+      |                      ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+      |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  /** q39: NTILE bucketing — equal-frequency quartiles per group (the
+    * per-cohort banding step of feature pipelines), verbatim-shared SQL
+    * (deterministic under the total (acctbal, custkey) order — ntile
+    * without a tie-broken ORDER BY is engine-dependent). Per-group
+    * windows, parallel across the nation key.
+    */
+  val q39 = QueryDef("q39_ntile", NtileSql) { (s, dir) =>
+    Tables(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql(NtileSql)
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39)
 }
