@@ -354,4 +354,48 @@ object Relational {
         last(col("_v"), ignoreNulls = true).over(w).as("value"),
         col("_v").isNotNull.as("observed"))
   }
+
+  /** CDC log compaction / upsert materialization: the LATEST row per key,
+    * where latest = lexicographic max of `orderCols` (pass a trailing
+    * unique column — a sequence number, an id — to break order ties
+    * deterministically). One `max_by` partial aggregation: the map side
+    * keeps ONE candidate row per key per partition, so the shuffle
+    * carries |keys| rows regardless of change-log depth — the reason
+    * this is a groupBy and not the `row_number() = 1` window plan, which
+    * ships every version of every key to its key's partition before
+    * discarding all but one. `payloadCols` must be aliased to their
+    * output names.
+    */
+  def latestByKey(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+      payloadCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty && payloadCols.nonEmpty)
+    df.groupBy(col(keyCol))
+      .agg(max_by(struct(payloadCols: _*), struct(orderCols: _*)).as("_p"))
+      .select(col(keyCol), col("_p.*"))
+  }
+
+  /** Item-item co-occurrence: for every unordered item pair, the number
+    * of entities whose basket (distinct item set) contains both — the
+    * candidate-generation core of co-purchase / co-click analysis.
+    * Plan discipline at scale: baskets are distinct (entity, item) pairs
+    * (partial-agg dedup — raw event multiplicity never reaches the
+    * join); the self-join is keyed on the ENTITY (co-partitioned with
+    * the dedup's shuffle, so AQE reuses the exchange) and its fan-out is
+    * quadratic in basket size, so entities with more than `maxBasket`
+    * distinct items are dropped whole (the d02/d04/d05 hot-key DF-cap
+    * pattern — a bot touching every item contributes n² pairs and no
+    * signal); pair counts then partial-agg down to |item²| rows max.
+    * Output: item_a < item_b, n_entities.
+    */
+  def cooccurrence(df: DataFrame, entityCol: String, itemCol: String,
+      maxBasket: Int = 1000): DataFrame = {
+    val b = df.select(col(entityCol).as("_e"), col(itemCol).as("_i")).distinct()
+    val sized = b.groupBy("_e").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") <= maxBasket).drop("_n")
+    val kept = b.join(sized, "_e")
+    kept.as("x").join(kept.as("y"),
+        col("x._e") === col("y._e") && col("x._i") < col("y._i"))
+      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("n_entities"))
+  }
 }

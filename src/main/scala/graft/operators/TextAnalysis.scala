@@ -86,6 +86,45 @@ object TextAnalysis {
         + lit(0.4) * least(meanW / 8.0, lit(1.0)), 4).as("quality"))
   }
 
+  /** Gopher-style document-level quality rule bundle (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — the standard pre-training hygiene gates):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (`#` / `...`), alphabetic-word fraction, and minimum stopword hits.
+    * Emits the raw signals, one boolean per rule, and the composite
+    * `keep` — per-rule flags are what a curation pipeline reports (which
+    * gate fired), not just the verdict. A single narrow projection:
+    * every signal is one pass over the token array, zero shuffle at any
+    * scale. Flags compare RAW doubles (each signal is one integer
+    * division — bit-identical in any IEEE engine, so an external SQL
+    * oracle computes the same booleans); displayed ratios are 4 dp.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a"),
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWlen: Double = 3.0, maxMeanWlen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val meanW = (length(col(textCol)).cast("long") - nTok + 1) / nTok
+    val symRatio = regexp_count(col(textCol), lit("#|\\.\\.\\.")).cast("double") / nTok
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nTok
+    val nStop = markerCount(toks, stopwords)
+    df.select(col(idCol),
+        nTok.as("n_words"),
+        Rounding.mirrorRound(meanW, 4).as("mean_wlen"),
+        Rounding.mirrorRound(symRatio, 4).as("symbol_ratio"),
+        Rounding.mirrorRound(alphaFrac, 4).as("alpha_frac"),
+        nStop.as("n_stop"),
+        (nTok >= minWords && nTok <= maxWords).as("r_words"),
+        (meanW >= minMeanWlen && meanW <= maxMeanWlen).as("r_wlen"),
+        (symRatio <= maxSymbolRatio).as("r_symbol"),
+        (alphaFrac >= minAlphaFrac).as("r_alpha"),
+        (nStop >= minStopwords).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_wlen") && col("r_symbol") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Polynomial rolling-hash fingerprint (codegen'd). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftExpressions.register(df.sparkSession)

@@ -588,7 +588,59 @@ object Relational {
     s.sql(NtileSql)
   }
 
+  /** q40: CDC log compaction — the latest event per user
+    * ([[graft.operators.Relational.latestByKey]]: a `max_by` partial
+    * aggregation, so the shuffle carries one candidate row per key per
+    * partition, never the full change log the oracle's window plan
+    * ships). Order is (ts, event_id) — event_id breaks timestamp ties
+    * deterministically.
+    */
+  val q40 = QueryDef(
+    "q40_latest_by_key",
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS t, event_id, event_type, value
+      |           FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY t DESC, event_id DESC) AS rn FROM e)
+      |SELECT user_id, t AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val t = unix_millis(col("ts"))
+    graft.operators.Relational.latestByKey(Tables.events(s, dir), "user_id",
+        orderCols = Seq(t, col("event_id")),
+        payloadCols = Seq(t.as("last_ts"), col("event_id").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value")))
+      .orderBy("user_id")
+  }
+
+  // q41's basket cap — deliberately BINDING at every test sf (docs with
+  // 29–31 distinct tokens are dropped whole; the per-doc distinct-token
+  // range is 6–31, median 25), so the oracle proves the capped path
+  private val CoocMaxBasket = 28
+
+  /** q41: term co-occurrence matrix over documents
+    * ([[graft.operators.Relational.cooccurrence]]) — entities are docs,
+    * items their distinct tokens: distinct baskets by partial agg, the
+    * hot-basket cap mirrored in the oracle (a doc touching the whole
+    * vocabulary contributes |V|² pairs and no signal), pair counts
+    * partial-agg down to at most |V|² rows.
+    */
+  val q41 = QueryDef(
+    "q41_cooccurrence",
+    s"""WITH b AS (SELECT DISTINCT doc_id AS e, unnest(string_split(text, ' ')) AS i
+       |           FROM documents),
+       |k AS (SELECT e FROM b GROUP BY e HAVING count(*) <= $CoocMaxBasket),
+       |kb AS (SELECT b.e, b.i FROM b JOIN k USING (e))
+       |SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS n_entities
+       |FROM kb x JOIN kb y ON x.e = y.e AND x.i < y.i
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    graft.operators.Relational.cooccurrence(toks, "doc_id", "token",
+        maxBasket = CoocMaxBasket)
+      .orderBy("item_a", "item_b")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }

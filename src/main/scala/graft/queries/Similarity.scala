@@ -118,5 +118,36 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  /** s05: int8-quantized brute-force kNN
+    * ([[Ops.quantizedKnn]]): per-vector scales cancel in cosine, so the
+    * scan ranks on integer codes alone (1/4 the bytes of s01, exact
+    * integer dot products — no float-sum ordering concerns). The oracle
+    * reproduces the quantization arithmetic (`floor(x/scale + 0.5)`)
+    * and the code-domain cosine exactly.
+    */
+  val s05 = QueryDef(
+    "s05_quantized_knn",
+    s"""WITH z AS (SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx,
+       |    embedding FROM embeddings),
+       |c AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+       |      ELSE floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5) END) AS qv
+       |  FROM z),
+       |q AS (SELECT vec_id AS query_id, qv AS qq FROM c WHERE vec_id < $NumQueries),
+       |sc AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |         round(${sqlCosine("qq", "c.qv")}, 6) AS cos
+       |       FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, cos
+       |FROM sc
+       |QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir, "embeddings")
+    Ops.quantizedKnn(e, e.filter(col("vec_id") < NumQueries), "vec_id", "embedding", TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }

@@ -234,6 +234,47 @@ object Text {
       .orderBy("lang")
   }
 
+  // t14 thresholds — tuned so every rule except symbol/alpha BINDS on the
+  // synthetic corpus (word counts 10–99, mean wlen 3.7–5.3, stops 0–14);
+  // symbol/alpha are trivially-passing here but real gates on web text
+  private val GMinWords = 30; private val GMaxWords = 90
+  private val GMinWlen = 3.0; private val GMaxWlen = 4.8
+  private val GMaxSymbol = 0.1; private val GMinAlpha = 0.8; private val GMinStop = 2
+
+  /** t14: Gopher-rule document filter bundle
+    * ([[TextAnalysis.gopherRules]]) — per-rule flags + composite keep;
+    * both engines compare the RAW single-division doubles against the
+    * same literals, so the booleans are exact.
+    */
+  val t14 = QueryDef(
+    "t14_gopher_rules",
+    s"""WITH s AS (SELECT doc_id,
+       |  len($duckToks) AS nw,
+       |  (length(text) - len($duckToks) + 1) / len($duckToks) AS mw,
+       |  len(regexp_extract_all(text, '#|\\.\\.\\.')) / CAST(len($duckToks) AS DOUBLE) AS sym,
+       |  len(list_filter($duckToks, t -> regexp_matches(t, '[a-z]')))
+       |    / CAST(len($duckToks) AS DOUBLE) AS alpha,
+       |  ${duckMarkers(Seq("the", "a"))} AS ns
+       |FROM documents)
+       |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+       |  ${mr("mw", 4)} AS mean_wlen, ${mr("sym", 4)} AS symbol_ratio,
+       |  ${mr("alpha", 4)} AS alpha_frac, CAST(ns AS BIGINT) AS n_stop,
+       |  (nw >= $GMinWords AND nw <= $GMaxWords) AS r_words,
+       |  (mw >= $GMinWlen AND mw <= $GMaxWlen) AS r_wlen,
+       |  (sym <= $GMaxSymbol) AS r_symbol,
+       |  (alpha >= $GMinAlpha) AS r_alpha,
+       |  (ns >= $GMinStop) AS r_stop,
+       |  (nw >= $GMinWords AND nw <= $GMaxWords
+       |    AND mw >= $GMinWlen AND mw <= $GMaxWlen AND sym <= $GMaxSymbol
+       |    AND alpha >= $GMinAlpha AND ns >= $GMinStop) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.gopherRules(Tables(s, dir, "documents"), "doc_id", "text",
+        stopwords = Seq("the", "a"), minWords = GMinWords, maxWords = GMaxWords,
+        minMeanWlen = GMinWlen, maxMeanWlen = GMaxWlen,
+        maxSymbolRatio = GMaxSymbol, minAlphaFrac = GMinAlpha, minStopwords = GMinStop)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }

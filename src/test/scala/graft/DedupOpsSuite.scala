@@ -343,4 +343,44 @@ class DedupOpsSuite extends SparkSpec {
     // identical docs, but no length-4 window exists -> nothing flagged
     assert(got == Seq((1L, 3L, 0L, 0.0, "a b c"), (2L, 3L, 0L, 0.0, "a b c")))
   }
+
+  test("gopherRules: each rule fires on its own violation; keep is the conjunction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog today"), // 10 words, passes all
+      (2L, "the a"),                                           // too few words
+      (3L, "the a xx yy zz aa bb cc dd supercalifragilistic"), // mean wlen high? no — word-count rule only
+      (4L, "xx yy zz aa bb cc dd ee ff gg")                    // no stopwords
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.gopherRules(df, "doc_id", "text",
+        stopwords = Seq("the", "a"), minWords = 5, maxWords = 20,
+        minMeanWlen = 1.0, maxMeanWlen = 10.0,
+        maxSymbolRatio = 0.5, minAlphaFrac = 0.5, minStopwords = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "r_words", "r_stop", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, true, true, true),
+      (2L, false, true, false),  // 2 words < 5
+      (3L, true, true, true),
+      (4L, true, false, false))) // zero stopword hits
+  }
+
+  test("gopherRules symbol and alpha gates fire on symbol-heavy junk") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "now ### then ... more ### junk ..."), // 7 words, 4 symbol hits
+      (2L, "1 2 3 4 5 6 7 8")                     // digits only -> alpha frac 0
+    ).toDF("doc_id", "text")
+    // doc 1: 8 tokens, 8 symbol hits (6 '#', 2 '...') -> ratio 1.0; alpha
+    // tokens now/then/more/junk = 4/8 = 0.5
+    val out = graft.operators.TextAnalysis.gopherRules(df, "doc_id", "text",
+        stopwords = Seq("now"), minWords = 1, maxWords = 100,
+        minMeanWlen = 0.0, maxMeanWlen = 100.0,
+        maxSymbolRatio = 0.1, minAlphaFrac = 0.4, minStopwords = 0)
+      .orderBy("doc_id")
+      .select("doc_id", "r_symbol", "r_alpha")
+      .as[(Long, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq((1L, false, true), (2L, true, false)))
+  }
 }

@@ -226,4 +226,54 @@ class RelationalOpsSuite extends SparkSpec {
       (1L, 13L, 5.0, true),  // max (t, id) observation wins
       (2L, 7L, 9.0, true)))
   }
+
+  test("latestByKey keeps the max-(order, tie) row per key") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10L, 1L, "v1"),
+      ("a", 20L, 2L, "v2"),
+      ("a", 20L, 3L, "v3"), // ts tie -> higher id wins
+      ("b", 5L, 4L, "w1")
+    ).toDF("k", "ts", "id", "payload")
+    val got = Relational.latestByKey(df, "k",
+        orderCols = Seq(col("ts"), col("id")),
+        payloadCols = Seq(col("ts").as("last_ts"), col("id").as("last_id"),
+          col("payload").as("last_payload")))
+      .orderBy("k").as[(String, Long, Long, String)].collect().toSeq
+    assert(got == Seq(("a", 20L, 3L, "v3"), ("b", 5L, 4L, "w1")))
+  }
+
+  test("latestByKey plan is an aggregate (map-side candidate), not a window sort") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L)).toDF("k", "ts", "id")
+    val plan = Relational.latestByKey(df, "k", Seq(col("ts")),
+      Seq(col("id").as("last_id"))).queryExecution.executedPlan
+    def collect(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collect(a.executedPlan)
+      case other => other +: other.children.flatMap(collect)
+    }
+    val nodes = collect(plan).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(_.contains("Window")), s"window in plan: $nodes")
+    assert(nodes.exists(_.contains("Aggregate")), s"no aggregate in plan: $nodes")
+  }
+
+  test("cooccurrence counts entities sharing both items; duplicates collapse") {
+    import spark.implicits._
+    // entity 1 sees x twice (multiplicity must not inflate counts)
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "y"), (3L, "z")).toDF("e", "i")
+    val got = Relational.cooccurrence(df, "e", "i")
+      .orderBy("item_a", "item_b").as[(String, String, Long)].collect().toSeq
+    assert(got == Seq(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 2L)))
+  }
+
+  test("cooccurrence maxBasket drops oversized baskets whole") {
+    import spark.implicits._
+    val hot = (1 to 10).map(i => (99L, s"i$i")) // basket of 10
+    val df = (Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b")) ++ hot).toDF("e", "i")
+    val got = Relational.cooccurrence(df, "e", "i", maxBasket = 5)
+      .as[(String, String, Long)].collect().toSeq
+    // entity 99 contributes nothing — not even its (a-ish) pairs
+    assert(got == Seq(("a", "b", 2L)))
+  }
 }

@@ -242,4 +242,44 @@ class SimilarityOpsSuite extends SparkSpec {
     assert(knn.find(_._2 == 1L).map(_._3).contains(1L),
       s"rank-1 should be the matching-letter vector: ${knn.toSeq}")
   }
+
+  test("quantizeInt8: max component maps to ±127, zero vector to zero codes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(2.0f, -4.0f, 1.0f)),   // mx=4 -> scale=4/127
+      (2L, Array(0.0f, 0.0f, 0.0f))
+    ).toDF("id", "v")
+    val got = Similarity.quantizeInt8(df, "id", "v").orderBy("id")
+      .as[(Long, Double, Seq[Int])].collect().toSeq
+    assert(got(0)._3 == Seq(64, -127, 32)) // round(2/ (4/127)) = round(63.5) = 64
+    assert(math.abs(got(0)._2 - 4.0 / 127) < 1e-12)
+    assert(got(1)._3 == Seq(0, 0, 0) && got(1)._2 == 0.0)
+    // reconstruction error per component is bounded by scale/2
+    val (_, scale, codes) = got(0)
+    val rec = codes.map(_ * scale)
+    Seq(2.0, -4.0, 1.0).zip(rec).foreach { case (x, r) =>
+      assert(math.abs(x - r) <= scale / 2 + 1e-12, s"$x vs $r")
+    }
+  }
+
+  test("quantizedKnn ranks like exact knn on separated clusters") {
+    import spark.implicits._
+    // two tight direction clusters; quantization noise (~1/127) cannot
+    // reorder matches across clusters
+    val rows = (0L to 9L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.02f * i, 0.0f) else Array(0.0f, 0.02f * i, 1.0f)
+      (i, base)
+    }
+    val df = rows.toDF("id", "v")
+    val queries = df.filter($"id" < 2)
+    val exact = Similarity.knnBruteForce(df, queries, "id", "v", 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val quant = Similarity.quantizedKnn(df, queries, "id", "v", 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Long, Long)].collect().toSet
+    val sameCluster = quant.forall { case (q, _, n) => (q % 2) == (n % 2) }
+    assert(sameCluster, s"quantized knn crossed clusters: $quant")
+    // top-1 agreement (rank-1 neighbors identical)
+    val top1 = (s: Set[(Long, Long, Long)]) => s.filter(_._2 == 1L)
+    assert(top1(exact) == top1(quant), s"${top1(exact)} vs ${top1(quant)}")
+  }
 }

@@ -303,4 +303,41 @@ class StreamingSuite extends SparkSpec {
       assert(rows.contains(("2026-01-01 01:00:00", "view", 1L)))
     } finally query.stop()
   }
+
+  test("E5: native session_window gap sessions — split on gap, merged within") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    // Spark's built-in session_window (gap-merged event-time sessions):
+    // the STREAMING-native twin of the batch q11 sessionize and the
+    // custom flatMapGroupsWithState path — state is managed by the
+    // engine, watermark-evicted, and sessions merge across micro-batches
+    val sessions = source.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(session_window(col("ts"), "5 seconds"), col("user"))
+      .agg(count(lit(1)).as("n_events"))
+    val query = sessions.writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      def t(s: Int) = Timestamp.valueOf(f"2026-01-01 00:00:$s%02d")
+      // u1: events at 0,3,6 chain into ONE session (gaps < 5 s) even
+      // though they arrive across different micro-batches; the event at
+      // 20 starts a second session (gap 14 s > 5)
+      source.addData((t(0), "u1"), (t(3), "u1"))
+      query.processAllAvailable()
+      source.addData((t(6), "u1"), (t(20), "u1"))
+      query.processAllAvailable()
+      // push event time past 20+5+10 so every session closes and emits
+      source.addData((Timestamp.valueOf("2026-01-01 00:01:30"), "u2"))
+      query.processAllAvailable()
+      val rows = spark.table("native_sessions")
+        .select(col("session_window.start").cast("string").as("s"),
+          col("session_window.end").cast("string").as("e"), col("user"), col("n_events"))
+        .as[(String, String, String, Long)].collect().toSeq.sorted
+      assert(rows.contains(("2026-01-01 00:00:00", "2026-01-01 00:00:11", "u1", 3L)),
+        s"merged session missing: $rows")
+      assert(rows.contains(("2026-01-01 00:00:20", "2026-01-01 00:00:25", "u1", 1L)),
+        s"split session missing: $rows")
+    } finally query.stop()
+  }
 }
