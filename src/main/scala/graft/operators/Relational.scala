@@ -387,6 +387,66 @@ object Relational {
     * signal); pair counts then partial-agg down to |item²| rows max.
     * Output: item_a < item_b, n_entities.
     */
+  /** Sketch-based distinct counts — the 100 TB replacement for exact
+    * `count(distinct)`: a Datasketches HLL sketch per group (`lgK`
+    * buckets → ~1.6%/√2^lgK relative error), built with partial (map-
+    * side) aggregation, so the shuffle carries one ≤2^lgK-byte sketch
+    * per group per partition instead of every distinct value. Exact
+    * q09-style distinct counts shuffle the full value set; this never
+    * does. Output: groupCols..., distinct_est (long).
+    */
+  def sketchDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol), lit(lgK)))
+        .as("distinct_est"))
+
+  /** The reusable-sketch half of [[sketchDistinct]]: materialize one HLL
+    * sketch per group (e.g. per ingest day/shard) as a binary column —
+    * store these instead of re-scanning raw data for every distinct
+    * question. Output: groupCols..., sketch (binary).
+    */
+  def sketchBuild(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Roll stored sketches up WITHOUT re-reading raw data:
+    * `hll_union_agg` merges sketches losslessly (the union of HLL
+    * registers), so a year of daily sketches answers "distinct users
+    * this year" from ~365 tiny rows per group. The rolled-up estimate
+    * carries the same ~1.6%/√2^lgK error bound as a direct sketch of
+    * the concatenated raw data (it is not bit-identical — Datasketches
+    * unions merge through a common HLL_8 gadget, so mode-transition
+    * history can nudge the registers; the spec bounds both against the
+    * exact count).
+    */
+  def sketchRollup(sketches: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "sketch"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("distinct_est"))
+
+  /** Explicit salted join for skewed keys: replicates the (small but not
+    * broadcast-able) `dim` side `salts`× and scatters each hot fact key
+    * across `salts` shuffle partitions, bounding any single task at
+    * 1/salts of the hottest key. Use when AQE's skew-join split can't
+    * apply (it only rewrites sort-merge joins whose partitions it can
+    * split — aggregated-upstream exchanges and some outer shapes stay
+    * skewed). The fact-side salt is a HASH of the fact row's columns
+    * (`saltSrc`, default all columns) — deterministic, layout-
+    * independent, never an RNG. Result is EXACTLY the plain inner
+    * join's (spec-asserted); only the physical distribution changes.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String, salts: Int,
+      saltSrc: Seq[Column] = Nil): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val src = if (saltSrc.nonEmpty) saltSrc else fact.columns.toSeq.map(col)
+    val f = fact.withColumn("_salt", pmod(hash(src: _*), lit(salts)))
+    val d = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, Seq(keyCol, "_salt")).drop("_salt")
+  }
+
   def cooccurrence(df: DataFrame, entityCol: String, itemCol: String,
       maxBasket: Int = 1000): DataFrame = {
     val b = df.select(col(entityCol).as("_e"), col(itemCol).as("_i")).distinct()

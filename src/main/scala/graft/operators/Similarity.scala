@@ -359,12 +359,14 @@ object Similarity {
     * zero shuffle. Output: idCol, scale (double), codes (array<int>).
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // hoist the max into its own projection: referencing array_max inside
+    // the transform lambda would re-scan the array PER ELEMENT (O(d²)/row)
     val mx = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    val scale = mx / 127.0
     val codes = transform(col(vecCol),
-      x => when(lit(0.0) === mx, lit(0L))
-        .otherwise(floor(x.cast("double") / scale + 0.5)).cast("int"))
-    df.select(col(idCol), scale.as("scale"), codes.as("codes"))
+      x => when(lit(0.0) === col("_mx"), lit(0L))
+        .otherwise(floor(x.cast("double") / (col("_mx") / 127.0) + 0.5)).cast("int"))
+    df.select(col(idCol), col(vecCol), mx.as("_mx"))
+      .select(col(idCol), (col("_mx") / 127.0).as("scale"), codes.as("codes"))
   }
 
   /** Brute-force cosine top-k in the QUANTIZED domain: per-vector scales

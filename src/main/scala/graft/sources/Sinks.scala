@@ -25,6 +25,13 @@ object Sinks {
   def json(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  def orc(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Small-file compaction — the writer-side hygiene every long-lived
     * 100 TB table needs: incremental appends (streaming sinks, per-batch
     * ingest) accumulate thousands of tiny files whose open/footer

@@ -47,6 +47,13 @@ object Tables {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC — the other columnar interchange format (Hive-ecosystem tables
+    * arrive as ORC): same pushdown/pruning contract as parquet (predicate
+    * pushdown + column pruning reach the stripe reader).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Text corpus: one row per line (`value`), the raw-crawl entry point.
     * `wholeFile = true` reads one row per FILE instead (document-per-file
     * corpora); at scale pair with a small-files compaction pass — a

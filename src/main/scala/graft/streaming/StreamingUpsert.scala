@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous CDC materialization: merge a streaming change log into a
+  * durable parquet table that always holds the LATEST row per key — the
+  * streaming twin of the batch q40 compaction
+  * ([[graft.operators.Relational.latestByKey]]), i.e. `MERGE INTO`
+  * without a table format that provides it.
+  *
+  * Per micro-batch (`foreachBatch`): existing target ∪ batch →
+  * `latestByKey` → write to a temp dir → atomic rename swap. Two
+  * properties carry the semantics:
+  *
+  *  - **Idempotent**: the merge is a max over (order, key) — replaying a
+  *    micro-batch (foreachBatch is at-least-once on retry) recomputes
+  *    the same target, so at-least-once execution still yields an
+  *    exactly-once TABLE.
+  *  - **Out-of-order safe**: a late change (order below the target's
+  *    current row for that key) loses the max and leaves the target
+  *    untouched — no clock assumptions about the change log.
+  *
+  * The target schema is keyCol + orderCols + payloadCols (order columns
+  * must be RETAINED in the target — later merges re-compare against
+  * them). At scale the target rewrite is one shuffle of |keys| rows;
+  * partition the target (date/bucket) and scope the merge when |keys|
+  * is itself 100 TB-large.
+  */
+object StreamingUpsert {
+
+  /** Start the merge. `orderCols`/`payloadCols` are column NAMES in
+    * `changes` (order ties broken by the later-listed columns — pass a
+    * unique sequence column last).
+    */
+  def start(changes: DataFrame, path: String, checkpoint: String,
+      keyCol: String, orderCols: Seq[String], payloadCols: Seq[String]): StreamingQuery = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val keep: Seq[Column] = (orderCols ++ payloadCols).map(n => col(n).as(n))
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val cols = (keyCol +: (orderCols ++ payloadCols)).map(col)
+        val incoming = batch.select(cols: _*)
+        val existing =
+          try Some(spark.read.parquet(path).select(cols: _*))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val all = existing.map(_.unionByName(incoming)).getOrElse(incoming)
+        val merged = graft.operators.Relational.latestByKey(
+          all, keyCol, orderCols.map(col), keep)
+        val tmp = path + "._merging"
+        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, countDistinct, hash, lit, pmod, struct}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -265,6 +265,48 @@ class RelationalOpsSuite extends SparkSpec {
     val got = Relational.cooccurrence(df, "e", "i")
       .orderBy("item_a", "item_b").as[(String, String, Long)].collect().toSeq
     assert(got == Seq(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 2L)))
+  }
+
+  test("sketchDistinct tracks exact distinct within HLL error; rollup equals direct") {
+    import spark.implicits._
+    // 3 groups × overlapping value ranges; exact distincts 2000/1000/500
+    val df = ((0 until 2000).map(i => ("a", s"u$i")) ++
+      (500 until 1500).map(i => ("b", s"u$i")) ++
+      (0 until 500).map(i => ("c", s"u$i"))).toDF("g", "u")
+    val est = Relational.sketchDistinct(df, "u", Seq("g"))
+      .as[(String, Long)].collect().toMap
+    val exact = Map("a" -> 2000L, "b" -> 1000L, "c" -> 500L)
+    exact.foreach { case (g, n) =>
+      assert(math.abs(est(g) - n) <= n * 0.05, s"group $g: est ${est(g)} vs exact $n")
+    }
+    // shard the corpus, build per-shard sketches, roll up: the rolled-up
+    // estimate carries the same error bound vs the EXACT count (union is
+    // not bit-identical to a direct sketch — Datasketches merges through
+    // an HLL_8 gadget — but the bound holds)
+    val sharded = df.withColumn("shard", pmod(hash(col("u")), lit(4)))
+    val parts = Relational.sketchBuild(sharded, "u", Seq("g", "shard"))
+    val rolled = Relational.sketchRollup(parts, Seq("g"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(rolled(g) - n) <= n * 0.05, s"rollup $g: ${rolled(g)} vs exact $n")
+    }
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    import spark.implicits._
+    // skewed fact: key 1 carries 90% of rows
+    val fact = ((1 to 90).map(i => (1L, i.toLong)) ++
+      (1 to 10).map(i => (2L, 100L + i))).toDF("k", "fv")
+    val dim = Seq((1L, "one"), (2L, "two"), (3L, "unmatched")).toDF("k", "dv")
+    val plain = fact.join(dim, "k").select("k", "fv", "dv")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 8)
+      .select("k", "fv", "dv").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(salted == plain)
+    // the salt actually spreads the hot key: >1 distinct salt on key 1
+    val salts = fact.withColumn("_salt", pmod(hash(col("k"), col("fv")), lit(8)))
+      .filter(col("k") === 1).select(countDistinct(col("_salt"))).as[Long].head()
+    assert(salts > 1, "hot key must scatter across salts")
   }
 
   test("cooccurrence maxBasket drops oversized baskets whole") {

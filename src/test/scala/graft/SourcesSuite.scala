@@ -60,4 +60,20 @@ class SourcesSuite extends SparkSpec {
     // the binary source feeds the m01 shape directly: payload magic routing
     assert(jpgs.filter(col("length") > 0).count() == 1)
   }
+
+  test("orc round-trips with pushdown-compatible schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "g", "v")
+    graft.sources.Sinks.orc(df, s"$dir/t")
+    val back = Tables.orc(spark, s"$dir/t")
+    // names/types survive (nullability widens on read, as with parquet)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)))
+    // filters reach the ORC scan (same pushdown contract as parquet)
+    val plan = back.filter($"g" === "a").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("g"), plan.take(500))
+  }
 }

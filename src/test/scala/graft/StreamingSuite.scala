@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.api.{Stage, PipelineConfig, ExecutionMode}
-import graft.streaming.{EventStreams, ServingPipeline}
+import graft.streaming.{EventStreams, ServingPipeline, StreamingUpsert}
 
 /** F5 (SERVING mode over Structured Streaming) and E1 (watermark + windowed
   * event-time aggregation).
@@ -338,6 +338,28 @@ class StreamingSuite extends SparkSpec {
         s"merged session missing: $rows")
       assert(rows.contains(("2026-01-01 00:00:20", "2026-01-01 00:00:25", "u1", 1L)),
         s"split session missing: $rows")
+    } finally query.stop()
+  }
+
+  test("E6: streaming CDC upsert — durable target holds the latest row per key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val source = MemoryStream[(Long, Long, String)]
+    val changes = source.toDF().toDF("k", "seq", "v")
+    val query = StreamingUpsert.start(changes, s"$dir/target", s"$dir/ckpt",
+      keyCol = "k", orderCols = Seq("seq"), payloadCols = Seq("v"))
+    try {
+      source.addData((1L, 10L, "a1"), (2L, 5L, "b1"))
+      query.processAllAvailable()
+      source.addData((1L, 20L, "a2"), (3L, 1L, "c1"))
+      query.processAllAvailable()
+      // LATE change for key 1 (seq 15 < current 20): must lose the merge
+      source.addData((1L, 15L, "a-late"))
+      query.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/target")
+        .select("k", "seq", "v").as[(Long, Long, String)].collect().sorted.toSeq
+      assert(got == Seq((1L, 20L, "a2"), (2L, 5L, "b1"), (3L, 1L, "c1")), got.toString)
     } finally query.stop()
   }
 }
