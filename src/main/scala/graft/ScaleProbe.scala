@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val mode = args.lift(1).getOrElse("dedup") // dedup | relational | embeddings | all
+    val mode = args.lift(1).getOrElse("dedup") // dedup | relational | embeddings | round6 | all
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val spark = SparkSession.builder().master("local[32]")
@@ -34,6 +34,7 @@ object ScaleProbe {
       writeEmbeddings(spark, src, out, factor)
       embeddings(spark, out, factor)
     }
+    if (mode == "round6") { round6(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -162,6 +163,83 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val n = f
     println(f"[scale x$factor] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  out_rows=$n")
+  }
+
+  /** Round-6 operators at scale: co-occurrence (corpus-linear pair
+    * enumeration under bounded baskets), latestByKey vs the window plan
+    * it replaces (the max_by partial agg ships one candidate per key per
+    * partition; the window ships every version), sketch vs exact
+    * distinct (fixed-size sketches vs shuffling the value set), and
+    * int8-quantized vs float brute-force kNN (same plan, 1/4 the bytes).
+    */
+  private def round6(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Relational, Similarity}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    // documents ×factor (same perturbation as the dedup probe)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    // events ×factor with user ids UNSHIFTED: the CDC shape — the change
+    // log deepens (factor× versions per key) while |keys| stays fixed,
+    // exactly when compaction plans diverge
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    writeEmbeddings(spark, src, out, factor)
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+
+    println(s"[scale x$factor] docs=${nDocs * factor} events=${factor * 100000} " +
+      s"(replicated from sf0.1)")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    time("q41 cooccurrence")(
+      Relational.cooccurrence(toks, "doc_id", "token", maxBasket = 33).count())
+    time("q40 latestByKey (max_by)")(
+      Relational.latestByKey(ev, "user_id", Seq(col("ts"), col("event_id")),
+        Seq(col("ts").as("last_ts"), col("event_id").as("last_event_id"),
+          col("value").as("last_value"))).count())
+    time("q40 window-plan contrast") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).count()
+    }
+    // distinct-count contrast at HIGH cardinality (factor×100k distinct
+    // event ids): exact shuffles the value set, the sketch ships ≤4 KB
+    // per group per partition regardless of cardinality
+    time("sketchDistinct (hll)")(
+      Relational.sketchDistinct(ev, "event_id", Seq("event_type")).count())
+    time("exact count-distinct contrast")(
+      ev.groupBy("event_type").agg(countDistinct(col("event_id"))).count())
+    val queries = e.filter(col("vec_id") < 8)
+    time("s01 float knn (8 queries)")(
+      Similarity.knnBruteForce(e, queries, "vec_id", "embedding", 5).count())
+    // steady-state quantized search: the int8 store is built ONCE at
+    // ingest (timed separately); the recurring per-query cost scans the
+    // 4×-smaller code store
+    var codes: org.apache.spark.sql.DataFrame = null
+    time("s05 quantize+store (once)") {
+      Similarity.quantizeInt8(e, "vec_id", "embedding")
+        .select(col("vec_id"), col("codes"))
+        .write.mode("overwrite").parquet(s"$out/codes.parquet")
+      codes = spark.read.parquet(s"$out/codes.parquet")
+        .select(col("vec_id"), transform(col("codes"), _.cast("float")).as("embedding"))
+      codes.count()
+    }
+    val qcodes = codes.filter(col("vec_id") < 8)
+    time("s05 quantized knn on store")(
+      Similarity.knnBruteForce(codes, qcodes, "vec_id", "embedding", 5).count())
   }
 
   private def relational(spark: SparkSession, src: String, out: String,

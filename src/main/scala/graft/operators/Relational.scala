@@ -374,19 +374,6 @@ object Relational {
       .select(col(keyCol), col("_p.*"))
   }
 
-  /** Item-item co-occurrence: for every unordered item pair, the number
-    * of entities whose basket (distinct item set) contains both — the
-    * candidate-generation core of co-purchase / co-click analysis.
-    * Plan discipline at scale: baskets are distinct (entity, item) pairs
-    * (partial-agg dedup — raw event multiplicity never reaches the
-    * join); the self-join is keyed on the ENTITY (co-partitioned with
-    * the dedup's shuffle, so AQE reuses the exchange) and its fan-out is
-    * quadratic in basket size, so entities with more than `maxBasket`
-    * distinct items are dropped whole (the d02/d04/d05 hot-key DF-cap
-    * pattern — a bot touching every item contributes n² pairs and no
-    * signal); pair counts then partial-agg down to |item²| rows max.
-    * Output: item_a < item_b, n_entities.
-    */
   /** Sketch-based distinct counts — the 100 TB replacement for exact
     * `count(distinct)`: a Datasketches HLL sketch per group (`lgK`
     * buckets → ~1.6%/√2^lgK relative error), built with partial (map-
@@ -447,15 +434,35 @@ object Relational {
     f.join(d, Seq(keyCol, "_salt")).drop("_salt")
   }
 
+  /** Item-item co-occurrence: for every unordered item pair, the number
+    * of entities whose basket (distinct item set) contains both — the
+    * candidate-generation core of co-purchase / co-click analysis.
+    * Plan discipline at scale: ONE corpus scan, two shuffles. Baskets
+    * form by `collect_set` (map-side partial sets — raw event
+    * multiplicity collapses before the shuffle); entities with more
+    * than `maxBasket` distinct items are dropped whole (the
+    * d02/d04/d05 hot-key cap — a bot touching every item contributes
+    * n² pairs and no signal); pair generation is a NARROW array
+    * expansion of each sorted basket (≤ maxBasket²/2 rows per entity —
+    * the self-join formulation this replaced re-scanned and
+    * re-shuffled the basket table twice more, 5 corpus scans in the
+    * audited plan); pair counts partial-agg down to ≤|items|² rows.
+    * Per-entity distinct sets must fit a task (inherent to any basket
+    * model; `maxBasket` is also that guard). Output: item_a < item_b,
+    * n_entities.
+    */
   def cooccurrence(df: DataFrame, entityCol: String, itemCol: String,
       maxBasket: Int = 1000): DataFrame = {
-    val b = df.select(col(entityCol).as("_e"), col(itemCol).as("_i")).distinct()
-    val sized = b.groupBy("_e").agg(count(lit(1)).as("_n"))
-      .filter(col("_n") <= maxBasket).drop("_n")
-    val kept = b.join(sized, "_e")
-    kept.as("x").join(kept.as("y"),
-        col("x._e") === col("y._e") && col("x._i") < col("y._i"))
-      .groupBy(col("x._i").as("item_a"), col("y._i").as("item_b"))
+    val baskets = df.groupBy(col(entityCol).as("_e"))
+      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
+      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket)
+    val n = size(col("_items"))
+    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(col("_items"), i + 1).as("a"),
+          element_at(col("_items"), j + 1).as("b")))))
+    baskets.select(explode(pairs).as("_p"))
+      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
       .agg(count(lit(1)).cast("long").as("n_entities"))
   }
 }
