@@ -263,6 +263,50 @@ object Dedup {
           filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))).as("scrubbed"))
   }
 
+  /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
+    * remover: a line (paragraph) occurring in at least `minDf` DISTINCT
+    * documents is navigation/footer/legal boilerplate and is removed
+    * from EVERY document (the paper semantics: duplicated paragraphs are
+    * dropped everywhere, not kept-once — a header repeated on a million
+    * pages is noise in all of them). Within-document repeats alone don't
+    * reach `minDf` (the count is per distinct doc).
+    *
+    * Plan: lines explode once; the wire carries a 16-byte md5 line
+    * fingerprint, never line text; the document-frequency count is a
+    * partial-agg groupBy (hot boilerplate lines combine map-side — the
+    * q31 discipline, deliberately not a window); flagged line POSITIONS
+    * return via one left-semi equi-join + per-doc `collect_set` (bounded
+    * by doc line count); the rebuild is a narrow array filter. Blank
+    * lines are never counted as boilerplate.
+    *
+    * Output: idCol, n_lines, dup_lines, dup_frac (4 dp), cleaned (kept
+    * lines joined by '\n').
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, "minDf must be >= 2 (1 would drop every line)")
+    val base = df.select(col(idCol).as("_gid"), split(col(textCol), "\n", -1).as("_lines"))
+    def lines = base
+      .select(col("_gid"), posexplode(col("_lines")).as(Seq("p", "l")))
+      .filter(length(trim(col("l"))) > 0)
+      .select(col("_gid"), col("p"), md5(col("l").cast("binary")).as("f"))
+    val boiler = lines.select(col("_gid"), col("f")).distinct()
+      .groupBy("f").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf)
+      .select("f")
+    val dupPos = lines.join(boiler, Seq("f"), "left_semi")
+      .groupBy("_gid").agg(collect_set(col("p")).as("_dup"))
+    base.join(dupPos, Seq("_gid"), "left")
+      .select(col("_gid"), col("_lines"),
+        coalesce(col("_dup"), array().cast("array<int>")).as("_dup"))
+      .select(col("_gid").as(idCol),
+        size(col("_lines")).cast("long").as("n_lines"),
+        size(col("_dup")).cast("long").as("dup_lines"),
+        Rounding.mirrorRound(size(col("_dup")) * 1.0 / size(col("_lines")), 4).as("dup_frac"),
+        concat_ws("\n",
+          filter(col("_lines"), (_, i) => !array_contains(col("_dup"), i))).as("cleaned"))
+  }
+
   /** Duplicate clusters from a near-dup pair set: connected components via
     * iterative min-label propagation — the standard way to turn pairwise
     * LSH hits into dedup groups at scale (a Ray/driver union-find would

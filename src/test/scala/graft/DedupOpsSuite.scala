@@ -344,6 +344,35 @@ class DedupOpsSuite extends SparkSpec {
     assert(got == Seq((1L, 3L, 0L, 0.0, "a b c"), (2L, 3L, 0L, 0.0, "a b c")))
   }
 
+  test("lineDedup removes boilerplate lines from every doc; within-doc repeats survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "follow us on social\nunique alpha\nfollow us on social"), // boiler ×2 within ONE doc
+      (2L, "follow us on social\nunique beta"),
+      (3L, "only here\nonly here too\n\nlast") // blank line never boilerplate
+    ).toDF("id", "text")
+    val got = Dedup.lineDedup(df, "id", "text", minDf = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Double, String)].collect().toSeq
+    // "follow us on social" is in docs 1 AND 2 (df=2) -> removed everywhere,
+    // including BOTH copies in doc 1; doc-3 lines are unique -> untouched
+    assert(got == Seq(
+      (1L, 3L, 2L, 0.6667, "unique alpha"),
+      (2L, 2L, 1L, 0.5, "unique beta"),
+      (3L, 4L, 0L, 0.0, "only here\nonly here too\n\nlast")))
+  }
+
+  test("lineDedup: a line repeated only within one doc is NOT boilerplate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "chorus line\nchorus line\nchorus line\nverse"),
+      (2L, "something else")
+    ).toDF("id", "text")
+    val got = Dedup.lineDedup(df, "id", "text", minDf = 2)
+      .orderBy("id").select("id", "dup_lines").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 0L)), "df counts DISTINCT docs, not occurrences")
+  }
+
   test("gopherRules: each rule fires on its own violation; keep is the conjunction") {
     import spark.implicits._
     val df = Seq(

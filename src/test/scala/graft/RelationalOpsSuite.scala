@@ -267,6 +267,26 @@ class RelationalOpsSuite extends SparkSpec {
     assert(got == Seq(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 2L)))
   }
 
+  test("approx_percentile brackets exactPercentiles within accuracy bound") {
+    import spark.implicits._
+    // at 100 TB q16's exact rank selection gives way to approx_percentile
+    // (fixed-size t-digest-style state, partial agg); this pins the two
+    // surfaces together: approx with accuracy A has rank error <= n/A
+    import org.apache.spark.sql.functions.{approx_percentile => ap, lit => l, expr}
+    val n = 10000
+    val df = (1 to n).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val exact = Relational.exactPercentiles(df, "g", "v",
+      Seq("50" -> 0.5, "99" -> 0.99)).select("p50", "p99")
+      .as[(Double, Double)].head()
+    val acc = 1000 // rank error <= n/acc = 10
+    val approx = df.groupBy("g").agg(
+        ap(col("v"), l(0.5), l(acc)).as("a50"),
+        ap(col("v"), l(0.99), l(acc)).as("a99"))
+      .select("a50", "a99").as[(Double, Double)].head()
+    assert(math.abs(approx._1 - exact._1) <= n / acc + 1, s"$approx vs $exact")
+    assert(math.abs(approx._2 - exact._2) <= n / acc + 1, s"$approx vs $exact")
+  }
+
   test("sketchDistinct tracks exact distinct within HLL error; rollup equals direct") {
     import spark.implicits._
     // 3 groups × overlapping value ranges; exact distincts 2000/1000/500
