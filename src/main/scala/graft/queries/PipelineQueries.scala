@@ -233,5 +233,51 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04)
+  /** p05: behavior-analytics stack END-TO-END as one verified query —
+    * the events-domain counterpart of p03/p04's curation stacks:
+    * gap-sessionize (q11) → per-SESSION rollup (events, duration,
+    * converted = any purchase) → per-user summary (session count,
+    * converted sessions, mean session duration). The oracle chains the
+    * same three stages as CTEs (the sessionize CTE is q11's, verbatim
+    * semantics). One shuffle on the user for the windows, two partial
+    * aggs above it; mean duration is an avg of small exact longs (IEEE-
+    * deterministic cross-engine).
+    */
+  val p05 = QueryDef(
+    "p05_behavior_e2e",
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+       |           FROM events),
+       |m AS (SELECT user_id, event_id, event_type, tms,
+       |  CASE WHEN lag(tms) OVER w IS NULL
+       |         OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+       |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+       |per AS (SELECT user_id, sid, count(*) AS n_ev,
+       |          max(tms) - min(tms) AS dur,
+       |          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |        FROM s GROUP BY user_id, sid)
+       |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+       |  CAST(sum(conv) AS BIGINT) AS converted_sessions,
+       |  ${mr("avg(dur)", 4)} AS mean_duration_ms
+       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("tms"))
+    val sess = graft.operators.Relational.sessionize(
+      e, "user_id", col("tms"), col("event_id"), gapMillis = 1800000L)
+    val per = sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("tms")) - min(col("tms"))).as("dur"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    per.groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_ev")).cast("long").as("n_events"),
+        sum(col("conv")).cast("long").as("converted_sessions"),
+        Rounding.mirrorRound(avg(col("dur")), 4).as("mean_duration_ms"))
+      .orderBy("user_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
 }

@@ -33,6 +33,13 @@ object StreamingUpsert {
   /** Start the merge. `orderCols`/`payloadCols` are column NAMES in
     * `changes` (order ties broken by the later-listed columns — pass a
     * unique sequence column last).
+    *
+    * Crash safety: the swap is write-tmp → delete-target → rename. A
+    * crash INSIDE that window leaves the target missing but the tmp dir
+    * holding the completed merge — so the read side prefers the target
+    * and falls back to the tmp dir. Without the fallback, the replayed
+    * batch would merge against nothing and silently DROP every
+    * previously-compacted key (state loss, not just duplication).
     */
   def start(changes: DataFrame, path: String, checkpoint: String,
       keyCol: String, orderCols: Seq[String], payloadCols: Seq[String]): StreamingQuery = {
@@ -44,14 +51,19 @@ object StreamingUpsert {
         val spark = batch.sparkSession
         val cols = (keyCol +: (orderCols ++ payloadCols)).map(col)
         val incoming = batch.select(cols: _*)
-        val existing =
-          try Some(spark.read.parquet(path).select(cols: _*))
+        val tmp = path + "._merging"
+        def readState(dir: String) =
+          try Some(spark.read.parquet(dir).select(cols: _*))
           catch { case _: org.apache.spark.sql.AnalysisException => None }
+        val existing = readState(path).orElse(readState(tmp))
         val all = existing.map(_.unionByName(incoming)).getOrElse(incoming)
         val merged = graft.operators.Relational.latestByKey(
           all, keyCol, orderCols.map(col), keep)
-        val tmp = path + "._merging"
-        merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+        // localCheckpoint BEFORE overwriting tmp: `merged` may be reading
+        // its own input from tmp (the recovery path) — a lazy plan would
+        // delete its source mid-write
+        val snapshot = merged.localCheckpoint(true)
+        snapshot.write.mode(SaveMode.Overwrite).parquet(tmp)
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         fs.delete(p, true)

@@ -52,4 +52,39 @@ class PropertySuite extends SparkSpec {
       assert(frac >= 0.0 && frac <= 1.0)
     }
   }
+
+  test("latestByKey equals the window plan on random change logs with ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val rnd = new scala.util.Random(11)
+    // small key/ts domains force heavy collisions: the (ts, seq) tie-break
+    // must resolve identically in both plans
+    val rows = (0 until 400).map(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(5).toLong, i.toLong, s"v$i"))
+    val df = rows.toDF("k", "ts", "seq", "v")
+    val viaAgg = graft.operators.Relational.latestByKey(df, "k",
+        Seq(col("ts"), col("seq")),
+        Seq(col("ts").as("ts"), col("seq").as("seq"), col("v").as("v")))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val w = Window.partitionBy("k").orderBy(col("ts").desc, col("seq").desc)
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("k", "ts", "seq", "v")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("cooccurrence matches a driver-side reference count on random baskets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val items = Vector("w", "x", "y", "z", "q")
+    val rows = (0 until 300).map(_ => (rnd.nextInt(25).toLong, items(rnd.nextInt(5))))
+    val expected = rows.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted)
+      .flatMap(b => for (i <- b.indices; j <- i + 1 until b.length) yield (b(i), b(j)))
+      .groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }.toSet
+    val got = graft.operators.Relational.cooccurrence(rows.toDF("e", "i"), "e", "i")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == expected)
+  }
 }

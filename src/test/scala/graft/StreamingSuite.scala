@@ -362,4 +362,25 @@ class StreamingSuite extends SparkSpec {
       assert(got == Seq((1L, 20L, "a2"), (2L, 5L, "b1"), (3L, 1L, "c1")), got.toString)
     } finally query.stop()
   }
+
+  test("E6b: upsert recovers compacted state from the tmp dir after a mid-swap crash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_crash").toString
+    // simulate a crash between delete(target) and rename(tmp, target):
+    // the completed merge sits in ._merging, the target dir is missing
+    Seq((1L, 10L, "prior"), (2L, 7L, "kept"))
+      .toDF("k", "seq", "v").write.parquet(s"$dir/target._merging")
+    val source = MemoryStream[(Long, Long, String)]
+    val query = StreamingUpsert.start(source.toDF().toDF("k", "seq", "v"),
+      s"$dir/target", s"$dir/ckpt", "k", Seq("seq"), Seq("v"))
+    try {
+      source.addData((1L, 11L, "replayed"))
+      query.processAllAvailable()
+      val got = spark.read.parquet(s"$dir/target")
+        .select("k", "seq", "v").as[(Long, Long, String)].collect().sorted.toSeq
+      // key 2 came ONLY from the tmp dir — losing it is the state-loss bug
+      assert(got == Seq((1L, 11L, "replayed"), (2L, 7L, "kept")), got.toString)
+    } finally query.stop()
+  }
 }
