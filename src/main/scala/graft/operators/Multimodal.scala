@@ -180,6 +180,40 @@ object Multimodal {
       } finally iis.close()
     }
 
+    /** PNG textual metadata (tEXt chunks): the in-band caption/provenance
+      * channel of a PNG corpus — (keyword, value) pairs, in chunk order.
+      * Pure byte walking of the chunk stream (4-byte big-endian length,
+      * 4-byte type, data, CRC), with the same untrusted-length guards as
+      * the WAV walker: a negative or over-long declared size fails with
+      * a clear error instead of looping or reading out of bounds. CRCs
+      * are not verified (metadata extraction, not integrity checking).
+      * Non-PNG payloads throw; PNGs without tEXt return empty.
+      */
+    def pngTextChunks(bytes: Array[Byte]): Seq[(String, String)] = {
+      val sig = Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      require(bytes.length >= 8 && sig.zipWithIndex.forall {
+        case (b, i) => (bytes(i) & 0xff) == b
+      }, "not a PNG")
+      val bb = java.nio.ByteBuffer.wrap(bytes) // PNG is big-endian
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var at = 8
+      while (at + 8 <= bytes.length) {
+        val len = bb.getInt(at)
+        val typ = new String(bytes, at + 4, 4, "US-ASCII")
+        require(len >= 0 && at + 12L + len <= bytes.length,
+          s"corrupt PNG chunk '$typ' at offset $at: declared size $len exceeds payload")
+        if (typ == "tEXt") {
+          val data = bytes.slice(at + 8, at + 8 + len)
+          val sep = data.indexOf(0.toByte)
+          require(sep > 0, s"tEXt chunk at $at lacks the keyword separator")
+          out += ((new String(data, 0, sep, "ISO-8859-1"),
+            new String(data, sep + 1, data.length - sep - 1, "ISO-8859-1")))
+        }
+        at += 12 + len // length + type + data + CRC
+      }
+      out.toSeq
+    }
+
     private def toLuma(img: java.awt.image.BufferedImage): (Int, Int, Array[Byte]) = {
       val w = img.getWidth
       val h = img.getHeight
@@ -240,6 +274,25 @@ object Multimodal {
           else if (imageIo) Codecs.decodeImageIo(p)
           else FakeCodec.decode(p)
         DecodedFrame(m.id, w, h, px)
+      }
+  }
+
+  final case class MediaMetadata(id: Long, pairs: Map[String, String])
+
+  /** In-band metadata extraction: PNG tEXt (keyword, value) pairs per
+    * payload — caption/provenance without sidecar files. Non-PNG
+    * payloads yield an empty map (metadata absence is data, not an
+    * error, in a mixed-format corpus).
+    */
+  final class PngMetadataStage(override val batchSize: Int = 32)
+      extends Stage[MediaRow, MediaMetadata] {
+    override def process(batch: Seq[MediaRow]): Seq[MediaMetadata] =
+      batch.map { m =>
+        val p = m.payload
+        val isPng = p.length > 3 && (p(0) & 0xff) == 0x89 &&
+          p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+        MediaMetadata(m.id,
+          if (isPng) Codecs.pngTextChunks(p).toMap else Map.empty)
       }
   }
 

@@ -306,6 +306,37 @@ class MultimodalSuite extends SparkSpec {
     assert(over.getMessage.contains("corrupt WAV chunk"))
   }
 
+  test("M4: PNG tEXt metadata extracts; corrupt chunk lengths fail fast") {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data).putInt(0) // CRC unchecked
+      bb.array()
+    }
+    def tEXt(k: String, v: String) =
+      chunk("tEXt", (k.getBytes("ISO-8859-1") :+ 0.toByte) ++ v.getBytes("ISO-8859-1"))
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val png = sig ++ chunk("IHDR", new Array[Byte](13)) ++
+      tEXt("Title", "sunset") ++ tEXt("Author", "cam-7") ++
+      chunk("IEND", Array.empty)
+    assert(Codecs.pngTextChunks(png) == Seq("Title" -> "sunset", "Author" -> "cam-7"))
+    // a real ImageIO-written PNG simply has no tEXt -> empty, no error
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Codecs.pngTextChunks(bos.toByteArray).isEmpty)
+    // untrusted declared length: oversized and negative both fail clearly
+    // patch the high byte of the big-endian length field -> ~2 GB declared
+    val overlong = sig ++ chunk("IHDR", new Array[Byte](13)).patch(0, Seq(0x7f.toByte), 1)
+    val err = intercept[IllegalArgumentException](Codecs.pngTextChunks(overlong))
+    assert(err.getMessage.contains("corrupt PNG chunk"))
+    // the stage maps non-PNG payloads to empty metadata, PNGs to pairs
+    val out = new PngMetadataStage().process(Seq(
+      MediaRow(1L, png), MediaRow(2L, "not a png".getBytes)))
+    assert(out == Seq(
+      MediaMetadata(1L, Map("Title" -> "sunset", "Author" -> "cam-7")),
+      MediaMetadata(2L, Map.empty)))
+  }
+
   private def Tables() = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

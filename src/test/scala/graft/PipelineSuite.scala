@@ -13,6 +13,10 @@ object PipelineSuite {
   val flakyCalls = new AtomicInteger(0)
   val maxBatch = new AtomicInteger(0)
 
+  // (reference: v1/test_batch_size_hang.py — a batch size far larger than
+  // the available items must process the short tail, never wait for a
+  // full batch; Iterator.grouped emits the final partial group, asserted
+  // in the oversized-batch test below)
   final class AddStage(delta: Int, override val batchSize: Int = 10)
       extends Stage[Int, Int] {
     override def setupOnNode(): Unit = { nodeSetups.incrementAndGet(); () }
@@ -200,6 +204,16 @@ class PipelineSuite extends SparkSpec {
       .run().collect().sorted
     assert(out.toSeq == (12 to 111))
     assert(maxBatch.get() <= 10 && maxBatch.get() > 1) // grouped(batchSize)
+  }
+
+  test("F6b: batch size far beyond the item count processes the tail, no hang") {
+    import spark.implicits._
+    // reference: v1/test_batch_size_hang.py — an oversized stage_batch_size
+    // must flush the short final group instead of waiting to fill
+    val out = Pipeline.from(ints(7, parts = 2))
+      .stage(new AddStage(1, batchSize = 10000))
+      .run().collect().sorted
+    assert(out.toSeq == (2 to 8))
   }
 
   test("F7: setup per partition, setupOnNode once per JVM, destroy runs") {
