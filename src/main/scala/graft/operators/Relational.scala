@@ -380,7 +380,9 @@ object Relational {
     * side) aggregation, so the shuffle carries one ≤2^lgK-byte sketch
     * per group per partition instead of every distinct value. Exact
     * q09-style distinct counts shuffle the full value set; this never
-    * does. Output: groupCols..., distinct_est (long).
+    * does. `valueCol` must be int/bigint/string/binary (the Datasketches
+    * HLL input domain — doubles fail at analysis; cast or hash first).
+    * Output: groupCols..., distinct_est (long).
     */
   def sketchDistinct(df: DataFrame, valueCol: String, groupCols: Seq[String],
       lgK: Int = 12): DataFrame =

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.api.{Stage, PipelineConfig, ExecutionMode}
-import graft.streaming.{EventStreams, ServingPipeline, StreamingUpsert}
+import graft.streaming.{EventStreams, ServingPipeline, StreamingMonitor, StreamingUpsert}
 
 /** F5 (SERVING mode over Structured Streaming) and E1 (watermark + windowed
   * event-time aggregation).
@@ -361,6 +361,30 @@ class StreamingSuite extends SparkSpec {
         .select("k", "seq", "v").as[(Long, Long, String)].collect().sorted.toSeq
       assert(got == Seq((1L, 20L, "a2"), (2L, 5L, "b1"), (3L, 1L, "c1")), got.toString)
     } finally query.stop()
+  }
+
+  test("F15s: StreamingMonitor rolls up per-query batches/rates from the event bus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mon = new StreamingMonitor().attach(spark)
+    val source = MemoryStream[Long]
+    val query = source.toDF().writeStream.format("memory")
+      .queryName("mon_probe").outputMode("append").start()
+    try {
+      source.addData(1L, 2L, 3L)
+      query.processAllAvailable()
+      source.addData(4L)
+      query.processAllAvailable()
+      // listener delivery is async (documented at-least-once contract):
+      // poll until the progress events land
+      val deadline = System.nanoTime() + 10e9.toLong
+      def snaps = mon.snapshots.getOrElse("mon_probe", Nil)
+      while (snaps.map(_.numInputRows).sum < 4 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(snaps.map(_.numInputRows).sum == 4, snaps.toString)
+      assert(snaps.map(_.batchId).distinct.size >= 2, "one snapshot per micro-batch")
+      assert(mon.report().contains("mon_probe"))
+    } finally { query.stop(); mon.detach(spark) }
   }
 
   test("E6b: upsert recovers compacted state from the tmp dir after a mid-swap crash") {
