@@ -78,6 +78,46 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Z-ORDER clustered write — data skipping on TWO columns at once,
+    * where [[clusteredWrite]]'s linear order can only serve one: rows
+    * sort by the bit-interleave of the two columns' 16-bit min-max
+    * buckets (the space-filling curve Delta/Iceberg call OPTIMIZE
+    * ZORDER), so each output file covers a small RECTANGLE of the
+    * (a, b) domain and parquet footer min/max stats prune files for
+    * selective predicates on EITHER column. A linear sort on `a` leaves
+    * every file spanning the full `b` range — the spec measures both
+    * layouts and asserts the contrast. Cost: one min/max aggregation
+    * (4 scalars to the driver) + the same range-partition/sort shuffle
+    * as any clustered write; the z-value is a narrow codegen'd
+    * expression, dropped before writing. Constant columns degrade
+    * gracefully (bucket 0 everywhere — the other column still orders).
+    */
+  def zorderWrite(df: DataFrame, path: String, files: Int,
+      colA: String, colB: String, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(files > 0, "files must be positive")
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!r.anyNull, "zorderWrite needs non-null min/max for both columns")
+    val (aLo, aHi, bLo, bHi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val bits = 16
+    val top = (1 << bits) - 1
+    def bucket(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else ((col(c).cast("double") - lo) / (hi - lo) * top).cast("long")
+    val (ba, bb) = (bucket(colA, aLo, aHi), bucket(colB, bLo, bHi))
+    val z = (0 until bits).map { i =>
+      (ba.bitwiseAND(1L << i) * (1L << i)) + // bit i of a lands at 2i
+        (bb.bitwiseAND(1L << i) * (2L << i)) // bit i of b lands at 2i+1
+    }.reduce(_ + _)
+    val cols = df.columns.toSeq.map(col)
+    df.withColumn("_z", z)
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(cols: _*)
+      .write.mode(mode).parquet(path)
+  }
+
   /** Bucketed table — Spark's CO-LOCATED JOIN primitive, and the single
     * biggest shuffle saver at 100 TB: two tables bucketed by the same key
     * into the same bucket count are join-ready as written (each bucket

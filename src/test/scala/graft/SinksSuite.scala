@@ -86,6 +86,34 @@ class SinksSuite extends SparkSpec {
     assert(spark.read.parquet(path).count() == 2000)
   }
 
+  test("zorderWrite: files cover small rectangles in BOTH dims; linear sort can't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // deterministic 100x100 grid, shuffled layout
+    val rows = for (x <- 0 until 100; y <- 0 until 100) yield (x.toLong, y.toLong)
+    val rnd = new scala.util.Random(5)
+    val df = rnd.shuffle(rows).toDF("x", "y").repartition(8)
+    graft.sources.Sinks.zorderWrite(df, s"$dir/z", files = 16, "x", "y")
+    graft.sources.Sinks.clusteredWrite(df, s"$dir/linear", 16, Seq("x"))
+    def meanSpans(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      val spans = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max($"x") - min($"x"), max($"y") - min($"y")).head()
+        (r.getLong(0) / 99.0, r.getLong(1) / 99.0)
+      }
+      (spans.map(_._1).sum / spans.length, spans.map(_._2).sum / spans.length)
+    }
+    val (zx, zy) = meanSpans(s"$dir/z")
+    val (lx, ly) = meanSpans(s"$dir/linear")
+    // z-order: every file a small rectangle — BOTH dims narrow
+    assert(zx < 0.45 && zy < 0.45, s"z-order spans x=$zx y=$zy should both be narrow")
+    // linear on x: x narrow but y spans ~the whole domain in every file
+    assert(lx < 0.2, s"linear x-span $lx")
+    assert(ly > 0.7, s"linear y-span $ly should be near-total — the case for z-order")
+  }
+
   test("bucketed tables join with ZERO exchange (co-located join)") {
     import spark.implicits._
     val facts = (0 until 2000).map(i => (i.toLong % 100, i.toLong)).toDF("key", "a")
