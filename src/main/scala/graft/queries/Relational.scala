@@ -640,7 +640,37 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** q42: fact-fact join THROUGH bucketed tables ([[graft.sources
+    * .Sinks.bucketed]]) — the co-located-join path in the VERIFIED
+    * lane, not just the plan spec: both sides land bucketed on the
+    * join key (the write-once shuffle), the join reads them back from
+    * the catalog, and the oracle computes the same result from the raw
+    * parquet — bucketing must change the PLAN (zero Exchange of either
+    * side, spec-asserted in SinksSuite), never the ANSWER. At sf0.1
+    * the write cost is billed to this query in the bench — the
+    * pay-at-ingest half of the amortization story.
+    */
+  val q42 = QueryDef(
+    "q42_bucketed_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.sources.Sinks.bucketed(
+      Tables(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+      "bq42_orders", "o_orderkey", 8, sortCols = Seq("o_orderkey"))
+    graft.sources.Sinks.bucketed(
+      Tables(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+      "bq42_lineitem", "l_orderkey", 8, sortCols = Seq("l_orderkey"))
+    s.table("bq42_orders")
+      .join(s.table("bq42_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -138,6 +138,20 @@ object Sinks {
       sortCols: Seq[String] = Nil, path: Option[String] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite && !spark.catalog.tableExists(table)) {
+      // a FRESH session's catalog has no entry for a table whose warehouse
+      // directory survived a previous session — saveAsTable then takes the
+      // CREATE path and silently reuses the stale files (caught by q42's
+      // cross-sf oracle run). Overwrite must mean the data, not just the
+      // catalog entry: clear the on-disk location first.
+      val loc = path.getOrElse(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          "/" + table.toLowerCase)
+      val p = new org.apache.hadoop.fs.Path(loc)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
     val w0 = df.write.mode(mode).format("parquet").bucketBy(numBuckets, bucketCol)
     val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     val w2 = path.fold(w1)(p => w1.option("path", p))

@@ -114,6 +114,21 @@ class SinksSuite extends SparkSpec {
     assert(ly > 0.7, s"linear y-span $ly should be near-total — the case for z-order")
   }
 
+  test("bucketed Overwrite clears a stale location the catalog has forgotten") {
+    import spark.implicits._
+    val loc = java.nio.file.Files.createTempDirectory("graft_bq_stale").toString + "/t"
+    graft.sources.Sinks.bucketed(Seq((1L, "old")).toDF("k", "v"),
+      "bq_stale", "k", 2, path = Some(loc))
+    // external-table DROP removes the catalog entry but leaves the files —
+    // the fresh-session analogue (an in-memory catalog forgets everything)
+    spark.sql("DROP TABLE bq_stale")
+    graft.sources.Sinks.bucketed(Seq((2L, "new")).toDF("k", "v"),
+      "bq_stale", "k", 2, path = Some(loc))
+    val got = spark.table("bq_stale").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "new")), s"stale files must not survive Overwrite: $got")
+    spark.sql("DROP TABLE bq_stale")
+  }
+
   test("bucketed tables join with ZERO exchange (co-located join)") {
     import spark.implicits._
     val facts = (0 until 2000).map(i => (i.toLong % 100, i.toLong)).toDF("key", "a")
