@@ -670,7 +670,55 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q43's 3 unrolled PageRank iterations as CTE pairs (contribution join
+  // + rank refresh) — generated, not hand-copied, so the oracle and the
+  // iteration count can never drift
+  private def prIterSql(k: Int): String = {
+    val prev = if (k == 1) "p0" else s"p${k - 1}"
+    s"""c$k AS (SELECT e.dst AS node, sum(p.pr / d.deg) AS inflow
+       |  FROM ed e JOIN $prev p ON p.node = e.src JOIN dg d ON d.src = e.src
+       |  GROUP BY e.dst),
+       |p$k AS (SELECT no.node, (1 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0) AS pr
+       |  FROM no CROSS JOIN nn LEFT JOIN c$k c ON c.node = no.node)""".stripMargin
+  }
+
+  /** q43: PageRank over the q41 term co-occurrence graph
+    * ([[graft.operators.Graph.pageRank]]) — iterative graph analytics
+    * in the VERIFIED lane: 3 fixed iterations, damping 0.85, the
+    * oracle unrolls the same contribution-join + rank-refresh rounds
+    * as CTEs. Damping constants evaluate IN-ENGINE on both sides
+    * (`1 - 0.85` as expressions), so the doubles are bit-identical;
+    * inflow sums are ≤|V| short double sums, exact at 6 dp.
+    */
+  val q43 = QueryDef(
+    "q43_pagerank",
+    s"""WITH b AS (SELECT DISTINCT doc_id AS e, unnest(string_split(text, ' ')) AS i
+       |           FROM documents),
+       |k AS (SELECT e FROM b GROUP BY e HAVING count(*) <= $CoocMaxBasket),
+       |kb AS (SELECT b.e, b.i FROM b JOIN k USING (e)),
+       |pe AS (SELECT x.i AS pa, y.i AS pb FROM kb x JOIN kb y
+       |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
+       |ed AS (SELECT pa AS src, pb AS dst FROM pe
+       |       UNION ALL SELECT pb, pa FROM pe),
+       |no AS (SELECT DISTINCT src AS node FROM ed),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM no),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |p0 AS (SELECT node, 1.0 / nn.n AS pr FROM no CROSS JOIN nn),
+       |${(1 to 3).map(prIterSql).mkString(",\n")}
+       |SELECT node, ${mr("pr", 6)} AS pr FROM p3 ORDER BY node""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    val pairs = graft.operators.Relational.cooccurrence(toks, "doc_id", "token",
+      maxBasket = CoocMaxBasket)
+    val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3, damping = 0.85)
+      .select(col("node"), Rounding.mirrorRound(col("pr"), 6).as("pr"))
+      .orderBy("node")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

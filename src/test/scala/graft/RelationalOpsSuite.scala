@@ -267,6 +267,24 @@ class RelationalOpsSuite extends SparkSpec {
     assert(got == Seq(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 2L)))
   }
 
+  test("pageRank: mass conserved on symmetric graphs; star center dominates") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // undirected star: center 0 <-> leaves 1..6 (symmetrized edges)
+    val star = ((1L to 6L).map(l => (0L, l)) ++ (1L to 6L).map(l => (l, 0L))).toDF("src", "dst")
+    val pr = Graph.pageRank(star, "src", "dst", iters = 10).as[(Long, Double)].collect().toMap
+    // no dangling nodes -> total mass stays 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass ${pr.values.sum}")
+    assert((1L to 6L).forall(l => pr(0L) > pr(l) * 2), s"center must dominate: $pr")
+    // leaves are symmetric -> identical ranks
+    assert((2L to 6L).forall(l => math.abs(pr(l) - pr(1L)) < 1e-12))
+    // ring: perfectly regular -> uniform 1/n at any iteration count
+    val ring = (0L until 5L).flatMap(i =>
+      Seq((i, (i + 1) % 5), ((i + 1) % 5, i))).toDF("src", "dst")
+    val rpr = Graph.pageRank(ring, "src", "dst", iters = 3).as[(Long, Double)].collect()
+    rpr.foreach { case (n, p) => assert(math.abs(p - 0.2) < 1e-12, s"node $n: $p") }
+  }
+
   test("approx_percentile brackets exactPercentiles within accuracy bound") {
     import spark.implicits._
     // at 100 TB q16's exact rank selection gives way to approx_percentile
