@@ -125,6 +125,31 @@ object TextAnalysis {
         col("r_words") && col("r_wlen") && col("r_symbol") && col("r_alpha") && col("r_stop"))
   }
 
+  /** Fixed-window document chunking with overlap — the context-window
+    * splitter of pretraining/RAG pipelines: token windows of
+    * `chunkTokens` starting every `chunkTokens - overlap` tokens (the
+    * tail chunk may be short; every token lands in ≥1 chunk, boundary
+    * tokens in 2). A narrow posexplode of per-row window starts —
+    * zero shuffle, output rows ≈ n_tokens / step per doc. Output:
+    * idCol, chunk_idx, n_chunk_tokens, chunk_text.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(step))
+    df.select(col(idCol), toks.as("_toks"), explode(starts).as("_start"))
+      .select(col(idCol),
+        (col("_start") / step).cast("long").as("chunk_idx"),
+        least(lit(chunkTokens), size(col("_toks")) - col("_start"))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("_toks"), col("_start") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
   /** Polynomial rolling-hash fingerprint (codegen'd). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     GraftExpressions.register(df.sparkSession)

@@ -275,6 +275,32 @@ object Text {
       .orderBy("doc_id")
   }
 
+  private val ChunkTokens = 16
+  private val ChunkOverlap = 4
+  private val ChunkStep = ChunkTokens - ChunkOverlap
+
+  /** t15: fixed-window chunking with overlap
+    * ([[TextAnalysis.chunkDocs]]) — window starts every `step` tokens,
+    * tail chunks short, boundary tokens shared by two chunks; the
+    * oracle rebuilds the same windows via 1-based inclusive list
+    * slicing.
+    */
+  val t15 = QueryDef(
+    "t15_chunking",
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks, len($duckToks) AS n
+       |           FROM documents),
+       |s AS (SELECT doc_id, toks, n,
+       |        unnest(range(0, greatest(n, 1), $ChunkStep)) AS start FROM t)
+       |SELECT doc_id, CAST(start / $ChunkStep AS BIGINT) AS chunk_idx,
+       |  CAST(least($ChunkTokens, n - start) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(toks[start + 1 : least(start + $ChunkTokens, n)], ' ')
+       |    AS chunk_text
+       |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    TextAnalysis.chunkDocs(Tables(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = ChunkTokens, overlap = ChunkOverlap)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
 }

@@ -344,6 +344,25 @@ class DedupOpsSuite extends SparkSpec {
     assert(got == Seq((1L, 3L, 0L, 0.0, "a b c"), (2L, 3L, 0L, 0.0, "a b c")))
   }
 
+  test("chunkDocs: full coverage, exact overlap, short tail") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, text)).toDF("id", "text")
+    val got = graft.operators.TextAnalysis.chunkDocs(df, "id", "text",
+        chunkTokens = 4, overlap = 1) // step 3 -> starts 0,3,6,9
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, "w1 w2 w3 w4"),
+      (1L, 4L, "w4 w5 w6 w7"),   // w4 shared: overlap 1
+      (2L, 4L, "w7 w8 w9 w10"),
+      (3L, 1L, "w10")))          // short tail, never dropped
+    // reconstruction: de-overlapped concat equals the original
+    val rebuilt = got.map(_._3.split(" ").toSeq).reduce((a, b) => a ++ b.drop(1))
+    assert(rebuilt.mkString(" ") == text)
+  }
+
   test("lineDedup removes boilerplate lines from every doc; within-doc repeats survive") {
     import spark.implicits._
     val df = Seq(
