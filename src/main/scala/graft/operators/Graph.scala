@@ -31,11 +31,18 @@ object Graph {
       checkpoint: Boolean = true): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    // The edge list (often an expensive subtree — q43 feeds a whole
+    // co-occurrence build here) is referenced by EVERY iteration plus
+    // the node/degree prep; materialize once or the plan re-runs it
+    // ~(iters + 3) times. Same for the per-round reuse of nodes/outdeg.
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = if (checkpoint) e0.localCheckpoint(true) else e0
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    val nodes = if (checkpoint) nodes0.localCheckpoint(true) else nodes0
     val n = nodes.count() // one metadata scalar to the driver
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg = if (checkpoint) outdeg0.localCheckpoint(true) else outdeg0
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var pr = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
     for (_ <- 1 to iters) {
@@ -48,5 +55,57 @@ object Graph {
       pr = if (checkpoint) next.localCheckpoint(true) else next
     }
     pr
+  }
+
+  /** Per-node triangle counts (each triangle credits all three corners)
+    * over an undirected edge list — the clustering-coefficient /
+    * community-density primitive. Input rows may be directed duplicates
+    * or self-loops; edges are canonicalized first. The join is
+    * DEGREE-ORDERED (each edge oriented from its lower-(degree, id)
+    * endpoint): wedges form only at the LOW-degree corner of each
+    * triangle, so the candidate count is Σ min-side deg² instead of
+    * Σ deg² — the difference between a star hub generating O(deg²)
+    * wedges and generating zero. The triangle SET is orientation-
+    * invariant (any total order finds each triangle exactly once), so
+    * an external oracle may use plain id-ordering and still match.
+    * Three shuffles: degree agg, wedge self-join on the anchor, closing
+    * edge equi-join. Output: node, n_triangles (nodes in no triangle
+    * absent — left-join against your node table to zero-fill).
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      checkpoint: Boolean = true): DataFrame = {
+    val canon0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // canon feeds deg + orientation, oriented feeds e1/e2/closing —
+    // materialize both or the upstream (possibly expensive) edge
+    // subtree re-evaluates up to 5 times.
+    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // Orient each edge from the smaller (deg, id) endpoint.
+    val uKey = struct(col("du").as("d"), col("u").as("n"))
+    val vKey = struct(col("dv").as("d"), col("v").as("n"))
+    val uFirst = uKey < vKey
+    val oriented0 = canon
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(uFirst, col("u")).otherwise(col("v")).as("lo"),
+        when(uFirst, col("v")).otherwise(col("u")).as("hi"),
+        when(uFirst, vKey).otherwise(uKey).as("hiKey"))
+    val oriented = if (checkpoint) oriented0.localCheckpoint(true) else oriented0
+    val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"), col("hiKey").as("bKey"))
+    val e2 = oriented.select(col("lo").as("a2"), col("hi").as("c"), col("hiKey").as("cKey"))
+    // Wedges at the anchor a, the pair (b, c) ordered by the SAME total
+    // order as the orientation, so the closing edge is exactly (b -> c).
+    val wedges = e1.join(e2, col("a") === col("a2") && col("bKey") < col("cKey"))
+      .select(col("a"), col("b"), col("c"))
+    val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val tris = wedges.join(closing, Seq("b", "c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
   }
 }

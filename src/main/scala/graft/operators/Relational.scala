@@ -467,4 +467,50 @@ object Relational {
       .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
       .agg(count(lit(1)).cast("long").as("n_entities"))
   }
+
+  /** Per-group z-score outlier detection over a fixed-point value column
+    * (the anomaly gate of a metrics/quality pipeline), built for
+    * CROSS-ENGINE determinism: the value is first snapped to integer
+    * `scale`-ths (floor(v*scale + 0.5), the shared rounding formula), so
+    * the group moment sums are INTEGER sums — exact in doubles below
+    * 2^53 in ANY accumulation order — and mean/variance/z come out
+    * bit-identical on every engine that mirrors the formula, making the
+    * |z| >= threshold row SET reproducible (a float-summed mean differs
+    * in the last ulp per engine and can flip boundary rows). Two
+    * narrow-ish passes: a partial-agg groupBy for (n, Σc, Σc²) — output
+    * is |groups| rows, broadcast back — then a map-side filter. No
+    * window, no per-group sort, so parallelism never caps at |groups|.
+    * Groups with n < 2 or zero variance produce no rows (z undefined).
+    * Domain bound: Σc and Σc² accumulate as LONG (the external mirror
+    * sums exactly too, e.g. 128-bit) and the final sums must also sit
+    * below 2^53 so the closing double cast is exact — size `scale` to
+    * the value domain (cents over ~10⁹ rows/group of ~10⁵-cent values
+    * is inside the bound; raise-scale-at-will is not free).
+    * Output: groupCols, payloadCols, z (unrounded — round at the
+    * binding).
+    */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      threshold: Double, payloadCols: Seq[Column], scale: Long = 100L): DataFrame = {
+    require(threshold > 0, "threshold must be > 0")
+    require(scale >= 1, "scale must be >= 1")
+    val c = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val withC = df.withColumn("_c", c)
+    val gcols = groupCols.map(col)
+    val stats = withC.groupBy(gcols: _*).agg(
+      count(lit(1)).as("_n"), sum(col("_c")).as("_s"),
+      sum(col("_c") * col("_c")).as("_ss"))
+    val n = col("_n").cast("double")
+    val mean = col("_s").cast("double") / n
+    val variance = (col("_ss").cast("double") - col("_s").cast("double") * col("_s") / n) /
+      (n - lit(1.0))
+    val ready = stats.filter(col("_n") >= 2)
+      .withColumn("_mean", mean).withColumn("_sd", sqrt(variance))
+      .filter(col("_sd") > 0)
+      .select(gcols :+ col("_mean") :+ col("_sd"): _*)
+    val z = (col("_c").cast("double") - col("_mean")) / col("_sd")
+    withC.join(broadcast(ready), groupCols)
+      .withColumn("z", z)
+      .filter(abs(col("z")) >= threshold)
+      .select(gcols ++ payloadCols :+ col("z"): _*)
+  }
 }

@@ -478,6 +478,56 @@ object TextAnalysis {
       .select(col("_id").as(idCol), col("n_words"), col("n_subwords"))
   }
 
+  /** Per-document top-k keywords by TF-IDF (idf = ln(N/df), the
+    * textbook smoothing-free form an external oracle can mirror
+    * exactly). One tf aggregation feeds BOTH term frequency and
+    * document frequency (df = row count per term over the tf table —
+    * no second corpus scan), so the pipeline is: partial-agg on
+    * (doc, term), partial-agg on term, a vocab-keyed sort-merge join
+    * (both sides are corpus-sized at scale — deliberately NOT
+    * broadcast), and a top-k window partitioned by the high-cardinality
+    * doc id. N is one metadata scalar. Ties in the score (same tf, same
+    * df ⇒ bit-identical doubles on any engine) break on the term
+    * itself, so top-k is total-ordered. Output: idCol, term, tfidf
+    * (unrounded), rk.
+    */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val n = df.count() // one metadata scalar, like Graph.pageRank's |V|
+    val tf = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(docFreq, "term")
+      .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("_id").as(idCol), col("term"), col("tfidf"), col("rk"))
+  }
+
+  /** Per-document Shannon entropy of the token distribution (nats) — a
+    * repetition/quality signal: boilerplate and keyword-stuffed docs
+    * score low, diverse prose high. Uses the algebraic identity
+    * H = ln(n) − (Σ tf·ln tf)/n so ONE aggregation over the (doc, term)
+    * tf table suffices — no per-doc total join, no window. Two
+    * partial-agg shuffles total, both keyed by high-cardinality ids;
+    * parallel at any corpus size. Output: idCol, n_tokens, n_distinct,
+    * token_entropy (unrounded).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    tf.groupBy("_id").agg(
+        sum(col("tf")).as("_n"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("tf") * log(col("tf"))).as("_slt"))
+      .select(col("_id").as(idCol),
+        col("_n").cast("long").as("n_tokens"),
+        col("n_distinct"),
+        (log(col("_n")) - col("_slt") / col("_n")).as("token_entropy"))
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

@@ -718,7 +718,74 @@ object Relational {
       .orderBy("node")
   }
 
+  private val OutlierZ = 3.0
+
+  /** q44: per-group z-score anomaly detection over the event stream
+    * ([[graft.operators.Relational.zscoreOutliers]]) — values snap to
+    * integer cents first, so the group moment sums are EXACT in any
+    * accumulation order and the |z| >= 3 row set is bit-reproducible
+    * across engines (a float-summed mean flips boundary rows). Stats
+    * are a |groups|-row partial agg broadcast back; no window, no
+    * per-group sort — parallelism never caps at |groups|.
+    */
+  val q44 = QueryDef(
+    "q44_outliers",
+    s"""WITH e AS (SELECT event_type, event_id, user_id, value,
+       |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+       |           FROM events),
+       |s AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+       |      FROM e GROUP BY 1 HAVING count(*) >= 2),
+       |r AS (SELECT event_type,
+       |        CAST(s AS DOUBLE) / n AS m,
+       |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+       |             / (n - CAST(1 AS DOUBLE))) AS sd
+       |      FROM s)
+       |SELECT e.event_type, e.event_id, e.user_id, e.value,
+       |  ${mr("(CAST(e.c AS DOUBLE) - r.m) / r.sd", 4)} AS z
+       |FROM e JOIN r USING (event_type)
+       |WHERE r.sd > 0 AND abs((CAST(e.c AS DOUBLE) - r.m) / r.sd) >= $OutlierZ
+       |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.zscoreOutliers(Tables.events(s, dir),
+        groupCols = Seq("event_type"), valueCol = col("value"),
+        threshold = OutlierZ,
+        payloadCols = Seq(col("event_id"), col("user_id"), col("value")))
+      .withColumn("z", Rounding.mirrorRound(col("z"), 4))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** q45: per-node triangle counts over the q41 term co-occurrence
+    * graph ([[graft.operators.Graph.triangleCounts]]) — the operator
+    * orients edges by (degree, id) so wedges form only at each
+    * triangle's LOW-degree corner (hub-safe at scale); the oracle uses
+    * plain id-ordering, legal because the triangle SET is invariant
+    * under any total orientation order.
+    */
+  val q45 = QueryDef(
+    "q45_triangles",
+    s"""WITH b AS (SELECT DISTINCT doc_id AS e, unnest(string_split(text, ' ')) AS i
+       |           FROM documents),
+       |k AS (SELECT e FROM b GROUP BY e HAVING count(*) <= $CoocMaxBasket),
+       |kb AS (SELECT b.e, b.i FROM b JOIN k USING (e)),
+       |pe AS (SELECT x.i AS pa, y.i AS pb FROM kb x JOIN kb y
+       |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
+       |tri AS (SELECT e1.pa AS a, e1.pb AS b2, e2.pb AS c
+       |        FROM pe e1 JOIN pe e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+       |        JOIN pe e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT a AS node FROM tri UNION ALL SELECT b2 FROM tri
+       |      UNION ALL SELECT c FROM tri)
+       |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    val pairs = graft.operators.Relational.cooccurrence(toks, "doc_id", "token",
+      maxBasket = CoocMaxBasket)
+    graft.operators.Graph.triangleCounts(pairs, "item_a", "item_b")
+      .orderBy("node")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
-      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+      q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+      q44, q45)
 }

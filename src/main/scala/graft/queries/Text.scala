@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
+import graft.functions.Rounding
 import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.operators.TextAnalysis
 import graft.sources.Tables
@@ -301,6 +302,55 @@ object Text {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  private val TfIdfK = 3
+
+  /** t16: top-k keywords per doc by TF-IDF
+    * ([[TextAnalysis.tfIdfTopK]]) — one tf aggregation feeds both tf
+    * and df (no second corpus scan); ties (same tf, same df → the
+    * identical double) break on the term, so the top-k set is
+    * total-ordered and engine-independent. The oracle mirrors
+    * tf · ln(N/df) with the window ordered by the UNROUNDED score.
+    */
+  val t16 = QueryDef(
+    "t16_tfidf",
+    s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM toks GROUP BY 1, 2),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |s AS (SELECT doc_id, term, tf * ln(n.n / df.df) AS score,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY tf * ln(n.n / df.df) DESC, term) AS rk
+       |      FROM tf JOIN df USING (term) CROSS JOIN n)
+       |SELECT doc_id, term, ${mr("score", 4)} AS tfidf, CAST(rk AS BIGINT) AS rk
+       |FROM s WHERE rk <= $TfIdfK ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+    TextAnalysis.tfIdfTopK(Tables(s, dir, "documents"), "doc_id", "text", TfIdfK)
+      .withColumn("tfidf", Rounding.mirrorRound(col("tfidf"), 4))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** t17: token-distribution Shannon entropy
+    * ([[TextAnalysis.tokenEntropy]]) — the repetition/diversity quality
+    * signal, computed via H = ln(n) − (Σ tf·ln tf)/n so one aggregation
+    * over the tf table suffices; the oracle mirrors the identity
+    * verbatim (never the p·ln p form, whose extra divisions would
+    * change the float ops).
+    */
+  val t17 = QueryDef(
+    "t17_token_entropy",
+    s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM toks GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  ${mr("ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf)", 4)} AS token_entropy
+       |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenEntropy(Tables(s, dir, "documents"), "doc_id", "text")
+      .withColumn("token_entropy", Rounding.mirrorRound(col("token_entropy"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14, t15)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
+      t14, t15, t16, t17)
 }

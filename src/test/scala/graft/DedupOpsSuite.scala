@@ -431,4 +431,41 @@ class DedupOpsSuite extends SparkSpec {
       .as[(Long, Boolean, Boolean)].collect().toSeq
     assert(out == Seq((1L, false, true), (2L, true, false)))
   }
+
+  test("tfIdfTopK: corpus-wide terms score zero, rare terms rank first, ties on term") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "the cat sat"),   // "the" in all 3 docs -> idf ln(1) = 0
+      (2L, "the dog ran"),
+      (3L, "the the fish")   // tf=2 on the zero-idf term still scores 0
+    ).toDF("id", "text")
+    val got = TextAnalysis.tfIdfTopK(df, "id", "text", 2)
+      .orderBy("id", "rk").as[(Long, String, Double, Long)].collect().toSeq
+    val idf1 = math.log(3.0) // df=1 terms
+    got.foreach { case (_, term, s, _) =>
+      if (term == "the") assert(s == 0.0) else assert(math.abs(s - idf1) < 1e-12)
+    }
+    // doc 1: cat/sat tie at 1*ln3 -> term order breaks the tie
+    assert(got.filter(_._1 == 1L).map(_._2) == Seq("cat", "sat"))
+    // every doc got exactly k rows with ranks 1..k
+    assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(_._4).sorted == Seq(1L, 2L) })
+  }
+
+  test("tokenEntropy: uniform=ln(n), constant=0, identity matches direct -sum(p ln p)") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d"),   // uniform over 4 -> ln(4)
+      (2L, "a a a a"),   // degenerate -> 0
+      (3L, "a a b")      // p=(2/3,1/3) -> -sum p ln p
+    ).toDF("id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "id", "text")
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 4L, 4L), (2L, 4L, 1L), (3L, 3L, 2L)))
+    assert(math.abs(got(0)._4 - math.log(4.0)) < 1e-12)
+    assert(got(1)._4 == 0.0)
+    val expected3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(got(2)._4 - expected3) < 1e-12)
+  }
 }

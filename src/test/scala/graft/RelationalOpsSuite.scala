@@ -285,6 +285,45 @@ class RelationalOpsSuite extends SparkSpec {
     rpr.foreach { case (n, p) => assert(math.abs(p - 0.2) < 1e-12, s"node $n: $p") }
   }
 
+  test("triangleCounts: K4 credits every node 3; square has none; direction/dups collapse") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // K4 (complete on 4 nodes) = 4 triangles, each node in exactly 3;
+    // fed as DIRECTED duplicates + a self-loop to prove canonicalization
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b)) :+ (2L, 2L)
+    val got = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"$got")
+    // 4-cycle: wedges exist but no closing edge -> empty result
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    assert(Graph.triangleCounts(sq, "src", "dst").count() == 0)
+    // star + one leaf-leaf edge: exactly one triangle, hub NOT a wedge
+    // anchor under degree ordering yet still credited
+    val star = ((1L to 5L).map(l => (0L, l)) :+ (1L, 2L)).toDF("src", "dst")
+    val sg = Graph.triangleCounts(star, "src", "dst").as[(Long, Long)].collect().toMap
+    assert(sg == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"$sg")
+  }
+
+  test("zscoreOutliers flags the planted spike, exact-integer stats, no window in plan") {
+    import spark.implicits._
+    // 40 values at ~10.00 plus one planted 99.00 spike per group g1;
+    // g2 is constant (zero variance -> no rows); g3 has n=1 -> no rows
+    val base = (1 to 40).map(i => ("g1", 10.0 + (i % 3) * 0.01))
+    val df = (base :+ (("g1", 99.0)) :+ (("g2", 5.0)) :+ (("g2", 5.0)) :+ (("g3", 7.0)))
+      .toDF("g", "v")
+    val out = Relational.zscoreOutliers(df, Seq("g"), col("v"), 3.0,
+      payloadCols = Seq(col("v")))
+    val rows = out.as[(String, Double, Double)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)) == Seq(("g1", 99.0)), s"$rows")
+    assert(rows.head._3 > 6.0, s"z was ${rows.head._3}")
+    // the plan must be agg + broadcast-join + filter — never a window
+    val plan = out.queryExecution.optimizedPlan
+    def collect(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      p +: p.children.flatMap(collect)
+    assert(!collect(plan).map(_.getClass.getSimpleName).exists(_.contains("Window")))
+  }
+
   test("approx_percentile brackets exactPercentiles within accuracy bound") {
     import spark.implicits._
     // at 100 TB q16's exact rank selection gives way to approx_percentile
