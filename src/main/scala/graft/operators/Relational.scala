@@ -427,12 +427,17 @@ object Relational {
     * join's (spec-asserted); only the physical distribution changes.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, keyCol: String, salts: Int,
-      saltSrc: Seq[Column] = Nil): DataFrame = {
+      saltSrc: Seq[Column] = Nil, dimHint: Option[String] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
     val src = if (saltSrc.nonEmpty) saltSrc else fact.columns.toSeq.map(col)
     val f = fact.withColumn("_salt", pmod(hash(src: _*), lit(salts)))
-    val d = dim.withColumn("_salt",
+    val d0 = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // A caller-side hint sits below the salt explode where the planner
+    // loses it; applied here it wraps the immediate join child. Pass
+    // "shuffle_hash" when a broadcast of the dim would defeat the
+    // point of the salt (skew demos, medium dims).
+    val d = dimHint.fold(d0)(d0.hint(_))
     f.join(d, Seq(keyCol, "_salt")).drop("_salt")
   }
 

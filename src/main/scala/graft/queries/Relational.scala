@@ -784,8 +784,42 @@ object Relational {
       .orderBy("node")
   }
 
+  private val SaltCount = 8
+
+  /** q46: the salted skew join in the VERIFIED lane (the q42 move, for
+    * skew instead of bucketing): per-doc corpus-frequency "commonness"
+    * score — token occurrences (genuinely Zipf-skewed: the hot stopword
+    * keys are exactly what melts an unsalted shuffle partition) join the
+    * vocabulary counts through [[graft.operators.Relational.saltedJoin]],
+    * which splits each hot key across `SaltCount` partitions (fact rows
+    * hash-salted, dim rows replicated ×salts). The dim side carries a
+    * shuffle hint so the demo stays a real shuffle join at bench scale
+    * rather than collapsing to broadcast. Salting changes the PLAN,
+    * never the ANSWER — the oracle is the plain join.
+    */
+  val q46 = QueryDef(
+    "q46_salted_join",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |              FROM documents),
+      |v AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(v.freq) AS BIGINT) AS commonness
+      |FROM toks JOIN v USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    graft.operators.Relational.saltedJoin(
+        toks, vocab, "token", salts = SaltCount,
+        saltSrc = Seq(col("doc_id")), dimHint = Some("shuffle_hash"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum("freq").cast("long").as("commonness"))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45)
+      q44, q45, q46)
 }

@@ -384,6 +384,22 @@ class RelationalOpsSuite extends SparkSpec {
     val salts = fact.withColumn("_salt", pmod(hash(col("k"), col("fv")), lit(8)))
       .filter(col("k") === 1).select(countDistinct(col("_salt"))).as[Long].head()
     assert(salts > 1, "hot key must scatter across salts")
+    // with a shuffle_hash-hinted dim (the q46 binding's shape) the join
+    // must stay a SHUFFLED hash join keyed on (k, _salt) — broadcast
+    // would silently defeat the skew split
+    val hinted = Relational.saltedJoin(fact, dim, "k", salts = 8,
+      dimHint = Some("shuffle_hash"))
+    hinted.collect()
+    def phys(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan +: phys(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: phys(q.plan)
+      case _ => p +: p.children.flatMap(phys)
+    }
+    val joins = phys(hinted.queryExecution.executedPlan)
+      .filter(_.getClass.getSimpleName.contains("ShuffledHashJoin"))
+    assert(joins.nonEmpty, "salted+hinted join must be ShuffledHashJoin")
+    assert(joins.head.toString.contains("_salt"), "join keys must include the salt")
   }
 
   test("cooccurrence maxBasket drops oversized baskets whole") {
