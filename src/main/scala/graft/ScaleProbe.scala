@@ -35,6 +35,7 @@ object ScaleProbe {
       embeddings(spark, out, factor)
     }
     if (mode == "round6") { round6(spark, src, out, factor); spark.stop(); return }
+    if (mode == "graph") { graph(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -279,5 +280,60 @@ object ScaleProbe {
         "q09_distinct_agg", "q16_percentiles", "q36_gapfill").foreach { q =>
       timed(factor, q)(SparkEntry.queries(q)(spark, out).count())
     }
+  }
+
+  /** Late-round-6 operators at scale. Replicated docs SHARE a vocabulary,
+    * so the co-occurrence graph's node/edge sets are ~constant while the
+    * basket build grows ×factor — the expected trend is: graph
+    * construction linear in corpus size, the join rounds on the graph
+    * itself (pageRank iterations, triangle joins) flat. tf-idf/entropy
+    * are partial-agg pipelines (linear); outliers must stay linear with
+    * a |groups|-row driver-side-free stats pass; the salted-join
+    * commonness score is the skew stress (hot tokens get ×factor hotter).
+    */
+  private def graph(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Graph, Relational, TextAnalysis}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+
+    println(s"[scale x$factor] docs=${nDocs * factor}")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    val pairs = Relational.cooccurrence(toks, "doc_id", "token", maxBasket = 33)
+    time("q45 triangles")(
+      Graph.triangleCounts(pairs, "item_a", "item_b").count())
+    val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"))
+      .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst")))
+    time("q43 pagerank (3 it)")(
+      Graph.pageRank(edges, "src", "dst", iters = 3).count())
+    time("q44 outliers")(
+      Relational.zscoreOutliers(ev, Seq("event_type"), col("value"), 3.0,
+        payloadCols = Seq(col("event_id"))).count())
+    time("t16 tfidf top-3")(
+      TextAnalysis.tfIdfTopK(d, "doc_id", "text", 3).count())
+    time("t17 entropy")(
+      TextAnalysis.tokenEntropy(d, "doc_id", "text").count())
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+    time("q46 salted commonness")(
+      Relational.saltedJoin(toks, vocab, "token", salts = 8,
+          saltSrc = Seq(col("doc_id")), dimHint = Some("shuffle_hash"))
+        .groupBy("doc_id").agg(sum("freq")).count())
   }
 }
