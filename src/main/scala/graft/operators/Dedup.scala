@@ -271,25 +271,32 @@ object Dedup {
     * pages is noise in all of them). Within-document repeats alone don't
     * reach `minDf` (the count is per distinct doc).
     *
-    * Plan: lines explode once; the wire carries a 16-byte md5 line
-    * fingerprint, never line text; the document-frequency count is a
-    * partial-agg groupBy (hot boilerplate lines combine map-side — the
-    * q31 discipline, deliberately not a window); flagged line POSITIONS
-    * return via one left-semi equi-join + per-doc `collect_set` (bounded
-    * by doc line count); the rebuild is a narrow array filter. Blank
-    * lines are never counted as boilerplate.
+    * Plan: the corpus is scanned TWICE and no more — once to build the
+    * line-fingerprint table (16-byte md5 per line, never line text on
+    * the wire; MATERIALIZED eagerly, since both the boilerplate count
+    * and the position join read it — left lazy, each branch would
+    * re-explode the whole corpus), once for the final rebuild join
+    * (which needs the actual line arrays; carrying them through the
+    * dedup shuffles would cost more than the re-scan). The
+    * document-frequency count is a partial-agg groupBy (hot boilerplate
+    * lines combine map-side — the q31 discipline, deliberately not a
+    * window); flagged line POSITIONS return via one left-semi equi-join
+    * + per-doc `collect_set` (bounded by doc line count); the rebuild
+    * is a narrow array filter. Blank lines are never counted as
+    * boilerplate.
     *
     * Output: idCol, n_lines, dup_lines, dup_frac (4 dp), cleaned (kept
     * lines joined by '\n').
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDf: Int = 2): DataFrame = {
+      minDf: Int = 2, checkpoint: Boolean = true): DataFrame = {
     require(minDf >= 2, "minDf must be >= 2 (1 would drop every line)")
     val base = df.select(col(idCol).as("_gid"), split(col(textCol), "\n", -1).as("_lines"))
-    def lines = base
+    val lines0 = base
       .select(col("_gid"), posexplode(col("_lines")).as(Seq("p", "l")))
       .filter(length(trim(col("l"))) > 0)
       .select(col("_gid"), col("p"), md5(col("l").cast("binary")).as("f"))
+    val lines = if (checkpoint) lines0.localCheckpoint(true) else lines0
     val boiler = lines.select(col("_gid"), col("f")).distinct()
       .groupBy("f").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= minDf)

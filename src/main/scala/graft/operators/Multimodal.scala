@@ -281,8 +281,13 @@ object Multimodal {
 
   /** In-band metadata extraction: PNG tEXt (keyword, value) pairs per
     * payload — caption/provenance without sidecar files. Non-PNG
-    * payloads yield an empty map (metadata absence is data, not an
-    * error, in a mixed-format corpus).
+    * payloads yield an empty map, and so do TRUNCATED or CORRUPT PNGs
+    * (the codec keeps its fail-fast contract for direct callers; the
+    * stage degrades, because in a web-crawl corpus a cut-off download
+    * is data, not a reason to kill the job). Repeated keywords — legal
+    * per the PNG spec (e.g. two Comment chunks) — are preserved by
+    * joining their values with '\n' in chunk order rather than being
+    * silently last-one-wins'd by toMap.
     */
   final class PngMetadataStage(override val batchSize: Int = 32)
       extends Stage[MediaRow, MediaMetadata] {
@@ -291,8 +296,14 @@ object Multimodal {
         val p = m.payload
         val isPng = p.length > 3 && (p(0) & 0xff) == 0x89 &&
           p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
-        MediaMetadata(m.id,
-          if (isPng) Codecs.pngTextChunks(p).toMap else Map.empty)
+        val pairs =
+          if (!isPng) Map.empty[String, String]
+          else try {
+            Codecs.pngTextChunks(p)
+              .groupBy(_._1).view
+              .mapValues(_.map(_._2).mkString("\n")).toMap
+          } catch { case scala.util.control.NonFatal(_) => Map.empty[String, String] }
+        MediaMetadata(m.id, pairs)
       }
   }
 

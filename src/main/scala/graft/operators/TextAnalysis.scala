@@ -108,7 +108,7 @@ object TextAnalysis {
     val nTok = size(toks).cast("long")
     val meanW = (length(col(textCol)).cast("long") - nTok + 1) / nTok
     val symRatio = regexp_count(col(textCol), lit("#|\\.\\.\\.")).cast("double") / nTok
-    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / nTok
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") / nTok
     val nStop = markerCount(toks, stopwords)
     df.select(col(idCol),
         nTok.as("n_words"),
@@ -491,11 +491,18 @@ object TextAnalysis {
     * itself, so top-k is total-ordered. Output: idCol, term, tfidf
     * (unrounded), rk.
     */
-  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int,
+      checkpoint: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val n = df.count() // one metadata scalar, like Graph.pageRank's |V|
-    val tf = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
+    // (count-star over a parquet source is metadata-cheap; over a derived
+    // corpus, persist upstream before calling — the count can't reuse tf
+    // because null-text docs vanish in the explode but count toward N)
+    val tf0 = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    // tf feeds BOTH the df count and the join's left side — materialize
+    // or the corpus explode+agg runs twice
+    val tf = if (checkpoint) tf0.localCheckpoint(true) else tf0
     val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(docFreq, "term")
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
@@ -512,8 +519,15 @@ object TextAnalysis {
     * H = ln(n) − (Σ tf·ln tf)/n so ONE aggregation over the (doc, term)
     * tf table suffices — no per-doc total join, no window. Two
     * partial-agg shuffles total, both keyed by high-cardinality ids;
-    * parallel at any corpus size. Output: idCol, n_tokens, n_distinct,
-    * token_entropy (unrounded).
+    * parallel at any corpus size. Cross-engine float note (t11's
+    * accepted tradeoff, same shape): Σ tf·ln tf is an order-dependent
+    * double sum, but per-doc terms number in the hundreds and ln values
+    * are transcendental, so engine disagreement sits ~1e-15 — flipping
+    * a 4 dp mirror-round needs a true value within an ulp of a 0.00005
+    * boundary, which rational-free sums don't land on (verified at
+    * sf0.01 AND sf0.1). Integer-moment exactness (the q44 trick) is
+    * impossible here: ln(tf) is irrational for tf > 1.
+    * Output: idCol, n_tokens, n_distinct, token_entropy (unrounded).
     */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("term"))

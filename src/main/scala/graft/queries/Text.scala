@@ -253,7 +253,7 @@ object Text {
        |  len($duckToks) AS nw,
        |  (length(text) - len($duckToks) + 1) / len($duckToks) AS mw,
        |  len(regexp_extract_all(text, '#|\\.\\.\\.')) / CAST(len($duckToks) AS DOUBLE) AS sym,
-       |  len(list_filter($duckToks, t -> regexp_matches(t, '[a-z]')))
+       |  len(list_filter($duckToks, t -> regexp_matches(t, '[a-zA-Z]')))
        |    / CAST(len($duckToks) AS DOUBLE) AS alpha,
        |  ${duckMarkers(Seq("the", "a"))} AS ns
        |FROM documents)

@@ -145,9 +145,14 @@ object Sinks {
       // CREATE path and silently reuses the stale files (caught by q42's
       // cross-sf oracle run). Overwrite must mean the data, not just the
       // catalog entry: clear the on-disk location first.
-      val loc = path.getOrElse(
-        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-          "/" + table.toLowerCase)
+      // defaultTablePath resolves db-qualified names correctly
+      // (`db.tbl` lives at <warehouse>/db.db/tbl, not <warehouse>/db.tbl
+      // — hand-concatenation would no-op the delete for qualified names
+      // and re-expose the stale-reuse bug for them)
+      val loc = path.getOrElse {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+        spark.sessionState.catalog.defaultTablePath(ident).toString
+      }
       val p = new org.apache.hadoop.fs.Path(loc)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       ()

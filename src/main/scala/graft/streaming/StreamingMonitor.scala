@@ -23,6 +23,11 @@ final class StreamingMonitor(keep: Int = 64) extends StreamingQueryListener {
   import StreamingMonitor.Snap
 
   private val byName = mutable.Map.empty[String, mutable.ArrayDeque[Snap]]
+  // Cumulative counters survive the ring buffer: past `keep` batches the
+  // retained snapshots are a sliding window, and summing over them would
+  // silently turn "total rows" into a window sum and freeze "batches" at
+  // `keep` forever.
+  private val totals = mutable.Map.empty[String, (Long, Long)] // (batches, rows)
   private val lock = new Object
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -38,6 +43,8 @@ final class StreamingMonitor(keep: Int = 64) extends StreamingQueryListener {
       val q = byName.getOrElseUpdate(name, mutable.ArrayDeque.empty)
       q.append(snap)
       while (q.size > keep) q.removeHead()
+      val (b, r) = totals.getOrElse(name, (0L, 0L))
+      totals(name) = (b + 1, r + p.numInputRows)
     }
   }
 
@@ -45,11 +52,13 @@ final class StreamingMonitor(keep: Int = 64) extends StreamingQueryListener {
   def snapshots: Map[String, Seq[Snap]] =
     lock.synchronized(byName.view.mapValues(_.toSeq).toMap)
 
-  /** One line per query: batches, total rows, latest rates. */
+  /** One line per query: LIFETIME batches/rows (cumulative counters,
+    * not the retained window), latest rates. */
   def report(): String = lock.synchronized {
     byName.toSeq.sortBy(_._1).map { case (name, q) =>
       val latest = q.last
-      f"$name%-24s batches=${q.size} rows=${q.map(_.numInputRows).sum} " +
+      val (batches, rows) = totals.getOrElse(name, (q.size.toLong, q.map(_.numInputRows).sum))
+      f"$name%-24s batches=$batches rows=$rows " +
         f"in=${latest.inputRowsPerSecond}%.1f/s proc=${latest.processedRowsPerSecond}%.1f/s " +
         f"lastBatch=${latest.durationMs}ms"
     }.mkString("\n")

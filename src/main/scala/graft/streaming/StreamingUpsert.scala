@@ -66,8 +66,17 @@ object StreamingUpsert {
         snapshot.write.mode(SaveMode.Overwrite).parquet(tmp)
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+        // Hadoop FS delete/rename report failure by RETURN VALUE, not
+        // exception. Swallowing a false here would commit the streaming
+        // checkpoint over a swap that never happened — the batch's
+        // changes silently lost with no error anywhere (and on HDFS a
+        // rename onto an existing dir moves tmp INSIDE it). Fail the
+        // batch instead: foreachBatch retries, and the merge is
+        // idempotent by design.
+        if (fs.exists(p) && !fs.delete(p, true))
+          sys.error(s"StreamingUpsert: failed to delete stale target $path")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p))
+          sys.error(s"StreamingUpsert: failed to rename $tmp -> $path")
         ()
       }
       .start()

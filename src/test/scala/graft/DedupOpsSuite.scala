@@ -420,6 +420,16 @@ class DedupOpsSuite extends SparkSpec {
       (1L, "now ### then ... more ### junk ..."), // 7 words, 4 symbol hits
       (2L, "1 2 3 4 5 6 7 8")                     // digits only -> alpha frac 0
     ).toDF("doc_id", "text")
+    // the alphabetic test must see UPPERCASE letters too — the Gopher
+    // rule is "has an alphabetic character", and an all-caps headline
+    // is 100% alphabetic, not 0%
+    val caps = graft.operators.TextAnalysis.gopherRules(
+        Seq((9L, "BREAKING NEWS NASA LAUNCH")).toDF("doc_id", "text"),
+        "doc_id", "text", stopwords = Seq("the"), minWords = 1, maxWords = 100,
+        minMeanWlen = 0.0, maxMeanWlen = 100.0,
+        maxSymbolRatio = 1.0, minAlphaFrac = 0.9, minStopwords = 0)
+      .select("alpha_frac", "r_alpha").collect().head
+    assert(caps.getDouble(0) == 1.0 && caps.getBoolean(1), caps.toString)
     // doc 1: 8 tokens, 8 symbol hits (6 '#', 2 '...') -> ratio 1.0; alpha
     // tokens now/then/more/junk = 4/8 = 0.5
     val out = graft.operators.TextAnalysis.gopherRules(df, "doc_id", "text",

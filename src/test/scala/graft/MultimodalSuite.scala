@@ -335,6 +335,20 @@ class MultimodalSuite extends SparkSpec {
     assert(out == Seq(
       MediaMetadata(1L, Map("Title" -> "sunset", "Author" -> "cam-7")),
       MediaMetadata(2L, Map.empty)))
+    // the stage DEGRADES on truncated/corrupt PNGs (a cut-off crawl
+    // download is data, not a job-killer) while the codec above stays
+    // fail-fast for direct callers; repeated keywords (legal per spec)
+    // join with \n instead of last-one-wins
+    val truncated = sig.take(4) // passes the 4-byte magic, fails the codec
+    val dupKeys = sig ++ chunk("IHDR", new Array[Byte](13)) ++
+      tEXt("Comment", "first") ++ tEXt("Comment", "second") ++
+      chunk("IEND", Array.empty)
+    val out2 = new PngMetadataStage().process(Seq(
+      MediaRow(3L, truncated), MediaRow(4L, overlong), MediaRow(5L, dupKeys)))
+    assert(out2 == Seq(
+      MediaMetadata(3L, Map.empty),
+      MediaMetadata(4L, Map.empty),
+      MediaMetadata(5L, Map("Comment" -> "first\nsecond"))))
   }
 
   private def Tables() = {

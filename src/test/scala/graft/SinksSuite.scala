@@ -129,6 +129,25 @@ class SinksSuite extends SparkSpec {
     spark.sql("DROP TABLE bq_stale")
   }
 
+  test("bucketed Overwrite clears stale warehouse files for DB-QUALIFIED names") {
+    import spark.implicits._
+    // db.tbl lives at <warehouse>/db.db/tbl — a hand-concatenated
+    // <warehouse>/db.tbl delete would silently no-op and re-expose the
+    // stale-reuse bug for qualified names. Simulate the fresh-session
+    // scenario directly: stale parquet at the MANAGED location, no
+    // catalog entry.
+    spark.sql("CREATE DATABASE IF NOT EXISTS bqdb")
+    val loc = spark.sessionState.catalog.defaultTablePath(
+      spark.sessionState.sqlParser.parseTableIdentifier("bqdb.bq_q")).toString
+    Seq((1L, "old")).toDF("k", "v").write.parquet(loc)
+    graft.sources.Sinks.bucketed(Seq((2L, "new")).toDF("k", "v"),
+      "bqdb.bq_q", "k", 2)
+    val got = spark.table("bqdb.bq_q").as[(Long, String)].collect().toSeq
+    assert(got == Seq((2L, "new")), s"stale qualified-name files survived: $got")
+    spark.sql("DROP TABLE bqdb.bq_q")
+    spark.sql("DROP DATABASE bqdb")
+  }
+
   test("bucketed tables join with ZERO exchange (co-located join)") {
     import spark.implicits._
     val facts = (0 until 2000).map(i => (i.toLong % 100, i.toLong)).toDF("key", "a")

@@ -387,6 +387,26 @@ class StreamingSuite extends SparkSpec {
     } finally { query.stop(); mon.detach(spark) }
   }
 
+  test("F15s: StreamingMonitor reports LIFETIME totals past the snapshot ring") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // keep=1: the ring retains only the newest snapshot, but report()
+    // must keep counting lifetime batches/rows (a window sum would
+    // freeze batches at `keep` and understate rows)
+    val mon = new StreamingMonitor(keep = 1).attach(spark)
+    val source = MemoryStream[Long]
+    val query = source.toDF().writeStream.format("memory")
+      .queryName("mon_ring").outputMode("append").start()
+    try {
+      (1 to 3).foreach { i => source.addData(i.toLong, 100L + i); query.processAllAvailable() }
+      val deadline = System.nanoTime() + 10e9.toLong
+      def line = mon.report().linesIterator.find(_.contains("mon_ring")).getOrElse("")
+      while (!line.contains("rows=6") && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(mon.snapshots("mon_ring").size == 1, "ring must hold only `keep` snapshots")
+      assert(line.contains("batches=3") && line.contains("rows=6"), line)
+    } finally { query.stop(); mon.detach(spark) }
+  }
+
   test("E6b: upsert recovers compacted state from the tmp dir after a mid-swap crash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
