@@ -285,13 +285,25 @@ object Dedup {
     * is a narrow array filter. Blank lines are never counted as
     * boilerplate.
     *
+    * `sep` generalizes the unit: "\n" (default) dedups LINES; " " turns
+    * the same machinery into corpus-adaptive STOPWORD pruning (drop
+    * every token occurring in ≥ minDf distinct docs — the IR
+    * vocabulary-pruning step). `minDfFrac` expresses the threshold as a
+    * fraction of the corpus (ceil(frac·N), N = one count-star scalar) so
+    * the policy is scale-free; it overrides `minDf`.
+    *
     * Output: idCol, n_lines, dup_lines, dup_frac (4 dp), cleaned (kept
-    * lines joined by '\n').
+    * lines joined by `sep`).
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-      minDf: Int = 2, checkpoint: Boolean = true): DataFrame = {
-    require(minDf >= 2, "minDf must be >= 2 (1 would drop every line)")
-    val base = df.select(col(idCol).as("_gid"), split(col(textCol), "\n", -1).as("_lines"))
+      minDf: Int = 2, checkpoint: Boolean = true,
+      sep: String = "\n", minDfFrac: Option[Double] = None): DataFrame = {
+    minDfFrac.foreach(f => require(f > 0 && f <= 1, "minDfFrac must be in (0, 1]"))
+    val threshold: Long =
+      minDfFrac.map(f => math.ceil(f * df.count()).toLong).getOrElse(minDf.toLong)
+    require(threshold >= 2, "effective minDf must be >= 2 (1 would drop every line)")
+    val base = df.select(col(idCol).as("_gid"),
+      split(col(textCol), java.util.regex.Pattern.quote(sep), -1).as("_lines"))
     val lines0 = base
       .select(col("_gid"), posexplode(col("_lines")).as(Seq("p", "l")))
       .filter(length(trim(col("l"))) > 0)
@@ -299,7 +311,7 @@ object Dedup {
     val lines = if (checkpoint) lines0.localCheckpoint(true) else lines0
     val boiler = lines.select(col("_gid"), col("f")).distinct()
       .groupBy("f").agg(count(lit(1)).as("_df"))
-      .filter(col("_df") >= minDf)
+      .filter(col("_df") >= threshold)
       .select("f")
     val dupPos = lines.join(boiler, Seq("f"), "left_semi")
       .groupBy("_gid").agg(collect_set(col("p")).as("_dup"))
@@ -310,7 +322,7 @@ object Dedup {
         size(col("_lines")).cast("long").as("n_lines"),
         size(col("_dup")).cast("long").as("dup_lines"),
         Rounding.mirrorRound(size(col("_dup")) * 1.0 / size(col("_lines")), 4).as("dup_frac"),
-        concat_ws("\n",
+        concat_ws(sep,
           filter(col("_lines"), (_, i) => !array_contains(col("_dup"), i))).as("cleaned"))
   }
 

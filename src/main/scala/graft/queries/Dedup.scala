@@ -325,5 +325,42 @@ object Dedup {
       n = SpanN, minCount = SpanMinCount).orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31)
+  private val PruneFrac = 0.79
+
+  /** d10: corpus-adaptive stopword pruning — [[Ops.lineDedup]] with
+    * token granularity (sep = " ") and a scale-free fractional
+    * threshold: every token occurring in ≥ ceil(0.79·N) distinct docs
+    * is dropped from ALL docs, positions preserved in the rebuild (the
+    * IR vocabulary-pruning step; the same machinery dedups boilerplate
+    * LINES at sep = "\n"). All-integer semantics — zero float-parity
+    * risk beyond the one ratio, which divides exact ints.
+    */
+  val d10 = QueryDef(
+    "d10_df_prune",
+    s"""WITH l AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+       |e0 AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS p FROM l),
+       |e AS (SELECT doc_id, CAST(p AS INT) AS p, ls[CAST(p AS INT) + 1] AS t FROM e0),
+       |ne AS (SELECT doc_id, p, t FROM e WHERE length(trim(t)) > 0),
+       |th AS (SELECT CAST(ceil($PruneFrac * count(*)) AS BIGINT) AS md FROM documents),
+       |hot AS (SELECT t FROM (SELECT t, count(DISTINCT doc_id) AS df
+       |                       FROM ne GROUP BY 1) d, th WHERE d.df >= th.md),
+       |dup AS (SELECT ne.doc_id, ne.p FROM ne JOIN hot USING (t)),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_lines FROM dup GROUP BY 1),
+       |keep AS (SELECT e.doc_id, e.p, e.t FROM e LEFT JOIN dup
+       |         ON e.doc_id = dup.doc_id AND e.p = dup.p WHERE dup.p IS NULL),
+       |cl AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS cleaned
+       |       FROM keep GROUP BY doc_id)
+       |SELECT l.doc_id, CAST(len(l.ls) AS BIGINT) AS n_lines,
+       |  coalesce(ag.dup_lines, 0) AS dup_lines,
+       |  ${mr("coalesce(ag.dup_lines, 0) * 1.0 / len(l.ls)", 4)} AS dup_frac,
+       |  coalesce(cl.cleaned, '') AS cleaned
+       |FROM l LEFT JOIN ag USING (doc_id) LEFT JOIN cl USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin) { (s, dir) =>
+    Ops.lineDedup(Tables(s, dir, "documents"), "doc_id", "text",
+        sep = " ", minDfFrac = Some(PruneFrac))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] =
+    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10)
 }

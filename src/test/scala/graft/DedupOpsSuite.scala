@@ -392,6 +392,22 @@ class DedupOpsSuite extends SparkSpec {
     assert(got == Seq((1L, 0L), (2L, 0L)), "df counts DISTINCT docs, not occurrences")
   }
 
+  test("lineDedup sep=' ' + minDfFrac prunes corpus-wide tokens, positions preserved") {
+    import spark.implicits._
+    // "the" in 3/4 docs (>= ceil(0.7*4)=3 -> pruned); "cat" in 2 (< 3 -> kept)
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the dog"), (3L, "the end"), (4L, "cat alone")
+    ).toDF("id", "text")
+    val got = Dedup.lineDedup(df, "id", "text", sep = " ", minDfFrac = Some(0.7))
+      .orderBy("id").select("id", "dup_lines", "cleaned")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 1L, "cat sat"), (2L, 1L, "dog"),
+      (3L, 1L, "end"), (4L, 0L, "cat alone")), got.toString)
+    // frac threshold must refuse degenerate values (would drop everything)
+    intercept[IllegalArgumentException](
+      Dedup.lineDedup(df, "id", "text", minDfFrac = Some(0.1)).collect())
+  }
+
   test("gopherRules: each rule fires on its own violation; keep is the conjunction") {
     import spark.implicits._
     val df = Seq(
