@@ -473,6 +473,58 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n_entities"))
   }
 
+  /** Running interval concurrency ("how many are open at each moment" —
+    * in-transit shipments, live sessions, concurrent calls) as a
+    * PARALLEL PREFIX SUM. The textbook plan — `sum(delta) over (order
+    * by t rows unbounded preceding)` with no partition key — collapses
+    * to ONE task sorting the entire corpus on any engine; this operator
+    * keeps the d16/q16 range-partition discipline instead: ±1 event
+    * points are range-partitioned and sorted on the total order
+    * (t, delta, id), each partition's delta sum (one long per
+    * partition) comes back as metadata, the driver prefix-sums those
+    * into per-partition offsets (broadcast), and one map-side pass
+    * emits offset + local running sum. Output VALUES are partition-
+    * count-independent (the offsets absorb wherever the sampling range
+    * partitioner cut), so correctness is invariant while parallelism
+    * scales with the cluster. Equal-timestamp policy is half-open
+    * [start, end): ends (-1) sort before starts (+1) at the same t, so
+    * a back-to-back handoff never double-counts. Ties broken by id —
+    * (t, delta, id) must be unique for a deterministic series.
+    * Output: t, delta, id, concurrency (the running count AFTER this
+    * event point).
+    */
+  def runningConcurrency(df: DataFrame, idCol: Column, startMillis: Column,
+      endMillis: Column, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val par = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    val pts = df.select(startMillis.cast("long").as("t"), lit(1).as("d"),
+        idCol.cast("long").as("id"))
+      .unionAll(df.select(endMillis.cast("long").as("t"), lit(-1).as("d"),
+        idCol.cast("long").as("id")))
+      .filter(col("t").isNotNull && col("id").isNotNull)
+    // materialize the sorted layout ONCE: the partial-sum pass and the
+    // emit pass must see the SAME partitioning (a re-run of a sampling
+    // range partitioner could cut elsewhere and misalign the offsets)
+    val sorted = pts.repartitionByRange(par, col("t"), col("d"), col("id"))
+      .sortWithinPartitions("t", "d", "id")
+      .as[(Long, Int, Long)]
+      .localCheckpoint(true)
+    val partials = sorted.mapPartitions { it =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((TaskContext.getPartitionId(), s))
+    }.collect().sortBy(_._1) // |partitions| longs — metadata, like q16's counts
+    val offsets: Map[Int, Long] =
+      partials.map(_._1).zip(partials.scanLeft(0L)(_ + _._2)).toMap
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var run = bc.value.getOrElse(pid, 0L)
+      it.map { case (t, d, id) => run += d; (t, d, id, run) }
+    }.toDF("t", "delta", "id", "concurrency")
+  }
+
   /** Per-group z-score outlier detection over a fixed-point value column
     * (the anomaly gate of a metrics/quality pipeline), built for
     * CROSS-ENGINE determinism: the value is first snapped to integer

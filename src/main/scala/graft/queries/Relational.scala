@@ -818,8 +818,41 @@ object Relational {
       .orderBy("doc_id")
   }
 
+  /** q47: in-transit concurrency over [ship, ship + quantity days) intervals
+    * ([[graft.operators.Relational.runningConcurrency]]) — the running
+    * count of open intervals as a PARALLEL PREFIX SUM (range-partition
+    * + per-partition partials + driver offsets + map-side emit), where
+    * the oracle's textbook `sum() over (order by …)` with no partition
+    * key is the one-task-sorts-everything plan the operator exists to
+    * replace. Output values are partition-count-invariant.
+    */
+  val q47 = QueryDef(
+    "q47_concurrency",
+    """WITH iv AS (SELECT l_orderkey * 100 + l_linenumber AS id,
+      |              epoch_ms(l_shipdate) AS s,
+      |              epoch_ms(l_shipdate) + CAST(l_quantity AS BIGINT) * 86400000 AS e
+      |            FROM lineitem),
+      |pts AS (SELECT s AS t, 1 AS delta, id FROM iv
+      |        UNION ALL SELECT e, -1, id FROM iv)
+      |SELECT t, delta, id,
+      |  CAST(sum(delta) OVER (ORDER BY t, delta, id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrency
+      |FROM pts ORDER BY t, delta, id""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .select((col("l_orderkey") * 100 + col("l_linenumber")).as("iid"),
+        // NTZ parquet dates: cast through TIMESTAMP in the UTC session so
+        // epoch_ms(naive) on the DuckDB side sees the same instant; the
+        // synthetic schema has no receipt date, so transit time derives
+        // from quantity in pure integer millis (exact on both engines)
+        unix_millis(col("l_shipdate").cast("timestamp")).as("s"),
+        (unix_millis(col("l_shipdate").cast("timestamp")) +
+          col("l_quantity").cast("long") * lit(86400000L)).as("e"))
+    graft.operators.Relational.runningConcurrency(li, col("iid"), col("s"), col("e"))
+      .orderBy("t", "delta", "id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46)
+      q44, q45, q46, q47)
 }

@@ -324,6 +324,22 @@ class RelationalOpsSuite extends SparkSpec {
     assert(!collect(plan).map(_.getClass.getSimpleName).exists(_.contains("Window")))
   }
 
+  test("runningConcurrency: exact series, half-open handoff, partition-invariant") {
+    import spark.implicits._
+    // intervals: A[0,10) B[5,15) C[10,20) — C starts exactly when A ends
+    val iv = Seq((1L, 0L, 10L), (2L, 5L, 15L), (3L, 10L, 20L)).toDF("id", "s", "e")
+    def series(parts: Int) = Relational
+      .runningConcurrency(iv, col("id"), col("s"), col("e"), partitions = parts)
+      .orderBy("t", "delta", "id").as[(Long, Int, Long, Long)].collect().toSeq
+    val got = series(2)
+    // at t=10 the end (-1) applies before the start (+1): no phantom 3
+    assert(got.map(_._4).max == 2, s"max concurrency must be 2: $got")
+    assert(got == Seq((0L, 1, 1L, 1L), (5L, 1, 2L, 2L), (10L, -1, 1L, 1L),
+      (10L, 1, 3L, 2L), (15L, -1, 2L, 1L), (20L, -1, 3L, 0L)), got.toString)
+    // the offsets absorb wherever the range partitioner cuts
+    assert(series(5) == got && series(1) == got, "values must not depend on partitioning")
+  }
+
   test("approx_percentile brackets exactPercentiles within accuracy bound") {
     import spark.implicits._
     // at 100 TB q16's exact rank selection gives way to approx_percentile
