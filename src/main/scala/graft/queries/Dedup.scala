@@ -8,6 +8,8 @@ import graft.functions.VectorFunctions.sqlCosine
 import graft.operators.{Dedup => Ops}
 import graft.sources.Tables
 
+import org.apache.spark.sql.functions.col
+
 /** Verified-query surface for the dedup operators (SURVEY.md §2c D1–D5);
   * the implementations live in [[graft.operators.Dedup]] — these entries
   * bind them to the test tables, add the deterministic ORDER BY for the
@@ -361,6 +363,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  private val BloomCutoff = "1996-01-01"
+
+  /** d11: bloom-gated novelty check in the VERIFIED lane — the
+    * incremental-ingest pattern behind [[Ops.bloomSeen]] made EXACT and
+    * oracle-checked, over first-seen-customer detection (the synthetic
+    * corpus has zero exact text dups, so customer keys across an order-
+    * date cutoff are the realistic membership domain): customers with
+    * pre-cutoff orders are the reference, post-cutoff customers the
+    * batch. `probably_seen = false` rows are DEFINITELY novel (blooms
+    * have no false negatives) and skip the join entirely — at scale
+    * that's most of the batch never shuffling; only flagged rows (true
+    * members + ~fpp false positives) pay the exact anti-join backstop
+    * that removes the false positives. definite ∪ confirmed ≡ the plain
+    * anti-join, which is the oracle. The gate's value is the pruned
+    * shuffle; the backstop makes it exact.
+    */
+  val d11 = QueryDef(
+    "d11_bloom_novel",
+    s"""SELECT DISTINCT o_custkey FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$BloomCutoff'
+       |  AND o_custkey NOT IN (SELECT o_custkey FROM orders
+       |                        WHERE o_orderdate < TIMESTAMP '$BloomCutoff')
+       |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val orders = Tables(s, dir, "orders").select("o_custkey", "o_orderdate")
+    val cut = org.apache.spark.sql.functions.lit(BloomCutoff).cast("timestamp")
+    val ref = orders.filter(col("o_orderdate") < cut)
+      .select(col("o_custkey").cast("string").as("ck")).distinct()
+    val inc = orders.filter(col("o_orderdate") >= cut)
+      .select(col("o_custkey")).distinct()
+      .withColumn("ck", col("o_custkey").cast("string"))
+    val gated = Ops.bloomSeen(inc, ref, "o_custkey", "ck")
+    val definiteNovel = gated.filter(!col("probably_seen")).select("o_custkey")
+    val confirmedNovel = gated.filter(col("probably_seen"))
+      .join(ref, Seq("ck"), "left_anti")
+      .select("o_custkey")
+    definiteNovel.unionAll(confirmedNovel).orderBy("o_custkey")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10)
+    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11)
 }

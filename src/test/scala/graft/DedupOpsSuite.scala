@@ -238,6 +238,23 @@ class DedupOpsSuite extends SparkSpec {
     assert(fps <= 5, s"implausible false-positive rate: $fps/50")
   }
 
+  test("bloom gate + exact backstop equals the plain anti-join even at fpp=0.5") {
+    import spark.implicits._
+    // the d11 composition: definite-novel (unflagged) ∪ backstop-confirmed
+    // (flagged minus true members) must equal the exact anti-join for ANY
+    // false-positive rate — fpp=0.5 floods the backstop with FPs on purpose
+    val ref = (0 until 200).map(i => (i.toLong, s"member $i")).toDF("id", "text")
+    val inc = (150 until 350).map(i => (10000L + i, s"member $i")).toDF("id", "text")
+    val gated = Dedup.bloomSeen(inc, ref, "id", "text", fpp = 0.5)
+    val definite = gated.filter(!col("probably_seen")).select("id")
+    val confirmed = gated.filter(col("probably_seen"))
+      .join(ref.select("text"), Seq("text"), "left_anti").select("id")
+    val got = definite.unionAll(confirmed).as[Long].collect().sorted.toSeq
+    val exact = inc.join(ref.select("text"), Seq("text"), "left_anti")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == exact && exact == (10200L until 10350L).toSeq, s"${got.size} vs ${exact.size}")
+  }
+
   test("hashClassifier: supplied-weights path agrees with the derived table") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "beta beta")).toDF("id", "text")
