@@ -299,8 +299,14 @@ object Dedup {
       minDf: Int = 2, checkpoint: Boolean = true,
       sep: String = "\n", minDfFrac: Option[Double] = None): DataFrame = {
     minDfFrac.foreach(f => require(f > 0 && f <= 1, "minDfFrac must be in (0, 1]"))
+    // Fractional thresholds CLAMP to 2 rather than require: on a tiny or
+    // empty corpus (an incremental pipeline's quiet day) ceil(frac·N)
+    // reaches 0/1, where the only sane semantics is "nothing can be
+    // boilerplate" — crashing there turns a no-op batch into a failed
+    // job. An explicit integer minDf below 2 is still a caller bug.
     val threshold: Long =
-      minDfFrac.map(f => math.ceil(f * df.count()).toLong).getOrElse(minDf.toLong)
+      minDfFrac.map(f => math.max(2L, math.ceil(f * df.count()).toLong))
+        .getOrElse(minDf.toLong)
     require(threshold >= 2, "effective minDf must be >= 2 (1 would drop every line)")
     val base = df.select(col(idCol).as("_gid"),
       split(col(textCol), java.util.regex.Pattern.quote(sep), -1).as("_lines"))

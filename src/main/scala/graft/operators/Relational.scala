@@ -489,7 +489,11 @@ object Relational {
     * scales with the cluster. Equal-timestamp policy is half-open
     * [start, end): ends (-1) sort before starts (+1) at the same t, so
     * a back-to-back handoff never double-counts. Ties broken by id —
-    * (t, delta, id) must be unique for a deterministic series.
+    * any orderable type, kept NATIVE (a numeric cast would null out
+    * string keys and silently drop their rows); (t, delta, id) must be
+    * unique for a deterministic series. Intervals with a null endpoint
+    * or id are dropped WHOLE — filtering the point table element-wise
+    * would strand the partner ±1 and corrupt every count after it.
     * Output: t, delta, id, concurrency (the running count AFTER this
     * event point).
     */
@@ -498,31 +502,33 @@ object Relational {
     val spark = df.sparkSession
     import spark.implicits._
     val par = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    val pts = df.select(startMillis.cast("long").as("t"), lit(1).as("d"),
-        idCol.cast("long").as("id"))
-      .unionAll(df.select(endMillis.cast("long").as("t"), lit(-1).as("d"),
-        idCol.cast("long").as("id")))
-      .filter(col("t").isNotNull && col("id").isNotNull)
+    val iv = df.filter(startMillis.isNotNull && endMillis.isNotNull && idCol.isNotNull)
+    val pts = iv.select(startMillis.cast("long").as("t"), lit(1).as("delta"),
+        idCol.as("id"))
+      .unionAll(iv.select(endMillis.cast("long").as("t"), lit(-1).as("delta"),
+        idCol.as("id")))
     // materialize the sorted layout ONCE: the partial-sum pass and the
     // emit pass must see the SAME partitioning (a re-run of a sampling
     // range partitioner could cut elsewhere and misalign the offsets)
-    val sorted = pts.repartitionByRange(par, col("t"), col("d"), col("id"))
-      .sortWithinPartitions("t", "d", "id")
-      .as[(Long, Int, Long)]
+    val sorted = pts.repartitionByRange(par, col("t"), col("delta"), col("id"))
+      .sortWithinPartitions("t", "delta", "id")
       .localCheckpoint(true)
+    val dIdx = sorted.schema.fieldIndex("delta")
     val partials = sorted.mapPartitions { it =>
       var s = 0L
-      it.foreach(s += _._2)
+      it.foreach(s += _.getInt(dIdx))
       Iterator.single((TaskContext.getPartitionId(), s))
     }.collect().sortBy(_._1) // |partitions| longs — metadata, like q16's counts
     val offsets: Map[Int, Long] =
       partials.map(_._1).zip(partials.scanLeft(0L)(_ + _._2)).toMap
     val bc = spark.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
+    val outSchema = sorted.schema
+      .add(StructField("concurrency", org.apache.spark.sql.types.LongType, nullable = false))
+    sorted.mapPartitions({ it =>
       val pid = TaskContext.getPartitionId()
       var run = bc.value.getOrElse(pid, 0L)
-      it.map { case (t, d, id) => run += d; (t, d, id, run) }
-    }.toDF("t", "delta", "id", "concurrency")
+      it.map { r => run += r.getInt(dIdx); Row.fromSeq(r.toSeq :+ run) }
+    })(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Per-group z-score outlier detection over a fixed-point value column

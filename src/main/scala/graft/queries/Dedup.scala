@@ -388,11 +388,16 @@ object Dedup {
        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
     val orders = Tables(s, dir, "orders").select("o_custkey", "o_orderdate")
     val cut = org.apache.spark.sql.functions.lit(BloomCutoff).cast("timestamp")
+    // ref feeds THREE consumers (bloomSeen's items count, the bloom
+    // aggregation, the backstop anti-join) and inc two — materialize
+    // both or each branch re-scans + re-distincts orders
     val ref = orders.filter(col("o_orderdate") < cut)
       .select(col("o_custkey").cast("string").as("ck")).distinct()
+      .localCheckpoint(true)
     val inc = orders.filter(col("o_orderdate") >= cut)
       .select(col("o_custkey")).distinct()
       .withColumn("ck", col("o_custkey").cast("string"))
+      .localCheckpoint(true)
     val gated = Ops.bloomSeen(inc, ref, "o_custkey", "ck")
     val definiteNovel = gated.filter(!col("probably_seen")).select("o_custkey")
     val confirmedNovel = gated.filter(col("probably_seen"))

@@ -420,9 +420,15 @@ class DedupOpsSuite extends SparkSpec {
       .as[(Long, Long, String)].collect().toSeq
     assert(got == Seq((1L, 1L, "cat sat"), (2L, 1L, "dog"),
       (3L, 1L, "end"), (4L, 0L, "cat alone")), got.toString)
-    // frac threshold must refuse degenerate values (would drop everything)
-    intercept[IllegalArgumentException](
-      Dedup.lineDedup(df, "id", "text", minDfFrac = Some(0.1)).collect())
+    // a degenerate fraction CLAMPS to the df>=2 floor instead of
+    // crashing (ceil(0.1*4)=1 would drop every token) — and an empty
+    // corpus is a no-op batch, not a failed job
+    val clamped = Dedup.lineDedup(df, "id", "text", sep = " ", minDfFrac = Some(0.1))
+      .orderBy("id").select("id", "cleaned").as[(Long, String)].collect().toSeq
+    assert(clamped == Seq((1L, "sat"), (2L, "dog"), (3L, "end"), (4L, "alone")),
+      s"df>=2 floor must apply: $clamped")
+    val empty = df.filter(col("id") < 0)
+    assert(Dedup.lineDedup(empty, "id", "text", minDfFrac = Some(0.7)).count() == 0)
   }
 
   test("gopherRules: each rule fires on its own violation; keep is the conjunction") {

@@ -338,6 +338,20 @@ class RelationalOpsSuite extends SparkSpec {
       (10L, 1, 3L, 2L), (15L, -1, 2L, 1L), (20L, -1, 3L, 0L)), got.toString)
     // the offsets absorb wherever the range partitioner cuts
     assert(series(5) == got && series(1) == got, "values must not depend on partitioning")
+    // ids stay NATIVE: string keys must work (a numeric cast would null
+    // them out and silently drop every row)
+    val siv = Seq(("a", 0L, 10L), ("b", 5L, 15L)).toDF("id", "s", "e")
+    val sgot = Relational.runningConcurrency(siv, col("id"), col("s"), col("e"))
+      .orderBy("t", "delta", "id")
+      .select("id", "concurrency").as[(String, Long)].collect().toSeq
+    assert(sgot == Seq(("a", 1L), ("b", 2L), ("a", 1L), ("b", 0L)), sgot.toString)
+    // a null endpoint drops the WHOLE interval — a stranded partner ±1
+    // would corrupt every count after it (and could go negative)
+    val niv = Seq((Some(1L), Some(0L), None), (Some(2L), Some(5L), Some(15L)))
+      .toDF("id", "s", "e")
+    val ngot = Relational.runningConcurrency(niv, col("id"), col("s"), col("e"))
+      .orderBy("t").select("id", "concurrency").as[(Long, Long)].collect().toSeq
+    assert(ngot == Seq((2L, 1L), (2L, 0L)), s"null-endpoint interval must vanish whole: $ngot")
   }
 
   test("approx_percentile brackets exactPercentiles within accuracy bound") {
