@@ -335,5 +335,34 @@ object ScaleProbe {
       Relational.saltedJoin(toks, vocab, "token", salts = 8,
           saltSrc = Seq(col("doc_id")), dimHint = Some("shuffle_hash"))
         .groupBy("doc_id").agg(sum("freq")).count())
+    // q47: event points double with the corpus; the prefix-sum driver
+    // metadata stays |partitions| longs — expected linear wall, flat
+    // driver traffic
+    // ev.ts is a NANOS long here (nanosAsLong read) — derive millis
+    val tsMs = (col("ts") / lit(1000000L)).cast("long")
+    time("q47 concurrency")(
+      Relational.runningConcurrency(
+        ev.select(col("event_id"), tsMs.as("s"),
+          (tsMs + (col("value") * 1000).cast("long")).as("e")),
+        col("event_id"), col("s"), col("e")).count())
+    // d10: the fingerprint table grows xfactor but hot tokens combine
+    // map-side; the rebuild join is id-keyed
+    time("d10 df-prune")(
+      graft.operators.Dedup.lineDedup(d, "doc_id", "text",
+        sep = " ", minDfFrac = Some(0.79)).count())
+    // d11: reference doubles but the bloom stays a broadcast scalar;
+    // only flagged rows pay the backstop join
+    val half = nDocs * factor / 2
+    time("d11 bloom novelty")({
+      val ref = d.filter(col("doc_id") < half)
+        .select(col("doc_id").cast("string").as("ck")).distinct().localCheckpoint(true)
+      val inc = d.filter(col("doc_id") >= half)
+        .select(col("doc_id")).distinct()
+        .withColumn("ck", col("doc_id").cast("string")).localCheckpoint(true)
+      val gated = graft.operators.Dedup.bloomSeen(inc, ref, "doc_id", "ck")
+      gated.filter(!col("probably_seen")).select("doc_id")
+        .unionAll(gated.filter(col("probably_seen"))
+          .join(ref, Seq("ck"), "left_anti").select("doc_id")).count()
+    })
   }
 }

@@ -73,7 +73,33 @@ object Graph {
     * absent — left-join against your node table to zero-fill).
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      checkpoint: Boolean = true): DataFrame =
+    degreesAndTriangles(edges, srcCol, dstCol, checkpoint)._2
+
+  /** Local clustering coefficient per node: 2·T / (deg·(deg−1)) — the
+    * fraction of a node's neighbor pairs that are themselves connected
+    * (community density; a star hub scores 0, a clique corner 1).
+    * Rides the same degree-ordered triangle machinery; EVERY node of
+    * the graph appears (zero-triangle nodes 0-filled — those are the
+    * interesting ones). deg < 2 defines coeff = 0 (no neighbor pairs).
+    * The single division is over exact integers — bit-identical on any
+    * IEEE engine. Output: node, deg, n_triangles, coeff (unrounded).
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String,
       checkpoint: Boolean = true): DataFrame = {
+    val (deg, tris) = degreesAndTriangles(edges, srcCol, dstCol, checkpoint)
+    deg.join(tris, Seq("node"), "left")
+      .select(col("node"), col("deg").cast("long").as("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)).as("coeff"))
+  }
+
+  /** Shared core: canonical degrees + per-node triangle counts. */
+  private def degreesAndTriangles(edges: DataFrame, srcCol: String,
+      dstCol: String, checkpoint: Boolean): (DataFrame, DataFrame) = {
     val canon0 = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
@@ -82,9 +108,12 @@ object Graph {
     // materialize both or the upstream (possibly expensive) edge
     // subtree re-evaluates up to 5 times.
     val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
-    val deg = canon.select(col("u").as("node"))
+    val deg0 = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+    // deg feeds the orientation joins and (for the coefficient) the
+    // final join — materialize it too.
+    val deg = if (checkpoint) deg0.localCheckpoint(true) else deg0
     // Orient each edge from the smaller (deg, id) endpoint.
     val uKey = struct(col("du").as("d"), col("u").as("n"))
     val vKey = struct(col("dv").as("d"), col("v").as("n"))
@@ -105,7 +134,8 @@ object Graph {
       .select(col("a"), col("b"), col("c"))
     val closing = oriented.select(col("lo").as("b"), col("hi").as("c"))
     val tris = wedges.join(closing, Seq("b", "c"))
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val counts = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
+    (deg, counts)
   }
 }

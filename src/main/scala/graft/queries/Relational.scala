@@ -851,8 +851,46 @@ object Relational {
       .orderBy("t", "delta", "id")
   }
 
+  /** q48: local clustering coefficient over the co-occurrence graph
+    * ([[graft.operators.Graph.clusteringCoefficient]]) — the community-
+    * density metric completing the graph family (components/PageRank/
+    * triangles): 2T/(deg·(deg−1)) per node, EVERY node present
+    * (zero-triangle nodes are the signal), deg<2 ⇒ 0. One exact-integer
+    * division — bit-identical cross-engine.
+    */
+  val q48 = QueryDef(
+    "q48_clustering_coeff",
+    s"""WITH b AS (SELECT DISTINCT doc_id AS e, unnest(string_split(text, ' ')) AS i
+       |           FROM documents),
+       |k AS (SELECT e FROM b GROUP BY e HAVING count(*) <= $CoocMaxBasket),
+       |kb AS (SELECT b.e, b.i FROM b JOIN k USING (e)),
+       |pe AS (SELECT x.i AS pa, y.i AS pb FROM kb x JOIN kb y
+       |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
+       |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |       (SELECT pa AS node FROM pe UNION ALL SELECT pb FROM pe) GROUP BY 1),
+       |tri AS (SELECT e1.pa AS a, e1.pb AS b2, e2.pb AS c
+       |        FROM pe e1 JOIN pe e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+       |        JOIN pe e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+       |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |       FROM (SELECT a AS node FROM tri UNION ALL SELECT b2 FROM tri
+       |             UNION ALL SELECT c FROM tri) GROUP BY 1)
+       |SELECT dg.node, dg.deg, coalesce(tc.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN dg.deg >= 2 THEN
+       |    ${mr("2.0 * coalesce(tc.n_triangles, 0) / CAST(dg.deg * (dg.deg - 1) AS DOUBLE)", 4)}
+       |  ELSE 0.0 END AS coeff
+       |FROM dg LEFT JOIN tc USING (node) ORDER BY dg.node""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    val pairs = graft.operators.Relational.cooccurrence(toks, "doc_id", "token",
+      maxBasket = CoocMaxBasket)
+    graft.operators.Graph.clusteringCoefficient(pairs, "item_a", "item_b")
+      .withColumn("coeff", Rounding.mirrorRound(col("coeff"), 4))
+      .orderBy("node")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47)
+      q44, q45, q46, q47, q48)
 }

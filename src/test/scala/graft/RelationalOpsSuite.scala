@@ -304,6 +304,26 @@ class RelationalOpsSuite extends SparkSpec {
     assert(sg == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"$sg")
   }
 
+  test("clusteringCoefficient: clique=1, hub~0, every node present, deg<2 zero") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // star 0-(1..4) + edge (1,2) + pendant (5,6): hub 0 has 1 closed
+    // pair of 6 -> 1/6; leaves 1,2 have deg 2, their one pair closed -> 1;
+    // leaves 3,4 deg 1 -> 0 but PRESENT; pendant nodes deg 1 -> 0
+    val edges = ((1L to 4L).map(l => (0L, l)) ++ Seq((1L, 2L), (5L, 6L))).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(edges, "src", "dst")
+      .orderBy("node").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == (0L to 6L), s"every node must appear: $got")
+    val byNode = got.map(r => r._1 -> r).toMap
+    assert(math.abs(byNode(0L)._4 - 1.0 / 6) < 1e-12, s"hub: ${byNode(0L)}")
+    assert(byNode(1L)._4 == 1.0 && byNode(2L)._4 == 1.0)
+    assert(Seq(3L, 4L, 5L, 6L).forall(n => byNode(n)._4 == 0.0 && byNode(n)._3 == 0L))
+    // clique: every corner fully closed
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield (a, b)).toDF("src", "dst")
+    assert(Graph.clusteringCoefficient(k4, "src", "dst")
+      .as[(Long, Long, Long, Double)].collect().forall(r => r._4 == 1.0 && r._2 == 3L))
+  }
+
   test("zscoreOutliers flags the planted spike, exact-integer stats, no window in plan") {
     import spark.implicits._
     // 40 values at ~10.00 plus one planted 99.00 spike per group g1;
