@@ -97,6 +97,43 @@ object Graph {
           .otherwise(lit(0.0)).as("coeff"))
   }
 
+  /** Fixed-round k-core peeling — the graph-denoising primitive (keep
+    * only nodes embedded in dense neighborhoods; fringe nodes and their
+    * cascading dependents drop): each round computes degrees over the
+    * SURVIVING edge set, drops nodes with deg < k, and removes their
+    * incident edges — so a node that only met the bar through
+    * now-removed neighbors dies next round. FIXED rounds, not
+    * fixpoint — the q43/pageRank discipline that an external oracle can
+    * unroll as generated CTEs (fixpoint stopping would make row content
+    * depend on convergence detection); run more rounds for a deeper
+    * approximation of the true k-core (equal when a round removes
+    * nothing). Each round is one degree partial-agg + two left-semi
+    * joins, lineage truncated per round. Output: node, deg (within the
+    * final surviving subgraph — may dip below k for nodes whose
+    * neighbors died in the LAST round, by fixed-round semantics).
+    */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val canon0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var e = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val e1 = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+      e = if (checkpoint) e1.localCheckpoint(true) else e1
+    }
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+  }
+
   /** Shared core: canonical degrees + per-node triangle counts. */
   private def degreesAndTriangles(edges: DataFrame, srcCol: String,
       dstCol: String, checkpoint: Boolean): (DataFrame, DataFrame) = {

@@ -889,8 +889,51 @@ object Relational {
       .orderBy("node")
   }
 
+  private val CoreK = 80
+  private val CoreRounds = 3
+  private val CoreMaxBasket = 8
+
+  // generated per-round peel CTEs (degree -> survivors -> edge filter) —
+  // the q43 template discipline: oracle and round count cannot drift
+  private def corePeelSql(r: Int): String = {
+    val prev = s"e${r - 1}"
+    s"""d$r AS (SELECT node, count(*) AS deg FROM
+       |  (SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1),
+       |n$r AS (SELECT node FROM d$r WHERE deg >= $CoreK),
+       |e$r AS (SELECT p.u, p.v FROM $prev p JOIN n$r a ON p.u = a.node
+       |        JOIN n$r b2 ON p.v = b2.node)""".stripMargin
+  }
+
+  /** q49: fixed-round k-core peeling of the part co-purchase graph
+    * ([[graft.operators.Graph.kCorePeel]]) — graph denoising in the
+    * VERIFIED lane: orders are baskets, parts their items (the q41
+    * machinery builds the edges), then 3 peel rounds at k=80 with the
+    * oracle's rounds GENERATED from the same template as q43's, so the
+    * iteration count can never drift. All-integer semantics.
+    */
+  val q49 = QueryDef(
+    "q49_kcore",
+    s"""WITH b AS (SELECT DISTINCT l_orderkey AS e, l_partkey AS i FROM lineitem),
+       |kk AS (SELECT e FROM b GROUP BY e
+       |       HAVING count(*) BETWEEN 2 AND $CoreMaxBasket),
+       |kb AS (SELECT b.e, b.i FROM b JOIN kk USING (e)),
+       |e0 AS (SELECT x.i AS u, y.i AS v FROM kb x JOIN kb y
+       |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
+       |${(1 to CoreRounds).map(corePeelSql).mkString(",\n")}
+       |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+       |  (SELECT u AS node FROM e$CoreRounds UNION ALL SELECT v FROM e$CoreRounds)
+       |GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    val baskets = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = graft.operators.Relational.cooccurrence(baskets,
+      "l_orderkey", "l_partkey", maxBasket = CoreMaxBasket)
+    graft.operators.Graph.kCorePeel(pairs, "item_a", "item_b",
+        k = CoreK, rounds = CoreRounds)
+      .orderBy("node")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48)
+      q44, q45, q46, q47, q48, q49)
 }

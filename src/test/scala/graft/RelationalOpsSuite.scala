@@ -304,6 +304,22 @@ class RelationalOpsSuite extends SparkSpec {
     assert(sg == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"$sg")
   }
 
+  test("kCorePeel: cascade peels dependents round by round; core is stable") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // triangle 1-2-3 with a pendant chain 3-4-5: k=2 round 1 drops 5
+    // (deg 1); round 2 drops 4 (its neighbor died); the triangle stands
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    def nodes(rounds: Int) = Graph.kCorePeel(g, "src", "dst", k = 2, rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+    assert(nodes(1).keySet == Set(1L, 2L, 3L, 4L), s"round 1: ${nodes(1)}")
+    assert(nodes(2).keySet == Set(1L, 2L, 3L), s"cascade must reach 4: ${nodes(2)}")
+    // stable core: more rounds change nothing, triangle degrees all 2
+    assert(nodes(4) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the densest core empties the graph
+    assert(Graph.kCorePeel(g, "src", "dst", k = 3, rounds = 3).count() == 0)
+  }
+
   test("clusteringCoefficient: clique=1, hub~0, every node present, deg<2 zero") {
     import spark.implicits._
     import graft.operators.Graph
