@@ -473,6 +473,56 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n_entities"))
   }
 
+  /** Association rules over entity baskets (market-basket / term-affinity
+    * mining, the Agrawal–Srikant Apriori output at pair length): for every
+    * DIRECTED item pair (ante → cons) co-occurring in ≥ `minBoth` baskets
+    * with confidence ≥ `minConf`, emit support counts, confidence
+    * P(cons|ante) and lift. Plan discipline: the capped distinct-basket
+    * table materializes ONCE (localCheckpoint) and feeds all three
+    * readers — the basket count (a driver scalar, q16's metadata
+    * discipline), per-item counts, and the narrow pair expansion shared
+    * with [[cooccurrence]]; the per-item count table is vocabulary-sized,
+    * so both enrichment joins BROADCAST. Cross-engine determinism: every
+    * score is ONE division of exact integer products (confidence =
+    * n_both/n_ante; lift = n·n_both / (n_ante·n_cons)) — int→double
+    * conversion and a single divide are correctly rounded IEEE ops, so
+    * the values and the `minConf` threshold row SET are bit-identical on
+    * any engine (integer products must fit a long — guaranteed when
+    * basket count < 2^31, document the shard-and-sum path beyond).
+    * Output: ante, cons, n_both, n_ante, n_cons, confidence, lift.
+    */
+  def associationRules(df: DataFrame, entityCol: String, itemCol: String,
+      minBoth: Long, minConf: Double, maxBasket: Int = 1000): DataFrame = {
+    require(minBoth >= 1, "minBoth must be at least 1")
+    require(minConf >= 0.0 && minConf <= 1.0, "minConf must be in [0, 1]")
+    val baskets = df.groupBy(col(entityCol).as("_e"))
+      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
+      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket)
+      .localCheckpoint(true)
+    val nBaskets = baskets.count()
+    val items = baskets.select(explode(col("_items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
+    val sz = size(col("_items"))
+    val pairExpr = flatten(transform(sequence(lit(0), sz - 2), i =>
+      transform(sequence(i + 1, sz - 1), j =>
+        struct(element_at(col("_items"), i + 1).as("a"),
+          element_at(col("_items"), j + 1).as("b")))))
+    val pairs = baskets.select(explode(pairExpr).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_both"))
+      .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("n_both")))
+    directed
+      .join(broadcast(items.select(col("item").as("ante"), col("n_item").as("n_ante"))), Seq("ante"))
+      .join(broadcast(items.select(col("item").as("cons"), col("n_item").as("n_cons"))), Seq("cons"))
+      .withColumn("confidence", col("n_both").cast("double") / col("n_ante").cast("double"))
+      .withColumn("lift", (lit(nBaskets) * col("n_both")).cast("double") /
+        (col("n_ante") * col("n_cons")).cast("double"))
+      .filter(col("confidence") >= minConf)
+      .select("ante", "cons", "n_both", "n_ante", "n_cons", "confidence", "lift")
+  }
+
   /** Running interval concurrency ("how many are open at each moment" —
     * in-transit shipments, live sessions, concurrent calls) as a
     * PARALLEL PREFIX SUM. The textbook plan — `sum(delta) over (order

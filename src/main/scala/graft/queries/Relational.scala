@@ -932,8 +932,48 @@ object Relational {
       .orderBy("node")
   }
 
+  private val RuleMinBoth = 5
+  // p90 of the corpus confidence distribution — selective but nonempty
+  // at every test sf (max confidence at sf0.01 is 0.821)
+  private val RuleMinConf = 0.8
+
+  /** q50: association rules over document token baskets
+    * ([[graft.operators.Relational.associationRules]]) — the Apriori
+    * pair-rule output (support / confidence / lift) on the q41 basket
+    * machinery, same binding cap. Every score is ONE division of exact
+    * integer products, so the confidence-threshold row SET is
+    * bit-identical cross-engine; the basket count enters as a driver
+    * scalar on the Spark side and a scalar subquery in the oracle.
+    */
+  val q50 = QueryDef(
+    "q50_assoc_rules",
+    s"""WITH b AS (SELECT DISTINCT doc_id AS e, unnest(string_split(text, ' ')) AS i
+       |           FROM documents),
+       |k AS (SELECT e FROM b GROUP BY e HAVING count(*) BETWEEN 2 AND $CoocMaxBasket),
+       |kb AS (SELECT b.e, b.i FROM b JOIN k USING (e)),
+       |nb AS (SELECT count(*) AS n FROM k),
+       |it AS (SELECT i AS item, CAST(count(*) AS BIGINT) AS n_item FROM kb GROUP BY 1),
+       |p AS (SELECT x.i AS a, y.i AS b2, CAST(count(*) AS BIGINT) AS n_both
+       |      FROM kb x JOIN kb y ON x.e = y.e AND x.i < y.i GROUP BY 1, 2
+       |      HAVING count(*) >= $RuleMinBoth),
+       |d AS (SELECT a AS ante, b2 AS cons, n_both FROM p
+       |      UNION ALL SELECT b2, a, n_both FROM p)
+       |SELECT ante, cons, n_both, ia.n_item AS n_ante, ic.n_item AS n_cons,
+       |  CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence,
+       |  CAST((SELECT n FROM nb) * n_both AS DOUBLE)
+       |    / CAST(ia.n_item * ic.n_item AS DOUBLE) AS lift
+       |FROM d JOIN it ia ON d.ante = ia.item JOIN it ic ON d.cons = ic.item
+       |WHERE CAST(n_both AS DOUBLE) / CAST(ia.n_item AS DOUBLE) >= $RuleMinConf
+       |ORDER BY ante, cons""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    graft.operators.Relational.associationRules(toks, "doc_id", "token",
+        minBoth = RuleMinBoth, minConf = RuleMinConf, maxBasket = CoocMaxBasket)
+      .orderBy("ante", "cons")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49)
+      q44, q45, q46, q47, q48, q49, q50)
 }

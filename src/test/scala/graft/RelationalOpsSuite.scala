@@ -320,6 +320,45 @@ class RelationalOpsSuite extends SparkSpec {
     assert(Graph.kCorePeel(g, "src", "dst", k = 3, rounds = 3).count() == 0)
   }
 
+  test("associationRules: hand-computed confidence/lift, direction asymmetry, thresholds") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // 4 baskets: {a,b} ×2, {a,b,c}, {a,c}. n=4; a in 4, b in 3, c in 2;
+    // ab=3, ac=2, bc=1. Raw event multiplicity (dup a in e1) collapses.
+    val ev = Seq(
+      (1, "a"), (1, "a"), (1, "b"),
+      (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"), (3, "c"),
+      (4, "a"), (4, "c")).toDF("e", "i")
+    val r = Relational.associationRules(ev, "e", "i", minBoth = 1, minConf = 0.0)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r.size == 6, s"${r.keySet}")
+    val ab = r(("a", "b")); val ba = r(("b", "a"))
+    assert(ab._3 == 3 && ab._4 == 4 && ab._5 == 3)
+    assert(ab._6 == 3.0 / 4.0 && ba._6 == 1.0, s"$ab $ba") // asymmetric confidence
+    assert(ab._7 == (4.0 * 3.0) / (4.0 * 3.0) && ba._7 == ab._7) // lift symmetric
+    assert(r(("b", "c"))._7 == (4.0 * 1.0) / (3.0 * 2.0))
+    // thresholds: minBoth=2 kills bc both directions; minConf=0.9 keeps
+    // only rules whose antecedent nearly always implies the consequent
+    val r2 = Relational.associationRules(ev, "e", "i", minBoth = 2, minConf = 0.0)
+    assert(r2.count() == 4)
+    val r3 = Relational.associationRules(ev, "e", "i", minBoth = 1, minConf = 0.9)
+      .as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2)).toSet
+    assert(r3 == Set(("b", "a"), ("c", "a")), s"$r3")
+    // basket cap drops oversized entities WHOLE (item counts included):
+    // capping at 2 removes basket 3 — ab drops to 2 co-occurrences, bc
+    // vanishes, and a's item count falls to 3 (n is now 3 baskets)
+    val r4 = Relational.associationRules(ev, "e", "i", minBoth = 1, minConf = 0.0,
+      maxBasket = 2).as[(String, String, Long, Long, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r4.keySet == Set(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")))
+    val ab4 = r4(("a", "b"))
+    assert(ab4._3 == 2 && ab4._4 == 3 && ab4._5 == 2, s"$ab4")
+    assert(ab4._7 == (3.0 * 2.0) / (3.0 * 2.0), s"$ab4")
+  }
+
   test("clusteringCoefficient: clique=1, hub~0, every node present, deg<2 zero") {
     import spark.implicits._
     import graft.operators.Graph
