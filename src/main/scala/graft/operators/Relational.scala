@@ -523,6 +523,37 @@ object Relational {
       .select("ante", "cons", "n_both", "n_ante", "n_cons", "confidence", "lift")
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences (the "what happens next" of product/path analysis, and
+    * the training counts of a sequence model): for each ordered pair of
+    * consecutive events within an entity, the transition count and the
+    * conditional probability P(to | from). One entity-keyed shuffle for
+    * the `lead` window (parallelism = entities — the safe window
+    * direction; never a global order), then the (from, to) counts
+    * partial-agg down to ≤ |event types|² rows, and the row-count table
+    * they imply is tiny, so the normalizing join BROADCASTS. Each
+    * entity's LAST event has no successor and contributes no row.
+    * (ts, tie) must be unique per entity for a deterministic sequence —
+    * same contract as q07/q39. prob is ONE division of exact longs —
+    * bit-identical cross-engine. Output: from_event, to_event, n_trans,
+    * n_from, prob.
+    */
+  def eventTransitions(df: DataFrame, entityCol: String, eventCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = df
+      .select(col(eventCol).as("from_event"),
+        lead(col(eventCol), 1).over(w).as("to_event"))
+      .filter(col("to_event").isNotNull)
+      .groupBy("from_event", "to_event")
+      .agg(count(lit(1)).cast("long").as("n_trans"))
+    val fromTotals = trans.groupBy("from_event")
+      .agg(sum("n_trans").cast("long").as("n_from"))
+    trans.join(broadcast(fromTotals), Seq("from_event"))
+      .withColumn("prob", col("n_trans").cast("double") / col("n_from").cast("double"))
+      .select("from_event", "to_event", "n_trans", "n_from", "prob")
+  }
+
   /** Running interval concurrency ("how many are open at each moment" —
     * in-transit shipments, live sessions, concurrent calls) as a
     * PARALLEL PREFIX SUM. The textbook plan — `sum(delta) over (order

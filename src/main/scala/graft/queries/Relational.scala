@@ -972,8 +972,31 @@ object Relational {
       .orderBy("ante", "cons")
   }
 
+  /** q51: first-order Markov transition matrix over per-user event
+    * sequences ([[graft.operators.Relational.eventTransitions]]) — the
+    * "what happens next" path analysis: one user-keyed window shuffle,
+    * (from, to) counts partial-agg to ≤ |types|² rows, probability one
+    * exact-integer division. (ts, event_id) is the q11 tie-broken total
+    * order per user.
+    */
+  val q51 = QueryDef(
+    "q51_transitions",
+    """WITH s AS (SELECT event_type AS f,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |tr AS (SELECT f, t, CAST(count(*) AS BIGINT) AS n_trans FROM s
+      |       WHERE t IS NOT NULL GROUP BY 1, 2),
+      |fr AS (SELECT f, CAST(sum(n_trans) AS BIGINT) AS n_from FROM tr GROUP BY 1)
+      |SELECT tr.f AS from_event, tr.t AS to_event, n_trans, n_from,
+      |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS prob
+      |FROM tr JOIN fr ON tr.f = fr.f ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.eventTransitions(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_event", "to_event")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50)
+      q44, q45, q46, q47, q48, q49, q50, q51)
 }

@@ -359,6 +359,29 @@ class RelationalOpsSuite extends SparkSpec {
     assert(ab4._7 == (3.0 * 2.0) / (3.0 * 2.0), s"$ab4")
   }
 
+  test("eventTransitions: per-entity chains, last event dropped, exact probs") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // u1: a->b->a->c ; u2: b->a. No cross-user transition (u1's c never
+    // links to u2's b); each user's last event emits nothing.
+    val ev = Seq(
+      (1, 10L, 1L, "a"), (1, 20L, 2L, "b"), (1, 30L, 3L, "a"), (1, 40L, 4L, "c"),
+      (2, 15L, 5L, "b"), (2, 25L, 6L, "a")).toDF("u", "ts", "id", "e")
+    val r = Relational.eventTransitions(ev, "u", "e", "ts", "id")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r.keySet == Set(("a", "b"), ("a", "c"), ("b", "a")), s"${r.keySet}")
+    assert(r(("a", "b")) == (("a", "b", 1L, 2L, 0.5)))
+    assert(r(("a", "c")) == (("a", "c", 1L, 2L, 0.5)))
+    assert(r(("b", "a")) == (("b", "a", 2L, 2L, 1.0)))
+    // tie at equal ts resolves by the tie column: (ts=30,id=3,a) before
+    // (ts=30,id=9,d) — swap id order and the chain changes
+    val tie = Seq((1, 10L, 1L, "a"), (1, 10L, 2L, "b")).toDF("u", "ts", "id", "e")
+    val rt = Relational.eventTransitions(tie, "u", "e", "ts", "id")
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(rt.toSeq == Seq(("a", "b", 1L, 1L, 1.0)), s"${rt.toSeq}")
+  }
+
   test("clusteringCoefficient: clique=1, hub~0, every node present, deg<2 zero") {
     import spark.implicits._
     import graft.operators.Graph
