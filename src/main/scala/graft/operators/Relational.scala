@@ -523,6 +523,48 @@ object Relational {
       .select("ante", "cons", "n_both", "n_ante", "n_cons", "confidence", "lift")
   }
 
+  /** Per-group ordinary-least-squares linear trend (slope + intercept of
+    * value over an integer x such as a day index) — the metric-drift /
+    * seasonality-direction detector, built on the q44 exact-integer
+    * moment discipline: values snap to integer units (`scale`, default
+    * cents) and x casts to long, so ALL five sufficient statistics
+    * (n, Σx, Σy, Σx², Σxy) are EXACT integer sums — identical in any
+    * accumulation order on any engine. The closed form then evaluates as
+    * a FIXED double expression tree over those exact sums (each cast and
+    * arithmetic op individually IEEE-correctly-rounded), so slope and
+    * intercept are bit-identical cross-engine even when a sum exceeds
+    * 2^53 (both engines round the same integer the same way). ONE
+    * partial-agg pass; output is |groups| rows. Rows with a null x or
+    * value drop WHOLE before aggregation (a half-null row would
+    * desynchronize n from the sums). Groups with n < 2 or zero
+    * x-variance are dropped — no slope exists. Integer-range bound:
+    * Σ(x·y_scaled) must fit a long (~9.2·10¹⁸); with day-index x and
+    * cent values that holds through ~10⁹ rows/group — shard-and-sum
+    * beyond, as q44. Output: groupCols, n, slope (units/x-step at
+    * `scale`), intercept.
+    */
+  def linearTrend(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val x = xCol.cast("long")
+    val y = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val pts = df.select(gcols :+ x.as("_x") :+ y.as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val s = pts.groupBy(gcols: _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"))
+    val nd = col("n").cast("double")
+    s.withColumn("_den", nd * col("_sxx") - col("_sx") * col("_sx"))
+      .filter(col("n") >= 2 && col("_den") > 0)
+      .withColumn("slope", (nd * col("_sxy") - col("_sx") * col("_sy")) / col("_den"))
+      .withColumn("intercept", (col("_sy") - col("slope") * col("_sx")) / nd)
+      .select(gcols :+ col("n") :+ col("slope") :+ col("intercept"): _*)
+  }
+
   /** First-order Markov transition matrix over per-entity event
     * sequences (the "what happens next" of product/path analysis, and
     * the training counts of a sequence model): for each ordered pair of

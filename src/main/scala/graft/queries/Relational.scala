@@ -995,8 +995,38 @@ object Relational {
       .orderBy("from_event", "to_event")
   }
 
+  /** q52: per-priority OLS revenue trend
+    * ([[graft.operators.Relational.linearTrend]]) — slope/intercept of
+    * order value (cents) over the day index since the corpus epoch: the
+    * five sufficient statistics are EXACT integer sums (q44 discipline),
+    * the closed form a shared double expression tree, so both engines
+    * produce bit-identical doubles. One partial-agg pass, |groups| rows.
+    */
+  val q52 = QueryDef(
+    "q52_trend",
+    """WITH pts AS (SELECT o_orderpriority AS grp,
+      |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS x,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1),
+      |t AS (SELECT grp, n, sx, sy, (CAST(n AS DOUBLE)*sxx - sx*sx) AS den,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) AS slope
+      |  FROM s)
+      |SELECT grp AS o_orderpriority, n, slope,
+      |  (sy - slope*sx) / CAST(n AS DOUBLE) AS intercept
+      |FROM t WHERE n >= 2 AND den > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.linearTrend(Tables(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q51)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52)
 }

@@ -382,6 +382,26 @@ class RelationalOpsSuite extends SparkSpec {
     assert(rt.toSeq == Seq(("a", "b", 1L, 1L, 1.0)), s"${rt.toSeq}")
   }
 
+  test("linearTrend: exact fit, flat line, guards, paired null drop") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // g1: y = 2x + 1 exactly (slope 2, intercept 1 — in cent units ×100);
+    // g2: flat y=5 (slope 0); g3: single point (dropped, n<2);
+    // g4: zero x-variance (dropped); null x or y rows drop whole
+    val df = Seq(
+      ("g1", Some(0L), Some(1.0)), ("g1", Some(1L), Some(3.0)), ("g1", Some(2L), Some(5.0)),
+      ("g1", None, Some(99.0)), ("g1", Some(9L), None),
+      ("g2", Some(0L), Some(5.0)), ("g2", Some(4L), Some(5.0)),
+      ("g3", Some(1L), Some(1.0)),
+      ("g4", Some(7L), Some(1.0)), ("g4", Some(7L), Some(2.0))
+    ).toDF("g", "x", "y")
+    val r = Relational.linearTrend(df, Seq("g"), col("x"), col("y"))
+      .as[(String, Long, Double, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet == Set("g1", "g2"), s"${r.keySet}")
+    assert(r("g1") == (("g1", 3L, 200.0, 100.0)), s"${r("g1")}") // cents: 2.0 → 200/x-step
+    assert(r("g2") == (("g2", 2L, 0.0, 500.0)), s"${r("g2")}")
+  }
+
   test("clusteringCoefficient: clique=1, hub~0, every node present, deg<2 zero") {
     import spark.implicits._
     import graft.operators.Graph
