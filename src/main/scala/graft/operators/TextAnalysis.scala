@@ -542,6 +542,46 @@ object TextAnalysis {
         (log(col("_n")) - col("_slt") / col("_n")).as("token_entropy"))
   }
 
+  /** Per-token KL(P‖Q) contributions between two corpus slices — the
+    * domain-shift / distribution-drift detector of curation pipelines
+    * (which tokens make split P read differently from split Q; the same
+    * statistic DSIR's importance weights integrate doc-wise, here
+    * reported corpus-wise per token). Unigram distributions with add-one
+    * smoothing over the UNION vocabulary, so tokens absent from one side
+    * are first-class signal, never a division by zero. Plan: each side
+    * is one tagged token stream; ONE partial-agg groupBy produces the
+    * vocabulary-sized count table (map-side combine absorbs hot tokens);
+    * that table materializes once (localCheckpoint) and yields both the
+    * three totals (driver scalars — the q16 metadata discipline) and the
+    * output rows, each a fixed scalar expression. No total is emitted:
+    * a cross-engine float SUM has no deterministic order; downstream
+    * sums the per-token terms (31 rows here, |V| in general) when the
+    * scalar KL is wanted. Output: token, n_p, n_q, kl_term — the term
+    * p·ln(p/q), positive where P over-represents the token.
+    */
+  def domainShift(p: DataFrame, q: DataFrame, textCol: String): DataFrame = {
+    val tp = p.select(explode(tokens(col(textCol))).as("token"),
+      lit(1L).as("_inP"), lit(0L).as("_inQ"))
+    val tq = q.select(explode(tokens(col(textCol))).as("token"),
+      lit(0L).as("_inP"), lit(1L).as("_inQ"))
+    val counts = tp.union(tq).groupBy("token")
+      .agg(sum("_inP").as("n_p"), sum("_inQ").as("n_q"))
+      .localCheckpoint(true)
+    val totals = counts.agg(count(lit(1)), sum("n_p"), sum("n_q")).head()
+    val v = totals.getLong(0)
+    if (v == 0) {
+      counts.withColumn("kl_term", lit(0.0)).select("token", "n_p", "n_q", "kl_term")
+    } else {
+      val np = totals.getLong(1)
+      val nq = totals.getLong(2)
+      val ps = (col("n_p") + lit(1L)).cast("double") / lit((np + v).toDouble)
+      val qs = (col("n_q") + lit(1L)).cast("double") / lit((nq + v).toDouble)
+      counts.withColumn("_ps", ps).withColumn("_qs", qs)
+        .withColumn("kl_term", col("_ps") * log(col("_ps") / col("_qs")))
+        .select("token", "n_p", "n_q", "kl_term")
+    }
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

@@ -350,7 +350,39 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** t18: per-token KL(P‖Q) domain-shift contributions between the
+    * English and Chinese corpus slices ([[TextAnalysis.domainShift]]) —
+    * add-one smoothing over the union vocabulary, totals entering as
+    * driver scalars on the Spark side and scalar subqueries in the
+    * oracle; each row is a fixed scalar expression (no float sum
+    * crosses engines).
+    */
+  val t18 = QueryDef(
+    "t18_domain_shift",
+    s"""WITH tp AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
+       |tq AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'zh'),
+       |cp AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tp GROUP BY 1),
+       |cq AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tq GROUP BY 1),
+       |v AS (SELECT token FROM cp UNION SELECT token FROM cq),
+       |tot AS (SELECT (SELECT count(*) FROM tp) AS np,
+       |               (SELECT count(*) FROM tq) AS nq,
+       |               (SELECT count(*) FROM v) AS nv),
+       |base AS (SELECT v.token,
+       |    CAST(coalesce(cp.n, 0) AS BIGINT) AS n_p,
+       |    CAST(coalesce(cq.n, 0) AS BIGINT) AS n_q,
+       |    CAST(coalesce(cp.n, 0) + 1 AS DOUBLE) / CAST(tot.np + tot.nv AS DOUBLE) AS ps,
+       |    CAST(coalesce(cq.n, 0) + 1 AS DOUBLE) / CAST(tot.nq + tot.nv AS DOUBLE) AS qs
+       |  FROM v LEFT JOIN cp USING (token) LEFT JOIN cq USING (token) CROSS JOIN tot)
+       |SELECT token, n_p, n_q, ${mr("ps * ln(ps / qs)", 6)} AS kl_term
+       |FROM base ORDER BY token""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    TextAnalysis.domainShift(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "zh"), "text")
+      .withColumn("kl_term", Rounding.mirrorRound(col("kl_term"), 6))
+      .orderBy("token")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17)
+      t14, t15, t16, t17, t18)
 }

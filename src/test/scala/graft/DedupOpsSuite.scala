@@ -501,6 +501,29 @@ class DedupOpsSuite extends SparkSpec {
     assert(got.groupBy(_._1).forall { case (_, rs) => rs.map(_._4).sorted == Seq(1L, 2L) })
   }
 
+  test("domainShift: zero on identical slices, union vocab, sign of shift, Gibbs >= 0") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val p = Seq("a a b", "a c").toDF("text")
+    // identical distributions -> ps == qs for every token -> kl_term 0.0
+    val same = TextAnalysis.domainShift(p, p, "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(same.length == 3 && same.forall(_._4 == 0.0), s"${same.toSeq}")
+    // q has token d that p lacks: union vocab carries it with n_p = 0;
+    // a is over-represented in p (positive term), d under (negative)
+    val q = Seq("a d d b c").toDF("text")
+    val r = TextAnalysis.domainShift(p, q, "text")
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet == Set("a", "b", "c", "d"), s"${r.keySet}")
+    assert(r("d")._2 == 0L && r("d")._3 == 2L)
+    assert(r("a")._4 > 0 && r("d")._4 < 0, s"${r.values.toSeq}")
+    // smoothed KL total is non-negative (Gibbs' inequality)
+    assert(r.values.map(_._4).sum >= 0.0)
+    // hand-check one term: a has n_p=3 of 5 (V=4): ps=(3+1)/(5+4)
+    val ps = 4.0 / 9.0; val qs = 2.0 / 9.0
+    assert(math.abs(r("a")._4 - ps * math.log(ps / qs)) < 1e-15, s"${r("a")}")
+  }
+
   test("tokenEntropy: uniform=ln(n), constant=0, identity matches direct -sum(p ln p)") {
     import spark.implicits._
     import graft.operators.TextAnalysis
