@@ -1,0 +1,213 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.datasketches.common.ArrayOfStringsSerDe
+import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+/** Mergeable-sketch operators — the 100 TB replacement for exact
+  * order statistics and exact top-k when the answer may be approximate
+  * but the scan must stay one-pass and the shuffle tiny (the q31 HLL
+  * story, extended to quantiles and heavy hitters via Datasketches —
+  * the same library Spark's own `hll_sketch_agg` builds on).
+  *
+  * Plan shape shared by both families: a per-PARTITION imperative
+  * pre-aggregation (`mapPartitions` holding one small sketch per group
+  * in a hash map — the genuine per-partition-logic case, like q47's
+  * partition sums) emits ≤ |groups| sketch rows per partition, then one
+  * partial-agg merge (`Aggregator` over the serialized form) reduces to
+  * |groups| rows. The shuffle carries sketches of bounded size (KLL
+  * ~3 KB at k=200; frequent-items ≤ maxMapSize entries), NEVER the
+  * value stream — exact q16 percentiles shuffle the full column, this
+  * never does. Sketches are also the STORE format: persist the binary
+  * column per shard/day and answer cross-period questions by rollup
+  * without re-reading raw data.
+  *
+  * Determinism caveat (why these are spec-tested, not oracle-verified,
+  * except where exactness is guaranteed): KLL compaction makes
+  * coin-flip-free but merge-ORDER-dependent choices, so estimates can
+  * differ run to run within the published error bound. Frequent-items
+  * estimates are exact while no purge has occurred — sized above the
+  * true distinct count the sketch IS the exact answer (q53 exploits
+  * this in the verified lane); undersized, bounds carry the guarantee
+  * (no false negatives at the maxError threshold).
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- KLL
+
+  /** Per-group KLL quantile sketch as a binary column (`qsketch`).
+    * `k` trades size for accuracy: k=200 ≈ 1.65% max rank error.
+    * Null group keys group as null (SQL semantics); null values skip.
+    */
+  def quantileSketchBuild(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], k: Int = 200): DataFrame = {
+    val partials = partialRows(df, valueCol, groupCols) { it =>
+      val m = mutable.LinkedHashMap.empty[Seq[Any], KllDoublesSketch]
+      val gn = groupCols.length
+      it.foreach { r =>
+        if (!r.isNullAt(gn)) {
+          val key = (0 until gn).map(r.get)
+          m.getOrElseUpdate(key, KllDoublesSketch.newHeapInstance(k))
+            .update(r.getDouble(gn))
+        }
+      }
+      m.iterator.map { case (key, sk) => Row.fromSeq(key :+ sk.toByteArray) }
+    }
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(KllMergeUdaf(col("_partial")).as("qsketch"))
+  }
+
+  /** Merge stored sketches across rows (e.g. daily → yearly) without
+    * touching raw data. Output: groupCols..., qsketch.
+    */
+  def quantileRollup(sketches: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "qsketch"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(KllMergeUdaf(col(sketchCol)).as("qsketch"))
+
+  /** Read quantile estimates out of a sketch column: appends
+    * `quantiles` (array, one entry per requested rank, inclusive
+    * criterion) and `n` (stream length). Empty sketches yield null.
+    */
+  def quantileEstimate(sketches: DataFrame, probs: Seq[Double],
+      sketchCol: String = "qsketch"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      "quantile ranks must be within [0, 1]")
+    val ps = probs.toArray
+    val est = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) None
+      else {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        if (sk.isEmpty) None else Some(ps.map(sk.getQuantile))
+      }
+    }
+    val len = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) 0L
+      else KllDoublesSketch.heapify(Memory.wrap(bytes)).getN
+    }
+    sketches.withColumn("quantiles", est(col(sketchCol)))
+      .withColumn("n", len(col(sketchCol)))
+  }
+
+  // ---------------------------------------------- frequent items (top-k)
+
+  /** Per-group frequent-items sketch over a string item column.
+    * `maxMapSize` (power of 2) bounds memory AND error: estimates are
+    * EXACT until the map purges (never happens while distinct items per
+    * group ≤ 0.75·maxMapSize); after that, counts carry ≤ n·(3.5/maxMapSize)
+    * error with the no-false-negatives guarantee. Output: groupCols...,
+    * fsketch (binary).
+    */
+  def frequentItemsBuild(df: DataFrame, itemCol: String,
+      groupCols: Seq[String], maxMapSize: Int = 1024): DataFrame = {
+    require(maxMapSize >= 2 && Integer.bitCount(maxMapSize) == 1,
+      s"maxMapSize must be a power of 2, got $maxMapSize")
+    val partials = partialRows(df, itemCol, groupCols, castValue = "string") { it =>
+      val m = mutable.LinkedHashMap.empty[Seq[Any], ItemsSketch[String]]
+      val gn = groupCols.length
+      it.foreach { r =>
+        if (!r.isNullAt(gn)) {
+          val key = (0 until gn).map(r.get)
+          m.getOrElseUpdate(key, new ItemsSketch[String](maxMapSize))
+            .update(r.getString(gn))
+        }
+      }
+      m.iterator.map { case (key, sk) =>
+        Row.fromSeq(key :+ sk.toByteArray(StringSerDe))
+      }
+    }
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(FreqMergeUdaf(col("_partial")).as("fsketch"))
+  }
+
+  /** Merge stored frequent-items sketches across rows. */
+  def frequentItemsRollup(sketches: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "fsketch"): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(FreqMergeUdaf(col(sketchCol)).as("fsketch"))
+
+  /** End-to-end heavy hitters: build + merge + explode the frequent-item
+    * rows under the NO_FALSE_NEGATIVES contract (every item whose true
+    * count exceeds the sketch's error threshold IS present; estimates
+    * may overshoot by at most the threshold). `minEst` additionally
+    * filters small survivors. Output: groupCols..., item, est, lb, ub.
+    */
+  def heavyHitters(df: DataFrame, itemCol: String, groupCols: Seq[String],
+      maxMapSize: Int = 1024, minEst: Long = 1L): DataFrame = {
+    val sk = frequentItemsBuild(df, itemCol, groupCols, maxMapSize)
+    val explodeRows = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) Array.empty[(String, Long, Long, Long)]
+      else ItemsSketch.getInstance(Memory.wrap(bytes), StringSerDe)
+        .getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+        .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+    }
+    sk.select(groupCols.map(col) :+ explode(explodeRows(col("fsketch"))).as("_f"): _*)
+      .select(groupCols.map(col) :+ col("_f._1").as("item") :+
+        col("_f._2").as("est") :+ col("_f._3").as("lb") :+ col("_f._4").as("ub"): _*)
+      .filter(col("est") >= minEst)
+  }
+
+  // ------------------------------------------------------------ plumbing
+
+  /** One partial-sketch row per (partition, group): runs `build` over
+    * each partition's (groupCols..., value) rows and re-wraps the
+    * emitted (key..., bytes) rows as a DataFrame. The value column is
+    * cast (`castValue`) and sits at index groupCols.length.
+    */
+  private def partialRows(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], castValue: String = "double")(
+      build: Iterator[Row] => Iterator[Row]): DataFrame = {
+    val keyed = df.select(groupCols.map(col) :+
+      col(valueCol).cast(castValue).as("_v"): _*)
+    val schema = StructType(
+      keyed.schema.fields.dropRight(1) :+ StructField("_partial", BinaryType))
+    keyed.sparkSession.createDataFrame(keyed.rdd.mapPartitions(build), schema)
+  }
+
+  private object StringSerDe extends ArrayOfStringsSerDe
+
+  private class KllMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.emptyByteArray
+    private def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val s = KllDoublesSketch.heapify(Memory.wrap(a))
+        s.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+        s.toByteArray
+      }
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      merged(buf, if (in == null) Array.emptyByteArray else in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merged(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+  private val KllMergeUdaf = udaf(new KllMerge)
+
+  private class FreqMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = Array.emptyByteArray
+    private def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val s = ItemsSketch.getInstance(Memory.wrap(a), StringSerDe)
+        s.merge(ItemsSketch.getInstance(Memory.wrap(b), StringSerDe))
+        s.toByteArray(StringSerDe)
+      }
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      merged(buf, if (in == null) Array.emptyByteArray else in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merged(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+  private val FreqMergeUdaf = udaf(new FreqMerge)
+}

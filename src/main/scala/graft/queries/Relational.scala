@@ -1025,8 +1025,35 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  private val HhMinEst = 100L
+
+  /** q53: heavy hitters via the frequent-items SKETCH in the VERIFIED
+    * lane ([[graft.operators.Sketches.heavyHitters]]): the map (128) is
+    * sized above the 31-token vocabulary, so the sketch provably never
+    * purges and its estimates — AND its lower/upper bounds — are the
+    * exact counts (lb = ub = est), which is exactly what the plain
+    * GROUP BY oracle computes. At real scale the same code undersizes
+    * the map and degrades to the bounded-error no-false-negatives
+    * contract (spec-tested); the shuffle carries ≤ maxMapSize entries
+    * per partition either way, never the token stream.
+    */
+  val q53 = QueryDef(
+    "q53_heavy_hitters",
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS est,
+       |  CAST(count(*) AS BIGINT) AS lb, CAST(count(*) AS BIGINT) AS ub
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token HAVING count(*) >= $HhMinEst
+       |ORDER BY token""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+    graft.operators.Sketches.heavyHitters(toks, "token", Nil,
+        maxMapSize = 128, minEst = HhMinEst)
+      .withColumnRenamed("item", "token")
+      .orderBy("token")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+class SketchesSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("quantile sketch: estimates within KLL rank error; store-and-rollup path") {
+    // two groups with known order statistics: g=a is 0..999, g=b is 0..99
+    val rows = (0 until 1000).map(i => ("a", i.toDouble)) ++
+      (0 until 100).map(i => ("b", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(7) // partials span partitions
+    val est = Sketches.quantileEstimate(
+        Sketches.quantileSketchBuild(df, "v", Seq("g"), k = 200),
+        Seq(0.1, 0.5, 0.9))
+      .select("g", "n", "quantiles").as[(String, Long, Seq[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(est("a")._2 == 1000L && est("b")._2 == 100L)
+    // k=200 → ~1.65% max rank error; allow 2% of each range
+    val a = est("a")._3
+    assert(math.abs(a(0) - 100) <= 20 && math.abs(a(1) - 500) <= 20 &&
+      math.abs(a(2) - 900) <= 20, s"$a")
+    val b = est("b")._3
+    assert(math.abs(b(1) - 50) <= 2, s"$b")
+
+    // store per-shard sketches, roll up WITHOUT raw data: same bounds
+    val sharded = df.withColumn("shard", pmod(hash(col("v")), lit(4)))
+    val perShard = Sketches.quantileSketchBuild(sharded, "v", Seq("g", "shard"))
+    assert(perShard.count() == 8) // 2 groups × 4 shards materialized
+    val rolled = Sketches.quantileEstimate(
+        Sketches.quantileRollup(perShard, Seq("g")), Seq(0.5))
+      .select("g", "n", "quantiles").as[(String, Long, Seq[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    assert(rolled("a")._2 == 1000L, s"rollup must see every shard's stream")
+    assert(math.abs(rolled("a")._3.head - 500) <= 20, s"${rolled("a")}")
+    assert(math.abs(rolled("b")._3.head - 50) <= 2, s"${rolled("b")}")
+  }
+
+  test("quantile sketch: null values skipped, empty build yields no rows") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "v")
+    val est = Sketches.quantileEstimate(
+        Sketches.quantileSketchBuild(df, "v", Seq("g")), Seq(0.5))
+      .select("n").as[Long].collect()
+    assert(est.toSeq == Seq(2L)) // the null never entered the stream
+    val empty = Sketches.quantileSketchBuild(
+      Seq.empty[(String, Double)].toDF("g", "v"), "v", Seq("g"))
+    assert(empty.count() == 0)
+  }
+
+  test("frequent items: exact while unpurged; no-false-negatives when undersized") {
+    // skewed stream: hot item 500×, warm 80×, tail 40 items × 2
+    val items = Seq.fill(500)("hot") ++ Seq.fill(80)("warm") ++
+      (0 until 40).flatMap(i => Seq.fill(2)(s"tail$i"))
+    val df = items.map(Tuple1(_)).toDF("item").repartition(5)
+    // map sized above distinct count (42 < 0.75·128): estimates EXACT
+    val exact = Sketches.heavyHitters(df, "item", Nil, maxMapSize = 128)
+      .select("item", "est", "lb", "ub").as[(String, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(exact("hot")._2 == 500L && exact("warm")._2 == 80L)
+    assert(exact.size == 42 && exact.forall { case (_, t) => t._3 == t._4 },
+      "unpurged sketch must be exact (lb == ub)")
+    // undersized map (8): the two heavy keys still surface with true
+    // count inside [lb, ub] — the no-false-negatives contract
+    val approx = Sketches.heavyHitters(df, "item", Nil, maxMapSize = 8)
+      .select("item", "est", "lb", "ub").as[(String, Long, Long, Long)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(approx.contains("hot") && approx.contains("warm"), s"${approx.keySet}")
+    assert(approx("hot")._3 <= 500L && 500L <= approx("hot")._4, s"${approx("hot")}")
+    assert(approx("warm")._3 <= 80L && 80L <= approx("warm")._4, s"${approx("warm")}")
+  }
+
+  test("frequent items: per-group isolation and rollup equivalence") {
+    val df = (Seq.fill(10)(("g1", "x")) ++ Seq.fill(3)(("g1", "y")) ++
+      Seq.fill(7)(("g2", "y"))).toDF("g", "item").repartition(3)
+    val r = Sketches.heavyHitters(df, "item", Seq("g"), maxMapSize = 16)
+      .select("g", "item", "est").as[(String, String, Long)].collect().toSet
+    assert(r == Set(("g1", "x", 10L), ("g1", "y", 3L), ("g2", "y", 7L)), s"$r")
+    // rollup of per-group sketches to global == sketch of the whole stream
+    val perGroup = Sketches.frequentItemsBuild(df, "item", Seq("g"), maxMapSize = 16)
+    val global = Sketches.frequentItemsRollup(perGroup, Nil)
+    val bytes = global.select("fsketch").as[Array[Byte]].head()
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.memory.Memory
+    val sk = ItemsSketch.getInstance(Memory.wrap(bytes),
+      new org.apache.datasketches.common.ArrayOfStringsSerDe)
+    val got = sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(row => row.getItem -> row.getEstimate).toMap
+    assert(got == Map("x" -> 10L, "y" -> 10L), s"$got")
+  }
+}
