@@ -94,6 +94,35 @@ object Sampling {
     df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= n).drop("_rk")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement (the
+    * Efraimidis–Spirakis 2006 exponential-keys scheme, RNG replaced by
+    * the scrambled hash): each row gets a uniform u ∈ (0, 1] from its
+    * salted key, and the top `n` rows by u^(1/w) are the sample —
+    * inclusion probability rises with `weightCol`, membership is
+    * permanent, layout-independent, and re-salting draws a fresh
+    * decorrelated sample. The rank key is computed as ln(u)/w — the
+    * same ORDER as u^(1/w) (monotone transform) without `pow`, whose
+    * cross-engine libm ulps are wilder than ln's. Selection is
+    * orderBy+limit — Spark plans TakeOrdered (per-partition top-n +
+    * driver merge of n·partitions rows), never a global sort (the q32
+    * discipline). Rows with null/non-positive weight are excluded (the
+    * scheme is undefined there). Ties (equal key AND equal wkey —
+    * duplicate keyCol values) break on the key, so the sample is a
+    * deterministic row SET whenever keyCol is unique.
+    * Output: all input columns + wkey (the unrounded rank key).
+    */
+  def weightedTake(df: DataFrame, keyCol: String, weightCol: Column, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0, "take count must be positive")
+    GraftExpressions.register(df.sparkSession)
+    val u = (scrambledHash(col(keyCol), salt) + lit(1L)).cast("double") /
+      lit((graft.functions.TextFunctions.P + 1L).toDouble)
+    df.filter(weightCol.isNotNull && weightCol.cast("double") > 0)
+      .withColumn("wkey", log(u) / weightCol.cast("double"))
+      .orderBy(col("wkey").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Deterministic global shuffle into write-ready training shards — the
     * "shuffle the corpus before training" step, without RNG: every row
     * gets (shard, shard_pos) from the scrambled hash of its salted key,

@@ -221,5 +221,33 @@ object Sampling {
       dim = DsirDim).orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32)
+  private val WTakeN = 100
+
+  /** q54: deterministic weighted sampling without replacement
+    * ([[graft.operators.Sampling.weightedTake]]) — Efraimidis–Spirakis
+    * exponential keys with the scrambled hash as the uniform, weights =
+    * doc length: both engines compute the identical rank key ln(u)/w
+    * (u = (scram+1)/(P+1) — never 0, so ln is finite) and the same
+    * top-100 row SET falls out; the oracle LIMITs on the UNROUNDED key
+    * and only then mirror-rounds for the value compare.
+    */
+  val q54 = QueryDef(
+    "q54_weighted_sample",
+    s"""WITH k AS (SELECT doc_id, n_chars,
+       |            'w1:' || CAST(doc_id AS VARCHAR) AS kk FROM documents),
+       |b AS (SELECT doc_id, n_chars,
+       |        ln(CAST(${sqlScram("kk")} + 1 AS DOUBLE) / 1000000008.0)
+       |          / CAST(n_chars AS DOUBLE) AS wkey
+       |      FROM k),
+       |top AS (SELECT * FROM b ORDER BY wkey DESC, doc_id LIMIT $WTakeN)
+       |SELECT doc_id, n_chars,
+       |  ${graft.functions.Rounding.sqlMirrorRound("wkey", 8)} AS wkey
+       |FROM top ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ops.weightedTake(Tables(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), n = WTakeN, salt = "w1:")
+      .withColumn("wkey", graft.functions.Rounding.mirrorRound(col("wkey"), 8))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54)
 }

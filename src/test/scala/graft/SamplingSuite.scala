@@ -194,4 +194,40 @@ class SamplingSuite extends SparkSpec {
       .limit(2).select("id").as[Long].collect().toSeq
     assert(top == Seq(1L, 2L))
   }
+
+  test("weightedTake: weight-monotone inclusion, determinism, guards") {
+    import spark.implicits._
+    // one row with overwhelming weight: ln(u)/w → ~0⁻, the maximum key —
+    // it must be in every sample regardless of salt
+    val df = (1 to 50).map(i => (i.toLong, if (i == 7) 1e9 else 1.0))
+      .toDF("id", "w")
+    for (salt <- Seq("", "s1", "s2")) {
+      val ids = Sampling.weightedTake(df, "id", col("w"), n = 5, salt = salt)
+        .select("id").as[Long].collect().toSet
+      assert(ids.contains(7L), s"salt=$salt: $ids")
+      assert(ids.size == 5)
+    }
+    // permanent: same salt → same set; fresh salt → decorrelated set
+    val a1 = Sampling.weightedTake(df, "id", col("w"), 5, "e1")
+      .select("id").as[Long].collect().toSet
+    val a2 = Sampling.weightedTake(df, "id", col("w"), 5, "e1")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.weightedTake(df, "id", col("w"), 5, "e2")
+      .select("id").as[Long].collect().toSet
+    assert(a1 == a2)
+    assert(a1 != b, "independent salts should draw different samples")
+    // null / non-positive weights are excluded, and n caps the take
+    val bad = Seq((1L, Some(0.0)), (2L, Some(-3.0)), (3L, None), (4L, Some(2.0)))
+      .toDF("id", "w")
+    val kept = Sampling.weightedTake(bad, "id", col("w"), 10)
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(4L), s"$kept")
+    // equal weights degrade to the unweighted hash order (u desc)
+    val eq = Sampling.weightedTake(df.withColumn("w", col("w") * 0 + 1.0),
+      "id", col("w"), 3, "q")
+    val byHand = df.select(col("id"),
+        Sampling.scrambledHash(col("id"), "q").as("h"))
+      .orderBy(col("h").desc).limit(3).select("id").as[Long].collect().toSet
+    assert(eq.select("id").as[Long].collect().toSet == byHand)
+  }
 }
