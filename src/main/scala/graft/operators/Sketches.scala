@@ -154,6 +154,77 @@ object Sketches {
       .filter(col("est") >= minEst)
   }
 
+  // ------------------------------------------------- theta set algebra
+
+  /** Per-group Theta sketch over a string column — the distinct-count
+    * sketch with full SET ALGEBRA: unlike HLL (q31 — union only), theta
+    * sketches intersect and difference, answering "distinct users active
+    * on day A AND day B" / "in cohort A but NOT B" from stored
+    * per-period sketches without re-reading raw data. lgK trades size
+    * for error (~2.6%/√2^lgK at lgK=12). Output: groupCols..., tsketch.
+    */
+  def thetaSketchBuild(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], lgK: Int = 12): DataFrame = {
+    val partials = partialRows(df, valueCol, groupCols, castValue = "string") { it =>
+      val m = mutable.LinkedHashMap.empty[Seq[Any], org.apache.datasketches.theta.UpdateSketch]
+      val gn = groupCols.length
+      it.foreach { r =>
+        if (!r.isNullAt(gn)) {
+          val key = (0 until gn).map(r.get)
+          m.getOrElseUpdate(key, org.apache.datasketches.theta.UpdateSketch.builder()
+            .setLogNominalEntries(lgK).build())
+            .update(r.getString(gn))
+        }
+      }
+      m.iterator.map { case (key, sk) =>
+        Row.fromSeq(key :+ sk.compact().toByteArray)
+      }
+    }
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(ThetaUnionUdaf(col("_partial")).as("tsketch"))
+  }
+
+  /** Set-operate stored theta sketches across the rows of each group:
+    * `op` = "union" | "intersect". A group's sketches combine pairwise
+    * through the chosen operation (union for "any period", intersection
+    * for "every period"). Output: groupCols..., tsketch.
+    */
+  def thetaRollup(sketches: DataFrame, groupCols: Seq[String], op: String,
+      sketchCol: String = "tsketch"): DataFrame = {
+    val agg = op match {
+      case "union"     => ThetaUnionUdaf(col(sketchCol))
+      case "intersect" => ThetaIntersectUdaf(col(sketchCol))
+      case other => throw new IllegalArgumentException(
+        s"op must be union or intersect, got $other")
+    }
+    sketches.groupBy(groupCols.map(col): _*).agg(agg.as("tsketch"))
+  }
+
+  /** A NOT B on two sketch COLUMNS of the same row (e.g. joined
+    * period sketches): appends `anotb` (binary). */
+  def thetaANotB(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val diff = udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || a.isEmpty) Array.emptyByteArray
+      else if (b == null || b.isEmpty) a
+      else org.apache.datasketches.theta.SetOperation.builder().buildANotB()
+        .aNotB(org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(a)),
+          org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(b)))
+        .toByteArray
+    }
+    df.withColumn("anotb", diff(col(aCol), col(bCol)))
+  }
+
+  /** Distinct-count estimate of a theta sketch column: appends
+    * `distinct_est` (double; 0.0 for empty). */
+  def thetaEstimate(df: DataFrame, sketchCol: String = "tsketch"): DataFrame = {
+    val est = udf { (bytes: Array[Byte]) =>
+      if (bytes == null || bytes.isEmpty) 0.0
+      else org.apache.datasketches.theta.Sketches.wrapSketch(Memory.wrap(bytes))
+        .getEstimate
+    }
+    df.withColumn("distinct_est", est(col(sketchCol)))
+  }
+
   // ------------------------------------------------------------ plumbing
 
   /** One partial-sketch row per (partition, group): runs `build` over
@@ -210,4 +281,55 @@ object Sketches {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
   private val FreqMergeUdaf = udaf(new FreqMerge)
+
+  /** Union-merge of serialized theta sketches. Empty buffer = empty set
+    * (union identity). */
+  private class ThetaUnionMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSk}
+    override def zero: Array[Byte] = Array.emptyByteArray
+    private def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val u = SetOperation.builder().buildUnion()
+        u.union(ThetaSk.wrapSketch(Memory.wrap(a)))
+        u.union(ThetaSk.wrapSketch(Memory.wrap(b)))
+        u.getResult.toByteArray
+      }
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      merged(buf, if (in == null) Array.emptyByteArray else in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merged(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+  private val ThetaUnionUdaf = udaf(new ThetaUnionMerge)
+
+  /** Intersection-merge of serialized theta sketches. The intersection
+    * identity is "everything", which has no sketch representation — the
+    * empty buffer stands for it and null inputs (SQL semantics: absent
+    * rows) pass it through, so a group's result is the intersection of
+    * its present sketches. An empty INPUT sketch (a period with no
+    * members) correctly collapses the intersection to empty. */
+  private class ThetaIntersectMerge extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => ThetaSk}
+    private val Identity = Array.emptyByteArray
+    private def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val i = SetOperation.builder().buildIntersection()
+        i.intersect(ThetaSk.wrapSketch(Memory.wrap(a)))
+        i.intersect(ThetaSk.wrapSketch(Memory.wrap(b)))
+        i.getResult.toByteArray
+      }
+    override def zero: Array[Byte] = Identity
+    override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+      if (in == null) buf else merged(buf, in)
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = merged(a, b)
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+  private val ThetaIntersectUdaf = udaf(new ThetaIntersectMerge)
 }

@@ -72,6 +72,33 @@ class SketchesSuite extends SparkSpec {
     assert(approx("warm")._3 <= 80L && 80L <= approx("warm")._4, s"${approx("warm")}")
   }
 
+  test("theta sketches: union/intersect/difference set algebra over stored periods") {
+    // day1 users 0..99, day2 users 50..149: |∪|=150, |∩|=50, |d1\d2|=50.
+    // Below 2^lgK entries a theta sketch is in exact mode — estimates
+    // are exact, so the algebra is checkable with equality.
+    val rows = (0 until 100).map(u => ("d1", s"u$u")) ++
+      (50 until 150).map(u => ("d2", s"u$u"))
+    val df = rows.toDF("day", "user").repartition(5)
+    val perDay = Sketches.thetaSketchBuild(df, "user", Seq("day"))
+    def est(d: org.apache.spark.sql.DataFrame): Double =
+      Sketches.thetaEstimate(d).select("distinct_est").as[Double].head()
+    assert(est(Sketches.thetaRollup(perDay, Nil, "union")) == 150.0)
+    assert(est(Sketches.thetaRollup(perDay, Nil, "intersect")) == 50.0)
+    // difference via the two sketch columns joined side by side
+    val wide = perDay.filter($"day" === "d1").select($"tsketch".as("a"))
+      .crossJoin(perDay.filter($"day" === "d2").select($"tsketch".as("b")))
+    val diff = Sketches.thetaEstimate(Sketches.thetaANotB(wide, "a", "b"), "anotb")
+      .select("distinct_est").as[Double].head()
+    assert(diff == 50.0)
+    // per-day estimates themselves are exact too
+    val each = Sketches.thetaEstimate(perDay).select("day", "distinct_est")
+      .as[(String, Double)].collect().toMap
+    assert(each == Map("d1" -> 100.0, "d2" -> 100.0), s"$each")
+    // intersect of a single-sketch group is that sketch (identity holds)
+    val one = Sketches.thetaRollup(perDay.filter($"day" === "d1"), Nil, "intersect")
+    assert(est(one) == 100.0)
+  }
+
   test("frequent items: per-group isolation and rollup equivalence") {
     val df = (Seq.fill(10)(("g1", "x")) ++ Seq.fill(3)(("g1", "y")) ++
       Seq.fill(7)(("g2", "y"))).toDF("g", "item").repartition(3)
