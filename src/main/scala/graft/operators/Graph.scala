@@ -134,6 +134,25 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
   }
 
+  /** Weakly connected components over an undirected edge list — the
+    * graph-facing name for the fixpoint min-label propagation that
+    * powers near-dup clustering ([[Dedup.clusters]], d06: one
+    * join + one aggregation per round, lineage checkpointed, fixpoint
+    * witness riding the update aggregation, THROWS rather than silently
+    * truncating if `maxRounds` is hit). Nodes are defined by edge
+    * endpoints; self-loops collapse; ids may be any orderable type.
+    * Output: node, component (min id in the component).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 20): DataFrame = {
+    val pairs = edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+    Dedup.clusters(nodes, "id", pairs, maxRounds, checkIds = false)
+      .select(col("id").as("node"), col("cluster").as("component"))
+  }
+
   /** Shared core: canonical degrees + per-node triangle counts. */
   private def degreesAndTriangles(edges: DataFrame, srcCol: String,
       dstCol: String, checkpoint: Boolean): (DataFrame, DataFrame) = {

@@ -304,6 +304,24 @@ class RelationalOpsSuite extends SparkSpec {
     assert(sg == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"$sg")
   }
 
+  test("connectedComponents: separate components, chains, self-loops, string ids") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two components: chain 1-2-3-4 and pair 10-11; self-loop 20-20
+    // defines a singleton node
+    val g = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst")
+    val r = Graph.connectedComponents(g, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L), s"$r")
+    // string ids: min label is lexicographic
+    val s = Seq(("b", "c"), ("a", "b")).toDF("src", "dst")
+    val rs = Graph.connectedComponents(s, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(rs == Map("a" -> "a", "b" -> "a", "c" -> "a"), s"$rs")
+  }
+
   test("kCorePeel: cascade peels dependents round by round; core is stable") {
     import spark.implicits._
     import graft.operators.Graph
