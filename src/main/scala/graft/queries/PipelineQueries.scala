@@ -279,5 +279,44 @@ object PipelineQueries {
       .orderBy("user_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05)
+  private val WSelN = 150
+  // t03's quality formula, verbatim (the Spark side routes through
+  // TextAnalysis.qualityScore, which mirror-rounds quality to 4 dp —
+  // the weight both engines then agree on bit for bit)
+  private val duckT = "string_split(text, ' ')"
+  private val duckQuality =
+    s"""0.6 * (1 - len(list_filter($duckT, t -> t IN ('the','a'))) / len($duckT))
+       |    + 0.4 * least((length(text) - len($duckT) + 1) / len($duckT) / 8.0, 1.0)""".stripMargin
+
+  /** p06: quality-WEIGHTED corpus selection — the "prefer good documents
+    * but keep diversity" sampling step between filtering (throw away the
+    * worst) and ranking (keep only the best): t03's quality score
+    * becomes the Efraimidis–Spirakis weight (q54 machinery), so
+    * inclusion probability rises smoothly with quality while low-quality
+    * docs still have a chance — two operators composed in the verified
+    * lane, the oracle chaining the same two mirrors as CTEs. Narrow
+    * score pass + TakeOrdered selection: zero full shuffles end to end.
+    */
+  val p06 = QueryDef(
+    "p06_weighted_select",
+    s"""WITH q AS (SELECT doc_id, ${mr(duckQuality, 4)} AS quality FROM documents),
+       |k AS (SELECT doc_id, quality, 'p6:' || CAST(doc_id AS VARCHAR) AS kk FROM q),
+       |b AS (SELECT doc_id, quality,
+       |        ln(CAST(((${graft.functions.Signatures.sqlPolyHashStr("kk")}
+       |                  * 2654435761) % 1000000007) + 1 AS DOUBLE) / 1000000008.0)
+       |          / quality AS wkey
+       |      FROM k),
+       |top AS (SELECT * FROM b ORDER BY wkey DESC, doc_id LIMIT $WSelN)
+       |SELECT doc_id, quality, ${mr("wkey", 8)} AS wkey
+       |FROM top ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val scored = graft.operators.TextAnalysis.qualityScore(
+      Tables(s, dir, "documents"), "doc_id", "text")
+    graft.operators.Sampling.weightedTake(scored.select("doc_id", "quality"),
+        "doc_id", col("quality"), n = WSelN, salt = "p6:")
+      .withColumn("wkey", Rounding.mirrorRound(col("wkey"), 8))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06)
 }
