@@ -99,6 +99,32 @@ class SketchesSuite extends SparkSpec {
     assert(est(one) == 100.0)
   }
 
+  test("streaming heavy hitters: counts accumulate across batches, exact while unpurged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingHeavyHitters
+    implicit val sc = spark.sqlContext
+    val source = MemoryStream[String]
+    val out = StreamingHeavyHitters.runningHeavyHitters(
+      source.toDS(), shards = 4, maxMapSize = 64, minEst = 3L)
+    val query = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    try {
+      source.addData(Seq.fill(5)("x") ++ Seq.fill(2)("y"): _*)
+      query.processAllAvailable()
+      // y (2 < minEst) suppressed; x visible at its exact running count
+      val b1 = spark.table("hh_out").as[StreamingHeavyHitters.HeavyHitter]
+        .collect().groupBy(_.item).map { case (k, v) => k -> v.map(_.est).max }
+      assert(b1 == Map("x" -> 5L), s"$b1")
+      // next batch: y crosses the threshold, x's running count grows —
+      // sketch state carried across batches, not per-batch counts
+      source.addData(Seq.fill(4)("y") ++ Seq.fill(1)("x"): _*)
+      query.processAllAvailable()
+      val b2 = spark.table("hh_out").as[StreamingHeavyHitters.HeavyHitter]
+        .collect().groupBy(_.item).map { case (k, v) => k -> v.map(_.est).max }
+      assert(b2 == Map("x" -> 6L, "y" -> 6L), s"$b2")
+    } finally query.stop()
+  }
+
   test("frequent items: per-group isolation and rollup equivalence") {
     val df = (Seq.fill(10)(("g1", "x")) ++ Seq.fill(3)(("g1", "y")) ++
       Seq.fill(7)(("g2", "y"))).toDF("g", "item").repartition(3)
