@@ -36,6 +36,7 @@ object ScaleProbe {
     }
     if (mode == "round6") { round6(spark, src, out, factor); spark.stop(); return }
     if (mode == "graph") { graph(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext") { ext(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -364,5 +365,76 @@ object ScaleProbe {
         .unionAll(gated.filter(col("probably_seen"))
           .join(ref, Seq("ck"), "left_anti").select("doc_id")).count()
     })
+  }
+
+  /** Extension operators at scale: association rules (basket table ×f
+    * under the same cap — pair space fixed by the vocab, counts deepen),
+    * transitions (CDC shape — same users, f× deeper sequences: the
+    * window partitions grow, the output stays |types|²), trend (pure
+    * partial agg — flat output), heavy hitters (sketch rows per
+    * partition fixed as the stream deepens), domain shift (count table
+    * fixed at the vocab), weighted take (TakeOrdered: driver merges
+    * n·partitions rows regardless of corpus), and k-core over the
+    * deeper co-purchase multigraph collapsed to its distinct edges.
+    */
+  private def ext(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Relational, Sampling, Sketches, TextAnalysis}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        col("text"), col("lang"), col("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val ev = spark.read.parquet(s"$out/events.parquet")
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxOk = li0.agg(max(col("l_orderkey"))).head().getLong(0) + 1
+    li0.select("l_orderkey", "l_partkey").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+
+    println(s"[scale x$factor] docs=${nDocs * factor}")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ", -1)).as("token"))
+    time("q50 assoc rules")(
+      Relational.associationRules(toks, "doc_id", "token",
+        minBoth = 5, minConf = 0.8, maxBasket = 33).count())
+    // ts is a NANOS long under nanosAsLong — ordering is unaffected
+    time("q51 transitions")(
+      Relational.eventTransitions(ev, "user_id", "event_type", "ts", "event_id")
+        .count())
+    time("q52 trend")(
+      Relational.linearTrend(ev, Seq("event_type"),
+        (col("ts") / lit(86400000000000L)).cast("long"), col("value")).count())
+    time("q53 heavy hitters")(
+      Sketches.heavyHitters(toks, "token", Nil, maxMapSize = 128,
+        minEst = 100L * factor).count())
+    time("t18 domain shift")(
+      TextAnalysis.domainShift(d.filter(col("lang") === "en"),
+        d.filter(col("lang") === "zh"), "text").count())
+    time("q54 weighted take")(
+      Sampling.weightedTake(d.select("doc_id", "n_chars"), "doc_id",
+        col("n_chars"), n = 100, salt = "probe").count())
+    // the replicated multigraph collapses to the SAME distinct edge set
+    // (baskets repeat with shifted orderkeys) — k stays fixed; the probe
+    // measures the f×-deeper pair dedup feeding identical peel rounds
+    val pairs = Relational.cooccurrence(li, "l_orderkey", "l_partkey",
+      maxBasket = 8)
+    time("q49 kcore (3 rounds)")(
+      graft.operators.Graph.kCorePeel(pairs, "item_a", "item_b",
+        k = 80, rounds = 3).count())
   }
 }
