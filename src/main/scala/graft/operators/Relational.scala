@@ -699,4 +699,110 @@ object Relational {
       .filter(abs(col("z")) >= threshold)
       .select(gcols ++ payloadCols :+ col("z"): _*)
   }
+
+  /** Per-group Pearson correlation between two metrics (the feature-pair
+    * dependence scan of data profiling), built for CROSS-ENGINE
+    * determinism like q44/q52: both values snap to integer units
+    * (floor(v·scale + 0.5)), so all five sufficient statistics are EXACT
+    * integer sums — order-independent in any accumulation — and
+    * r = (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²) · √(n·Syy − Sy²)) is a fixed
+    * double expression tree (each op, including sqrt, IEEE
+    * correctly-rounded ⇒ bit-identical on any engine). ONE partial-agg
+    * pass, |groups| output rows, no window, no second scan. Rows where
+    * either value is null drop WHOLE (a half-pair would skew both
+    * marginals); groups with n < 2 or zero variance on either side are
+    * dropped (r undefined). Overflow contract as q44: Σx² must fit a
+    * long — cents over ~10⁹ rows/group of ~10⁵-cent values is inside the
+    * bound. Output: groupCols, n, corr.
+    */
+  def pearsonCorr(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, scaleX: Long = 1L, scaleY: Long = 100L): DataFrame = {
+    require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
+    val gcols = groupCols.map(col)
+    val x = floor(xCol * lit(scaleX.toDouble) + lit(0.5)).cast("long")
+    val y = floor(yCol * lit(scaleY.toDouble) + lit(0.5)).cast("long")
+    val pts = df.select(gcols :+ x.as("_x") :+ y.as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    val s = pts.groupBy(gcols: _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_y") * col("_y")).cast("double").as("_syy"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"))
+    val nd = col("n").cast("double")
+    s.withColumn("_dx", nd * col("_sxx") - col("_sx") * col("_sx"))
+      .withColumn("_dy", nd * col("_syy") - col("_sy") * col("_sy"))
+      .filter(col("n") >= 2 && col("_dx") > 0 && col("_dy") > 0)
+      .withColumn("corr",
+        (nd * col("_sxy") - col("_sx") * col("_sy")) / (sqrt(col("_dx")) * sqrt(col("_dy"))))
+      .select(gcols :+ col("n") :+ col("corr"): _*)
+  }
+
+  /** Per-group Gini coefficient over per-entity totals (the inequality /
+    * concentration metric of spend, contribution and token-budget
+    * analysis): G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with x₍ᵢ₎ the
+    * group's values ascending. Values snap to integer units so both
+    * aggregate sums are EXACT integers; the rank product i·x is a long
+    * product of exact longs, and the final expression is one fixed
+    * double tree — bit-identical cross-engine. The within-group ranking
+    * is a window partitioned by the GROUP columns (parallelism = groups;
+    * the per-group sort is inherent to Gini's order statistic — there is
+    * no sort-free formulation), with `tieCol` completing a total order so
+    * ranks are deterministic under equal values. Negative totals are
+    * out of Gini's domain and rejected by filter; n = 0 groups vanish,
+    * all-zero groups are dropped (0/0). Output: groupCols, n, total,
+    * gini.
+    */
+  def giniIndex(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      tieCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val rows = df.select(gcols :+ v.as("_v") :+ tieCol.as("_tie"): _*)
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+    val w = Window.partitionBy(gcols: _*).orderBy(col("_v"), col("_tie"))
+    val ranked = rows.withColumn("_i", row_number().over(w).cast("long"))
+    val s = ranked.groupBy(gcols: _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("_v")).cast("long").as("total"),
+      sum(col("_i") * col("_v")).cast("double").as("_siv"))
+    val nd = col("n").cast("double")
+    val sx = col("total").cast("double")
+    s.filter(col("total") > 0)
+      .withColumn("gini",
+        (lit(2.0) * col("_siv") - (nd + lit(1.0)) * sx) / (nd * sx))
+      .select(gcols :+ col("n") :+ col("total") :+ col("gini"): _*)
+  }
+
+  /** Per-group Herfindahl–Hirschman concentration index over per-entity
+    * totals (market/supplier concentration; in pipeline terms, "is this
+    * slice dominated by one source?"): HHI = Σ sᵢ² = Σxᵢ² / (Σxᵢ)². The
+    * per-entity totals are exact long sums of integer units; their
+    * SQUARES can exceed a long at scale (a 10¹⁰-cent entity squares to
+    * 10²⁰), so the squared sum accumulates in DECIMAL(38,0) — exact and
+    * order-independent, the mirror of DuckDB's int128 — and doubles
+    * appear only in the final fixed expression. Two partial-agg passes
+    * (entity totals, then group rollup), no window, no sort; |groups|
+    * output rows. Output: groupCols, n (entities), hhi ∈ (0, 1].
+    */
+  def herfindahl(df: DataFrame, groupCols: Seq[String], entityCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val perEntity = df.select(gcols :+ entityCol.as("_e") :+ v.as("_v"): _*)
+      .filter(col("_v").isNotNull)
+      .groupBy(gcols :+ col("_e"): _*)
+      .agg(sum(col("_v")).cast("long").as("_x"))
+    val xd = col("_x").cast("decimal(19,0)")
+    val s = perEntity.groupBy(gcols: _*).agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(col("_x")).cast("long").as("_sx"),
+      sum(xd * xd).cast("decimal(38,0)").as("_sxx"))
+    s.filter(col("_sx") > 0)
+      .withColumn("hhi",
+        col("_sxx").cast("double") / (col("_sx").cast("double") * col("_sx").cast("double")))
+      .select(gcols :+ col("n") :+ col("hhi"): _*)
+  }
 }

@@ -582,6 +582,40 @@ object TextAnalysis {
     }
   }
 
+  /** Per-token burstiness across the corpus — the variance-to-mean ratio
+    * (index of dispersion) of per-document counts, zeros included: VMR ≈ 1
+    * is Poisson scatter (function words), VMR ≫ 1 is bursty (content /
+    * topical words that cluster in few docs), the classic
+    * Church–Gale-style signal for stopword vs keyword separation that
+    * t16's idf alone can't give (idf sees presence, not clumping).
+    * CROSS-ENGINE determinism by the q44/q52 discipline: per-(doc, token)
+    * counts are exact longs, the token-level moments k, Σc, Σc² exact
+    * long sums (absent docs contribute zero to each, so only N — a
+    * driver scalar / oracle scalar subquery, the t18 pattern — carries
+    * the zeros), and mean/VMR are one fixed double expression tree:
+    * μ = Σc/N, VMR = (Σc²/N − μ²)/μ. Two partial-agg shuffles ((doc,
+    * token) then token — hot tokens combine map-side), vocabulary-sized
+    * output, no window. Docs with null text vanish in the explode but
+    * count toward N — they are real zero-count observations.
+    * Output: token, n_docs, total, mean, vmr.
+    */
+  def tokenBurstiness(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val tf = df.select(col(idCol).as("_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("_id", "token").agg(count(lit(1)).cast("long").as("_c"))
+    val nd = lit(n.toDouble)
+    val mean = col("total").cast("double") / nd
+    tf.groupBy("token").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col("_c")).cast("long").as("total"),
+        sum(col("_c") * col("_c")).cast("long").as("_ss"))
+      .filter(col("total") > 0)
+      .withColumn("mean", mean)
+      .withColumn("vmr",
+        (col("_ss").cast("double") / nd - col("mean") * col("mean")) / col("mean"))
+      .select("token", "n_docs", "total", "mean", "vmr")
+  }
+
   /** Token count + distinct 3-gram shingle count (one-pass native). */
   def shingleStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     SigX.register(df.sparkSession)

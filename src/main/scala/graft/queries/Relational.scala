@@ -1052,8 +1052,108 @@ object Relational {
       .orderBy("token")
   }
 
+  /** q55: per-supplier Pearson correlation between quantity and line
+    * price via [[graft.operators.Relational.pearsonCorr]] — the q44/q52
+    * exact-integer-moment discipline extended to five sufficient
+    * statistics: quantity snaps at scale 1, price to cents, so every sum
+    * is an exact long and r is one fixed double expression (sqrt is
+    * IEEE correctly-rounded — bit-identical cross-engine). ONE
+    * partial-agg pass, |suppliers| rows, no window.
+    */
+  val q55 = QueryDef(
+    "q55_correlation",
+    """WITH pts AS (SELECT l_suppkey,
+      |  CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS x,
+      |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |s AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+      |  CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1),
+      |t AS (SELECT l_suppkey, n,
+      |  (CAST(n AS DOUBLE)*sxx - sx*sx) AS dx,
+      |  (CAST(n AS DOUBLE)*syy - sy*sy) AS dy,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) AS num
+      |  FROM s)
+      |SELECT l_suppkey, n, num / (sqrt(dx) * sqrt(dy)) AS corr
+      |FROM t WHERE n >= 2 AND dx > 0 AND dy > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.pearsonCorr(Tables(s, dir, "lineitem"),
+        Seq("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        scaleX = 1L, scaleY = 100L)
+      .orderBy("l_suppkey")
+  }
+
+  /** q56: Gini coefficient of customer spend per market segment via
+    * [[graft.operators.Relational.giniIndex]]. Per-customer totals are
+    * built EXACTLY before the operator — each order snaps to cents, the
+    * customer total is a long sum (a double pre-sum would be
+    * order-dependent and break the oracle) — then the segment-partitioned
+    * rank window (total order (spend, custkey)) and one agg produce the
+    * order statistic. The customer join is key-keyed (both sides
+    * corpus-sized at scale — deliberately NOT broadcast).
+    */
+  val q56 = QueryDef(
+    "q56_gini",
+    """WITH spend AS (SELECT o_custkey,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |j AS (SELECT c_mktsegment, c_custkey, cents FROM spend
+      |      JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT c_mktsegment, cents,
+      |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS BIGINT) AS i
+      |  FROM j),
+      |s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total,
+      |  CAST(sum(i * cents) AS DOUBLE) AS siv
+      |  FROM r GROUP BY 1)
+      |SELECT c_mktsegment, n, total,
+      |  (2.0 * siv - (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+      |FROM s WHERE total > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val spend = Tables(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("_cents"))
+      .groupBy("o_custkey").agg(sum("_cents").cast("long").as("cents"))
+    val joined = spend.join(Tables(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    graft.operators.Relational.giniIndex(joined, Seq("c_mktsegment"),
+        col("cents"), col("c_custkey"), scale = 1L)
+      .orderBy("c_mktsegment")
+  }
+
+  /** q57: supplier revenue concentration per nation via
+    * [[graft.operators.Relational.herfindahl]] — two partial-agg passes
+    * (per-supplier cents, then the nation rollup), squares accumulated
+    * in DECIMAL(38,0) against DuckDB's int128 (a long would overflow at
+    * scale), the nation dim join BROADCAST.
+    */
+  val q57 = QueryDef(
+    "q57_hhi",
+    """WITH x AS (SELECT s_nationkey, l_suppkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v) AS BIGINT) AS sx,
+      |  sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT n_name, n, CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hhi
+      |FROM s JOIN nation ON s_nationkey = n_nationkey
+      |WHERE sx > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    graft.operators.Relational.herfindahl(li, Seq("s_nationkey"),
+        col("l_suppkey"), col("l_extendedprice"), scale = 100L)
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "n", "hhi")
+      .orderBy("n_name")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57)
 }

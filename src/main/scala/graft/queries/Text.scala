@@ -382,7 +382,32 @@ object Text {
       .orderBy("token")
   }
 
+  /** t19: per-token burstiness (variance-to-mean ratio of per-doc counts,
+    * zeros included) via [[graft.operators.TextAnalysis.tokenBurstiness]].
+    * All moments are exact integer sums and N enters as a driver scalar /
+    * oracle scalar subquery (the t18 pattern), so mean and VMR are fixed
+    * double expressions — bit-identical cross-engine, no mirror-round.
+    */
+  val t19 = QueryDef(
+    "t19_burstiness",
+    s"""WITH tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest($duckToks) AS token FROM documents)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+       |s AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(c) AS BIGINT) AS total, CAST(sum(c*c) AS BIGINT) AS ss
+       |  FROM tf GROUP BY 1),
+       |m AS (SELECT token, n_docs, total, ss,
+       |  CAST(total AS DOUBLE) / tot.nd AS mean, tot.nd AS nd
+       |  FROM s CROSS JOIN tot WHERE total > 0)
+       |SELECT token, n_docs, total, mean,
+       |  (CAST(ss AS DOUBLE) / nd - mean * mean) / mean AS vmr
+       |FROM m ORDER BY token""".stripMargin) { (s, dir) =>
+    TextAnalysis.tokenBurstiness(Tables(s, dir, "documents"), "doc_id", "text")
+      .orderBy("token")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18)
+      t14, t15, t16, t17, t18, t19)
 }

@@ -540,4 +540,25 @@ class DedupOpsSuite extends SparkSpec {
     val expected3 = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
     assert(math.abs(got(2)._4 - expected3) < 1e-12)
   }
+
+  test("tokenBurstiness: Poisson-ish=1 for 0/1 uniform, bursty token high, zeros counted") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // 4 docs. "f": counts (1,1,1,0) -> mean .75, var 3/16 -> VMR 0.25.
+    // "b" is bursty: counts (4,0,0,0) -> mean 1, var = (16/4 - 1) = 3 -> VMR 3.
+    // "h" appears in half: counts (1,1,0,0) -> mean .5, var = .25 -> VMR 0.5.
+    // The null-text doc is a genuine zero observation for every token.
+    val df = Seq(
+      (1L, Some("f b b b b h")),
+      (2L, Some("f h")),
+      (3L, Some("f")),
+      (4L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenBurstiness(df, "doc_id", "text")
+      .as[(String, Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("f", "b", "h"), s"${got.keySet}")
+    assert(got("f") == (("f", 3L, 3L, 0.75, 0.25)), s"${got("f")}")
+    assert(got("b") == (("b", 1L, 4L, 1.0, 3.0)), s"${got("b")}")
+    assert(got("h") == (("h", 2L, 2L, 0.5, 0.5)), s"${got("h")}")
+  }
 }

@@ -577,4 +577,76 @@ class RelationalOpsSuite extends SparkSpec {
     // entity 99 contributes nothing — not even its (a-ish) pairs
     assert(got == Seq(("a", "b", 2L)))
   }
+
+  test("pearsonCorr: perfect fits, sign, guards, paired null drop") {
+    import spark.implicits._
+    // g1: y = 2x exactly -> r = 1; g2: y = -x -> r = -1;
+    // g3: single point (n<2, dropped); g4: zero x-variance (dropped);
+    // null on either side drops the whole pair
+    val df = Seq(
+      ("g1", Some(1.0), Some(2.0)), ("g1", Some(2.0), Some(4.0)), ("g1", Some(3.0), Some(6.0)),
+      ("g1", None, Some(9.0)), ("g1", Some(9.0), None),
+      ("g2", Some(1.0), Some(3.0)), ("g2", Some(2.0), Some(2.0)), ("g2", Some(3.0), Some(1.0)),
+      ("g3", Some(1.0), Some(1.0)),
+      ("g4", Some(5.0), Some(1.0)), ("g4", Some(5.0), Some(2.0))
+    ).toDF("g", "x", "y")
+    val r = Relational.pearsonCorr(df, Seq("g"), col("x"), col("y"), 1L, 1L)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet == Set("g1", "g2"), s"${r.keySet}")
+    // sqrt(dx)*sqrt(dy) != sqrt(dx*dy) in float: perfect fits land within
+    // an ulp of ±1, not exactly on it (deterministically so on any engine)
+    assert(r("g1")._2 == 3L && math.abs(r("g1")._3 - 1.0) < 1e-12, s"${r("g1")}")
+    assert(r("g2")._2 == 3L && math.abs(r("g2")._3 + 1.0) < 1e-12, s"${r("g2")}")
+    // uncorrelated square: the four corners give r = 0 exactly
+    val sq = Seq(("u", 0.0, 0.0), ("u", 0.0, 1.0), ("u", 1.0, 0.0), ("u", 1.0, 1.0))
+      .toDF("g", "x", "y")
+    val u = Relational.pearsonCorr(sq, Seq("g"), col("x"), col("y"), 1L, 1L)
+      .as[(String, Long, Double)].head()
+    assert(u == (("u", 4L, 0.0)), s"$u")
+  }
+
+  test("giniIndex: equality=0, full concentration, hand value, negatives rejected") {
+    import spark.implicits._
+    // equal values -> G = 0; one-holder (0,0,0,10) -> G = (n-1)/n = 0.75;
+    // hand case (1,2,3,4): G = (2*(1+4+9+16) - 5*10) / (4*10) = 10/40 = 0.25
+    val df = Seq(
+      ("eq", 1L, 5.0), ("eq", 2L, 5.0), ("eq", 3L, 5.0), ("eq", 4L, 5.0),
+      ("one", 1L, 0.0), ("one", 2L, 0.0), ("one", 3L, 0.0), ("one", 4L, 10.0),
+      ("h", 1L, 1.0), ("h", 2L, 2.0), ("h", 3L, 3.0), ("h", 4L, 4.0),
+      ("z", 1L, 0.0), ("z", 2L, 0.0) // all-zero total -> dropped (0/0)
+    ).toDF("g", "id", "v")
+    val r = Relational.giniIndex(df, Seq("g"), col("v"), col("id"), scale = 1L)
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r.keySet == Set("eq", "one", "h"), s"${r.keySet}")
+    assert(r("eq")._4 == 0.0, s"${r("eq")}")
+    assert(r("one")._4 == 0.75, s"${r("one")}")
+    assert(r("h") == (("h", 4L, 10L, 0.25)), s"${r("h")}")
+    // a negative value is out of domain — the row is excluded, not folded in
+    val neg = Seq(("n", 1L, -5.0), ("n", 2L, 5.0), ("n", 3L, 5.0)).toDF("g", "id", "v")
+    val rn = Relational.giniIndex(neg, Seq("g"), col("v"), col("id"), scale = 1L)
+      .as[(String, Long, Long, Double)].head()
+    assert(rn._2 == 2L && rn._4 == 0.0, s"$rn")
+  }
+
+  test("herfindahl: monopoly=1, uniform=1/n, pre-agg across rows, decimal squares") {
+    import spark.implicits._
+    // g1: one entity holds everything -> HHI = 1; g2: 4 equal entities -> 0.25;
+    // g3: entity totals build from MULTIPLE rows (2+3 vs 5) -> shares 0.5/0.5
+    val df = Seq(
+      ("g1", "a", 7.0), ("g1", "a", 3.0),
+      ("g2", "a", 5.0), ("g2", "b", 5.0), ("g2", "c", 5.0), ("g2", "d", 5.0),
+      ("g3", "a", 2.0), ("g3", "a", 3.0), ("g3", "b", 5.0)
+    ).toDF("g", "e", "v")
+    val r = Relational.herfindahl(df, Seq("g"), col("e"), col("v"), scale = 1L)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r("g1") == (("g1", 1L, 1.0)), s"${r("g1")}")
+    assert(r("g2") == (("g2", 4L, 0.25)), s"${r("g2")}")
+    assert(r("g3") == (("g3", 2L, 0.5)), s"${r("g3")}")
+    // squares that overflow a long stay exact in decimal: two entities at
+    // 4e9 units (x^2 = 1.6e19 > Long.MaxValue) in one group -> HHI = 0.5
+    val big = Seq(("b", "a", 4.0e9), ("b", "b", 4.0e9)).toDF("g", "e", "v")
+    val rb = Relational.herfindahl(big, Seq("g"), col("e"), col("v"), scale = 1L)
+      .as[(String, Long, Double)].head()
+    assert(rb == (("b", 2L, 0.5)), s"$rb")
+  }
 }
