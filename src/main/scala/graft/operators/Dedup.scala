@@ -598,4 +598,103 @@ object Dedup {
         round(GraftExpressions.cosineSim(col("a._v"), col("b._v")), 6).as("cos"))
       .filter(col("cos") >= thr)
   }
+
+  /** Fuzzy name matching (entity resolution over a string column): ALL
+    * unordered pairs of distinct values within Levenshtein distance
+    * `maxDist`, each with its exact distance and row count — the
+    * dimension-cleanup / record-linkage primitive (misspelled brands,
+    * merchant names, file paths). Semantically a quadratic self-join;
+    * the plan is Ed-Join-style LOSSLESS candidate pruning, so it scales
+    * to vocabulary-sized name sets (millions) where O(n²) cannot:
+    *
+    *   1. Work on DISTINCT names (one partial-agg — the corpus never
+    *      enters the pair machinery), materialized once.
+    *   2. Names with > q·maxDist distinct positional q-grams take the
+    *      GRAM-PREFIX path: k edits touch ≤ q·k gram positions, so two
+    *      names within distance k share ≥ max(|G_a|,|G_b|) − q·k distinct
+    *      grams, and by prefix filtering their (q·k + 1) globally RAREST
+    *      grams (one total order: global gram frequency, gram) must
+    *      intersect — candidates come from an equi-join of prefix grams,
+    *      whose keys are by construction the rare end of the gram
+    *      frequency table.
+    *   3. Names with ≤ q·maxDist distinct grams (short or repetitive —
+    *      "aaaaaaaa" has ONE distinct gram, the count filter is vacuous
+    *      for it) fall back to LENGTH-BAND blocking: |len difference| ≤ k
+    *      is necessary for distance ≤ k, and the low-gram universe is a
+    *      bounded fringe (len band keys explode ×(2k+1)).
+    *      The paths are disjoint (pair with any low-gram member → band
+    *      path; both high-gram → gram path) and each is exact, so their
+    *      union is the exact candidate superset.
+    *   4. Candidates normalize to canonical orientation ((len, name)
+    *      ascending), dedupe, and verify with the THRESHOLDED
+    *      levenshtein (banded O(k·n) DP, not full O(n²) DP).
+    *
+    * Determinism: counts, lengths and distances are exact integers; no
+    * floats anywhere. Hot-gram note: prefix grams are each name's rarest,
+    * so candidate fan-out per gram key is naturally the low-df tail; a
+    * skewed residue would salt the gram join, not cap it (capping would
+    * silently lose pairs — this operator is exact by contract).
+    * Output: name_a, name_b, dist, cnt_a, cnt_b.
+    */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String, maxDist: Int,
+      q: Int = 2): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(q >= 1, "q-gram size must be >= 1")
+    val qk = q * maxDist
+    val grams = when(length(col("name")) >= q,
+      array_distinct(transform(
+        sequence(lit(1), length(col("name")) - lit(q - 1)),
+        i => col("name").substr(i, lit(q)))))
+      .otherwise(array().cast("array<string>"))
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull && length(col("name")) > 0)
+      .groupBy("name").agg(count(lit(1)).cast("long").as("cnt"))
+      .withColumn("len", length(col("name")))
+      .withColumn("grams", grams)
+      .withColumn("ng", size(col("grams")))
+      .localCheckpoint(true)
+
+    // Low-gram fallback: any pair touching this fringe, via length bands.
+    val low = names.filter(col("ng") <= qk)
+    val bandBuild = names.select(col("name").as("name_y"), col("cnt").as("cnt_y"),
+        col("len").as("len_y"),
+        explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("_key"))
+      .filter(col("_key") >= 1)
+    val bandCand = low.select(col("name").as("name_x"), col("cnt").as("cnt_x"),
+        col("len").as("len_x"))
+      .join(bandBuild, col("len_x") === col("_key") && col("name_x") =!= col("name_y"))
+
+    // Gram-prefix path: both sides have enough distinct grams for the
+    // count filter to bite.
+    val high = names.filter(col("ng") > qk)
+    val gramRows = high.select(col("name"), col("cnt"), col("len"),
+      explode(col("grams")).as("gram"))
+    val gramDf = gramRows.groupBy("gram").agg(count(lit(1)).as("_gdf"))
+    val w = Window.partitionBy("name").orderBy(col("_gdf"), col("gram"))
+    val prefix = gramRows.join(gramDf, "gram")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= qk + 1)
+      .select(col("name"), col("cnt"), col("len"), col("gram"))
+    val gramCand = prefix.as("a").join(prefix.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.name") =!= col("b.name") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.name").as("name_x"), col("a.cnt").as("cnt_x"), col("a.len").as("len_x"),
+        col("b.name").as("name_y"), col("b.cnt").as("cnt_y"), col("b.len").as("len_y"))
+
+    val all = bandCand.select("name_x", "cnt_x", "name_y", "cnt_y", "len_x", "len_y")
+      .union(gramCand.select("name_x", "cnt_x", "name_y", "cnt_y", "len_x", "len_y"))
+    val firstIsA = col("len_x") < col("len_y") ||
+      (col("len_x") === col("len_y") && col("name_x") < col("name_y"))
+    val canon = all.select(
+        when(firstIsA, col("name_x")).otherwise(col("name_y")).as("name_a"),
+        when(firstIsA, col("cnt_x")).otherwise(col("cnt_y")).as("cnt_a"),
+        when(firstIsA, col("name_y")).otherwise(col("name_x")).as("name_b"),
+        when(firstIsA, col("cnt_y")).otherwise(col("cnt_x")).as("cnt_b"))
+      .distinct()
+    canon.withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
+  }
 }

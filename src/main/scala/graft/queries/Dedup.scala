@@ -406,6 +406,31 @@ object Dedup {
     definiteNovel.unionAll(confirmedNovel).orderBy("o_custkey")
   }
 
+  /** d12: fuzzy name matching over the part dimension via
+    * [[graft.operators.Dedup.fuzzyNamePairs]] — ALL name pairs within
+    * Levenshtein distance 3, exact by contract, so the oracle is the
+    * plain quadratic self-join and ANY lossless candidate scheme binds:
+    * the operator's Ed-Join gram-prefix + low-gram length-band pruning
+    * must reproduce the brute-force pair set verbatim (the 64-name
+    * vocabulary here exercises both paths — len-7 names sit at the
+    * low-gram boundary for q=2, k=3). Integer-only output; no floats.
+    */
+  val d12 = QueryDef(
+    "d12_fuzzy_names",
+    """WITH names AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM part WHERE p_name IS NOT NULL AND length(p_name) > 0 GROUP BY 1)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+      |  a.cnt AS cnt_a, b.cnt AS cnt_b
+      |FROM names a JOIN names b
+      |  ON ((length(a.name) < length(b.name))
+      |      OR (length(a.name) = length(b.name) AND a.name < b.name))
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Ops.fuzzyNamePairs(Tables(s, dir, "part"), "p_name", maxDist = 3)
+      .orderBy("name_a", "name_b")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12)
 }

@@ -561,4 +561,56 @@ class DedupOpsSuite extends SparkSpec {
     assert(got("b") == (("b", 1L, 4L, 1.0, 3.0)), s"${got("b")}")
     assert(got("h") == (("h", 2L, 2L, 0.5, 0.5)), s"${got("h")}")
   }
+
+  private def bruteLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyNamePairs equals brute force on a randomized small-alphabet set") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // Fixed-seed names over {a,b,c}, lengths 1..12: a dense edit-distance
+    // neighborhood that exercises the gram-prefix path, the low-gram
+    // fallback, and the boundary between them. Duplicated rows check cnt.
+    val rnd = new scala.util.Random(42)
+    val names = (1 to 60).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }.distinct
+    val rows = names.flatMap(n => Seq.fill(1 + (n.length % 3))(n))
+    val k = 2
+    val got = Dedup.fuzzyNamePairs(rows.toDF("name"), "name", maxDist = k)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    val cnt = rows.groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val want = (for {
+      a <- names; b <- names
+      if a.length < b.length || (a.length == b.length && a < b)
+      d = bruteLev(a, b) if d <= k
+    } yield (a, b, d.toLong, cnt(a), cnt(b))).toSet
+    assert(want.nonEmpty, "degenerate test: no close pairs generated")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("fuzzyNamePairs: repetitive long names take the fallback (count filter is vacuous)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // "aaaaaaaaaa" has ONE distinct 2-gram; a pure gram-prefix scheme with
+    // a length-only guard would drop it silently. dist("aaaaaaaaaa",
+    // "aaaaaaaaab") = 1 must be found; the unrelated long name must not.
+    val df = Seq("aaaaaaaaaa", "aaaaaaaaab", "abcabcabcabc").toDF("name")
+    val got = Dedup.fuzzyNamePairs(df, "name", maxDist = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("aaaaaaaaaa", "aaaaaaaaab", 1L, 1L, 1L)), s"$got")
+    // equal-length canonical orientation is lexicographic, emitted once
+    val eq = Dedup.fuzzyNamePairs(Seq("abcd", "abce").toDF("name"), "name", 1)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(eq == Seq(("abcd", "abce", 1L, 1L, 1L)), s"$eq")
+  }
 }
