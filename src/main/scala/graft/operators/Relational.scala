@@ -775,6 +775,51 @@ object Relational {
       .select(gcols :+ col("n") :+ col("total") :+ col("gini"): _*)
   }
 
+  /** Chi-squared independence scan between two categorical columns (the
+    * drift / association detector of dataset profiling: is label
+    * distribution independent of source, language of license, …):
+    * per-cell contributions (O−E)²/E over the COMPLETE contingency grid —
+    * zero-observed cells included; they carry the dependence signal when
+    * a combination never occurs. Plan: one partial-agg pass builds the
+    * |A|×|B| cell table; marginals derive from it (tiny — never a second
+    * corpus scan) and BROADCAST onto the completed grid (marginal ×
+    * marginal cross join, both vocabulary-sized). N enters as a driver
+    * scalar (the t18/q16 metadata discipline). Determinism: counts and
+    * the rowTotal·colTotal products are exact longs; expected and the
+    * contribution are one fixed double tree each — bit-identical
+    * cross-engine. NO float total is emitted (a cross-engine float SUM
+    * has no deterministic order — t18's contract): downstream sums the
+    * terms when the scalar statistic is wanted. Null categories are
+    * real categories ("missing" is often the interesting level) —
+    * represented via a sentinel the caller can pre-map; rows with null
+    * in either column are dropped here to keep the grid well-defined.
+    * Output: aCol, bCol, observed, expected, chi2_term.
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).cast("long").as("observed"))
+      .localCheckpoint(true)
+    val rowT = cells.groupBy("_a").agg(sum("observed").cast("long").as("_ra"))
+    val colT = cells.groupBy("_b").agg(sum("observed").cast("long").as("_cb"))
+    val nRow = cells.agg(sum("observed")).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    if (n == 0L) { // empty input: an empty grid, not a 0/0 expression
+      return cells.select(col("_a").as(aCol), col("_b").as(bCol), col("observed"),
+        lit(0.0).as("expected"), lit(0.0).as("chi2_term"))
+    }
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("_a", "_b"), "left")
+      .withColumn("observed", coalesce(col("observed"), lit(0L)))
+    val expected = col("_ra").cast("double") * col("_cb").cast("double") / lit(n.toDouble)
+    val od = col("observed").cast("double")
+    grid.withColumn("expected", expected)
+      .withColumn("chi2_term",
+        (od - col("expected")) * (od - col("expected")) / col("expected"))
+      .select(col("_a").as(aCol), col("_b").as(bCol),
+        col("observed"), col("expected"), col("chi2_term"))
+  }
+
   /** Per-group Herfindahl–Hirschman concentration index over per-entity
     * totals (market/supplier concentration; in pipeline terms, "is this
     * slice dominated by one source?"): HHI = Σ sᵢ² = Σxᵢ² / (Σxᵢ)². The

@@ -1152,8 +1152,37 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q58: chi-squared independence scan (priority × status) via
+    * [[graft.operators.Relational.chiSquare]] — per-cell (O−E)²/E over
+    * the COMPLETE grid (zero cells included), marginals derived from the
+    * one-pass cell table, N as a driver scalar / oracle scalar subquery,
+    * and NO float total emitted (t18's no-cross-engine-sum contract).
+    */
+  val q58 = QueryDef(
+    "q58_chi2",
+    """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |  CAST(count(*) AS BIGINT) AS observed FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(observed) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(observed) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(observed) AS DOUBLE) AS nd FROM cells),
+      |grid AS (SELECT rt.a, ct.b, ra, cb,
+      |  CAST(coalesce(cells.observed, 0) AS BIGINT) AS observed
+      |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+      |e AS (SELECT a, b, observed,
+      |  CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / tot.nd AS expected
+      |  FROM grid CROSS JOIN tot)
+      |SELECT a AS o_orderpriority, b AS o_orderstatus, observed, expected,
+      |  (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
+      |    / expected AS chi2_term
+      |FROM e ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.chiSquare(Tables(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58)
 }

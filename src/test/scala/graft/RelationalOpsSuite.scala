@@ -649,4 +649,33 @@ class RelationalOpsSuite extends SparkSpec {
       .as[(String, Long, Double)].head()
     assert(rb == (("b", 2L, 0.5)), s"$rb")
   }
+
+  test("chiSquare: hand 2x2, zero cells present, independence=0, null rows dropped") {
+    import spark.implicits._
+    // 2x2: (x,p)=30 (x,q)=10 (y,p)=10 (y,q)=30 -> N=80, all marginals 40,
+    // every expected = 20, every term = 100/20 = 5
+    val rows = Seq.fill(30)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(30)(("y", "q"))
+    val r = Relational.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r.size == 4)
+    assert(r(("x", "p")) == (("x", "p", 30L, 20.0, 5.0)), s"${r(("x", "p"))}")
+    assert(r(("y", "p")) == (("y", "p", 10L, 20.0, 5.0)), s"${r(("y", "p"))}")
+    // a never-observed combination appears with observed=0 and positive term
+    val sparse = (Seq.fill(8)(("x", "p")) ++ Seq.fill(8)(("y", "q")) ++
+      Seq.fill(4)(("y", "p")) ++ Seq(("z", null: String))).toDF("a", "b")
+    val rs = Relational.chiSquare(sparse, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(rs.size == 4, s"grid must complete (null-b row dropped): ${rs.keySet}")
+    val zc = rs(("x", "q"))
+    val e = 8.0 * 8.0 / 20.0 // the operator's exact float expression shape
+    assert(zc._3 == 0L && zc._4 == e && zc._5 == (0.0 - e) * (0.0 - e) / e, s"$zc")
+    // perfectly proportional table -> every term exactly 0
+    val ind = (Seq.fill(6)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(3)(("y", "p")) ++ Seq.fill(1)(("y", "q"))).toDF("a", "b")
+    assert(Relational.chiSquare(ind, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect().forall(_._5 == 0.0))
+  }
 }
