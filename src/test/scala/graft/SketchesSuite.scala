@@ -125,6 +125,45 @@ class SketchesSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quantiles: exact while uncompacted, state carries across batches, per-key isolation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingQuantiles
+    implicit val sc = spark.sqlContext
+    val source = MemoryStream[(String, Double)]
+    // k=64 > total n per key: the sketch never compacts -> exact order stats
+    val out = StreamingQuantiles.runningQuantiles(
+      source.toDS(), ranks = Seq(0.5, 1.0), k = 64)
+    val query = out.writeStream.format("memory").queryName("qq_out")
+      .outputMode("append").start()
+    try {
+      source.addData((1 to 10).map(i => ("a", i.toDouble)) ++ Seq(("b", 100.0)): _*)
+      query.processAllAvailable()
+      def latest(): Map[(String, Double), (Long, Double)] =
+        spark.table("qq_out").as[StreamingQuantiles.QuantileRow].collect()
+          .groupBy(r => (r.key, r.rank))
+          .map { case (k, v) => k -> { val m = v.maxBy(_.n); (m.n, m.value) } }
+      val b1 = latest()
+      // inclusive rank: p50 of 1..10 is the 5th value
+      assert(b1(("a", 0.5)) == ((10L, 5.0)), s"$b1")
+      assert(b1(("a", 1.0)) == ((10L, 10.0)), s"$b1")
+      assert(b1(("b", 0.5)) == ((1L, 100.0)), s"$b1")
+      // second batch shifts a's distribution upward; b is untouched this
+      // batch (no re-emit) but its prior rows remain the latest
+      source.addData((11 to 20).map(i => ("a", i.toDouble)): _*)
+      query.processAllAvailable()
+      val b2 = latest()
+      assert(b2(("a", 0.5)) == ((20L, 10.0)), s"$b2") // median of 1..20
+      assert(b2(("a", 1.0)) == ((20L, 20.0)), s"$b2")
+      assert(b2(("b", 0.5)) == ((1L, 100.0)), s"$b2")
+      // streaming readout == batch sketch readout over the same data
+      val batch = Sketches.quantileSketchBuild(
+        (1 to 20).map(i => ("a", i.toDouble)).toDF("k", "v"), "v", Seq("k"), k = 64)
+      val est = Sketches.quantileEstimate(batch, Seq(0.5, 1.0))
+        .select("quantiles").as[Seq[Double]].head()
+      assert(est == Seq(b2(("a", 0.5))._2, b2(("a", 1.0))._2), s"$est")
+    } finally query.stop()
+  }
+
   test("frequent items: per-group isolation and rollup equivalence") {
     val df = (Seq.fill(10)(("g1", "x")) ++ Seq.fill(3)(("g1", "y")) ++
       Seq.fill(7)(("g2", "y"))).toDF("g", "item").repartition(3)
