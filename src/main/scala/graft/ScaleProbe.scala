@@ -37,6 +37,7 @@ object ScaleProbe {
     if (mode == "round6") { round6(spark, src, out, factor); spark.stop(); return }
     if (mode == "graph") { graph(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext") { ext(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext2") { ext2(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -436,5 +437,83 @@ object ScaleProbe {
     time("q49 kcore (3 rounds)")(
       graft.operators.Graph.kCorePeel(pairs, "item_a", "item_b",
         k = 80, rounds = 3).count())
+  }
+
+  /** Session additions at scale: the exact-moment statistics family
+    * (q55 corr / q56 gini / q57 hhi / q58 chi2 — fixed-size partial-agg
+    * outputs, expected FLAT-to-linear in rows), t19 burstiness
+    * (vocabulary-sized, two partial aggs), and d12 fuzzy matching, whose
+    * NAME UNIVERSE grows ×f (per-replica name variants) — the probe that
+    * matters, since the semantics are a quadratic pair join and the plan
+    * must stay near-linear through the gram-prefix candidates.
+    */
+  private def ext2(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Dedup, Relational, TextAnalysis}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxSk = li0.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    li0.select("l_suppkey", "l_quantity", "l_extendedprice").crossJoin(reps)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val or0 = spark.read.parquet(s"$src/orders.parquet")
+    val maxCk = or0.agg(max(col("o_custkey"))).head().getLong(0) + 1
+    or0.select("o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+      .crossJoin(reps)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val or = spark.read.parquet(s"$out/orders.parquet")
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    docs.select("doc_id", "text").crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"), col("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val d = spark.read.parquet(s"$out/documents.parquet")
+    // ×f DISTINCT name universe: each replica renames with a short suffix
+    // so lengths/grams vary and cross-replica names are near but distinct
+    val pt0 = spark.read.parquet(s"$src/part.parquet")
+    pt0.select("p_name").crossJoin(reps)
+      .select(concat(col("p_name"), lit(" r"), col("rep")).as("p_name"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    val pt = spark.read.parquet(s"$out/part.parquet")
+
+    println(s"[scale x$factor] lineitem=${li.count()} orders=${or.count()} " +
+      s"docs=${d.count()} partNames=${pt.select("p_name").distinct().count()}")
+    // suppliers ×f: |groups| grows with f, rows/group fixed — linear scan,
+    // output stays |groups|-sized
+    time("q55 corr")(
+      Relational.pearsonCorr(li, Seq("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), 1L, 100L).count())
+    // customers ×f inside 5 fixed segments: the rank window deepens ×f —
+    // the inherent per-group sort, parallel across segments
+    val spend = or.filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("_c"))
+      .groupBy("o_custkey").agg(sum("_c").cast("long").as("cents"))
+      .withColumn("seg", pmod(col("o_custkey"), lit(5)))
+    time("q56 gini")(
+      Relational.giniIndex(spend, Seq("seg"), col("cents"), col("o_custkey"),
+        scale = 1L).count())
+    // entities ×f in fixed groups: two partial aggs, |groups| rows out
+    time("q57 hhi")(
+      Relational.herfindahl(li.withColumn("g", pmod(col("l_suppkey"), lit(25))),
+        Seq("g"), col("l_suppkey"), col("l_extendedprice")).count())
+    // fixed 5×3 grid regardless of f: one partial agg + tiny grid join
+    time("q58 chi2")(
+      Relational.chiSquare(or, "o_orderpriority", "o_orderstatus").count())
+    // vocabulary fixed at 31 tokens: corpus-linear explode, tiny output
+    time("t19 burstiness")(
+      TextAnalysis.tokenBurstiness(d, "doc_id", "text").count())
+    // name universe ×f (the quadratic-semantics operator): candidate
+    // growth must track the matched-pair count, not |names|²
+    time("d12 fuzzy names")(
+      Dedup.fuzzyNamePairs(pt, "p_name", maxDist = 3).count())
   }
 }
