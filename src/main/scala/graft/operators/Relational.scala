@@ -850,4 +850,142 @@ object Relational {
         col("_sxx").cast("double") / (col("_sx").cast("double") * col("_sx").cast("double")))
       .select(gcols :+ col("n") :+ col("hhi"): _*)
   }
+
+  /** Time-series downsampling to OHLC bars (the resample/rollup step of
+    * metric and market-data pipelines): per (group, fixed time bucket),
+    * the first/highest/lowest/last value plus count and an exact total.
+    * Everything is ONE partial-agg groupBy — open/close are `min`/`max`
+    * over a (ts, value) STRUCT (lexicographic, so the map side keeps one
+    * candidate per bar per partition and ties at equal timestamps break
+    * on the value — a total order over the snapped units, deterministic
+    * on any engine), high/low are plain min/max, and the total is an
+    * exact long sum of integer units. No window, no sort; the shuffle
+    * carries |bars| rows regardless of points-per-bar — the reason this
+    * is aggregation and not the `first_value` window plan, which ships
+    * every tick to its bar's partition. Bucket is emitted as the bar's
+    * START MILLIS (ts − pmod(ts, bucketMillis) — pure long arithmetic;
+    * floor semantics for negative ts too since pmod is non-negative).
+    * Rows with a null group/ts/value drop before aggregation. Output:
+    * groupCols, bucket_ms, n, open, high, low, close, total — all value
+    * fields in snapped integer units (divide by `scale` downstream when
+    * display units are wanted; emitting the exact longs keeps the bars
+    * engine-portable).
+    */
+  def resample(df: DataFrame, groupCols: Seq[String], tsMillis: Column,
+      valueCol: Column, bucketMillis: Long, scale: Long = 100L): DataFrame = {
+    require(bucketMillis >= 1, "bucketMillis must be >= 1")
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val t = tsMillis.cast("long")
+    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val pts = df.select(gcols :+ t.as("_t") :+ v.as("_v"): _*)
+      .filter(col("_t").isNotNull && col("_v").isNotNull &&
+        gcols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
+      .withColumn("_b", col("_t") - pmod(col("_t"), lit(bucketMillis)))
+    pts.groupBy(gcols :+ col("_b").as("bucket_ms"): _*).agg(
+        count(lit(1)).cast("long").as("n"),
+        min(struct(col("_t"), col("_v"))).getField("_v").as("open"),
+        max(col("_v")).as("high"),
+        min(col("_v")).as("low"),
+        max(struct(col("_t"), col("_v"))).getField("_v").as("close"),
+        sum(col("_v")).cast("long").as("total"))
+  }
+
+  /** Equal-frequency binning (quantile bucketing — the feature-
+    * discretization / stratification step of dataset curation): assigns
+    * every row the index of its quantile bucket. The 100 TB point is the
+    * PLAN: the obvious `ntile(k)` window is one global sort of the
+    * corpus on a single partition chain; this instead computes the k−1
+    * exact cutpoints from a value HISTOGRAM (values snap to integer
+    * units, so the histogram is |distinct units| rows — bounded by the
+    * metric's domain, not the corpus; its cumulative window orders
+    * distinct values only), collects them as driver metadata (k−1
+    * longs), and assigns bins in a NARROW broadcast-literal pass over
+    * the corpus — no shuffle of the data at all when the source is
+    * already partitioned. Cutpoint c_p = smallest value whose cumulative
+    * count ≥ ceil(p·n) (the q16 inclusive criterion over exact integers
+    * — engine-portable, no interpolation); bin(v) = #{cutpoints < v} ∈
+    * [0, k−1], so each bucket holds its cutpoint's ties entirely (equal
+    * values NEVER split across bins — the property ntile lacks). Null
+    * values get a null bin and don't count toward n. Output: the input
+    * columns + `bin` (int) + `value_units` (the snapped long).
+    */
+  def quantileBins(df: DataFrame, valueCol: Column, probs: Seq[Double],
+      scale: Long = 100L, binName: String = "bin"): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "interior probabilities only (0 < p < 1)")
+    require(scale >= 1, "scale must be >= 1")
+    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val withV = df.withColumn("value_units", v)
+    val hist = withV.filter(col("value_units").isNotNull)
+      .groupBy("value_units").agg(count(lit(1)).cast("long").as("_c"))
+    val n = hist.agg(sum("_c")).head().getLong(0)
+    require(n > 0, "no non-null values to bin")
+    val wc = Window.orderBy("value_units")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("_c").over(wc))
+    val targets = probs.map(p => math.max(1L, math.ceil(p * n).toLong))
+    // one pass over the |distinct units| histogram picks every cutpoint
+    val cuts: Seq[Long] = {
+      val exprs = targets.zipWithIndex.map { case (t, i) =>
+        min(when(col("_cum") >= t, col("value_units"))).as(s"_q$i")
+      }
+      val agg = cum.agg(exprs.head, exprs.tail: _*).head()
+      targets.indices.map(agg.getLong)
+    }
+    val bin = cuts.map(c => when(col("value_units") > c, 1).otherwise(0))
+      .reduce(_ + _)
+    withV.withColumn(binName,
+      when(col("value_units").isNotNull, bin).cast("int"))
+  }
+
+  /** Two-sample A/B comparison per group (the experiment-readout /
+    * slice-drift primitive): Welch's unequal-variance t statistic
+    * between arms A and B of `armCol`, from exact integer moments — the
+    * q55 discipline at two arms: values snap to integer units, each
+    * arm's n/Σy/Σy² accumulate as exact long CONDITIONAL sums in ONE
+    * partial-agg pass (never one pass per arm), and every derived
+    * quantity — means, unbiased variances, the standard error, t — is a
+    * fixed double expression tree over those exact sums, bit-identical
+    * on any engine. Σy² accumulates in DECIMAL(38,0) (the herfindahl
+    * discipline — a cent-scale metric squares past long range at ~4k
+    * rows/group; decimal is exact, order-independent, and mirrors
+    * DuckDB's int128). Groups missing
+    * two observations on either arm, or with zero variance on both,
+    * are dropped (no t exists). Rows on other arms are filtered before
+    * aggregation. Output: groupCols, n_a, n_b, mean_a, mean_b (in
+    * `scale` units), t.
+    */
+  def abTest(df: DataFrame, groupCols: Seq[String], armCol: Column,
+      valueCol: Column, armA: String, armB: String,
+      scale: Long = 100L): DataFrame = {
+    require(armA != armB, "arms must differ")
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val y = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val pts = df.select(gcols :+ armCol.as("_arm") :+ y.as("_y"): _*)
+      .filter(col("_y").isNotNull && col("_arm").isin(armA, armB))
+    val yd = col("_y").cast("decimal(19,0)")
+    def armSum(arm: String, e: Column): Column =
+      sum(when(col("_arm") === arm, e))
+    val s = pts.groupBy(gcols: _*).agg(
+      sum(when(col("_arm") === armA, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("_arm") === armB, 1L).otherwise(0L)).cast("long").as("n_b"),
+      armSum(armA, col("_y")).cast("double").as("_sa"),
+      armSum(armB, col("_y")).cast("double").as("_sb"),
+      armSum(armA, yd * yd).cast("decimal(38,0)").cast("double").as("_ssa"),
+      armSum(armB, yd * yd).cast("decimal(38,0)").cast("double").as("_ssb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    s.filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("mean_a", col("_sa") / na)
+      .withColumn("mean_b", col("_sb") / nb)
+      .withColumn("_va", (col("_ssa") - col("_sa") * col("_sa") / na) / (na - lit(1.0)))
+      .withColumn("_vb", (col("_ssb") - col("_sb") * col("_sb") / nb) / (nb - lit(1.0)))
+      .withColumn("_se2", col("_va") / na + col("_vb") / nb)
+      .filter(col("_se2") > 0)
+      .withColumn("t", (col("mean_a") - col("mean_b")) / sqrt(col("_se2")))
+      .select(gcols ++ Seq(col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), col("t")): _*)
+  }
 }

@@ -1181,8 +1181,105 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderstatus")
   }
 
+  /** q59: hourly OHLC bars of event value per event type via
+    * [[graft.operators.Relational.resample]] — ONE partial-agg groupBy:
+    * open/close are min/max over a (ts, value) struct (lexicographic ⇒
+    * deterministic at tied timestamps), high/low plain min/max, total an
+    * exact long sum of micro-units (value ≤ ~561 in this corpus, so
+    * 10⁶-unit snapping keeps every sum far inside long range). The
+    * shuffle carries |bars| rows, never the tick stream — the window
+    * plan this replaces ships every event to its bar's partition.
+    */
+  val q59 = QueryDef(
+    "q59_resample",
+    """WITH e AS (SELECT event_type, epoch_ms(ts) AS tms,
+      |  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vu
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL),
+      |b AS (SELECT event_type,
+      |  tms - ((tms % 3600000) + 3600000) % 3600000 AS bucket_ms, tms, vu FROM e)
+      |SELECT event_type, bucket_ms, CAST(count(*) AS BIGINT) AS n,
+      |  (min({'t': tms, 'v': vu})).v AS open,
+      |  max(vu) AS high, min(vu) AS low,
+      |  (max({'t': tms, 'v': vu})).v AS close,
+      |  CAST(sum(vu) AS BIGINT) AS total
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.resample(Tables.events(s, dir),
+        Seq("event_type"), unix_millis(col("ts")), col("value"),
+        bucketMillis = 3600000L, scale = 1000000L)
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  /** q60: quartile binning of order totals via
+    * [[graft.operators.Relational.quantileBins]] — cutpoints from the
+    * cent-value histogram (|distinct cents| rows, never a corpus sort),
+    * then a NARROW broadcast-literal bin assignment; the oracle mirrors
+    * the same inclusive rank criterion with scalar subqueries. The probs
+    * (.25/.5/.75) are exactly binary-representable, so ceil(p·n) is the
+    * same integer on both engines.
+    */
+  val q60 = QueryDef(
+    "q60_bins",
+    """WITH v AS (SELECT o_orderkey,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vu
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |h AS (SELECT vu, count(*) AS c FROM v GROUP BY 1),
+      |cum AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM h),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |cuts AS (SELECT
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) FROM nn)) AS c0,
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) FROM nn)) AS c1,
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) FROM nn)) AS c2)
+      |SELECT o_orderkey, vu AS value_units,
+      |  CAST((CASE WHEN vu > c0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN vu > c1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN vu > c2 THEN 1 ELSE 0 END) AS INTEGER) AS bin
+      |FROM v CROSS JOIN cuts ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.quantileBins(
+        Tables(s, dir, "orders").filter(col("o_totalprice").isNotNull),
+        col("o_totalprice"), Seq(0.25, 0.5, 0.75), scale = 100L)
+      .select("o_orderkey", "value_units", "bin")
+      .orderBy("o_orderkey")
+  }
+
+  /** q61: Welch's t between fulfilled ('F') and open ('O') orders per
+    * priority via [[graft.operators.Relational.abTest]] — exact
+    * conditional integer moments in ONE partial-agg pass (Σy² in
+    * DECIMAL(38,0) against DuckDB's int128 — cent totals square past
+    * long range), then one fixed double tree for means/variances/t.
+    */
+  val q61 = QueryDef(
+    "q61_ab_test",
+    """WITH p AS (SELECT o_orderpriority AS prio, o_orderstatus AS arm,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F','O')),
+      |s AS (SELECT prio,
+      |  CAST(sum(CASE WHEN arm = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN arm = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN arm = 'F' THEN y END) AS DOUBLE) AS sa,
+      |  CAST(sum(CASE WHEN arm = 'O' THEN y END) AS DOUBLE) AS sb,
+      |  CAST(sum(CASE WHEN arm = 'F' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) END) AS DOUBLE) AS ssa,
+      |  CAST(sum(CASE WHEN arm = 'O' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) END) AS DOUBLE) AS ssb
+      |  FROM p GROUP BY 1),
+      |t AS (SELECT prio, n_a, n_b,
+      |  sa / CAST(n_a AS DOUBLE) AS mean_a, sb / CAST(n_b AS DOUBLE) AS mean_b,
+      |  (ssa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+      |  (ssb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+      |  FROM s WHERE n_a >= 2 AND n_b >= 2),
+      |u AS (SELECT prio, n_a, n_b, mean_a, mean_b,
+      |  va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2 FROM t)
+      |SELECT prio AS o_orderpriority, n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(se2) AS t
+      |FROM u WHERE se2 > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.abTest(Tables(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"),
+        armA = "F", armB = "O", scale = 100L)
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58)
+      q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
+      q61)
 }

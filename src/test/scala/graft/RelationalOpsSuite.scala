@@ -678,4 +678,79 @@ class RelationalOpsSuite extends SparkSpec {
     assert(Relational.chiSquare(ind, "a", "b")
       .as[(String, String, Long, Double, Double)].collect().forall(_._5 == 0.0))
   }
+
+  test("resample: hand bars, tied-ts tie-break, negative-ts floor, null drops") {
+    import spark.implicits._
+    // bucket=10ms; group g: bar 0 has ticks (1,5),(3,2),(7,9); bar 10 has (12,4)
+    def jl(x: Long): java.lang.Long = x
+    val df = Seq[(String, java.lang.Long, Double)](
+      ("g", jl(1), 5.0), ("g", jl(3), 2.0), ("g", jl(7), 9.0), ("g", jl(12), 4.0),
+      ("h", jl(5), 1.0), (null, jl(2), 3.0), ("g", null, 8.0)).toDF("g", "t", "v")
+    val r = Relational.resample(df, Seq("g"), col("t"), col("v"),
+        bucketMillis = 10L, scale = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r.size == 3) // null group and null ts dropped
+    assert(r(("g", 0L)) == (("g", 0L, 3L, 5L, 9L, 2L, 9L, 16L)))
+    assert(r(("g", 10L)) == (("g", 10L, 1L, 4L, 4L, 4L, 4L, 4L)))
+    assert(r(("h", 0L)) == (("h", 0L, 1L, 1L, 1L, 1L, 1L, 1L)))
+    // ties at the same ts: open takes the SMALLER value, close the LARGER
+    // (lexicographic struct order) — deterministic, engine-portable
+    val tied = Seq(("g", 5L, 7.0), ("g", 5L, 3.0)).toDF("g", "t", "v")
+    val rt = Relational.resample(tied, Seq("g"), col("t"), col("v"), 10L, 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(rt._4 == 3L && rt._7 == 7L, s"tie-break open/close: $rt")
+    // negative ts floors to the bar BELOW (pmod is non-negative)
+    val neg = Seq(("g", -3L, 1.0)).toDF("g", "t", "v")
+    val rn = Relational.resample(neg, Seq("g"), col("t"), col("v"), 10L, 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(rn._2 == -10L, s"negative floor: $rn")
+  }
+
+  test("quantileBins: hand quartiles, tie clustering, null bin, validation") {
+    import spark.implicits._
+    // 1..8 at quartiles: cuts at ranks 2/4/6 -> values 2/4/6; bins 0..3
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val r = Relational.quantileBins(df, col("v"), Seq(0.25, 0.5, 0.75), scale = 1L)
+      .select("value_units", "bin").as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2,
+      7L -> 3, 8L -> 3))
+    // equal values never split across bins: all ties land in bin 0
+    val flat = Seq.fill(100)(5.0).toDF("v")
+    val rf = Relational.quantileBins(flat, col("v"), Seq(0.5), scale = 1L)
+      .select("bin").as[Int].collect()
+    assert(rf.forall(_ == 0) && rf.length == 100)
+    // null values pass through with a null bin and don't count toward n
+    val withNull = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, null).toDF("v")
+    val rWithNull = Relational.quantileBins(withNull, col("v"), Seq(0.5), scale = 1L)
+      .select("bin").collect().map(row => Option(row.get(0)))
+    assert(rWithNull.count(_.isEmpty) == 1 && rWithNull.count(_.isDefined) == 4)
+    intercept[IllegalArgumentException] {
+      Relational.quantileBins(df, col("v"), Seq(0.5, 1.0), scale = 1L)
+    }
+  }
+
+  test("abTest: hand t, zero-variance pair dropped, small arms dropped, arm filter") {
+    import spark.implicits._
+    // A: 10,12,14 (mean 12, var 4); B: 10,10,10 (var 0) -> se2=4/3,
+    // t = 2 / sqrt(4/3); a third arm C must not contaminate the moments
+    val df = Seq(("g", "A", 10.0), ("g", "A", 12.0), ("g", "A", 14.0),
+      ("g", "B", 10.0), ("g", "B", 10.0), ("g", "B", 10.0),
+      ("g", "C", 999.0)).toDF("grp", "arm", "v")
+    val r = Relational.abTest(df, Seq("grp"), col("arm"), col("v"),
+        "A", "B", scale = 1L)
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(r._2 == 3L && r._3 == 3L && r._4 == 12.0 && r._5 == 10.0)
+    assert(r._6 == 2.0 / math.sqrt(4.0 / 3.0), s"t: $r")
+    // both arms zero variance -> se2 = 0 -> no t, group dropped
+    val zv = Seq(("g", "A", 5.0), ("g", "A", 5.0), ("g", "B", 7.0),
+      ("g", "B", 7.0)).toDF("grp", "arm", "v")
+    assert(Relational.abTest(zv, Seq("grp"), col("arm"), col("v"), "A", "B",
+      scale = 1L).count() == 0)
+    // an arm with n < 2 drops the group
+    val small = Seq(("g", "A", 1.0), ("g", "B", 2.0), ("g", "B", 3.0))
+      .toDF("grp", "arm", "v")
+    assert(Relational.abTest(small, Seq("grp"), col("arm"), col("v"), "A", "B",
+      scale = 1L).count() == 0)
+  }
 }
