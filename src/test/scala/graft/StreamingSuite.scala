@@ -427,4 +427,46 @@ class StreamingSuite extends SparkSpec {
       assert(got == Seq((1L, 11L, "replayed"), (2L, 7L, "kept")), got.toString)
     } finally query.stop()
   }
+
+  test("streaming anomaly: prequential baseline across and within batches, warm-up, isolation") {
+    import spark.implicits._
+    import graft.streaming.StreamingAnomaly
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Double)]
+    val out = StreamingAnomaly.anomalies(source.toDS(), threshold = 3.0,
+      minN = 10L, scale = 1L)
+    val query = out.writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // warm-up: every value's baseline has n < minN -> nothing flags,
+      // state still accumulates (n=10, s=110, ss=1220 -> var = 10/9)
+      source.addData((1 to 5).flatMap(_ => Seq(("a", 10.0), ("a", 12.0))): _*)
+      query.processAllAvailable()
+      def rows() = spark.table("anom_out").as[StreamingAnomaly.AnomalyRow].collect()
+      assert(rows().isEmpty, rows().mkString(","))
+      // two identical spikes in ONE batch: the first judges against the
+      // 10-value baseline (z = 89/sqrt(10/9)), the second against a
+      // baseline ALREADY containing the first (nPrior 11) — the
+      // within-batch prequential fold; identical values make the
+      // assertion independent of intra-batch iterator order. The cold
+      // key b stays silent (warming), proving per-key isolation.
+      source.addData(("a", 100.0), ("a", 100.0), ("b", 50.0))
+      query.processAllAvailable()
+      val r2 = rows()
+      assert(r2.length == 2 && r2.forall(r => r.key == "a" && r.value == 100.0), r2.mkString(","))
+      assert(r2.map(_.nPrior).toSet == Set(10L, 11L), r2.mkString(","))
+      val z10 = r2.find(_.nPrior == 10L).get.z
+      assert(math.abs(z10 - 89.0 / math.sqrt(10.0 / 9.0)) < 1e-9, s"$z10")
+      // a value near the new running mean does not flag
+      source.addData(("a", 19.0))
+      query.processAllAvailable()
+      assert(rows().length == 2, rows().mkString(","))
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      StreamingAnomaly.anomalies(source.toDS(), threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingAnomaly.anomalies(source.toDS(), minN = 1L)
+    }
+  }
 }
