@@ -988,4 +988,48 @@ object Relational {
       .select(gcols ++ Seq(col("n_a"), col("n_b"), col("mean_a"),
         col("mean_b"), col("t")): _*)
   }
+
+  /** Pareto concentration rank per group (the "how many suppliers make
+    * 80% of revenue" / "how many domains make 80% of the corpus"
+    * question of source analysis): the smallest number of entities,
+    * taken largest-first, whose cumulative value reaches num/den of the
+    * group total. ENTIRELY integer arithmetic — the crossing test is
+    * den·cumsum ≥ num·total over exact longs, so there is NO float
+    * threshold to disagree across engines (0.8·total as a double would).
+    * Entity totals are exact long sums of snapped units; the
+    * largest-first ranking is a window partitioned by the GROUP columns
+    * with (value desc, entity) total order — parallelism = groups, and
+    * the per-group sort is inherent to the order statistic. One agg
+    * closes it: n_entities, total, and the min crossing rank. Product
+    * bound: den·total must fit a long (den ≤ 10 and cent totals ≤ 10¹⁷
+    * hold everywhere sane). Output: groupCols, n_entities, total,
+    * n_to_threshold.
+    */
+  def paretoRank(df: DataFrame, groupCols: Seq[String], entityCol: Column,
+      valueCol: Column, num: Long = 4L, den: Long = 5L,
+      scale: Long = 100L): DataFrame = {
+    require(num >= 1 && num < den, s"need 0 < num/den < 1, got $num/$den")
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val perEntity = df.select(gcols :+ entityCol.as("_e") :+ v.as("_v"): _*)
+      .filter(col("_v").isNotNull && col("_v") >= 0)
+      .groupBy(gcols :+ col("_e"): _*)
+      .agg(sum(col("_v")).cast("long").as("_x"))
+    val w = Window.partitionBy(gcols: _*)
+      .orderBy(col("_x").desc, col("_e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(gcols: _*).orderBy(col("_x").desc, col("_e"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranked = perEntity
+      .withColumn("_cum", sum(col("_x")).over(w).cast("long"))
+      .withColumn("_tot", sum(col("_x")).over(wAll).cast("long"))
+      .withColumn("_rk", row_number().over(wr).cast("long"))
+    ranked.groupBy(gcols: _*).agg(
+        count(lit(1)).cast("long").as("n_entities"),
+        max(col("_tot")).as("total"),
+        min(when(col("_cum") * lit(den) >= col("_tot") * lit(num), col("_rk")))
+          .as("n_to_threshold"))
+      .filter(col("total") > 0)
+  }
 }

@@ -1277,9 +1277,122 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** q62: RFM customer scoring — the classic curation/marketing
+    * stratification, here to prove [[graft.operators.Relational.quantileBins]]
+    * COMPOSES: one partial-agg pass builds per-customer recency (days
+    * before the corpus max order day — a driver scalar / oracle scalar
+    * subquery, the t18 pattern), frequency and exact cent spend, the
+    * base materializes ONCE (localCheckpoint — three binning passes and
+    * the final projection all read it), and each metric gets quintile
+    * bins from its value histogram + a narrow broadcast-literal pass —
+    * never an ntile corpus sort. The quintile probs aren't binary-exact,
+    * so the oracle forces CAST(p AS DOUBLE) to make ceil(p·n) the same
+    * IEEE product on both engines.
+    */
+  val q62 = QueryDef(
+    "q62_rfm",
+    """WITH day0 AS (SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01',
+      |    max(o_orderdate)) AS BIGINT) AS ref FROM orders WHERE o_orderdate IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |base AS (SELECT o_custkey,
+      |  (SELECT ref FROM day0)
+      |    - max(CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)) AS r_days,
+      |  CAST(count(*) AS BIGINT) AS f,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      |rh AS (SELECT r_days AS vu, count(*) AS c FROM base GROUP BY 1),
+      |rc AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM rh),
+      |fh AS (SELECT f AS vu, count(*) AS c FROM base GROUP BY 1),
+      |fc AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM fh),
+      |mh AS (SELECT m_cents AS vu, count(*) AS c FROM base GROUP BY 1),
+      |mc AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM mh),
+      |cuts AS (SELECT
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r0,
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r1,
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r2,
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r3,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f0,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f1,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f2,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f3,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m0,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m1,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m2,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m3)
+      |SELECT o_custkey, r_days, f, m_cents,
+      |  CAST((CASE WHEN r_days > r0 THEN 1 ELSE 0 END) + (CASE WHEN r_days > r1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN r_days > r2 THEN 1 ELSE 0 END) + (CASE WHEN r_days > r3 THEN 1 ELSE 0 END) AS INTEGER) AS r_bin,
+      |  CAST((CASE WHEN f > f0 THEN 1 ELSE 0 END) + (CASE WHEN f > f1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN f > f2 THEN 1 ELSE 0 END) + (CASE WHEN f > f3 THEN 1 ELSE 0 END) AS INTEGER) AS f_bin,
+      |  CAST((CASE WHEN m_cents > m0 THEN 1 ELSE 0 END) + (CASE WHEN m_cents > m1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN m_cents > m2 THEN 1 ELSE 0 END) + (CASE WHEN m_cents > m3 THEN 1 ELSE 0 END) AS INTEGER) AS m_bin
+      |FROM base CROSS JOIN cuts ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+      .cast("long")
+    val orders = Tables(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+    val refDay = orders.agg(max(day)).head().getLong(0)
+    val base = orders.groupBy("o_custkey").agg(
+        (lit(refDay) - max(day)).as("r_days"),
+        count(lit(1)).cast("long").as("f"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .cast("long").as("m_cents"))
+      .localCheckpoint()
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val binned = Seq(("r_days", "r_bin"), ("f", "f_bin"), ("m_cents", "m_bin"))
+      .foldLeft(base) { case (df, (metric, bin)) =>
+        graft.operators.Relational.quantileBins(df, col(metric), ps,
+          scale = 1L, binName = bin).drop("value_units")
+      }
+    binned.select("o_custkey", "r_days", "f", "m_cents", "r_bin", "f_bin", "m_bin")
+      .orderBy("o_custkey")
+  }
+
+  /** q63: Pareto concentration per nation via
+    * [[graft.operators.Relational.paretoRank]] — the 80/20 readout "how
+    * many suppliers make 80% of revenue", with the crossing test in PURE
+    * integer arithmetic (5·cumsum ≥ 4·total over exact longs — no float
+    * threshold to disagree across engines); per-supplier totals exact
+    * cents, ranking largest-first within nation ((revenue desc, suppkey)
+    * total order, parallelism = nations), nation dim join BROADCAST.
+    */
+  val q63 = QueryDef(
+    "q63_pareto",
+    """WITH x AS (SELECT s_nationkey, l_suppkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE l_extendedprice IS NOT NULL
+      |    AND CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) >= 0
+      |  GROUP BY 1, 2),
+      |r AS (SELECT s_nationkey, v,
+      |  CAST(sum(v) OVER (PARTITION BY s_nationkey ORDER BY v DESC, l_suppkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  CAST(sum(v) OVER (PARTITION BY s_nationkey) AS BIGINT) AS tot,
+      |  CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY v DESC, l_suppkey) AS BIGINT) AS rk
+      |  FROM x),
+      |s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_entities,
+      |  max(tot) AS total,
+      |  min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS n_to_threshold
+      |  FROM r GROUP BY 1)
+      |SELECT n_name, n_entities, total, n_to_threshold
+      |FROM s JOIN nation ON s_nationkey = n_nationkey
+      |WHERE total > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    graft.operators.Relational.paretoRank(li, Seq("s_nationkey"),
+        col("l_suppkey"), col("l_extendedprice"), num = 4L, den = 5L,
+        scale = 100L)
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "n_entities", "total", "n_to_threshold")
+      .orderBy("n_name")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61)
+      q61, q62, q63)
 }

@@ -753,4 +753,30 @@ class RelationalOpsSuite extends SparkSpec {
     assert(Relational.abTest(small, Seq("grp"), col("arm"), col("v"), "A", "B",
       scale = 1L).count() == 0)
   }
+
+  test("paretoRank: hand crossing, exact-boundary integer test, uniform group, zero total") {
+    import spark.implicits._
+    // g: values 50,30,10,10 (total 100); 80% crossing: 50 no (250<400),
+    // 50+30=80 -> 5*80=400 >= 4*100 EXACTLY -> n_to_threshold=2 (the
+    // integer form gets the boundary right; 0.8*100 as a float might not)
+    val df = Seq(("g", "e1", 50.0), ("g", "e2", 30.0), ("g", "e3", 10.0),
+      ("g", "e4", 10.0), ("u", "e1", 5.0), ("u", "e2", 5.0), ("u", "e3", 5.0),
+      ("z", "e1", 0.0)).toDF("grp", "e", "v")
+    val r = Relational.paretoRank(df, Seq("grp"), col("e"), col("v"),
+        num = 4L, den = 5L, scale = 1L)
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r.size == 2, s"zero-total group must drop: ${r.keySet}")
+    assert(r("g") == (("g", 4L, 100L, 2L)), s"${r("g")}")
+    // uniform: 3 entities of 5 -> cum 10/15 at rank 2 is 66% < 80%, rank 3
+    assert(r("u") == (("u", 3L, 15L, 3L)), s"${r("u")}")
+    // per-row negative values are out of domain and dropped pre-agg
+    val neg = Seq(("g", "e1", 10.0), ("g", "e1", -4.0), ("g", "e2", 2.0))
+      .toDF("grp", "e", "v")
+    val rn = Relational.paretoRank(neg, Seq("grp"), col("e"), col("v"),
+      num = 1L, den = 2L, scale = 1L).as[(String, Long, Long, Long)].head()
+    assert(rn == (("g", 2L, 12L, 1L)), s"$rn")
+    intercept[IllegalArgumentException] {
+      Relational.paretoRank(df, Seq("grp"), col("e"), col("v"), num = 5L, den = 5L)
+    }
+  }
 }
