@@ -820,6 +820,48 @@ object Relational {
         col("observed"), col("expected"), col("chi2_term"))
   }
 
+  /** Pointwise mutual-information scan between two categorical columns —
+    * the information-theoretic companion to [[chiSquare]] (chi² asks "is
+    * there dependence?", MI asks "how many bits/nats does knowing A give
+    * about B?", and the per-cell terms localize WHICH combinations carry
+    * it): for each observed (a, b) cell, pmi = ln(N·n_ab / (n_a·n_b))
+    * and the MI contribution (n_ab/N)·pmi. Same plan as chiSquare — one
+    * partial-agg cell pass, marginals DERIVED from the cell table (never
+    * a second corpus scan), N a driver scalar — but over the OBSERVED
+    * support only: a zero cell's MI contribution is exactly 0 (x·ln x →
+    * 0), so the grid completion chi² needs would only add zero rows
+    * here. Counts are exact longs; pmi and the contribution are fixed
+    * double trees (casts exact below 2^53, ln shared by engines — the
+    * t17/t18 precedent), and NO float total is emitted (t18's contract:
+    * downstream sums mi_term when the scalar MI is wanted; Σ is ≥ 0 by
+    * Gibbs even though individual pmi terms are signed). Output: aCol,
+    * bCol, n_ab, pmi, mi_term.
+    */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy("_a", "_b").agg(count(lit(1)).cast("long").as("n_ab"))
+      .localCheckpoint(true)
+    val rowT = cells.groupBy("_a").agg(sum("n_ab").cast("long").as("_na"))
+    val colT = cells.groupBy("_b").agg(sum("n_ab").cast("long").as("_nb"))
+    val nRow = cells.agg(sum("n_ab")).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    if (n == 0L) {
+      return cells.select(col("_a").as(aCol), col("_b").as(bCol), col("n_ab"),
+        lit(0.0).as("pmi"), lit(0.0).as("mi_term"))
+    }
+    val nd = lit(n.toDouble)
+    val pmi = log(nd * col("n_ab").cast("double") /
+      (col("_na").cast("double") * col("_nb").cast("double")))
+    cells
+      .join(broadcast(rowT), "_a")
+      .join(broadcast(colT), "_b")
+      .withColumn("pmi", pmi)
+      .withColumn("mi_term", col("n_ab").cast("double") / nd * col("pmi"))
+      .select(col("_a").as(aCol), col("_b").as(bCol), col("n_ab"),
+        col("pmi"), col("mi_term"))
+  }
+
   /** Per-group Herfindahl–Hirschman concentration index over per-entity
     * totals (market/supplier concentration; in pipeline terms, "is this
     * slice dominated by one source?"): HHI = Σ sᵢ² = Σxᵢ² / (Σxᵢ)². The

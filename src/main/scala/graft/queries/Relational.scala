@@ -1390,9 +1390,34 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** q64: pointwise mutual information (returnflag × linestatus) via
+    * [[graft.operators.Relational.mutualInfo]] — the chiSquare plan
+    * (one cell pass, derived marginals, scalar N) over the observed
+    * support, per-cell pmi + MI contribution as fixed double trees,
+    * no float total (t18's contract).
+    */
+  val q64 = QueryDef(
+    "q64_mutual_info",
+    """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+      |  CAST(count(*) AS BIGINT) AS n_ab FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS na FROM cells GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS nd FROM cells),
+      |e AS (SELECT a, b, n_ab,
+      |  ln(nd * CAST(n_ab AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS pmi,
+      |  nd FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
+      |SELECT a AS l_returnflag, b AS l_linestatus, n_ab, pmi,
+      |  CAST(n_ab AS DOUBLE) / nd * pmi AS mi_term
+      |FROM e ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.mutualInfo(Tables(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63)
+      q61, q62, q63, q64)
 }

@@ -779,4 +779,32 @@ class RelationalOpsSuite extends SparkSpec {
       Relational.paretoRank(df, Seq("grp"), col("e"), col("v"), num = 5L, den = 5L)
     }
   }
+
+  test("mutualInfo: independence=0, deterministic coupling=ln2, signed pmi, null drops") {
+    import spark.implicits._
+    // perfectly proportional table -> every pmi and mi_term exactly 0
+    // (the ratio N*n_ab/(n_a*n_b) is exactly 1 -> ln(1.0) == 0.0)
+    val ind = (Seq.fill(6)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(3)(("y", "p")) ++ Seq.fill(1)(("y", "q"))).toDF("a", "b")
+    val ri = Relational.mutualInfo(ind, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(ri.length == 4 && ri.forall(r => r._4 == 0.0 && r._5 == 0.0),
+      ri.mkString(","))
+    // deterministic coupling over two equiprobable symbols: MI = ln 2,
+    // each of the two observed cells contributes exactly ln(2)/2
+    val det = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q")) ++
+      Seq(("z", null: String))).toDF("a", "b")
+    val rd = Relational.mutualInfo(det, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rd.length == 2, s"null-b row must drop: ${rd.mkString(",")}")
+    assert(rd.forall(r => r._4 == math.log(2.0) && r._5 == 0.5 * math.log(2.0)),
+      rd.mkString(","))
+    // anti-associated observed cell: pmi < 0 while total MI stays >= 0
+    val skew = (Seq.fill(8)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(2)(("y", "p")) ++ Seq.fill(8)(("y", "q"))).toDF("a", "b")
+    val rs = Relational.mutualInfo(skew, "a", "b")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(rs.find(r => r._1 == "x" && r._2 == "q").get._4 < 0.0)
+    assert(rs.map(_._5).sum > 0.0)
+  }
 }
