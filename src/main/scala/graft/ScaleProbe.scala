@@ -38,6 +38,7 @@ object ScaleProbe {
     if (mode == "graph") { graph(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext") { ext(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext2") { ext2(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext3") { ext3(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -515,5 +516,89 @@ object ScaleProbe {
     // growth must track the matched-pair count, not |names|²
     time("d12 fuzzy names")(
       Dedup.fuzzyNamePairs(pt, "p_name", maxDist = 3).count())
+  }
+
+  /** Third extension sweep: q59 resample (ticks ×f into a FIXED bar
+    * grid — the designed-for flat shape), q60 bins (corpus ×f under a
+    * fixed value domain: histogram work constant, assignment narrow),
+    * q61 A/B + q64 MI (fixed-size partial-agg outputs), q62 RFM
+    * (customer universe ×f: base, histograms and bins all grow), and
+    * q63 pareto (suppliers ×f inside 25 fixed groups — the rank window
+    * deepens; the inherent per-group sort, parallel across groups).
+    */
+  private def ext3(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.Relational
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val ev0 = graft.sources.Tables.events(spark, src)
+      .select(unix_millis(col("ts")).as("tms"), col("event_type"),
+        col("value"), col("event_id"))
+    val maxEid = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEid)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events_flat.parquet")
+    val ev = spark.read.parquet(s"$out/events_flat.parquet")
+    val or0 = spark.read.parquet(s"$src/orders.parquet")
+    val maxCk = or0.agg(max(col("o_custkey"))).head().getLong(0) + 1
+    or0.select("o_custkey", "o_totalprice", "o_orderpriority", "o_orderstatus",
+        "o_orderdate", "o_orderkey")
+      .crossJoin(reps)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val or = spark.read.parquet(s"$out/orders.parquet")
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+    val maxSk = li0.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    li0.select("l_suppkey", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .crossJoin(reps)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    println(s"[scale x$factor] events=${ev.count()} orders=${or.count()} " +
+      s"lineitem=${li.count()}")
+
+    // ticks ×f, bars fixed: shuffle carries |bars| rows either way
+    time("q59 resample")(
+      Relational.resample(ev, Seq("event_type"), col("tms"), col("value"),
+        bucketMillis = 3600000L, scale = 1000000L).count())
+    // corpus ×f, cent domain fixed: histogram constant, assignment narrow
+    time("q60 bins")(
+      Relational.quantileBins(or.filter(col("o_totalprice").isNotNull),
+        col("o_totalprice"), Seq(0.25, 0.5, 0.75), scale = 100L).count())
+    // 5 fixed groups regardless of f: one conditional partial agg
+    time("q61 abtest")(
+      Relational.abTest(or, Seq("o_orderpriority"), col("o_orderstatus"),
+        col("o_totalprice"), "F", "O", scale = 100L).count())
+    // customer universe ×f: base partial agg + three histogram binnings
+    time("q62 rfm") {
+      val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+      val o = or.filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      val refDay = o.agg(max(day)).head().getLong(0)
+      val base = o.groupBy("o_custkey").agg(
+          (lit(refDay) - max(day)).as("r_days"),
+          count(lit(1)).cast("long").as("f"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("long").as("m_cents"))
+        .localCheckpoint()
+      val ps = Seq(0.2, 0.4, 0.6, 0.8)
+      Seq(("r_days", "r_bin"), ("f", "f_bin"), ("m_cents", "m_bin"))
+        .foldLeft(base) { case (df, (m, b)) =>
+          Relational.quantileBins(df, col(m), ps, scale = 1L, binName = b)
+            .drop("value_units")
+        }.count()
+    }
+    // suppliers ×f inside 25 fixed groups: the rank window deepens ×f
+    time("q63 pareto")(
+      Relational.paretoRank(li.withColumn("g", pmod(col("l_suppkey"), lit(25))),
+        Seq("g"), col("l_suppkey"), col("l_extendedprice"),
+        num = 4L, den = 5L, scale = 100L).count())
+    // grid fixed at |flags|×|statuses| regardless of f
+    time("q64 mi")(
+      Relational.mutualInfo(li, "l_returnflag", "l_linestatus").count())
   }
 }
