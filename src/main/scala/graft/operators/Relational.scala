@@ -959,26 +959,60 @@ object Relational {
     require(scale >= 1, "scale must be >= 1")
     val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
     val withV = df.withColumn("value_units", v)
-    val hist = withV.filter(col("value_units").isNotNull)
-      .groupBy("value_units").agg(count(lit(1)).cast("long").as("_c"))
-    val n = hist.agg(sum("_c")).head().getLong(0)
-    require(n > 0, "no non-null values to bin")
-    val wc = Window.orderBy("value_units")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("_cum", sum("_c").over(wc))
-    val targets = probs.map(p => math.max(1L, math.ceil(p * n).toLong))
-    // one pass over the |distinct units| histogram picks every cutpoint
-    val cuts: Seq[Long] = {
-      val exprs = targets.zipWithIndex.map { case (t, i) =>
-        min(when(col("_cum") >= t, col("value_units"))).as(s"_q$i")
-      }
-      val agg = cum.agg(exprs.head, exprs.tail: _*).head()
-      targets.indices.map(agg.getLong)
-    }
+    val cuts = histogramCutpoints(withV, probs)
     val bin = cuts.map(c => when(col("value_units") > c, 1).otherwise(0))
       .reduce(_ + _)
     withV.withColumn(binName,
       when(col("value_units").isNotNull, bin).cast("int"))
+  }
+
+  /** Shared cutpoint engine of [[quantileBins]] / [[winsorize]]: exact
+    * rank-selection cutpoints (c_p = smallest value with cumulative
+    * count ≥ max(1, ceil(p·n)) — the q16 inclusive criterion) computed
+    * from the `value_units` HISTOGRAM, |distinct units| rows; the
+    * cumulative window orders distinct values, never the corpus. One
+    * final agg picks EVERY cutpoint in a single pass; k longs return as
+    * driver metadata.
+    */
+  private def histogramCutpoints(withV: DataFrame, probs: Seq[Double]): Seq[Long] = {
+    val hist = withV.filter(col("value_units").isNotNull)
+      .groupBy("value_units").agg(count(lit(1)).cast("long").as("_c"))
+    val n = hist.agg(sum("_c")).head().getLong(0)
+    require(n > 0, "no non-null values")
+    val wc = Window.orderBy("value_units")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("_c").over(wc))
+    val targets = probs.map(p => math.max(1L, math.ceil(p * n).toLong))
+    val exprs = targets.zipWithIndex.map { case (t, i) =>
+      min(when(col("_cum") >= t, col("value_units"))).as(s"_q$i")
+    }
+    val agg = cum.agg(exprs.head, exprs.tail: _*).head()
+    targets.indices.map(agg.getLong)
+  }
+
+  /** Percentile winsorization (outlier clipping — the robust-statistics
+    * data-cleaning staple: cap a heavy-tailed metric at its p-lo/p-hi
+    * quantiles instead of dropping rows): exact cutpoints from the
+    * value histogram ([[histogramCutpoints]] — never a corpus sort),
+    * then a NARROW clamp pass, greatest(lo, least(hi, v)) over exact
+    * integer units — no floats anywhere, so the clip boundary is
+    * decided identically on any engine. Null values pass through with a
+    * null clipped column and don't count toward n. Output: the input
+    * columns + `value_units` + `clipped` (both snapped longs).
+    */
+  def winsorize(df: DataFrame, valueCol: Column, pLo: Double, pHi: Double,
+      scale: Long = 100L): DataFrame = {
+    require(pLo > 0 && pHi < 1 && pLo < pHi,
+      s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
+    require(scale >= 1, "scale must be >= 1")
+    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val withV = df.withColumn("value_units", v)
+    val Seq(lo, hi) = histogramCutpoints(withV, Seq(pLo, pHi))
+    // explicit null gate: Spark's greatest/least IGNORE nulls (a null
+    // value would clamp to [lo, hi] instead of passing through)
+    withV.withColumn("clipped",
+      when(col("value_units").isNotNull,
+        greatest(lit(lo), least(lit(hi), col("value_units")))))
   }
 
   /** Two-sample A/B comparison per group (the experiment-readout /

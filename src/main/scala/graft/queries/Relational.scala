@@ -1415,9 +1415,59 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q65: percentile winsorization of the heavy-tailed event value via
+    * [[graft.operators.Relational.winsorize]] — exact histogram
+    * cutpoints (cent precision bounds the histogram by the value
+    * DOMAIN, not the corpus), then a narrow integer clamp; no floats
+    * anywhere in the clip decision.
+    */
+  val q65 = QueryDef(
+    "q65_winsorize",
+    """WITH v AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vu
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT vu, count(*) AS c FROM v GROUP BY 1),
+      |cum AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM h),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |cuts AS (SELECT
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS lo,
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS hi)
+      |SELECT event_id, vu AS value_units, greatest(lo, least(hi, vu)) AS clipped
+      |FROM v CROSS JOIN cuts ORDER BY event_id""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.winsorize(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select("event_id", "value"),
+        col("value"), pLo = 0.05, pHi = 0.95, scale = 100L)
+      .select("event_id", "value_units", "clipped")
+      .orderBy("event_id")
+  }
+
+  /** q66: pivoted revenue matrix (priority × status) — the DataFrame
+    * `pivot` API in the verified lane with an EXPLICIT column list (an
+    * inferred pivot would scan once just to learn the columns, and
+    * column ORDER would depend on data); cells are exact cent sums, a
+    * combination that never occurs is a null cell on both engines.
+    */
+  val q66 = QueryDef(
+    "q66_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS P
+      |FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+      .withColumn("_cents",
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("_cents").cast("long"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64)
+      q61, q62, q63, q64, q65, q66)
 }

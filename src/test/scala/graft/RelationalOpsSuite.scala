@@ -807,4 +807,23 @@ class RelationalOpsSuite extends SparkSpec {
     assert(rs.find(r => r._1 == "x" && r._2 == "q").get._4 < 0.0)
     assert(rs.map(_._5).sum > 0.0)
   }
+
+  test("winsorize: hand clip bounds, interior untouched, nulls pass through, validation") {
+    import spark.implicits._
+    // 1..20 at (0.1, 0.9): cuts at ranks 2/18 -> lo=2, hi=18
+    val df = (1 to 20).map(_.toDouble).toDF("v")
+    val r = Relational.winsorize(df, col("v"), 0.1, 0.9, scale = 1L)
+      .select("value_units", "clipped").as[(Long, Long)].collect().toMap
+    assert(r(1L) == 2L && r(2L) == 2L && r(3L) == 3L)
+    assert(r(18L) == 18L && r(19L) == 18L && r(20L) == 18L)
+    assert((3 to 18).forall(i => r(i.toLong) == i.toLong))
+    // null values keep a null clipped column and don't count toward n
+    val withNull = Seq[java.lang.Double](1.0, 2.0, 3.0, null).toDF("v")
+    val rn = Relational.winsorize(withNull, col("v"), 0.3, 0.7, scale = 1L)
+      .select("clipped").collect().map(row => Option(row.get(0)))
+    assert(rn.count(_.isEmpty) == 1 && rn.count(_.isDefined) == 3)
+    intercept[IllegalArgumentException] {
+      Relational.winsorize(df, col("v"), 0.9, 0.1, scale = 1L)
+    }
+  }
 }
