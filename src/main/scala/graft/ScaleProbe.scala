@@ -573,25 +573,11 @@ object ScaleProbe {
     time("q61 abtest")(
       Relational.abTest(or, Seq("o_orderpriority"), col("o_orderstatus"),
         col("o_totalprice"), "F", "O", scale = 100L).count())
-    // customer universe ×f: base partial agg + three histogram binnings
-    time("q62 rfm") {
-      val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
-        .cast("long")
-      val o = or.filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
-      val refDay = o.agg(max(day)).head().getLong(0)
-      val base = o.groupBy("o_custkey").agg(
-          (lit(refDay) - max(day)).as("r_days"),
-          count(lit(1)).cast("long").as("f"),
-          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
-            .cast("long").as("m_cents"))
-        .localCheckpoint()
-      val ps = Seq(0.2, 0.4, 0.6, 0.8)
-      Seq(("r_days", "r_bin"), ("f", "f_bin"), ("m_cents", "m_bin"))
-        .foldLeft(base) { case (df, (m, b)) =>
-          Relational.quantileBins(df, col(m), ps, scale = 1L, binName = b)
-            .drop("value_units")
-        }.count()
-    }
+    // customer universe ×f: base partial agg + three histogram binnings.
+    // Runs the VERIFIED binding itself (probe and oracle lane can never
+    // desynchronize); the probe's orders dir carries the columns it reads
+    time("q62 rfm")(
+      graft.queries.Relational.q62.fn(spark, out).count())
     // suppliers ×f inside 25 fixed groups: the rank window deepens ×f
     time("q63 pareto")(
       Relational.paretoRank(li.withColumn("g", pmod(col("l_suppkey"), lit(25))),

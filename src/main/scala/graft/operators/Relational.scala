@@ -14,6 +14,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object Relational {
 
+  /** The exact-integer snapping rule shared by the moment/statistics
+    * family (q44/q52/q55…q65): floor(v·scale + 0.5) — round-half-up in
+    * units of 1/scale, bit-identical on any engine because both the
+    * multiply and the floor are single IEEE-correctly-rounded ops.
+    * Every oracle mirrors this expression verbatim; changing it here
+    * changes the contract everywhere at once.
+    */
+  private def snap(c: Column, scale: Long): Column =
+    floor(c * lit(scale.toDouble) + lit(0.5)).cast("long")
+
   /** Top-k rows per group by `order`, with a deterministic rank column.
     * `dense` switches row_number → dense_rank (k then bounds rank values,
     * not row count). One shuffle on the partition columns.
@@ -548,7 +558,7 @@ object Relational {
     require(scale >= 1, "scale must be >= 1")
     val gcols = groupCols.map(col)
     val x = xCol.cast("long")
-    val y = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val y = snap(valueCol, scale)
     val pts = df.select(gcols :+ x.as("_x") :+ y.as("_y"): _*)
       .filter(col("_x").isNotNull && col("_y").isNotNull)
     val s = pts.groupBy(gcols: _*).agg(
@@ -679,7 +689,7 @@ object Relational {
       threshold: Double, payloadCols: Seq[Column], scale: Long = 100L): DataFrame = {
     require(threshold > 0, "threshold must be > 0")
     require(scale >= 1, "scale must be >= 1")
-    val c = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val c = snap(valueCol, scale)
     val withC = df.withColumn("_c", c)
     val gcols = groupCols.map(col)
     val stats = withC.groupBy(gcols: _*).agg(
@@ -719,8 +729,8 @@ object Relational {
       yCol: Column, scaleX: Long = 1L, scaleY: Long = 100L): DataFrame = {
     require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
     val gcols = groupCols.map(col)
-    val x = floor(xCol * lit(scaleX.toDouble) + lit(0.5)).cast("long")
-    val y = floor(yCol * lit(scaleY.toDouble) + lit(0.5)).cast("long")
+    val x = snap(xCol, scaleX)
+    val y = snap(yCol, scaleY)
     val pts = df.select(gcols :+ x.as("_x") :+ y.as("_y"): _*)
       .filter(col("_x").isNotNull && col("_y").isNotNull)
     val s = pts.groupBy(gcols: _*).agg(
@@ -758,7 +768,7 @@ object Relational {
       tieCol: Column, scale: Long = 100L): DataFrame = {
     require(scale >= 1, "scale must be >= 1")
     val gcols = groupCols.map(col)
-    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val v = snap(valueCol, scale)
     val rows = df.select(gcols :+ v.as("_v") :+ tieCol.as("_tie"): _*)
       .filter(col("_v").isNotNull && col("_v") >= 0)
     val w = Window.partitionBy(gcols: _*).orderBy(col("_v"), col("_tie"))
@@ -877,7 +887,7 @@ object Relational {
       valueCol: Column, scale: Long = 100L): DataFrame = {
     require(scale >= 1, "scale must be >= 1")
     val gcols = groupCols.map(col)
-    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val v = snap(valueCol, scale)
     val perEntity = df.select(gcols :+ entityCol.as("_e") :+ v.as("_v"): _*)
       .filter(col("_v").isNotNull)
       .groupBy(gcols :+ col("_e"): _*)
@@ -919,7 +929,7 @@ object Relational {
     require(scale >= 1, "scale must be >= 1")
     val gcols = groupCols.map(col)
     val t = tsMillis.cast("long")
-    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val v = snap(valueCol, scale)
     val pts = df.select(gcols :+ t.as("_t") :+ v.as("_v"): _*)
       .filter(col("_t").isNotNull && col("_v").isNotNull &&
         gcols.map(_.isNotNull).reduceOption(_ && _).getOrElse(lit(true)))
@@ -957,7 +967,7 @@ object Relational {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
       "interior probabilities only (0 < p < 1)")
     require(scale >= 1, "scale must be >= 1")
-    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val v = snap(valueCol, scale)
     val withV = df.withColumn("value_units", v)
     val cuts = histogramCutpoints(withV, probs)
     val bin = cuts.map(c => when(col("value_units") > c, 1).otherwise(0))
@@ -975,9 +985,16 @@ object Relational {
     * driver metadata.
     */
   private def histogramCutpoints(withV: DataFrame, probs: Seq[Double]): Seq[Long] = {
+    require(probs == probs.sorted && probs.distinct.size == probs.size,
+      s"probabilities must be strictly increasing: $probs")
+    // materialize once: the count action and the cutpoint agg both read
+    // it (the chiSquare cell-table discipline — without this the source
+    // corpus aggregates twice per call)
     val hist = withV.filter(col("value_units").isNotNull)
       .groupBy("value_units").agg(count(lit(1)).cast("long").as("_c"))
-    val n = hist.agg(sum("_c")).head().getLong(0)
+      .localCheckpoint(true)
+    val nRow = hist.agg(sum("_c")).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     require(n > 0, "no non-null values")
     val wc = Window.orderBy("value_units")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1005,7 +1022,7 @@ object Relational {
     require(pLo > 0 && pHi < 1 && pLo < pHi,
       s"need 0 < pLo < pHi < 1, got ($pLo, $pHi)")
     require(scale >= 1, "scale must be >= 1")
-    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val v = snap(valueCol, scale)
     val withV = df.withColumn("value_units", v)
     val Seq(lo, hi) = histogramCutpoints(withV, Seq(pLo, pHi))
     // explicit null gate: Spark's greatest/least IGNORE nulls (a null
@@ -1038,7 +1055,7 @@ object Relational {
     require(armA != armB, "arms must differ")
     require(scale >= 1, "scale must be >= 1")
     val gcols = groupCols.map(col)
-    val y = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val y = snap(valueCol, scale)
     val pts = df.select(gcols :+ armCol.as("_arm") :+ y.as("_y"): _*)
       .filter(col("_y").isNotNull && col("_arm").isin(armA, armB))
     val yd = col("_y").cast("decimal(19,0)")
@@ -1087,7 +1104,7 @@ object Relational {
     require(num >= 1 && num < den, s"need 0 < num/den < 1, got $num/$den")
     require(scale >= 1, "scale must be >= 1")
     val gcols = groupCols.map(col)
-    val v = floor(valueCol * lit(scale.toDouble) + lit(0.5)).cast("long")
+    val v = snap(valueCol, scale)
     val perEntity = df.select(gcols :+ entityCol.as("_e") :+ v.as("_v"): _*)
       .filter(col("_v").isNotNull && col("_v") >= 0)
       .groupBy(gcols :+ col("_e"): _*)

@@ -428,7 +428,7 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
-  test("streaming anomaly: prequential baseline across and within batches, warm-up, isolation") {
+  test("streaming anomaly: batch-grained prequential baseline, warm-up, isolation") {
     import spark.implicits._
     import graft.streaming.StreamingAnomaly
     implicit val sqlCtx = spark.sqlContext
@@ -444,21 +444,22 @@ class StreamingSuite extends SparkSpec {
       query.processAllAvailable()
       def rows() = spark.table("anom_out").as[StreamingAnomaly.AnomalyRow].collect()
       assert(rows().isEmpty, rows().mkString(","))
-      // two identical spikes in ONE batch: the first judges against the
-      // 10-value baseline (z = 89/sqrt(10/9)), the second against a
-      // baseline ALREADY containing the first (nPrior 11) — the
-      // within-batch prequential fold; identical values make the
-      // assertion independent of intra-batch iterator order. The cold
-      // key b stays silent (warming), proving per-key isolation.
+      // two spikes in ONE batch both judge against the PRE-BATCH
+      // baseline (batch-grained: the baseline is fixed for the whole
+      // micro-batch, so verdicts are identical under any iterator
+      // order — nPrior is 10 for both and neither scores against the
+      // other). The cold key b stays silent (warming), proving
+      // per-key isolation.
       source.addData(("a", 100.0), ("a", 100.0), ("b", 50.0))
       query.processAllAvailable()
       val r2 = rows()
       assert(r2.length == 2 && r2.forall(r => r.key == "a" && r.value == 100.0), r2.mkString(","))
-      assert(r2.map(_.nPrior).toSet == Set(10L, 11L), r2.mkString(","))
-      val z10 = r2.find(_.nPrior == 10L).get.z
-      assert(math.abs(z10 - 89.0 / math.sqrt(10.0 / 9.0)) < 1e-9, s"$z10")
-      // a value near the new running mean does not flag
-      source.addData(("a", 19.0))
+      assert(r2.forall(_.nPrior == 10L), r2.mkString(","))
+      assert(r2.forall(r => math.abs(r.z - 89.0 / math.sqrt(10.0 / 9.0)) < 1e-9),
+        r2.mkString(","))
+      // a value near the new running mean does not flag, and the two
+      // spikes DID fold into the baseline after judging
+      source.addData(("a", 26.0))
       query.processAllAvailable()
       assert(rows().length == 2, rows().mkString(","))
     } finally query.stop()
