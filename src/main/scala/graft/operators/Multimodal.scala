@@ -277,6 +277,65 @@ object Multimodal {
       }
   }
 
+  final case class ImageStats(id: Long, width: Int, height: Int,
+      aspect: Double, meanLuma: Double, stdLuma: Double, entropy: Double,
+      extremeFrac: Double)
+
+  /** Image quality statistics over decoded luma planes — the signals an
+    * image-curation pipeline filters on BEFORE spending GPU time
+    * (LAION-style: drop blank/black frames, near-constant backgrounds,
+    * torn downloads): mean and standard deviation of luma (blank and
+    * black images have σ ≈ 0), Shannon entropy of the 256-bin luma
+    * histogram in bits (uniform noise → 8, constant → 0 — the
+    * compressibility/texture proxy), the fraction of pixels at the
+    * 0/255 extremes (clipping/tearing detector), and the aspect ratio.
+    * Pure per-sample arithmetic over pixels already in memory — the
+    * stats ride the same Stage pipeline as decode (no second decode
+    * pass), and downstream filtering is an ordinary DataFrame filter on
+    * this row. Sample variance over n pixels uses the population form
+    * (σ² = E[x²] − E[x]² — n is ~10⁵⁺, the distinction is noise); an
+    * empty pixel array (0×0 decode) yields zeroed stats rather than
+    * NaNs so a filter can target it explicitly.
+    */
+  final class ImageStatsStage(override val batchSize: Int = 32)
+      extends Stage[DecodedFrame, ImageStats] {
+    override def process(batch: Seq[DecodedFrame]): Seq[ImageStats] =
+      batch.map { f =>
+        val n = f.pixels.length
+        if (n == 0) ImageStats(f.id, f.width, f.height, 0.0, 0.0, 0.0, 0.0, 0.0)
+        else {
+          val histo = new Array[Long](256)
+          var s = 0L
+          var ss = 0L
+          var extreme = 0L
+          var i = 0
+          while (i < n) {
+            val v = f.pixels(i) & 0xff
+            histo(v) += 1
+            s += v
+            ss += v.toLong * v
+            if (v == 0 || v == 255) extreme += 1
+            i += 1
+          }
+          val nd = n.toDouble
+          val mean = s / nd
+          val variance = math.max(0.0, ss / nd - mean * mean)
+          var entropy = 0.0
+          var b = 0
+          while (b < 256) {
+            if (histo(b) > 0) {
+              val p = histo(b) / nd
+              entropy -= p * math.log(p)
+            }
+            b += 1
+          }
+          ImageStats(f.id, f.width, f.height,
+            if (f.height > 0) f.width.toDouble / f.height else 0.0,
+            mean, math.sqrt(variance), entropy / math.log(2.0), extreme / nd)
+        }
+      }
+  }
+
   final case class MediaMetadata(id: Long, pairs: Map[String, String])
 
   /** In-band metadata extraction: PNG tEXt (keyword, value) pairs per

@@ -351,6 +351,29 @@ class MultimodalSuite extends SparkSpec {
       MediaMetadata(5L, Map("Comment" -> "first\nsecond"))))
   }
 
+  test("ImageStatsStage: hand stats for constant, bimodal, empty and aspect cases") {
+    val stage = new ImageStatsStage()
+    // constant gray: sigma = 0, entropy = 0 bits, no extremes
+    val gray = DecodedFrame(1L, 4, 4, Array.fill(16)(128.toByte))
+    // half black / half white: mean 127.5, sigma 127.5, entropy 1 bit,
+    // every pixel at an extreme
+    val bw = DecodedFrame(2L, 4, 2, (Array.fill(4)(0) ++ Array.fill(4)(255)).map(_.toByte))
+    // zero-pixel decode: zeroed stats, not NaNs
+    val empty = DecodedFrame(3L, 0, 0, Array.empty[Byte])
+    val Seq(g, b, e) = stage.process(Seq(gray, bw, empty))
+    assert(g == ImageStats(1L, 4, 4, 1.0, 128.0, 0.0, 0.0, 0.0), s"$g")
+    assert(b.aspect == 2.0 && b.meanLuma == 127.5 && b.stdLuma == 127.5 &&
+      b.entropy == 1.0 && b.extremeFrac == 1.0, s"$b")
+    assert(e == ImageStats(3L, 0, 0, 0.0, 0.0, 0.0, 0.0, 0.0), s"$e")
+    // a real decode feeds it: the 2x2 P6 ramp through DecodeStage
+    val ppm = ("P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array[Int](0, 0, 0, 255, 255, 255, 255, 0, 0, 0, 0, 255).map(_.toByte))
+    val decoded = new DecodeStage().process(Seq(MediaRow(9L, ppm)))
+    val Seq(st) = stage.process(decoded)
+    assert(st.width == 2 && st.height == 2 && st.stdLuma > 0 && st.entropy > 1.9,
+      s"$st") // 4 distinct luma values -> ~2 bits
+  }
+
   private def Tables() = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")
