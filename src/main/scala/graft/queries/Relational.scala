@@ -894,13 +894,17 @@ object Relational {
   private val CoreMaxBasket = 8
 
   // generated per-round peel CTEs (degree -> survivors -> edge filter) —
-  // the q43 template discipline: oracle and round count cannot drift
+  // the q43 template discipline: oracle and round count cannot drift.
+  // Every CTE is MATERIALIZED: each e{r} is referenced twice (d{r+1} and
+  // e{r+1}), so DuckDB's default inlining re-expands the whole chain per
+  // reference — exponential plan growth that spilled >80 GB at sf0.1;
+  // materialized, the same query runs in ~1 s
   private def corePeelSql(r: Int): String = {
     val prev = s"e${r - 1}"
-    s"""d$r AS (SELECT node, count(*) AS deg FROM
+    s"""d$r AS MATERIALIZED (SELECT node, count(*) AS deg FROM
        |  (SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1),
-       |n$r AS (SELECT node FROM d$r WHERE deg >= $CoreK),
-       |e$r AS (SELECT p.u, p.v FROM $prev p JOIN n$r a ON p.u = a.node
+       |n$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $CoreK),
+       |e$r AS MATERIALIZED (SELECT p.u, p.v FROM $prev p JOIN n$r a ON p.u = a.node
        |        JOIN n$r b2 ON p.v = b2.node)""".stripMargin
   }
 
@@ -913,11 +917,11 @@ object Relational {
     */
   val q49 = QueryDef(
     "q49_kcore",
-    s"""WITH b AS (SELECT DISTINCT l_orderkey AS e, l_partkey AS i FROM lineitem),
-       |kk AS (SELECT e FROM b GROUP BY e
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS e, l_partkey AS i FROM lineitem),
+       |kk AS MATERIALIZED (SELECT e FROM b GROUP BY e
        |       HAVING count(*) BETWEEN 2 AND $CoreMaxBasket),
-       |kb AS (SELECT b.e, b.i FROM b JOIN kk USING (e)),
-       |e0 AS (SELECT x.i AS u, y.i AS v FROM kb x JOIN kb y
+       |kb AS MATERIALIZED (SELECT b.e, b.i FROM b JOIN kk USING (e)),
+       |e0 AS MATERIALIZED (SELECT x.i AS u, y.i AS v FROM kb x JOIN kb y
        |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
        |${(1 to CoreRounds).map(corePeelSql).mkString(",\n")}
        |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
