@@ -1125,4 +1125,67 @@ object Relational {
           .as("n_to_threshold"))
       .filter(col("total") > 0)
   }
+
+  /** Per-group robust outliers by median absolute deviation — the
+    * heavy-tail-safe companion to [[zscoreOutliers]] (a single extreme
+    * value inflates mean AND sd, masking its neighbors; the median and
+    * MAD have a 50% breakdown point, so the fences hold on exactly the
+    * skewed distributions where z-scores fail). Built so the flagged
+    * row SET is decided in PURE INTEGER arithmetic: values snap to
+    * integer units, the group median is the smallest unit m with
+    * 2·cum(m) ≥ n (the lower median — the exact rank-⌊(n+1)/2⌋ order
+    * statistic, t13's criterion, integer test only), deviations
+    * |c − m| are exact longs, the MAD is the same rank selection over
+    * the deviation histogram, and a row is an outlier iff
+    * dev > k·MAD — a long comparison, never a float threshold (q63's
+    * crossing-test discipline).
+    *
+    * Plan (the q60 histogram shape, twice): each median comes from a
+    * per-group HISTOGRAM partial agg — the cumulative window orders
+    * each group's DISTINCT units (domain-bounded, never the corpus;
+    * parallelism = groups) — and the |groups|-row median/MAD tables
+    * BROADCAST back, so the corpus is never sorted and never shuffled
+    * on a window: two partial-agg passes + two broadcast joins + a
+    * map-side filter. Null values drop (no rank). Groups with MAD = 0
+    * (over half the mass on one unit — spread undefined) are dropped
+    * whole, mirroring q44's sd > 0 gate. `robust_z` =
+    * dev / (1.4826·MAD) — the Gaussian-consistency-scaled score, a
+    * fixed double tree over exact longs (reporting only; the flag never
+    * reads it). Output: groupCols, payloadCols, dev_units, mad_units,
+    * robust_z (unrounded — round at the binding).
+    */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      k: Long, payloadCols: Seq[Column], scale: Long = 100L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+
+    // rank-⌊(n+1)/2⌋ selection over a (group, unit) histogram: smallest
+    // unit whose cumulative count crosses half the group — shared by
+    // both median passes
+    def groupMedian(pts: DataFrame, unit: String, out: String): DataFrame = {
+      val hist = pts.groupBy(gcols :+ col(unit): _*)
+        .agg(count(lit(1)).cast("long").as("_cnt"))
+      val wc = Window.partitionBy(gcols: _*).orderBy(col(unit))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(gcols: _*)
+      hist.withColumn("_cum", sum("_cnt").over(wc))
+        .withColumn("_n", sum("_cnt").over(wn))
+        .groupBy(gcols: _*)
+        .agg(min(when(col("_cum") * lit(2L) >= col("_n"), col(unit))).as(out))
+    }
+
+    val pts = df.withColumn("_c", snap(valueCol, scale))
+      .filter(col("_c").isNotNull)
+    val med = groupMedian(pts.select(gcols :+ col("_c"): _*), "_c", "_med")
+    val withDev = pts.join(broadcast(med), groupCols)
+      .withColumn("_dev", abs(col("_c") - col("_med")))
+    val mad = groupMedian(withDev.select(gcols :+ col("_dev"): _*), "_dev", "_mad")
+    withDev.join(broadcast(mad), groupCols)
+      .filter(col("_mad") > 0 && col("_dev") > col("_mad") * lit(k))
+      .select(gcols ++ payloadCols
+        :+ col("_dev").as("dev_units") :+ col("_mad").as("mad_units")
+        :+ (col("_dev").cast("double") / (lit(1.4826) * col("_mad").cast("double")))
+          .as("robust_z"): _*)
+  }
 }

@@ -1469,9 +1469,54 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  private val MadK = 5L
+
+  /** q67: MAD robust outliers per event type
+    * ([[graft.operators.Relational.madOutliers]]) — the flag decision is
+    * dev > k·MAD over exact longs (median = rank-⌊(n+1)/2⌋ selection on
+    * the unit histogram, both engines run the identical integer test);
+    * robust_z is reporting only, rounded at the binding.
+    */
+  val q67 = QueryDef(
+    "q67_mad_outliers",
+    s"""WITH e AS (SELECT event_type, event_id, user_id, value,
+       |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+       |           FROM events WHERE value IS NOT NULL),
+       |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+       |h1 AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |c1 AS (SELECT event_type, c,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+       |       FROM h1),
+       |med AS (SELECT c1.event_type, min(c) AS med
+       |        FROM c1 JOIN n USING (event_type)
+       |        WHERE 2 * cum >= n GROUP BY 1),
+       |d AS (SELECT e.event_type, e.event_id, e.user_id, e.value,
+       |        abs(e.c - med.med) AS dev
+       |      FROM e JOIN med USING (event_type)),
+       |h2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+       |c2 AS (SELECT event_type, dev,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+       |       FROM h2),
+       |mad AS (SELECT c2.event_type, min(dev) AS mad
+       |        FROM c2 JOIN n USING (event_type)
+       |        WHERE 2 * cum >= n GROUP BY 1)
+       |SELECT d.event_type, d.event_id, d.user_id, d.value,
+       |  d.dev AS dev_units, mad.mad AS mad_units,
+       |  ${mr("CAST(d.dev AS DOUBLE) / (1.4826 * CAST(mad.mad AS DOUBLE))", 4)} AS robust_z
+       |FROM d JOIN mad USING (event_type)
+       |WHERE mad.mad > 0 AND d.dev > $MadK * mad.mad
+       |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.madOutliers(Tables.events(s, dir),
+        groupCols = Seq("event_type"), valueCol = col("value"), k = MadK,
+        payloadCols = Seq(col("event_id"), col("user_id"), col("value")))
+      .withColumn("robust_z", Rounding.mirrorRound(col("robust_z"), 4))
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66)
+      q61, q62, q63, q64, q65, q66, q67)
 }

@@ -826,4 +826,36 @@ class RelationalOpsSuite extends SparkSpec {
       Relational.winsorize(df, col("v"), 0.9, 0.1, scale = 1L)
     }
   }
+
+  test("madOutliers: hand median/MAD, integer flag, MAD=0 drop, null drop, validation") {
+    import spark.implicits._
+    // g1: 1..9 + spike 100 (n=10): median = rank-5 value = 5,
+    // devs sorted 0,1,1,2,2,3,3,4,4,95 -> MAD = rank-5 = 2; k=3 flags dev > 6
+    // g3: 7,7,7,100: MAD = 0 -> group dropped whole (even the 93 spike)
+    val rows = ((1 to 9).map(i => ("g1", i.toDouble)) :+ ("g1", 100.0)) ++
+      Seq(("g3", 7.0), ("g3", 7.0), ("g3", 7.0), ("g3", 100.0))
+    val df = rows.toDF("g", "v")
+    val out = Relational.madOutliers(df, Seq("g"), col("v"), k = 3L,
+        payloadCols = Seq(col("v")), scale = 1L)
+      .select("g", "v", "dev_units", "mad_units", "robust_z")
+      .as[(String, Double, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) == Seq(("g1", 100.0, 95L, 2L)), s"$out")
+    assert(math.abs(out.head._5 - 95.0 / (1.4826 * 2.0)) < 1e-12)
+    // even count: 1,2,3,4 -> lower median = rank-2 = 2; devs 0,1,1,2 -> MAD = 1
+    val even = Seq(("e", 1.0), ("e", 2.0), ("e", 3.0), ("e", 4.0)).toDF("g", "v")
+    val eo = Relational.madOutliers(even, Seq("g"), col("v"), k = 1L,
+        payloadCols = Seq(col("v")), scale = 1L)
+      .select("v", "dev_units", "mad_units").as[(Double, Long, Long)].collect().toSeq
+    assert(eo == Seq((4.0, 2L, 1L)), s"$eo")
+    // null values drop before ranking (else they'd shift the median rank)
+    val withNull = (Seq[java.lang.Double](1.0, 2.0, 3.0, 100.0, null))
+      .map(v => ("n", v)).toDF("g", "v")
+    val no = Relational.madOutliers(withNull, Seq("g"), col("v"), k = 3L,
+        payloadCols = Seq(col("v")), scale = 1L)
+      .select("v").as[Double].collect().toSeq
+    assert(no == Seq(100.0), s"$no")
+    intercept[IllegalArgumentException] {
+      Relational.madOutliers(df, Seq("g"), col("v"), k = 0L, payloadCols = Nil)
+    }
+  }
 }
