@@ -276,6 +276,91 @@ object TextAnalysis {
         col("_avg").as("avg_logp"))
   }
 
+  /** Trigram language-model scoring with STUPID BACKOFF (Brants et al.
+    * 2007, arXiv/W07-2, "Large Language Models in Machine Translation")
+    * — the scheme the web-scale LM-filtering stacks actually run,
+    * because unlike Kneser–Ney it needs NO discount fitting and every
+    * level is a plain count ratio:
+    *   S(w3|w1w2) = c123/c12            if the trigram was seen,
+    *              = α · c23/c2          else if the bigram was seen,
+    *              = α² · (c3+1)/(N+V)   otherwise (add-one unigram
+    *                floor, so out-of-vocabulary tokens score finite
+    *                instead of ln 0 — the OOV guard Brants leaves open).
+    * Per-document quality signal = mean ln S over trigram positions —
+    * the [[bigramLm]] contract one order higher, with the backoff chain
+    * exercised whenever `ref` is a different corpus slice (CCNet trains
+    * on the target-domain slice and scores the crawl).
+    *
+    * Plan: the reference corpus is touched a bounded number of times for
+    * three n-gram COUNT tables (partial-agg groupBys — the shuffle
+    * carries (gram, count) rows, vocabulary-bounded under Heaps' law,
+    * never the token stream) plus one scalar (N, V) agg; scoring is the
+    * scored corpus's trigram stream LEFT-joined to the count tables on
+    * their gram keys and one per-doc re-aggregation. Each ln sees ONE
+    * division (and a literal α product) — a fixed double tree per
+    * branch; the branch DECISION is a null test on exact longs. Docs
+    * under 3 tokens emit n_trigrams = 0 with a null score. `ref` must
+    * be deterministic across jobs (the bigramLm contract — four
+    * independent aggregations scan it).
+    * Output: idCol, n_trigrams, avg_logp.
+    */
+  def backoffLm(df: DataFrame, idCol: String, textCol: String,
+      ref: Option[DataFrame] = None, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    def trigrams(in: DataFrame, id: org.apache.spark.sql.Column): DataFrame = {
+      val toks = tokens(col(textCol))
+      val nt = greatest(size(toks) - 2, lit(0))
+      // three aligned slices of equal length nt — zip_with never pads
+      val pair = zip_with(slice(toks, lit(1), nt), slice(toks, lit(2), nt),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      val tri = zip_with(pair, slice(toks, lit(3), nt),
+        (p, c) => struct(p.getField("w1").as("w1"), p.getField("w2").as("w2"),
+          c.as("w3")))
+      in.select(id.as("_id"), explode(tri).as("_tg"))
+        .select(col("_id"), col("_tg.w1").as("w1"), col("_tg.w2").as("w2"),
+          col("_tg.w3").as("w3"))
+    }
+    def bigrams(in: DataFrame): DataFrame = {
+      val toks = tokens(col(textCol))
+      val nb = greatest(size(toks) - 1, lit(0))
+      in.select(explode(zip_with(slice(toks, lit(1), nb), slice(toks, lit(2), nb),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("_bg"))
+        .select(col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    }
+    val refDf = ref.getOrElse(df)
+    val rbg = bigrams(refDf)
+    val rug = refDf.select(explode(tokens(col(textCol))).as("_w"))
+    val c123 = trigrams(refDf, lit(0L)).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("_c123"))
+    val c12 = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("_c12"))
+    val c23 = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("_c23"))
+      .withColumnRenamed("w1", "w2t").withColumnRenamed("w2", "w3t")
+    val uc = rug.groupBy("_w").agg(count(lit(1)).as("_cu"))
+    val nv = rug.agg(count(lit(1)).as("_n"), countDistinct("_w").as("_v"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val lp = when(col("_c123").isNotNull, log(d(col("_c123")) / d(col("_c12"))))
+      .when(col("_c23").isNotNull,
+        log(lit(alpha) * d(col("_c23")) / d(col("_c2"))))
+      .otherwise(log(lit(alpha * alpha) * (d(coalesce(col("_c3"), lit(0L))) + lit(1.0)) /
+        (d(col("_n")) + d(col("_v")))))
+    val scored = trigrams(df, col(idCol))
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, col("w2") === col("w2t") && col("w3") === col("w3t"), "left")
+      .join(uc.withColumnRenamed("_w", "_w2").withColumnRenamed("_cu", "_c2"),
+        col("w2") === col("_w2"), "left")
+      .join(uc.withColumnRenamed("_w", "_w3").withColumnRenamed("_cu", "_c3"),
+        col("w3") === col("_w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("_id"), lp.as("_lp"))
+      .groupBy("_id")
+      .agg(count(lit(1)).as("_nt"), avg("_lp").as("_avg"))
+    df.select(col(idCol)).join(scored, col(idCol) === col("_id"), "left")
+      .select(col(idCol),
+        coalesce(col("_nt"), lit(0L)).as("n_trigrams"),
+        col("_avg").as("avg_logp"))
+  }
+
   /** Hashed linear text classifier — the fastText architecture (bag of
     * hashed token features → linear layer → threshold) as a narrow column
     * expression: every token maps to feature bucket hash(token) mod

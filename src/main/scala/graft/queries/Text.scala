@@ -407,7 +407,63 @@ object Text {
       .orderBy("token")
   }
 
+  /** t20: stupid-backoff trigram LM scoring
+    * ([[graft.operators.TextAnalysis.backoffLm]]) — the model trains on
+    * the ENGLISH slice and scores the whole corpus, so all three
+    * backoff branches fire on real data (seen trigram / bigram backoff
+    * / add-one unigram floor); the branch decision is a null test on
+    * exact counts, each ln sees one division, and the literal α chain
+    * is mirrored as CAST(0.4 AS DOUBLE) so DuckDB's decimal literals
+    * can't change the product.
+    */
+  val t20 = QueryDef(
+    "t20_backoff_lm",
+    s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |rt AS (SELECT toks FROM t WHERE lang = 'en'),
+       |rtg0 AS (SELECT unnest(list_transform(range(1, len(toks)-1),
+       |           i -> struct_pack(w1 := toks[i], w2 := toks[i+1], w3 := toks[i+2]))) AS g FROM rt),
+       |rtg AS (SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM rtg0),
+       |rbg0 AS (SELECT unnest(list_transform(range(1, len(toks)),
+       |           i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS b FROM rt),
+       |rbg AS (SELECT b.w1 AS w1, b.w2 AS w2 FROM rbg0),
+       |rug AS (SELECT unnest(toks) AS w FROM rt),
+       |c123 AS (SELECT w1, w2, w3, count(*) AS c FROM rtg GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, count(*) AS c FROM rbg GROUP BY 1, 2),
+       |c23 AS (SELECT w1 AS w2, w2 AS w3, count(*) AS c FROM rbg GROUP BY 1, 2),
+       |uc AS (SELECT w, count(*) AS c FROM rug GROUP BY 1),
+       |nv AS (SELECT count(*) AS n, count(DISTINCT w) AS v FROM rug),
+       |sg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)-1),
+       |          i -> struct_pack(w1 := toks[i], w2 := toks[i+1], w3 := toks[i+2]))) AS g FROM t),
+       |sg AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM sg0),
+       |sc AS (SELECT sg.doc_id,
+       |         CASE WHEN c123.c IS NOT NULL
+       |                THEN ln(CAST(c123.c AS DOUBLE) / CAST(c12.c AS DOUBLE))
+       |              WHEN c23.c IS NOT NULL
+       |                THEN ln(CAST(0.4 AS DOUBLE) * CAST(c23.c AS DOUBLE)
+       |                        / CAST(u2.c AS DOUBLE))
+       |              ELSE ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+       |                      * (CAST(coalesce(u3.c, 0) AS DOUBLE) + 1.0)
+       |                      / (CAST(nv.n AS DOUBLE) + CAST(nv.v AS DOUBLE)))
+       |         END AS lp
+       |       FROM sg
+       |         LEFT JOIN c123 ON sg.w1 = c123.w1 AND sg.w2 = c123.w2 AND sg.w3 = c123.w3
+       |         LEFT JOIN c12 ON sg.w1 = c12.w1 AND sg.w2 = c12.w2
+       |         LEFT JOIN c23 ON sg.w2 = c23.w2 AND sg.w3 = c23.w3
+       |         LEFT JOIN uc u2 ON sg.w2 = u2.w
+       |         LEFT JOIN uc u3 ON sg.w3 = u3.w
+       |         CROSS JOIN nv),
+       |agg AS (SELECT doc_id, count(*) AS n_trigrams, avg(lp) AS avg_logp
+       |        FROM sc GROUP BY 1)
+       |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.avg_logp
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    TextAnalysis.backoffLm(docs, "doc_id", "text",
+        ref = Some(docs.filter(col("lang") === "en")))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19)
+      t14, t15, t16, t17, t18, t19, t20)
 }

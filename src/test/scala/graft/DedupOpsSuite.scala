@@ -192,6 +192,36 @@ class DedupOpsSuite extends SparkSpec {
     assert(self.length == 1 && self.head < 0)
   }
 
+  test("backoffLm: all three stupid-backoff branches exact; short docs null") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // ref "a b c a b c": trigrams (a,b,c)x2 (b,c,a) (c,a,b); bigrams
+    // (a,b)x2 (b,c)x2 (c,a); unigrams a,b,c = 2 each; N=6, V=3
+    val ref = Seq((10L, "a b c a b c")).toDF("id", "text")
+    val df = Seq(
+      (1L, "a b c"), // seen trigram: ln(c123/c12) = ln(2/2) = 0
+      (2L, "c b c"), // bigram backoff: (c,b,c) unseen, (b,c) seen -> ln(0.4*2/2)
+      (3L, "b c b"), // unigram floor, in-vocab: c3(b)=2 -> ln(aa*3/9)
+      (4L, "b c x"), // unigram floor, OOV: c3(x)=0 -> ln(aa*1/9)
+      (5L, "x")      // under 3 tokens: no trigrams -> null score
+    ).toDF("id", "text")
+    val got = TextAnalysis.backoffLm(df, "id", "text", ref = Some(ref))
+      .orderBy("id")
+      .select("id", "n_trigrams", "avg_logp")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    val aa = 0.4 * 0.4
+    assert(got(0) == ((1L, 1L, Some(0.0))), got(0).toString)
+    assert(got(1)._3.exists(v => math.abs(v - math.log(0.4 * 2.0 / 2.0)) < 1e-12), got(1).toString)
+    assert(got(2)._3.exists(v => math.abs(v - math.log(aa * 3.0 / 9.0)) < 1e-12), got(2).toString)
+    assert(got(3)._3.exists(v => math.abs(v - math.log(aa * 1.0 / 9.0)) < 1e-12), got(3).toString)
+    assert(got(4) == ((5L, 0L, None)), got(4).toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.backoffLm(df, "id", "text", alpha = 1.0)
+    }
+  }
+
   test("nearDedup ships the deduplicated corpus: canonical kept, dups dropped") {
     import spark.implicits._
     val texts = Seq(
