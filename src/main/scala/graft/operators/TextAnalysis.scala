@@ -361,6 +361,35 @@ object TextAnalysis {
         col("_avg").as("avg_logp"))
   }
 
+  /** Word-level blocklist filter — the C4 "bad words" gate (Raffel et
+    * al. 2020 §2.2 drop any page containing a term from the public
+    * blocklist) and the profanity/PII-keyword screens of every crawl
+    * pipeline. Token-exact matching (never substring — "class" must not
+    * trip a "lass" entry), reported not just decided: n_hits (total
+    * occurrences), matched (sorted distinct offending terms,
+    * comma-joined — a curation pipeline audits WHICH term fired, the
+    * t14 which-gate contract), keep = zero hits.
+    *
+    * Plan: the term list folds into the plan as a LITERAL array, so the
+    * whole operator is ONE narrow whole-stage-codegen projection — zero
+    * shuffle, zero join, at any corpus size. Per-token cost is
+    * O(|terms|); real blocklists are a few hundred entries, so that is
+    * the right trade. For list sizes where it isn't (millions of
+    * entries — URL blocklists), use the join/bloom machinery
+    * ([[graft.operators.Dedup.bloomSeen]]) instead of this literal
+    * path. Output: idCol, n_hits, matched, keep.
+    */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val tl = array(terms.distinct.map(lit): _*)
+    val toks = tokens(col(textCol))
+    val hits = size(filter(toks, t => array_contains(tl, t))).cast("long")
+    df.select(col(idCol), hits.as("n_hits"),
+      array_join(array_sort(array_intersect(toks, tl)), ",").as("matched"),
+      (hits === 0L).as("keep"))
+  }
+
   /** Hashed linear text classifier — the fastText architecture (bag of
     * hashed token features → linear layer → threshold) as a narrow column
     * expression: every token maps to feature bucket hash(token) mod

@@ -463,7 +463,30 @@ object Text {
       .orderBy("doc_id")
   }
 
+  private val Blocked = Seq("slow", "dup", "big", "zzz_absent")
+
+  /** t21: C4-style word-level blocklist gate
+    * ([[graft.operators.TextAnalysis.blocklist]]) — token-exact hits,
+    * sorted distinct matched terms (the which-gate audit column), keep
+    * = zero hits; one narrow codegen projection, no shuffle. The list
+    * includes a term absent from the corpus to prove absent entries
+    * are inert.
+    */
+  val t21 = QueryDef(
+    "t21_blocklist",
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter($duckToks, t -> t IN ($duckBlocked))) AS BIGINT) AS n_hits,
+       |  coalesce(array_to_string(list_sort(list_distinct(
+       |    list_filter($duckToks, t -> t IN ($duckBlocked)))), ','), '') AS matched,
+       |  len(list_filter($duckToks, t -> t IN ($duckBlocked))) = 0 AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.blocklist(Tables(s, dir, "documents"), "doc_id", "text", Blocked)
+      .orderBy("doc_id")
+  }
+
+  private def duckBlocked = Blocked.map(w => s"'$w'").mkString(", ")
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20)
+      t14, t15, t16, t17, t18, t19, t20, t21)
 }

@@ -222,6 +222,27 @@ class DedupOpsSuite extends SparkSpec {
     }
   }
 
+  test("blocklist: token-exact hits, sorted distinct matched, keep gate, no substring trips") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "bad worse bad fine"), // bad x2 + worse -> 3 hits, matched sorted
+      (2L, "clean text only"),    // zero hits -> keep
+      (3L, "badge embedded"),     // substrings must NOT match the "bad" entry
+      (4L, "")                    // empty text -> the "" token, not blocked
+    ).toDF("id", "text")
+    val got = TextAnalysis.blocklist(df, "id", "text", Seq("bad", "worse", "absent"))
+      .orderBy("id").as[(Long, Long, String, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "bad,worse", false),
+      (2L, 0L, "", true),
+      (3L, 0L, "", true),
+      (4L, 0L, "", true)), got.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklist(df, "id", "text", Nil)
+    }
+  }
+
   test("nearDedup ships the deduplicated corpus: canonical kept, dups dropped") {
     import spark.implicits._
     val texts = Seq(
