@@ -164,8 +164,9 @@ object Similarity {
     kmeansAssign(df, idCol, vecCol, k, iters, salt)
       .select(col("vec_id").as(idCol), col("cell"))
 
-  /** [[kmeans]] keeping the vector column — (vec_id, cell, _v) — so
-    * downstream within-cell work (semantic dedup) avoids a re-join.
+  /** [[kmeans]] keeping the vector column and the winning cosine —
+    * (vec_id, cell, _v, _cos) — so downstream within-cell work
+    * (semantic dedup, prototype pruning) avoids a re-join / re-score.
     */
   private[operators] def kmeansAssign(df: DataFrame, idCol: String,
       vecCol: String, k: Int, iters: Int, salt: String): DataFrame = {
@@ -185,10 +186,12 @@ object Similarity {
       e.crossJoin(broadcast(cs))
         .groupBy(col("vec_id"))
         .agg(max_by(
-          struct(col("clabel").as("cell"), col("_v").as("v")),
+          struct(col("clabel").as("cell"), col("_v").as("v"),
+            VectorFunctions.cosine(col("_v"), col("cv")).as("cos")),
           struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
             negate(col("clabel")).as("negl"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("_v"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("_v"),
+          col("m.cos").as("_cos"))
     for (_ <- 1 to iters) {
       cents = assign(cents)
         .select(col("cell").as("clabel"), posexplode(col("_v")).as(Seq("i", "x")))
@@ -199,6 +202,42 @@ object Similarity {
         .localCheckpoint(true)
     }
     assign(cents)
+  }
+
+  /** Prototypicality pruning (Sorscher et al. 2022, arXiv:2206.14486,
+    * "Beyond neural scaling laws") — the SSL-prototype data-pruning
+    * metric: cluster the embedding space with [[kmeans]], score every
+    * example by cosine to its OWN cell centroid (high = prototypical /
+    * redundant, low = hard / informative), and keep each cell's HARDEST
+    * `keepNum/keepDen` fraction. The paper's headline result — beating
+    * power-law scaling by dropping the most prototypical examples when
+    * data is abundant — makes this the principled volume knob next to
+    * [[graft.operators.Dedup.semanticDedup]]'s near-dup prune.
+    *
+    * The prototypicality score is the cosine the final Lloyd assignment
+    * already computed (the max_by carries it out — no re-score, no
+    * re-join), bit-identical cross-engine (the s04 fold). The keep
+    * DECISION is pure integer arithmetic: rank within cell by
+    * (cos, id) ascending, keep iff rank·keepDen ≤ keepNum·n + keepDen−1
+    * (⟺ rank ≤ ceil(keepNum·n/keepDen) — q63's crossing discipline, no
+    * float threshold). The per-cell rank window is partitioned by the
+    * cell id — parallelism = k, and cell sizes ≈ n/k make k the scale
+    * knob exactly as in semanticDedup. Output: idCol, cell, cos
+    * (unrounded — round at the binding), proto_rank, keep.
+    */
+  def prototypePrune(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, keepNum: Long, keepDen: Long, salt: String = ""): DataFrame = {
+    require(keepDen >= 1 && keepNum >= 1 && keepNum <= keepDen,
+      s"need 0 < keepNum/keepDen <= 1, got $keepNum/$keepDen")
+    val a = kmeansAssign(df, idCol, vecCol, k, iters, salt)
+    val w = Window.partitionBy("cell").orderBy(col("_cos"), col("vec_id"))
+    val wn = Window.partitionBy("cell")
+    a.withColumn("proto_rank", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wn).cast("long"))
+      .select(col("vec_id").as(idCol), col("cell"), col("_cos").as("cos"),
+        col("proto_rank"),
+        (col("proto_rank") * lit(keepDen) <= col("_n") * lit(keepNum) + lit(keepDen - 1L))
+          .as("keep"))
   }
 
   /** Squared Euclidean distance between two double-array columns. */

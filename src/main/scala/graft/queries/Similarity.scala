@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.functions.Rounding.{sqlMirrorRound => mr}
+import graft.functions.{Signatures => Sig}
 import graft.functions.VectorFunctions.{sqlCosine, sqlFoldSum}
 import graft.operators.{Similarity => Ops}
 import graft.sources.Tables
@@ -149,5 +151,56 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  private val ProtoK = 8        // k-means cells (size n/k is the scale knob)
+  private val ProtoKeepNum = 7L // keep the hardest 7/10 of every cell
+  private val ProtoKeepDen = 10L
+
+  /** s06: prototypicality pruning (Sorscher et al. 2022 —
+    * [[graft.operators.Similarity.prototypePrune]]): deterministic
+    * spherical k-means (the d09 seed→assign→update→assign chain,
+    * unrolled in the oracle with its own salt), score = cosine to the
+    * OWN cell centroid, keep each cell's hardest 7/10 — the keep
+    * decision is the pure-integer crossing test rank·10 ≤ 7·n + 9
+    * (⟺ rank ≤ ceil(0.7·n)), never a float threshold.
+    */
+  val s06 = QueryDef(
+    "s06_prototype_prune",
+    s"""WITH k0 AS (SELECT vec_id, embedding,
+       |              'proto:' || CAST(vec_id AS VARCHAR) AS kk FROM embeddings),
+       |h AS (SELECT vec_id, embedding,
+       |        (${Sig.sqlPolyHashStr("kk")} * 2654435761) % 1000000007 AS hh
+       |      FROM k0),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY hh, vec_id) - 1 AS BIGINT) AS clabel,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |       FROM (SELECT * FROM h ORDER BY hh, vec_id LIMIT $ProtoK)),
+       |a1 AS (SELECT vec_id, embedding, clabel AS cell FROM (
+       |  SELECT e.vec_id, e.embedding, c.clabel,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN c0 c) WHERE rn = 1),
+       |c1 AS (SELECT clabel, list(c ORDER BY i) AS cv FROM (
+       |  SELECT cell AS clabel, r.i AS i, avg(CAST(embedding[r.i + 1] AS DOUBLE)) AS c
+       |  FROM a1 CROSS JOIN range(0, $Dim) r(i) GROUP BY 1, 2) GROUP BY clabel),
+       |a2 AS (SELECT vec_id, cell, cos FROM (
+       |  SELECT e.vec_id, c.clabel AS cell,
+       |    ${sqlCosine("e.embedding", "c.cv")} AS cos,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.clabel) AS rn
+       |  FROM embeddings e CROSS JOIN c1 c) WHERE rn = 1),
+       |r AS (SELECT vec_id, cell, cos,
+       |        CAST(row_number() OVER (PARTITION BY cell ORDER BY cos, vec_id) AS BIGINT) AS proto_rank,
+       |        CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n
+       |      FROM a2)
+       |SELECT vec_id, cell, ${mr("cos", 6)} AS cos, proto_rank,
+       |  proto_rank * $ProtoKeepDen <= n * $ProtoKeepNum + ${ProtoKeepDen - 1} AS keep
+       |FROM r ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    Ops.prototypePrune(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = ProtoK, iters = 1, keepNum = ProtoKeepNum, keepDen = ProtoKeepDen,
+        salt = "proto:")
+      .withColumn("cos", Rounding.mirrorRound(col("cos"), 6))
+      .orderBy("vec_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }

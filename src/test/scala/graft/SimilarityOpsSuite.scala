@@ -282,4 +282,39 @@ class SimilarityOpsSuite extends SparkSpec {
     val top1 = (s: Set[(Long, Long, Long)]) => s.filter(_._2 == 1L)
     assert(top1(exact) == top1(quant), s"${top1(exact)} vs ${top1(quant)}")
   }
+
+  test("prototypePrune: per-cell rank prefix kept, exact ceil(frac*n), full-keep degenerate") {
+    import spark.implicits._
+    // 20 unit vectors fanned around the circle
+    val rows = (0L until 20L).map { i =>
+      val t = i * 0.3141592653589793
+      (i, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+    }
+    val df = rows.toDF("id", "v")
+    val out = Similarity.prototypePrune(df, "id", "v", k = 3, iters = 1,
+        keepNum = 7L, keepDen = 10L)
+      .select("id", "cell", "cos", "proto_rank", "keep")
+      .as[(Long, Long, Double, Long, Boolean)].collect().toSeq
+    assert(out.size == 20 && out.map(_._1).distinct.size == 20)
+    out.groupBy(_._2).foreach { case (cell, rowsInCell) =>
+      val n = rowsInCell.size.toLong
+      // ranks are exactly 1..n, ordered by (cos, id) ascending
+      val byRank = rowsInCell.sortBy(_._4)
+      assert(byRank.map(_._4) == (1L to n), s"cell $cell ranks")
+      assert(byRank.map(r => (r._3, r._1)) == rowsInCell.sortBy(r => (r._3, r._1)).map(r => (r._3, r._1)),
+        s"cell $cell rank order must be (cos, id) ascending")
+      // keep = the rank prefix of size ceil(0.7*n), lowest-cos (hardest) first
+      val expectKeep = (7L * n + 9L) / 10L
+      assert(byRank.count(_._5) == expectKeep, s"cell $cell kept ${byRank.count(_._5)} != $expectKeep")
+      assert(byRank.takeWhile(_._5).size == expectKeep, s"cell $cell keep must be a rank prefix")
+    }
+    // keepNum == keepDen keeps every row
+    val full = Similarity.prototypePrune(df, "id", "v", k = 3, iters = 1,
+        keepNum = 1L, keepDen = 1L)
+      .select("keep").as[Boolean].collect()
+    assert(full.forall(identity))
+    intercept[IllegalArgumentException] {
+      Similarity.prototypePrune(df, "id", "v", 3, 1, keepNum = 11L, keepDen = 10L)
+    }
+  }
 }
