@@ -153,6 +153,54 @@ object Graph {
       .select(col("id").as("node"), col("cluster").as("component"))
   }
 
+  /** Fixed-round breadth-first hop distances from a seed set over an
+    * undirected edge list — the link-distance primitive of web-graph
+    * curation (hops-from-trusted-seeds is the TrustRank signal, and
+    * "within R links of a known-good domain" is a standard crawl-scope
+    * gate). Returns every node REACHED within `rounds` hops with its
+    * exact BFS level; unreached nodes are absent (absence = "farther
+    * than R or disconnected", the d06 convention).
+    *
+    * Delta iteration, never re-expansion: round r expands ONLY the
+    * frontier (nodes at distance r−1) — one equi-join frontier×adjacency
+    * + one partial-agg min-merge per round, the d06/q43 discipline (the
+    * naive variant re-joins the whole settled set every round and does
+    * rounds× the work). The min-merge makes levels exact: a node first
+    * reached at round r merges to min(existing, r), so earlier
+    * discoveries always win and each node's level is its true shortest
+    * hop count. Fixed `rounds`, not a fixpoint — the oracle unrolls the
+    * same rounds as generated CTEs (q49's contract: iteration count
+    * cannot drift between engines). Distance state is checkpointed per
+    * round (lineage truncation); seeds dedupe on entry and seed nodes
+    * absent from the graph still emit dist 0 (a seed is at distance 0
+    * of itself by definition). Output: node, dist.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val canon0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val adj = canon.union(canon.select(col("v"), col("u")))
+      .toDF("u", "v")
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    if (checkpoint) dist = dist.localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val frontier = dist.filter(col("dist") === (r - 1).toLong).select("node")
+      val cand = frontier.join(adj, col("node") === col("u"))
+        .select(col("v").as("node")).distinct()
+        .withColumn("dist", lit(r.toLong))
+      val merged = dist.union(cand).groupBy("node")
+        .agg(min("dist").as("dist"))
+      dist = if (checkpoint) merged.localCheckpoint(true) else merged
+    }
+    dist
+  }
+
   /** Shared core: canonical degrees + per-node triangle counts. */
   private def degreesAndTriangles(edges: DataFrame, srcCol: String,
       dstCol: String, checkpoint: Boolean): (DataFrame, DataFrame) = {

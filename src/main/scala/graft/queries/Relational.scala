@@ -941,6 +941,52 @@ object Relational {
   // at every test sf (max confidence at sf0.01 is 0.821)
   private val RuleMinConf = 0.8
 
+  private val BfsRounds = 3
+  private val BfsSeedMod = 500
+
+  private def bfsRoundSql(r: Int): String =
+    s"""f$r AS MATERIALIZED (SELECT node FROM d${r - 1} WHERE dist = ${r - 1}),
+       |c$r AS MATERIALIZED (SELECT DISTINCT adj.v AS node
+       |       FROM f$r JOIN adj ON f$r.node = adj.u),
+       |d$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+       |  (SELECT node, dist FROM d${r - 1}
+       |   UNION ALL SELECT node, $r AS dist FROM c$r) GROUP BY 1)""".stripMargin
+
+  /** q68: fixed-round BFS hop distances from a seed set over the part
+    * co-purchase graph ([[graft.operators.Graph.bfsHops]]) — the
+    * link-distance / TrustRank-reach primitive on the q49 edge
+    * machinery. Delta iteration: each round joins ONLY the frontier to
+    * the adjacency and min-merges, and the oracle unrolls the same
+    * rounds as GENERATED (materialized) CTEs so the iteration count
+    * cannot drift. Every distance is an exact integer; the third round
+    * provably adds nothing on this graph (diameter-2 from the seeds) —
+    * the fixed-round contract, not a fixpoint.
+    */
+  val q68 = QueryDef(
+    "q68_bfs_hops",
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS e, l_partkey AS i FROM lineitem),
+       |kk AS MATERIALIZED (SELECT e FROM b GROUP BY e
+       |       HAVING count(*) BETWEEN 2 AND $CoreMaxBasket),
+       |kb AS MATERIALIZED (SELECT b.e, b.i FROM b JOIN kk USING (e)),
+       |e0 AS MATERIALIZED (SELECT x.i AS u, y.i AS v FROM kb x JOIN kb y
+       |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
+       |adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |d0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM part WHERE p_partkey % $BfsSeedMod = 0),
+       |${(1 to BfsRounds).map(bfsRoundSql).mkString(",\n")}
+       |SELECT node, dist FROM d$BfsRounds ORDER BY node""".stripMargin) { (s, dir) =>
+    val baskets = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = graft.operators.Relational.cooccurrence(baskets,
+      "l_orderkey", "l_partkey", maxBasket = CoreMaxBasket)
+    val seeds = Tables(s, dir, "part")
+      .filter(col("p_partkey") % BfsSeedMod === 0)
+      .select(col("p_partkey"))
+    graft.operators.Graph.bfsHops(pairs, "item_a", "item_b",
+        seeds, "p_partkey", rounds = BfsRounds)
+      .orderBy("node")
+  }
+
   /** q50: association rules over document token baskets
     * ([[graft.operators.Relational.associationRules]]) — the Apriori
     * pair-rule output (support / confidence / lift) on the q41 basket
@@ -1518,5 +1564,5 @@ object Relational {
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67)
+      q61, q62, q63, q64, q65, q66, q67, q68)
 }

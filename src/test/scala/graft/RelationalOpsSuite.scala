@@ -285,6 +285,32 @@ class RelationalOpsSuite extends SparkSpec {
     rpr.foreach { case (n, p) => assert(math.abs(p - 0.2) < 1e-12, s"node $n: $p") }
   }
 
+  test("bfsHops: exact levels on a path, min-merge across seeds, isolated seed, unreached absent") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 1-2-3-4-5-6 declared one-directionally with a duplicate edge
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (2L, 1L))
+      .toDF("src", "dst")
+    val one = Graph.bfsHops(path, "src", "dst",
+        Seq(1L).toDF("seed"), "seed", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), one.toString)
+    // two seeds: node 4 is 3 hops from seed 1 but 2 from seed 6 -> min wins
+    val two = Graph.bfsHops(path, "src", "dst",
+        Seq(1L, 6L).toDF("seed"), "seed", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 0L), two.toString)
+    // a seed absent from the edge list is still at distance 0 of itself
+    val iso = Graph.bfsHops(path, "src", "dst",
+        Seq(99L).toDF("seed"), "seed", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(iso == Map(99L -> 0L), iso.toString)
+    intercept[IllegalArgumentException] {
+      Graph.bfsHops(path, "src", "dst", Seq(1L).toDF("seed"), "seed", rounds = 0)
+    }
+  }
+
   test("triangleCounts: K4 credits every node 3; square has none; direction/dups collapse") {
     import spark.implicits._
     import graft.operators.Graph
