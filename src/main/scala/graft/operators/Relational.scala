@@ -1126,6 +1126,51 @@ object Relational {
       .filter(col("total") > 0)
   }
 
+  /** Per-entity exponentially weighted moving average — the time-decay
+    * smoother of monitoring/finance (y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁),
+    * inherently SEQUENTIAL per entity, so the scale question is how to
+    * run a million independent folds without a global sort: the
+    * secondary-sort pattern — ONE shuffle on the entity key, an
+    * external (spill-safe) sortWithinPartitions on (entity, order,
+    * tie), then a single mapPartitions pass that resets the fold on
+    * every entity change. No window, no per-group in-memory
+    * materialization (the iterator streams), parallelism = shuffle
+    * partitions. Cross-engine determinism comes from the ORDER, not
+    * from algebra: both engines fold the same rows in the same (order,
+    * tie) total order with the same two-multiply-one-add step, and
+    * values enter as exact snapped longs, so every intermediate double
+    * is bit-identical (the oracle replays the fold as a recursive CTE).
+    * Entity/order/tie must be long-typed (cast upstream); rows with a
+    * null in any of the four inputs drop whole. Output: entity, ord,
+    * tie, value_units, ewma.
+    */
+  def ewma(df: DataFrame, entityCol: Column, orderCol: Column, tieCol: Column,
+      valueCol: Column, alpha: Double, scale: Long = 100L): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(scale >= 1, "scale must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(entityCol.cast("long").as("e"),
+        orderCol.cast("long").as("o"), tieCol.cast("long").as("tie"),
+        snap(valueCol, scale).as("c"))
+      .filter(col("e").isNotNull && col("o").isNotNull &&
+        col("tie").isNotNull && col("c").isNotNull)
+    val sorted = pts.repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("o"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+    val oneMinus = 1.0 - alpha
+    sorted.mapPartitions { it =>
+      var cur = 0L
+      var started = false
+      var y = 0.0
+      it.map { case (e, o, tie, c) =>
+        if (!started || e != cur) { cur = e; started = true; y = c.toDouble }
+        else y = alpha * c.toDouble + oneMinus * y
+        (e, o, tie, c, y)
+      }
+    }.toDF("entity", "ord", "tie", "value_units", "ewma")
+  }
+
   /** Per-group robust outliers by median absolute deviation — the
     * heavy-tail-safe companion to [[zscoreOutliers]] (a single extreme
     * value inflates mean AND sd, masking its neighbors; the median and

@@ -987,6 +987,41 @@ object Relational {
       .orderBy("node")
   }
 
+  /** q69: per-user EWMA of event values
+    * ([[graft.operators.Relational.ewma]]) — the sequential fold run as
+    * secondary sort (one entity shuffle, spill-safe within-partition
+    * sort, one streaming pass), while the oracle replays the identical
+    * fold as a RECURSIVE CTE stepping rank-by-rank within each user.
+    * α = 0.25 and 1−α = 0.75 are binary-exact literals and values enter
+    * as exact snapped longs, so every intermediate double of the
+    * recurrence is bit-identical cross-engine — no rounding anywhere.
+    */
+  val q69 = QueryDef(
+    "q69_ewma",
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id AS entity, epoch_ms(ts) AS ord, event_id AS tie,
+      |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events
+      |  WHERE value IS NOT NULL AND ts IS NOT NULL
+      |    AND user_id IS NOT NULL AND event_id IS NOT NULL),
+      |r AS (
+      |  SELECT entity, ord, tie, c, rn, CAST(c AS DOUBLE) AS ewma
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.entity, s.ord, s.tie, s.c, s.rn,
+      |         CAST(0.25 AS DOUBLE) * CAST(s.c AS DOUBLE)
+      |           + CAST(0.75 AS DOUBLE) * r.ewma
+      |  FROM r JOIN s ON s.entity = r.entity AND s.rn = r.rn + 1)
+      |SELECT entity, ord, tie, c AS value_units, ewma
+      |FROM r ORDER BY entity, ord, tie""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.ewma(Tables.events(s, dir),
+        entityCol = col("user_id"), orderCol = unix_millis(col("ts")),
+        tieCol = col("event_id"), valueCol = col("value"), alpha = 0.25)
+      .orderBy("entity", "ord", "tie")
+  }
+
   /** q50: association rules over document token baskets
     * ([[graft.operators.Relational.associationRules]]) — the Apriori
     * pair-rule output (support / confidence / lift) on the q41 basket
@@ -1564,5 +1599,5 @@ object Relational {
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67, q68)
+      q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }

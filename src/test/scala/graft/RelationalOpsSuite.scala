@@ -285,6 +285,34 @@ class RelationalOpsSuite extends SparkSpec {
     rpr.foreach { case (n, p) => assert(math.abs(p - 0.2) < 1e-12, s"node $n: $p") }
   }
 
+  test("ewma: exact fold per entity, order/tie respected, reset across entities, null drop") {
+    import spark.implicits._
+    // entity 1: values 100, 200, 400 in ts order (tie breaks the equal ts)
+    // entity 2 single row; a null value row drops whole
+    val df = Seq(
+      (1L, 10L, 1L, Some(1.0)),
+      (1L, 20L, 3L, Some(4.0)),
+      (1L, 20L, 2L, Some(2.0)), // same ts as tie=3 but lower tie -> folds first
+      (2L, 5L, 4L, Some(9.0)),
+      (1L, 30L, 5L, None)
+    ).map { case (e, o, t, v) => (e, o, t, v.map(Double.box).orNull) }
+      .toDF("e", "o", "t", "v")
+    val got = Relational.ewma(df, col("e"), col("o"), col("t"), col("v"), alpha = 0.25)
+      .orderBy("entity", "ord", "tie")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    val y1 = 100.0
+    val y2 = 0.25 * 200.0 + 0.75 * y1 // tie=2 folds before tie=3
+    val y3 = 0.25 * 400.0 + 0.75 * y2
+    assert(got == Seq(
+      (1L, 10L, 1L, 100L, y1),
+      (1L, 20L, 2L, 200L, y2),
+      (1L, 20L, 3L, 400L, y3),
+      (2L, 5L, 4L, 900L, 900.0)), got.toString)
+    intercept[IllegalArgumentException] {
+      Relational.ewma(df, col("e"), col("o"), col("t"), col("v"), alpha = 1.0)
+    }
+  }
+
   test("bfsHops: exact levels on a path, min-merge across seeds, isolated seed, unreached absent") {
     import spark.implicits._
     import graft.operators.Graph
