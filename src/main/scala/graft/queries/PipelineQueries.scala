@@ -318,5 +318,70 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06)
+  private val P7Chunk = 8    // chunk window (tokens) — small enough that chunk-level dups exist
+  private val P7Budget = 64  // pack token budget
+  private val P7Shards = 4
+
+  /** p07: the context-window prep chain of pretraining/RAG pipelines as
+    * ONE verified query — chunk (t15) → chunk-level exact dedup (d01
+    * semantics: keep the min-key copy per distinct chunk text — BINDING
+    * on this corpus: 8-token windows repeat across docs, the q31
+    * signal) → greedy sequence packing (q22) of the surviving chunks.
+    * Chunk key = doc_id·100 + chunk_idx (docs are ≤100 chunks by the
+    * t15 bound), so the key stays numeric for the packer and decodes
+    * back losslessly for the output. The oracle chains the same three
+    * mirrors: the t15 window rebuild, a min-per-text group, and the q22
+    * recursive greedy replay — every decision pure integer.
+    */
+  val p07 = QueryDef(
+    "p07_chunk_pack", {
+      val Sg = graft.functions.Signatures
+      val scram = (c: String) => s"((${Sg.sqlPolyHashStr(c)} * 2654435761) % 1000000007)"
+      s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+         |       len(string_split(text, ' ')) AS n FROM documents),
+         |s AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, greatest(n, 1), $P7Chunk)) AS start FROM t),
+         |c AS (SELECT doc_id * 100 + CAST(start / $P7Chunk AS BIGINT) AS ck,
+         |        CAST(least($P7Chunk, n - start) AS BIGINT) AS nt,
+         |        array_to_string(toks[start + 1 : least(start + $P7Chunk, n)], ' ')
+         |          AS chunk_text
+         |      FROM s),
+         |kp AS (SELECT min(ck) AS ck FROM c GROUP BY chunk_text),
+         |sv AS (SELECT c.ck, c.nt FROM c JOIN kp USING (ck)),
+         |k AS (SELECT ck, 'cp:' || CAST(ck AS VARCHAR) AS kk, nt AS n FROM sv),
+         |d AS (SELECT ck, ${scram("kk")} % $P7Shards AS shard, n,
+         |        row_number() OVER (PARTITION BY ${scram("kk")} % $P7Shards
+         |                           ORDER BY ck) AS rn
+         |      FROM k),
+         |p(shard, rn, ck, n, pack, fill, pos) AS (
+         |  SELECT shard, rn, ck, n, CAST(0 AS BIGINT), n, CAST(0 AS BIGINT)
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.shard, d.rn, d.ck, d.n,
+         |    CASE WHEN p.fill > 0 AND p.fill + d.n > $P7Budget
+         |         THEN p.pack + 1 ELSE p.pack END,
+         |    CASE WHEN p.fill > 0 AND p.fill + d.n > $P7Budget
+         |         THEN d.n ELSE p.fill + d.n END,
+         |    CASE WHEN p.fill > 0 AND p.fill + d.n > $P7Budget
+         |         THEN CAST(0 AS BIGINT) ELSE p.pos + 1 END
+         |  FROM p JOIN d ON d.shard = p.shard AND d.rn = p.rn + 1)
+         |SELECT ck // 100 AS doc_id, ck % 100 AS chunk_idx,
+         |  CAST(shard AS BIGINT) AS shard, pack, pos AS pack_pos
+         |FROM p ORDER BY doc_id, chunk_idx""".stripMargin
+    }) { (s, dir) =>
+    val chunks = graft.operators.TextAnalysis.chunkDocs(
+      Tables(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = P7Chunk, overlap = 0)
+    val keyed = chunks.withColumn("ck", col("doc_id") * 100L + col("chunk_idx"))
+    val keep = keyed.groupBy("chunk_text").agg(min("ck").as("ck")).select("ck")
+    val surv = keyed.join(keep, Seq("ck"), "left_semi")
+    graft.operators.Packing.packSequences(
+        surv.select(col("ck"), col("n_chunk_tokens")), "ck", "n_chunk_tokens",
+        budget = P7Budget, shards = P7Shards, salt = "cp:")
+      .select(expr("ck div 100").as("doc_id"), (col("ck") % 100).as("chunk_idx"),
+        col("shard"), col("pack"), col("pack_pos"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07)
 }
