@@ -428,6 +428,50 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming ewma: in-batch sort restores order, late rows flagged, batch equivalence") {
+    import spark.implicits._
+    import graft.streaming.StreamingEwma
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Long, Long, Double)]
+    val out = StreamingEwma.ewma(source.toDS(), alpha = 0.25, scale = 1L)
+    val query = out.writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("ewma_out").as[StreamingEwma.EwmaRow].collect()
+      // batch 1 arrives OUT of (ord, tie) order; the fold must sort first
+      source.addData(("1", 20L, 2L, 8.0), ("1", 10L, 1L, 4.0), ("2", 5L, 3L, 9.0))
+      query.processAllAvailable()
+      val r1 = rows().sortBy(r => (r.key, r.ord))
+      assert(r1.map(r => (r.key, r.ord, r.ewma, r.late)).toSeq == Seq(
+        ("1", 10L, 4.0, false),
+        ("1", 20L, 0.25 * 8.0 + 0.75 * 4.0, false),
+        ("2", 5L, 9.0, false)), r1.mkString(","))
+      // batch 2: a late row (ord below key 1's high-water mark) flags and
+      // does NOT fold; the in-order row continues from the carried state
+      source.addData(("1", 15L, 9L, 100.0), ("1", 30L, 4L, 12.0))
+      query.processAllAvailable()
+      val r2 = rows().sortBy(r => (r.key, r.ord))
+      val y2 = 0.25 * 8.0 + 0.75 * 4.0
+      val late = r2.filter(_.late)
+      assert(late.map(r => (r.key, r.ord, r.ewma)).toSeq == Seq(("1", 15L, y2)), r2.mkString(","))
+      assert(r2.filter(r => r.ord == 30L).map(_.ewma).toSeq ==
+        Seq(0.25 * 12.0 + 0.75 * y2), r2.mkString(","))
+      // in-order streaming readout equals the batch operator on the
+      // concatenated accepted rows
+      val batch = graft.operators.Relational.ewma(
+        Seq((1L, 10L, 1L, 4.0), (1L, 20L, 2L, 8.0), (1L, 30L, 4L, 12.0),
+          (2L, 5L, 3L, 9.0)).toDF("e", "o", "t", "v"),
+        col("e"), col("o"), col("t"), col("v"), alpha = 0.25, scale = 1L)
+        .select("entity", "ord", "ewma").as[(Long, Long, Double)].collect()
+        .map { case (e, o, y) => (e.toString, o, y) }.toSet
+      val stream = rows().filterNot(_.late).map(r => (r.key, r.ord, r.ewma)).toSet
+      assert(stream == batch, s"$stream vs $batch")
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      StreamingEwma.ewma(source.toDS(), alpha = 0.0)
+    }
+  }
+
   test("streaming anomaly: batch-grained prequential baseline, warm-up, isolation") {
     import spark.implicits._
     import graft.streaming.StreamingAnomaly
