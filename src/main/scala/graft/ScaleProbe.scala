@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale probe: replicates the documents/embeddings tables N× (ids
@@ -169,6 +169,24 @@ object ScaleProbe {
     println(f"[scale x$factor] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  out_rows=$n")
   }
 
+  /** Events for probe replication with `ts` normalized to a NANOS-since-
+    * epoch long regardless of the source parquet's generation: ns
+    * timestamps arrive as longs under `nanosAsLong`; µs zone-less
+    * timestamps arrive as TIMESTAMP_NTZ and are widened back to nanos
+    * (UTC session zone makes the cast value-preserving). Downstream probe
+    * code treats ts as a plain long either way, and the replicated copy
+    * is written as int64 nanos — the shape Tables.events' long arm reads.
+    */
+  private def eventsNanos(spark: SparkSession, src: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$src/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
+
   /** Round-6 operators at scale: co-occurrence (corpus-linear pair
     * enumeration under bounded baskets), latestByKey vs the window plan
     * it replaces (the max_by partial agg ships one candidate per key per
@@ -194,8 +212,7 @@ object ScaleProbe {
     // events ×factor with user ids UNSHIFTED: the CDC shape — the change
     // log deepens (factor× versions per key) while |keys| stays fixed,
     // exactly when compaction plans diverge
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val ev0 = eventsNanos(spark, src)
     val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
     ev0.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * maxEv)
@@ -269,8 +286,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
     // events: read ts as raw nanos (the source is ns-precision parquet);
     // the written copy is a plain int64 Tables.events reads unchanged
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$src/events.parquet")
+    val ev = eventsNanos(spark, src)
     val (maxEv, maxUser) = (maxOf(ev, "event_id"), maxOf(ev, "user_id"))
     ev.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * maxEv)
@@ -308,8 +324,7 @@ object ScaleProbe {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val d = spark.read.parquet(s"$out/documents.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val ev0 = eventsNanos(spark, src)
     val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
     ev0.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * maxEv)
@@ -393,8 +408,7 @@ object ScaleProbe {
       .repartition(64)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val d = spark.read.parquet(s"$out/documents.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev0 = spark.read.parquet(s"$src/events.parquet")
+    val ev0 = eventsNanos(spark, src)
     val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
     ev0.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * maxEv)

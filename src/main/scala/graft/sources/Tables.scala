@@ -19,15 +19,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries nanosecond parquet timestamps, which Spark's
-    * vectorized reader rejects. Read `ts` as a nanos-since-epoch long and
-    * rebuild a microsecond TIMESTAMP (Spark's native precision) — identical
-    * to what a ns-capable reader would produce after µs truncation.
+  /** The events table's `ts` column has shipped in two parquet encodings
+    * across data generations: nanosecond timestamps (which Spark's
+    * vectorized reader rejects — read as a nanos-since-epoch long under
+    * `nanosAsLong` and rebuild the microsecond TIMESTAMP) and plain
+    * microsecond timestamps without a zone (read as TIMESTAMP_NTZ — cast
+    * to the session-zone TIMESTAMP, a value-preserving relabel under the
+    * UTC session zone every entry point pins). Dispatch on the read type
+    * so both generations produce the identical TIMESTAMP column.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-zone TIMESTAMP
+    }
   }
 
   /** Generic readers so pipelines aren't parquet-only. Pass `schema` in
