@@ -13,6 +13,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Runs = 3
 
+  /** Local-iteration filter: SPARK_GRAFT_QUERIES=q68_bfs_hops,q47_…
+    * restricts the run to named queries. Unset (the driver's config) =
+    * full registry, identical behavior to before.
+    */
+  private def selected: Seq[QueryDef] =
+    sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.registry.filter(q => want(q.name))
+      case None => SparkEntry.registry
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -39,14 +51,14 @@ object Bench {
     // plan are JIT'd before anything is measured — otherwise the first
     // timed queries absorb the whole session's warmup.
     spark.range(1000).selectExpr("sum(id)").collect()
-    SparkEntry.registry.foreach(runOnce)
+    selected.foreach(runOnce)
     // Timed passes are interleaved (whole registry, Runs times) rather
     // than back-to-back per query, so each query's samples are spread
     // across the session's JIT/GC lifecycle and the median is stable.
     val samples = (1 to Runs).flatMap { _ =>
-      SparkEntry.registry.map(q => q.name -> runOnce(q))
+      selected.map(q => q.name -> runOnce(q))
     }
-    val results = SparkEntry.registry.map { q =>
+    val results = selected.map { q =>
       val mine = samples.collect { case (n, t) if n == q.name => t }
       // a failed query must not read as a speedup: report it as -1
       val median =

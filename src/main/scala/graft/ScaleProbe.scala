@@ -23,6 +23,7 @@ object ScaleProbe {
     val out = s"/tmp/graft_scale_x$factor"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC") // NTZ→timestamp relabels are value-preserving only under UTC
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -170,22 +171,12 @@ object ScaleProbe {
   }
 
   /** Events for probe replication with `ts` normalized to a NANOS-since-
-    * epoch long regardless of the source parquet's generation: ns
-    * timestamps arrive as longs under `nanosAsLong`; µs zone-less
-    * timestamps arrive as TIMESTAMP_NTZ and are widened back to nanos
-    * (UTC session zone makes the cast value-preserving). Downstream probe
-    * code treats ts as a plain long either way, and the replicated copy
-    * is written as int64 nanos — the shape Tables.events' long arm reads.
+    * epoch long — the shared decode point in Tables handles both parquet
+    * generations; the replicated copy is written as int64 nanos, the
+    * shape Tables.events' long arm reads.
     */
-  private def eventsNanos(spark: SparkSession, src: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$src/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts",
-        unix_micros(col("ts").cast("timestamp")) * lit(1000L))
-    }
-  }
+  private def eventsNanos(spark: SparkSession, src: String): DataFrame =
+    graft.sources.Tables.eventsTsAsNanosLong(spark, src)
 
   /** Round-6 operators at scale: co-occurrence (corpus-linear pair
     * enumeration under bounded baskets), latestByKey vs the window plan

@@ -28,15 +28,32 @@ object Tables {
     * UTC session zone every entry point pins). Dispatch on the read type
     * so both generations produce the identical TIMESTAMP column.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsTsAsNanosLong(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Single decode point for the `ts` generations: normalize to a
+    * nanos-since-epoch LONG, the lossless common denominator both
+    * encodings decode to. `events` derives its TIMESTAMP from this, and
+    * probes that replicate events at scale (ScaleProbe) read the long
+    * directly. Any encoding outside the two known generations (plus an
+    * already-decoded session-zone TIMESTAMP) fails HERE with the observed
+    * type, not rows later in a downstream operator.
+    */
+  def eventsTsAsNanosLong(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.LongType => raw
       case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw // already a session-zone TIMESTAMP
+        // value-preserving relabel only under the UTC session zone every
+        // entry point pins (Verify/Bench/PlanAudit/ScaleProbe)
+        raw.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+      case org.apache.spark.sql.types.TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet type $other — known generations are " +
+          "int64 nanos (nanosAsLong) and TIMESTAMP_NTZ micros")
     }
   }
 
