@@ -44,6 +44,16 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           None
+      } finally {
+        // Queries are independent jobs: release every block the query
+        // pinned (localCheckpoint materializations persist their RDD and
+        // stay resident until the JVM happens to GC the RDD handle —
+        // across a 115-query × 4-pass session those dead blocks stack up
+        // in storage memory and measurably slow every later shuffle; a
+        // checkpoint-heavy trio measured 2.2 s → 24.5 s interference on
+        // a neighboring query before this cleanup).
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     // Warmup pass 0 (untimed): a full execution of every query, so the

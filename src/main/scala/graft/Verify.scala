@@ -15,11 +15,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (same contract as Bench): unset = full map.
+    val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        SparkEntry.queries.filter { case (n, _) => want(n) }
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // release blocks pinned by in-operator localCheckpoints — they
+        // outlive the query until a JVM GC otherwise (see Bench.runOnce)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
