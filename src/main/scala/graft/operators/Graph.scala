@@ -177,12 +177,19 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, rounds: Int,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, checkpointEvery: Int = 4): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val canon0 = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+    // the adjacency is probed EVERY round — always materialize it; the
+    // distance state only needs periodic truncation (each eager
+    // checkpoint is a full blocking job: at 3 rounds, per-round dist
+    // checkpoints measured 6.0 → 4.2 s at sf0.1 for zero lineage
+    // benefit — the plan is still shallow; at 50 rounds, unbounded
+    // lineage would swamp the planner, so truncate every few rounds)
     val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
     val adj = canon.union(canon.select(col("v"), col("u")))
       .toDF("u", "v")
@@ -196,7 +203,9 @@ object Graph {
         .withColumn("dist", lit(r.toLong))
       val merged = dist.union(cand).groupBy("node")
         .agg(min("dist").as("dist"))
-      dist = if (checkpoint) merged.localCheckpoint(true) else merged
+      dist = if (checkpoint && r % checkpointEvery == 0 && r < rounds)
+        merged.localCheckpoint(true)
+      else merged
     }
     dist
   }
@@ -241,5 +250,56 @@ object Graph {
     val counts = tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).cast("long").as("n_triangles"))
     (deg, counts)
+  }
+
+  /** HITS hubs & authorities over a DIRECTED edge list (Kleinberg 1999) —
+    * the bipartite-influence counterpart of [[pageRank]]: a node is a
+    * good hub if it points at good authorities and a good authority if
+    * good hubs point at it. Fixed `iters` (the q43/q49 contract: an
+    * external oracle unrolls the same count), L1 normalization each
+    * half-step so scores are comparable across engines without an
+    * eigenvalue solve.
+    *
+    * Plan per iteration: two equi-join + partial-agg passes (auth from
+    * hubs, hubs from auths); each L1 norm is a one-row aggregate
+    * broadcast back via crossJoin — NO driver-side collect, the whole
+    * iteration stays one lazy DAG. The score state is materialized
+    * every iteration: each state feeds BOTH the next propagation join
+    * and its own norm sum, so the un-materialized plan doubles per
+    * half-step — 2^(2·iters) subtree expansion (the exponential-CTE
+    * failure q49's oracle hit, on the Spark side). The edge list is
+    * materialized once and probed 2·iters times.
+    *
+    * Output: side ('hub' = src nodes, 'auth' = dst nodes), node, score
+    * (unrounded; each side sums to 1).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull).distinct()
+    val e = if (checkpoint) e0.localCheckpoint(true) else e0
+    val srcs = e.select("u").distinct()
+    val nU = srcs.count() // one metadata scalar (q43's n)
+    var h = srcs.withColumn("h", lit(1.0) / lit(nU.toDouble))
+    if (checkpoint) h = h.localCheckpoint(true)
+    var a = e.sparkSession.emptyDataFrame
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, "u").groupBy("v").agg(sum("h").as("_ar"))
+      // a is NOT separately materialized: with h truncated each full
+      // iteration, a's subtree is one join+agg off a materialized state —
+      // its two consumers (h's propagation, the final output) re-run at
+      // most that, while a second eager checkpoint per iteration is a
+      // second blocking job (measured 5.9 → 4.3 s at sf0.1)
+      a = aRaw.crossJoin(broadcast(aRaw.agg(sum("_ar").as("_as"))))
+        .select(col("v"), (col("_ar") / col("_as")).as("a"))
+      val hRaw = e.join(a, "v").groupBy("u").agg(sum("a").as("_hr"))
+      val hN = hRaw.crossJoin(broadcast(hRaw.agg(sum("_hr").as("_hs"))))
+        .select(col("u"), (col("_hr") / col("_hs")).as("h"))
+      h = if (checkpoint) hN.localCheckpoint(true) else hN
+    }
+    h.select(lit("hub").as("side"), col("u").as("node"), col("h").as("score"))
+      .unionByName(
+        a.select(lit("auth").as("side"), col("v").as("node"), col("a").as("score")))
   }
 }

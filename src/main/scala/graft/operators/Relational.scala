@@ -1233,4 +1233,127 @@ object Relational {
         :+ (col("_dev").cast("double") / (lit(1.4826) * col("_mad").cast("double")))
           .as("robust_z"): _*)
   }
+
+  /** Type-2 slowly-changing-dimension historization of a change log —
+    * the warehouse primitive that turns an event stream ("user U was in
+    * state S at time T") into validity intervals ("U held S over
+    * [from, to)"), collapsing consecutive equal states into one run.
+    * The CDC counterpart of `latestByKey` (which keeps only the final
+    * version; this keeps the full history as intervals).
+    *
+    * Plan: ONE shuffle on the entity, then two within-partition window
+    * passes — a lag to flag run starts (null-safe `<=>`, so the first
+    * row of each entity always starts a run and a NULL state is a state
+    * like any other), a filter to run starts (narrow, distribution-
+    * preserving: the lead window reuses the same exchange and only
+    * re-sorts), and a lead for the successor's start = this run's
+    * exclusive end (NULL = still current). Order ties are broken by
+    * `tieCol` — (orderCol, tieCol) must be unique per entity for a
+    * deterministic history. No driver state, no join: history length
+    * per entity is unbounded but the state is one row of lookahead.
+    *
+    * Output: entity, state, valid_from, valid_to (both in `orderCol`'s
+    * units; valid_to NULL for the current run), run_seq (1-based run
+    * index per entity).
+    */
+  def scd2(df: DataFrame, entityCol: Column, stateCol: Column,
+      orderCol: Column, tieCol: Column): DataFrame = {
+    val wOrd = Window.partitionBy(entityCol).orderBy(orderCol, tieCol)
+    val starts = df
+      .withColumn("_prev", lag(stateCol, 1).over(wOrd))
+      .withColumn("_rn", row_number().over(wOrd))
+      // run start = first row of the entity, or a null-safe state change.
+      // lag alone cannot express this: it returns NULL both for "no
+      // predecessor" and "predecessor in state NULL", so an entity whose
+      // FIRST state is NULL would lose its opening run under a bare
+      // `!(_prev <=> state)` — the explicit row_number disambiguates
+      .filter(col("_rn") === 1 || !(col("_prev") <=> stateCol))
+      .select(entityCol.as("entity"), stateCol.as("state"),
+        orderCol.as("valid_from"), tieCol.as("_tie"))
+    val wRun = Window.partitionBy(col("entity"))
+      .orderBy(col("valid_from"), col("_tie"))
+    starts
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wRun))
+      .withColumn("run_seq", row_number().over(wRun).cast("long"))
+      .drop("_tie")
+  }
+
+  /** Trailing-window distinct count per period — "7-day active users by
+    * day", the retention-adjacent reach metric. Spark has no
+    * `COUNT(DISTINCT) OVER (RANGE …)` (distinct aggregates are not
+    * supported in windows at all), and the self-join formulation
+    * (`days × facts ON fact.day BETWEEN d-6 AND d`) is a range join
+    * that degenerates to broadcast-nested-loop. This operator instead
+    * EXPLODES each (period, key) fact to the `window` target periods it
+    * is visible in — a narrow map-side expansion bounded by the window
+    * length — then runs one distinct partial-agg per target period.
+    * Shuffle volume is window × |distinct (period, key)|, independent
+    * of row count (facts dedupe per period FIRST); parallelism is by
+    * (period, key), never a per-period sort.
+    *
+    * At very large windows (90-day reach over billions of keys) the
+    * explode factor dominates — switch to the sketch path
+    * ([[sketchBuild]] per day + [[sketchRollup]] over the trailing
+    * window: fixed-size HLL merges, approximate) — this operator is the
+    * exact small-window form. Only periods observed in the data are
+    * reported (compose with [[gapFill]] for calendar-dense output).
+    *
+    * Output: period (dayCol's type), distinct_keys.
+    */
+  def rollingDistinct(df: DataFrame, periodCol: Column, keyCol: Column,
+      window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val facts = df.select(periodCol.as("_p"), keyCol.as("_k")).distinct()
+    val periods = facts.select(col("_p")).distinct()
+    val contrib = facts.select(
+        explode(sequence(col("_p"), date_add(col("_p"), window - 1))).as("_t"),
+        col("_k"))
+    // keep only target periods that actually occur (the explode also
+    // emits up to window-1 phantom periods past each fact's day)
+    contrib.join(periods.withColumnRenamed("_p", "_t"), Seq("_t"), "left_semi")
+      .groupBy(col("_t").as("period"))
+      .agg(countDistinct(col("_k")).as("distinct_keys"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic per segment — the
+    * drift-detection gate (did this batch's value distribution move vs
+    * the reference corpus?). D = max over values of |F_a(v) − F_b(v)|,
+    * computed EXACTLY in integers: values snap to units of 1/scale
+    * (the shared q44 rule), per-(segment, unit) counts partial-agg
+    * map-side, one within-segment window pass accumulates the two
+    * CDFs, and the sup statistic is the max of
+    * |cum_a·n_b − cum_b·n_a| — cross-multiplied so the comparison
+    * never touches a float; the closing d = d_num/(n_a·n_b) is one
+    * exact division. Parallelism: the window sorts |distinct units|
+    * rows per segment (bounded by the value domain, not row count);
+    * segments with an empty side report no row (D undefined).
+    * Output: segmentCols, n_a, n_b, d_num, d (unrounded — round at the
+    * binding).
+    */
+  def ksTest(df: DataFrame, segmentCols: Seq[String], valueCol: Column,
+      isACol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = segmentCols.map(col)
+    val pts = df.withColumn("_c", snap(valueCol, scale))
+      .filter(col("_c").isNotNull && isACol.isNotNull)
+      .withColumn("_a", isACol)
+    val hist = pts.groupBy(gcols :+ col("_c"): _*).agg(
+      sum(when(col("_a"), 1L).otherwise(0L)).as("_ca"),
+      sum(when(col("_a"), 0L).otherwise(1L)).as("_cb"))
+    val wc = Window.partitionBy(gcols: _*).orderBy(col("_c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(gcols: _*)
+    hist
+      .withColumn("_cuma", sum("_ca").over(wc))
+      .withColumn("_cumb", sum("_cb").over(wc))
+      .withColumn("_na", sum("_ca").over(wn))
+      .withColumn("_nb", sum("_cb").over(wn))
+      .groupBy(gcols: _*)
+      .agg(
+        max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        max(abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na"))).as("d_num"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("d",
+        col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+  }
 }

@@ -1595,9 +1595,147 @@ object Relational {
       .orderBy("event_type", "event_id")
   }
 
+  /** q70: trailing 7-day distinct active users by day
+    * ([[graft.operators.Relational.rollingDistinct]]) — the reach metric
+    * Spark's window frame cannot express (no DISTINCT aggregates over
+    * windows): each (day, user) fact explodes to the 7 target days it is
+    * visible in (narrow, bounded by the window), then one distinct
+    * partial-agg per target day. The oracle states the same semantics as
+    * the textbook range self-join. Days out as strings so the DATE type
+    * never round-trips through two engines' calendars.
+    */
+  val q70 = QueryDef(
+    "q70_rolling_distinct",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du),
+      |w AS (SELECT d.day, du.user_id FROM days d
+      |      JOIN du ON du.day BETWEEN d.day - 6 AND d.day)
+      |SELECT strftime(day, '%Y-%m-%d') AS period,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_keys
+      |FROM w GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    graft.operators.Relational.rollingDistinct(ev, col("day"), col("user_id"), 7)
+      .select(date_format(col("period"), "yyyy-MM-dd").as("period"),
+        col("distinct_keys"))
+      .orderBy("period")
+  }
+
+  /** q71: type-2 SCD historization of the event log
+    * ([[graft.operators.Relational.scd2]]) — consecutive equal
+    * event_type runs per user collapse to validity intervals
+    * [valid_from, valid_to) in epoch millis (valid_to NULL = current).
+    * One entity shuffle, two window passes; the oracle replays the
+    * identical lag-filter-lead chain.
+    */
+  val q71 = QueryDef(
+    "q71_scd2",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+      |           FROM events),
+      |m AS (SELECT user_id, event_type, tms, event_id,
+      |        lag(event_type) OVER wo AS prev,
+      |        row_number() OVER wo AS rn
+      |      FROM e WINDOW wo AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      |st AS (SELECT user_id, event_type AS state, tms AS valid_from, event_id
+      |       FROM m WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+      |SELECT user_id, state, valid_from,
+      |  lead(valid_from) OVER w AS valid_to,
+      |  CAST(row_number() OVER w AS BIGINT) AS run_seq
+      |FROM st WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+      |ORDER BY user_id, run_seq""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"))
+    graft.operators.Relational.scd2(ev, col("user_id"), col("event_type"),
+        col("tms"), col("event_id"))
+      .select(col("entity").as("user_id"), col("state"),
+        col("valid_from"), col("valid_to"), col("run_seq"))
+      .orderBy("user_id", "run_seq")
+  }
+
+  /** q72: two-sample KS drift statistic per order status
+    * ([[graft.operators.Relational.ksTest]]) — urgent-priority order
+    * totals vs the rest: the sup-CDF-gap computed entirely in integers
+    * (cents histogram, cross-multiplied cumulative gap), with one exact
+    * closing division mirrored to 6 dp. The window sorts |distinct
+    * cents| rows per segment, never the raw orders.
+    */
+  val q72 = QueryDef(
+    "q72_ks_test",
+    s"""WITH p AS (SELECT o_orderstatus AS seg,
+       |             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+       |             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a
+       |           FROM orders),
+       |h AS (SELECT seg, c, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+       |        sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+       |      FROM p GROUP BY 1, 2),
+       |w AS (SELECT seg, c,
+       |        sum(ca) OVER (PARTITION BY seg ORDER BY c
+       |          ROWS UNBOUNDED PRECEDING) AS cuma,
+       |        sum(cb) OVER (PARTITION BY seg ORDER BY c
+       |          ROWS UNBOUNDED PRECEDING) AS cumb,
+       |        sum(ca) OVER (PARTITION BY seg) AS na,
+       |        sum(cb) OVER (PARTITION BY seg) AS nb
+       |      FROM h),
+       |g AS (SELECT seg AS o_orderstatus,
+       |        CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |        CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+       |      FROM w GROUP BY 1
+       |      HAVING max(na) > 0 AND max(nb) > 0)
+       |SELECT o_orderstatus, n_a, n_b, d_num,
+       |  ${mr("CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)} AS d
+       |FROM g ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.ksTest(Tables(s, dir, "orders"),
+        Seq("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .withColumn("d", Rounding.mirrorRound(col("d"), 6))
+      .orderBy("o_orderstatus")
+  }
+
+  private val HitsIters = 3
+
+  private def hitsIterSql(r: Int): String =
+    s"""ar$r AS MATERIALIZED (SELECT e.v, sum(h.h) AS ar FROM e
+       |         JOIN h${r - 1} h ON e.u = h.u GROUP BY 1),
+       |a$r AS MATERIALIZED (SELECT v, ar / (SELECT sum(ar) FROM ar$r) AS a
+       |         FROM ar$r),
+       |hr$r AS MATERIALIZED (SELECT e.u, sum(a.a) AS hr FROM e
+       |         JOIN a$r a ON e.v = a.v GROUP BY 1),
+       |h$r AS MATERIALIZED (SELECT u, hr / (SELECT sum(hr) FROM hr$r) AS h
+       |         FROM hr$r)""".stripMargin
+
+  /** q73: HITS hubs & authorities over the supplier→part supply graph
+    * ([[graft.operators.Graph.hits]]) — suppliers are hubs (they stock
+    * influential parts), parts are authorities (stocked by influential
+    * suppliers). Fixed 3 iterations, L1-normalized each half-step, the
+    * oracle unrolling the identical iterations as MATERIALIZED CTEs
+    * (the q49 lesson: inlined, the state CTE re-expands exponentially).
+    */
+  val q73 = QueryDef(
+    "q73_hits",
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS u, l_partkey AS v
+       |         FROM lineitem),
+       |u0 AS MATERIALIZED (SELECT DISTINCT u FROM e),
+       |h0 AS MATERIALIZED (SELECT u, 1.0 / (SELECT count(*) FROM u0) AS h
+       |         FROM u0),
+       |${(1 to HitsIters).map(hitsIterSql).mkString(",\n")}
+       |SELECT side, node, score FROM (
+       |  SELECT 'hub' AS side, u AS node, ${mr("h", 6)} AS score FROM h$HitsIters
+       |  UNION ALL
+       |  SELECT 'auth', v, ${mr("a", 6)} FROM a$HitsIters)
+       |ORDER BY side, node""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val edges = Tables(s, dir, "lineitem").select("l_suppkey", "l_partkey")
+    graft.operators.Graph.hits(edges, "l_suppkey", "l_partkey", iters = HitsIters)
+      .select(col("side"), col("node"),
+        Rounding.mirrorRound(col("score"), 6).as("score"))
+      .orderBy("side", "node")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67, q68, q69)
+      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
 }

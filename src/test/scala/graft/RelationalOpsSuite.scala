@@ -912,4 +912,80 @@ class RelationalOpsSuite extends SparkSpec {
       Relational.madOutliers(df, Seq("g"), col("v"), k = 0L, payloadCols = Nil)
     }
   }
+
+  test("scd2: runs collapse, first row starts, NULL state is a state, open tail") {
+    import spark.implicits._
+    // user 1: A A B A -> runs A[10,30) B[30,40) A[40,∞); user 2: null null A
+    val rows = Seq(
+      (1L, 10L, 100L, Some("A")), (1L, 20L, 101L, Some("A")),
+      (1L, 30L, 102L, Some("B")), (1L, 40L, 103L, Some("A")),
+      (2L, 10L, 200L, None), (2L, 20L, 201L, None), (2L, 30L, 202L, Some("A")))
+      .toDF("u", "t", "eid", "state")
+    val out = Relational.scd2(rows, col("u"), col("state"), col("t"), col("eid"))
+      .orderBy("entity", "run_seq")
+      .as[(Long, Option[String], Long, Option[Long], Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, Some("A"), 10L, Some(30L), 1L),
+      (1L, Some("B"), 30L, Some(40L), 2L),
+      (1L, Some("A"), 40L, None, 3L),
+      (2L, None, 10L, Some(30L), 1L),
+      (2L, Some("A"), 30L, None, 2L)), s"$out")
+  }
+
+  test("rollingDistinct: window membership exact, duplicate facts collapse, phantom days absent") {
+    import spark.implicits._
+    val d = java.sql.Date.valueOf(_: String)
+    // users on 01-01: {a,b}; 01-05: {b}; 01-20: {c} (gap > window)
+    val facts = Seq(
+      ("2024-01-01", "a"), ("2024-01-01", "b"), ("2024-01-01", "b"),
+      ("2024-01-05", "b"), ("2024-01-20", "c"))
+      .map { case (dt, u) => (d(dt), u) }.toDF("day", "u")
+    val out = Relational.rollingDistinct(facts, col("day"), col("u"), 7)
+      .orderBy("period").as[(java.sql.Date, Long)].collect().toSeq
+    // 01-01 sees {a,b}=2; 01-05 sees 01-01∪01-05 = {a,b}=2; 01-20 sees {c}=1;
+    // no rows for unobserved days (01-02..04 etc.)
+    assert(out == Seq((d("2024-01-01"), 2L), (d("2024-01-05"), 2L),
+      (d("2024-01-20"), 1L)), s"$out")
+    intercept[IllegalArgumentException] {
+      Relational.rollingDistinct(facts, col("day"), col("u"), 0)
+    }
+  }
+
+  test("ksTest: hand-computed sup gap, empty-side segment dropped, null drop") {
+    import spark.implicits._
+    // seg s: A = {1,2}, B = {2,3}: at v=1 |1*2-0*2|=2; v=2 |2*2-1*2|=2; v=3 0
+    // -> d_num = 2, d = 2/4 = 0.5
+    val df = Seq(("s", 1.0, true), ("s", 2.0, true), ("s", 2.0, false),
+      ("s", 3.0, false), ("only_a", 5.0, true)).toDF("seg", "v", "isa")
+    val out = Relational.ksTest(df, Seq("seg"), col("v"), col("isa"), scale = 1L)
+      .select("seg", "n_a", "n_b", "d_num", "d")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("s", 2L, 2L, 2L, 0.5)), s"$out")
+    // null values and null flags drop whole-row
+    val withNull = Seq(("s", Some(1.0), Some(true)), ("s", None, Some(false)),
+      ("s", Some(2.0), None), ("s", Some(2.0), Some(false)))
+      .toDF("seg", "v", "isa")
+    val n = Relational.ksTest(withNull, Seq("seg"), col("v"), col("isa"), scale = 1L)
+      .select("n_a", "n_b").as[(Long, Long)].collect().toSeq
+    assert(n == Seq((1L, 1L)), s"$n")
+  }
+
+  test("hits: bipartite star concentrates authority; L1 norms; directed dedup") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // hubs 1,2,3 all point at part 10; hub 1 also at 11 (twice - dedup)
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L), (1L, 11L))
+      .toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iters = 3)
+      .as[(String, Long, Double)].collect()
+    val auth = out.filter(_._1 == "auth").map(r => r._2 -> r._3).toMap
+    val hub = out.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    // each side sums to 1 (L1 normalized)
+    assert(math.abs(auth.values.sum - 1.0) < 1e-12)
+    assert(math.abs(hub.values.sum - 1.0) < 1e-12)
+    // part 10 (3 hubs) dominates part 11 (1 hub); hub 1 (2 parts) > hubs 2,3
+    assert(auth(10L) > auth(11L))
+    assert(hub(1L) > hub(2L) && math.abs(hub(2L) - hub(3L)) < 1e-12)
+    intercept[IllegalArgumentException] { Graph.hits(e, "src", "dst", iters = 0) }
+  }
 }
