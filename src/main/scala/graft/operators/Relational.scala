@@ -1356,4 +1356,33 @@ object Relational {
       .withColumn("d",
         col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
   }
+
+  /** Lag-k autocorrelation of a bucketed event-count series per group —
+    * the seasonality detector (lag 24 on hourly buckets ⇒ daily rhythm;
+    * lag 7 on daily ⇒ weekly). The series never materializes on the
+    * driver: counts are one partial-agg groupBy (exact longs), the
+    * k-shifted pairing is a self-equi-join on (group, bucket) after
+    * subtracting the lag from one side — never an inequality/range
+    * join — and the correlation rides [[pearsonCorr]]'s exact-integer
+    * moment machinery (counts are already integers: scale 1). Buckets
+    * where either end of the pair is unobserved produce no pair (the
+    * well-defined gap semantics an external engine mirrors trivially);
+    * groups need ≥ 2 pairs and nonzero variance on both ends or they
+    * vanish. Output: groupCols, n (pairs), corr (unrounded).
+    */
+  def autocorrelation(df: DataFrame, groupCols: Seq[String], tsMillis: Column,
+      bucketMillis: Long, lagBuckets: Int): DataFrame = {
+    require(bucketMillis >= 1, "bucketMillis must be >= 1")
+    require(lagBuckets >= 1, "lagBuckets must be >= 1")
+    val gcols = groupCols.map(col)
+    val base = df.filter(tsMillis.isNotNull)
+      .withColumn("_bk", (tsMillis.cast("long") / lit(bucketMillis)).cast("long"))
+      .groupBy(gcols :+ col("_bk"): _*).agg(count(lit(1)).cast("long").as("_c0"))
+    val ahead = base
+      .withColumn("_bk", col("_bk") - lit(lagBuckets.toLong))
+      .withColumnRenamed("_c0", "_c1")
+    base.join(ahead, groupCols :+ "_bk")
+      .transform(j => pearsonCorr(j, groupCols, col("_c0"), col("_c1"),
+        scaleX = 1L, scaleY = 1L))
+  }
 }

@@ -383,5 +383,69 @@ object PipelineQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07)
+  /** p08: point-in-time (feature-store) enrichment END-TO-END — the
+    * composition that makes q71's SCD2 intervals USEFUL: lifecycle
+    * events (signup/purchase) historize into per-user state intervals
+    * ([[graft.operators.Relational.scd2]]), then every behavioral event
+    * (view/click/error) is enriched with the state its user was in AT
+    * THAT MOMENT plus time-in-state — the leakage-free training-data
+    * join (using the CURRENT state would leak the future into features).
+    * The as-of step rides q12's union + last(ignoreNulls) window — one
+    * shuffle on the user, no range join — keyed by valid_from (unique
+    * per user: run starts strictly increase), and interval payloads come
+    * back via one equi-join on (user, valid_from). Events before a
+    * user's first lifecycle event have no state and are dropped (the
+    * q12 inner-asof contract, mirrored by the oracle's EXISTS).
+    * ms_in_state is an exact long difference.
+    */
+  val p08 = QueryDef(
+    "p08_point_in_time",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+      |           FROM events),
+      |l AS (SELECT * FROM e WHERE event_type IN ('signup', 'purchase')),
+      |m AS (SELECT user_id, event_type, tms, event_id,
+      |        lag(event_type) OVER wo AS prev, row_number() OVER wo AS rn
+      |      FROM l WINDOW wo AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      |st AS (SELECT user_id, event_type AS state, tms AS valid_from FROM m
+      |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      |f AS (SELECT user_id, event_id, event_type AS fact_type, tms FROM e
+      |      WHERE event_type NOT IN ('signup', 'purchase'))
+      |SELECT f.event_id, f.user_id, f.fact_type, f.tms,
+      |  (SELECT s.state FROM st s
+      |   WHERE s.user_id = f.user_id AND s.valid_from <= f.tms
+      |   ORDER BY s.valid_from DESC LIMIT 1) AS state_at,
+      |  f.tms - (SELECT max(s.valid_from) FROM st s
+      |           WHERE s.user_id = f.user_id AND s.valid_from <= f.tms)
+      |    AS ms_in_state
+      |FROM f
+      |WHERE EXISTS (SELECT 1 FROM st s
+      |              WHERE s.user_id = f.user_id AND s.valid_from <= f.tms)
+      |ORDER BY f.event_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Relational
+    val LifecycleTypes = Seq("signup", "purchase")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"))
+    val st = Relational.scd2(
+        ev.filter(col("event_type").isin(LifecycleTypes: _*)),
+        col("user_id"), col("event_type"), col("tms"), col("event_id"))
+      .select(col("entity").as("user_id"), col("state"), col("valid_from"))
+    val facts = ev.filter(!col("event_type").isin(LifecycleTypes: _*))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("fact_type"), col("tms"))
+    val asof = Relational.asofJoin(facts, st,
+      leftKey = "user_id", rightKey = "user_id",
+      leftTs = "tms", rightTs = "valid_from",
+      leftId = "event_id", rightId = "valid_from")
+    facts.join(asof, "event_id")
+      .join(st.withColumnRenamed("valid_from", "_vf"),
+        Seq("user_id"), "inner")
+      .filter(col("asof_valid_from") === col("_vf"))
+      .select(col("event_id"), col("user_id"), col("fact_type"), col("tms"),
+        col("state").as("state_at"),
+        (col("tms") - col("_vf")).as("ms_in_state"))
+      .orderBy("event_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
 }

@@ -1733,9 +1733,43 @@ object Relational {
       .orderBy("side", "node")
   }
 
+  /** q74: lag-24 autocorrelation of hourly event counts per type
+    * ([[graft.operators.Relational.autocorrelation]]) — the daily-
+    * seasonality detector: hourly buckets pair with the bucket 24 hours
+    * ahead via a subtract-the-lag equi-join (never a range join), and
+    * the correlation runs over exact integer counts (q55's moment
+    * machinery at scale 1). Gap semantics: a pair exists only when both
+    * hours are observed.
+    */
+  val q74 = QueryDef(
+    "q74_autocorr",
+    """WITH b AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bk,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, a.c AS x, f.c AS y FROM b a
+      |      JOIN b f ON f.event_type = a.event_type AND f.bk = a.bk + 24),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+      |  CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY 1),
+      |t AS (SELECT event_type, n,
+      |  (CAST(n AS DOUBLE)*sxx - sx*sx) AS dx,
+      |  (CAST(n AS DOUBLE)*syy - sy*sy) AS dy,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) AS num
+      |  FROM s)
+      |SELECT event_type, n, num / (sqrt(dx) * sqrt(dy)) AS corr
+      |FROM t WHERE n >= 2 AND dx > 0 AND dy > 0
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.autocorrelation(Tables.events(s, dir),
+        Seq("event_type"), unix_millis(col("ts")),
+        bucketMillis = 3600000L, lagBuckets = 24)
+      .orderBy("event_type")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73)
+      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
 }

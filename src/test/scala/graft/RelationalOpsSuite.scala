@@ -970,6 +970,37 @@ class RelationalOpsSuite extends SparkSpec {
     assert(n == Seq((1L, 1L)), s"$n")
   }
 
+  test("autocorrelation: perfect period detected, gaps pair-drop, anti-phase negative") {
+    import spark.implicits._
+    // period-2 series on buckets 0..5: 10,2,10,2,10,2 (counts via row repetition)
+    def rows(g: String, perBucket: Seq[Int]): Seq[(String, Long)] =
+      perBucket.zipWithIndex.flatMap { case (n, bk) =>
+        Seq.fill(n)((g, bk.toLong * 1000L))
+      }
+    val df = (rows("p", Seq(10, 2, 10, 2, 10, 2)) ++
+      rows("anti", Seq(10, 2, 10, 2, 10)))
+      .toDF("g", "tms")
+    // lag 2 on the period-2 series: pairs (10,10),(2,2),(10,10),(2,2) -> corr 1
+    val lag2 = Relational.autocorrelation(df.filter(col("g") === "p"), Seq("g"),
+        col("tms"), bucketMillis = 1000L, lagBuckets = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(lag2 == Seq(("p", 4L, 1.0)), s"$lag2")
+    // lag 1 anti-phase: pairs (10,2),(2,10),(10,2),(2,10) -> corr -1
+    val lag1 = Relational.autocorrelation(df.filter(col("g") === "anti"), Seq("g"),
+        col("tms"), bucketMillis = 1000L, lagBuckets = 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(lag1 == Seq(("anti", 4L, -1.0)), s"$lag1")
+    // gap: missing bucket 1 -> lag-1 pairs need both ends observed
+    val gappy = (rows("g", Seq(3)) ++ Seq(("g", 2000L), ("g", 2000L), ("g", 3000L)))
+      .toDF("g", "tms") // buckets 0 (c=3), 2 (c=2), 3 (c=1): lag-1 pair only (2,3)
+    val gp = Relational.autocorrelation(gappy, Seq("g"), col("tms"), 1000L, 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(gp.isEmpty, s"n=1 pair must vanish (needs >= 2): $gp")
+    intercept[IllegalArgumentException] {
+      Relational.autocorrelation(df, Seq("g"), col("tms"), 1000L, 0)
+    }
+  }
+
   test("hits: bipartite star concentrates authority; L1 norms; directed dedup") {
     import spark.implicits._
     import graft.operators.Graph
