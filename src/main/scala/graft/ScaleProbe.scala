@@ -40,6 +40,7 @@ object ScaleProbe {
     if (mode == "ext") { ext(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext2") { ext2(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext3") { ext3(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext4") { ext4(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -591,5 +592,81 @@ object ScaleProbe {
     // grid fixed at |flags|×|statuses| regardless of f
     time("q64 mi")(
       Relational.mutualInfo(li, "l_returnflag", "l_linestatus").count())
+  }
+
+  /** Round-7 family: SCD2 historization, trailing-window distinct, KS
+    * drift, HITS, autocorrelation, point-in-time enrichment. Users and
+    * orders replicate ×f (entity-parallel paths should track data
+    * volume ~linearly); lineitem replicates by SHIFTED SUPPLIERS (hub
+    * side ×f over a fixed part universe — the authority aggregation
+    * deepens, the iteration structure does not).
+    */
+  private def ext4(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Graph, Relational}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val ev0 = graft.sources.Tables.events(spark, src)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"), to_date(col("ts")).as("day"))
+    val maxUid = ev0.agg(max(col("user_id"))).head().getLong(0) + 1
+    val maxEid = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUid)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEid)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events_pit.parquet")
+    val ev = spark.read.parquet(s"$out/events_pit.parquet")
+    val or0 = spark.read.parquet(s"$src/orders.parquet")
+    val maxOk = or0.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    or0.select("o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+      .crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders_ks.parquet")
+    val or = spark.read.parquet(s"$out/orders_ks.parquet")
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+      .select("l_suppkey", "l_partkey")
+    val maxSk = li0.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    li0.crossJoin(reps)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/supply.parquet")
+    val supply = spark.read.parquet(s"$out/supply.parquet")
+    println(s"[scale x$factor] events=${ev.count()} orders=${or.count()} " +
+      s"supply=${supply.count()}")
+
+    // users ×f: one entity shuffle, windows parallel across users
+    time("q71 scd2")(
+      Relational.scd2(ev, col("user_id"), col("event_type"),
+        col("tms"), col("event_id")).count())
+    // (day, user) facts ×f: explode stays ×window, distinct agg deepens
+    time("q70 rollingDistinct")(
+      Relational.rollingDistinct(ev, col("day"), col("user_id"), 7).count())
+    // rows ×f, cent domain and segments fixed: histogram absorbs the
+    // growth map-side, the window still sorts |distinct cents| rows
+    time("q72 ksTest")(
+      Relational.ksTest(or, Seq("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH")).count())
+    // hubs ×f over fixed parts: edges ×f through 2 joins/iter
+    time("q73 hits")(
+      Graph.hits(supply, "l_suppkey", "l_partkey", iters = 3).count())
+    // counts ×f inside FIXED buckets: pair join carries |buckets| rows
+    // regardless of f — runtime should be ~flat
+    time("q74 autocorr")(
+      Relational.autocorrelation(ev, Seq("event_type"), col("tms"),
+        bucketMillis = 3600000L, lagBuckets = 24).count())
+    // lifecycle historize + as-of enrich, both keyed by user (×f)
+    time("p08 pointInTime") {
+      val life = Seq("signup", "purchase")
+      val st = Relational.scd2(ev.filter(col("event_type").isin(life: _*)),
+          col("user_id"), col("event_type"), col("tms"), col("event_id"))
+        .select(col("entity").as("user_id"), col("state"), col("valid_from"))
+      val facts = ev.filter(!col("event_type").isin(life: _*))
+        .select(col("user_id"), col("event_id"), col("tms"))
+      Relational.asofJoin(facts, st, "user_id", "user_id",
+        "tms", "valid_from", "event_id", "valid_from").count()
+    }
   }
 }
