@@ -703,4 +703,59 @@ object Dedup {
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
   }
+
+  /** Sparse TF-IDF cosine similarity join — the EXACT lexical
+    * counterpart of the signature family (d02 Jaccard estimates set
+    * overlap, d05 hashes dense embeddings; this computes the true
+    * weighted cosine over the sparse term space, the classic IR
+    * document-similarity measure): w = tf·ln(N/df) per (doc, token),
+    * pair dot products via an INVERTED-INDEX equi-join on the token
+    * (never docs × docs), cos = dot/(‖a‖·‖b‖).
+    *
+    * The document-frequency prune is the index's survival at scale, in
+    * both directions: df < 2 tokens can form NO pair and silently feed
+    * nothing to the join (typically the long tail of the vocabulary),
+    * and df > ceil(maxDfFrac·N) stopwords are dropped from the
+    * REPRESENTATION (each would contribute df² join pairs of pure noise
+    * — the d02/d10 hot-key discipline, scale-free as a corpus
+    * fraction). Norms are over the pruned space, so pruning is part of
+    * the representation, not an approximation of it — an external
+    * engine mirroring the same prune reproduces every value. The
+    * weighted term table materializes once (it feeds the join twice and
+    * the norm pass once). Join volume is Σ_token df² over surviving
+    * tokens, bounded by maxDf·Σdf. N is one in-engine scalar broadcast
+    * (never a driver literal). Output: doc_a < doc_b, dot, cos
+    * (unrounded — round at the binding), thresholded at `minCos`.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDfFrac: Double = 0.5, minCos: Double = 0.3,
+      checkpoint: Boolean = true): DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+    require(minCos >= 0, "minCos must be >= 0 (negative is vacuous for tf-idf)")
+    val toks = df.select(col(idCol).as("_d"),
+        explode(split(col(textCol), " ", -1)).as("_t"))
+      .filter(length(col("_t")) > 0)
+    val tf = toks.groupBy("_d", "_t").agg(count(lit(1)).cast("long").as("_tf"))
+    val n = df.select(countDistinct(col(idCol)).as("_n"))
+    val dfreq = tf.groupBy("_t").agg(count(lit(1)).cast("long").as("_df"))
+      .crossJoin(broadcast(n))
+      .filter(col("_df") >= 2 &&
+        col("_df") <= ceil(lit(maxDfFrac) * col("_n")).cast("long"))
+    val w0 = tf.join(dfreq, "_t")
+      .select(col("_d"), col("_t"),
+        (col("_tf").cast("double") *
+          log(col("_n").cast("double") / col("_df").cast("double"))).as("_w"))
+    val w = if (checkpoint) w0.localCheckpoint(true) else w0
+    val norms = w.groupBy("_d").agg(sqrt(sum(col("_w") * col("_w"))).as("_nm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a._t") === col("b._t") && col("a._d") < col("b._d"))
+      .groupBy(col("a._d").as("doc_a"), col("b._d").as("doc_b"))
+      .agg(sum(col("a._w") * col("b._w")).as("dot"))
+    dots
+      .join(norms.select(col("_d").as("doc_a"), col("_nm").as("_na")), "doc_a")
+      .join(norms.select(col("_d").as("doc_b"), col("_nm").as("_nb")), "doc_b")
+      .withColumn("cos", col("dot") / (col("_na") * col("_nb")))
+      .filter(col("cos") >= minCos)
+      .select("doc_a", "doc_b", "dot", "cos")
+  }
 }

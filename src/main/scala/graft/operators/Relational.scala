@@ -1370,6 +1370,48 @@ object Relational {
     * groups need ≥ 2 pairs and nonzero variance on both ends or they
     * vanish. Output: groupCols, n (pairs), corr (unrounded).
     */
+  /** Column-level data profile — the data-quality / expectation gate of
+    * an ingest pipeline (row count, null count, exact distinct count,
+    * numeric range per column), computed in ONE aggregation pass: all
+    * per-column aggregates land in a single `agg` (the multi-distinct
+    * plan is Catalyst's Expand — one scan, |cols| row expansion into
+    * partial aggs, never |cols| scans), and the single result row
+    * unpivots to one row per column via a narrow explode. Distinct
+    * counts are EXACT (nulls excluded, both engines' semantics) — for
+    * very wide tables swap in the [[sketchDistinct]] HLL path per
+    * column. min/max report only for NUMERIC columns (cast to double
+    * AFTER the native-type extrema — casting first would compare
+    * lexically); string extrema are deliberately absent: lexicographic
+    * order is collation-dependent and does not reproduce across
+    * engines. Output: col_name, n_rows, n_null, n_distinct, min_num,
+    * max_num (nulls for non-numeric).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val numeric = df.schema.fields
+      .map(f => f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      .toMap
+    val nullDouble = min(when(lit(false), lit(0.0d))) // typed NULL via an agg expr
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nulls"),
+        countDistinct(col(c)).as(s"__${c}__distinct")) ++
+      (if (numeric(c))
+        Seq(min(col(c)).cast("double").as(s"__${c}__min"),
+          max(col(c)).cast("double").as(s"__${c}__max"))
+      else Seq(nullDouble.as(s"__${c}__min"), nullDouble.as(s"__${c}__max")))
+    }
+    val row = df.agg(count(lit(1)).cast("long").as("__n"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__${c}__nulls").cast("long").as("n_null"),
+        col(s"__${c}__distinct").cast("long").as("n_distinct"),
+        col(s"__${c}__min").as("min_num"), col(s"__${c}__max").as("max_num"))
+    }
+    row.select(explode(array(entries: _*)).as("_p")).select(col("_p.*"))
+  }
+
   def autocorrelation(df: DataFrame, groupCols: Seq[String], tsMillis: Column,
       bucketMillis: Long, lagBuckets: Int): DataFrame = {
     require(bucketMillis >= 1, "bucketMillis must be >= 1")

@@ -431,6 +431,46 @@ object Dedup {
       .orderBy("name_a", "name_b")
   }
 
+  private val D13MaxDfFrac = 0.5
+  private val D13MinCos = 0.3
+
+  /** d13: exact TF-IDF sparse cosine pairs
+    * ([[graft.operators.Dedup.sparseCosinePairs]]) — the true weighted
+    * lexical cosine the signature family approximates: inverted-index
+    * token join (never docs × docs), two-sided df prune (df < 2 feeds
+    * nothing; df > ceil(frac·N) stopwords leave the representation —
+    * the scale-free hot-key discipline), norms over the pruned space so
+    * the oracle reproduces every value exactly.
+    */
+  val d13 = QueryDef(
+    "d13_sparse_cosine",
+    s"""WITH tk AS (SELECT d, t FROM (SELECT doc_id AS d,
+       |              unnest(string_split(text, ' ')) AS t FROM documents)
+       |            WHERE len(t) > 0),
+       |tf AS (SELECT d, t, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+       |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
+       |keep AS (SELECT t, dfc FROM dfq CROSS JOIN nn
+       |         WHERE dfc >= 2 AND dfc <= CAST(ceil($D13MaxDfFrac * n) AS BIGINT)),
+       |w AS (SELECT d, tf.t,
+       |        CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(dfc AS DOUBLE)) AS w
+       |      FROM tf JOIN keep ON tf.t = keep.t CROSS JOIN nn),
+       |nm AS (SELECT d, sqrt(sum(w * w)) AS nm FROM w GROUP BY 1),
+       |dots AS (SELECT a.d AS doc_a, b.d AS doc_b, sum(a.w * b.w) AS dot
+       |         FROM w a JOIN w b ON a.t = b.t AND a.d < b.d GROUP BY 1, 2),
+       |c AS (SELECT doc_a, doc_b, dot, dot / (na.nm * nb.nm) AS cos
+       |      FROM dots JOIN nm na ON na.d = doc_a JOIN nm nb ON nb.d = doc_b)
+       |SELECT doc_a, doc_b, ${mr("dot", 6)} AS dot, ${mr("cos", 6)} AS cos
+       |FROM c WHERE cos >= $D13MinCos ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    Ops.sparseCosinePairs(Tables(s, dir, "documents"), "doc_id", "text",
+        maxDfFrac = D13MaxDfFrac, minCos = D13MinCos)
+      .select(col("doc_a"), col("doc_b"),
+        Rounding.mirrorRound(col("dot"), 6).as("dot"),
+        Rounding.mirrorRound(col("cos"), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13)
 }

@@ -1767,9 +1767,44 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q75: column-level data profile of lineitem
+    * ([[graft.operators.Relational.profile]]) — the ingest-gate quality
+    * report (rows, nulls, exact distincts, numeric ranges) in ONE
+    * aggregation pass (Catalyst Expand for the multi-distinct — one
+    * scan, never |cols| scans); string extrema deliberately absent
+    * (collation does not reproduce across engines). The oracle is the
+    * per-column UNION ALL a human would write.
+    */
+  val q75 = QueryDef(
+    "q75_profile", {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |FROM lineitem""".stripMargin
+      s"""${num("l_partkey")}
+         |UNION ALL ${num("l_quantity")}
+         |UNION ALL ${num("l_extendedprice")}
+         |UNION ALL ${str("l_returnflag")}
+         |UNION ALL ${str("l_shipdate")}
+         |ORDER BY col_name""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.Relational.profile(Tables(s, dir, "lineitem"),
+        Seq("l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+          "l_shipdate"))
+      .orderBy("col_name")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74)
+      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
 }

@@ -664,4 +664,28 @@ class DedupOpsSuite extends SparkSpec {
       .as[(String, String, Long, Long, Long)].collect().toSeq
     assert(eq == Seq(("abcd", "abce", 1L, 1L, 1L)), s"$eq")
   }
+
+  test("sparseCosinePairs: hand cosines, df<2 excluded from norms, stopword prune empties") {
+    import spark.implicits._
+    // N=3; df(a)=df(b)=df(c)=2 (kept), df(d)=1 (feeds no pair AND must
+    // not enter norms); every doc = two kept tokens of weight ln(1.5)
+    // -> each pair shares exactly one token: cos = w^2 / (sqrt2 w)^2 = 0.5
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "b c d d")).toDF("id", "text")
+    val got = Dedup.sparseCosinePairs(docs, "id", "text",
+        maxDfFrac = 1.0, minCos = 0.4)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val w2 = math.pow(math.log(1.5), 2)
+    assert(got.map(p => (p._1, p._2)) == Seq((1L, 2L), (1L, 3L), (2L, 3L)), s"$got")
+    got.foreach { p =>
+      assert(math.abs(p._3 - w2) < 1e-12 && math.abs(p._4 - 0.5) < 1e-12, s"$p")
+    }
+    // threshold binds: 0.5 < 0.6 -> empty
+    assert(Dedup.sparseCosinePairs(docs, "id", "text", 1.0, 0.6).isEmpty)
+    // scale-free stopword prune: ceil(0.33*3)=1 excludes every df>=2 token
+    assert(Dedup.sparseCosinePairs(docs, "id", "text", 0.33, 0.0).isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.sparseCosinePairs(docs, "id", "text", maxDfFrac = 0.0)
+    }
+  }
 }

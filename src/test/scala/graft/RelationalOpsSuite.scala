@@ -970,6 +970,24 @@ class RelationalOpsSuite extends SparkSpec {
     assert(n == Seq((1L, 1L)), s"$n")
   }
 
+  test("profile: one pass, exact distincts, nulls counted, numeric-only extrema") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("x")), (Some(1L), None, Some("y")),
+      (Some(3L), Some(-1.0), None), (None, Some(2.5), Some("y")))
+      .toDF("k", "v", "s")
+    val got = Relational.profile(df, Seq("k", "v", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got == Seq(
+      ("k", 4L, 1L, 2L, Some(1.0), Some(3.0)),
+      ("s", 4L, 1L, 2L, None, None),
+      ("v", 4L, 1L, 2L, Some(-1.0), Some(2.5))), s"$got")
+    intercept[IllegalArgumentException] { Relational.profile(df, Nil) }
+    intercept[IllegalArgumentException] { Relational.profile(df, Seq("nope")) }
+  }
+
   test("autocorrelation: perfect period detected, gaps pair-drop, anti-phase negative") {
     import spark.implicits._
     // period-2 series on buckets 0..5: 10,2,10,2,10,2 (counts via row repetition)
