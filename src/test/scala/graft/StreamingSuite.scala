@@ -514,4 +514,49 @@ class StreamingSuite extends SparkSpec {
       StreamingAnomaly.anomalies(source.toDS(), minN = 1L)
     }
   }
+
+  test("streaming drift: grid KS exact, above-grid mass, no-reference keys silent") {
+    import spark.implicits._
+    import graft.streaming.StreamingDrift
+    implicit val sqlCtx = spark.sqlContext
+    // reference a: {1,2,3} -> grid [1,2,3], cum [1,2,3], n=3
+    val ref = StreamingDrift.buildReference(
+      Map("a" -> Seq(1.0, 2.0, 3.0), "b" -> Seq(1.0)), scale = 1L)
+    val source = MemoryStream[(String, Double)]
+    val out = StreamingDrift.drift(source.toDS(), ref, scale = 1L)
+    val query = out.writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").start()
+    try {
+      def latest(): Map[String, StreamingDrift.DriftRow] =
+        spark.table("drift_out").as[StreamingDrift.DriftRow].collect()
+          .groupBy(_.key).view.mapValues(_.maxBy(_.nStream)).toMap
+      // batch 1: stream a == reference -> D = 0; z has no reference -> silent
+      source.addData(("a", 1.0), ("a", 2.0), ("a", 3.0), ("z", 9.0))
+      query.processAllAvailable()
+      val r1 = latest()
+      assert(r1.keySet == Set("a") && r1("a").dNum == 0L && r1("a").d == 0.0,
+        r1.toString)
+      // batch 2: two extra 3s -> cumS [1,2,5], n=5:
+      // gaps |1*3-1*5|=2, |2*3-2*5|=4, |5*3-3*5|=0 -> D = 4/15
+      source.addData(("a", 3.0), ("a", 3.0), ("b", 1.0))
+      query.processAllAvailable()
+      val r2 = latest()
+      assert(r2("a").nStream == 5L && r2("a").dNum == 4L &&
+        math.abs(r2("a").d - 4.0 / 15.0) < 1e-15, r2.toString)
+      assert(r2("b").dNum == 0L, r2.toString) // b matches its reference
+      // batch 3: a value ABOVE the grid moves n but no grid CDF:
+      // cumS [1,2,5], n=6 -> gaps |3-6|=3, |6-12|=6, |15-18|=3 -> 6/18
+      source.addData(("a", 10.0))
+      query.processAllAvailable()
+      val r3 = latest()
+      assert(r3("a").nStream == 6L && r3("a").dNum == 6L &&
+        math.abs(r3("a").d - 1.0 / 3.0) < 1e-15, r3.toString)
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      StreamingDrift.drift(source.toDS(), Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      StreamingDrift.buildReference(Map("a" -> Seq(1.0)), scale = 0L)
+    }
+  }
 }
