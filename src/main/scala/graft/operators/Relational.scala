@@ -1370,6 +1370,61 @@ object Relational {
     * groups need ≥ 2 pairs and nonzero variance on both ends or they
     * vanish. Output: groupCols, n (pairs), corr (unrounded).
     */
+  /** Per-entity CUSUM changepoint detection — the sequential
+    * mean-shift monitor (Page 1954): s⁺ accumulates positive deviations
+    * past an allowance, s⁻ the negative ones, and a flag raises the
+    * moment either side crosses the decision threshold, resetting after
+    * each alarm (the standard restart form, so repeated shifts all
+    * flag). EVERYTHING is integer arithmetic: values snap to units
+    * (the shared q44 rule), `targetUnits`/`kUnits`/`hUnits` are caller
+    * integers, and the recurrences
+    *   s⁺ = max(0, s⁺ + (c − target − k)),  s⁻ = max(0, s⁻ − (c − target + k))
+    * stay in longs — no float ANYWHERE, so an external engine replaying
+    * the fold (recursive CTE) matches bit for bit, with none of the
+    * q69-style IEEE-literal care.
+    *
+    * Execution is the q69 secondary-sort discipline: one entity
+    * shuffle, spill-safe within-partition (entity, ord, tie) sort, one
+    * streaming pass with O(1) state per entity — the fold is inherently
+    * sequential per entity, parallel across entities (never a driver
+    * loop, never a window-function rewrite that would ship every row
+    * through one task for a global order). Output: entity, ord, tie,
+    * value_units, s_plus, s_minus, flag (±1 for the crossing side
+    * — +1 wins if both cross in one step — else 0).
+    */
+  def cusum(df: DataFrame, entityCol: Column, orderCol: Column, tieCol: Column,
+      valueCol: Column, targetUnits: Long, kUnits: Long, hUnits: Long,
+      scale: Long = 100L): DataFrame = {
+    require(kUnits >= 0, "allowance k must be >= 0")
+    require(hUnits > 0, "decision threshold h must be > 0")
+    require(scale >= 1, "scale must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(entityCol.cast("long").as("e"),
+        orderCol.cast("long").as("o"), tieCol.cast("long").as("tie"),
+        snap(valueCol, scale).as("c"))
+      .filter(col("e").isNotNull && col("o").isNotNull &&
+        col("tie").isNotNull && col("c").isNotNull)
+    val sorted = pts.repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("o"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      var cur = 0L
+      var started = false
+      var sp = 0L
+      var sn = 0L
+      it.map { case (e, o, tie, c) =>
+        if (!started || e != cur) { cur = e; started = true; sp = 0L; sn = 0L }
+        sp = math.max(0L, sp + (c - targetUnits - kUnits))
+        sn = math.max(0L, sn - (c - targetUnits + kUnits))
+        val flag = if (sp > hUnits) 1 else if (sn > hUnits) -1 else 0
+        val out = (e, o, tie, c, sp, sn, flag)
+        if (flag != 0) { sp = 0L; sn = 0L } // restart after alarm
+        out
+      }
+    }.toDF("entity", "ord", "tie", "value_units", "s_plus", "s_minus", "flag")
+  }
+
   /** Column-level data profile — the data-quality / expectation gate of
     * an ingest pipeline (row count, null count, exact distinct count,
     * numeric range per column), computed in ONE aggregation pass: all

@@ -1802,9 +1802,55 @@ object Relational {
       .orderBy("col_name")
   }
 
+  private val CusumTarget = 5000L // cents: 50.00 nominal level
+  private val CusumK = 2000L      // allowance: only deviations past 20.00 count
+  private val CusumH = 20000L     // decision threshold: 200.00 accumulated
+
+  /** q76: per-user CUSUM changepoint flags over event values
+    * ([[graft.operators.Relational.cusum]]) — the sequential mean-shift
+    * monitor run as q69's secondary-sort fold, but with a stronger
+    * exactness story: the whole recurrence (two max(0, ·) accumulators,
+    * restart after alarm) is INTEGER arithmetic end to end, so the
+    * recursive-CTE oracle matches bit for bit with no IEEE-literal care
+    * at all.
+    */
+  val q76 = QueryDef(
+    "q76_cusum",
+    s"""WITH RECURSIVE s AS (
+       |  SELECT user_id AS entity, epoch_ms(ts) AS ord, event_id AS tie,
+       |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+       |         row_number() OVER (PARTITION BY user_id
+       |           ORDER BY epoch_ms(ts), event_id) AS rn
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL
+       |    AND user_id IS NOT NULL AND event_id IS NOT NULL),
+       |r AS (
+       |  SELECT entity, ord, tie, c, rn,
+       |         greatest(0, c - $CusumTarget - $CusumK) AS sp,
+       |         greatest(0, -(c - $CusumTarget + $CusumK)) AS sn
+       |  FROM s WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.entity, s.ord, s.tie, s.c, s.rn,
+       |         greatest(0, (CASE WHEN r.sp > $CusumH OR r.sn > $CusumH
+       |                           THEN 0 ELSE r.sp END)
+       |                     + (s.c - $CusumTarget - $CusumK)),
+       |         greatest(0, (CASE WHEN r.sp > $CusumH OR r.sn > $CusumH
+       |                           THEN 0 ELSE r.sn END)
+       |                     - (s.c - $CusumTarget + $CusumK))
+       |  FROM r JOIN s ON s.entity = r.entity AND s.rn = r.rn + 1)
+       |SELECT entity, ord, tie, c AS value_units, sp AS s_plus, sn AS s_minus,
+       |  CASE WHEN sp > $CusumH THEN 1 WHEN sn > $CusumH THEN -1 ELSE 0 END AS flag
+       |FROM r ORDER BY entity, ord, tie""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.cusum(Tables.events(s, dir),
+        entityCol = col("user_id"), orderCol = unix_millis(col("ts")),
+        tieCol = col("event_id"), valueCol = col("value"),
+        targetUnits = CusumTarget, kUnits = CusumK, hUnits = CusumH)
+      .orderBy("entity", "ord", "tie")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75)
+      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
 }

@@ -970,6 +970,30 @@ class RelationalOpsSuite extends SparkSpec {
     assert(n == Seq((1L, 1L)), s"$n")
   }
 
+  test("cusum: integer fold, restart after alarm, both-side flags, isolation") {
+    import spark.implicits._
+    // T=10, K=2, H=5, scale=1. Entity 1: 20 -> sp=8 flag+1 reset;
+    // 20 -> sp=8 flag+1 (restart proves reset); 0 -> sn=8 flag-1 reset;
+    // 11 -> sp=0 sn=0 flag 0. Entity 2: 14,14,14 -> sp 2,4,6: third flags.
+    val rows = Seq(
+      (1L, 1L, 1L, 20.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 0.0), (1L, 4L, 4L, 11.0),
+      (2L, 1L, 5L, 14.0), (2L, 2L, 6L, 14.0), (2L, 3L, 7L, 14.0))
+      .toDF("e", "o", "id", "v")
+    val got = Relational.cusum(rows, col("e"), col("o"), col("id"), col("v"),
+        targetUnits = 10L, kUnits = 2L, hUnits = 5L, scale = 1L)
+      .orderBy("entity", "ord")
+      .select("entity", "ord", "s_plus", "s_minus", "flag")
+      .as[(Long, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 8L, 0L, 1), (1L, 2L, 8L, 0L, 1), (1L, 3L, 0L, 8L, -1),
+      (1L, 4L, 0L, 0L, 0),
+      (2L, 1L, 2L, 0L, 0), (2L, 2L, 4L, 0L, 0), (2L, 3L, 6L, 0L, 1)), s"$got")
+    intercept[IllegalArgumentException] {
+      Relational.cusum(rows, col("e"), col("o"), col("id"), col("v"),
+        targetUnits = 0L, kUnits = 0L, hUnits = 0L)
+    }
+  }
+
   test("profile: one pass, exact distincts, nulls counted, numeric-only extrema") {
     import spark.implicits._
     val df = Seq(
