@@ -21,6 +21,11 @@ object Bench {
     sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val known = SparkEntry.registry.map(_.name).toSet
+        val unknown = want.diff(known)
+        // a typo'd filter must fail loudly, not run zero queries and
+        // print a normal-looking 0-second success line
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
         SparkEntry.registry.filter(q => want(q.name))
       case None => SparkEntry.registry
     }

@@ -19,6 +19,10 @@ object Verify {
     val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
       case Some(list) =>
         val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want.diff(SparkEntry.queries.keySet)
+        // fail loudly on typos — an empty filter would write no output
+        // yet exit 0 (see Bench.selected)
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
         SparkEntry.queries.filter { case (n, _) => want(n) }
       case None => SparkEntry.queries
     }

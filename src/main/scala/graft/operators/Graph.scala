@@ -170,8 +170,9 @@ object Graph {
     * discoveries always win and each node's level is its true shortest
     * hop count. Fixed `rounds`, not a fixpoint — the oracle unrolls the
     * same rounds as generated CTEs (q49's contract: iteration count
-    * cannot drift between engines). Distance state is checkpointed per
-    * round (lineage truncation); seeds dedupe on entry and seed nodes
+    * cannot drift between engines). Distance state is materialized
+    * every `checkpointEvery` rounds (periodic lineage truncation — see
+    * the adjacency note below); seeds dedupe on entry and seed nodes
     * absent from the graph still emit dist 0 (a seed is at distance 0
     * of itself by definition). Output: node, dist.
     */

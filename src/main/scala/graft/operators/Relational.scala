@@ -1298,7 +1298,10 @@ object Relational {
     * exact small-window form. Only periods observed in the data are
     * reported (compose with [[gapFill]] for calendar-dense output).
     *
-    * Output: period (dayCol's type), distinct_keys.
+    * `periodCol` must be a DATE (the visibility explode is
+    * `sequence`/`date_add` day stepping); for non-date periods (hour
+    * buckets etc.) convert to a date-like grid or explode integer
+    * buckets by hand. Output: period (DATE), distinct_keys.
     */
   def rollingDistinct(df: DataFrame, periodCol: Column, keyCol: Column,
       window: Int): DataFrame = {
@@ -1357,19 +1360,6 @@ object Relational {
         col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
   }
 
-  /** Lag-k autocorrelation of a bucketed event-count series per group —
-    * the seasonality detector (lag 24 on hourly buckets ⇒ daily rhythm;
-    * lag 7 on daily ⇒ weekly). The series never materializes on the
-    * driver: counts are one partial-agg groupBy (exact longs), the
-    * k-shifted pairing is a self-equi-join on (group, bucket) after
-    * subtracting the lag from one side — never an inequality/range
-    * join — and the correlation rides [[pearsonCorr]]'s exact-integer
-    * moment machinery (counts are already integers: scale 1). Buckets
-    * where either end of the pair is unobserved produce no pair (the
-    * well-defined gap semantics an external engine mirrors trivially);
-    * groups need ≥ 2 pairs and nonzero variance on both ends or they
-    * vanish. Output: groupCols, n (pairs), corr (unrounded).
-    */
   /** Per-entity CUSUM changepoint detection — the sequential
     * mean-shift monitor (Page 1954): s⁺ accumulates positive deviations
     * past an allowance, s⁻ the negative ones, and a flag raises the
@@ -1388,9 +1378,13 @@ object Relational {
     * streaming pass with O(1) state per entity — the fold is inherently
     * sequential per entity, parallel across entities (never a driver
     * loop, never a window-function rewrite that would ship every row
-    * through one task for a global order). Output: entity, ord, tie,
-    * value_units, s_plus, s_minus, flag (±1 for the crossing side
-    * — +1 wins if both cross in one step — else 0).
+    * through one task for a global order). Entity/order/tie columns
+    * must be numeric-castable (the q69 ewma contract — the typed
+    * secondary sort rides long keys); rows where any of them casts to
+    * NULL are dropped with the null filter, so map string entities to
+    * a surrogate id first. Output: entity, ord, tie, value_units,
+    * s_plus, s_minus, flag (±1 for the crossing side — +1 wins if both
+    * cross in one step — else 0).
     */
   def cusum(df: DataFrame, entityCol: Column, orderCol: Column, tieCol: Column,
       valueCol: Column, targetUnits: Long, kUnits: Long, hUnits: Long,
@@ -1467,13 +1461,30 @@ object Relational {
     row.select(explode(array(entries: _*)).as("_p")).select(col("_p.*"))
   }
 
+  /** Lag-k autocorrelation of a bucketed event-count series per group —
+    * the seasonality detector (lag 24 on hourly buckets ⇒ daily rhythm;
+    * lag 7 on daily ⇒ weekly). The series never materializes on the
+    * driver: counts are one partial-agg groupBy (exact longs), the
+    * k-shifted pairing is a self-equi-join on (group, bucket) after
+    * subtracting the lag from one side — never an inequality/range
+    * join — and the correlation rides [[pearsonCorr]]'s exact-integer
+    * moment machinery (counts are already integers: scale 1). Buckets
+    * where either end of the pair is unobserved produce no pair (the
+    * well-defined gap semantics an external engine mirrors trivially);
+    * groups need ≥ 2 pairs and nonzero variance on both ends or they
+    * vanish. Bucketing is FLOOR division (explicit `floor`, matching an
+    * oracle's integer `//` for pre-epoch timestamps too — a bare long
+    * division would truncate toward zero and give bucket 0 double
+    * width around the epoch). Output: groupCols, n (pairs), corr
+    * (unrounded).
+    */
   def autocorrelation(df: DataFrame, groupCols: Seq[String], tsMillis: Column,
       bucketMillis: Long, lagBuckets: Int): DataFrame = {
     require(bucketMillis >= 1, "bucketMillis must be >= 1")
     require(lagBuckets >= 1, "lagBuckets must be >= 1")
     val gcols = groupCols.map(col)
     val base = df.filter(tsMillis.isNotNull)
-      .withColumn("_bk", (tsMillis.cast("long") / lit(bucketMillis)).cast("long"))
+      .withColumn("_bk", floor(tsMillis.cast("long") / lit(bucketMillis)).cast("long"))
       .groupBy(gcols :+ col("_bk"): _*).agg(count(lit(1)).cast("long").as("_c0"))
     val ahead = base
       .withColumn("_bk", col("_bk") - lit(lagBuckets.toLong))

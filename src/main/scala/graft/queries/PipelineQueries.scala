@@ -406,14 +406,15 @@ object PipelineQueries {
       |m AS (SELECT user_id, event_type, tms, event_id,
       |        lag(event_type) OVER wo AS prev, row_number() OVER wo AS rn
       |      FROM l WINDOW wo AS (PARTITION BY user_id ORDER BY tms, event_id)),
-      |st AS (SELECT user_id, event_type AS state, tms AS valid_from FROM m
+      |st AS (SELECT user_id, event_type AS state, tms AS valid_from,
+      |         event_id AS eid FROM m
       |       WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
       |f AS (SELECT user_id, event_id, event_type AS fact_type, tms FROM e
       |      WHERE event_type NOT IN ('signup', 'purchase'))
       |SELECT f.event_id, f.user_id, f.fact_type, f.tms,
       |  (SELECT s.state FROM st s
       |   WHERE s.user_id = f.user_id AND s.valid_from <= f.tms
-      |   ORDER BY s.valid_from DESC LIMIT 1) AS state_at,
+      |   ORDER BY s.valid_from DESC, s.eid DESC LIMIT 1) AS state_at,
       |  f.tms - (SELECT max(s.valid_from) FROM st s
       |           WHERE s.user_id = f.user_id AND s.valid_from <= f.tms)
       |    AS ms_in_state
@@ -426,24 +427,31 @@ object PipelineQueries {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_millis(col("ts")).as("tms"))
+    // the as-of id is run_seq, NOT valid_from: run_seq is unique per user
+    // by construction, while two runs CAN share a valid_from (two
+    // lifecycle events in the same millisecond, tie-broken by event_id) —
+    // a valid_from-keyed payload join would fan out to both states there.
+    // At a tie the asof window's last() picks the max run_seq = the later
+    // run in scd2's (valid_from, event_id) order; the oracle mirrors that
+    // with ORDER BY valid_from DESC, eid DESC.
     val st = Relational.scd2(
         ev.filter(col("event_type").isin(LifecycleTypes: _*)),
         col("user_id"), col("event_type"), col("tms"), col("event_id"))
-      .select(col("entity").as("user_id"), col("state"), col("valid_from"))
+      .select(col("entity").as("user_id"), col("state"), col("valid_from"),
+        col("run_seq"))
     val facts = ev.filter(!col("event_type").isin(LifecycleTypes: _*))
       .select(col("user_id"), col("event_id"),
         col("event_type").as("fact_type"), col("tms"))
     val asof = Relational.asofJoin(facts, st,
       leftKey = "user_id", rightKey = "user_id",
       leftTs = "tms", rightTs = "valid_from",
-      leftId = "event_id", rightId = "valid_from")
+      leftId = "event_id", rightId = "run_seq")
     facts.join(asof, "event_id")
-      .join(st.withColumnRenamed("valid_from", "_vf"),
-        Seq("user_id"), "inner")
-      .filter(col("asof_valid_from") === col("_vf"))
+      .join(st, Seq("user_id"), "inner")
+      .filter(col("asof_run_seq") === col("run_seq"))
       .select(col("event_id"), col("user_id"), col("fact_type"), col("tms"),
         col("state").as("state_at"),
-        (col("tms") - col("_vf")).as("ms_in_state"))
+        (col("tms") - col("valid_from")).as("ms_in_state"))
       .orderBy("event_id")
   }
 
