@@ -729,14 +729,84 @@ object Dedup {
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
       maxDfFrac: Double = 0.5, minCos: Double = 0.3,
+      checkpoint: Boolean = true): DataFrame =
+    sparseCosinePairsTokens(wordTokens(df, idCol, textCol), "_d", "_t",
+      maxDfFrac, minCos, checkpoint)
+
+  /** Token-level entry of [[sparseCosinePairs]]: `toks` is one row per
+    * (document, token OCCURRENCE) under ANY tokenization — words,
+    * shingle hashes (feature diversity on small-vocabulary corpora:
+    * word dfs can be near-uniform while 3-gram dfs discriminate), BPE
+    * pieces. N = distinct ids present in `toks`.
+    */
+  def sparseCosinePairsTokens(toks: DataFrame, idCol: String, tokenCol: String,
+      maxDfFrac: Double = 0.5, minCos: Double = 0.3,
       checkpoint: Boolean = true): DataFrame = {
     require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
     require(minCos >= 0, "minCos must be >= 0 (negative is vacuous for tf-idf)")
-    val toks = df.select(col(idCol).as("_d"),
+    val w = tfidfWeights(toks.select(col(idCol).as("_d"), col(tokenCol).as("_t")),
+      maxDfFrac, checkpoint)
+    val dots = w.as("a").join(w.as("b"),
+        col("a._t") === col("b._t") && col("a._d") < col("b._d"))
+      .groupBy(col("a._d").as("doc_a"), col("b._d").as("doc_b"))
+      .agg(sum(col("a._w") * col("b._w")).as("dot"))
+    closeCosine(dots, w, minCos)
+  }
+
+  /** Exact TF-IDF cosine RESCORING of a given candidate pair set — the
+    * 100 TB composition: a signature pass (d03 MinHash bands, d04
+    * SimHash chunks, d05 embedding bands) generates bounded candidates,
+    * and only those pairs pay the exact weighted-cosine evaluation —
+    * [[sparseCosinePairs]]'s all-surviving-pairs join is for corpora
+    * where the pair OUTPUT itself is bounded; this is the form whose
+    * cost tracks |candidates|·avg-doc-length instead. Same
+    * representation contract (two-sided df prune, norms over the pruned
+    * space); pairs whose either side has no surviving tokens drop
+    * (cosine undefined in the pruned space — inner norm joins, mirrored
+    * by an oracle's inner joins). Output: doc_a, doc_b, dot, cos.
+    */
+  def sparseCosineRescore(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxDfFrac: Double = 0.5, minCos: Double = 0.0,
+      checkpoint: Boolean = true): DataFrame =
+    sparseCosineRescoreTokens(wordTokens(df, idCol, textCol), "_d", "_t",
+      pairs, aCol, bCol, maxDfFrac, minCos, checkpoint)
+
+  /** Token-level entry of [[sparseCosineRescore]] — see
+    * [[sparseCosinePairsTokens]] for the `toks` contract.
+    */
+  def sparseCosineRescoreTokens(toks: DataFrame, idCol: String, tokenCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxDfFrac: Double = 0.5, minCos: Double = 0.0,
+      checkpoint: Boolean = true): DataFrame = {
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0, 1]")
+    require(minCos >= 0, "minCos must be >= 0 (negative is vacuous for tf-idf)")
+    val w = tfidfWeights(toks.select(col(idCol).as("_d"), col(tokenCol).as("_t")),
+      maxDfFrac, checkpoint)
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).distinct()
+    val aw = p.join(w.select(col("_d").as("doc_a"), col("_t"), col("_w").as("_wa")),
+      "doc_a")
+    val dots = aw
+      .join(w.select(col("_d").as("doc_b"), col("_t"), col("_w").as("_wb")),
+        Seq("doc_b", "_t"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("_wa") * col("_wb")).as("dot"))
+    closeCosine(dots, w, minCos)
+  }
+
+  /** Whitespace word tokens: (_d, _t) one row per occurrence. */
+  private def wordTokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("_d"),
         explode(split(col(textCol), " ", -1)).as("_t"))
       .filter(length(col("_t")) > 0)
+
+  /** Shared tf-idf term-weight table: (_d, _t, _w) with the two-sided df
+    * prune; materialized once — every caller reads it at least twice.
+    * N = distinct document ids present in `toks`.
+    */
+  private def tfidfWeights(toks: DataFrame, maxDfFrac: Double,
+      checkpoint: Boolean): DataFrame = {
     val tf = toks.groupBy("_d", "_t").agg(count(lit(1)).cast("long").as("_tf"))
-    val n = df.select(countDistinct(col(idCol)).as("_n"))
+    val n = toks.select(countDistinct(col("_d")).as("_n"))
     val dfreq = tf.groupBy("_t").agg(count(lit(1)).cast("long").as("_df"))
       .crossJoin(broadcast(n))
       .filter(col("_df") >= 2 &&
@@ -745,12 +815,12 @@ object Dedup {
       .select(col("_d"), col("_t"),
         (col("_tf").cast("double") *
           log(col("_n").cast("double") / col("_df").cast("double"))).as("_w"))
-    val w = if (checkpoint) w0.localCheckpoint(true) else w0
+    if (checkpoint) w0.localCheckpoint(true) else w0
+  }
+
+  /** Shared closing: norms from the weight table, cosine, threshold. */
+  private def closeCosine(dots: DataFrame, w: DataFrame, minCos: Double): DataFrame = {
     val norms = w.groupBy("_d").agg(sqrt(sum(col("_w") * col("_w"))).as("_nm"))
-    val dots = w.as("a").join(w.as("b"),
-        col("a._t") === col("b._t") && col("a._d") < col("b._d"))
-      .groupBy(col("a._d").as("doc_a"), col("b._d").as("doc_b"))
-      .agg(sum(col("a._w") * col("b._w")).as("dot"))
     dots
       .join(norms.select(col("_d").as("doc_a"), col("_nm").as("_na")), "doc_a")
       .join(norms.select(col("_d").as("doc_b"), col("_nm").as("_nb")), "doc_b")

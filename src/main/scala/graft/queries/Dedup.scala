@@ -8,7 +8,7 @@ import graft.functions.VectorFunctions.sqlCosine
 import graft.operators.{Dedup => Ops}
 import graft.sources.Tables
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 
 /** Verified-query surface for the dedup operators (SURVEY.md §2c D1–D5);
   * the implementations live in [[graft.operators.Dedup]] — these entries
@@ -434,28 +434,43 @@ object Dedup {
   private val D13MaxDfFrac = 0.5
   private val D13MinCos = 0.3
 
-  /** d13: exact TF-IDF sparse cosine pairs
-    * ([[graft.operators.Dedup.sparseCosinePairs]]) — the true weighted
-    * lexical cosine the signature family approximates: inverted-index
-    * token join (never docs × docs), two-sided df prune (df < 2 feeds
-    * nothing; df > ceil(frac·N) stopwords leave the representation —
-    * the scale-free hot-key discipline), norms over the pruned space so
-    * the oracle reproduces every value exactly.
+  /** Shared d13/d14 weight CTEs over SHINGLE-HASH tokens: this corpus's
+    * word vocabulary is ~31 near-uniform-df tokens (word tf-idf
+    * degenerates — everything is a stopword under any fractional cap),
+    * while 3-gram shingle dfs discriminate; the bindings therefore run
+    * the token-level operator entries over `sh`, exactly the d02/d03
+    * feature space. N = docs with ≥ 1 shingle (the operator's toks
+    * contract).
     */
-  val d13 = QueryDef(
-    "d13_sparse_cosine",
-    s"""WITH tk AS (SELECT d, t FROM (SELECT doc_id AS d,
-       |              unnest(string_split(text, ' ')) AS t FROM documents)
-       |            WHERE len(t) > 0),
+  private val sqlTfidfCtes =
+    s"""tk AS (SELECT doc_id AS d, unnest(sh) AS t FROM s),
        |tf AS (SELECT d, t, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
-       |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+       |nn AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n FROM tk),
        |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY 1),
        |keep AS (SELECT t, dfc FROM dfq CROSS JOIN nn
        |         WHERE dfc >= 2 AND dfc <= CAST(ceil($D13MaxDfFrac * n) AS BIGINT)),
        |w AS (SELECT d, tf.t,
        |        CAST(tf AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(dfc AS DOUBLE)) AS w
        |      FROM tf JOIN keep ON tf.t = keep.t CROSS JOIN nn),
-       |nm AS (SELECT d, sqrt(sum(w * w)) AS nm FROM w GROUP BY 1),
+       |nm AS (SELECT d, sqrt(sum(w * w)) AS nm FROM w GROUP BY 1)""".stripMargin
+
+  private def shingleToks(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Ops.shingled(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(col("_gid").as("d"), explode(col("sh")).as("t"))
+
+  /** d13: exact TF-IDF sparse cosine pairs
+    * ([[graft.operators.Dedup.sparseCosinePairsTokens]]) — the true
+    * weighted cosine the signature family approximates, over the d02/d03
+    * shingle feature space: inverted-index token join (never docs ×
+    * docs), two-sided df prune (df < 2 feeds nothing; df > ceil(frac·N)
+    * boilerplate shingles leave the representation — the scale-free
+    * hot-key discipline), norms over the pruned space so the oracle
+    * reproduces every value exactly.
+    */
+  val d13 = QueryDef(
+    "d13_sparse_cosine",
+    s"""$sqlShingleCte,
+       |$sqlTfidfCtes,
        |dots AS (SELECT a.d AS doc_a, b.d AS doc_b, sum(a.w * b.w) AS dot
        |         FROM w a JOIN w b ON a.t = b.t AND a.d < b.d GROUP BY 1, 2),
        |c AS (SELECT doc_a, doc_b, dot, dot / (na.nm * nb.nm) AS cos
@@ -463,7 +478,44 @@ object Dedup {
        |SELECT doc_a, doc_b, ${mr("dot", 6)} AS dot, ${mr("cos", 6)} AS cos
        |FROM c WHERE cos >= $D13MinCos ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import graft.functions.Rounding
-    Ops.sparseCosinePairs(Tables(s, dir, "documents"), "doc_id", "text",
+    Ops.sparseCosinePairsTokens(shingleToks(s, dir), "d", "t",
+        maxDfFrac = D13MaxDfFrac, minCos = D13MinCos)
+      .select(col("doc_a"), col("doc_b"),
+        Rounding.mirrorRound(col("dot"), 6).as("dot"),
+        Rounding.mirrorRound(col("cos"), 6).as("cos"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d14: LSH candidates → exact TF-IDF rescoring
+    * ([[graft.operators.Dedup.sparseCosineRescore]]) — the 100 TB
+    * similarity composition in the verified lane: the d03 MinHash band
+    * join generates the bounded candidate set (threshold 0 = every
+    * banded collision), and ONLY those pairs pay the exact weighted
+    * cosine, so cost tracks |candidates|·doc-length instead of d13's
+    * all-surviving-pairs join. Oracle chains the band CTEs with the d13
+    * weight CTEs over the same candidate set.
+    */
+  val d14 = QueryDef(
+    "d14_lsh_rescored",
+    s"""$sqlShingleCte,
+       |bands AS (SELECT doc_id, unnest(${Sig.sqlBandKeys("sh")}) AS bk
+       |          FROM s WHERE len(sh) > 0),
+       |cand AS (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb
+       |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |$sqlTfidfCtes,
+       |dots AS (SELECT c.ca AS doc_a, c.cb AS doc_b, sum(a.w * b.w) AS dot
+       |         FROM cand c JOIN w a ON a.d = c.ca
+       |         JOIN w b ON b.d = c.cb AND b.t = a.t
+       |         GROUP BY 1, 2),
+       |cc AS (SELECT doc_a, doc_b, dot, dot / (na.nm * nb.nm) AS cos
+       |       FROM dots JOIN nm na ON na.d = doc_a JOIN nm nb ON nb.d = doc_b)
+       |SELECT doc_a, doc_b, ${mr("dot", 6)} AS dot, ${mr("cos", 6)} AS cos
+       |FROM cc WHERE cos >= $D13MinCos ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val docs = Tables(s, dir, "documents")
+    val cand = Ops.minhashLshPairs(docs, "doc_id", "text", thr = 0.0)
+      .select("id_a", "id_b")
+    Ops.sparseCosineRescoreTokens(shingleToks(s, dir), "d", "t", cand,
         maxDfFrac = D13MaxDfFrac, minCos = D13MinCos)
       .select(col("doc_a"), col("doc_b"),
         Rounding.mirrorRound(col("dot"), 6).as("dot"),
@@ -472,5 +524,6 @@ object Dedup {
   }
 
   val queries: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13,
+      d14)
 }
