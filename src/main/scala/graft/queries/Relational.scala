@@ -1848,9 +1848,84 @@ object Relational {
       .orderBy("entity", "ord", "tie")
   }
 
+  /** q77: per-user Holt level+trend smoothing over event values
+    * ([[graft.operators.Relational.holt]]) — q69's secondary-sort fold
+    * with TWO coupled recurrences: α = 0.5 and β = 0.25 are
+    * binary-exact, inputs are snapped longs, so every (level, trend)
+    * double of the fold is bit-identical to the oracle's recursive CTE
+    * carrying both states rank by rank.
+    */
+  val q77 = QueryDef(
+    "q77_holt",
+    """WITH RECURSIVE s AS (
+      |  SELECT user_id AS entity, epoch_ms(ts) AS ord, event_id AS tie,
+      |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+      |         row_number() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_ms(ts), event_id) AS rn
+      |  FROM events
+      |  WHERE value IS NOT NULL AND ts IS NOT NULL
+      |    AND user_id IS NOT NULL AND event_id IS NOT NULL),
+      |r AS (
+      |  SELECT entity, ord, tie, c, rn,
+      |         CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT s.entity, s.ord, s.tie, s.c, s.rn,
+      |         CAST(0.5 AS DOUBLE) * CAST(s.c AS DOUBLE)
+      |           + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+      |         CAST(0.25 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(s.c AS DOUBLE)
+      |             + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+      |           + CAST(0.75 AS DOUBLE) * r.b
+      |  FROM r JOIN s ON s.entity = r.entity AND s.rn = r.rn + 1)
+      |SELECT entity, ord, tie, c AS value_units, l AS level, b AS trend,
+      |  l + b AS forecast1
+      |FROM r ORDER BY entity, ord, tie""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.holt(Tables.events(s, dir),
+        entityCol = col("user_id"), orderCol = unix_millis(col("ts")),
+        tieCol = col("event_id"), valueCol = col("value"),
+        alpha = 0.5, beta = 0.25)
+      .orderBy("entity", "ord", "tie")
+  }
+
+  /** q78: rule-based data expectations over lineitem
+    * ([[graft.operators.Relational.expectations]]) — the validation
+    * half of q75's quality gate: five named predicates judged in one
+    * conditional-aggregation pass (one scan), NULL predicate = not met;
+    * the oracle is the per-rule UNION ALL with each predicate mirrored
+    * verbatim.
+    */
+  val q78 = QueryDef(
+    "q78_expectations", {
+      val rules = Seq(
+        "quantity_in_range" -> "l_quantity BETWEEN 1 AND 50",
+        "discount_in_policy" -> "l_discount BETWEEN 0.0 AND 0.10",
+        "shipdate_present" -> "l_shipdate IS NOT NULL",
+        "price_positive" -> "l_extendedprice > 0",
+        "returnflag_known" -> "l_returnflag IN ('A', 'N', 'R')")
+      rules.map { case (n, p) =>
+        s"""SELECT '$n' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS violations,
+           |  ${mr(s"sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) * 1.0 / count(*)", 6)}
+           |    AS violation_frac
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL ", "\nORDER BY rule")
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.expectations(Tables(s, dir, "lineitem"), Seq(
+        "quantity_in_range" -> col("l_quantity").between(1, 50),
+        "discount_in_policy" -> col("l_discount").between(0.0, 0.10),
+        "shipdate_present" -> col("l_shipdate").isNotNull,
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "returnflag_known" -> col("l_returnflag").isin("A", "N", "R")))
+      .withColumn("violation_frac", Rounding.mirrorRound(col("violation_frac"), 6))
+      .orderBy("rule")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
-      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76)
+      q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
+      q77, q78)
 }

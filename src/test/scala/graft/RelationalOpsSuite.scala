@@ -994,6 +994,45 @@ class RelationalOpsSuite extends SparkSpec {
     }
   }
 
+  test("holt: hand fold of coupled level/trend, per-entity reset, forecast") {
+    import spark.implicits._
+    // e1: x = 10, 20, 30 with alpha=0.5, beta=0.5, scale=1:
+    //  t1: l=10, b=0, f=10
+    //  t2: l=.5*20+.5*(10+0)=15, b=.5*(15-10)+.5*0=2.5, f=17.5
+    //  t3: l=.5*30+.5*17.5=23.75, b=.5*(23.75-15)+.5*2.5=5.625, f=29.375
+    val rows = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 30.0),
+      (2L, 1L, 4L, 7.0)).toDF("e", "o", "id", "v")
+    val got = Relational.holt(rows, col("e"), col("o"), col("id"), col("v"),
+        alpha = 0.5, beta = 0.5, scale = 1L)
+      .orderBy("entity", "ord")
+      .select("entity", "level", "trend", "forecast1")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10.0, 0.0, 10.0), (1L, 15.0, 2.5, 17.5),
+      (1L, 23.75, 5.625, 29.375),
+      (2L, 7.0, 0.0, 7.0)), s"$got") // entity 2 restarts from its own x1
+    intercept[IllegalArgumentException] {
+      Relational.holt(rows, col("e"), col("o"), col("id"), col("v"), 0.5, 1.0)
+    }
+  }
+
+  test("expectations: one pass, NULL predicate is a violation, unique names enforced") {
+    import spark.implicits._
+    val df = Seq((Some(5), Some("a")), (Some(500), Some("b")), (None, Some("a")),
+      (Some(7), None)).toDF("q", "f")
+    val got = Relational.expectations(df, Seq(
+        "q_small" -> (col("q") <= 100),   // 500 fails; NULL q -> violation
+        "f_known" -> col("f").isin("a", "b"))) // NULL f -> violation
+      .orderBy("rule")
+      .select("rule", "n_rows", "violations")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("f_known", 4L, 1L), ("q_small", 4L, 2L)), s"$got")
+    intercept[IllegalArgumentException] { Relational.expectations(df, Nil) }
+    intercept[IllegalArgumentException] {
+      Relational.expectations(df, Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+  }
+
   test("profile: one pass, exact distincts, nulls counted, numeric-only extrema") {
     import spark.implicits._
     val df = Seq(
