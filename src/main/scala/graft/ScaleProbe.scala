@@ -668,5 +668,21 @@ object ScaleProbe {
       Relational.asofJoin(facts, st, "user_id", "user_id",
         "tms", "valid_from", "event_id", "valid_from").count()
     }
+    // sequential folds: users ×f in parallel, O(1) state per entity
+    val evv = ev.withColumn("value",
+      (pmod(col("event_id"), lit(10000L)).cast("double")) / lit(100.0))
+    time("q76 cusum")(
+      Relational.cusum(evv, col("user_id"), col("tms"), col("event_id"),
+        col("value"), targetUnits = 5000L, kUnits = 2000L,
+        hUnits = 20000L).count())
+    time("q77 holt")(
+      Relational.holt(evv, col("user_id"), col("tms"), col("event_id"),
+        col("value"), alpha = 0.5, beta = 0.25).count())
+    // one conditional-agg scan; output fixed at |rules| regardless of f
+    time("q78 expectations")(
+      Relational.expectations(or, Seq(
+        "price_positive" -> (col("o_totalprice") > 0),
+        "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
+        "priority_known" -> col("o_orderpriority").isNotNull)).count())
   }
 }
