@@ -14,21 +14,12 @@ object Bench {
   private val Runs = 3
 
   /** Local-iteration filter: SPARK_GRAFT_QUERIES=q68_bfs_hops,q47_…
-    * restricts the run to named queries. Unset (the driver's config) =
-    * full registry, identical behavior to before.
+    * restricts the run to named queries (shared contract in
+    * [[SparkEntry.filtered]]). Unset (the driver's config) = full
+    * registry, identical behavior to before.
     */
-  private def selected: Seq[QueryDef] =
-    sys.env.get("SPARK_GRAFT_QUERIES") match {
-      case Some(list) =>
-        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val known = SparkEntry.registry.map(_.name).toSet
-        val unknown = want.diff(known)
-        // a typo'd filter must fail loudly, not run zero queries and
-        // print a normal-looking 0-second success line
-        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
-        SparkEntry.registry.filter(q => want(q.name))
-      case None => SparkEntry.registry
-    }
+  private lazy val selected: Seq[QueryDef] =
+    SparkEntry.filtered(sys.env.get("SPARK_GRAFT_QUERIES"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,6 +23,24 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 
+  /** Registry restricted by an optional comma-separated name filter —
+    * the SPARK_GRAFT_QUERIES contract SHARED by Bench and Verify (one
+    * definition so the two tools cannot drift): unknown names fail
+    * loudly (a typo must not run zero queries behind a success-shaped
+    * output), and the registry is built exactly once per call.
+    */
+  def filtered(filter: Option[String]): Seq[QueryDef] = {
+    val all = registry
+    filter match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want.diff(all.map(_.name).toSet)
+        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+        all.filter(q => want(q.name))
+      case None => all
+    }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

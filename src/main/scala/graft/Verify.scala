@@ -15,17 +15,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter (same contract as Bench): unset = full map.
-    val queries = sys.env.get("SPARK_GRAFT_QUERIES") match {
-      case Some(list) =>
-        val want = list.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = want.diff(SparkEntry.queries.keySet)
-        // fail loudly on typos — an empty filter would write no output
-        // yet exit 0 (see Bench.selected)
-        require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
-        SparkEntry.queries.filter { case (n, _) => want(n) }
-      case None => SparkEntry.queries
-    }
+    // Local-iteration filter (contract shared with Bench via
+    // SparkEntry.filtered): unset = full registry.
+    val queries = SparkEntry.filtered(sys.env.get("SPARK_GRAFT_QUERIES"))
+      .map(q => q.name -> q.fn)
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -67,6 +67,22 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       thr: Double): DataFrame = {
+    val (docs, cand) = minhashCandidatesWithDocs(df, idCol, textCol)
+    verifyJaccard(cand, "id_a", docs, "id_b", docs, thr)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Just the banded candidate set (id_a < id_b), WITHOUT the exact
+    * Jaccard verification join — for compositions that rescore
+    * candidates by a different measure ([[sparseCosineRescoreTokens]],
+    * d14), where paying the per-candidate shingle-intersect only to
+    * discard the score doubles the candidate-stage cost.
+    */
+  def minhashBandCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashCandidatesWithDocs(df, idCol, textCol)._2
+
+  private def minhashCandidatesWithDocs(df: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
     val docs = shingled(df, idCol, textCol).filter(size(col("sh")) > 0)
     val bands = docs
       .select(col("_gid"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
@@ -74,8 +90,7 @@ object Dedup {
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))
       .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
       .distinct()
-    verifyJaccard(cand, "id_a", docs, "id_b", docs, thr)
-      .select("id_a", "id_b", "jaccard")
+    (docs, cand)
   }
 
   /** Exact-Jaccard verification of a candidate pair set against (id, sh)
@@ -724,8 +739,11 @@ object Dedup {
     * weighted term table materializes once (it feeds the join twice and
     * the norm pass once). Join volume is Σ_token df² over surviving
     * tokens, bounded by maxDf·Σdf. N is one in-engine scalar broadcast
-    * (never a driver literal). Output: doc_a < doc_b, dot, cos
-    * (unrounded — round at the binding), thresholded at `minCos`.
+    * (never a driver literal) counting documents that contribute ≥ 1
+    * token — an empty/whitespace-only document is OUTSIDE the
+    * representation and does not dilute idf or the df cap (it can
+    * never pair anyway). Output: doc_a < doc_b, dot, cos (unrounded —
+    * round at the binding), thresholded at `minCos`.
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
       maxDfFrac: Double = 0.5, minCos: Double = 0.3,
@@ -783,7 +801,12 @@ object Dedup {
     require(minCos >= 0, "minCos must be >= 0 (negative is vacuous for tf-idf)")
     val w = tfidfWeights(toks.select(col(idCol).as("_d"), col(tokenCol).as("_t")),
       maxDfFrac, checkpoint)
-    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).distinct()
+    // canonicalize to the sibling operator's doc_a < doc_b contract:
+    // a caller handing over both (7,9) and (9,7) — or a self-pair —
+    // must not produce duplicate/trivial rows
+    val p = pairs.select(least(col(aCol), col(bCol)).as("doc_a"),
+        greatest(col(aCol), col(bCol)).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).distinct()
     val aw = p.join(w.select(col("_d").as("doc_a"), col("_t"), col("_w").as("_wa")),
       "doc_a")
     val dots = aw

@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
@@ -1144,20 +1144,33 @@ object Relational {
     * null in any of the four inputs drop whole. Output: entity, ord,
     * tie, value_units, ewma.
     */
+  /** Shared scaffold of the sequential-fold family (ewma/cusum/holt):
+    * numeric-cast keys, null-row drop, one entity shuffle, spill-safe
+    * (entity, order, tie) secondary sort — ONE definition so the fold
+    * discipline cannot silently diverge between members.
+    */
+  private def entitySortedUnits(df: DataFrame, entityCol: Column,
+      orderCol: Column, tieCol: Column, valueCol: Column,
+      scale: Long): Dataset[(Long, Long, Long, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(entityCol.cast("long").as("e"),
+        orderCol.cast("long").as("o"), tieCol.cast("long").as("tie"),
+        snap(valueCol, scale).as("c"))
+      .filter(col("e").isNotNull && col("o").isNotNull &&
+        col("tie").isNotNull && col("c").isNotNull)
+      .repartition(col("e"))
+      .sortWithinPartitions(col("e"), col("o"), col("tie"))
+      .as[(Long, Long, Long, Long)]
+  }
+
   def ewma(df: DataFrame, entityCol: Column, orderCol: Column, tieCol: Column,
       valueCol: Column, alpha: Double, scale: Long = 100L): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
     require(scale >= 1, "scale must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val pts = df.select(entityCol.cast("long").as("e"),
-        orderCol.cast("long").as("o"), tieCol.cast("long").as("tie"),
-        snap(valueCol, scale).as("c"))
-      .filter(col("e").isNotNull && col("o").isNotNull &&
-        col("tie").isNotNull && col("c").isNotNull)
-    val sorted = pts.repartition(col("e"))
-      .sortWithinPartitions(col("e"), col("o"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    val sorted = entitySortedUnits(df, entityCol, orderCol, tieCol, valueCol, scale)
     val oneMinus = 1.0 - alpha
     sorted.mapPartitions { it =>
       var cur = 0L
@@ -1384,14 +1397,7 @@ object Relational {
     require(scale >= 1, "scale must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val pts = df.select(entityCol.cast("long").as("e"),
-        orderCol.cast("long").as("o"), tieCol.cast("long").as("tie"),
-        snap(valueCol, scale).as("c"))
-      .filter(col("e").isNotNull && col("o").isNotNull &&
-        col("tie").isNotNull && col("c").isNotNull)
-    val sorted = pts.repartition(col("e"))
-      .sortWithinPartitions(col("e"), col("o"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    val sorted = entitySortedUnits(df, entityCol, orderCol, tieCol, valueCol, scale)
     val oneMinusA = 1.0 - alpha
     val oneMinusB = 1.0 - beta
     sorted.mapPartitions { it =>
@@ -1445,14 +1451,7 @@ object Relational {
     require(scale >= 1, "scale must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    val pts = df.select(entityCol.cast("long").as("e"),
-        orderCol.cast("long").as("o"), tieCol.cast("long").as("tie"),
-        snap(valueCol, scale).as("c"))
-      .filter(col("e").isNotNull && col("o").isNotNull &&
-        col("tie").isNotNull && col("c").isNotNull)
-    val sorted = pts.repartition(col("e"))
-      .sortWithinPartitions(col("e"), col("o"), col("tie"))
-      .as[(Long, Long, Long, Long)]
+    val sorted = entitySortedUnits(df, entityCol, orderCol, tieCol, valueCol, scale)
     sorted.mapPartitions { it =>
       var cur = 0L
       var started = false
@@ -1487,14 +1486,18 @@ object Relational {
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size, "rule names must be unique")
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__$name")
+    // internal aliases are INDEX-based: interpolating caller-supplied rule
+    // names into column names lets a rule named "n" collide with the
+    // count alias and a dotted name break col() resolution — names only
+    // ever appear as literals in the output struct
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__r$i")
     }
     val row = df.agg(count(lit(1)).cast("long").as("__n"), aggs: _*)
-    val entries = rules.map { case (name, _) =>
+    val entries = rules.zipWithIndex.map { case ((name, _), i) =>
       struct(lit(name).as("rule"), col("__n").as("n_rows"),
-        col(s"__$name").cast("long").as("violations"),
-        (col(s"__$name").cast("double") / col("__n").cast("double"))
+        col(s"__r$i").cast("long").as("violations"),
+        (col(s"__r$i").cast("double") / col("__n").cast("double"))
           .as("violation_frac"))
     }
     row.select(explode(array(entries: _*)).as("_e")).select(col("_e.*"))

@@ -513,8 +513,7 @@ object Dedup {
        |FROM cc WHERE cos >= $D13MinCos ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import graft.functions.Rounding
     val docs = Tables(s, dir, "documents")
-    val cand = Ops.minhashLshPairs(docs, "doc_id", "text", thr = 0.0)
-      .select("id_a", "id_b")
+    val cand = Ops.minhashBandCandidates(docs, "doc_id", "text")
     Ops.sparseCosineRescoreTokens(shingleToks(s, dir), "d", "t", cand,
         maxDfFrac = D13MaxDfFrac, minCos = D13MinCos)
       .select(col("doc_a"), col("doc_b"),

@@ -70,6 +70,19 @@ object StreamingDrift {
     reference.foreach { case (k, r) =>
       require(r.n > 0 && r.units.length == r.cum.length,
         s"malformed reference for key $k")
+      // RefCdf is a public case class — a hand-built one (not via
+      // buildReference) with unsorted units or non-increasing cum would
+      // silently land stream values in wrong slots and emit a wrong D
+      var i = 1
+      while (i < r.units.length) {
+        require(r.units(i - 1) < r.units(i),
+          s"reference units for key $k must be strictly ascending")
+        require(r.cum(i - 1) < r.cum(i),
+          s"reference cum counts for key $k must be strictly increasing")
+        i += 1
+      }
+      require(r.units.isEmpty || (r.cum(0) > 0 && r.cum.last == r.n),
+        s"reference cum for key $k must start positive and end at n")
     }
     pairs
       .groupByKey(_._1)(Encoders.STRING)
