@@ -303,4 +303,105 @@ object Graph {
       .unionByName(
         a.select(lit("auth").as("side"), col("v").as("node"), col("a").as("score")))
   }
+
+  /** Fixed-round synchronous label propagation — community detection
+    * (Raghavan et al. 2007) in the deterministic form an external
+    * oracle can unroll: labels initialize to the node id; each round
+    * EVERY node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label (the classic
+    * algorithm breaks ties randomly — unverifiable; the (count desc,
+    * label asc) total order makes every round a pure function of the
+    * previous one, so the oracle replays rounds as generated CTEs and
+    * cannot drift, the q43/q49 contract). Synchronous update (all nodes
+    * from the round-(r−1) state) — label oscillation on bipartite
+    * structures is possible and is part of the defined semantics at a
+    * fixed round count. Per round: one adjacency⋈labels equi-join, one
+    * (node, label) partial-agg count, one per-node min-struct argmax —
+    * |edges| rows on the shuffle, never a driver-side graph; label
+    * state checkpoints per round (the d06 lineage discipline). Node ids
+    * must be numeric or string (min-struct orders them); isolated nodes
+    * don't exist (nodes are edge endpoints). Output: node, label
+    * (community id = some member's node id).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val canon0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val adj0 = canon.union(canon.select(col("v"), col("u"))).toDF("u", "v")
+    val adj = if (checkpoint) adj0.localCheckpoint(true) else adj0
+    var labels = adj.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    if (checkpoint) labels = labels.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // neighbor label histogram, then argmax by (count desc, label asc):
+      // min of struct(-count, label) — one aggregation, no window
+      val hist = adj.join(labels, col("v") === col("node"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+      val next = hist
+        .groupBy(col("u").as("node"))
+        .agg(min(struct((-col("_c")).as("_nc"), col("label").as("_l"))).as("_best"))
+        .select(col("node"), col("_best._l").as("label"))
+      labels = if (checkpoint) next.localCheckpoint(true) else next
+    }
+    labels
+  }
+
+  /** Fixed-round single-source(-set) shortest paths over WEIGHTED edges
+    * (Bellman-Ford relaxation) — [[bfsHops]]' weighted sibling: the
+    * cheapest-route primitive (logistics cost, latency, transfer-count ×
+    * weight). Weights must be non-negative INTEGERS (snap currency to
+    * cents upstream — exact long additions and min-merges are
+    * order-independent on any engine; float path sums are not). After
+    * round r every node holds the exact minimum-cost path using ≤ r
+    * edges — the textbook Bellman-Ford invariant — so `rounds` bounds
+    * path LENGTH, not cost, and an oracle unrolls the same rounds as
+    * generated CTEs (fixed-round contract; run |V|−1 rounds for the
+    * full fixpoint on any non-negative graph). Delta iteration: round r
+    * expands only the frontier (nodes improved in round r−1) — provably
+    * equivalent to full relaxation (an unimproved node re-sends values
+    * that cannot win a min) with frontier-sized instead of graph-sized
+    * join input; one frontier⋈adjacency join + one min partial-agg +
+    * one improvement join per round, state checkpointed per round.
+    * Edges are DIRECTED (symmetrize for undirected); parallel edges
+    * collapse to their min weight on entry. Seeds dedupe; a seed absent
+    * from the graph still reports dist 0. Unreached nodes are absent
+    * (the d06/bfsHops convention). Output: node, dist.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val adj0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
+      .groupBy("u", "v").agg(min("w").as("w"))
+    val adj = if (checkpoint) adj0.localCheckpoint(true) else adj0
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    if (checkpoint) dist = dist.localCheckpoint(true)
+    var frontier = dist
+    for (r <- 1 to rounds) {
+      val cand = frontier.join(adj, col("node") === col("u"))
+        .groupBy(col("v").as("node"))
+        .agg(min(col("dist") + col("w")).as("_cd"))
+      // one full-outer join merges the candidate mins into the state AND
+      // computes the next frontier (strictly-improved nodes) in the same
+      // pass — the d06 fixpoint-witness-rides-the-update discipline
+      val merged0 = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("_cd")), coalesce(col("_cd"), col("dist")))
+            .as("dist"),
+          (col("_cd").isNotNull && (col("dist").isNull || col("_cd") < col("dist")))
+            .as("_improved"))
+      val merged = if (checkpoint) merged0.localCheckpoint(true) else merged0
+      frontier = merged.filter(col("_improved")).select("node", "dist")
+      dist = merged.select("node", "dist")
+    }
+    dist
+  }
 }

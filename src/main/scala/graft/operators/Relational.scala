@@ -1577,4 +1577,227 @@ object Relational {
       .transform(j => pearsonCorr(j, groupCols, col("_c0"), col("_c1"),
         scaleX = 1L, scaleY = 1L))
   }
+
+  /** Snapshot diff / table reconciliation — the CDC-on-snapshots and
+    * migration-validation primitive ("what changed between yesterday's
+    * and today's extract", "does the new pipeline's output match the
+    * old's"): classifies every key present in either snapshot as
+    * `insert` (new only), `delete` (old only) or `update` (both sides,
+    * any compare column differs), with unchanged keys DROPPED by
+    * default — at 100 TB the unchanged bulk is the whole table and
+    * carries no signal; the diff output is change-sized. Plan: project
+    * each side to key + compare columns FIRST (column pruning reaches
+    * the scans), one full-outer shuffle join on the key — no window, no
+    * sort, no driver traffic. Column comparison is null-safe (`<=>`):
+    * null → value and value → null both count as changes, null → null
+    * does not. Contract: `keyCols` uniquely identify a row within each
+    * snapshot (a snapshot IS a keyed state — compact a change log with
+    * [[latestByKey]] first); duplicate keys would fan out the join.
+    * Rows with a null in any key column are dropped on both sides (a
+    * null key identifies nothing). Output: keyCols, change_type,
+    * n_changed (count of differing compare columns; 0 for
+    * insert/delete — the column set differs, not columns).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String],
+      compareCols: Seq[String], includeUnchanged: Boolean = false): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    Seq(oldDf, newDf).foreach { d =>
+      (keyCols ++ compareCols).foreach(c =>
+        require(d.columns.contains(c), s"no such column: $c"))
+    }
+    def side(d: DataFrame, tag: String) = d
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"__${tag}_$c")) :+
+        lit(1).as(s"__${tag}_present"): _*)
+    val joined = side(oldDf, "o").join(side(newDf, "n"), keyCols, "full_outer")
+    val nChanged = compareCols
+      .map(c => when(col(s"__o_$c") <=> col(s"__n_$c"), 0L).otherwise(1L))
+      .reduce(_ + _)
+    val classified = joined.withColumn("change_type",
+        when(col("__o_present").isNull, lit("insert"))
+          .when(col("__n_present").isNull, lit("delete"))
+          .when(nChanged > 0, lit("update"))
+          .otherwise(lit("unchanged")))
+      .withColumn("n_changed",
+        when(col("change_type") === "update", nChanged).otherwise(lit(0L)))
+    val out = if (includeUnchanged) classified
+      else classified.filter(col("change_type") =!= "unchanged")
+    out.select(keyCols.map(col) :+ col("change_type") :+ col("n_changed"): _*)
+  }
+
+  /** Per-group Spearman rank correlation — [[pearsonCorr]]'s monotone /
+    * outlier-robust sibling (the q67-vs-q44 relationship at the
+    * correlation level): Pearson over the values' AVERAGE ranks.
+    * Exactness trick: the average rank of a tie run is
+    * minRank + (cnt−1)/2, which is fractional — so both rank vectors are
+    * DOUBLED (2·avgrank = 2·minRank + cnt − 1, an exact integer) and fed
+    * to the exact-integer Pearson machinery; rho is invariant under the
+    * ×2 affine scale, and every sufficient statistic stays an exact long
+    * sum (order-independent on any engine, fixed double tree at the
+    * end — the family discipline). The within-group ranking is two
+    * windows over ONE group shuffle (rank + tie-run count per metric;
+    * the per-group sort is inherent to any rank statistic — parallelism
+    * = groups). Rows with either value null drop WHOLE. Groups with
+    * n < 2 or a constant metric (zero rank variance) are dropped.
+    * Overflow bound: Σ(2r)² ≤ 4n³ must fit a long ⇒ n ≲ 1.3·10⁶ rows
+    * per group; shard-and-sum beyond. Output: groupCols, n, rho.
+    */
+  def spearmanCorr(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, scaleX: Long = 100L, scaleY: Long = 100L): DataFrame = {
+    require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
+    val gcols = groupCols.map(col)
+    val pts = df.select(gcols :+ snap(xCol, scaleX).as("_x") :+ snap(yCol, scaleY).as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+    def ranked2(vc: String): Column = {
+      // 2·average-rank of the value within the group: 2·rank + tieCnt − 1
+      val wr = Window.partitionBy(gcols: _*).orderBy(col(vc))
+      val wt = Window.partitionBy(gcols :+ col(vc): _*)
+      lit(2L) * rank().over(wr).cast("long") + count(lit(1)).over(wt) - lit(1L)
+    }
+    val rr = pts.withColumn("_rx", ranked2("_x")).withColumn("_ry", ranked2("_y"))
+    pearsonCorr(rr, groupCols, col("_rx"), col("_ry"), scaleX = 1L, scaleY = 1L)
+      .withColumnRenamed("corr", "rho")
+  }
+
+  /** Benford first-significant-digit scan — the fabricated-data /
+    * corrupted-feed detector of financial and metric auditing (Benford
+    * 1938; Nigrini's forensic-accounting standard): for each group, the
+    * observed first-digit distribution of positive amounts against the
+    * Benford expectation p(d) = ln(1 + 1/d)/ln(10), with the per-digit
+    * chi-squared contribution (O − E)²/E. The COMPLETE digit grid 1–9
+    * reports for every group — a digit that never occurs is the
+    * strongest signal (q58's zero-cell principle). Plan: amounts snap to
+    * integer units (the family rule), the first digit is the leading
+    * character of the integer's decimal string (exact — never float
+    * log10, whose boundary cases diverge cross-engine), counts are ONE
+    * partial-agg pass, the grid is groups × 9 built from the tiny count
+    * table, group totals derive from the same table and BROADCAST.
+    * Counts exact longs; frac/expected/chi2_term fixed double trees
+    * (ln and the divisions IEEE-correctly-rounded ⇒ bit-identical). NO
+    * float total is emitted (t18's contract — sum chi2_term downstream
+    * for the scalar statistic; df = 8 per group). Zero and negative
+    * amounts are out of Benford's domain and excluded by filter.
+    * Output: groupCols, digit, n, frac, expected_frac, chi2_term.
+    */
+  def benfordScan(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val counts = df.select(gcols :+ snap(valueCol, scale).as("_u"): _*)
+      .filter(col("_u") >= 1)
+      .withColumn("_d", substring(col("_u").cast("string"), 1, 1).cast("long"))
+      .groupBy(gcols :+ col("_d"): _*).agg(count(lit(1)).cast("long").as("_n"))
+    val totals = counts.groupBy(gcols: _*).agg(sum("_n").cast("long").as("_tot"))
+    val grid = totals.select(gcols :+ explode(sequence(lit(1L), lit(9L))).as("digit")
+        :+ col("_tot"): _*)
+    val nd = col("n").cast("double")
+    val td = col("_tot").cast("double")
+    val expected = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0))
+    val joined = grid.join(
+      counts.withColumnRenamed("_d", "digit"), groupCols :+ "digit", "left_outer")
+    joined
+      .withColumn("n", coalesce(col("_n"), lit(0L)))
+      .withColumn("frac", nd / td)
+      .withColumn("expected_frac", expected)
+      .withColumn("chi2_term", {
+        val e = td * col("expected_frac")
+        (nd - e) * (nd - e) / e
+      })
+      .select(gcols ++ Seq(col("digit"), col("n"), col("frac"),
+        col("expected_frac"), col("chi2_term")): _*)
+  }
+
+  /** Key-distribution skew report — the pre-join diagnostic every 100 TB
+    * shuffle plan needs ("is this key safe to join on, and which keys
+    * need the salt"): the top-N hottest keys with their row counts,
+    * corpus share and ratio to the mean key load, plus the global
+    * denominators on every row. A hot key's ratio_to_mean IS the skew
+    * factor AQE's skew-join split and [[saltedJoin]]'s salt count are
+    * sized from. Plan: per-key counts are ONE partial-agg pass (|keys|
+    * rows — never the corpus — on the shuffle); the summary row derives
+    * from that table (no second scan) and broadcasts; top-N is
+    * orderBy+limit = TakeOrdered (per-partition top-N to the driver, no
+    * global sort), with rank assigned AFTER the limit on the N-row
+    * result (one tiny task — the q16 metadata discipline). Counts exact
+    * longs; share and ratio fixed double trees. Ties at equal count
+    * break on the key columns ascending — deterministic cross-engine.
+    * Output: rank, keyCols, n_rows, share, ratio_to_mean, n_rows_total,
+    * n_keys.
+    */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String], topN: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "keySkewReport needs at least one key column")
+    require(topN >= 1, "topN must be >= 1")
+    val kcols = keyCols.map(col)
+    val counts = df
+      .filter(kcols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(kcols: _*).agg(count(lit(1)).cast("long").as("n_rows"))
+    val summary = counts.agg(
+      sum("n_rows").cast("long").as("n_rows_total"),
+      count(lit(1)).cast("long").as("n_keys"))
+    val top = counts
+      .orderBy(col("n_rows").desc +: kcols: _*)
+      .limit(topN)
+    val w = Window.orderBy(col("n_rows").desc +: kcols: _*)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(summary))
+      .withColumn("share", col("n_rows").cast("double") / col("n_rows_total").cast("double"))
+      .withColumn("ratio_to_mean", col("n_rows").cast("double") /
+        (col("n_rows_total").cast("double") / col("n_keys").cast("double")))
+      .select(col("rank") +: kcols ++: Seq(col("n_rows"), col("share"),
+        col("ratio_to_mean"), col("n_rows_total"), col("n_keys")): _*)
+  }
+
+  /** Item-item cosine similarity over entity baskets — the neighborhood
+    * model of collaborative filtering ("customers who bought X also
+    * bought Y", Sarwar et al. 2001) on the binary incidence matrix:
+    * sim(i, j) = n_both / (√n_i · √n_j), top-k neighbors per item.
+    * Rides the [[cooccurrence]] basket machinery with the
+    * [[associationRules]] materialization discipline: the capped
+    * distinct-basket table builds ONCE (localCheckpoint) and feeds both
+    * the per-item counts and the narrow sorted-array pair expansion
+    * (never a corpus self-join); pair counts partial-agg to ≤|items|²
+    * rows, the vocabulary-sized item-count table BROADCASTS onto the
+    * directed expansion, and the top-k window partitions by the item
+    * (parallelism = items). Cross-engine determinism: counts are exact
+    * longs, sim is one fixed double tree (divide + two IEEE sqrts), and
+    * rank ties break (sim desc, neighbor asc) — total order. `minBoth`
+    * prunes the long pair tail before the window (the support knob —
+    * 1-entity co-occurrences are noise at any scale); `maxBasket` is
+    * the hot-entity cap shared with the whole basket family. Output:
+    * item, neighbor, n_both, n_item, n_neighbor, sim, rank.
+    */
+  def itemSimilarity(df: DataFrame, entityCol: String, itemCol: String,
+      topK: Int, minBoth: Long = 2L, maxBasket: Int = 1000): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    require(minBoth >= 1, "minBoth must be >= 1")
+    val baskets = df.groupBy(col(entityCol).as("_e"))
+      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
+      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket)
+      .localCheckpoint(true)
+    val items = baskets.select(explode(col("_items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
+    val sz = size(col("_items"))
+    val pairExpr = flatten(transform(sequence(lit(0), sz - 2), i =>
+      transform(sequence(i + 1, sz - 1), j =>
+        struct(element_at(col("_items"), i + 1).as("a"),
+          element_at(col("_items"), j + 1).as("b")))))
+    val pairs = baskets.select(explode(pairExpr).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    val directed = pairs.select(col("a").as("item"), col("b").as("neighbor"), col("n_both"))
+      .union(pairs.select(col("b").as("item"), col("a").as("neighbor"), col("n_both")))
+    val enriched = directed
+      .join(broadcast(items.select(col("item"), col("n_item"))), Seq("item"))
+      .join(broadcast(items.select(col("item").as("neighbor"),
+        col("n_item").as("n_neighbor"))), Seq("neighbor"))
+      .withColumn("sim", col("n_both").cast("double") /
+        (sqrt(col("n_item").cast("double")) * sqrt(col("n_neighbor").cast("double"))))
+    val w = Window.partitionBy(col("item")).orderBy(col("sim").desc, col("neighbor"))
+    enriched.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("item", "neighbor", "n_both", "n_item", "n_neighbor", "sim", "rank")
+  }
 }

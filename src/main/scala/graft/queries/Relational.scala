@@ -1922,10 +1922,326 @@ object Relational {
       .orderBy("rule")
   }
 
+  /** q79: snapshot diff / table reconciliation
+    * ([[graft.operators.Relational.snapshotDiff]]) — two deterministic
+    * key-bucket "extracts" of orders (bucket 1 appears only in the new
+    * snapshot, bucket 2 only in the old, bucket 3 changes status AND
+    * price) diffed into the change-sized insert/delete/update output;
+    * the oracle is the textbook FULL OUTER JOIN with IS DISTINCT FROM
+    * per compare column — the operator's null-safe `<=>` semantics
+    * verbatim. Unchanged keys (the 100 TB bulk) never leave the join.
+    */
+  val q79 = QueryDef(
+    "q79_snapshot_diff",
+    """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS op
+      |  FROM orders WHERE o_orderkey % 10 <> 1),
+      |n AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END AS st,
+      |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0 ELSE o_totalprice END AS tp,
+      |  1 AS np FROM orders WHERE o_orderkey % 10 <> 2),
+      |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+      |  CASE WHEN o.op IS NULL THEN 'insert' WHEN n.np IS NULL THEN 'delete'
+      |       WHEN (o.o_orderstatus IS DISTINCT FROM n.st)
+      |         OR (o.o_totalprice IS DISTINCT FROM n.tp) THEN 'update'
+      |       ELSE 'unchanged' END AS change_type,
+      |  CAST(o.o_orderstatus IS DISTINCT FROM n.st AS BIGINT)
+      |    + CAST(o.o_totalprice IS DISTINCT FROM n.tp AS BIGINT) AS nch
+      |  FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      |SELECT o_orderkey, change_type,
+      |  CASE WHEN change_type = 'update' THEN nch ELSE CAST(0 AS BIGINT) END
+      |    AS n_changed
+      |FROM j WHERE change_type <> 'unchanged'
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val orders = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val oldSnap = orders.filter(col("o_orderkey") % 10 =!= 1)
+    val bucket3 = col("o_orderkey") % 10 === 3
+    val newSnap = orders.filter(col("o_orderkey") % 10 =!= 2)
+      .select(col("o_orderkey"),
+        when(bucket3, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        when(bucket3, col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+    graft.operators.Relational.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val LpaRounds = 2
+
+  // generated per-round LPA CTEs (neighbor label histogram -> argmax by
+  // (count desc, label asc)) — the q43/q49 template discipline, every
+  // CTE MATERIALIZED against DuckDB's exponential re-inlining
+  private def lpaRoundSql(r: Int): String =
+    s"""h$r AS MATERIALIZED (SELECT adj.u AS node, l.label, count(*) AS c
+       |  FROM adj JOIN lb${r - 1} l ON adj.v = l.node GROUP BY 1, 2),
+       |lb$r AS MATERIALIZED (SELECT node, label FROM
+       |  (SELECT node, label,
+       |     row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+       |   FROM h$r) WHERE rn = 1)""".stripMargin
+
+  /** q80: label-propagation communities over the part co-purchase graph
+    * ([[graft.operators.Graph.labelPropagation]]) — the q49 edge
+    * machinery, then 2 fixed synchronous rounds with the deterministic
+    * (count desc, label asc) tie-break; the oracle unrolls the same
+    * rounds as GENERATED materialized CTEs (histogram + row_number
+    * argmax), so the iteration count and the tie rule cannot drift.
+    * All-integer semantics end to end.
+    */
+  val q80 = QueryDef(
+    "q80_communities",
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS e, l_partkey AS i FROM lineitem),
+       |kk AS MATERIALIZED (SELECT e FROM b GROUP BY e
+       |       HAVING count(*) BETWEEN 2 AND $CoreMaxBasket),
+       |kb AS MATERIALIZED (SELECT b.e, b.i FROM b JOIN kk USING (e)),
+       |e0 AS MATERIALIZED (SELECT x.i AS u, y.i AS v FROM kb x JOIN kb y
+       |       ON x.e = y.e AND x.i < y.i GROUP BY 1, 2),
+       |adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |lb0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj),
+       |${(1 to LpaRounds).map(lpaRoundSql).mkString(",\n")}
+       |SELECT node, label FROM lb$LpaRounds ORDER BY node""".stripMargin) { (s, dir) =>
+    val baskets = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = graft.operators.Relational.cooccurrence(baskets,
+      "l_orderkey", "l_partkey", maxBasket = CoreMaxBasket)
+    graft.operators.Graph.labelPropagation(pairs, "item_a", "item_b",
+        rounds = LpaRounds)
+      .orderBy("node")
+  }
+
+  private val RecsTopK = 10
+  private val RecsMinBoth = 2L
+  private val RecsMaxBasket = 60
+
+  /** q81: item-item cosine recommendations over customer purchase
+    * baskets ([[graft.operators.Relational.itemSimilarity]]) — the
+    * Sarwar-style neighborhood model in the VERIFIED lane: customers'
+    * distinct part sets (capped — the hot-entity discipline, mirrored
+    * in the oracle's HAVING), pair counts by the q41 narrow expansion,
+    * sim = n_both/(√n_i·√n_j) one fixed double tree, top-10 neighbors
+    * per part with (sim desc, neighbor asc) total-order ties. Ranks
+    * computed on UNROUNDED sims on both engines; output rounds at 6 dp.
+    */
+  val q81 = QueryDef(
+    "q81_item_recs",
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT o_custkey AS e, l_partkey AS i
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |k AS MATERIALIZED (SELECT e FROM b GROUP BY e
+       |  HAVING count(*) BETWEEN 2 AND $RecsMaxBasket),
+       |kb AS MATERIALIZED (SELECT b.e, b.i FROM b JOIN k USING (e)),
+       |ni AS MATERIALIZED (SELECT i AS item, CAST(count(*) AS BIGINT) AS n_item
+       |  FROM kb GROUP BY 1),
+       |pr AS MATERIALIZED (SELECT x.i AS a, y.i AS b2, CAST(count(*) AS BIGINT) AS n_both
+       |  FROM kb x JOIN kb y ON x.e = y.e AND x.i < y.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $RecsMinBoth),
+       |d AS (SELECT a AS item, b2 AS neighbor, n_both FROM pr
+       |  UNION ALL SELECT b2, a, n_both FROM pr),
+       |enr AS (SELECT d.item, d.neighbor, d.n_both,
+       |  i1.n_item AS n_item, i2.n_item AS n_neighbor,
+       |  CAST(d.n_both AS DOUBLE)
+       |    / (sqrt(CAST(i1.n_item AS DOUBLE)) * sqrt(CAST(i2.n_item AS DOUBLE))) AS s
+       |  FROM d JOIN ni i1 ON d.item = i1.item JOIN ni i2 ON d.neighbor = i2.item),
+       |r AS (SELECT item, neighbor, n_both, n_item, n_neighbor, s,
+       |  CAST(row_number() OVER (PARTITION BY item ORDER BY s DESC, neighbor) AS BIGINT)
+       |    AS rank FROM enr)
+       |SELECT item, neighbor, n_both, n_item, n_neighbor,
+       |  ${mr("s", 6)} AS sim, rank
+       |FROM r WHERE rank <= $RecsTopK ORDER BY item, rank""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val baskets = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    graft.operators.Relational.itemSimilarity(baskets, "o_custkey", "l_partkey",
+        topK = RecsTopK, minBoth = RecsMinBoth, maxBasket = RecsMaxBasket)
+      .withColumn("sim", Rounding.mirrorRound(col("sim"), 6))
+      .orderBy("item", "rank")
+  }
+
+  /** q82: Benford first-digit audit of line prices per return flag
+    * ([[graft.operators.Relational.benfordScan]]) — amounts snap to
+    * cents, the first digit is the leading character of the exact
+    * integer's decimal string (never float log10), the COMPLETE 1–9
+    * grid reports per group (q58's zero-cell principle) and the
+    * expected fraction ln(1+1/d)/ln 10 plus the per-digit chi²
+    * contribution evaluate as fixed double trees on both engines.
+    */
+  val q82 = QueryDef(
+    "q82_benford",
+    """WITH u AS (SELECT l_returnflag,
+      |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS u
+      |  FROM lineitem),
+      |c AS (SELECT l_returnflag,
+      |  CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |  CAST(count(*) AS BIGINT) AS n
+      |  FROM u WHERE u >= 1 GROUP BY 1, 2),
+      |t AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+      |g AS (SELECT t.l_returnflag, d.digit, t.tot
+      |  FROM t CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]::BIGINT[]) AS digit) d),
+      |j AS (SELECT g.l_returnflag, g.digit, coalesce(c.n, 0) AS n, g.tot,
+      |  ln(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / ln(10.0) AS ef
+      |  FROM g LEFT JOIN c ON g.l_returnflag = c.l_returnflag AND g.digit = c.digit)
+      |SELECT l_returnflag, digit, CAST(n AS BIGINT) AS n,
+      |  (floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+      |    AS frac,
+      |  (floor(ef * 1000000.0 + 0.5) / 1000000.0) AS expected_frac,
+      |  (floor(((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * ef)
+      |          * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * ef)
+      |          / (CAST(tot AS DOUBLE) * ef)) * 1000000.0 + 0.5) / 1000000.0)
+      |    AS chi2_term
+      |FROM j ORDER BY l_returnflag, digit""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.benfordScan(Tables(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_extendedprice"), scale = 100L)
+      .withColumn("frac", Rounding.mirrorRound(col("frac"), 6))
+      .withColumn("expected_frac", Rounding.mirrorRound(col("expected_frac"), 6))
+      .withColumn("chi2_term", Rounding.mirrorRound(col("chi2_term"), 6))
+      .orderBy("l_returnflag", "digit")
+  }
+
+  /** q83: Spearman rank correlation between account balance and total
+    * spend per market segment ([[graft.operators.Relational
+    * .spearmanCorr]]) — [[graft.operators.Relational.pearsonCorr]] over
+    * DOUBLED average ranks (2·rank + tieCount − 1, an exact integer for
+    * tie runs), so every sufficient statistic stays an exact long sum
+    * and rho is scale-invariant under the ×2; per-customer spend builds
+    * EXACTLY upstream as cent-long sums (the q56 discipline). Oracle
+    * mirrors the rank windows (DuckDB rank() = min rank, same as Spark)
+    * and the Pearson closed form verbatim.
+    */
+  val q83 = QueryDef(
+    "q83_spearman",
+    """WITH spend AS (SELECT o_custkey,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |j AS (SELECT c_mktsegment,
+      |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS xu, cents AS yu
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_acctbal IS NOT NULL AND cents IS NOT NULL),
+      |r AS (SELECT c_mktsegment,
+      |  2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY xu)
+      |    + count(*) OVER (PARTITION BY c_mktsegment, xu) - 1 AS rx,
+      |  2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY yu)
+      |    + count(*) OVER (PARTITION BY c_mktsegment, yu) - 1 AS ry
+      |  FROM j),
+      |s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+      |  CAST(sum(rx*rx) AS DOUBLE) AS sxx, CAST(sum(ry*ry) AS DOUBLE) AS syy,
+      |  CAST(sum(rx*ry) AS DOUBLE) AS sxy
+      |  FROM r GROUP BY 1),
+      |t AS (SELECT c_mktsegment, n,
+      |  (CAST(n AS DOUBLE)*sxx - sx*sx) AS dx,
+      |  (CAST(n AS DOUBLE)*syy - sy*sy) AS dy,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) AS num
+      |  FROM s)
+      |SELECT c_mktsegment, n,
+      |  (floor((num / (sqrt(dx) * sqrt(dy))) * 1000000.0 + 0.5) / 1000000.0) AS rho
+      |FROM t WHERE n >= 2 AND dx > 0 AND dy > 0
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val spend = Tables(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("_c"))
+      .groupBy("o_custkey").agg(sum("_c").cast("long").as("cents"))
+    val joined = spend.join(Tables(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    graft.operators.Relational.spearmanCorr(joined, Seq("c_mktsegment"),
+        col("c_acctbal"), col("cents"), scaleX = 100L, scaleY = 1L)
+      .withColumn("rho", Rounding.mirrorRound(col("rho"), 6))
+      .orderBy("c_mktsegment")
+  }
+
+  private val SsspRounds = 3
+  private val SsspSeedMod = 20
+
+  // generated Bellman-Ford relaxation rounds — full relaxation per round
+  // is provably round-equivalent to the engine's frontier delta iteration
+  // (an unimproved node re-sends values that cannot win a min)
+  private def ssspRoundSql(r: Int): String =
+    s"""s$r AS MATERIALIZED (SELECT node, min(dist) AS dist FROM
+       |  (SELECT node, dist FROM s${r - 1}
+       |   UNION ALL SELECT e.v AS node, d.dist + e.w AS dist
+       |   FROM s${r - 1} d JOIN e ON d.node = e.u) GROUP BY 1)""".stripMargin
+
+  /** q84: weighted shortest paths over the supplier—part supply graph
+    * ([[graft.operators.Graph.shortestPaths]]) — Bellman-Ford with 3
+    * fixed relaxation rounds from the mod-20 supplier seed set; node
+    * ids are namespaced strings ('s'||key, 'p'||key — the two key
+    * spaces collide numerically), weights are snapped integer
+    * quantities (min over parallel edges on entry), every distance an
+    * exact long. The oracle unrolls the same rounds as GENERATED
+    * materialized CTEs; the engine's frontier delta iteration is
+    * round-equivalent to the oracle's full relaxation by the min-merge
+    * argument in the operator's contract.
+    */
+  val q84 = QueryDef(
+    "q84_shortest_paths",
+    s"""WITH e0 AS MATERIALIZED (SELECT
+       |  's' || CAST(l_suppkey AS VARCHAR) AS u,
+       |  'p' || CAST(l_partkey AS VARCHAR) AS v,
+       |  CAST(min(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem
+       |  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+       |    AND l_quantity IS NOT NULL
+       |  GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT u, v, w FROM e0
+       |  UNION ALL SELECT v AS u, u AS v, w FROM e0),
+       |s0 AS MATERIALIZED (SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node,
+       |  CAST(0 AS BIGINT) AS dist FROM supplier WHERE s_suppkey % $SsspSeedMod = 0),
+       |${(1 to SsspRounds).map(ssspRoundSql).mkString(",\n")}
+       |SELECT node, dist FROM s$SsspRounds ORDER BY node""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .select(concat(lit("s"), col("l_suppkey").cast("string")).as("u"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("v"),
+        floor(col("l_quantity") * lit(1.0) + lit(0.5)).cast("long").as("w"))
+    val sym = li.union(li.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val seeds = Tables(s, dir, "supplier")
+      .filter(col("s_suppkey") % SsspSeedMod === 0)
+      .select(concat(lit("s"), col("s_suppkey").cast("string")).as("seed"))
+    graft.operators.Graph.shortestPaths(sym, "u", "v", "w",
+        seeds, "seed", rounds = SsspRounds)
+      .orderBy("node")
+  }
+
+  private val SkewTopN = 20
+
+  /** q85: join-key skew report over lineitem's part key
+    * ([[graft.operators.Relational.keySkewReport]]) — the pre-join
+    * diagnostic that sizes AQE skew splits and [[graft.operators
+    * .Relational.saltedJoin]] salt counts: top-20 hottest keys with
+    * share and ratio-to-mean (the skew factor), global denominators on
+    * every row; counts exact longs, the two ratios fixed double trees,
+    * ties at equal count broken on the key — total order, so the top-20
+    * SET is bit-identical cross-engine.
+    */
+  val q85 = QueryDef(
+    "q85_skew_report",
+    s"""WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+       |s AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+       |  CAST(count(*) AS BIGINT) AS n_keys FROM c),
+       |t AS (SELECT l_partkey, n_rows,
+       |  CAST(row_number() OVER (ORDER BY n_rows DESC, l_partkey) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT rank, l_partkey, n_rows,
+       |  (floor((CAST(n_rows AS DOUBLE) / CAST(n_rows_total AS DOUBLE)) * 1000000.0 + 0.5)
+       |    / 1000000.0) AS share,
+       |  (floor((CAST(n_rows AS DOUBLE)
+       |          / (CAST(n_rows_total AS DOUBLE) / CAST(n_keys AS DOUBLE))) * 1000000.0 + 0.5)
+       |    / 1000000.0) AS ratio_to_mean,
+       |  n_rows_total, n_keys
+       |FROM t CROSS JOIN s WHERE rank <= $SkewTopN ORDER BY rank""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.keySkewReport(Tables(s, dir, "lineitem"),
+        Seq("l_partkey"), topN = SkewTopN)
+      .withColumn("share", Rounding.mirrorRound(col("share"), 6))
+      .withColumn("ratio_to_mean", Rounding.mirrorRound(col("ratio_to_mean"), 6))
+      .orderBy("rank")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-      q77, q78)
+      q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

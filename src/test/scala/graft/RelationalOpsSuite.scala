@@ -1100,4 +1100,167 @@ class RelationalOpsSuite extends SparkSpec {
     assert(hub(1L) > hub(2L) && math.abs(hub(2L) - hub(3L)) < 1e-12)
     intercept[IllegalArgumentException] { Graph.hits(e, "src", "dst", iters = 0) }
   }
+
+  test("snapshotDiff: insert/delete/update classified, null-safe compares, null keys dropped") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Option("a"), Option(10.0)), (2L, Option("b"), Option(20.0)),
+      (3L, Option("c"), Option(30.0)), (4L, None: Option[String], Option(40.0)))
+      .toDF("id", "s", "v")
+    val neu = Seq(
+      (2L, Option("b"), Option(20.0)),            // unchanged
+      (3L, Option("cc"), Option(30.0)),           // update: s only
+      (4L, None: Option[String], Option(45.0)),   // update: v only (null <=> null is no change)
+      (5L, Option("e"), Option(50.0)))            // insert
+      .toDF("id", "s", "v")
+    val got = Relational.snapshotDiff(old, neu, Seq("id"), Seq("s", "v"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "delete", 0L), (3L, "update", 1L), (4L, "update", 1L), (5L, "insert", 0L)))
+    val withU = Relational.snapshotDiff(old, neu, Seq("id"), Seq("s", "v"),
+      includeUnchanged = true).as[(Long, String, Long)].collect().toSet
+    assert(withU == got + ((2L, "unchanged", 0L)))
+    // a null key identifies nothing: dropped from both sides, not an insert/delete
+    val oldN = old.union(Seq((null.asInstanceOf[java.lang.Long], Option("x"), Option(1.0)))
+      .toDF("id", "s", "v"))
+    assert(Relational.snapshotDiff(oldN, neu, Seq("id"), Seq("s", "v"))
+      .as[(Long, String, Long)].collect().toSet == got)
+    intercept[IllegalArgumentException] {
+      Relational.snapshotDiff(old, neu, Seq("id"), Seq("nope"))
+    }
+  }
+
+  test("spearmanCorr: monotone nonlinear=1, ties via doubled average ranks, guards") {
+    import spark.implicits._
+    // perfectly monotone but nonlinear: Spearman 1 where Pearson < 1
+    val mono = Seq(("g", 1.0, 1.0), ("g", 2.0, 4.0), ("g", 3.0, 9.0), ("g", 4.0, 16.0))
+      .toDF("g", "x", "y")
+    val r1 = Relational.spearmanCorr(mono, Seq("g"), col("x"), col("y"), 1L, 1L)
+      .as[(String, Long, Double)].collect().toSeq
+    // √dx·√dx can land 1 ulp under dx — deterministic, but not exactly 1.0
+    assert(r1.map(t => (t._1, t._2)) == Seq(("g", 4L)) &&
+      math.abs(r1.head._3 - 1.0) < 1e-12, s"$r1")
+    val p1 = Relational.pearsonCorr(mono, Seq("g"), col("x"), col("y"), 1L, 1L)
+      .as[(String, Long, Double)].head()._3
+    assert(p1 < 1.0) // the robustness gap spearman exists for
+    // reversed: -1
+    val rev = Relational.spearmanCorr(
+      mono.withColumn("y", -col("y")), Seq("g"), col("x"), col("y"), 1L, 1L)
+      .as[(String, Long, Double)].head()._3
+    assert(math.abs(rev + 1.0) < 1e-12)
+    // ties: x = [1,1,2] -> 2·avgranks [3,3,6]; y = [3,4,5] -> [2,4,6]
+    // rho = 6 / (sqrt(6)*sqrt(8)) = 0.866025...
+    val tied = Seq(("t", 1.0, 3.0), ("t", 1.0, 4.0), ("t", 2.0, 5.0)).toDF("g", "x", "y")
+    val rt = Relational.spearmanCorr(tied, Seq("g"), col("x"), col("y"), 1L, 1L)
+      .as[(String, Long, Double)].head()._3
+    assert(math.abs(rt - 6.0 / math.sqrt(48.0)) < 1e-12, s"$rt")
+    // constant metric: zero rank variance -> dropped; null pair drops whole
+    val const = Seq(("c", 5.0, 1.0), ("c", 5.0, 2.0)).toDF("g", "x", "y")
+    assert(Relational.spearmanCorr(const, Seq("g"), col("x"), col("y"), 1L, 1L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Relational.spearmanCorr(mono, Seq("g"), col("x"), col("y"), 0L, 1L)
+    }
+  }
+
+  test("benfordScan: complete 1-9 grid, exact digit counts, non-positive excluded") {
+    import spark.implicits._
+    // units: 123, 250, 1999, 30 -> digits 1,2,1,3; 0.001 snaps to 0 (out), -5 out
+    val df = Seq(("g", 1.23), ("g", 2.50), ("g", 19.99), ("g", 0.30),
+      ("g", 0.001), ("g", -5.0)).toDF("g", "v")
+    val out = Relational.benfordScan(df, Seq("g"), col("v"), scale = 100L)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(out.size == 9, "all nine digits report")
+    assert(out(1L)._3 == 2L && out(2L)._3 == 1L && out(3L)._3 == 1L)
+    (4L to 9L).foreach(d => assert(out(d)._3 == 0L, s"digit $d"))
+    assert(out(1L)._4 == 0.5 && out(2L)._4 == 0.25)
+    assert(math.abs(out(1L)._5 - math.log(2.0) / math.log(10.0)) < 1e-15)
+    // zero-observed digit contributes its full expectation: (0-E)^2/E = E
+    val e9 = 4.0 * (math.log(1.0 + 1.0 / 9.0) / math.log(10.0))
+    assert(math.abs(out(9L)._6 - e9) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Relational.benfordScan(df, Seq("g"), col("v"), scale = 0L)
+    }
+  }
+
+  test("keySkewReport: hot keys ranked, shares and skew ratio exact, null keys out") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c") ++
+      Seq(null, null).map(_.asInstanceOf[String])).toDF("k")
+    val top = Relational.keySkewReport(df, Seq("k"), topN = 2)
+      .as[(Long, String, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(top.map(t => (t._1, t._2, t._3)) == Seq((1L, "a", 5L), (2L, "b", 3L)))
+    val a = top.head
+    assert(a._4 == 5.0 / 9.0 && a._5 == 5.0 / (9.0 / 3.0))
+    assert(a._6 == 9L && a._7 == 3L)
+    // count ties break on the key ascending — deterministic
+    val tied = (Seq.fill(3)("d") ++ Seq.fill(3)("b") ++ Seq.fill(4)("a")).toDF("k")
+    val tt = Relational.keySkewReport(tied, Seq("k"), topN = 3)
+      .as[(Long, String, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(tt.map(_._2) == Seq("a", "b", "d"))
+    intercept[IllegalArgumentException] { Relational.keySkewReport(df, Seq.empty) }
+  }
+
+  test("itemSimilarity: hand cosines, top-k order, minBoth prune, basket cap") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (3L, "z"),
+      (4L, "w")).toDF("e", "i") // entity 4 has a 1-item basket: dropped
+    val got = Relational.itemSimilarity(df, "e", "i", topK = 2, minBoth = 1L)
+      .as[(String, String, Long, Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._7) -> r).toMap
+    // n_x=3, n_y=2, n_z=1; pairs (x,y)=2, (x,z)=1
+    val simXY = 2.0 / (math.sqrt(3.0) * math.sqrt(2.0))
+    val simXZ = 1.0 / (math.sqrt(3.0) * math.sqrt(1.0))
+    assert(got(("x", 1L))._2 == "y" && got(("x", 1L))._6 == simXY)
+    assert(got(("x", 2L))._2 == "z" && got(("x", 2L))._6 == simXZ)
+    assert(got(("y", 1L))._2 == "x" && got(("z", 1L))._2 == "x")
+    assert(got.size == 4)
+    // support prune: minBoth=2 kills the (x,z) pair entirely
+    val pruned = Relational.itemSimilarity(df, "e", "i", topK = 2, minBoth = 2L)
+      .as[(String, String, Long, Long, Long, Double, Long)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet == Set(("x", "y"), ("y", "x")))
+    // hot-entity cap: basket of 3 dropped whole under maxBasket=2
+    val capped = Relational.itemSimilarity(
+      df.union(Seq((5L, "p"), (5L, "q"), (5L, "r")).toDF("e", "i")),
+      "e", "i", topK = 2, minBoth = 1L, maxBasket = 2)
+      .as[(String, String, Long, Long, Long, Double, Long)].collect()
+    assert(!capped.exists(r => Set("p", "q", "r")(r._1)))
+    intercept[IllegalArgumentException] { Relational.itemSimilarity(df, "e", "i", 0) }
+  }
+
+  test("labelPropagation: two communities split, tie goes to min label, K3 collapses") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // two triangles bridged by one edge; duplicates/direction/self-loop collapse
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L), (2L, 1L), (1L, 1L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, "src", "dst", rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L), s"$got")
+    // K3 at 2 rounds: every node sees a tie round 1 (min label wins), then agrees
+    val k3 = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val g3 = Graph.labelPropagation(k3, "src", "dst", rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(g3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"$g3")
+    intercept[IllegalArgumentException] { Graph.labelPropagation(e, "src", "dst", 0) }
+  }
+
+  test("shortestPaths: Bellman-Ford rounds bound path length, parallel edges collapse") {
+    import spark.implicits._
+    import graft.operators.Graph
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 7L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+      .toDF("u", "v", "w")
+    def run(rounds: Int, seeds: Seq[Long]) =
+      Graph.shortestPaths(e, "u", "v", "w", seeds.toDF("s"), "s", rounds)
+        .as[(Long, Long)].collect().toMap
+    // round 1: only <=1-edge paths (and the parallel 1->2 pair collapses to 5)
+    assert(run(1, Seq(1L)) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    // round 2: 1->2->3 = 6 beats direct 10; 4 reached at 12 via the direct edge
+    assert(run(2, Seq(1L)) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 12L))
+    // round 3: full fixpoint here — 4 improves to 8 via 1->2->3->4
+    assert(run(3, Seq(1L)) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L))
+    // multi-seed min-merge + a seed absent from the graph still reports 0
+    assert(run(2, Seq(3L, 99L)) == Map(3L -> 0L, 4L -> 2L, 99L -> 0L))
+    intercept[IllegalArgumentException] { run(0, Seq(1L)) }
+  }
 }
