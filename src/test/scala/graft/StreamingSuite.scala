@@ -559,4 +559,42 @@ class StreamingSuite extends SparkSpec {
       StreamingDrift.buildReference(Map("a" -> Seq(1.0)), scale = 0L)
     }
   }
+
+  test("streaming bloom gate: cross-batch no-false-novel, in-batch min-id dedup, bounded state") {
+    import spark.implicits._
+    import graft.streaming.StreamingBloom
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String)]
+    // 2^16 bits / 5 hashes: collision-free in practice for a handful of
+    // keys, and deterministic either way (murmur positions are fixed)
+    val out = StreamingBloom.firstSeenFlags(source.toDS(), shards = 4,
+      bits = 1 << 16, numHashes = 5)
+    val query = out.writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("bloom_out").as[StreamingBloom.Novelty].collect()
+      // batch 1: a twice (ids 2, 5) + b once — the MIN id carries a's
+      // novel flag (within-batch dedup is order-free by id, not arrival)
+      source.addData((5L, "a"), (2L, "a"), (10L, "b"))
+      query.processAllAvailable()
+      val r1 = rows().map(n => n.id -> n.novel).toMap
+      assert(r1 == Map(2L -> true, 5L -> false, 10L -> true), r1.toString)
+      // batch 2: a again (prior batch: NEVER novel again — the
+      // no-false-negative side of the filter), c genuinely new
+      source.addData((20L, "a"), (21L, "c"))
+      query.processAllAvailable()
+      val r2 = rows().filter(_.id >= 20L).map(n => n.key -> n.novel).toMap
+      assert(r2 == Map("a" -> false, "c" -> true), r2.toString)
+      // batch 3: all three old keys stay non-novel
+      source.addData((30L, "a"), (31L, "b"), (32L, "c"))
+      query.processAllAvailable()
+      assert(rows().filter(_.id >= 30L).forall(!_.novel))
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      StreamingBloom.firstSeenFlags(source.toDS(), bits = 100) // not a power of 2
+    }
+    intercept[IllegalArgumentException] {
+      StreamingBloom.firstSeenFlags(source.toDS(), shards = 0)
+    }
+  }
 }
