@@ -41,6 +41,7 @@ object ScaleProbe {
     if (mode == "ext2") { ext2(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext3") { ext3(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext4") { ext4(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext5") { ext5(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -684,5 +685,117 @@ object ScaleProbe {
         "price_positive" -> (col("o_totalprice") > 0),
         "status_known" -> col("o_orderstatus").isin("F", "O", "P"),
         "priority_known" -> col("o_orderpriority").isNotNull)).count())
+  }
+
+  /** Fifth-extension probe (reconciliation / audit / community family,
+    * q79–q85): keyed universes (orders, customers, suppliers, order
+    * baskets) replicate ×f with shifted keys; the PART universe stays
+    * fixed, so the item-vocabulary-bounded outputs (q80 communities,
+    * q81 recs, q85 skew keys) must stay ~flat while the corpus-keyed
+    * ones (q79 diff, q83 ranks, q84 distances) grow with their key
+    * spaces — the designed-for decomposition, probed.
+    */
+  private def ext5(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Graph, Relational}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val or0 = spark.read.parquet(s"$src/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val maxOk = or0.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val maxCk = or0.agg(max(col("o_custkey"))).head().getLong(0) + 1
+    or0.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders5.parquet")
+    val or = spark.read.parquet(s"$out/orders5.parquet")
+    val cu0 = spark.read.parquet(s"$src/customer.parquet")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    cu0.crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * maxCk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/customer5.parquet")
+    val cu = spark.read.parquet(s"$out/customer5.parquet")
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_partkey", "l_quantity",
+        "l_returnflag", "l_extendedprice")
+    val maxSk = li0.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    // order keys and supplier keys shift; the PART universe stays fixed
+    li0.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * maxSk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem5.parquet")
+    val li = spark.read.parquet(s"$out/lineitem5.parquet")
+    // customer baskets with the custkey shift carried through the join
+    val baskets = or.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    println(s"[scale x$factor] orders=${or.count()} lineitem=${li.count()} " +
+      s"customers=${cu.count()}")
+
+    // keys ×f, change fraction constant: diff output ×f, one keyed
+    // full-outer shuffle — expect ~linear
+    time("q79 snapshotDiff") {
+      val oldSnap = or.filter(col("o_orderkey") % 10 =!= 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val b3 = col("o_orderkey") % 10 === 3
+      val newSnap = or.filter(col("o_orderkey") % 10 =!= 2)
+        .select(col("o_orderkey"),
+          when(b3, lit("X")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          when(b3, col("o_totalprice") + lit(1.0)).otherwise(col("o_totalprice"))
+            .as("o_totalprice"))
+      Relational.snapshotDiff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice")).count()
+    }
+    // baskets ×f over a FIXED part vocabulary: pair counts deepen, the
+    // pair/edge tables stay ≤|parts|² — expect sublinear
+    time("q80 labelProp") {
+      val pairs = Relational.cooccurrence(
+        li.select("l_orderkey", "l_partkey"), "l_orderkey", "l_partkey",
+        maxBasket = 8)
+      Graph.labelPropagation(pairs, "item_a", "item_b", rounds = 2).count()
+    }
+    // customers ×f, items fixed: the narrow expansion grows with
+    // entities, the item-count and top-k tables stay vocabulary-sized
+    time("q81 itemSimilarity")(
+      Relational.itemSimilarity(baskets, "o_custkey", "l_partkey",
+        topK = 10, minBoth = 2L, maxBasket = 60).count())
+    // rows ×f into the fixed 3×9 grid: partial agg absorbs — ~flat
+    time("q82 benford")(
+      Relational.benfordScan(li, Seq("l_returnflag"),
+        col("l_extendedprice"), scale = 100L).count())
+    // customers ×f inside 5 fixed segments: the rank windows deepen
+    // (inherent to the order statistic), parallel across segments
+    time("q83 spearman") {
+      val spend = or.filter(col("o_totalprice").isNotNull)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("_c"))
+        .groupBy("o_custkey").agg(sum("_c").cast("long").as("cents"))
+      Relational.spearmanCorr(
+        spend.join(cu, col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment"), col("c_acctbal"), col("cents"),
+        scaleX = 100L, scaleY = 1L).count()
+    }
+    // suppliers ×f over fixed parts: edges ×f, frontier rounds carry
+    // the growing reached set — expect sublinear in f
+    time("q84 shortestPaths") {
+      val e = li.select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("u"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("v"),
+        floor(col("l_quantity") * lit(1.0) + lit(0.5)).cast("long").as("w"))
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val seeds = spark.read.parquet(s"$src/supplier.parquet")
+        .crossJoin(reps)
+        .withColumn("s_suppkey", col("s_suppkey") + col("rep") * maxSk)
+        .filter(col("s_suppkey") % 20 === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string")).as("seed"))
+      Graph.shortestPaths(sym, "u", "v", "w", seeds, "seed", rounds = 3).count()
+    }
+    // rows ×f over the fixed part-key universe: the counts table is
+    // |keys|-sized regardless of f — expect ~flat
+    time("q85 skewReport")(
+      Relational.keySkewReport(li, Seq("l_partkey"), topN = 20).count())
   }
 }

@@ -1730,9 +1730,13 @@ object Relational {
     require(keyCols.nonEmpty, "keySkewReport needs at least one key column")
     require(topN >= 1, "topN must be >= 1")
     val kcols = keyCols.map(col)
+    // the count table feeds BOTH the summary row and the top-N — without
+    // materialization the corpus scans twice in one DAG (|keys| rows,
+    // cheap to pin; the associationRules discipline)
     val counts = df
       .filter(kcols.map(_.isNotNull).reduce(_ && _))
       .groupBy(kcols: _*).agg(count(lit(1)).cast("long").as("n_rows"))
+      .localCheckpoint(true)
     val summary = counts.agg(
       sum("n_rows").cast("long").as("n_rows_total"),
       count(lit(1)).cast("long").as("n_keys"))
