@@ -851,4 +851,44 @@ object Dedup {
       .filter(col("cos") >= minCos)
       .select("doc_a", "doc_b", "dot", "cos")
   }
+
+  /** Entity resolution end-to-end — the golden-record pipeline of master
+    * data management, composed from the shipped primitives exactly as a
+    * user would: [[fuzzyNamePairs]] (exact within-`maxDist` name pairs,
+    * lossless gram-prefix pruning) → [[clusters]] over the name-pair
+    * graph (min-label connected components) → each ROW maps through its
+    * name to the cluster, and the cluster's canonical id is the MINIMUM
+    * entity id across all member rows (the deterministic survivorship
+    * rule; swap in [[nearDedupBest]]'s rank-based policy when "best"
+    * beats "first"). Name-space clustering means the pair machinery
+    * never touches the corpus — |distinct names| drives every stage,
+    * rows only join back at the end (one hash join on the name). Rows
+    * with a null/empty name are their own singleton clusters (nothing
+    * to match on — canonical = themselves). Output: idCol, nameCol,
+    * canonical_id (min id of the matched group), is_canonical.
+    */
+  def goldenRecord(df: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int, maxRounds: Int = 20): DataFrame = {
+    val pairs = fuzzyNamePairs(df, nameCol, maxDist)
+      .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+    val names = df.select(col(nameCol).as("_n"))
+      .filter(col("_n").isNotNull && length(col("_n")) > 0).distinct()
+    val nameClusters = clusters(names, "_n", pairs, maxRounds, checkIds = false)
+      .select(col("id").as("_n"), col("cluster").as("_cl"))
+    val nameOk = col(nameCol).isNotNull && length(col(nameCol)) > 0
+    // null/empty-name rows never enter the cluster machinery: they are
+    // their own golden record by definition (nothing to match on), and
+    // keeping them out avoids inventing synthetic cluster labels a real
+    // name could collide with
+    val labeled = df.filter(nameOk)
+      .join(nameClusters, col(nameCol) === col("_n"))
+    val canon = labeled.groupBy("_cl")
+      .agg(min(col(idCol)).as("canonical_id"))
+    labeled.join(canon, "_cl")
+      .withColumn("is_canonical", col(idCol) === col("canonical_id"))
+      .select(col(idCol), col(nameCol), col("canonical_id"), col("is_canonical"))
+      .unionByName(df.filter(!nameOk)
+        .select(col(idCol), col(nameCol), col(idCol).as("canonical_id"),
+          lit(true).as("is_canonical")))
+  }
 }

@@ -517,10 +517,14 @@ object Relational {
       transform(sequence(i + 1, sz - 1), j =>
         struct(element_at(col("_items"), i + 1).as("a"),
           element_at(col("_items"), j + 1).as("b")))))
+    // the pair table is the expensive subtree (narrow expansion + one
+    // shuffle) and the directed union below reads it TWICE — materialize
+    // the small post-threshold set or the whole expansion re-runs per arm
     val pairs = baskets.select(explode(pairExpr).as("_p"))
       .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
+      .localCheckpoint(true)
     val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_both"))
       .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("n_both")))
     directed
@@ -1787,10 +1791,14 @@ object Relational {
       transform(sequence(i + 1, sz - 1), j =>
         struct(element_at(col("_items"), i + 1).as("a"),
           element_at(col("_items"), j + 1).as("b")))))
+    // the pair table is the expensive subtree (narrow expansion + one
+    // shuffle) and the directed union below reads it TWICE — materialize
+    // the small post-threshold set or the whole expansion re-runs per arm
     val pairs = baskets.select(explode(pairExpr).as("_p"))
       .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
+      .localCheckpoint(true)
     val directed = pairs.select(col("a").as("item"), col("b").as("neighbor"), col("n_both"))
       .union(pairs.select(col("b").as("item"), col("a").as("neighbor"), col("n_both")))
     val enriched = directed
@@ -1803,5 +1811,76 @@ object Relational {
     enriched.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select("item", "neighbor", "n_both", "n_item", "n_neighbor", "sim", "rank")
+  }
+
+  /** Order-independent table checksum — the "did the migration copy
+    * every row" validation that never moves data: each row folds to a
+    * polynomial fingerprint of its canonical string, fingerprints SUM
+    * per group (commutative — any row order, any partitioning, any
+    * engine yields the same total), and two tables compare by |groups|
+    * scalar rows instead of a 100 TB diff join. [[snapshotDiff]] is the
+    * row-level follow-up WHEN a group's checksum disagrees — run the
+    * diff on the one disagreeing partition/group, not the corpus.
+    * Exactness: the per-row hash is the t04 codegen fold (< 2³⁰), the
+    * sum accumulates in DECIMAL(38,0) (q57's discipline — a long wraps
+    * silently past ~10⁹ rows/group; decimal is exact and mirrors
+    * DuckDB's int128), and only the final mod collapses to a long.
+    * Caller contract: `cols` must stringify identically on both engines
+    * — integers/strings are safe, doubles must be SNAPPED to integer
+    * units first (float formatting is engine-specific); null columns
+    * render as empty (concat_ws skips them — mirror with coalesce).
+    * Output: groupCols, n_rows, checksum.
+    */
+  def tableChecksum(df: DataFrame, groupCols: Seq[String],
+      cols: Seq[Column]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    graft.functions.GraftExpressions.register(df.sparkSession)
+    val gcols = groupCols.map(col)
+    val rowStr = concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
+    val fp = graft.functions.GraftExpressions.polyHash(rowStr)
+    val p = graft.functions.Signatures.P
+    df.select(gcols :+ fp.as("_fp"): _*)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        (sum(col("_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          % lit(p)).cast("long").as("checksum"))
+  }
+
+  /** Most-common session journeys — "what do the first `pathLen` steps
+    * of a session look like" (the user-journey / funnel-discovery scan):
+    * gap-sessionize ([[sessionize]]'s exact semantics), rank events
+    * within each session by (ts, tie), keep the first `pathLen`, fold
+    * them into a `a>b>c` path string by CONDITIONAL AGGREGATION (max of
+    * the rank-i event per session — exactly one non-null, so no
+    * collect_list ordering hazard and no per-session array state), count
+    * sessions per path, top-N by (count desc, path asc). Plan: ONE
+    * entity shuffle carries sessionize + the in-session rank (same
+    * partitioning, two sorts), the path fold and path counts are partial
+    * aggs, top-N is orderBy+limit (TakeOrdered) with rank assigned after
+    * the limit (the q85/q16 metadata discipline). Sessions shorter than
+    * `pathLen` produce their shorter path (concat_ws skips the missing
+    * ranks — both engines' semantics). Output: rank, path, n_sessions.
+    */
+  def sessionPaths(df: DataFrame, entityCol: String, tsMillis: Column,
+      tieCol: Column, eventCol: Column, gapMillis: Long,
+      pathLen: Int = 3, topN: Int = 20): DataFrame = {
+    require(pathLen >= 1, "pathLen must be >= 1")
+    require(topN >= 1, "topN must be >= 1")
+    val base = df.select(col(entityCol).as("_e"), tsMillis.as("_ts"),
+      tieCol.as("_tie"), eventCol.cast("string").as("_ev"))
+    val sess = sessionize(base, "_e", col("_ts"), col("_tie"), gapMillis)
+    val w = Window.partitionBy(col("_e"), col("session_id"))
+      .orderBy(col("_ts"), col("_tie"))
+    val ranked = sess.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= pathLen)
+    val steps = (1 to pathLen).map(i => max(when(col("_rn") === i, col("_ev"))))
+    val paths = ranked.groupBy(col("_e"), col("session_id"))
+      .agg(concat_ws(">", steps: _*).as("path"))
+    val counts = paths.groupBy("path")
+      .agg(count(lit(1)).cast("long").as("n_sessions"))
+    val top = counts.orderBy(col("n_sessions").desc, col("path")).limit(topN)
+    val wr = Window.orderBy(col("n_sessions").desc, col("path"))
+    top.withColumn("rank", row_number().over(wr).cast("long"))
+      .select("rank", "path", "n_sessions")
   }
 }

@@ -455,5 +455,46 @@ object PipelineQueries {
       .orderBy("event_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08)
+  /** p09 (SURVEY.md §2c): entity resolution end-to-end
+    * ([[graft.operators.Dedup.goldenRecord]]) — the master-data
+    * golden-record chain in the VERIFIED lane: exact fuzzy name pairs
+    * (d12's operator, lossless gram-prefix pruning) → connected
+    * components over the NAME graph (d06's machinery — |distinct names|
+    * drives every stage, the corpus only joins back at the end) →
+    * min-id survivorship per cluster. The oracle pays the quadratic
+    * levenshtein join (d12's contract) + the recursive-CTE closure
+    * (d06's contract); both stages' semantics are already
+    * oracle-pinned individually, this chain pins their COMPOSITION.
+    */
+  val p09 = QueryDef(
+    "p09_golden_record",
+    """WITH RECURSIVE names AS (SELECT p_name AS name FROM part
+      |  WHERE p_name IS NOT NULL AND length(p_name) > 0 GROUP BY 1),
+      |p AS (SELECT a.name AS na, b.name AS nb FROM names a JOIN names b
+      |  ON ((length(a.name) < length(b.name))
+      |      OR (length(a.name) = length(b.name) AND a.name < b.name))
+      |  WHERE levenshtein(a.name, b.name) <= 3),
+      |edges AS (SELECT na AS a, nb AS b FROM p UNION SELECT nb, na FROM p),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION
+      |                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS name, least(a, min(b)) AS cluster FROM reach GROUP BY a),
+      |lab AS (SELECT pt.p_partkey, pt.p_name, coalesce(c.cluster, pt.p_name) AS cl
+      |  FROM part pt JOIN names n ON pt.p_name = n.name
+      |  LEFT JOIN comp c ON pt.p_name = c.name),
+      |canon AS (SELECT cl, CAST(min(p_partkey) AS BIGINT) AS canonical_id
+      |  FROM lab GROUP BY 1)
+      |SELECT l.p_partkey, l.p_name, c.canonical_id,
+      |  l.p_partkey = c.canonical_id AS is_canonical
+      |FROM lab l JOIN canon c USING (cl)
+      |UNION ALL
+      |SELECT p_partkey, p_name, p_partkey AS canonical_id, TRUE AS is_canonical
+      |FROM part WHERE p_name IS NULL OR length(p_name) = 0
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    graft.operators.Dedup.goldenRecord(Tables(s, dir, "part"),
+        "p_partkey", "p_name", maxDist = 3)
+      .orderBy("p_partkey")
+  }
+
+  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
 }

@@ -2238,10 +2238,79 @@ object Relational {
       .orderBy("rank")
   }
 
+  /** q86: order-independent table checksum per order status
+    * ([[graft.operators.Relational.tableChecksum]]) — the
+    * migration-validation primitive that pairs with q79: each row folds
+    * to the t04 polynomial fingerprint of its canonical string (key,
+    * status, snapped cents — doubles never stringify), fingerprints SUM
+    * per group in DECIMAL(38,0) (exact in any order — DuckDB's HUGEINT
+    * mirror), one mod at the end. Two engines computing the same
+    * checksum from independently-stored copies IS the verification
+    * story, run here as the oracle lane.
+    */
+  val q86 = QueryDef(
+    "q86_table_checksum",
+    s"""WITH s AS (SELECT o_orderstatus,
+       |  coalesce(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+       |  coalesce(o_orderstatus, '') || '|' ||
+       |  coalesce(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), '')
+       |    AS rs
+       |  FROM orders),
+       |h AS (SELECT o_orderstatus,
+       |  ${graft.functions.Signatures.sqlPolyHashStr("rs")} AS fp FROM s)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.tableChecksum(Tables(s, dir, "orders"),
+        Seq("o_orderstatus"),
+        Seq(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q87: most-common session journeys over the event stream
+    * ([[graft.operators.Relational.sessionPaths]]) — q11's sessionize
+    * semantics verbatim, the first 3 steps folded to a path string by
+    * conditional aggregation (one non-null per rank — no collect_list
+    * order hazard), counts partial-agg, top-20 by (count desc, path
+    * asc); one user shuffle carries both windows.
+    */
+  val q87 = QueryDef(
+    "q87_session_paths",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms
+      |  FROM events),
+      |d AS (SELECT user_id, event_id, event_type, tms,
+      |  CASE WHEN lag(tms) OVER w IS NULL
+      |         OR tms - lag(tms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      |sx AS (SELECT user_id, event_id, event_type, tms,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d),
+      |r AS (SELECT user_id, sid, event_type,
+      |  row_number() OVER (PARTITION BY user_id, sid ORDER BY tms, event_id) AS rn
+      |  FROM sx),
+      |p AS (SELECT user_id, sid,
+      |  concat_ws('>', max(CASE WHEN rn = 1 THEN event_type END),
+      |                 max(CASE WHEN rn = 2 THEN event_type END),
+      |                 max(CASE WHEN rn = 3 THEN event_type END)) AS path
+      |  FROM r WHERE rn <= 3 GROUP BY 1, 2),
+      |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1),
+      |t AS (SELECT path, n_sessions,
+      |  CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+      |  FROM c)
+      |SELECT rank, path, n_sessions FROM t WHERE rank <= 20
+      |ORDER BY rank""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.sessionPaths(Tables.events(s, dir),
+        "user_id", unix_millis(col("ts")), col("event_id"), col("event_type"),
+        gapMillis = 1800000L, pathLen = 3, topN = 20)
+      .orderBy("rank")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-      q77, q78, q79, q80, q81, q82, q83, q84, q85)
+      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
 }

@@ -688,4 +688,21 @@ class DedupOpsSuite extends SparkSpec {
       Dedup.sparseCosinePairs(docs, "id", "text", maxDfFrac = 0.0)
     }
   }
+
+  test("goldenRecord: fuzzy clusters resolve to min-id canonical, null names stand alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (5L, "alpha"),  // same name as id 1 -> same cluster
+      (1L, "alpha"),
+      (2L, "alphb"),  // dist 1 from alpha -> same cluster
+      (3L, "beta"),   // its own cluster
+      (4L, null.asInstanceOf[String])) // no name: own golden record
+      .toDF("id", "name")
+    val got = Dedup.goldenRecord(rows, "id", "name", maxDist = 1)
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got == Map(
+      1L -> (1L, true), 2L -> (1L, false), 5L -> (1L, false),
+      3L -> (3L, true), 4L -> (4L, true)), got.toString)
+  }
 }

@@ -1263,4 +1263,45 @@ class RelationalOpsSuite extends SparkSpec {
     assert(run(2, Seq(3L, 99L)) == Map(3L -> 0L, 4L -> 2L, 99L -> 0L))
     intercept[IllegalArgumentException] { run(0, Seq(1L)) }
   }
+
+  test("tableChecksum: order/partitioning-invariant, row-sensitive, per-group") {
+    import spark.implicits._
+    val a = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("h", 3L, "z")).toDF("g", "id", "s")
+    val shuffled = Seq(("h", 3L, "z"), ("g", 2L, "y"), ("g", 1L, "x"))
+      .toDF("g", "id", "s").repartition(7)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Relational.tableChecksum(df, Seq("g"), Seq(col("id"), col("s")))
+        .as[(String, Long, Long)].collect().toSet
+    val base = sums(a)
+    assert(base == sums(shuffled), "row order and layout must not matter")
+    assert(base.map(_._1) == Set("g", "h") && base.forall(_._2 > 0))
+    // one changed cell flips exactly that group's checksum
+    val mut = Seq(("g", 1L, "x"), ("g", 2L, "Y"), ("h", 3L, "z")).toDF("g", "id", "s")
+    val m = sums(mut).map(t => t._1 -> t._3).toMap
+    val b = base.map(t => t._1 -> t._3).toMap
+    assert(m("h") == b("h") && m("g") != b("g"))
+    intercept[IllegalArgumentException] { Relational.tableChecksum(a, Seq("g"), Nil) }
+  }
+
+  test("sessionPaths: gap-split journeys, short sessions, count-then-path order") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: one session, first three steps a>b>c (d falls past pathLen)
+      (1L, 0L, 1L, "a"), (1L, 1L, 2L, "b"), (1L, 2L, 3L, "c"), (1L, 3L, 4L, "d"),
+      // u2: gap 100 > 10 splits two singleton sessions x, y
+      (2L, 0L, 5L, "x"), (2L, 100L, 6L, "y"),
+      // u3: same journey as u1's head -> a>b>c counts twice
+      (3L, 0L, 7L, "a"), (3L, 1L, 8L, "b"), (3L, 2L, 9L, "c"))
+      .toDF("u", "ts", "id", "ev")
+    val got = Relational.sessionPaths(ev, "u", col("ts"), col("id"), col("ev"),
+        gapMillis = 10L, pathLen = 3, topN = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a>b>c", 2L), (2L, "x", 1L), (3L, "y", 1L)), got.toString)
+    val top1 = Relational.sessionPaths(ev, "u", col("ts"), col("id"), col("ev"),
+      gapMillis = 10L, pathLen = 3, topN = 1).count()
+    assert(top1 == 1L)
+    intercept[IllegalArgumentException] {
+      Relational.sessionPaths(ev, "u", col("ts"), col("id"), col("ev"), 10L, 0)
+    }
+  }
 }
