@@ -1883,4 +1883,95 @@ object Relational {
     top.withColumn("rank", row_number().over(wr).cast("long"))
       .select("rank", "path", "n_sessions")
   }
+
+  /** Near-time duplicate detection — the double-charge / replayed-event
+    * audit (same entity, same snapped amount, within `windowMillis`):
+    * pairs of rows agreeing on (entity, amount units) whose timestamps
+    * differ by at most the window, each pair once (ordered by (ts, id)).
+    * Plan: the (entity, units) EQUI-join does the heavy lifting — the
+    * candidate space is per-(entity, amount) groups, never per entity —
+    * and the window test is a residual filter on the joined row; rows
+    * shuffle ONCE on the compound key, and a same-key self-join after
+    * one shuffle is co-partitioned (no second exchange). Hot (entity,
+    * amount) keys (a subscription charging 10⁶ users $9.99 is fine —
+    * the ENTITY is in the key; one entity replaying one amount 10⁵
+    * times is the pathological case) are capped by `maxPerKey`,
+    * mirroring the d02/q41 hot-key discipline: groups over the cap drop
+    * WHOLE (they are systematic, not fraud — route them to [[keySkewReport]]).
+    * All comparisons exact integers. Output: entity, amount_units,
+    * id_a, id_b, ts_a, ts_b, gap_ms (0 ≤ gap ≤ window; (ts_a, id_a) <
+    * (ts_b, id_b)).
+    */
+  def nearTimeDuplicates(df: DataFrame, entityCol: String, tsMillis: Column,
+      idCol: Column, valueCol: Column, windowMillis: Long,
+      scale: Long = 100L, maxPerKey: Int = 1000): DataFrame = {
+    require(windowMillis >= 0, "windowMillis must be >= 0")
+    require(scale >= 1 && maxPerKey >= 2, "scale >= 1, maxPerKey >= 2")
+    val base = df.select(col(entityCol).as("entity"), snap(valueCol, scale).as("amount_units"),
+        tsMillis.cast("long").as("_ts"), idCol.as("_id"))
+      .filter(col("entity").isNotNull && col("amount_units").isNotNull &&
+        col("_ts").isNotNull && col("_id").isNotNull)
+    val keyCount = base.groupBy("entity", "amount_units")
+      .agg(count(lit(1)).as("_kc"))
+    val capped = base.join(keyCount.filter(col("_kc") <= maxPerKey)
+      .select("entity", "amount_units"), Seq("entity", "amount_units"), "left_semi")
+    val a = capped.select(col("entity"), col("amount_units"),
+      col("_ts").as("ts_a"), col("_id").as("id_a"))
+    val b = capped.select(col("entity"), col("amount_units"),
+      col("_ts").as("ts_b"), col("_id").as("id_b"))
+    a.join(b, Seq("entity", "amount_units"))
+      .filter(struct(col("ts_a"), col("id_a")) < struct(col("ts_b"), col("id_b")) &&
+        col("ts_b") - col("ts_a") <= windowMillis)
+      .select(col("entity"), col("amount_units"), col("id_a"), col("id_b"),
+        col("ts_a"), col("ts_b"), (col("ts_b") - col("ts_a")).as("gap_ms"))
+  }
+
+  /** Pairwise set overlap between item audiences — "how much do the
+    * audiences of X and Y overlap" (segment dedup, campaign reach,
+    * co-consumption): for every unordered item pair sharing ≥ `minBoth`
+    * entities, the intersection size and the three standard
+    * normalizations — jaccard (∩/∪), overlap coefficient (∩/min — the
+    * containment detector: 1.0 means one audience is a subset), and
+    * cosine (∩/√(n_a·n_b), [[itemSimilarity]]'s score). Same plan as
+    * the basket family: capped distinct baskets materialize once, the
+    * narrow pair expansion + one partial agg produce ≤|items|² rows,
+    * item counts broadcast. All three scores are single divisions of
+    * exact longs (jaccard's union = n_a + n_b − n_both, an exact
+    * integer) — bit-identical cross-engine. Output: item_a < item_b,
+    * n_both, n_a, n_b, jaccard, overlap, cosine.
+    */
+  def setOverlap(df: DataFrame, entityCol: String, itemCol: String,
+      minBoth: Long = 1L, maxBasket: Int = 1000): DataFrame = {
+    require(minBoth >= 1, "minBoth must be >= 1")
+    // the hot-entity cap drops an entity EVERYWHERE (counts and pairs —
+    // the candidate bound requires it), but single-item entities only
+    // skip pair GENERATION: they still count toward their item's
+    // audience size, or every denominator would understate reach
+    val all = df.groupBy(col(entityCol).as("_e"))
+      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
+      .filter(size(col("_items")) <= maxBasket)
+      .localCheckpoint(true)
+    val items = all.select(explode(col("_items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
+    val baskets = all.filter(size(col("_items")) >= 2)
+    val sz = size(col("_items"))
+    val pairExpr = flatten(transform(sequence(lit(0), sz - 2), i =>
+      transform(sequence(i + 1, sz - 1), j =>
+        struct(element_at(col("_items"), i + 1).as("a"),
+          element_at(col("_items"), j + 1).as("b")))))
+    val pairs = baskets.select(explode(pairExpr).as("_p"))
+      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
+      .agg(count(lit(1)).cast("long").as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    pairs
+      .join(broadcast(items.select(col("item").as("item_a"), col("n_item").as("n_a"))), Seq("item_a"))
+      .join(broadcast(items.select(col("item").as("item_b"), col("n_item").as("n_b"))), Seq("item_b"))
+      .withColumn("jaccard", col("n_both").cast("double") /
+        (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+      .withColumn("overlap", col("n_both").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .withColumn("cosine", col("n_both").cast("double") /
+        (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
+      .select("item_a", "item_b", "n_both", "n_a", "n_b", "jaccard", "overlap", "cosine")
+  }
 }

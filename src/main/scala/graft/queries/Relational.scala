@@ -2307,10 +2307,78 @@ object Relational {
       .orderBy("rank")
   }
 
+  private val DupWindowMs = 3600000L
+  private val DupMaxPerKey = 1000
+
+  /** q88: near-time duplicate charges over the event stream
+    * ([[graft.operators.Relational.nearTimeDuplicates]]) — q82's
+    * transactional-audit sibling: same user, same whole-unit amount,
+    * within an hour. The (entity, units) equi-join bounds candidates to
+    * per-key groups; the hot-key cap (mirrored in the oracle's HAVING)
+    * drops systematic repeats whole; all comparisons exact integers and
+    * the (ts, id) lexicographic order makes each pair appear exactly
+    * once on both engines.
+    */
+  val q88 = QueryDef(
+    "q88_double_charge",
+    s"""WITH b AS (SELECT user_id AS entity,
+       |  CAST(floor(value * 1.0 + 0.5) AS BIGINT) AS amount_units,
+       |  epoch_ms(ts) AS tms, event_id
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+       |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+       |k AS (SELECT entity, amount_units FROM b GROUP BY 1, 2
+       |  HAVING count(*) <= $DupMaxPerKey),
+       |c AS (SELECT b.entity, b.amount_units, b.tms, b.event_id
+       |  FROM b JOIN k USING (entity, amount_units))
+       |SELECT a.entity, a.amount_units, a.event_id AS id_a, c2.event_id AS id_b,
+       |  a.tms AS ts_a, c2.tms AS ts_b, c2.tms - a.tms AS gap_ms
+       |FROM c a JOIN c c2 ON a.entity = c2.entity
+       |  AND a.amount_units = c2.amount_units
+       |  AND ((a.tms < c2.tms) OR (a.tms = c2.tms AND a.event_id < c2.event_id))
+       |  AND c2.tms - a.tms <= $DupWindowMs
+       |ORDER BY a.entity, id_a, id_b""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.nearTimeDuplicates(Tables.events(s, dir),
+        "user_id", unix_millis(col("ts")), col("event_id"), col("value"),
+        windowMillis = DupWindowMs, scale = 1L, maxPerKey = DupMaxPerKey)
+      .orderBy("entity", "id_a", "id_b")
+  }
+
+  /** q89: audience overlap matrix between event types
+    * ([[graft.operators.Relational.setOverlap]]) — jaccard / overlap
+    * coefficient / cosine per type pair from the capped basket
+    * machinery; single-type users still count toward audience sizes
+    * (only pair GENERATION needs ≥ 2), which the oracle's self-join
+    * reproduces structurally. All scores single divisions of exact
+    * longs, rounded 6 dp both sides.
+    */
+  val q89 = QueryDef(
+    "q89_audience_overlap",
+    s"""WITH b AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+       |bk AS (SELECT e FROM b GROUP BY e HAVING count(*) <= 1000),
+       |kb AS (SELECT b.e, b.i FROM b JOIN bk USING (e)),
+       |ni AS (SELECT i AS item, CAST(count(*) AS BIGINT) AS n FROM kb GROUP BY 1),
+       |pr AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
+       |  FROM kb x JOIN kb y ON x.e = y.e AND x.i < y.i GROUP BY 1, 2)
+       |SELECT item_a, item_b, n_both, na.n AS n_a, nb.n AS n_b,
+       |  ${mr("CAST(n_both AS DOUBLE) / CAST(na.n + nb.n - n_both AS DOUBLE)", 6)} AS jaccard,
+       |  ${mr("CAST(n_both AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)", 6)} AS overlap,
+       |  ${mr("CAST(n_both AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * sqrt(CAST(nb.n AS DOUBLE)))", 6)} AS cosine
+       |FROM pr JOIN ni na ON pr.item_a = na.item JOIN ni nb ON pr.item_b = nb.item
+       |ORDER BY item_a, item_b""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.setOverlap(Tables.events(s, dir),
+        "user_id", "event_type", minBoth = 1L, maxBasket = 1000)
+      .withColumn("jaccard", Rounding.mirrorRound(col("jaccard"), 6))
+      .withColumn("overlap", Rounding.mirrorRound(col("overlap"), 6))
+      .withColumn("cosine", Rounding.mirrorRound(col("cosine"), 6))
+      .orderBy("item_a", "item_b")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87)
+      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
 }

@@ -1304,4 +1304,58 @@ class RelationalOpsSuite extends SparkSpec {
       Relational.sessionPaths(ev, "u", col("ts"), col("id"), col("ev"), 10L, 0)
     }
   }
+
+  test("nearTimeDuplicates: window + key semantics, pair order, hot-key cap") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0L, 10L, 9.99), (1L, 30L, 11L, 9.99),   // dup pair, gap 30
+      (1L, 200L, 12L, 9.99),                        // outside 60ms of both
+      (1L, 40L, 13L, 19.99),                        // different amount
+      (2L, 35L, 14L, 9.99),                         // different entity
+      (3L, 50L, 15L, 5.00), (3L, 50L, 16L, 5.00))   // same-ts tie -> id order
+      .toDF("u", "ts", "id", "v")
+    val got = Relational.nearTimeDuplicates(rows, "u", col("ts"), col("id"),
+        col("v"), windowMillis = 60L, scale = 100L)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 999L, 10L, 11L, 0L, 30L, 30L),
+      (3L, 500L, 15L, 16L, 50L, 50L, 0L)), got.toString)
+    // a key over maxPerKey drops WHOLE (systematic, not fraud): user 4's
+    // flood AND user 1's 3-row (1, 999) key both vanish at cap 2
+    val hot = rows.union(Seq((4L, 0L, 20L, 1.0), (4L, 1L, 21L, 1.0),
+      (4L, 2L, 22L, 1.0)).toDF("u", "ts", "id", "v"))
+    val capped = Relational.nearTimeDuplicates(hot, "u", col("ts"), col("id"),
+      col("v"), windowMillis = 60L, scale = 100L, maxPerKey = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(capped.map(_._1).toSet == Set(3L), capped.mkString(","))
+    intercept[IllegalArgumentException] {
+      Relational.nearTimeDuplicates(rows, "u", col("ts"), col("id"), col("v"), -1L)
+    }
+  }
+
+  test("setOverlap: jaccard/overlap/cosine exact, singletons count, caps") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "x"), (4L, "y"), (4L, "z"))
+      .toDF("e", "i")
+    val got = Relational.setOverlap(df, "e", "i")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // n_x=3 (entity 3's singleton basket still counts), n_y=3, n_z=1
+    val xy = got(("x", "y"))
+    assert((xy._3, xy._4, xy._5) == (2L, 3L, 3L))
+    assert(xy._6 == 2.0 / 4.0 && xy._7 == 2.0 / 3.0 &&
+      xy._8 == 2.0 / (math.sqrt(3.0) * math.sqrt(3.0))) // the sqrt-product path, 1 ulp off 2/3
+    val yz = got(("y", "z"))
+    assert(yz._7 == 1.0, "z's audience is contained in y's -> overlap 1")
+    assert(got.size == 2)
+    // minBoth prunes; an over-cap basket drops from counts AND pairs
+    assert(Relational.setOverlap(df, "e", "i", minBoth = 2L).count() == 1)
+    val capped = Relational.setOverlap(
+      df.union(Seq((5L, "x"), (5L, "y"), (5L, "q")).toDF("e", "i")),
+      "e", "i", maxBasket = 2)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(capped(("x", "y")) == 3L, "capped entity must not inflate counts")
+    intercept[IllegalArgumentException] { Relational.setOverlap(df, "e", "i", 0L) }
+  }
 }
