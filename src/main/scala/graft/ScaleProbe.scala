@@ -797,5 +797,44 @@ object ScaleProbe {
     // |keys|-sized regardless of f — expect ~flat
     time("q85 skewReport")(
       Relational.keySkewReport(li, Seq("l_partkey"), topN = 20).count())
+    // rows ×f into 3 group checksums: pure partial agg — ~flat wall
+    time("q86 tableChecksum")(
+      Relational.tableChecksum(or, Seq("o_orderstatus"),
+        Seq(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))).count())
+    // events ×f with users ×f: one entity shuffle, windows parallel
+    val ev5 = graft.sources.Tables.events(spark, src)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"), col("value"))
+    val maxU = ev5.agg(max("user_id")).head().getLong(0) + 1
+    val maxE = ev5.agg(max("event_id")).head().getLong(0) + 1
+    ev5.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("rep") * maxU)
+      .withColumn("event_id", col("event_id") + col("rep") * maxE)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events5.parquet")
+    val ev = spark.read.parquet(s"$out/events5.parquet")
+    time("q87 sessionPaths")(
+      Relational.sessionPaths(ev, "user_id", col("tms"), col("event_id"),
+        col("event_type"), gapMillis = 1800000L).count())
+    // (entity, amount) keys ×f, per-key depth constant: equi-join
+    // candidates grow linearly, never quadratically
+    time("q88 nearTimeDups")(
+      Relational.nearTimeDuplicates(ev, "user_id", col("tms"), col("event_id"),
+        col("value"), windowMillis = 3600000L, scale = 1L).count())
+    // users ×f over 5 fixed event types: |types|²-sized output — ~flat
+    time("q89 setOverlap")(
+      Relational.setOverlap(ev, "user_id", "event_type").count())
+    // names ×f (shifted suppliers give fresh names): the rarest-gram
+    // prefix join tracks match volume, the closure the cluster count
+    time("p09 goldenRecord") {
+      val sup = spark.read.parquet(s"$src/supplier.parquet")
+        .select("s_suppkey", "s_name")
+      val maxS = sup.agg(max("s_suppkey")).head().getLong(0) + 1
+      val reps5 = sup.crossJoin(reps)
+        .select((col("s_suppkey") + col("rep") * maxS).as("id"),
+          concat(col("s_name"), lit("#"), col("rep")).as("name"))
+      graft.operators.Dedup.goldenRecord(reps5, "id", "name", maxDist = 2).count()
+    }
   }
 }

@@ -696,7 +696,22 @@ object Dedup {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= qk + 1)
       .select(col("name"), col("cnt"), col("len"), col("gram"))
-    val gramCand = prefix.as("a").join(prefix.as("b"),
+    // The candidate self-join EXPLODES (each prefix row matches every
+    // same-gram row), so when the planner broadcasts the tiny prefix
+    // table, output parallelism = the STREAMED side's partition count —
+    // which AQE coalesces to ONE for a 50k-row post-shuffle table,
+    // putting the entire candidate stream (40M rows on the ext5
+    // golden-record probe over a gram-degenerate serial-name corpus:
+    // 174 s on one spinning core vs 22 s widened) in a single task. The
+    // d05 fix: widen the streamed side with an explicit repartition,
+    // which AQE never coalesces. If prefix ever outgrows the broadcast
+    // threshold the join becomes SMJ, where a hot gram's c² block is
+    // AQE skew-split territory (no salt needed — and exactness would
+    // forbid the d02 drop-the-hot-key cap anyway: a dropped gram can
+    // lose a pair whose only shared prefix gram it was).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val aS = prefix.repartition(par * 4)
+    val gramCand = aS.as("a").join(prefix.as("b"),
         col("a.gram") === col("b.gram") &&
           col("a.name") =!= col("b.name") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
@@ -712,11 +727,18 @@ object Dedup {
         when(firstIsA, col("cnt_x")).otherwise(col("cnt_y")).as("cnt_a"),
         when(firstIsA, col("name_y")).otherwise(col("name_x")).as("name_b"),
         when(firstIsA, col("cnt_y")).otherwise(col("cnt_x")).as("cnt_b"))
-      .distinct()
+    // Verify BEFORE deduplicating: the thresholded (banded O(k·n))
+    // levenshtein runs map-side on the join output, so candidate
+    // duplicates cost a few cheap DP re-runs each, while a pre-verify
+    // distinct would EXCHANGE the full candidate stream (the ext5
+    // golden-record probe measured that order at 75 s vs ~9 s of
+    // verification on a gram-degenerate corpus — the distinct now
+    // shuffles only MATCHED pairs, always a subset).
     canon.withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select("name_a", "name_b", "dist", "cnt_a", "cnt_b")
+      .distinct()
   }
 
   /** Sparse TF-IDF cosine similarity join — the EXACT lexical
