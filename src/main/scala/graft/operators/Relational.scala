@@ -1974,4 +1974,99 @@ object Relational {
         (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
       .select("item_a", "item_b", "n_both", "n_a", "n_b", "jaccard", "overlap", "cosine")
   }
+
+  /** Per-group aggregate STATE — the incremental-view-maintenance
+    * primitive of a 100 TB lambda/batch-layer pipeline: instead of
+    * re-scanning all of history for tonight's dashboard numbers, keep
+    * one state row per key (n, sum, min, max over exact snapped units)
+    * and fold each day's delta in with [[mergeAggStates]]. Every field
+    * is a COMMUTATIVE MONOID over exact integers, so
+    * merge(state(A), state(B)) ≡ state(A ∪ B) bit-for-bit in any merge
+    * order and any partitioning — the algebraic fact an external oracle
+    * verifies directly (and the same decomposition Spark's own partial
+    * aggregation performs within one job, lifted to CROSS-JOB lifetime:
+    * materialize the state, never the history). Derive mean =
+    * sum/n downstream; variance needs Σx² — add it via the q61
+    * DECIMAL(38,0) pattern when needed; exact distincts do NOT fold
+    * (use the q31 HLL sketch state). Null values drop. Output:
+    * groupCols, n, sum_units, min_units, max_units.
+    */
+  def aggState(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ snap(valueCol, scale).as("_u"): _*)
+      .filter(col("_u").isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("_u")).cast("long").as("sum_units"),
+        min(col("_u")).cast("long").as("min_units"),
+        max(col("_u")).cast("long").as("max_units"))
+  }
+
+  /** Fold two [[aggState]] tables (FULL OUTER on the keys — a key seen
+    * only on one side passes through unchanged). One keyed shuffle of
+    * two |keys|-sized tables; history never re-reads. */
+  def mergeAggStates(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val stateCols = Seq("n", "sum_units", "min_units", "max_units")
+    Seq(a, b).foreach(d => (groupCols ++ stateCols).foreach(c =>
+      require(d.columns.contains(c), s"not an aggState table: missing $c")))
+    val bR = stateCols.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"_b_$c"))
+    a.join(bR, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_b_n"), lit(0L))).as("n"),
+        (coalesce(col("sum_units"), lit(0L)) + coalesce(col("_b_sum_units"), lit(0L)))
+          .as("sum_units"),
+        least(col("min_units"), col("_b_min_units")).as("min_units"),
+        greatest(col("max_units"), col("_b_max_units")).as("max_units")): _*)
+  }
+
+  /** Per-group WEIGHTED percentiles — the order statistic under row
+    * weights (revenue-weighted median price, token-weighted median doc
+    * score): value at the smallest unit whose cumulative weight reaches
+    * p of the total, with BOTH the weights and the crossing test in
+    * pure integer arithmetic (q63's discipline: `den·cum ≥ num·total`
+    * over exact longs — no float threshold to disagree cross-engine,
+    * and exact-boundary cases decided correctly). Probs are RATIONALS
+    * (num, den) for exactly that reason. Plan: the q60/q67 histogram
+    * shape — (group, unit) weight sums by partial agg (the corpus never
+    * sorts; the cumulative window orders |distinct units| rows per
+    * group), group totals derive from the histogram, each prob selects
+    * by one conditional min. Zero/negative weights are out of domain
+    * and dropped (a zero-weight row cannot carry an order statistic);
+    * null value/weight rows drop. Overflow: den·cum must fit a long —
+    * den ≤ 10⁴ with ≤ 10¹⁴ total weight units is safe. Output:
+    * groupCols, p_num, p_den, value_units.
+    */
+  def weightedPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      weightCol: Column, probs: Seq[(Int, Int)], valueScale: Long = 100L,
+      weightScale: Long = 1L): DataFrame = {
+    require(probs.nonEmpty, "at least one (num, den) prob required")
+    probs.foreach { case (n, d) =>
+      require(d >= 1 && n >= 1 && n <= d, s"prob must satisfy 0 < num/den <= 1: ($n, $d)")
+    }
+    require(valueScale >= 1 && weightScale >= 1, "scales must be >= 1")
+    val gcols = groupCols.map(col)
+    val hist = df.select(gcols :+ snap(valueCol, valueScale).as("_u")
+        :+ snap(weightCol, weightScale).as("_w"): _*)
+      .filter(col("_u").isNotNull && col("_w").isNotNull && col("_w") > 0)
+      .groupBy(gcols :+ col("_u"): _*).agg(sum(col("_w")).cast("long").as("_wsum"))
+    val wc = Window.partitionBy(gcols: _*).orderBy(col("_u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_wsum")).over(wc))
+    val totals = hist.groupBy(gcols: _*).agg(sum(col("_wsum")).cast("long").as("_tot"))
+    // |groups × distinct units| rows, read once PER PROB — materialize
+    // (the q62 discipline; without it each prob re-runs the histogram,
+    // window and join)
+    val withTot = cum.join(totals, groupCols).localCheckpoint(true)
+    val selections = probs.map { case (num, den) =>
+      withTot
+        .filter(col("_cum") * lit(den.toLong) >= col("_tot") * lit(num.toLong))
+        .groupBy(gcols: _*)
+        .agg(min(col("_u")).as("value_units"))
+        .select(gcols ++ Seq(lit(num.toLong).as("p_num"), lit(den.toLong).as("p_den"),
+          col("value_units")): _*)
+    }
+    selections.reduce(_.unionByName(_))
+  }
 }

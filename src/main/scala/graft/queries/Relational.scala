@@ -2375,10 +2375,77 @@ object Relational {
       .orderBy("item_a", "item_b")
   }
 
+  /** q90: incremental aggregate-state maintenance
+    * ([[graft.operators.Relational.aggState]] /
+    * [[graft.operators.Relational.mergeAggStates]]) — the batch-layer
+    * primitive: the engine computes the state of two date SPLITS and
+    * folds them, the oracle computes the full-table state directly, and
+    * their equality IS the algebraic claim (every field a commutative
+    * monoid over exact snapped units — merge(state(A), state(B)) ≡
+    * state(A ∪ B) in any order). History never re-reads.
+    */
+  val q90 = QueryDef(
+    "q90_incremental_agg",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS sum_units,
+      |  CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS min_units,
+      |  CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS max_units
+      |FROM orders WHERE o_totalprice IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val orders = Tables(s, dir, "orders")
+    val cutoff = lit("1996-01-01").cast("timestamp")
+    val hist = graft.operators.Relational.aggState(
+      orders.filter(col("o_orderdate") < cutoff), Seq("o_orderpriority"),
+      col("o_totalprice"))
+    val delta = graft.operators.Relational.aggState(
+      orders.filter(col("o_orderdate") >= cutoff), Seq("o_orderpriority"),
+      col("o_totalprice"))
+    graft.operators.Relational.mergeAggStates(hist, delta, Seq("o_orderpriority"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val WpProbs = Seq((1, 2), (9, 10), (99, 100))
+
+  /** q91: quantity-weighted price percentiles per return flag
+    * ([[graft.operators.Relational.weightedPercentiles]]) — the
+    * weighted order statistic with q63's pure-integer crossing test
+    * (den·cum ≥ num·tot over exact longs; probs are RATIONALS so no
+    * float threshold exists to disagree), selected from the q60/q67
+    * histogram shape: the corpus never sorts, the cumulative window
+    * orders |distinct cents| rows per group.
+    */
+  val q91 = QueryDef(
+    "q91_weighted_median",
+    s"""WITH h AS (SELECT l_returnflag,
+       |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS u,
+       |  CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) > 0
+       |  GROUP BY 1, 2),
+       |c AS (SELECT l_returnflag, u,
+       |  sum(w) OVER (PARTITION BY l_returnflag ORDER BY u
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+       |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tot FROM h GROUP BY 1),
+       |p AS (SELECT * FROM (VALUES ${WpProbs.map(p => s"(${p._1}, ${p._2})").mkString(", ")})
+       |      pp(p_num, p_den))
+       |SELECT c.l_returnflag, CAST(p_num AS BIGINT) AS p_num,
+       |  CAST(p_den AS BIGINT) AS p_den, CAST(min(u) AS BIGINT) AS value_units
+       |FROM c JOIN t USING (l_returnflag) CROSS JOIN p
+       |WHERE c.cum * p_den >= t.tot * p_num
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.weightedPercentiles(Tables(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        WpProbs, valueScale = 100L, weightScale = 1L)
+      .orderBy("l_returnflag", "p_num", "p_den")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89)
+      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 }

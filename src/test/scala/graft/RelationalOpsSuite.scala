@@ -1358,4 +1358,45 @@ class RelationalOpsSuite extends SparkSpec {
     assert(capped(("x", "y")) == 3L, "capped entity must not inflate counts")
     intercept[IllegalArgumentException] { Relational.setOverlap(df, "e", "i", 0L) }
   }
+
+  test("aggState/mergeAggStates: merge of splits equals state of the union") {
+    import spark.implicits._
+    val full = Seq(("g", 1.25), ("g", 2.50), ("g", 0.75), ("h", 9.99), ("k", 1.00))
+      .toDF("g", "v")
+    val a = Relational.aggState(full.filter(col("v") < 2.0), Seq("g"), col("v"))
+    val b = Relational.aggState(full.filter(col("v") >= 2.0), Seq("g"), col("v"))
+    val merged = Relational.mergeAggStates(a, b, Seq("g"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val direct = Relational.aggState(full, Seq("g"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(merged == direct, s"$merged vs $direct")
+    assert(direct == Set(("g", 3L, 450L, 75L, 250L), ("h", 1L, 999L, 999L, 999L),
+      ("k", 1L, 100L, 100L, 100L)))
+    // keys present on only one side pass through unchanged (full outer)
+    assert(merged.exists(r => r._1 == "h" && r._2 == 1L))
+    intercept[IllegalArgumentException] {
+      Relational.mergeAggStates(a, full, Seq("g")) // not a state table
+    }
+  }
+
+  test("weightedPercentiles: integer crossing, exact boundary, zero weights out") {
+    import spark.implicits._
+    // units 1,2,3 with weights 1,1,2 -> total 4; cum: 1@1, 2@2, 4@3
+    // p=1/2: den*cum >= num*tot <=> 2*cum >= 4 -> first at unit 2 (exact boundary)
+    // p=3/4: 4*cum >= 12 -> unit 3;  p=1/4: 4*cum >= 4 -> unit 1
+    val df = Seq(("g", 0.01, 1.0), ("g", 0.02, 1.0), ("g", 0.03, 2.0),
+      ("g", 0.99, 0.0), ("h", 0.05, 5.0)).toDF("g", "v", "w")
+    val got = Relational.weightedPercentiles(df, Seq("g"), col("v"), col("w"),
+        Seq((1, 4), (1, 2), (3, 4)), valueScale = 100L, weightScale = 1L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("g", 1L, 4L, 1L), ("g", 1L, 2L, 2L), ("g", 3L, 4L, 3L),
+      ("h", 1L, 4L, 5L), ("h", 1L, 2L, 5L), ("h", 3L, 4L, 5L)), got.toString)
+    intercept[IllegalArgumentException] {
+      Relational.weightedPercentiles(df, Seq("g"), col("v"), col("w"), Seq((3, 2)))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.weightedPercentiles(df, Seq("g"), col("v"), col("w"), Nil)
+    }
+  }
 }
