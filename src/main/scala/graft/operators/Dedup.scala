@@ -913,4 +913,45 @@ object Dedup {
         .select(col(idCol), col(nameCol), col(idCol).as("canonical_id"),
           lit(true).as("is_canonical")))
   }
+
+  /** Per-document duplicated-window profile: overlapping `w`-token windows
+    * (stride 1), a window counting as duplicated when it appears in at
+    * least `minDocs` DISTINCT documents. This is the substring-level dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better"): a document most of whose windows occur
+    * elsewhere is boilerplate/copy even when no pairwise Jaccard fires —
+    * the complement of [[ngramJaccardPairs]] (pairs) and the overlapping
+    * counterpart of the NON-overlapping chunk dedup in Packing.
+    *
+    * Scale design: windows travel as the 16-byte dual polynomial folds of
+    * [[Sig.spanKeys]] (never gram strings); there is NO pair join anywhere
+    * — document frequency is a partial-aggregated count per window key, so
+    * a boilerplate window in 10⁶ documents combines map-side instead of
+    * fanning out 10¹² candidate pairs. Two shuffles on the window key plus
+    * one on the doc id, all skew-safe by construction. Within-doc repeats
+    * are collapsed (array_distinct) BEFORE counting, so df counts distinct
+    * documents. Documents with < `w` tokens have no windows and are
+    * excluded (mirrored in the oracle).
+    *
+    * Output: idCol, n_windows (distinct windows), n_dup (windows with
+    * df >= minDocs), dup_frac (4 dp), is_dup (dup_frac >= thr).
+    */
+  def windowDupProfile(df: DataFrame, idCol: String, textCol: String,
+      w: Int, minDocs: Int = 2, thr: Double = 0.5): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
+    GraftExpressions.register(df.sparkSession)
+    val th = Sig.tokenHashes(tokens(col(textCol)))
+    val wk = transform(Sig.spanKeys(th, w),
+      k => concat_ws("_", k("h1"), k("h2")))
+    val ex = df.select(col(idCol), explode(array_distinct(wk)).as("wk"))
+    val dfc = ex.groupBy("wk").agg(count(lit(1)).as("wdf"))
+    ex.join(dfc, "wk")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("wdf") >= minDocs, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        Rounding.mirrorRound(col("n_dup") * 1.0 / col("n_windows"), 4))
+      .withColumn("is_dup", col("dup_frac") >= thr)
+  }
 }

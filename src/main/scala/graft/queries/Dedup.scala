@@ -522,7 +522,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private val D15W = 8          // duplicated-window width in tokens (d15)
+  private val D15MinDocs = 2    // cross-document threshold (d15)
+  private val D15Thr = 0.2      // is_dup flag threshold on dup_frac (d15)
+
+  /** d15: per-document duplicated-window profile ([[Ops.windowDupProfile]])
+    * — overlapping 8-token windows, stride 1, a window "duplicated" when
+    * it appears in >= 2 distinct documents; the Lee et al. 2022
+    * substring-dedup signal. The oracle rebuilds the same dual polynomial
+    * window folds from [[Sig.sqlSpanFold]] so both sides hash the
+    * identical window family.
+    */
+  val d15 = QueryDef(
+    "d15_window_dup",
+    s"""WITH t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
+       |h AS (SELECT doc_id, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
+       |wk AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(0, len(th) - $D15W + 1),
+       |         s -> concat(${Sig.sqlSpanFold("th", "s", D15W, Sig.B)}, '_',
+       |                     ${Sig.sqlSpanFold("th", "s", D15W, Sig.B2)})))) AS wk
+       |       FROM h WHERE len(th) >= $D15W),
+       |dfc AS (SELECT wk, count(*) AS wdf FROM wk GROUP BY 1),
+       |p AS (SELECT doc_id, count(*) AS n_windows,
+       |        CAST(sum(CASE WHEN wdf >= $D15MinDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |      FROM wk JOIN dfc USING (wk) GROUP BY 1)
+       |SELECT doc_id, n_windows, n_dup,
+       |  ${mr("n_dup * 1.0 / n_windows", 4)} AS dup_frac,
+       |  ${mr("n_dup * 1.0 / n_windows", 4)} >= $D15Thr AS is_dup
+       |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Ops.windowDupProfile(Tables(s, dir, "documents"), "doc_id", "text",
+      D15W, D15MinDocs, D15Thr).orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13,
-      d14)
+      d14, d15)
 }

@@ -705,4 +705,50 @@ class DedupOpsSuite extends SparkSpec {
       1L -> (1L, true), 2L -> (1L, false), 5L -> (1L, false),
       3L -> (3L, true), 4L -> (4L, true)), got.toString)
   }
+
+  test("windowDupProfile: cross-doc windows flagged, within-doc repeats immune") {
+    import spark.implicits._
+    // docs 1 and 2 share the exact 4-token run "a b c d" (1 shared window
+    // at w=4); doc 3 repeats its OWN window twice but shares nothing —
+    // within-doc repetition must never count as duplication; doc 4 is too
+    // short for any window and must be absent from the output
+    val docs = Seq(
+      (1L, "a b c d x y z"),     // windows: abcd bcdx cdxy dxyz
+      (2L, "p q a b c d r"),     // windows: pqab qabc abcd bcdr
+      (3L, "m n o t m n o t"),   // distinct windows incl repeats collapsed
+      (4L, "u v w")              // 3 tokens < w=4 -> no windows
+    ).toDF("doc_id", "text")
+    val got = Dedup.windowDupProfile(docs, "doc_id", "text", w = 4,
+        minDocs = 2, thr = 0.25)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L), got.toString)
+    val byId = got.map(g => g._1 -> g).toMap
+    // docs 1/2: 4 windows each, exactly 1 shared ("a b c d")
+    assert(byId(1L) == ((1L, 4L, 1L, 0.25, true)), got.toString)
+    assert(byId(2L) == ((2L, 4L, 1L, 0.25, true)), got.toString)
+    // doc 3: 5 window positions collapse to 4 distinct, none cross-doc
+    assert(byId(3L)._2 == 4L && byId(3L)._3 == 0L && !byId(3L)._5, got.toString)
+  }
+
+  test("windowDupProfile: full-copy doc reaches dup_frac 1.0; validation fires") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),   // exact copy: every window shared
+      (3L, "totally different text here now entirely")
+    ).toDF("doc_id", "text")
+    val got = Dedup.windowDupProfile(docs, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got(0)._4 == 1.0 && got(0)._5, got.toString)
+    assert(got(1)._4 == 1.0 && got(1)._5, got.toString)
+    assert(got(2)._4 == 0.0 && !got(2)._5, got.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.windowDupProfile(docs, "doc_id", "text", w = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.windowDupProfile(docs, "doc_id", "text", w = 4, minDocs = 1)
+    }
+  }
 }
