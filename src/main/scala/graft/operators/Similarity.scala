@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftExpressions, VectorFunctions}
@@ -424,5 +425,129 @@ object Similarity {
     def q(df: DataFrame) = quantizeInt8(df, idCol, vecCol)
       .select(col(idCol), transform(col("codes"), _.cast("float")).as(vecCol))
     knnBruteForce(q(corpus), q(queries), idCol, vecCol, k)
+  }
+
+  /** One-pass population covariance accumulator over embedding vectors:
+    * the buffer is a single Array[Double] [n | Σx (d) | upper-tri Σxᵢxⱼ
+    * (d(d+1)/2)] — 33 KB at d = 64 — held as a live object per task and
+    * serialized only at the partial/final shuffle boundary, so per-row
+    * cost is the d(d+1)/2 multiply-adds and nothing else. Map-side
+    * partial aggregation collapses any data size to one 33 KB row per
+    * task; the whole corpus reduces to ONE buffer regardless of scale.
+    * Dimension is inferred from the first vector and enforced thereafter.
+    */
+  private class CovAcc extends Aggregator[Seq[Double], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = Array.emptyDoubleArray
+    override def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] = {
+      if (v == null) return buf
+      val d = v.size
+      val b = if (buf.isEmpty) new Array[Double](1 + d + d * (d + 1) / 2) else buf
+      require(b.length == 1 + d + d * (d + 1) / 2,
+        s"inconsistent embedding dimension: got $d")
+      b(0) += 1.0
+      val x = v.toArray
+      var i = 0
+      var t = 1 + d
+      while (i < d) {
+        b(1 + i) += x(i)
+        var j = i
+        while (j < d) { b(t) += x(i) * x(j); j += 1; t += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        require(a.length == b.length, "inconsistent embedding dimension across partitions")
+        var k = 0
+        while (k < a.length) { a(k) += b(k); k += 1 }
+        a
+      }
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder()
+  }
+  private lazy val CovUdaf = udaf(new CovAcc)
+
+  /** Collected covariance state: n, per-dimension means, and the dense
+    * upper-triangular population covariance (cov(i,j) for i <= j,
+    * 0-based). Driver memory is d²-sized — independent of the data.
+    */
+  private[operators] def covState(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
+    val packed = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+      .agg(CovUdaf(col("_v")).as("p"))
+      .head.getAs[scala.collection.Seq[Double]](0).toArray
+    require(packed.nonEmpty, "covarianceMatrix: empty input")
+    val n = packed(0)
+    val d = (Math.sqrt(9.0 + 8.0 * (packed.length - 1)) - 3.0).toInt / 2
+    require(1 + d + d * (d + 1) / 2 == packed.length, s"bad buffer length ${packed.length}")
+    val means = Array.tabulate(d)(i => packed(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var t = 1 + d
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        cov(i)(j) = packed(t) / n - means(i) * means(j)
+        cov(j)(i) = cov(i)(j)
+        j += 1; t += 1
+      }
+      i += 1
+    }
+    (n.toLong, means, cov)
+  }
+
+  /** Population covariance matrix of an `array<float|double>` column as
+    * rows (i, j, mean_i, mean_j, cov) for the upper triangle i <= j
+    * (1-based, matching SQL list indexing). One distributed pass (see
+    * [[CovAcc]]); the d²-row output is data-size independent.
+    */
+  def covarianceMatrix(df: DataFrame, vecCol: String): DataFrame = {
+    val (_, means, cov) = covState(df, vecCol)
+    val d = means.length
+    val rows = for { i <- 0 until d; j <- i until d }
+      yield (i + 1L, j + 1L, means(i), means(j), cov(i)(j))
+    df.sparkSession.createDataFrame(rows)
+      .toDF("i", "j", "mean_i", "mean_j", "cov")
+  }
+
+  /** Top principal component by power iteration on the d×d covariance of
+    * [[covState]] (driver-side on the d²-sized state — the data itself is
+    * touched exactly once). Deterministic: fixed uniform start vector,
+    * `iters` fixed iterations, sign normalized so the largest-|loading|
+    * entry is positive. Returns one row per dimension:
+    * (i 1-based, loading, eigenvalue, explained_frac) where
+    * explained_frac = λ / trace(cov).
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, iters: Int = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (_, means, cov) = covState(df, vecCol)
+    val d = means.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    var it = 0
+    while (it < iters) {
+      val av = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
+        s
+      })
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      require(norm > 0.0, "pcaTopComponent: degenerate (zero) covariance")
+      v = av.map(_ / norm)
+      lambda = norm
+      it += 1
+    }
+    val maxIdx = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(maxIdx) < 0) v = v.map(x => -x)
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val rows = v.zipWithIndex.map { case (l, i) =>
+      (i + 1L, l, lambda, if (trace > 0) lambda / trace else 0.0)
+    }.toSeq
+    df.sparkSession.createDataFrame(rows)
+      .toDF("i", "loading", "eigenvalue", "explained_frac")
   }
 }

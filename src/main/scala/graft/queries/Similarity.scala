@@ -202,5 +202,31 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  /** s07: population covariance matrix of the embedding space
+    * ([[Ops.covarianceMatrix]]) — the one-pass d²-buffer aggregation
+    * behind PCA/whitening; the oracle recomputes every upper-triangle
+    * entry with DuckDB's covar_pop over an exploded (row × i × j) set.
+    */
+  val s07 = QueryDef(
+    "s07_covariance",
+    s"""WITH pts AS (
+       |  SELECT i.range AS i, j.range AS j,
+       |         CAST(embedding[i.range] AS DOUBLE) AS x,
+       |         CAST(embedding[j.range] AS DOUBLE) AS y
+       |  FROM embeddings, range(1, ${Dim + 1}) i, range(1, ${Dim + 1}) j
+       |  WHERE i.range <= j.range)
+       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |  ${mr("avg(x)", 6)} AS mean_i, ${mr("avg(y)", 6)} AS mean_j,
+       |  ${mr("covar_pop(x, y)", 6)} AS cov
+       |FROM pts GROUP BY i, j ORDER BY i, j""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding.mirrorRound
+    Ops.covarianceMatrix(Tables(s, dir, "embeddings"), "embedding")
+      .select(col("i"), col("j"),
+        mirrorRound(col("mean_i"), 6).as("mean_i"),
+        mirrorRound(col("mean_j"), 6).as("mean_j"),
+        mirrorRound(col("cov"), 6).as("cov"))
+      .orderBy("i", "j")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }

@@ -317,4 +317,64 @@ class SimilarityOpsSuite extends SparkSpec {
       Similarity.prototypePrune(df, "id", "v", 3, 1, keepNum = 11L, keepDen = 10L)
     }
   }
+
+  test("covarianceMatrix: hand 2-d covariances, symmetry by upper-triangle contract") {
+    import spark.implicits._
+    // points (0,0) (2,2) (0,2) (2,0): var = 1 each dim, cov(1,2) = 0
+    val a = Seq(Seq(0f, 0f), Seq(2f, 2f), Seq(0f, 2f), Seq(2f, 0f)).toDF("v")
+    val gotA = Similarity.covarianceMatrix(a, "v")
+      .orderBy("i", "j").as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(gotA == Seq((1L, 1L, 1.0, 1.0, 1.0), (1L, 2L, 1.0, 1.0, 0.0),
+      (2L, 2L, 1.0, 1.0, 1.0)), gotA.toString)
+    // perfectly correlated pair: cov = var = 0.25 on the line y = x
+    val b = Seq(Seq(0f, 0f), Seq(1f, 1f)).toDF("v")
+    val gotB = Similarity.covarianceMatrix(b, "v")
+      .orderBy("i", "j").as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(gotB.map(_._5) == Seq(0.25, 0.25, 0.25), gotB.toString)
+  }
+
+  test("pcaTopComponent: recovers a planted dominant direction; invariants hold") {
+    import spark.implicits._
+    // planted direction u = (3,4)/5 with strong signal plus weak noise in
+    // the orthogonal direction (-4,3)/5 — PC1 must align with u
+    val u = Array(0.6, 0.8)
+    val o = Array(-0.8, 0.6)
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(200) { _ =>
+      val t = rnd.nextGaussian() * 5.0
+      val e = rnd.nextGaussian() * 0.1
+      Seq((t * u(0) + e * o(0)).toFloat, (t * u(1) + e * o(1)).toFloat)
+    }
+    val got = Similarity.pcaTopComponent(pts.toDF("v"), "v")
+      .orderBy("i").as[(Long, Double, Double, Double)].collect()
+    val loading = got.map(_._2)
+    val align = math.abs(loading(0) * u(0) + loading(1) * u(1))
+    assert(align > 0.999, s"alignment $align, loading ${loading.toSeq}")
+    // unit norm, positive sign convention on the largest-|.| entry
+    val norm = math.sqrt(loading.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-9)
+    assert(loading(loading.indices.maxBy(i => math.abs(loading(i)))) > 0)
+    // eigenvalue ≈ variance along u (~25), explains nearly everything
+    assert(got(0)._3 > 15.0 && got(0)._4 > 0.99, got.toSeq.toString)
+    // eigen residual: C v = λ v within float-ish tolerance (C rebuilt from
+    // the covarianceMatrix upper triangle)
+    val tri = Similarity.covarianceMatrix(pts.toDF("v"), "v")
+      .select("i", "j", "cov").as[(Long, Long, Double)].collect()
+      .map { case (i, j, c) => (i.toInt - 1, j.toInt - 1) -> c }.toMap
+    def cv(i: Int, j: Int): Double = tri.getOrElse((math.min(i, j), math.max(i, j)), 0.0)
+    val av = Array.tabulate(2)(i => cv(i, 0) * loading(0) + cv(i, 1) * loading(1))
+    val resid = math.sqrt(av.zip(loading).map { case (x, l) => val r = x - got(0)._3 * l; r * r }.sum)
+    assert(resid < 1e-6, s"residual $resid")
+    intercept[IllegalArgumentException] {
+      Similarity.pcaTopComponent(pts.toDF("v"), "v", iters = 0)
+    }
+  }
+
+  test("covarianceMatrix rejects inconsistent dimensions and empty input") {
+    import spark.implicits._
+    val bad = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v")
+    intercept[Exception] { Similarity.covarianceMatrix(bad, "v").collect() }
+    val empty = Seq.empty[Seq[Float]].toDF("v")
+    intercept[Exception] { Similarity.covarianceMatrix(empty, "v").collect() }
+  }
 }
