@@ -404,4 +404,52 @@ object Graph {
     }
     dist
   }
+
+  /** Adamic–Adar link prediction: score every NON-adjacent pair (a, b)
+    * that shares at least `minCommon` neighbors by
+    * Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z) — rare shared neighbors weigh more
+    * than hubs (Adamic & Adar 2003, "Friends and neighbors on the Web").
+    *
+    * Scale design: wedges are generated by a self-equi-join of the
+    * undirected edge list on the CENTER node, so the per-key fan-out is
+    * C(deg z, 2) — bounded by `maxCenterDeg`, the skew guard that keeps a
+    * hub with 10⁶ neighbors from emitting 10¹² wedge rows. Dropping
+    * high-degree centers is the standard LP approximation (a hub
+    * contributes only 1/ln(deg) per pair — the least-informative signal
+    * goes first), and the cap is mirrored in the verified oracle so
+    * correctness holds exactly as computed. Existing edges leave by a
+    * broadcast-eligible anti-join on the canonical pair. Centers of
+    * degree < 2 form no wedge (and ln 1 = 0 never divides).
+    *
+    * Output: node_a < node_b, n_common, aa_score (unrounded).
+    */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      maxCenterDeg: Int, minCommon: Long = 1L,
+      checkpoint: Boolean = true): DataFrame = {
+    require(maxCenterDeg >= 2, s"maxCenterDeg must be >= 2, got $maxCenterDeg")
+    require(minCommon >= 1L, s"minCommon must be >= 1, got $minCommon")
+    val canon0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // canon feeds both wedge sides, the degree count and the anti-join —
+    // materialize once or the upstream edge subtree re-evaluates 4×
+    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val und = canon.select(col("u").as("z"), col("v").as("n"))
+      .union(canon.select(col("v").as("z"), col("u").as("n")))
+    val deg = und.groupBy("z").agg(count(lit(1)).as("d"))
+    val centers = und.join(
+      deg.filter(col("d") >= 2 && col("d") <= maxCenterDeg), "z")
+    val wedges = centers.as("e1")
+      .join(centers.as("e2"),
+        col("e1.z") === col("e2.z") && col("e1.n") < col("e2.n"))
+      .select(col("e1.n").as("node_a"), col("e2.n").as("node_b"),
+        col("e1.d").as("dz"))
+    wedges.groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(lit(1.0) / log(col("dz").cast("double"))).as("aa_score"))
+      .filter(col("n_common") >= minCommon)
+      .join(canon,
+        col("node_a") === col("u") && col("node_b") === col("v"), "left_anti")
+  }
 }

@@ -2442,10 +2442,57 @@ object Relational {
       .orderBy("l_returnflag", "p_num", "p_den")
   }
 
+  private val AaMaxCenterDeg = 60
+  private val AaMinCommon = 2L
+
+  /** q92: Adamic–Adar link prediction over the q81 co-purchase item graph
+    * ([[graft.operators.Graph.adamicAdar]]) — non-adjacent part pairs
+    * sharing >= `AaMinCommon` co-purchase neighbors, scored by
+    * Σ 1/ln(deg z). Wedge centers are degree-capped at `AaMaxCenterDeg`
+    * (the operator's hub/skew guard), mirrored in the oracle so the
+    * verified equality holds exactly as computed.
+    */
+  val q92 = QueryDef(
+    "q92_link_prediction",
+    s"""WITH b AS MATERIALIZED (SELECT DISTINCT o_custkey AS e, l_partkey AS i
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |k AS (SELECT e FROM b GROUP BY e
+       |  HAVING count(*) BETWEEN 2 AND $RecsMaxBasket),
+       |kb AS MATERIALIZED (SELECT b.e, b.i FROM b JOIN k USING (e)),
+       |pr AS MATERIALIZED (SELECT x.i AS pa, y.i AS pb
+       |  FROM kb x JOIN kb y ON x.e = y.e AND x.i < y.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $RecsMinBoth),
+       |und AS MATERIALIZED (SELECT pa AS z, pb AS n FROM pr
+       |  UNION ALL SELECT pb, pa FROM pr),
+       |deg AS MATERIALIZED (SELECT z, count(*) AS d FROM und GROUP BY 1),
+       |ctr AS (SELECT und.z, und.n, deg.d FROM und JOIN deg USING (z)
+       |  WHERE deg.d BETWEEN 2 AND $AaMaxCenterDeg),
+       |w AS (SELECT e1.n AS node_a, e2.n AS node_b, e1.d AS dz
+       |  FROM ctr e1 JOIN ctr e2 ON e1.z = e2.z AND e1.n < e2.n),
+       |s AS (SELECT node_a, node_b, CAST(count(*) AS BIGINT) AS n_common,
+       |  sum(1.0 / ln(CAST(dz AS DOUBLE))) AS aa
+       |  FROM w GROUP BY 1, 2 HAVING count(*) >= $AaMinCommon)
+       |SELECT node_a, node_b, n_common, ${mr("aa", 6)} AS aa_score
+       |FROM s WHERE NOT EXISTS (SELECT 1 FROM pr
+       |  WHERE pr.pa = s.node_a AND pr.pb = s.node_b)
+       |ORDER BY node_a, node_b""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val baskets = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    val edges = graft.operators.Relational.cooccurrence(baskets, "o_custkey",
+        "l_partkey", maxBasket = RecsMaxBasket)
+      .filter(col("n_entities") >= RecsMinBoth)
+    graft.operators.Graph.adamicAdar(edges, "item_a", "item_b",
+        maxCenterDeg = AaMaxCenterDeg, minCommon = AaMinCommon)
+      .withColumn("aa_score", Rounding.mirrorRound(col("aa_score"), 6))
+      .orderBy("node_a", "node_b")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 }

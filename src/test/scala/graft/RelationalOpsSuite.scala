@@ -358,6 +358,43 @@ class RelationalOpsSuite extends SparkSpec {
     assert(sg == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"$sg")
   }
 
+  test("adamicAdar: hand path scores, existing edges excluded, hub cap drops centers") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 1-2-3-4: predictions (1,3) via center 2 (deg 2), (2,4) via 3
+    // (deg 2); (1,4) shares no neighbor. Score = 1/ln(2). Directed dup +
+    // self-loop exercise canonicalization.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 2L), (1L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.adamicAdar(path, "src", "dst", maxCenterDeg = 10)
+      .orderBy("node_a", "node_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val s = 1.0 / math.log(2.0)
+    assert(got.map(g => (g._1, g._2, g._3)) == Seq((1L, 3L, 1L), (2L, 4L, 1L)), s"$got")
+    assert(got.forall(g => math.abs(g._4 - s) < 1e-12), s"$got")
+    // triangle 1-2-3: every wedge pair is already an edge -> no predictions
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    assert(Graph.adamicAdar(tri, "src", "dst", maxCenterDeg = 10).count() == 0)
+    // star hub with 5 leaves: cap 4 < deg 5 removes the only center ->
+    // nothing predicted; cap 5 predicts all C(5,2) leaf pairs at 1/ln 5
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    assert(Graph.adamicAdar(star, "src", "dst", maxCenterDeg = 4).count() == 0)
+    val capped = Graph.adamicAdar(star, "src", "dst", maxCenterDeg = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(capped.length == 10 &&
+      capped.forall(g => math.abs(g._4 - 1.0 / math.log(5.0)) < 1e-12), s"${capped.toSeq}")
+    // minCommon filters single-neighbor pairs: 4-cycle's opposite corners
+    // share TWO centers (score 2/ln 2) and survive minCommon = 2
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val two = Graph.adamicAdar(cyc, "src", "dst", maxCenterDeg = 10, minCommon = 2L)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(two.map(g => (g._1, g._2, g._3)) == Seq((1L, 3L, 2L), (2L, 4L, 2L)), s"$two")
+    assert(two.forall(g => math.abs(g._4 - 2.0 / math.log(2.0)) < 1e-12))
+    intercept[IllegalArgumentException] {
+      Graph.adamicAdar(cyc, "src", "dst", maxCenterDeg = 1)
+    }
+  }
+
   test("connectedComponents: separate components, chains, self-loops, string ids") {
     import spark.implicits._
     import graft.operators.Graph
