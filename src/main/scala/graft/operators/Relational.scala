@@ -468,11 +468,22 @@ object Relational {
     * model; `maxBasket` is also that guard). Output: item_a < item_b,
     * n_entities.
     */
+  /** Pin a small fan-out source at full shuffle parallelism. AQE rightly
+    * coalesces a few-MB basket/neighbor-list exchange down to 1–5
+    * partitions — but the NEXT stage explodes every row quadratically, so
+    * those few tasks inherit the entire pair expansion single-threaded
+    * (measured 3–4× on q81/q92 at sf0.1). An explicit-count round-robin
+    * repartition is exempt from AQE coalescing and costs one exchange of
+    * the SMALL aggregated table, not the expansion.
+    */
+  private[operators] def fanoutRepartition(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   def cooccurrence(df: DataFrame, entityCol: String, itemCol: String,
       maxBasket: Int = 1000): DataFrame = {
-    val baskets = df.groupBy(col(entityCol).as("_e"))
+    val baskets = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
       .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket)
+      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket))
     val n = size(col("_items"))
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
       transform(sequence(i + 1, n - 1), j =>
@@ -505,9 +516,9 @@ object Relational {
       minBoth: Long, minConf: Double, maxBasket: Int = 1000): DataFrame = {
     require(minBoth >= 1, "minBoth must be at least 1")
     require(minConf >= 0.0 && minConf <= 1.0, "minConf must be in [0, 1]")
-    val baskets = df.groupBy(col(entityCol).as("_e"))
+    val baskets = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
       .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket)
+      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket))
       .localCheckpoint(true)
     val nBaskets = baskets.count()
     val items = baskets.select(explode(col("_items")).as("item"))
@@ -1421,6 +1432,71 @@ object Relational {
     }.toDF("entity", "ord", "tie", "value_units", "level", "trend", "forecast1")
   }
 
+  /** Per-entity Holt–Winters additive seasonal smoothing — [[holt]] plus
+    * an m-slot seasonal state (Winters 1960): with p = (rn−1) mod m and
+    * sₚ the stored seasonal for this phase,
+    *   l ← α(x − sₚ) + (1−α)(l + b);  b ← β(l − lPrev) + (1−β)b;
+    *   sₚ ← γ(x − l) + (1−γ)sₚ,
+    * seasonals ZERO-initialized (the recurrence itself learns the
+    * profile — no init phase, so the fold stays a single uniform rule an
+    * external engine can replay; the first row per entity sets l = x,
+    * b = 0 exactly as [[holt]]). forecast1 = l + b + s_next where s_next
+    * is the NEXT phase's stored seasonal after this row's update.
+    *
+    * Same execution discipline as q69/q77: one entity shuffle,
+    * spill-safe secondary sort, one streaming pass, O(m) doubles of
+    * state per entity — never a driver loop. Choose BINARY-EXACT
+    * α/β/γ (0.5, 0.25, …): inputs are snapped longs and every
+    * recurrence is a fixed IEEE double tree, so a recursive-CTE replay
+    * matches bit for bit. Output: entity, ord, tie, value_units,
+    * level, trend, seasonal (this row's updated sₚ), forecast1.
+    */
+  def holtWinters(df: DataFrame, entityCol: Column, orderCol: Column,
+      tieCol: Column, valueCol: Column, alpha: Double, beta: Double,
+      gamma: Double, period: Int, scale: Long = 100L): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    require(beta > 0 && beta < 1, s"beta must be in (0, 1), got $beta")
+    require(gamma > 0 && gamma < 1, s"gamma must be in (0, 1), got $gamma")
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    require(scale >= 1, "scale must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = entitySortedUnits(df, entityCol, orderCol, tieCol, valueCol, scale)
+    val oneMinusA = 1.0 - alpha
+    val oneMinusB = 1.0 - beta
+    val oneMinusG = 1.0 - gamma
+    val m = period
+    sorted.mapPartitions { it =>
+      var cur = 0L
+      var started = false
+      var l = 0.0
+      var b = 0.0
+      var rn = 0
+      val s = new Array[Double](m)
+      it.map { case (e, o, tie, c) =>
+        val x = c.toDouble
+        if (!started || e != cur) {
+          cur = e; started = true; rn = 1
+          l = x; b = 0.0
+          java.util.Arrays.fill(s, 0.0)
+        } else {
+          rn += 1
+          val p = (rn - 1) % m
+          val sp = s(p)
+          val lPrev = l
+          l = alpha * (x - sp) + oneMinusA * (lPrev + b)
+          b = beta * (l - lPrev) + oneMinusB * b
+          s(p) = gamma * (x - l) + oneMinusG * sp
+        }
+        // rn == 1: l = x makes the uniform seasonal update a no-op
+        // (γ(x − l) + (1−γ)·0 = 0), so only (l, b) need the special case
+        val p = (rn - 1) % m
+        (e, o, tie, c, l, b, s(p), l + b + s(rn % m))
+      }
+    }.toDF("entity", "ord", "tie", "value_units", "level", "trend",
+      "seasonal", "forecast1")
+  }
+
   /** Per-entity CUSUM changepoint detection — the sequential
     * mean-shift monitor (Page 1954): s⁺ accumulates positive deviations
     * past an allowance, s⁻ the negative ones, and a flag raises the
@@ -1780,9 +1856,9 @@ object Relational {
       topK: Int, minBoth: Long = 2L, maxBasket: Int = 1000): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     require(minBoth >= 1, "minBoth must be >= 1")
-    val baskets = df.groupBy(col(entityCol).as("_e"))
+    val baskets = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
       .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket)
+      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket))
       .localCheckpoint(true)
     val items = baskets.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
@@ -1947,9 +2023,9 @@ object Relational {
     // the candidate bound requires it), but single-item entities only
     // skip pair GENERATION: they still count toward their item's
     // audience size, or every denominator would understate reach
-    val all = df.groupBy(col(entityCol).as("_e"))
+    val all = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
       .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) <= maxBasket)
+      .filter(size(col("_items")) <= maxBasket))
       .localCheckpoint(true)
     val items = all.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))

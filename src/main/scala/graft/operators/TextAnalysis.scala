@@ -738,4 +738,43 @@ object TextAnalysis {
       size(toks).cast("long").as("n_tokens"),
       SigX.distinctShingleCount(toks).as("n_shingles"))
   }
+
+  /** DEFLATE compression ratio per document — the C4/RefinedWeb-style
+    * junk signal the word-level heuristics miss: machine-generated
+    * boilerplate and template spam compress far below natural prose
+    * (ratio = deflated bytes / raw UTF-8 bytes; prose ≈ 0.4–0.7,
+    * repeated templates → 0.1, random noise → ~1). A Scala UDF is the
+    * honest tool here (zlib is imperative byte work, not an expression
+    * tree) but the op stays NARROW — one pass, zero shuffle, the UDF cost
+    * IS the deflate cost. Empty text defines ratio 1.0 (incompressible —
+    * empties must not look like junk templates). Deterministic for a
+    * fixed level on a given JVM (spec-tested; no SQL oracle — DuckDB has
+    * no zlib surface). Adds: n_bytes, n_deflated, compression_ratio
+    * (4 dp).
+    */
+  def compressionRatio(df: DataFrame, textCol: String, level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"deflate level must be in [1, 9], got $level")
+    val deflated = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level, true)
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](math.max(64, raw.length + raw.length / 2 + 32))
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        Array(raw.length.toLong, total)
+      }
+    }
+    df.withColumn("_z", deflated(col(textCol)))
+      .withColumn("n_bytes", element_at(col("_z"), 1))
+      .withColumn("n_deflated", element_at(col("_z"), 2))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") === 0L, lit(1.0))
+          .otherwise(Rounding.mirrorRound(
+            col("n_deflated").cast("double") / col("n_bytes"), 4)))
+      .drop("_z")
+  }
 }

@@ -2445,6 +2445,61 @@ object Relational {
   private val AaMaxCenterDeg = 60
   private val AaMinCommon = 2L
 
+  private val HwPeriod = 4
+
+  /** q93: Holt–Winters additive seasonal smoothing per user over the
+    * event stream ([[graft.operators.Relational.holtWinters]], α = 0.5,
+    * β = γ = 0.25 — all dyadic, so every recurrence is a fixed IEEE
+    * double tree) — the oracle replays the fold with a recursive CTE
+    * carrying level, trend AND the m-slot seasonal LIST (rebuilt by
+    * slicing around the updated phase each step), the q77 determinism
+    * contract extended to m + 2 coupled states.
+    */
+  val q93 = QueryDef(
+    "q93_holt_winters", {
+      val m = HwPeriod
+      val A = "CAST(0.5 AS DOUBLE)"
+      val B = "CAST(0.25 AS DOUBLE)"
+      val B1 = "CAST(0.75 AS DOUBLE)"
+      val G = "CAST(0.25 AS DOUBLE)"
+      val G1 = "CAST(0.75 AS DOUBLE)"
+      val X = "CAST(s.c AS DOUBLE)"
+      val p0 = s"((s.rn - 1) % $m)"
+      val sp = s"r.sl[$p0 + 1]"
+      val lNew = s"($A * ($X - $sp) + $A * (r.l + r.b))"
+      val bNew = s"($B * ($lNew - r.l) + $B1 * r.b)"
+      val sVal = s"($G * ($X - $lNew) + $G1 * $sp)"
+      val slNew = s"(r.sl[1:$p0] || [$sVal] || r.sl[$p0 + 2:$m])"
+      val zeros = Seq.fill(m)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE s AS (
+         |  SELECT user_id AS entity, epoch_ms(ts) AS ord, event_id AS tie,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_ms(ts), event_id) AS rn
+         |  FROM events
+         |  WHERE value IS NOT NULL AND ts IS NOT NULL
+         |    AND user_id IS NOT NULL AND event_id IS NOT NULL),
+         |r AS (
+         |  SELECT entity, ord, tie, c, rn,
+         |         CAST(c AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+         |         $zeros AS sl
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.entity, s.ord, s.tie, s.c, s.rn,
+         |         $lNew, $bNew, $slNew
+         |  FROM r JOIN s ON s.entity = r.entity AND s.rn = r.rn + 1)
+         |SELECT entity, ord, tie, c AS value_units, l AS level, b AS trend,
+         |  sl[((rn - 1) % $m) + 1] AS seasonal,
+         |  l + b + sl[(rn % $m) + 1] AS forecast1
+         |FROM r ORDER BY entity, ord, tie""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.Relational.holtWinters(Tables.events(s, dir),
+        entityCol = col("user_id"), orderCol = unix_millis(col("ts")),
+        tieCol = col("event_id"), valueCol = col("value"),
+        alpha = 0.5, beta = 0.25, gamma = 0.25, period = HwPeriod)
+      .orderBy("entity", "ord", "tie")
+  }
+
   /** q92: Adamic–Adar link prediction over the q81 co-purchase item graph
     * ([[graft.operators.Graph.adamicAdar]]) — non-adjacent part pairs
     * sharing >= `AaMinCommon` co-purchase neighbors, scored by
@@ -2494,5 +2549,6 @@ object Relational {
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
-      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+      q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
+      q93)
 }

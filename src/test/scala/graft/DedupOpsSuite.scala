@@ -706,6 +706,32 @@ class DedupOpsSuite extends SparkSpec {
       3L -> (3L, true), 4L -> (4L, true)), got.toString)
   }
 
+  test("compressionRatio: templates compress below prose, empty=1.0, UTF-8 bytes, null passthrough") {
+    import spark.implicits._
+    val template = Seq.fill(50)("click here to win a free prize now").mkString(" ")
+    val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "musicians rehearse quite different melodies upstairs tonight"
+    val docs = Seq((1L, template), (2L, prose), (3L, ""), (4L, null.asInstanceOf[String]),
+      (5L, "é€ñ")).toDF("id", "text")
+    val got = TextAnalysis.compressionRatio(docs, "text")
+      .select("id", "n_bytes", "n_deflated", "compression_ratio")
+      .as[(Long, Option[Long], Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val tRatio = got(1L)._4.get
+    val pRatio = got(2L)._4.get
+    assert(tRatio < 0.15, s"template ratio $tRatio")
+    assert(pRatio > 0.5 && pRatio <= 1.2, s"prose ratio $pRatio")
+    assert(tRatio < pRatio / 3)
+    // empty input still emits a (tiny) deflate frame; the ratio is pinned 1.0
+    assert(got(3L)._2.contains(0L) && got(3L)._4.contains(1.0), got(3L).toString)
+    assert(got(4L)._2.isEmpty && got(4L)._4.isEmpty, got(4L).toString)
+    // "é€ñ" = 2 + 3 + 2 UTF-8 bytes
+    assert(got(5L)._2.contains(7L), got(5L).toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.compressionRatio(docs, "text", level = 0)
+    }
+  }
+
   test("windowDupProfile: cross-doc windows flagged, within-doc repeats immune") {
     import spark.implicits._
     // docs 1 and 2 share the exact 4-token run "a b c d" (1 shared window

@@ -1053,6 +1053,52 @@ class RelationalOpsSuite extends SparkSpec {
     }
   }
 
+  test("holtWinters: hand fold with m=2 seasonals, per-entity reset, next-phase forecast") {
+    import spark.implicits._
+    // e1: x = 10, 20, 30, 40; alpha=0.5, beta=0.5, gamma=0.5, m=2, scale=1.
+    //  t1 (p=0): l=10, b=0, s=[0,0]; f = l+b+s[1] = 10
+    //  t2 (p=1): sp=0; l=.5*20+.5*10=15, b=.5*5+.5*0=2.5,
+    //            s1=.5*(20-15)=2.5 -> s=[0,2.5]; f = 17.5+s[0]=17.5
+    //  t3 (p=0): sp=0; l=.5*30+.5*17.5=23.75, b=.5*8.75+.5*2.5=5.625,
+    //            s0=.5*(30-23.75)=3.125 -> s=[3.125,2.5]; f = 29.375+s[1]=31.875
+    //  t4 (p=1): sp=2.5; l=.5*(40-2.5)+.5*29.375=33.4375,
+    //            b=.5*(33.4375-23.75)+.5*5.625=7.65625,
+    //            s1=.5*(40-33.4375)+.5*2.5=4.53125
+    //            f = 41.09375 + s[0] = 44.21875
+    val rows = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 20.0), (1L, 3L, 3L, 30.0),
+      (1L, 4L, 4L, 40.0), (2L, 1L, 5L, 7.0)).toDF("e", "o", "id", "v")
+    val got = Relational.holtWinters(rows, col("e"), col("o"), col("id"), col("v"),
+        alpha = 0.5, beta = 0.5, gamma = 0.5, period = 2, scale = 1L)
+      .orderBy("entity", "ord")
+      .select("entity", "level", "trend", "seasonal", "forecast1")
+      .as[(Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 10.0, 0.0, 0.0, 10.0),
+      (1L, 15.0, 2.5, 2.5, 17.5),
+      (1L, 23.75, 5.625, 3.125, 31.875),
+      (1L, 33.4375, 7.65625, 4.53125, 44.21875),
+      (2L, 7.0, 0.0, 0.0, 7.0)), s"$got")
+    // period 1 rejected (seasonal slot would collide with itself)
+    intercept[IllegalArgumentException] {
+      Relational.holtWinters(rows, col("e"), col("o"), col("id"), col("v"),
+        0.5, 0.5, 0.5, period = 1)
+    }
+    // constant seasonal signal with zero trend: period-m repeat converges
+    // toward the alternating profile (forecast error shrinks, not grows)
+    val wave = (1L to 12L).map(i => (9L, i, i, if (i % 2 == 0) 100.0 else 0.0))
+      .toDF("e", "o", "id", "v")
+    val errs = Relational.holtWinters(wave, col("e"), col("o"), col("id"), col("v"),
+        0.5, 0.25, 0.5, period = 2, scale = 1L)
+      .orderBy("ord")
+      .select("value_units", "forecast1")
+      .as[(Long, Double)].collect().toSeq
+    // compare forecast made at t to the actual at t+1
+    val preds = errs.dropRight(1).map(_._2).zip(errs.drop(1).map(_._1.toDouble))
+    val early = math.abs(preds(1)._1 - preds(1)._2)
+    val late = math.abs(preds.last._1 - preds.last._2)
+    assert(late < early / 2, s"late $late vs early $early: ${preds.toSeq}")
+  }
+
   test("expectations: one pass, NULL predicate is a violation, unique names enforced") {
     import spark.implicits._
     val df = Seq((Some(5), Some("a")), (Some(500), Some("b")), (None, Some("a")),
