@@ -937,14 +937,22 @@ object Dedup {
     * df >= minDocs), dup_frac (4 dp), is_dup (dup_frac >= thr).
     */
   def windowDupProfile(df: DataFrame, idCol: String, textCol: String,
-      w: Int, minDocs: Int = 2, thr: Double = 0.5): DataFrame = {
+      w: Int, minDocs: Int = 2, thr: Double = 0.5,
+      checkpoint: Boolean = true): DataFrame = {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     GraftExpressions.register(df.sparkSession)
-    val th = Sig.tokenHashes(tokens(col(textCol)))
-    val wk = transform(Sig.spanKeys(th, w),
+    // _th materializes behind its own projection: the span fold reads the
+    // hashed array 2w× per window via element_at, and an inlined
+    // tokenize+hash subtree there re-runs per REFERENCE (measured 62 s →
+    // 1.6 s at sf0.1 for this exact query). The exploded window table then
+    // checkpoints because BOTH the df count and the per-doc join read it.
+    val withTh = df.select(col(idCol),
+      Sig.tokenHashes(tokens(col(textCol))).as("_th"))
+    val wk = transform(Sig.spanKeys(col("_th"), w),
       k => concat_ws("_", k("h1"), k("h2")))
-    val ex = df.select(col(idCol), explode(array_distinct(wk)).as("wk"))
+    val ex0 = withTh.select(col(idCol), explode(array_distinct(wk)).as("wk"))
+    val ex = if (checkpoint) ex0.localCheckpoint(true) else ex0
     val dfc = ex.groupBy("wk").agg(count(lit(1)).as("wdf"))
     ex.join(dfc, "wk")
       .groupBy(col(idCol))

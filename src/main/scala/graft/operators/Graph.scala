@@ -432,22 +432,29 @@ object Graph {
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // canon feeds both wedge sides, the degree count and the anti-join —
-    // materialize once or the upstream edge subtree re-evaluates 4×
+    // canon feeds the wedge baskets and the anti-join — materialize once
+    // or the upstream edge subtree re-evaluates 3×
     val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
     val und = canon.select(col("u").as("z"), col("v").as("n"))
       .union(canon.select(col("v").as("z"), col("u").as("n")))
-    val deg = und.groupBy("z").agg(count(lit(1)).as("d"))
-    val centers = und.join(
-      deg.filter(col("d") >= 2 && col("d") <= maxCenterDeg), "z")
-    val wedges = centers.as("e1")
-      .join(centers.as("e2"),
-        col("e1.z") === col("e2.z") && col("e1.n") < col("e2.n"))
-      .select(col("e1.n").as("node_a"), col("e2.n").as("node_b"),
-        col("e1.d").as("dz"))
-    wedges.groupBy("node_a", "node_b")
-      .agg(count(lit(1)).as("n_common"),
-        sum(lit(1.0) / log(col("dz").cast("double"))).as("aa_score"))
+    // One groupBy collects each center's FULL (distinct, sorted) neighbor
+    // list, so deg z = size of the list and wedge pairs explode NARROWLY
+    // from it (the cooccurrence basket pattern) — no degree join, no
+    // edge self-join shuffle. The cap drops hot centers WHOLE (never a
+    // truncated neighbor list, which would silently change scores).
+    val baskets = Relational.fanoutRepartition(und.groupBy("z")
+      .agg(sort_array(collect_list(col("n"))).as("_ns"))
+      .filter(size(col("_ns")) >= 2 && size(col("_ns")) <= maxCenterDeg))
+    val nn = size(col("_ns"))
+    val wedgePairs = flatten(transform(sequence(lit(0), nn - 2), i =>
+      transform(sequence(i + 1, nn - 1), j =>
+        struct(element_at(col("_ns"), i + 1).as("a"),
+          element_at(col("_ns"), j + 1).as("b")))))
+    baskets
+      .select((lit(1.0) / log(nn.cast("double"))).as("_w"),
+        explode(wedgePairs).as("_p"))
+      .groupBy(col("_p.a").as("node_a"), col("_p.b").as("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("aa_score"))
       .filter(col("n_common") >= minCommon)
       .join(canon,
         col("node_a") === col("u") && col("node_b") === col("v"), "left_anti")
