@@ -42,6 +42,7 @@ object ScaleProbe {
     if (mode == "ext3") { ext3(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext4") { ext4(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext5") { ext5(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext6") { ext6(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -836,5 +837,89 @@ object ScaleProbe {
           concat(col("s_name"), lit("#"), col("rep")).as("name"))
       graft.operators.Dedup.goldenRecord(reps5, "id", "name", maxDist = 2).count()
     }
+  }
+
+  /** Sixth-extension probe: the round-6 additions (d15 window-dup
+    * profile, q92 Adamic–Adar, q93 Holt–Winters, s07 covariance).
+    */
+  private def ext6(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Dedup, Graph, Relational, Similarity}
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    // docs ×f with the dedup-probe perturbation: every cross-replica
+    // window is shared EXCEPT those touching the appended marker — the
+    // worst case for window-df counting (maximal duplication density)
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/documents6.parquet")
+    val d = spark.read.parquet(s"$out/documents6.parquet")
+    println(s"[scale x$factor] documents=${nDocs * factor}")
+    // windows ×f but NO pair join anywhere: df counting is partial-agg,
+    // expect ~linear in exploded window rows
+    time("d15 windowDupProfile")(
+      Dedup.windowDupProfile(d, "doc_id", "text", w = 8)
+        .filter(col("is_dup")).count())
+
+    // co-purchase graph over ×f customers and the FIXED part universe:
+    // the graph densifies, degrees rise, the center cap drops more hubs —
+    // wedge volume is bounded by |parts|·C(cap, 2) regardless of f
+    val or0 = spark.read.parquet(s"$src/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val maxOk = or0.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val maxCk = or0.agg(max(col("o_custkey"))).head().getLong(0) + 1
+    or0.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * maxCk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders6.parquet")
+    val li0 = spark.read.parquet(s"$src/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    li0.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/lineitem6.parquet")
+    val baskets = spark.read.parquet(s"$out/orders6.parquet")
+      .join(spark.read.parquet(s"$out/lineitem6.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey"))
+    time("q92 adamicAdar") {
+      val edges = Relational.cooccurrence(baskets, "o_custkey", "l_partkey",
+          maxBasket = 60)
+        .filter(col("n_entities") >= 2L)
+      Graph.adamicAdar(edges, "item_a", "item_b",
+        maxCenterDeg = 60, minCommon = 2L).count()
+    }
+
+    // users ×f with per-user history constant: the fold is
+    // entity-parallel with O(m) state — expect ~flat
+    val ev0 = graft.sources.Tables.events(spark, src)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tms"), col("value"))
+    val maxUid = ev0.agg(max(col("user_id"))).head().getLong(0) + 1
+    val maxEid = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUid)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEid)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events6.parquet")
+    val ev = spark.read.parquet(s"$out/events6.parquet")
+    println(s"[scale x$factor] events=${ev.count()}")
+    time("q93 holtWinters")(
+      Relational.holtWinters(ev, col("user_id"), col("tms"), col("event_id"),
+        col("value"), alpha = 0.5, beta = 0.25, gamma = 0.25, period = 4)
+        .count())
+
+    // vectors ×f through the single 33 KB buffer: one linear scan,
+    // constant state, d²-row output — expect ~linear scan time
+    writeEmbeddings(spark, src, out, factor)
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    time("s07 covariance")(
+      Similarity.covarianceMatrix(e, "embedding").count())
   }
 }
