@@ -1497,6 +1497,91 @@ object Relational {
       "seasonal", "forecast1")
   }
 
+  /** Exact median of `valCol` per group by rank selection: value(s) at
+    * positions ⌊(n+1)/2⌋ and ⌊n/2⌋+1 averaged (equal for odd n) — the
+    * selected values' SUM over their COUNT, so odd groups divide by 1 and
+    * even by 2; IEEE addition of the two selected doubles is commutative,
+    * making the result tie-order independent and oracle-mirrorable. One
+    * rank window per group (parallelism = groups).
+    */
+  private def groupMedian(df: DataFrame, groupCols: Seq[String],
+      valCol: String, out: String): DataFrame = {
+    val parts = groupCols.map(col)
+    val w = Window.partitionBy(parts: _*).orderBy(col(valCol))
+    val cw = Window.partitionBy(parts: _*)
+    val ranked = df
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_cnt", count(lit(1)).over(cw))
+    val lower = floor((col("_cnt") + 1).cast("double") / 2.0).cast("long")
+    val upper = floor(col("_cnt").cast("double") / 2.0).cast("long") + 1L
+    val sel = col("_rn") === lower || col("_rn") === upper
+    ranked.groupBy(parts: _*)
+      .agg(sum(when(sel, col(valCol))).as("_ssum"),
+        sum(when(sel, 1L).otherwise(0L)).as("_sn"),
+        count(lit(1)).as(s"n_$out"))
+      .withColumn(out, col("_ssum") / col("_sn").cast("double"))
+      .drop("_ssum", "_sn")
+  }
+
+  /** Theil–Sen robust trend per group (Theil 1950, Sen 1968): slope = the
+    * MEDIAN of all C(n,2) pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept =
+    * the median residual y − slope·x — the 29%-breakdown-point line fit
+    * that one wild outlier cannot move (q52's OLS trend breaks at one).
+    *
+    * Determinism: x/y snap to exact long units, every slope is ONE
+    * division of exact longs (IEEE-correct, bit-identical cross-engine),
+    * medians select by rank so tie order never matters. Execution is the
+    * capped basket discipline: points collect per group (`maxN` guards
+    * the quadratic expansion in-plan — a too-big group raises a clear
+    * error rather than silently exploding), pairs expand NARROWLY at
+    * full parallelism ([[fanoutRepartition]]), both medians are rank
+    * windows partitioned per group. Pairs with equal x are skipped (the
+    * standard Theil–Sen rule); groups with no finite slope drop. Output:
+    * groupCols, n_points, n_slopes, slope, intercept.
+    */
+  def theilSen(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, maxN: Int = 5000, scaleX: Long = 1L,
+      scaleY: Long = 100L): DataFrame = {
+    require(maxN >= 2, s"maxN must be >= 2, got $maxN")
+    require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
+    val parts = groupCols.map(col)
+    val pts0 = df.select(parts :+ snap(xCol, scaleX).as("_cx") :+
+        snap(yCol, scaleY).as("_cy"): _*)
+      .filter(col("_cx").isNotNull && col("_cy").isNotNull)
+    val baskets = fanoutRepartition(pts0.groupBy(parts: _*)
+        .agg(sort_array(collect_list(struct(col("_cx").as("x"),
+          col("_cy").as("y")))).as("_pts")))
+      .withColumn("_pts",
+        when(size(col("_pts")) <= maxN, col("_pts"))
+          .otherwise(raise_error(concat(lit("theilSen: group size "),
+            size(col("_pts")).cast("string"),
+            lit(s" exceeds maxN=$maxN — pre-bucket the group or raise maxN")))))
+      .filter(size(col("_pts")) >= 2)
+      .localCheckpoint(true) // feeds the slope pairs AND the residual pass
+    val n = size(col("_pts"))
+    val pairExpr = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(sequence(i + 1, n - 1), j =>
+        struct(element_at(col("_pts"), i + 1)("x").as("xa"),
+          element_at(col("_pts"), i + 1)("y").as("ya"),
+          element_at(col("_pts"), j + 1)("x").as("xb"),
+          element_at(col("_pts"), j + 1)("y").as("yb")))))
+    val slopes = baskets.select(parts :+ explode(pairExpr).as("_p"): _*)
+      .filter(col("_p.xa") =!= col("_p.xb"))
+      .select(parts :+ ((col("_p.yb") - col("_p.ya")).cast("double") /
+        (col("_p.xb") - col("_p.xa")).cast("double")).as("_s"): _*)
+    val med = groupMedian(slopes, groupCols, "_s", "slopes")
+      .withColumnRenamed("slopes", "slope")
+    val points = baskets.select(parts :+ explode(col("_pts")).as("_pt"): _*)
+      .join(broadcast(med), groupCols)
+      .select(parts :+ col("slope") :+ col("n_slopes") :+
+        (col("_pt.y").cast("double") - col("slope") * col("_pt.x").cast("double"))
+          .as("_r"): _*)
+    groupMedian(points, groupCols :+ "slope" :+ "n_slopes", "_r", "points")
+      .withColumnRenamed("points", "intercept")
+      .select(parts ++ Seq(col("n_points"), col("n_slopes"), col("slope"),
+        col("intercept")): _*)
+  }
+
   /** Per-entity CUSUM changepoint detection — the sequential
     * mean-shift monitor (Page 1954): s⁺ accumulates positive deviations
     * past an allowance, s⁻ the negative ones, and a flag raises the

@@ -514,6 +514,29 @@ object Similarity {
       .toDF("i", "j", "mean_i", "mean_j", "cov")
   }
 
+  /** Per-dimension z-score standardization of an embedding column — the
+    * feature-scaling pass before distance-based ops (k-means, kNN) when
+    * dimensions carry different units. Stats ride [[covState]]'s one-pass
+    * buffer (means + variances are already in it — no second scan, no
+    * per-dimension groupBy); the d-row stat table is driver-sized and the
+    * transform itself is one NARROW pass. Output explodes to
+    * (id, i 1-based, x, z) rows so an external engine can verify value by
+    * value; dimensions with zero variance define z = 0 (a constant
+    * feature carries no signal — never a division by zero).
+    */
+  def standardize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (_, means, cov) = covState(df, vecCol)
+    val d = means.length
+    val mArr = array(means.map(lit): _*)
+    val sArr = array((0 until d).map(i => lit(math.sqrt(cov(i)(i)))): _*)
+    df.select(col(idCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("_p", "x")))
+      .select(col(idCol), (col("_p") + 1).cast("long").as("i"), col("x"),
+        when(element_at(sArr, col("_p") + 1) > 0.0,
+          (col("x") - element_at(mArr, col("_p") + 1)) /
+            element_at(sArr, col("_p") + 1))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
   /** Top principal component by power iteration on the d×d covariance of
     * [[covState]] (driver-side on the d²-sized state — the data itself is
     * touched exactly once). Deterministic: fixed uniform start vector,

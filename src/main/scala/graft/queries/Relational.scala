@@ -2544,11 +2544,72 @@ object Relational {
       .orderBy("node_a", "node_b")
   }
 
+  /** q94: Theil–Sen robust daily trend per event type
+    * ([[graft.operators.Relational.theilSen]]) — median pairwise slope +
+    * median residual intercept, every slope ONE division of exact longs
+    * and both medians rank-selected, so the result is BIT-exact
+    * cross-engine with no rounding anywhere (the q69/q77 contract on an
+    * order statistic). The oracle replays pair generation as a rank
+    * self-join (the slope multiset is symmetric, so any pair enumeration
+    * agrees) and both rank selections verbatim.
+    */
+  val q94 = QueryDef(
+    "q94_theil_sen", {
+      val lower = "CAST(floor((cnt + 1) / 2.0) AS BIGINT)"
+      val upper = "CAST(floor(cnt / 2.0) AS BIGINT) + 1"
+      s"""WITH p AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_ms(ts) AS cx,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cy
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT p.*, row_number() OVER (PARTITION BY event_type, day
+         |        ORDER BY cx, cy) AS prn FROM p),
+         |sl AS (SELECT a.event_type, a.day,
+         |         CAST(b.cy - a.cy AS DOUBLE) / CAST(b.cx - a.cx AS DOUBLE) AS s
+         |       FROM r a JOIN r b ON a.event_type = b.event_type
+         |         AND a.day = b.day AND a.prn < b.prn
+         |       WHERE a.cx <> b.cx),
+         |sr AS (SELECT sl.*, row_number() OVER (PARTITION BY event_type, day
+         |         ORDER BY s) AS rn,
+         |         count(*) OVER (PARTITION BY event_type, day) AS cnt FROM sl),
+         |med AS (SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS n_slopes,
+         |          sum(CASE WHEN rn = $lower OR rn = $upper THEN s END)
+         |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
+         |                THEN 1 ELSE 0 END) AS DOUBLE) AS slope
+         |        FROM sr GROUP BY 1, 2),
+         |res AS (SELECT p.event_type, p.day, med.slope, med.n_slopes,
+         |          CAST(p.cy AS DOUBLE) - med.slope * CAST(p.cx AS DOUBLE) AS rr
+         |        FROM p JOIN med USING (event_type, day)),
+         |rr2 AS (SELECT res.*, row_number() OVER (PARTITION BY event_type, day
+         |          ORDER BY rr) AS rn,
+         |          count(*) OVER (PARTITION BY event_type, day) AS cnt FROM res),
+         |fin AS (SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS n_points,
+         |          CAST(max(n_slopes) AS BIGINT) AS n_slopes,
+         |          max(slope) AS slope,
+         |          sum(CASE WHEN rn = $lower OR rn = $upper THEN rr END)
+         |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
+         |                THEN 1 ELSE 0 END) AS DOUBLE) AS intercept
+         |        FROM rr2 GROUP BY 1, 2)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  n_points, n_slopes, slope, intercept
+         |FROM fin ORDER BY event_type, day""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.Relational.theilSen(
+        Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
+          .withColumn("day", to_date(col("ts"))),
+        groupCols = Seq("event_type", "day"),
+        xCol = unix_millis(col("ts")), yCol = col("value"),
+        maxN = 2000, scaleX = 1L, scaleY = 100L)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
       q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93)
+      q93, q94)
 }

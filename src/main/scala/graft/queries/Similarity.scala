@@ -228,5 +228,28 @@ object Similarity {
       .orderBy("i", "j")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  /** s08: per-dimension z-score standardization ([[Ops.standardize]]) —
+    * stats come from the same one-pass s07 buffer (no second scan); the
+    * oracle recomputes mean/stddev_pop per dimension over the exploded
+    * values. Raw x is a float→double cast (exact on both engines, no
+    * rounding needed); z rounds at 6 dp.
+    */
+  val s08 = QueryDef(
+    "s08_standardize",
+    s"""WITH e AS (
+       |  SELECT vec_id, r.range AS i, CAST(embedding[r.range] AS DOUBLE) AS x
+       |  FROM embeddings, range(1, ${Dim + 1}) r),
+       |st AS (SELECT i, avg(x) AS m, stddev_pop(x) AS sd FROM e GROUP BY 1)
+       |SELECT vec_id, CAST(e.i AS BIGINT) AS i, e.x AS x,
+       |  CASE WHEN st.sd > 0.0 THEN ${mr("(e.x - st.m) / st.sd", 6)}
+       |       ELSE 0.0 END AS z
+       |FROM e JOIN st USING (i) ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding.mirrorRound
+    Ops.standardize(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("i"), col("x"),
+        mirrorRound(col("z"), 6).as("z"))
+      .orderBy("vec_id", "i")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

@@ -1099,6 +1099,38 @@ class RelationalOpsSuite extends SparkSpec {
     assert(late < early / 2, s"late $late vs early $early: ${preds.toSeq}")
   }
 
+  test("theilSen: outlier-immune median slope, equal-x pairs skipped, degenerate groups drop") {
+    import spark.implicits._
+    // group a: 4 collinear points (slope 1) + one wild outlier — 6 of 10
+    // pairwise slopes are clean, so the median stays exactly 1.0 and the
+    // median residual 0.0 (OLS would be dragged far off)
+    val a = Seq((0.0, 0.0), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (4.0, 400.0))
+      .map { case (x, y) => ("a", x, y) }
+    // group b: two points sharing x plus one more — the equal-x pair is
+    // skipped, leaving 2 finite slopes
+    val b = Seq(("b", 0.0, 0.0), ("b", 0.0, 10.0), ("b", 2.0, 4.0))
+    // group c: single point; group d: all points at one x — both drop
+    val c = Seq(("c", 1.0, 1.0))
+    val d = Seq(("d", 3.0, 1.0), ("d", 3.0, 2.0))
+    val df = (a ++ b ++ c ++ d).toDF("g", "x", "y")
+    val got = graft.operators.Relational.theilSen(df, Seq("g"),
+        col("x"), col("y"), maxN = 100, scaleX = 1L, scaleY = 1L)
+      .orderBy("g")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"), s"$got")
+    val ga = got.head
+    assert(ga == (("a", 5L, 10L, 1.0, 0.0)), s"$ga")
+    // b slopes: (0,0)->(2,4) = 2, (0,10)->(2,4) = -3; median = (−3+2)/2
+    val gb = got(1)
+    assert(gb._2 == 3L && gb._3 == 2L && gb._4 == -0.5, s"$gb")
+    // maxN guard raises in-plan with a clear message
+    val err = intercept[Exception] {
+      graft.operators.Relational.theilSen(df, Seq("g"), col("x"), col("y"),
+        maxN = 3, scaleX = 1L, scaleY = 1L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("expectations: one pass, NULL predicate is a violation, unique names enforced") {
     import spark.implicits._
     val df = Seq((Some(5), Some("a")), (Some(500), Some("b")), (None, Some("a")),

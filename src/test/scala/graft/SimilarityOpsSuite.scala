@@ -370,6 +370,18 @@ class SimilarityOpsSuite extends SparkSpec {
     }
   }
 
+  test("standardize: hand z-scores, constant dimension pins z=0, one stat pass") {
+    import spark.implicits._
+    // dim 1: values 0, 2 -> m=1, sd=1 -> z = -1, +1
+    // dim 2: constant 5 -> sd=0 -> z pinned 0.0 for every row
+    val df = Seq((1L, Seq(0f, 5f)), (2L, Seq(2f, 5f))).toDF("id", "v")
+    val got = Similarity.standardize(df, "id", "v")
+      .orderBy("id", "i").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0.0, -1.0), (1L, 2L, 5.0, 0.0),
+      (2L, 1L, 2.0, 1.0), (2L, 2L, 5.0, 0.0)), s"$got")
+  }
+
   test("covarianceMatrix rejects inconsistent dimensions and empty input") {
     import spark.implicits._
     val bad = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v")
