@@ -540,6 +540,74 @@ object Multimodal {
       .filter(col("frac") >= minFrac)
   }
 
+  final case class AudioBlockHash(id: Long, blockIdx: Int, hash: Long)
+
+  /** Audio envelope perceptual hash — the audio analogue of
+    * [[FrameHashStage]]: the decoded clip folds to a mono energy
+    * envelope (mean |sample| per `windowFrames`-frame window), and each
+    * block of `blockWindows` consecutive windows hashes to one 64-bit
+    * signature whose bit i says "window i's energy is at or above the
+    * block mean" — AMPLITUDE-invariant (uniform gain scales every energy
+    * and the mean together) the way aHash is brightness-invariant.
+    * Blocks hop by half a block, so a clip embedded at a half-block
+    * offset still produces aligned signatures; a trailing partial block
+    * is dropped (its mean would hash a different-length profile).
+    */
+  final class AudioEnvelopeHashStage(windowFrames: Int = 256,
+      blockWindows: Int = 64, override val batchSize: Int = 32)
+      extends Stage[AudioClip, AudioBlockHash] {
+    require(windowFrames >= 1, "windowFrames must be >= 1")
+    require(blockWindows >= 2 && blockWindows <= 64,
+      "blockWindows must be in [2, 64] (one long per block)")
+    override def process(batch: Seq[AudioClip]): Seq[AudioBlockHash] =
+      batch.flatMap { c =>
+        val ch = math.max(1, c.channels)
+        val frames = c.samples.length / ch
+        val nWin = frames / windowFrames
+        val energies = Array.tabulate(nWin) { w =>
+          var s = 0.0
+          var f = w * windowFrames
+          val end = f + windowFrames
+          while (f < end) {
+            var k = 0
+            var m = 0.0
+            while (k < ch) { m += math.abs(c.samples(f * ch + k).toDouble); k += 1 }
+            s += m / ch
+            f += 1
+          }
+          s / windowFrames
+        }
+        val hop = math.max(1, blockWindows / 2)
+        val blocks =
+          if (nWin < blockWindows) 0 else (nWin - blockWindows) / hop + 1
+        (0 until blocks).map { b =>
+          val off = b * hop
+          var mean = 0.0
+          var i = 0
+          while (i < blockWindows) { mean += energies(off + i); i += 1 }
+          mean /= blockWindows
+          var h = 0L
+          i = 0
+          while (i < blockWindows) {
+            if (energies(off + i) >= mean) h |= (1L << i)
+            i += 1
+          }
+          AudioBlockHash(c.id, b, h)
+        }
+      }
+  }
+
+  /** Audio-level near-duplicate pairs over envelope block hashes:
+    * [[videoNearDupPairs]] IS the operator — its pigeonhole chunk-join /
+    * hot-chunk cap / shorter-side coverage machinery is media-agnostic
+    * over (id, index, 64-bit hash) rows, so audio rides it unchanged.
+    */
+  def audioNearDupPairs(blocks: org.apache.spark.sql.DataFrame, idCol: String,
+      blockCol: String, hashCol: String, maxHamming: Int = 3,
+      minFrac: Double = 0.5, maxChunkDf: Int = 10000): org.apache.spark.sql.DataFrame =
+    videoNearDupPairs(blocks, idCol, blockCol, hashCol, maxHamming, minFrac,
+      maxChunkDf)
+
   /** Sample every k-th "frame" (row stripe) and fingerprint it — the
     * video-frame-sampling analogue over the fake pixel planes.
     */

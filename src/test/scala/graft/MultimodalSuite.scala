@@ -125,6 +125,53 @@ class MultimodalSuite extends SparkSpec {
     assert(feats.zeroCrossRate == 1.0)                   // sign flips every sample
   }
 
+  test("M6: audio near-dup — envelope block hashes are amplitude-invariant, different clips stay apart") {
+    import spark.implicits._
+    def wavOf(samples: Array[Short]): Array[Byte] = {
+      val dataBytes = 2 * samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes).put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      samples.foreach(bb.putShort(_))
+      bb.array()
+    }
+    // envelope = per-window constant amplitude from a seeded RNG, EVEN
+    // values so the half-gain copy (>> 1) scales every energy EXACTLY by
+    // 0.5 and the above-block-mean bits are identical
+    val windowFrames = 4
+    val nWin = 96 // 64-window blocks, hop 32 -> 2 full blocks
+    // amplitude constant per WINDOW (the envelope is what's hashed)
+    def envelope(seed: Int): Array[Short] = {
+      val rnd = new scala.util.Random(seed)
+      val amps = Array.fill(nWin)((rnd.nextInt(8000) + 100) * 2)
+      Array.tabulate(nWin * windowFrames) { i =>
+        val amp = amps(i / windowFrames)
+        (if (i % 2 == 0) amp else -amp).toShort
+      }
+    }
+    val a = envelope(1)
+    val half = a.map(s => (s / 2).toShort) // even values: exact halving
+    val other = envelope(2)
+    val clips = spark.createDataset(Seq(
+      MediaRow(1L, wavOf(a)), MediaRow(2L, wavOf(half)), MediaRow(3L, wavOf(other))))
+    val hashes = Pipeline.from(clips)
+      .stage(new AudioDecodeStage())
+      .stage(new AudioEnvelopeHashStage(windowFrames = windowFrames, blockWindows = 64))
+      .run().toDF()
+    // 2 blocks per clip; clip 2's hashes equal clip 1's bit for bit
+    val h = hashes.as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(h(1L).length == 2, h.toString)
+    assert(h(1L).map(x => (x._2, x._3)).toSet == h(2L).map(x => (x._2, x._3)).toSet)
+    val pairs = graft.operators.Multimodal.audioNearDupPairs(
+        hashes, "id", "blockIdx", "hash", maxHamming = 3, minFrac = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"$pairs")
+    assert(pairs.head._4 == 1.0, s"$pairs")
+  }
+
   test("M3: video near-dup — decode -> frame aHash -> chunk-join pairs") {
     import spark.implicits._
     def gifOf(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
