@@ -1,0 +1,229 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, ExpressionInfo, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.DataType
+
+/** AS-OF join as a first-class Catalyst operator — the full extension
+  * ladder: a logical [[GraftAsofJoin]] node, a planner [[GraftStrategy]]
+  * (registered via [[GraftExtensions]] / `spark.sql.extensions` or
+  * self-registered through `experimental.extraStrategies`), and a
+  * physical [[AsofMergeJoinExec]] that merge-joins two sorted streams.
+  *
+  * Spark has no physical as-of operator: its own `AsOfJoin` logical node
+  * (the pandas-on-Spark `merge_asof` entry) is REWRITTEN by
+  * `RewriteAsOfJoin` into joinWith + aggregation, and graft's
+  * [[graft.operators.Relational.asofJoin]] uses the union+window trick —
+  * both correct, but both pay for machinery beyond the semantics: the
+  * rewrite materializes every (left, candidate-right) pair into a
+  * struct-min aggregation; the union trick runs a window function over
+  * the MIXED row stream and carries both sides' columns on every row.
+  *
+  * The merge exec pays exactly the lower bound: one hash exchange per
+  * side on the equality keys (co-partitioned by `EnsureRequirements`,
+  * exactly like SortMergeJoin), one in-partition sort per side, then a
+  * single forward-only merge pass holding ONE buffered right row of
+  * state per partition — no pair blow-up, no mixed-stream window, no
+  * per-group buffering, so a 100 TB left side streams through at scan
+  * speed regardless of how many right rows share a key.
+  *
+  * Semantics (backward as-of, the common "latest reading at or before
+  * the event" enrichment): for each left row, the LAST right row with
+  * equal keys and `rightTs <= leftTs`, "last" under (rightTs, tieBreak)
+  * ascending — i.e. the max-(ts, tie) qualifying right row,
+  * deterministic when tieBreak breaks ts ties. `outer = false` drops
+  * unmatched left rows (inner as-of); `outer = true` keeps them with
+  * null right columns. Null keys and null timestamps never match (SQL
+  * comparison semantics), mirroring the reference pipeline's join
+  * stages (cosmos_xenna/pipelines/v1/planning.py builds equivalent
+  * enrichment joins declaratively).
+  */
+case class GraftAsofJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Seq[Expression], outer: Boolean) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs one or more equality key pairs")
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): GraftAsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[GraftAsofJoin]] → [[AsofMergeJoinExec]]; everything else
+  * falls through to Spark's built-in strategies.
+  */
+class GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GraftAsofJoin(l, r, lk, rk, lts, rts, tie, outer) =>
+      AsofMergeJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` wires the engine
+  * into ANY session declaratively (spark-submit clusters, notebooks):
+  * the as-of planner strategy plus graft's codegen expressions as SQL
+  * functions (`graft_poly_hash`, usable from pure-SQL pipelines).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => new GraftStrategy)
+    e.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[graft.functions.GraftExpressions.PolyHash].getName,
+        "graft_poly_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_poly_hash(text) takes one argument")
+        graft.functions.GraftExpressions.PolyHash(args.head)
+      }))
+  }
+}
+
+object GraftAsofJoin {
+  /** DataFrame-level entry: `asofJoinMerge(purchases, clicks,
+    * Seq("user"), Seq("user"), "p_ms", "c_ms", tieBreak = Seq("c_id"))`.
+    * Registers [[GraftStrategy]] on the session's public
+    * `experimental.extraStrategies` hook if no extension did, so the
+    * operator works without session-construction-time config. Inputs
+    * should be pre-projected to needed columns: Catalyst cannot prune
+    * columns THROUGH a node type it doesn't know.
+    */
+  def asofJoinMerge(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String,
+      tieBreak: Seq[String] = Nil, outer: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    val exp = spark.experimental
+    if (!exp.extraStrategies.exists(_.isInstanceOf[GraftStrategy]))
+      exp.extraStrategies = exp.extraStrategies :+ new GraftStrategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))
+    Bridge.ofRows(spark, GraftAsofJoin(lp, rp,
+      leftKeys.map(attr(lp, _, "left")), rightKeys.map(attr(rp, _, "right")),
+      attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
+      tieBreak.map(attr(rp, _, "right")), outer))
+  }
+}
+
+/** Sort-merge backward as-of join. Children arrive co-hash-partitioned
+  * on the equality keys and sorted by (keys, ts) — `EnsureRequirements`
+  * inserts the exchanges/sorts from the declared requirements below, so
+  * AQE still coalesces/re-plans them like any join's. The merge itself
+  * is a forward-only two-pointer pass: per left row, consume right rows
+  * while behind, remember the latest qualifying one (O(1) state — ONE
+  * copied row), emit. Both inputs stream; neither side is ever
+  * collected, buffered per group, or re-scanned.
+  */
+case class AsofMergeJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Seq[Expression], outer: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTs, Ascending) +: rightTieBreak.map(SortOrder(_, Ascending))))
+
+  // one output row per (surviving) left row, in the left child's layout
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofMergeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    // capture plain vals — the closure must not drag the SparkPlan along
+    val (lOut, rOut) = (left.output, right.output)
+    val (lKeysB, rKeysB, lTsB, rTsB) = (leftKeys, rightKeys, leftTs, rightTs)
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    val (isOuter, outAttrs) = (outer, output)
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIterRaw) =>
+      def ordFor(types: Seq[DataType]) = {
+        val attrs = types.map(t => AttributeReference("c", t)())
+        GenerateOrdering.generate(attrs.map(SortOrder(_, Ascending)), attrs)
+      }
+      val keyOrd = ordFor(keyTypes)
+      val tsOrd = ordFor(Seq(tsType))
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lmKeyProj = UnsafeProjection.create(rKeysB, rOut) // separate buffer for lastMatch's key
+      val lTsProj = UnsafeProjection.create(Seq(lTsB), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsB), rOut)
+      // in outer mode the null-filled right row must bind as NULLABLE, or
+      // the bound references skip the null check and read zeros
+      val rBind = if (isOuter) rOut.map(_.withNullability(true)) else rOut
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rBind)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+      val rIter = rIterRaw.buffered
+
+      new Iterator[InternalRow] {
+        private var lastMatch: InternalRow = _ // latest qualifying right row (copied)
+        private var ready: InternalRow = _
+
+        private def advance(): Unit = {
+          ready = null
+          while (ready == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lKeyRow = lKeyProj(l)
+            val lTsRow = lTsProj(l)
+            if (lKeyRow.anyNull || lTsRow.isNullAt(0)) {
+              if (isOuter) ready = resultProj(joined(l, nullRight))
+            } else {
+              if (lastMatch != null && keyOrd.compare(lmKeyProj(lastMatch), lKeyRow) != 0)
+                lastMatch = null
+              var scanning = true
+              while (scanning && rIter.hasNext) {
+                val rKeyRow = rKeyProj(rIter.head)
+                val c = if (rKeyRow.anyNull) -1 else keyOrd.compare(rKeyRow, lKeyRow)
+                if (c < 0) rIter.next() // key behind every remaining left row's
+                else if (c > 0) scanning = false
+                else {
+                  val rTsRow = rTsProj(rIter.head)
+                  if (rTsRow.isNullAt(0)) rIter.next() // null ts never matches
+                  else if (tsOrd.compare(rTsRow, lTsRow) <= 0) lastMatch = rIter.next().copy()
+                  else scanning = false // sorted: no earlier right ts remains
+                }
+              }
+              if (lastMatch != null) ready = resultProj(joined(l, lastMatch))
+              else if (isOuter) ready = resultProj(joined(l, nullRight))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = { if (ready == null) advance(); ready != null }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException("empty iterator")
+          val out = ready; ready = null; out
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.plans.{GraftAsofJoin, GraftExtensions, GraftStrategy}
+
+class AsofNativeSuite extends SparkSpec {
+
+  private def leftDf(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("l_id", "l_key", "l_ts")
+  }
+  private def rightDf(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("r_id", "r_key", "r_ts")
+  }
+
+  test("A1: backward as-of picks the latest right row at or before each left ts") {
+    val l = leftDf(Seq((1L, "a", 100L), (2L, "a", 205L), (3L, "b", 50L), (4L, "c", 10L)))
+    val r = rightDf(Seq(
+      (10L, "a", 90L), (11L, "a", 100L), (12L, "a", 210L), // 100 ties left ts -> inclusive
+      (13L, "b", 49L), (14L, "b", 51L)))
+    val out = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_id"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // l1@100 -> r11 (ts 100 inclusive beats 90); l2@205 -> r11 (210 is after);
+    // l3@50 -> r13; l4 has no right key -> dropped (inner)
+    assert(out == Set((1L, 11L), (2L, 11L), (3L, 13L)))
+  }
+
+  test("A2: ts ties on the right break by tieBreak ascending, last wins") {
+    val l = leftDf(Seq((1L, "k", 100L)))
+    val r = rightDf(Seq((7L, "k", 100L), (9L, "k", 100L), (8L, "k", 100L)))
+    val out = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_id"))
+      .select("r_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(9L)) // max r_id among the ts ties
+  }
+
+  test("A3: outer keeps unmatched lefts with null right columns; nulls never match") {
+    import spark.implicits._
+    val l = Seq((1L, Option("a"), Option(100L)), (2L, Option("z"), Option(100L)),
+        (3L, None: Option[String], Option(100L)), (4L, Option("a"), None: Option[Long]))
+      .toDF("l_id", "l_key", "l_ts")
+    val r = Seq((10L, Option("a"), Option(90L)), (11L, Option("a"), None: Option[Long]),
+        (12L, None: Option[String], Option(1L)))
+      .toDF("r_id", "r_key", "r_ts")
+    val out = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_id"), outer = true)
+      .select("l_id", "r_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+    // only l1 matches (r10; r11's null ts and r12's null key never match);
+    // l2 (no key), l3 (null key), l4 (null ts) survive with null right
+    assert(out == Set((1L, 10L), (2L, -1L), (3L, -1L), (4L, -1L)))
+    // inner drops the same three
+    val inner = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+      "l_ts", "r_ts", tieBreak = Seq("r_id")).select("l_id").collect().map(_.getLong(0)).toSeq
+    assert(inner == Seq(1L))
+  }
+
+  test("A4: randomized parity with the union+window asofJoin under heavy key/ts collisions") {
+    val rnd = new scala.util.Random(42)
+    // tiny key/ts domains force every edge: shared keys, ts ties, empty sides
+    val l = leftDf((1L to 400L).map(i => (i, "k" + rnd.nextInt(12), rnd.nextInt(40).toLong)))
+    val r = rightDf((1L to 400L).map(i => (i, "k" + rnd.nextInt(14), rnd.nextInt(40).toLong)))
+    val native = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_id"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val viaWindow = graft.operators.Relational.asofJoin(
+        l, r, leftKey = "l_key", rightKey = "r_key", leftTs = "l_ts", rightTs = "r_ts",
+        leftId = "l_id", rightId = "r_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(native == viaWindow)
+    assert(native.nonEmpty)
+  }
+
+  test("A5: plan shape — AsofMergeJoinExec with co-partitioning exchanges, no Window") {
+    val l = leftDf((1L to 100L).map(i => (i, "k" + i % 5, i)))
+    val r = rightDf((1L to 100L).map(i => (i, "k" + i % 7, i / 2)))
+    val df = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+      "l_ts", "r_ts", tieBreak = Seq("r_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofMergeJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    // both sides hash-exchanged on their keys and sorted — the SMJ shape
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size >= 2, plan)
+    assert(plan.toLowerCase.contains("sort"), plan)
+  }
+
+  test("A6: GraftExtensions injects the planner strategy and SQL function") {
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    val strategies = org.apache.spark.sql.graftbridge.Bridge.plannerStrategies(e, spark)
+    assert(strategies.exists(_.isInstanceOf[GraftStrategy]))
+    // the injected expression builder produces the same hash the column API does
+    import spark.implicits._
+    graft.functions.GraftExpressions.register(spark)
+    val viaColumn = Seq("hello graft").toDF("t")
+      .select(graft.functions.GraftExpressions.polyHash(col("t"))).collect().head.getLong(0)
+    val viaBuilder = {
+      val expr = graft.functions.GraftExpressions.PolyHash(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          org.apache.spark.unsafe.types.UTF8String.fromString("hello graft"),
+          org.apache.spark.sql.types.StringType))
+      expr.eval(null).asInstanceOf[Long]
+    }
+    assert(viaColumn == viaBuilder)
+  }
+}
