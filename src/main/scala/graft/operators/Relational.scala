@@ -1581,14 +1581,21 @@ object Relational {
     }
     val fit = udf { (xs: Seq[Long], ys: Seq[Long]) =>
       val n = xs.length
+      // unbox ONCE: the O(n²) loop over Seq[Long] pays boxed access +
+      // megamorphic dispatch per element (~150 ns/pair measured, 5 s at
+      // 33M pairs); over primitive arrays it is ~3 ns/pair
+      val xa = new Array[Long](n)
+      val ya = new Array[Long](n)
+      var i = 0
+      while (i < n) { xa(i) = xs(i); ya(i) = ys(i); i += 1 }
       val slopes = new Array[Double](n * (n - 1) / 2)
       var m = 0
-      var i = 0
+      i = 0
       while (i < n) {
         var j = i + 1
         while (j < n) {
-          if (xs(i) != xs(j)) {
-            slopes(m) = (ys(j) - ys(i)).toDouble / (xs(j) - xs(i)).toDouble
+          if (xa(i) != xa(j)) {
+            slopes(m) = (ya(j) - ya(i)).toDouble / (xa(j) - xa(i)).toDouble
             m += 1
           }
           j += 1
@@ -1601,11 +1608,16 @@ object Relational {
         val slope = medianOf(slopes, m)
         val res = new Array[Double](n)
         i = 0
-        while (i < n) { res(i) = ys(i).toDouble - slope * xs(i).toDouble; i += 1 }
+        while (i < n) { res(i) = ya(i).toDouble - slope * xa(i).toDouble; i += 1 }
         java.util.Arrays.sort(res)
         Some(TheilSenFit(n.toLong, m.toLong, slope, medianOf(res, n)))
       }
-    }
+      // .asNondeterministic() is a REWRITE FENCE, not a semantics claim:
+      // the fit is pure, but a "deterministic" UDF gets inlined into
+      // every use site (the null filter pushes through the Project, the
+      // four field extractions collapse onto it) and the O(n²) loop runs
+      // 5× per basket — measured as a q94 timeout at sf0.1.
+    }.asNondeterministic()
     baskets
       .withColumn("_fit", fit(
         transform(col("_pts"), p => p("x")), transform(col("_pts"), p => p("y"))))
