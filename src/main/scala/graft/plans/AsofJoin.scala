@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, ExpressionInfo, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.DataType
@@ -50,7 +50,8 @@ case class GraftAsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    rightTieBreak: Seq[Expression], outer: Boolean) extends BinaryNode {
+    rightTieBreak: Seq[Expression], outer: Boolean,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs one or more equality key pairs")
@@ -63,13 +64,26 @@ case class GraftAsofJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[GraftAsofJoin]] → [[AsofMergeJoinExec]]; everything else
-  * falls through to Spark's built-in strategies.
+/** Plans [[GraftAsofJoin]] cost-based, the same decision Spark's
+  * JoinSelection makes for equi-joins: a right side whose estimated size
+  * fits under `spark.sql.autoBroadcastJoinThreshold` plans to
+  * [[BroadcastAsofJoinExec]] — the (100 TB) left side then NEVER
+  * shuffles or sorts, it streams narrowly against a per-executor sorted
+  * index of the small side — while a large right side plans to the
+  * co-partitioned [[AsofMergeJoinExec]]. `broadcastHint` overrides in
+  * either direction (the `broadcast()`-hint analogue for a node type
+  * Spark's hint resolution doesn't know). Everything else falls through
+  * to Spark's built-in strategies.
   */
 class GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GraftAsofJoin(l, r, lk, rk, lts, rts, tie, outer) =>
-      AsofMergeJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
+    case GraftAsofJoin(l, r, lk, rk, lts, rts, tie, outer, hint) =>
+      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val small = threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold
+      if (hint.getOrElse(small))
+        BroadcastAsofJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
+      else
+        AsofMergeJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -105,7 +119,8 @@ object GraftAsofJoin {
   def asofJoinMerge(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTs: String, rightTs: String,
-      tieBreak: Seq[String] = Nil, outer: Boolean = false): DataFrame = {
+      tieBreak: Seq[String] = Nil, outer: Boolean = false,
+      broadcast: Option[Boolean] = None): DataFrame = {
     val spark = left.sparkSession
     val exp = spark.experimental
     if (!exp.extraStrategies.exists(_.isInstanceOf[GraftStrategy]))
@@ -118,7 +133,7 @@ object GraftAsofJoin {
     Bridge.ofRows(spark, GraftAsofJoin(lp, rp,
       leftKeys.map(attr(lp, _, "left")), rightKeys.map(attr(rp, _, "right")),
       attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
-      tieBreak.map(attr(rp, _, "right")), outer))
+      tieBreak.map(attr(rp, _, "right")), outer, broadcast))
   }
 }
 
@@ -223,6 +238,102 @@ case class AsofMergeJoinExec(
           if (!hasNext) throw new NoSuchElementException("empty iterator")
           val out = ready; ready = null; out
         }
+      }
+    }
+  }
+}
+
+/** Broadcast backward as-of join — the plan when the right side is a
+  * small dimension (sensor calibration tables, price books, config
+  * snapshots): the right side broadcasts once (IdentityBroadcastMode →
+  * one torrent-broadcast array per executor), each partition groups it
+  * into per-key (ts, tieBreak)-sorted buckets, and the left side — the
+  * at-scale fact stream — passes through NARROWLY: no exchange, no
+  * sort, partitioning and ordering preserved, one hash lookup + binary
+  * search per row. The per-partition index build is O(|R| log |R|) on
+  * the broadcast-small side, the same trade Spark's own
+  * BroadcastHashJoin makes rebuilding its HashedRelation per task.
+  * Semantics are identical to [[AsofMergeJoinExec]] (same tie rule,
+  * null rules, inner/outer) — [[GraftStrategy]] picks between them on
+  * right-side size alone, and the A7 spec holds them equal row-for-row.
+  */
+case class BroadcastAsofJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Seq[Expression], outer: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  // narrow over the left: everything the left child guarantees survives
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val (lOut, rOut) = (left.output, right.output)
+    val (lKeysB, rKeysB, lTsB, rTsB, tieB) = (leftKeys, rightKeys, leftTs, rightTs, rightTieBreak)
+    val tsType = leftTs.dataType
+    val (isOuter, outAttrs) = (outer, output)
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+
+    left.execute().mapPartitions { lIter =>
+      val tsAttr = Seq(AttributeReference("c", tsType)())
+      val tsOrd = GenerateOrdering.generate(tsAttr.map(SortOrder(_, Ascending)), tsAttr)
+      // sort candidates by (ts, tieBreak) over full right rows — "last
+      // at-or-before" is then the rightmost binary-search hit
+      val bucketOrd = GenerateOrdering.generate(
+        SortOrder(rTsB, Ascending) +: tieB.map(SortOrder(_, Ascending)), rOut)
+      val rKeyProj = UnsafeProjection.create(rKeysB, rOut)
+      val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
+      val lTsProj = UnsafeProjection.create(Seq(lTsB), lOut)
+      val rTsProj = UnsafeProjection.create(Seq(rTsB), rOut)
+      val rBind = if (isOuter) rOut.map(_.withNullability(true)) else rOut
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ rBind)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.size)
+
+      val index = new java.util.HashMap[InternalRow, Array[InternalRow]]()
+      locally {
+        val grouping = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull && !rTsProj(r).isNullAt(0)) {
+            var b = grouping.get(k)
+            if (b == null) { b = new scala.collection.mutable.ArrayBuffer[InternalRow]; grouping.put(k.copy(), b) }
+            b += r // broadcast rows are already stable copies
+          }
+        }
+        grouping.forEach { (k, b) => index.put(k, b.sortInPlace()(bucketOrd).toArray) }
+      }
+
+      lIter.flatMap { l =>
+        val lKeyRow = lKeyProj(l)
+        val lTsRow = lTsProj(l)
+        var matched: InternalRow = null
+        if (!lKeyRow.anyNull && !lTsRow.isNullAt(0)) {
+          val bucket = index.get(lKeyRow)
+          if (bucket != null) {
+            // rightmost row with rts <= lts
+            var lo = 0
+            var hi = bucket.length - 1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (tsOrd.compare(rTsProj(bucket(mid)), lTsRow) <= 0) { matched = bucket(mid); lo = mid + 1 }
+              else hi = mid - 1
+            }
+          }
+        }
+        if (matched != null) Iterator.single(resultProj(joined(l, matched)))
+        else if (isOuter) Iterator.single(resultProj(joined(l, nullRight)))
+        else Iterator.empty
       }
     }
   }

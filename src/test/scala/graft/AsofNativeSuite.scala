@@ -64,22 +64,23 @@ class AsofNativeSuite extends SparkSpec {
     // tiny key/ts domains force every edge: shared keys, ts ties, empty sides
     val l = leftDf((1L to 400L).map(i => (i, "k" + rnd.nextInt(12), rnd.nextInt(40).toLong)))
     val r = rightDf((1L to 400L).map(i => (i, "k" + rnd.nextInt(14), rnd.nextInt(40).toLong)))
-    val native = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
-        "l_ts", "r_ts", tieBreak = Seq("r_id"))
+    def native(b: Boolean) = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_id"), broadcast = Some(b))
       .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     val viaWindow = graft.operators.Relational.asofJoin(
         l, r, leftKey = "l_key", rightKey = "r_key", leftTs = "l_ts", rightTs = "r_ts",
         leftId = "l_id", rightId = "r_id")
       .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
-    assert(native == viaWindow)
-    assert(native.nonEmpty)
+    assert(native(false) == viaWindow)
+    assert(native(true) == viaWindow)
+    assert(viaWindow.nonEmpty)
   }
 
   test("A5: plan shape — AsofMergeJoinExec with co-partitioning exchanges, no Window") {
     val l = leftDf((1L to 100L).map(i => (i, "k" + i % 5, i)))
     val r = rightDf((1L to 100L).map(i => (i, "k" + i % 7, i / 2)))
     val df = GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
-      "l_ts", "r_ts", tieBreak = Seq("r_id"))
+      "l_ts", "r_ts", tieBreak = Seq("r_id"), broadcast = Some(false))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofMergeJoin"), plan)
@@ -87,6 +88,31 @@ class AsofNativeSuite extends SparkSpec {
     // both sides hash-exchanged on their keys and sorted — the SMJ shape
     assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size >= 2, plan)
     assert(plan.toLowerCase.contains("sort"), plan)
+  }
+
+  test("A7: broadcast variant — identical rows to merge, narrow left (no shuffle)") {
+    val rnd = new scala.util.Random(7)
+    val l = leftDf((1L to 300L).map(i => (i, "k" + rnd.nextInt(10), rnd.nextInt(30).toLong)))
+    val r = rightDf((1L to 120L).map(i => (i, "k" + rnd.nextInt(12), rnd.nextInt(30).toLong)))
+    def run(broadcast: Option[Boolean], outer: Boolean) =
+      GraftAsofJoin.asofJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_id"), outer = outer, broadcast = broadcast)
+    for (outer <- Seq(false, true)) {
+      val viaB = run(Some(true), outer)
+      val viaM = run(Some(false), outer)
+      val rowsB = viaB.collect().map(_.toSeq.map(v => if (v == null) "∅" else v.toString).mkString("|")).toSeq.sorted
+      val rowsM = viaM.collect().map(_.toSeq.map(v => if (v == null) "∅" else v.toString).mkString("|")).toSeq.sorted
+      assert(rowsB == rowsM, s"outer=$outer")
+      val planB = viaB.queryExecution.executedPlan.toString
+      assert(planB.contains("BroadcastAsofJoin"), planB)
+      assert(planB.contains("BroadcastExchange"), planB)
+      // the left side never shuffles under the broadcast plan
+      assert(!planB.toLowerCase.contains("hashpartitioning"), planB)
+    }
+    // strategy auto-picks broadcast for an under-threshold right side
+    val auto = run(None, outer = false)
+    auto.collect()
+    assert(auto.queryExecution.executedPlan.toString.contains("BroadcastAsofJoin"))
   }
 
   test("A6: GraftExtensions injects the planner strategy and SQL function") {
