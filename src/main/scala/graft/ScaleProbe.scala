@@ -43,6 +43,7 @@ object ScaleProbe {
     if (mode == "ext4") { ext4(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext5") { ext5(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext6") { ext6(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext7") { ext7(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -921,5 +922,80 @@ object ScaleProbe {
     val e = spark.read.parquet(s"$out/embeddings.parquet")
     time("s07 covariance")(
       Similarity.covarianceMatrix(e, "embedding").count())
+  }
+
+  /** ext7 (round 6): the as-of family at ×f, the merge-vs-broadcast
+    * crossover evidence for §4. Events replicate with user ids shifted
+    * (key cardinality ×f, per-key history constant) — the fact-fact
+    * case should scale ~linearly for BOTH the union+window formulation
+    * and the native merge (same shuffle volume), with the merge ahead on
+    * constant factors (no mixed-stream window machinery). The dimension
+    * case maps the ×f fact keys back onto the FIXED original key space
+    * and enriches against the un-replicated click table: broadcast skips
+    * the fact shuffle entirely (expect ~scan-time, flat in the right
+    * side), while the same join forced to merge pays the ×f exchange —
+    * the gap IS the 100 TB argument for cost-based as-of selection.
+    * Theil–Sen replicates with ts shifted by 370 days per replica
+    * (groups ×f, points-per-group constant): the local per-basket fit
+    * should scale ~linearly with basket count.
+    */
+  private def ext7(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.Relational
+    import graft.plans.GraftAsofJoin
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val ev0 = graft.sources.Tables.events(spark, src)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_millis(col("ts")).as("tms"), col("value"))
+    val maxUid = ev0.agg(max(col("user_id"))).head().getLong(0) + 1
+    val maxEid = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUid)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEid)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events7.parquet")
+    val ev = spark.read.parquet(s"$out/events7.parquet")
+    println(s"[scale x$factor] events=${ev.count()}")
+
+    def purchases(e: org.apache.spark.sql.DataFrame) =
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+          col("tms").as("p_ms"))
+    def clicks(e: org.apache.spark.sql.DataFrame) =
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+          col("tms").as("c_ms"))
+
+    // fact-fact at ×f: both sides big, expect ~linear for both forms
+    time("asof union+window xf")(
+      Relational.asofJoin(purchases(ev), clicks(ev), "p_user", "c_user",
+        "p_ms", "c_ms", "p_event_id", "c_event_id").count())
+    time("asof merge xf")(
+      GraftAsofJoin.asofJoinMerge(purchases(ev), clicks(ev),
+        Seq("p_user"), Seq("c_user"), "p_ms", "c_ms",
+        tieBreak = Seq("c_event_id"), broadcast = Some(false)).count())
+
+    // dimension case: ×f facts, FIXED small right side — the broadcast
+    // plan never shuffles the facts; the merge plan pays the exchange
+    val factsOnDim = purchases(ev).withColumn("p_user", col("p_user") % maxUid)
+    val dim = clicks(ev0).repartition(8)
+    time("asof broadcast dim xf")(
+      GraftAsofJoin.asofJoinMerge(factsOnDim, dim, Seq("p_user"), Seq("c_user"),
+        "p_ms", "c_ms", tieBreak = Seq("c_event_id"), broadcast = Some(true)).count())
+    time("asof merge dim xf")(
+      GraftAsofJoin.asofJoinMerge(factsOnDim, dim, Seq("p_user"), Seq("c_user"),
+        "p_ms", "c_ms", tieBreak = Seq("c_event_id"), broadcast = Some(false)).count())
+
+    // Theil-Sen with groups xf (ts shifted a year per replica so days
+    // never collide): local fit, expect ~linear in baskets
+    val evShift = ev.withColumn("tms", col("tms") + col("rep") * lit(370L * 86400000L))
+      .withColumn("day", to_date(timestamp_millis(col("tms"))))
+      .filter(col("event_type").isNotNull)
+    time("theilSen groups xf")(
+      Relational.theilSen(evShift, Seq("event_type", "day"),
+        col("tms").cast("double"), col("value"),
+        maxN = 2000, scaleX = 1L, scaleY = 100L).count())
   }
 }

@@ -94,16 +94,29 @@ class GraftStrategy extends SparkStrategy {
   * functions (`graft_poly_hash`, usable from pure-SQL pipelines).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import graft.functions.{GraftExpressions => GE, SignatureExpressions => SE}
+
+  private def fn(e: SparkSessionExtensions, name: String, arity: Int)(
+      builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GE.PolyHash].getName.stripSuffix("PolyHash"), name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name takes $arity argument(s)")
+        builder(args)
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => new GraftStrategy)
-    e.injectFunction((
-      FunctionIdentifier("graft_poly_hash"),
-      new ExpressionInfo(classOf[graft.functions.GraftExpressions.PolyHash].getName,
-        "graft_poly_hash"),
-      (args: Seq[Expression]) => {
-        require(args.length == 1, "graft_poly_hash(text) takes one argument")
-        graft.functions.GraftExpressions.PolyHash(args.head)
-      }))
+    // the full codegen-expression surface, SQL-callable (same names the
+    // imperative register() helpers install per-session)
+    fn(e, "graft_poly_hash", 1)(a => GE.PolyHash(a.head))
+    fn(e, "graft_cosine", 2)(a => GE.CosineSim(a(0), a(1)))
+    fn(e, "graft_hyperplane_bands", 3)(a => GE.HyperplaneBandKeys(a(0), a(1), a(2)))
+    fn(e, "graft_shingle_hash", 1)(a => SE.ShingleHash(a.head))
+    fn(e, "graft_minhash_bands", 1)(a => SE.MinhashBandKeys(a.head))
+    fn(e, "graft_simhash", 1)(a => SE.Simhash(a.head))
+    fn(e, "graft_shingle_count", 1)(a => SE.DistinctShingleCount(a.head))
   }
 }
 

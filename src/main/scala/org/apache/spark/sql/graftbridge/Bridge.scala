@@ -23,4 +23,14 @@ object Bridge {
   def plannerStrategies(e: org.apache.spark.sql.SparkSessionExtensions,
       spark: org.apache.spark.sql.SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
     e.buildPlannerStrategies(spark)
+
+  /** Spec doorway: install the extensions' injected function builders
+    * into a live session's registry — the same `registerFunctions` call
+    * session construction makes for `.withExtensions(...)` sessions, so
+    * specs can exercise the injected SQL surface without building a
+    * second SparkContext. (`registerFunctions` is `private[sql]`.)
+    */
+  def registerInjectedFunctions(e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    e.registerFunctions(spark.sessionState.functionRegistry)
 }

@@ -134,4 +134,43 @@ class AsofNativeSuite extends SparkSpec {
     }
     assert(viaColumn == viaBuilder)
   }
+
+  test("A8: the full injected SQL-function surface runs end-to-end and matches the Column API") {
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e)
+    // same registerFunctions call a .withExtensions(...) session makes
+    org.apache.spark.sql.graftbridge.Bridge.registerInjectedFunctions(e, spark)
+    import spark.implicits._
+    Seq(("alpha beta gamma beta alpha beta gamma delta", Array(1.0f, -0.5f), Array(0.8f, 0.1f)))
+      .toDF("t", "va", "vb").createOrReplaceTempView("ext_fn_probe")
+    val row = spark.sql(
+      """SELECT graft_poly_hash(t)                                    AS ph,
+                graft_cosine(va, vb)                                  AS cos,
+                graft_hyperplane_bands(va, 2,
+                  array(array(0.5d, -0.2d), array(0.1d, 0.3d)))       AS hb,
+                graft_shingle_count(split(t, ' '))                    AS sc,
+                graft_simhash(split(t, ' '))                          AS sh,
+                graft_minhash_bands(graft_shingle_hash(split(t, ' '))) AS mb
+         FROM ext_fn_probe""").head()
+    // the imperative per-session register() installs the same names — the
+    // Column-API results must match the extension-injected SQL results
+    graft.functions.GraftExpressions.register(spark)
+    graft.functions.SignatureExpressions.register(spark)
+    val viaCols = spark.table("ext_fn_probe").select(
+      graft.functions.GraftExpressions.polyHash(col("t")).as("ph"),
+      graft.functions.GraftExpressions.cosineSim(col("va"), col("vb")).as("cos"),
+      call_function("graft_hyperplane_bands", col("va"), lit(2),
+        typedlit(Seq(Seq(0.5, -0.2), Seq(0.1, 0.3)))).as("hb"),
+      graft.functions.SignatureExpressions.distinctShingleCount(split(col("t"), " ")).as("sc"),
+      graft.functions.SignatureExpressions.simhash(split(col("t"), " ")).as("sh"),
+      graft.functions.SignatureExpressions.minhashBandKeys(
+        graft.functions.SignatureExpressions.shingleHash(split(col("t"), " "))).as("mb")
+    ).head()
+    assert(row.getLong(0) == viaCols.getLong(0))
+    assert(math.abs(row.getDouble(1) - viaCols.getDouble(1)) < 1e-12)
+    assert(row.getSeq[Long](2) == viaCols.getSeq[Long](2) && row.getSeq[Long](2).nonEmpty)
+    assert(row.getLong(3) == viaCols.getLong(3) && row.getLong(3) > 0)
+    assert(row.getLong(4) == viaCols.getLong(4))
+    assert(row.getSeq[String](5) == viaCols.getSeq[String](5) && row.getSeq[String](5).nonEmpty)
+  }
 }
