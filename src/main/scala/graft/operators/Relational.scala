@@ -246,6 +246,42 @@ object Relational {
       .drop("_bin", "_rbin")
   }
 
+  /** Interval × interval overlap join (Allen "overlaps/during/meets"
+    * family, CLOSED intervals): pairs (l, r) sharing a key whose spans
+    * [lStart,lEnd] and [rStart,rEnd] intersect, without the
+    * broadcast-nested-loop a raw inequality join plans to. Both sides
+    * explode to the GRID CELLS their interval covers (width `cellWidth`)
+    * and candidates meet in a hash equi-join on (key, cell). A pair
+    * overlapping k shared cells would surface k times; instead of a
+    * post-join `distinct` — a second full exchange of the matched
+    * stream — each pair is emitted EXACTLY ONCE, in the one cell
+    * containing `greatest(lStart, rStart)` (that instant lies in both
+    * intervals whenever they overlap, so both sides are guaranteed to
+    * have exploded that cell). Shuffle key = (key, cell); fan-out is
+    * interval-length / cellWidth per row, so pick cellWidth near the
+    * typical interval length (cells ~rows stay constant as data
+    * grows — the 100 TB knob is the cell, not the plan). Sides must
+    * not share column names (same loud guard as rangeJoin — silent
+    * self-join resolution would degrade the predicate).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      leftKey: Column, rightKey: Column,
+      lStart: Column, lEnd: Column, rStart: Column, rEnd: Column,
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"intervalOverlapJoin sides must not share column names: ${shared.mkString(", ")}")
+    def cellOf(x: Column) =
+      ((x - pmod(x, lit(cellWidth))) / cellWidth).cast("long") // floor div, exact for |x| < 2^53
+    val l = left.withColumn("_lcell", explode(sequence(cellOf(lStart), cellOf(lEnd))))
+    val r = right.withColumn("_rcell", explode(sequence(cellOf(rStart), cellOf(rEnd))))
+    l.join(r, col("_lcell") === col("_rcell") && leftKey === rightKey &&
+        lStart <= rEnd && rStart <= lEnd &&
+        col("_lcell") === cellOf(greatest(lStart, rStart)))
+      .drop("_lcell", "_rcell")
+  }
+
   /** Sequential conversion funnel (the ClickHouse `windowFunnel` shape):
     * for each entity, greedily match `steps` in order — step k+1 must
     * occur STRICTLY after the matched step k, earliest-first (so the

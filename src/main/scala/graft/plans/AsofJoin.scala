@@ -117,6 +117,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "graft_minhash_bands", 1)(a => SE.MinhashBandKeys(a.head))
     fn(e, "graft_simhash", 1)(a => SE.Simhash(a.head))
     fn(e, "graft_shingle_count", 1)(a => SE.DistinctShingleCount(a.head))
+    fn(e, "graft_topk", 3)(a =>
+      graft.functions.TopKAggregate.TopKByScore(a(0), a(1), a(2)))
   }
 }
 

@@ -2635,11 +2635,95 @@ object Relational {
       .orderBy("p_event_id")
   }
 
+  /** q96: q08's top-k-per-group through the MERGEABLE bounded-heap
+    * aggregate ([[graft.functions.TopKAggregate]]) instead of the
+    * window sort — ObjectHashAggregate partial/final, shuffle carries
+    * ≤ k pairs per (group, map task), no per-group full sort. The
+    * oracle is the window formulation with the aggregate's
+    * deterministic (score, id) DESC tie-break: both must agree row
+    * for row.
+    */
+  val q96 = QueryDef(
+    "q96_topk_heap",
+    """SELECT p_brand, p_partkey, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey DESC) AS rn
+      |  FROM part) t
+      |WHERE rn <= 3 ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin) { (s, dir) =>
+    graft.functions.TopKAggregate.register(s)
+    Tables(s, dir, "part")
+      .groupBy("p_brand")
+      .agg(graft.functions.TopKAggregate.topK(
+        col("p_retailprice"), col("p_partkey"), lit(3)).as("top"))
+      .select(col("p_brand"), explode(col("top")).as("e"))
+      .select(col("p_brand"), col("e.id").as("p_partkey"),
+        col("e.score").as("p_retailprice"))
+      .orderBy(col("p_brand"), desc("p_retailprice"), col("p_partkey"))
+  }
+
+  /** q97: interval-overlap join between each user's CLICK sessions and
+    * VIEW sessions ("was the user browsing while clicking") through
+    * [[graft.operators.Relational.intervalOverlapJoin]] — grid-cell
+    * equi-join + exactly-once reporting-cell emission, no nested loop,
+    * no post-join distinct. The oracle states the same semantics as a
+    * raw inequality join (fine for DuckDB at sf0.01; the cell plan is
+    * the scale-safe side).
+    */
+  val q97 = QueryDef(
+    "q97_interval_overlap",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events),
+      |am AS (SELECT user_id, event_id, tms,
+      |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 86400000
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM e WHERE event_type = 'click'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      |a1 AS (SELECT user_id, tms, sum(new_s) OVER
+      |  (PARTITION BY user_id ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM am),
+      |a AS (SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |       min(tms) AS s, max(tms) AS e FROM a1 GROUP BY 1, 2),
+      |bm AS (SELECT user_id, event_id, tms,
+      |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 86400000
+      |       THEN 1 ELSE 0 END AS new_s
+      |  FROM e WHERE event_type = 'view'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+      |b1 AS (SELECT user_id, tms, sum(new_s) OVER
+      |  (PARTITION BY user_id ORDER BY tms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM bm),
+      |b AS (SELECT user_id, CAST(sid AS BIGINT) AS sid,
+      |       min(tms) AS s, max(tms) AS e FROM b1 GROUP BY 1, 2)
+      |SELECT a.user_id AS user_id, a.sid AS a_sid, b.sid AS b_sid,
+      |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_ms
+      |FROM a JOIN b ON a.user_id = b.user_id AND a.s <= b.e AND b.s <= a.e
+      |ORDER BY user_id, a_sid, b_sid""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("tms"))
+    def sessions(tpe: String, p: String) =
+      graft.operators.Relational.sessionize(
+          e.filter(col("event_type") === tpe), "user_id", col("tms"),
+          col("event_id"), gapMillis = 86400000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min("tms").as(s"${p}_s"), max("tms").as(s"${p}_e"))
+        .select(col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sid"),
+          col(s"${p}_s"), col(s"${p}_e"))
+    graft.operators.Relational.intervalOverlapJoin(
+        sessions("click", "a"), sessions("view", "b"),
+        col("a_user"), col("b_user"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"),
+        cellWidth = 86400000L)
+      .select(col("a_user").as("user_id"), col("a_sid").as("a_sid"),
+        col("b_sid").as("b_sid"),
+        (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+          .as("overlap_ms"))
+      .orderBy("user_id", "a_sid", "b_sid")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
       q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95)
+      q93, q94, q95, q96, q97)
 }

@@ -1514,4 +1514,43 @@ class RelationalOpsSuite extends SparkSpec {
       Relational.weightedPercentiles(df, Seq("g"), col("v"), col("w"), Nil)
     }
   }
+
+  test("intervalOverlapJoin: exactly the naive matches, exactly once, no nested loop") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // spans up to 12x the cell width force multi-cell explosion; shared
+    // keys + touching endpoints force every overlap class
+    def mk(n: Int, pre: String) = (1L to n.toLong).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      (i, "k" + rnd.nextInt(5), s, s + rnd.nextInt(1200).toLong)
+    }.toDF(s"${pre}id", s"${pre}k", s"${pre}s", s"${pre}e")
+    val l = mk(300, "l"); val r = mk(300, "r")
+    val got = Relational.intervalOverlapJoin(l, r, col("lk"), col("rk"),
+        col("ls"), col("le"), col("rs"), col("re"), cellWidth = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    val naive = l.join(r, col("lk") === col("rk") &&
+        col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(got.toSet == naive.toSet, "cell join must find exactly the naive matches")
+    assert(got.length == got.toSet.size, "reporting-cell emission must be exactly-once")
+    assert(got.length == naive.length && got.nonEmpty)
+    // equi-join on (cell, key) — never the nested-loop fallback
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: collectAll(q.plan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val df = Relational.intervalOverlapJoin(l, r, col("lk"), col("rk"),
+      col("ls"), col("le"), col("rs"), col("re"), cellWidth = 100L)
+    df.collect()
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(!nodes.exists(n =>
+      n.isInstanceOf[BroadcastNestedLoopJoinExec] || n.isInstanceOf[CartesianProductExec]),
+      "intervalOverlapJoin must meet in an equi-join")
+    // shared column names fail loud, not silently-degraded predicates
+    intercept[IllegalArgumentException] {
+      Relational.intervalOverlapJoin(l, l, col("lk"), col("lk"),
+        col("ls"), col("le"), col("ls"), col("le"), cellWidth = 100L)
+    }
+  }
 }
