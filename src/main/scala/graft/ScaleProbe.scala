@@ -44,6 +44,7 @@ object ScaleProbe {
     if (mode == "ext5") { ext5(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext6") { ext6(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext7") { ext7(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ext8") { ext8(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -997,5 +998,73 @@ object ScaleProbe {
       Relational.theilSen(evShift, Seq("event_type", "day"),
         col("tms").cast("double"), col("value"),
         maxN = 2000, scaleX = 1L, scaleY = 100L).count())
+  }
+
+  /** ext8 (round 6): q96's head-to-head at scale — rows-per-group ×f
+    * with the GROUP SPACE FIXED (25 brands), the regime the heap
+    * aggregate exists for. The window plan shuffles all ×f rows into
+    * |brands| sort tasks — parallelism capped at 25 no matter the
+    * cluster; the heap plan's partial agg reduces map-side to ≤ k pairs
+    * per (brand, task) and the exchange is kilobytes. Expect window
+    * ~linear (sort in 25 tasks), heap ~flat (scan-bound, shuffle
+    * constant). Interval overlap join at ×f (users ×f, per-user
+    * sessions constant): cells/row constant ⇒ ~linear, no nested loop
+    * at any factor.
+    */
+  private def ext8(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.Relational
+    import graft.functions.TopKAggregate
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val part0 = spark.read.parquet(s"$src/part.parquet")
+      .select("p_partkey", "p_brand", "p_retailprice")
+    val maxPk = part0.agg(max(col("p_partkey"))).head().getLong(0) + 1
+    part0.crossJoin(reps)
+      .withColumn("p_partkey", col("p_partkey") + col("rep") * maxPk)
+      // perturb so replicated rows are not score-identical (real ties stay)
+      .withColumn("p_retailprice",
+        col("p_retailprice") + col("rep").cast("double") * 0.01)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/part8.parquet")
+    val parts = spark.read.parquet(s"$out/part8.parquet")
+    println(s"[scale x$factor] parts=${parts.count()} brands=" +
+      parts.select("p_brand").distinct().count())
+
+    time("topk window xf")(
+      Relational.topKPerGroup(parts, Seq("p_brand"),
+        Seq(desc("p_retailprice"), desc("p_partkey")), k = 3).count())
+    TopKAggregate.register(spark)
+    time("topk heap xf")(
+      parts.groupBy("p_brand")
+        .agg(TopKAggregate.topK(col("p_retailprice"), col("p_partkey"), lit(3)).as("top"))
+        .select(col("p_brand"), explode(col("top")))
+        .count())
+
+    // interval overlap at xf: users xf (shifted ids), per-user sessions
+    // constant — cells/row constant, expect ~linear
+    val ev0 = eventsNanos(spark, src)
+    val maxUid = ev0.agg(max(col("user_id"))).head().getLong(0) + 1
+    ev0.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUid)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events8.parquet")
+    val ev = spark.read.parquet(s"$out/events8.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000000").as("tms")) // integral div: nanos exceed 2^53, double would round
+    def sessions(tpe: String, p: String) =
+      Relational.sessionize(ev.filter(col("event_type") === tpe), "user_id",
+          col("tms"), col("event_id"), gapMillis = 86400000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min("tms").as(s"${p}_s"), max("tms").as(s"${p}_e"))
+        .select(col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sid"),
+          col(s"${p}_s"), col(s"${p}_e"))
+    time("interval overlap xf")(
+      Relational.intervalOverlapJoin(
+        sessions("click", "a"), sessions("view", "b"),
+        col("a_user"), col("b_user"),
+        col("a_s"), col("a_e"), col("b_s"), col("b_e"),
+        cellWidth = 86400000L).count())
   }
 }
