@@ -150,6 +150,74 @@ object GraftAsofJoin {
       attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
       tieBreak.map(attr(rp, _, "right")), outer, broadcast))
   }
+
+  /** FORWARD as-of (pandas `merge_asof(direction="forward")`): for each
+    * left row, the EARLIEST right row with equal keys and
+    * `rightTs >= leftTs`; ts ties break by MIN tieBreak (the mirror of
+    * backward's max). Composed over the native backward operator by
+    * ts/tie NEGATION — forward on t is exactly backward on -t — so it
+    * inherits the merge/broadcast physical plans, cost-based selection
+    * and O(1)-state merge for free (preference (a): compose before
+    * building a second exec). Requires numeric ts and tie columns
+    * (timestamps-as-epoch longs/doubles; Long.MinValue excluded).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String,
+      tieBreak: Seq[String] = Nil, outer: Boolean = false,
+      broadcast: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    def requireNumeric(df: DataFrame, name: String): Unit = {
+      val dt = df.schema(name).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asofJoinForward needs numeric ts/tie columns (negation trick); '$name' is $dt")
+    }
+    requireNumeric(left, leftTs)
+    (rightTs +: tieBreak).foreach(requireNumeric(right, _))
+    val lN = "__graft_fwd_lts"
+    val rN = "__graft_fwd_rts"
+    val tN = tieBreak.indices.map(i => s"__graft_fwd_tie$i")
+    require(!(left.columns ++ right.columns).exists(x => x == lN || x == rN || tN.contains(x)),
+      "asofJoinForward: reserved __graft_fwd_* column names present")
+    val l2 = left.withColumn(lN, -c(leftTs))
+    val r2 = tieBreak.zip(tN).foldLeft(right.withColumn(rN, -c(rightTs))) {
+      case (df, (tie, tmp)) => df.withColumn(tmp, -c(tie))
+    }
+    asofJoinMerge(l2, r2, leftKeys, rightKeys, lN, rN, tN, outer, broadcast)
+      .drop((lN +: rN +: tN): _*)
+  }
+
+  /** NEAREST as-of (pandas `merge_asof(direction="nearest")`): per left
+    * row, whichever of the backward and forward winners is closer in
+    * ts; equal distance prefers BACKWARD (pandas' rule). Two native
+    * as-of passes plus one equi-join on `leftId` (caller-guaranteed
+    * unique per left row) — still shuffle-bounded, never a pair
+    * blow-up. `outer = false` drops left rows with no match either way.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTs: String, rightTs: String, leftId: String,
+      tieBreak: Seq[String] = Nil, outer: Boolean = false,
+      broadcast: Option[Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col => c, when}
+    require(!right.columns.contains(leftId),
+      s"asofJoinNearest: leftId '$leftId' must not exist on the right side")
+    val b = asofJoinMerge(left, right, leftKeys, rightKeys, leftTs, rightTs,
+      tieBreak, outer = true, broadcast)
+    val f = asofJoinForward(left, right, leftKeys, rightKeys, leftTs, rightTs,
+      tieBreak, outer = true, broadcast)
+    val sfx = "__graft_near_fwd"
+    val fR = f.select((c(leftId).as(s"$leftId$sfx") +:
+      right.columns.map(x => c(x).as(s"$x$sfx"))): _*)
+    val j = b.join(fR, c(leftId) === c(s"$leftId$sfx"), "left")
+    val bDist = when(c(rightTs).isNotNull, abs(c(leftTs) - c(rightTs)))
+    val fDist = when(c(s"$rightTs$sfx").isNotNull, abs(c(s"$rightTs$sfx") - c(leftTs)))
+    val useB = c(rightTs).isNotNull && (fDist.isNull || bDist <= fDist)
+    val chosen = right.columns.map(x =>
+      when(useB, c(x)).otherwise(c(s"$x$sfx")).as(x))
+    val out = j.select(left.columns.map(c) ++ chosen: _*)
+    if (outer) out else out.filter(c(rightTs).isNotNull)
+  }
 }
 
 /** Sort-merge backward as-of join. Children arrive co-hash-partitioned

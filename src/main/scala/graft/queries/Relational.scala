@@ -2719,11 +2719,75 @@ object Relational {
       .orderBy("user_id", "a_sid", "b_sid")
   }
 
+  /** q98: FORWARD as-of — each purchase matched to the EARLIEST click
+    * at-or-after it (follow-on behavior enrichment), ts ties by MIN
+    * click id. Runs through [[graft.plans.GraftAsofJoin.asofJoinForward]]
+    * (the negation composition over the native merge exec).
+    */
+  val q98 = QueryDef(
+    "q98_asof_forward",
+    """WITH p AS (SELECT event_id AS p_event_id, user_id, epoch_ms(ts) AS p_ms
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_event_id, user_id, epoch_ms(ts) AS c_ms
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p_event_id, c_event_id, row_number() OVER (
+      |        PARTITION BY p_event_id ORDER BY c_ms ASC, c_event_id ASC) AS rn
+      |      FROM p JOIN c ON p.user_id = c.user_id AND c_ms >= p_ms)
+      |SELECT p_event_id, CAST(c_event_id AS BIGINT) AS click_event_id
+      |FROM j WHERE rn = 1 ORDER BY p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts")).as("p_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        unix_millis(col("ts")).as("c_ms"))
+    graft.plans.GraftAsofJoin.asofJoinForward(p, c,
+        leftKeys = Seq("p_user"), rightKeys = Seq("c_user"),
+        leftTs = "p_ms", rightTs = "c_ms", tieBreak = Seq("c_event_id"))
+      .select(col("p_event_id"), col("c_event_id").as("click_event_id"))
+      .orderBy("p_event_id")
+  }
+
+  /** q99: NEAREST as-of — each purchase to its temporally closest click
+    * either side, equal distance preferring the backward (at-or-before)
+    * match, per-side ties by the side's own rule (backward max id,
+    * forward min id) — the oracle's ORDER BY states exactly that
+    * preference chain.
+    */
+  val q99 = QueryDef(
+    "q99_asof_nearest",
+    """WITH p AS (SELECT event_id AS p_event_id, user_id, epoch_ms(ts) AS p_ms
+      |           FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_event_id, user_id, epoch_ms(ts) AS c_ms
+      |      FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p_event_id, c_event_id, row_number() OVER (
+      |        PARTITION BY p_event_id ORDER BY abs(c_ms - p_ms) ASC,
+      |          CASE WHEN c_ms <= p_ms THEN 0 ELSE 1 END ASC,
+      |          CASE WHEN c_ms <= p_ms THEN -c_event_id ELSE c_event_id END ASC) AS rn
+      |      FROM p JOIN c ON p.user_id = c.user_id)
+      |SELECT p_event_id, CAST(c_event_id AS BIGINT) AS click_event_id
+      |FROM j WHERE rn = 1 ORDER BY p_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts")).as("p_ms"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_event_id"), col("user_id").as("c_user"),
+        unix_millis(col("ts")).as("c_ms"))
+    graft.plans.GraftAsofJoin.asofJoinNearest(p, c,
+        leftKeys = Seq("p_user"), rightKeys = Seq("c_user"),
+        leftTs = "p_ms", rightTs = "c_ms", leftId = "p_event_id",
+        tieBreak = Seq("c_event_id"))
+      .select(col("p_event_id"), col("c_event_id").as("click_event_id"))
+      .orderBy("p_event_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
       q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95, q96, q97)
+      q93, q94, q95, q96, q97, q98, q99)
 }

@@ -115,6 +115,61 @@ class AsofNativeSuite extends SparkSpec {
     assert(auto.queryExecution.executedPlan.toString.contains("BroadcastAsofJoin"))
   }
 
+  test("A9: forward as-of — earliest at-or-after, min-id ties, outer keeps unmatched") {
+    val rnd = new scala.util.Random(21)
+    val lRows = (1L to 300L).map(i => (i, "k" + rnd.nextInt(10), rnd.nextInt(40).toLong))
+    val rRows = (1L to 300L).map(i => (i, "k" + rnd.nextInt(12), rnd.nextInt(40).toLong))
+    val l = leftDf(lRows); val r = rightDf(rRows)
+    def naive(outer: Boolean): Set[(Long, Long)] = lRows.flatMap { case (lid, k, lts) =>
+      val cands = rRows.filter(x => x._2 == k && x._3 >= lts)
+      if (cands.nonEmpty) {
+        val w = cands.minBy(x => (x._3, x._1)) // earliest ts, then MIN id
+        Some((lid, w._1))
+      } else if (outer) Some((lid, -1L)) else None
+    }.toSet
+    for (outer <- Seq(false, true); bcast <- Seq(false, true)) {
+      val got = GraftAsofJoin.asofJoinForward(l, r, Seq("l_key"), Seq("r_key"),
+          "l_ts", "r_ts", tieBreak = Seq("r_id"), outer = outer,
+          broadcast = Some(bcast))
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      assert(got == naive(outer), s"outer=$outer bcast=$bcast")
+    }
+  }
+
+  test("A10: nearest as-of — closer side wins, equal distance prefers backward") {
+    val rnd = new scala.util.Random(33)
+    val lRows = (1L to 250L).map(i => (i, "k" + rnd.nextInt(8), rnd.nextInt(30).toLong))
+    val rRows = (1L to 250L).map(i => (i, "k" + rnd.nextInt(10), rnd.nextInt(30).toLong))
+    val l = leftDf(lRows); val r = rightDf(rRows)
+    def naive(outer: Boolean): Set[(Long, Long)] = lRows.flatMap { case (lid, k, lts) =>
+      val back = rRows.filter(x => x._2 == k && x._3 <= lts)
+        .sortBy(x => (x._3, x._1)).lastOption            // max (ts, id)
+      val fwd = rRows.filter(x => x._2 == k && x._3 >= lts)
+        .sortBy(x => (x._3, x._1)).headOption            // min (ts, id)
+      val pick = (back, fwd) match {
+        case (Some(b), Some(f)) =>
+          if (math.abs(lts - b._3) <= math.abs(f._3 - lts)) Some(b) else Some(f)
+        case (b, f) => b.orElse(f)
+      }
+      pick.map(w => (lid, w._1)).orElse(if (outer) Some((lid, -1L)) else None)
+    }.toSet
+    for (outer <- Seq(false, true)) {
+      val got = GraftAsofJoin.asofJoinNearest(l, r, Seq("l_key"), Seq("r_key"),
+          "l_ts", "r_ts", leftId = "l_id", tieBreak = Seq("r_id"), outer = outer)
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      assert(got == naive(outer), s"outer=$outer")
+    }
+    // exact-tie preference: click 5 before and 5 after -> backward wins
+    val lt = leftDf(Seq((1L, "t", 100L)))
+    val rt = rightDf(Seq((7L, "t", 95L), (9L, "t", 105L)))
+    val tie = GraftAsofJoin.asofJoinNearest(lt, rt, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", leftId = "l_id", tieBreak = Seq("r_id"))
+      .select("r_id").collect().map(_.getLong(0)).toSeq
+    assert(tie == Seq(7L))
+  }
+
   test("A6: GraftExtensions injects the planner strategy and SQL function") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e)
