@@ -2783,11 +2783,44 @@ object Relational {
       .orderBy("p_event_id")
   }
 
+  /** q100: per-user TIME-WEIGHTED average of `value` (TWAP) — each
+    * reading holds (LOCF) until the next one, weight = hold duration,
+    * normalized over the user's observed span; the last reading and
+    * single-reading users carry no duration (the latter drop — zero
+    * denominator). One shuffle: the lead window and the groupBy share
+    * the user_id partitioning, so the aggregation reuses the window's
+    * exchange. The plain mean treats a 1-second spike and a week-long
+    * plateau identically; TWAP is the integral the monitoring/pricing
+    * reading of "average level" means.
+    */
+  val q100 = QueryDef(
+    "q100_twap",
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events),
+      |w AS (SELECT user_id, value, tms,
+      |        lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS nxt
+      |      FROM e),
+      |a AS (SELECT user_id, sum(value * (nxt - tms)) AS num,
+      |        max(tms) - min(tms) AS den
+      |      FROM w GROUP BY user_id)
+      |SELECT user_id, num / den AS twap FROM a WHERE den > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("tms"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
+    e.withColumn("nxt", lead("tms", 1).over(w))
+      .groupBy("user_id")
+      .agg(sum(col("value") * (col("nxt") - col("tms"))).as("num"),
+        (max("tms") - min("tms")).as("den"))
+      .filter(col("den") > 0)
+      .select(col("user_id"), (col("num") / col("den")).as("twap"))
+      .orderBy("user_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
       q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95, q96, q97, q98, q99)
+      q93, q94, q95, q96, q97, q98, q99, q100)
 }

@@ -597,4 +597,29 @@ class StreamingSuite extends SparkSpec {
       StreamingBloom.firstSeenFlags(source.toDS(), shards = 0)
     }
   }
+
+  test("E13: heap top-k folds across micro-batches — state holds serialized heaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.TopKAggregate.register(spark)
+    val src = MemoryStream[(String, Double, Long)]
+    val agg = src.toDS().toDF("g", "s", "id")
+      .groupBy("g")
+      .agg(graft.functions.TopKAggregate.topK(col("s"), col("id"), lit(2)).as("top"))
+    val q = agg.writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      src.addData(("a", 1.0, 1L), ("a", 5.0, 2L), ("b", 3.0, 3L))
+      q.processAllAvailable()
+      // the state-store roundtrip is the point: batch 2's 4.0 must evict
+      // batch 1's 1.0 from a heap DESERIALIZED out of the store
+      src.addData(("a", 4.0, 4L), ("b", 9.0, 5L))
+      q.processAllAvailable()
+      val got = spark.table("topk_stream")
+        .select(col("g"), explode(col("top")).as("e"))
+        .select(col("g"), col("e.score"), col("e.id"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(got == Set(("a", 5.0, 2L), ("a", 4.0, 4L), ("b", 9.0, 5L), ("b", 3.0, 3L)))
+    } finally q.stop()
+  }
 }
