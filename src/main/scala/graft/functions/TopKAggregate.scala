@@ -46,9 +46,13 @@ object TopKAggregate {
     // the head is the smallest retained candidate (the eviction target)
     private[TopKAggregate] val q = mutable.PriorityQueue.empty[Cand](candOrd.reverse)
     def offer(score: Double, id: Long): Unit = {
-      if (q.size < k) q.enqueue(Cand(score, id))
-      else if (candOrd.compare(Cand(score, id), q.head) > 0) {
-        q.dequeue(); q.enqueue(Cand(score, id))
+      // normalize -0.0 to 0.0: Spark's sort treats them EQUAL (primitive
+      // compare), Ordering[Double] ranks 0.0 > -0.0 — without the snap
+      // the heap and the window formulation disagree on signed-zero ties
+      val s = if (score == 0.0d) 0.0d else score
+      if (q.size < k) q.enqueue(Cand(s, id))
+      else if (candOrd.compare(Cand(s, id), q.head) > 0) {
+        q.dequeue(); q.enqueue(Cand(s, id))
       }
     }
     def mergeIn(other: Heap): Unit = other.q.foreach(c => offer(c.score, c.id))
@@ -63,11 +67,15 @@ object TopKAggregate {
 
   /** `graft_topk(score, id, k)` → array<struct<score,id>> of the k
     * largest (score, id) pairs in descending order. Null scores/ids are
-    * ignored (SQL aggregate convention); k must be a foldable literal.
+    * ignored (SQL aggregate convention); k must be a foldable positive
+    * int, checked at ANALYSIS time (a SQL-surface function must fail in
+    * the analyzer, not as a per-task executor crash). Input types coerce
+    * via ImplicitCastInputTypes, so int scores / int ids work from SQL.
     */
   case class TopKByScore(score: Expression, id: Expression, kExpr: Expression,
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Heap] {
+      extends TypedImperativeAggregate[Heap]
+      with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
     @transient private lazy val k: Int = {
       val v = kExpr.eval(null)
@@ -77,6 +85,17 @@ object TopKAggregate {
     }
 
     override def children: Seq[Expression] = Seq(score, id, kExpr)
+    override def inputTypes: Seq[DataType] =
+      Seq(DoubleType, LongType, IntegerType)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      val base = super.checkInputDataTypes()
+      if (!base.isSuccess) base
+      else if (!kExpr.foldable)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_topk: k must be a foldable literal")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
     override def nullable: Boolean = false
     override def dataType: DataType = outType
     override def prettyName: String = "graft_topk"

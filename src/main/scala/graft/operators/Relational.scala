@@ -272,6 +272,8 @@ object Relational {
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty,
       s"intervalOverlapJoin sides must not share column names: ${shared.mkString(", ")}")
+    require(!(left.columns ++ right.columns).exists(x => x == "_lcell" || x == "_rcell"),
+      "intervalOverlapJoin: reserved column names _lcell/_rcell present on an input")
     def cellOf(x: Column) =
       ((x - pmod(x, lit(cellWidth))) / cellWidth).cast("long") // floor div, exact for |x| < 2^53
     val l = left.withColumn("_lcell", explode(sequence(cellOf(lStart), cellOf(lEnd))))

@@ -96,11 +96,11 @@ class GraftStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import graft.functions.{GraftExpressions => GE, SignatureExpressions => SE}
 
-  private def fn(e: SparkSessionExtensions, name: String, arity: Int)(
-      builder: Seq[Expression] => Expression): Unit =
+  private def fn(e: SparkSessionExtensions, name: String, arity: Int,
+      implClass: Class[_])(builder: Seq[Expression] => Expression): Unit =
     e.injectFunction((
       FunctionIdentifier(name),
-      new ExpressionInfo(classOf[GE.PolyHash].getName.stripSuffix("PolyHash"), name),
+      new ExpressionInfo(implClass.getName, name),
       (args: Seq[Expression]) => {
         require(args.length == arity, s"$name takes $arity argument(s)")
         builder(args)
@@ -109,15 +109,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => new GraftStrategy)
     // the full codegen-expression surface, SQL-callable (same names the
-    // imperative register() helpers install per-session)
-    fn(e, "graft_poly_hash", 1)(a => GE.PolyHash(a.head))
-    fn(e, "graft_cosine", 2)(a => GE.CosineSim(a(0), a(1)))
-    fn(e, "graft_hyperplane_bands", 3)(a => GE.HyperplaneBandKeys(a(0), a(1), a(2)))
-    fn(e, "graft_shingle_hash", 1)(a => SE.ShingleHash(a.head))
-    fn(e, "graft_minhash_bands", 1)(a => SE.MinhashBandKeys(a.head))
-    fn(e, "graft_simhash", 1)(a => SE.Simhash(a.head))
-    fn(e, "graft_shingle_count", 1)(a => SE.DistinctShingleCount(a.head))
-    fn(e, "graft_topk", 3)(a =>
+    // imperative register() helpers install per-session); each
+    // ExpressionInfo carries the REAL implementation class so
+    // `DESCRIBE FUNCTION EXTENDED` traces back to code
+    fn(e, "graft_poly_hash", 1, classOf[GE.PolyHash])(a => GE.PolyHash(a.head))
+    fn(e, "graft_cosine", 2, classOf[GE.CosineSim])(a => GE.CosineSim(a(0), a(1)))
+    fn(e, "graft_hyperplane_bands", 3, classOf[GE.HyperplaneBandKeys])(a =>
+      GE.HyperplaneBandKeys(a(0), a(1), a(2)))
+    fn(e, "graft_shingle_hash", 1, classOf[SE.ShingleHash])(a => SE.ShingleHash(a.head))
+    fn(e, "graft_minhash_bands", 1, classOf[SE.MinhashBandKeys])(a =>
+      SE.MinhashBandKeys(a.head))
+    fn(e, "graft_simhash", 1, classOf[SE.Simhash])(a => SE.Simhash(a.head))
+    fn(e, "graft_shingle_count", 1, classOf[SE.DistinctShingleCount])(a =>
+      SE.DistinctShingleCount(a.head))
+    fn(e, "graft_topk", 3, classOf[graft.functions.TopKAggregate.TopKByScore])(a =>
       graft.functions.TopKAggregate.TopKByScore(a(0), a(1), a(2)))
   }
 }
@@ -200,8 +205,14 @@ object GraftAsofJoin {
       tieBreak: Seq[String] = Nil, outer: Boolean = false,
       broadcast: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.functions.{abs, col => c, when}
-    require(!right.columns.contains(leftId),
-      s"asofJoinNearest: leftId '$leftId' must not exist on the right side")
+    // the choose step resolves columns BY NAME across the two pass
+    // outputs, so shared names would hit ambiguous-reference errors deep
+    // in the select — fail loud at the API boundary instead (the
+    // intervalOverlapJoin discipline; asofJoinMerge alone, being
+    // attribute-based, does tolerate shared names)
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"asofJoinNearest sides must not share column names: ${shared.mkString(", ")}")
     val b = asofJoinMerge(left, right, leftKeys, rightKeys, leftTs, rightTs,
       tieBreak, outer = true, broadcast)
     val f = asofJoinForward(left, right, leftKeys, rightKeys, leftTs, rightTs,

@@ -2791,28 +2791,35 @@ object Relational {
     * the user_id partitioning, so the aggregation reuses the window's
     * exchange. The plain mean treats a 1-second spike and a week-long
     * plateau identically; TWAP is the integral the monitoring/pricing
-    * reading of "average level" means.
+    * reading of "average level" means. The numerator snaps value to
+    * exact centi-units BEFORE summing (the q94 discipline): long sums
+    * are order-independent, so the result is bit-identical across
+    * engines and partitionings where a double sum would drift with
+    * aggregation order (bound: 56k x 2.6e9 ms x 100 rows/user ~ 1.5e16
+    * << 2^63).
     */
   val q100 = QueryDef(
     "q100_twap",
     """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events),
-      |w AS (SELECT user_id, value, tms,
+      |w AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v100, tms,
       |        lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS nxt
       |      FROM e),
-      |a AS (SELECT user_id, sum(value * (nxt - tms)) AS num,
+      |a AS (SELECT user_id, sum(v100 * (nxt - tms)) AS num,
       |        max(tms) - min(tms) AS den
       |      FROM w GROUP BY user_id)
-      |SELECT user_id, num / den AS twap FROM a WHERE den > 0
+      |SELECT user_id, CAST(num AS DOUBLE) / (100.0 * den) AS twap
+      |FROM a WHERE den > 0
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
     val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
       unix_millis(col("ts")).as("tms"), col("value"))
     val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
     e.withColumn("nxt", lead("tms", 1).over(w))
       .groupBy("user_id")
-      .agg(sum(col("value") * (col("nxt") - col("tms"))).as("num"),
+      .agg(sum(round(col("value") * 100).cast("long") * (col("nxt") - col("tms"))).as("num"),
         (max("tms") - min("tms")).as("den"))
       .filter(col("den") > 0)
-      .select(col("user_id"), (col("num") / col("den")).as("twap"))
+      .select(col("user_id"),
+        (col("num").cast("double") / (col("den") * lit(100.0))).as("twap"))
       .orderBy("user_id")
   }
 
