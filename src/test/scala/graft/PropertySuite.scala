@@ -87,4 +87,26 @@ class PropertySuite extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(got == expected)
   }
+
+  test("TopK heap properties: any stream, any split = sorted top-k; merge associative (200 cases)") {
+    import graft.functions.TopKAggregate.Heap
+    val pair = Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(0L, 50L))
+    val stream = Gen.listOf(pair)
+    (0 until 200).foreach { i =>
+      val xs = sample(stream, i)
+      val k = 1 + i % 7
+      val expected = xs.sortBy(x => (x._1, x._2)).reverse.take(k)
+      // single heap over the whole stream
+      val h = new Heap(k)
+      xs.foreach { case (s, id) => h.offer(s, id) }
+      assert(h.sortedDesc.map(c => (c.score, c.id)) == expected, s"case $i direct")
+      // arbitrary split + merge (the partial/final agg path) agrees
+      val cut = if (xs.isEmpty) 0 else i % (xs.length + 1)
+      val (l, r) = xs.splitAt(cut)
+      val hl = new Heap(k); l.foreach { case (s, id) => hl.offer(s, id) }
+      val hr = new Heap(k); r.foreach { case (s, id) => hr.offer(s, id) }
+      hl.mergeIn(hr)
+      assert(hl.sortedDesc.map(c => (c.score, c.id)) == expected, s"case $i merged")
+    }
+  }
 }
