@@ -408,6 +408,42 @@ object Relational {
         col("_v").isNotNull.as("observed"))
   }
 
+  /** Dense-grid LINEAR interpolation (pandas `interpolate(method=
+    * "linear")` over a resampled series): [[gapFill]]'s grid with each
+    * missing bucket filled by the LINE between its bracketing
+    * observations instead of the last one carried forward — the right
+    * fill for continuously-varying signals (sensor readings, prices)
+    * where LOCF introduces staircase bias. The grid spans min..max
+    * OBSERVED bucket per entity, so every gap is interior and both
+    * neighbors always exist (no edge policy needed). Same scale shape
+    * as gapFill: one shuffle on the entity; the backward and forward
+    * neighbor scans are two FRAMES of the same window sort, not two
+    * sorts; parallelism grows with entities (the safe direction).
+    * Per-row IEEE arithmetic (no aggregation-order dependence) — the
+    * oracle states the identical expression shape.
+    */
+  def interpolate(df: DataFrame, entityCol: String, bucket: Column,
+      value: Column, tie: Column): DataFrame = {
+    val base = df.select(col(entityCol).as("_e"), bucket.as("_b"),
+      value.as("_v"), tie.as("_t"))
+    val obs = base.groupBy("_e", "_b").agg(max_by(col("_v"), col("_t")).as("_v"))
+    val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
+    val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+    val wPrev = Window.partitionBy("_e").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("_e").orderBy("_b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("_v"), ignoreNulls = true).over(wPrev)
+    val pb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wPrev)
+    val nv = first(col("_v"), ignoreNulls = true).over(wNext)
+    val nb = first(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wNext)
+    grid.join(obs, Seq("_e", "_b"), "left")
+      .select(col("_e").as(entityCol), col("_b").as("bucket"),
+        when(col("_v").isNotNull, col("_v"))
+          .otherwise(pv + (nv - pv) * (col("_b") - pb) / (nb - pb)).as("value"),
+        col("_v").isNotNull.as("observed"))
+  }
+
   /** CDC log compaction / upsert materialization: the LATEST row per key,
     * where latest = lexicographic max of `orderCols` (pass a trailing
     * unique column — a sequence number, an id — to break order ties

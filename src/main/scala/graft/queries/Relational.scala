@@ -2823,11 +2823,52 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q101: q36's hourly grid with missing buckets LINEARLY interpolated
+    * between the bracketing observations (pandas interpolate) instead of
+    * carried forward — [[graft.operators.Relational.interpolate]]. The
+    * value expression shape is stated identically in both engines
+    * (per-row IEEE ops, no aggregation-order dependence), mirror-rounded
+    * like every float surface.
+    */
+  val q101 = QueryDef(
+    "q101_interpolate",
+    s"""WITH e AS (SELECT user_id,
+       |             CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS b,
+       |             value, ts, event_id FROM events),
+       |o AS (SELECT user_id, b, value AS v FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY user_id, b
+       |          ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+       |      WHERE rn = 1),
+       |sp AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM o GROUP BY 1),
+       |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM sp),
+       |f AS (SELECT g.user_id, g.b, o.v FROM g LEFT JOIN o USING (user_id, b)),
+       |x AS (SELECT user_id, b, v,
+       |  last_value(v IGNORE NULLS) OVER wp AS pv,
+       |  last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER wp AS pb,
+       |  first_value(v IGNORE NULLS) OVER wn AS nv,
+       |  first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS) OVER wn AS nb
+       |  FROM f WINDOW
+       |    wp AS (PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING),
+       |    wn AS (PARTITION BY user_id ORDER BY b
+       |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       |SELECT user_id, b AS bucket,
+       |  ${mr("CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * (b - pb) / (nb - pb) END", 4)} AS value,
+       |  (v IS NOT NULL) AS observed
+       |FROM x ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    graft.operators.Relational.interpolate(ev, "user_id",
+        bucket = floor(unix_millis(col("ts")) / 3600000.0).cast("long"),
+        value = col("value"),
+        tie = struct(col("ts"), col("event_id")))
+      .withColumn("value", graft.functions.Rounding.mirrorRound(col("value"), 4))
+      .orderBy("user_id", "bucket")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16,
       q17, q18, q24, q25, q26, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
       q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q55, q56, q57, q58, q59, q60,
       q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72, q73, q74, q75, q76,
       q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92,
-      q93, q94, q95, q96, q97, q98, q99, q100)
+      q93, q94, q95, q96, q97, q98, q99, q100, q101)
 }

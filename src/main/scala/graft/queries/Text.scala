@@ -454,12 +454,24 @@ object Text {
        |         CROSS JOIN nv),
        |agg AS (SELECT doc_id, count(*) AS n_trigrams, avg(lp) AS avg_logp
        |        FROM sc GROUP BY 1)
-       |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams, a.avg_logp
+       |SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+       |  ${mr("a.avg_logp + 50.0", 6)} - 50.0 AS avg_logp
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
+    // avg(lp) is an order-dependent float sum; near-tied docs can land
+    // within an ulp of each other and the cross-engine jitter then flips
+    // the COMPARATOR's row sort (doc_id misaligns while every float
+    // passes tolerance — observed once at sf0.1). Mirror-round to 6
+    // decimals on both sides so such docs tie EXACTLY and the sort falls
+    // to doc_id. Shifted by +10 into positive range first: mirrorRound's
+    // floor(x·f + 0.5) is only round-half-UP for positives, and avg_logp
+    // is bounded below by ln(0.16/(n+v)) — about -16 at sf0.1, -30 even
+    // at 100 TB token counts — so +50 keeps it positive everywhere.
     TextAnalysis.backoffLm(docs, "doc_id", "text",
         ref = Some(docs.filter(col("lang") === "en")))
+      .withColumn("avg_logp",
+        graft.functions.Rounding.mirrorRound(col("avg_logp") + lit(50.0), 6) - lit(50.0))
       .orderBy("doc_id")
   }
 

@@ -1515,6 +1515,27 @@ class RelationalOpsSuite extends SparkSpec {
     }
   }
 
+  test("interpolate: linear fill between bracketing observations, LOCF-free") {
+    import spark.implicits._
+    // entity a: observed at 0 (10.0) and 3 (16.0) -> 1:12.0, 2:14.0;
+    // duplicate bucket keeps the max-tie row (t=2 wins at bucket 0);
+    // entity b: single observation -> single observed row, no gaps
+    val df = Seq(
+      ("a", 0L, 4.0, 1L), ("a", 0L, 10.0, 2L), ("a", 3L, 16.0, 3L),
+      ("b", 7L, 5.0, 1L))
+      .toDF("e", "b", "v", "t")
+    val got = Relational.interpolate(df, "e", col("b"), col("v"), col("t"))
+      .as[(String, Long, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 10.0, true), ("a", 1L, 12.0, false),
+      ("a", 2L, 14.0, false), ("a", 3L, 16.0, true),
+      ("b", 7L, 5.0, true)))
+    // both direction scans ride ONE window sort: a single Window exec
+    val plan = Relational.interpolate(df, "e", col("b"), col("v"), col("t"))
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("intervalOverlapJoin: exactly the naive matches, exactly once, no nested loop") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
