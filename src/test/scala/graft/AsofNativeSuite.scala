@@ -227,5 +227,23 @@ class AsofNativeSuite extends SparkSpec {
     assert(row.getLong(3) == viaCols.getLong(3) && row.getLong(3) > 0)
     assert(row.getLong(4) == viaCols.getLong(4))
     assert(row.getSeq[String](5) == viaCols.getSeq[String](5) && row.getSeq[String](5).nonEmpty)
+    // the injected AGGREGATE works from pure SQL too (analyzer wraps it),
+    // with int score/id coercing via the declared input types
+    import spark.implicits._
+    Seq(("g", 1, 10L), ("g", 5, 20L), ("g", 3, 30L), ("h", 9, 40L))
+      .toDF("g", "s", "id").createOrReplaceTempView("ext_topk_probe")
+    val agg = spark.sql(
+      """SELECT g, graft_topk(s, id, 2) AS top FROM ext_topk_probe GROUP BY g
+         ORDER BY g""").collect()
+    assert(agg.length == 2)
+    val gTop = agg(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(gTop == Seq((5.0, 20L), (3.0, 30L)))
+    // ExpressionInfo carries the real implementation class per function
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED graft_simhash")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("SignatureExpressions"), desc)
+    val descTopk = spark.sql("DESCRIBE FUNCTION EXTENDED graft_topk")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(descTopk.contains("TopKAggregate"), descTopk)
   }
 }
