@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
-    val mode = args.lift(1).getOrElse("dedup") // dedup | relational | embeddings | round6 | all
+    val mode = args.lift(1).getOrElse("dedup") // dedup | relational | embeddings | round6 | graph | ext..ext8 | all
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$factor"
     val spark = SparkSession.builder().master("local[32]")

@@ -417,8 +417,9 @@ object Relational {
     * OBSERVED bucket per entity, so every gap is interior and both
     * neighbors always exist (no edge policy needed). Same scale shape
     * as gapFill: one shuffle on the entity; the backward and forward
-    * neighbor scans are two FRAMES of the same window sort, not two
-    * sorts; parallelism grows with entities (the safe direction).
+    * neighbor scans are two RUNNING frames (ascending and descending
+    * order) over that one exchange; parallelism grows with entities
+    * (the safe direction).
     * Per-row IEEE arithmetic (no aggregation-order dependence) — the
     * oracle states the identical expression shape.
     */
@@ -431,12 +432,17 @@ object Relational {
     val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
     val wPrev = Window.partitionBy("_e").orderBy("_b")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy("_e").orderBy("_b")
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // the forward neighbor as a RUNNING frame over DESCENDING order —
+    // never `currentRow → unboundedFollowing`, whose WindowFunctionFrame
+    // recomputes the aggregate per row (O(n²) per partition; measured
+    // 35 s vs 2 s on the 1M-row sf0.1 grid). Two orderings = two O(n)
+    // in-partition sorts over ONE exchange.
+    val wNext = Window.partitionBy("_e").orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pv = last(col("_v"), ignoreNulls = true).over(wPrev)
     val pb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wPrev)
-    val nv = first(col("_v"), ignoreNulls = true).over(wNext)
-    val nb = first(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wNext)
+    val nv = last(col("_v"), ignoreNulls = true).over(wNext)
+    val nb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wNext)
     grid.join(obs, Seq("_e", "_b"), "left")
       .select(col("_e").as(entityCol), col("_b").as("bucket"),
         when(col("_v").isNotNull, col("_v"))

@@ -1530,10 +1530,15 @@ class RelationalOpsSuite extends SparkSpec {
       ("a", 0L, 10.0, true), ("a", 1L, 12.0, false),
       ("a", 2L, 14.0, false), ("a", 3L, 16.0, true),
       ("b", 7L, 5.0, true)))
-    // both direction scans ride ONE window sort: a single Window exec
-    val plan = Relational.interpolate(df, "e", col("b"), col("v"), col("t"))
-      .queryExecution.executedPlan.toString
-    assert("Window".r.findAllIn(plan).size == 1, plan)
+    // both direction scans are RUNNING frames (no O(n²)
+    // unboundedFollowing frame) riding one entity exchange
+    val planDf = Relational.interpolate(df, "e", col("b"), col("v"), col("t"))
+    planDf.collect()
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("unboundedfollowing"), plan)
+    // every window frame is a running unboundedpreceding->currentrow frame
+    assert("specifiedwindowframe\\(RowFrame, unboundedpreceding".r
+      .findAllIn(plan).nonEmpty, plan)
   }
 
   test("intervalOverlapJoin: exactly the naive matches, exactly once, no nested loop") {
