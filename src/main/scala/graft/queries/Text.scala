@@ -174,10 +174,17 @@ object Text {
        |         LEFT JOIN cc ON g.w1 = cc.w1 CROSS JOIN v),
        |agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_logp
        |        FROM sc GROUP BY 1)
-       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+       |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       |  ${mr("a.avg_logp + 50.0", 6)} - 50.0 AS avg_logp
        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    // same latent comparator flake t20 hit at sf0.1: avg(lp) is an
+    // order-dependent float and near-dup docs produce near-tied
+    // averages whose cross-engine ulp jitter can flip the row sort —
+    // mirror-round (shifted positive) so near-ties tie exactly
     TextAnalysis.bigramLm(Tables(s, dir, "documents"), "doc_id", "text")
+      .withColumn("avg_logp",
+        graft.functions.Rounding.mirrorRound(col("avg_logp") + lit(50.0), 6) - lit(50.0))
       .orderBy("doc_id")
   }
 
