@@ -137,6 +137,40 @@ class AsofNativeSuite extends SparkSpec {
     }
   }
 
+  test("A11: loud guards — forward rejects non-numeric ts/tie, nearest rejects shared names") {
+    import spark.implicits._
+    val l = Seq((1L, "k", "2024-01-01")).toDF("l_id", "l_key", "l_ts")
+    val r = Seq((2L, "k", "2024-01-01")).toDF("r_id", "r_key", "r_ts")
+    // string ts: the negation composition cannot apply — must fail loud
+    val e1 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinForward(l, r, Seq("l_key"), Seq("r_key"), "l_ts", "r_ts")
+    }
+    assert(e1.getMessage.contains("numeric"))
+    // string tie column rejected the same way
+    val ln = leftDf(Seq((1L, "k", 10L)))
+    val rs = Seq((2L, "k", 5L, "x")).toDF("r_id", "r_key", "r_ts", "r_tag")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinForward(ln, rs, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", tieBreak = Seq("r_tag"))
+    }
+    assert(e2.getMessage.contains("numeric"))
+    // nearest resolves by name across two pass outputs: shared names fail
+    // at the API boundary, not as a deep ambiguous-reference error
+    val shared = Seq((9L, "k", 5L)).toDF("l_id", "l_key", "r_ts")
+    val e3 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinNearest(shared, rightDf(Seq((2L, "k", 5L))),
+        Seq("l_key"), Seq("r_key"), "r_ts", "r_ts", leftId = "l_id")
+    }
+    assert(e3.getMessage.contains("share column names"))
+    // reserved temp names fail loud rather than silently colliding
+    val withTmp = leftDf(Seq((1L, "k", 10L))).withColumn("__graft_fwd_lts", lit(0L))
+    val e4 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinForward(withTmp, rightDf(Seq((2L, "k", 5L))),
+        Seq("l_key"), Seq("r_key"), "l_ts", "r_ts")
+    }
+    assert(e4.getMessage.contains("reserved"))
+  }
+
   test("A10: nearest as-of — closer side wins, equal distance prefers backward") {
     val rnd = new scala.util.Random(33)
     val lRows = (1L to 250L).map(i => (i, "k" + rnd.nextInt(8), rnd.nextInt(30).toLong))
