@@ -83,7 +83,20 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures only the tail of stdout (2000 chars in round 6),
+    // which truncated the per-query map to 78/154 entries and left the 2×
+    // gate unauditable query-by-query. Persist the SAME json whole so a
+    // third party can audit every median. Overridable for local iteration
+    // runs that shouldn't clobber the committed artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

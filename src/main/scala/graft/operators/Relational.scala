@@ -1582,32 +1582,6 @@ object Relational {
       "seasonal", "forecast1")
   }
 
-  /** Exact median of `valCol` per group by rank selection: value(s) at
-    * positions ⌊(n+1)/2⌋ and ⌊n/2⌋+1 averaged (equal for odd n) — the
-    * selected values' SUM over their COUNT, so odd groups divide by 1 and
-    * even by 2; IEEE addition of the two selected doubles is commutative,
-    * making the result tie-order independent and oracle-mirrorable. One
-    * rank window per group (parallelism = groups).
-    */
-  private def groupMedian(df: DataFrame, groupCols: Seq[String],
-      valCol: String, out: String): DataFrame = {
-    val parts = groupCols.map(col)
-    val w = Window.partitionBy(parts: _*).orderBy(col(valCol))
-    val cw = Window.partitionBy(parts: _*)
-    val ranked = df
-      .withColumn("_rn", row_number().over(w).cast("long"))
-      .withColumn("_cnt", count(lit(1)).over(cw))
-    val lower = floor((col("_cnt") + 1).cast("double") / 2.0).cast("long")
-    val upper = floor(col("_cnt").cast("double") / 2.0).cast("long") + 1L
-    val sel = col("_rn") === lower || col("_rn") === upper
-    ranked.groupBy(parts: _*)
-      .agg(sum(when(sel, col(valCol))).as("_ssum"),
-        sum(when(sel, 1L).otherwise(0L)).as("_sn"),
-        count(lit(1)).as(s"n_$out"))
-      .withColumn(out, col("_ssum") / col("_sn").cast("double"))
-      .drop("_ssum", "_sn")
-  }
-
   /** Theil–Sen robust trend per group (Theil 1950, Sen 1968): slope = the
     * MEDIAN of all C(n,2) pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept =
     * the median residual y − slope·x — the 29%-breakdown-point line fit
@@ -1616,7 +1590,7 @@ object Relational {
     * Determinism: x/y snap to exact long units, every slope is ONE
     * division of exact longs (IEEE-correct, bit-identical cross-engine),
     * medians select by rank — value(s) at positions ⌊(n+1)/2⌋ and
-    * ⌊n/2⌋+1 averaged, [[groupMedian]]'s exact rule — so tie order never
+    * ⌊n/2⌋+1 averaged, the local `medianOf`'s exact rule — so tie order never
     * matters. Execution: points collect per group into a capped basket
     * (`maxN` guards the quadratic work in-plan — a too-big group raises
     * a clear error rather than silently exploding), baskets spread

@@ -55,6 +55,19 @@ case class GraftAsofJoin(
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs one or more equality key pairs")
+  // Both physical plans compare raw UnsafeRow projections across sides
+  // (merge: keyOrd/tsOrd generated from the LEFT types; broadcast: HashMap
+  // over UnsafeRow bytes), so an int-vs-long key or ts pair would yield
+  // silently empty/garbage matches, never an analysis error. Fail loud at
+  // construction instead — the same discipline as the shared-name and
+  // reserved-column guards.
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    "as-of join key types must match pairwise: left " +
+      s"${leftKeys.map(_.dataType.simpleString).mkString("(", ", ", ")")} vs right " +
+      s"${rightKeys.map(_.dataType.simpleString).mkString("(", ", ", ")")} — cast one side")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of join timestamp types must match: left ${leftTs.dataType.simpleString} " +
+      s"vs right ${rightTs.dataType.simpleString} — cast one side")
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
@@ -147,6 +160,17 @@ object GraftAsofJoin {
       exp.extraStrategies = exp.extraStrategies :+ new GraftStrategy
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // This builds the node directly from the two analyzed plans, so no
+    // DeduplicateRelations pass runs: a self-as-of-join of one unaliased
+    // DataFrame gives the sides overlapping exprIds, and the exec's
+    // resultProj binds right attributes to LEFT ordinals by exprId —
+    // silently wrong columns. Fail loud; aliasing either side mints
+    // fresh exprIds.
+    val overlap = lp.outputSet.intersect(rp.outputSet)
+    require(overlap.isEmpty,
+      "as-of join sides share attributes (self-join of the same DataFrame?): " +
+        overlap.toSeq.map(_.name).mkString(", ") +
+        " — alias one side first, e.g. df.alias(\"r\").select(...) or re-create it via toDF()")
     def attr(plan: LogicalPlan, name: String, side: String): Attribute =
       plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
         s"$side side has no column '$name' (has: ${plan.output.map(_.name).mkString(", ")})"))

@@ -2800,7 +2800,8 @@ object Relational {
     */
   val q100 = QueryDef(
     "q100_twap",
-    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events),
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, value FROM events
+      |           WHERE ts IS NOT NULL AND event_id IS NOT NULL),
       |w AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v100, tms,
       |        lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS nxt
       |      FROM e),
@@ -2810,8 +2811,14 @@ object Relational {
       |SELECT user_id, CAST(num AS DOUBLE) / (100.0 * den) AS twap
       |FROM a WHERE den > 0
       |ORDER BY user_id""".stripMargin) { (s, dir) =>
-    val e = Tables.events(s, dir).select(col("user_id"), col("event_id"),
-      unix_millis(col("ts")).as("tms"), col("value"))
+    // null ts/event_id rows are dropped on BOTH sides: the lead() window
+    // orders by (tms, event_id), and Spark sorts nulls first while DuckDB
+    // sorts them last, so a null in either sort column could silently
+    // reorder ties and diverge nxt cross-engine (the q101 discipline)
+    val e = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("tms"), col("value"))
     val w = Window.partitionBy("user_id").orderBy(col("tms"), col("event_id"))
     e.withColumn("nxt", lead("tms", 1).over(w))
       .groupBy("user_id")

@@ -169,6 +169,36 @@ class AsofNativeSuite extends SparkSpec {
         Seq("l_key"), Seq("r_key"), "l_ts", "r_ts")
     }
     assert(e4.getMessage.contains("reserved"))
+    // key dataType mismatch (int vs long) would compare raw UnsafeRow
+    // bytes and silently match nothing — must fail loud at construction
+    val lIntKey = Seq((1L, 5, 10L)).toDF("l_id", "l_key", "l_ts")
+    val rLongKey = Seq((2L, 5L, 5L)).toDF("r_id", "r_key", "r_ts")
+    val e5 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinMerge(lIntKey, rLongKey, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts")
+    }
+    assert(e5.getMessage.contains("key types"))
+    // ts dataType mismatch the same way
+    val lIntTs = Seq((1L, "k", 10)).toDF("l_id", "l_key", "l_ts")
+    val e6 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinMerge(lIntTs, rightDf(Seq((2L, "k", 5L))),
+        Seq("l_key"), Seq("r_key"), "l_ts", "r_ts")
+    }
+    assert(e6.getMessage.contains("timestamp types"))
+    // self-as-of-join of one unaliased frame: both sides carry the SAME
+    // exprIds, so resultProj would bind right columns to left ordinals —
+    // fail loud, and the documented remedy (re-alias) must work
+    val self = leftDf(Seq((1L, "k", 10L), (2L, "k", 20L)))
+    val e7 = intercept[IllegalArgumentException] {
+      GraftAsofJoin.asofJoinMerge(self, self, Seq("l_key"), Seq("l_key"),
+        "l_ts", "l_ts")
+    }
+    assert(e7.getMessage.contains("share attributes"))
+    val realiased = self.toDF("r_id", "r_key", "r_ts") // fresh exprIds
+    val selfRows = GraftAsofJoin.asofJoinMerge(self, realiased,
+        Seq("l_key"), Seq("r_key"), "l_ts", "r_ts", tieBreak = Seq("r_id"))
+      .select("l_id", "r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(selfRows == Set((1L, 1L), (2L, 2L)))
   }
 
   test("A10: nearest as-of — closer side wins, equal distance prefers backward") {
