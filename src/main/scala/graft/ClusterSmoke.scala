@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api._
+
+/** Cluster-mode smoke (SURVEY §4): everything else in this repo is proven
+  * on `local[*]`, where closures never serialize across JVMs, broadcasts
+  * never cross a process boundary, and the driver IS the executor. This
+  * main runs a representative query slice + one Stage pipeline under
+  * `spark-submit --master local-cluster[2,4,2048]` — two REAL executor
+  * JVMs with dynamic allocation on — and asserts the properties that
+  * could differ off local mode:
+  *
+  *  - every query in the slice executes and returns rows (closure/Kryo
+  *    serialization, broadcast distribution, shuffle IO all cross
+  *    process boundaries);
+  *  - the native as-of exec produces the SAME row count as the
+  *    union+window formulation (semantics, not just liveness);
+  *  - the Stage pipeline completes with exact output and its monitor
+  *    gauges report from a NON-driver executor id (TaskMetrics flow back
+  *    over the wire);
+  *  - more than one executor actually registered (the cluster is real).
+  *
+  * Driven by scripts/cluster_smoke.sh; prints one `SMOKE_OK` JSON line
+  * with per-query seconds for the SURVEY §4 record.
+  */
+object ClusterSmoke {
+
+  private final class AddOneStage extends Stage[Long, Long] {
+    override def batchSize: Int = 64
+    override def process(b: Seq[Long]): Seq[Long] = b.map(_ + 1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      require(!spark.sparkContext.isLocal,
+        "ClusterSmoke must run OFF local mode (use scripts/cluster_smoke.sh)")
+
+      // a slice spanning the operator families: agg, multi-join, native
+      // as-of (custom exec), salted join, MinHash LSH dedup, TF-IDF,
+      // IVF ANN, gap-fill grid, k-core iteration with localCheckpoints
+      val slice = Seq(
+        "q01_pricing_summary", "q05_local_supplier", "q95_asof_native",
+        "q46_salted_join", "d03_minhash_lsh", "t16_tfidf",
+        "s04_ivf_knn", "q36_gapfill", "q49_kcore")
+      val timings = slice.map { name =>
+        val fn = SparkEntry.queries.getOrElse(name,
+          throw new IllegalStateException(s"unknown query $name"))
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        require(n > 0, s"$name returned 0 rows off local mode")
+        name -> dt
+      }
+
+      // semantics cross-check: the custom Catalyst exec and the pure
+      // DataFrame formulation must agree row-for-row count off local mode
+      val native = SparkEntry.queries("q95_asof_native")(spark, sfDir).count()
+      val window = SparkEntry.queries("q12_asof_join")(spark, sfDir).count()
+      require(native == window,
+        s"as-of semantics diverge off local mode: native=$native window=$window")
+
+      // Stage pipeline across executor JVMs, with monitor + gauges
+      import spark.implicits._
+      val mon = new PipelineMonitor(spark)
+      val out = Pipeline
+        .from(spark.createDataset(1L to 10000L).repartition(8), monitor = Some(mon))
+        .stage(new AddOneStage)
+        .run().collect().sorted
+      require(out.toSeq == (2L to 10001L), "pipeline output wrong off local mode")
+      org.apache.spark.sql.graftbridge.Bridge.waitForListeners(spark.sparkContext)
+      val gaugeIds = mon.resourceSnapshot.keySet
+      require(gaugeIds.exists(_ != "driver"),
+        s"no executor-side gauges arrived (saw: ${gaugeIds.mkString(", ")})")
+
+      val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
+      require(execs >= 3, s"expected driver + >=2 executors, saw $execs") // driver counts
+
+      val qjson = timings.map { case (n, t) => f""""$n":$t%.2f""" }.mkString("{", ",", "}")
+      println(s"""SMOKE_OK {"sf":"$sfDir","executors":${execs - 1},""" +
+        s""""gauges":${gaugeIds.size},"queries":$qjson}""")
+    } finally spark.stop()
+  }
+}

@@ -99,11 +99,13 @@ object Artifacts {
   *    past `quotaBytes` fails fast on the driver — with the usage
   *    breakdown — before any executor starts fetching a doomed
   *    download (the reference's disk-quota check, data_plane.rs).
-  *  - **eviction**: none, by design — SparkFiles live for the
-  *    application (the reference's data plane owns its files and can
-  *    evict mid-job; Spark's executor cache cleans at app end).
-  *    Pipelines that must rotate truly huge artifact sets split at a
-  *    storage boundary (Batch-mode persist) into separate applications.
+  *  - **eviction**: none HERE, by design — SparkFiles live for the
+  *    application (Spark's executor cache cleans at app end), so this
+  *    manager is the right home for static artifact sets. Pipelines
+  *    that must ROTATE artifact sets mid-job (the reference's data
+  *    plane evicts under disk pressure, data_plane.rs) use
+  *    [[EvictableArtifactCache]] below, whose broadcast-backed plane
+  *    supports true LRU delete + re-register.
   *
   * Sizes are resolved through the Hadoop filesystem of each uri
   * (local/HDFS/object store alike); directories count their full tree.
@@ -140,5 +142,170 @@ final class ArtifactManager(spark: SparkSession, quotaBytes: Long) {
   private def sizeOf(uri: String): Long = {
     val p = new org.apache.hadoop.fs.Path(uri)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+  }
+}
+
+/** Serializable executor-side handle to an artifact distributed through
+  * [[EvictableArtifactCache]]. `localFile` lazily materializes the
+  * broadcast bytes into a per-JVM cache directory (atomic tmp+rename, so
+  * concurrent task threads race safely) and returns the absolute path —
+  * call it inside `setup()` exactly like [[DownloadRequest.localPath]].
+  * The file name is CONTENT-addressed (hash of the bytes + basename), so
+  * a re-registered uri with new content never serves a stale copy, and a
+  * handle whose artifact was evicted fails loud: its broadcast is
+  * destroyed, so the next materialization attempt throws rather than
+  * silently reading old bytes.
+  */
+final case class ArtifactHandle private[api] (
+    name: String, cacheDirName: String, bc: Broadcast[Array[Byte]]) {
+  def localFile: String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), cacheDirName)
+    val f = new java.io.File(dir, name)
+    if (!f.exists()) {
+      val bytes = bc.value // throws if the artifact was evicted — fail loud
+      dir.mkdirs()
+      val tmp = java.io.File.createTempFile(name + ".", ".part", dir)
+      val out = new java.io.FileOutputStream(tmp)
+      try out.write(bytes) finally out.close()
+      // rename-over is atomic per POSIX; losing the race to another
+      // thread/task is fine — the winner wrote identical bytes
+      if (!tmp.renameTo(f) && !f.exists())
+        throw new java.io.IOException(s"could not materialize artifact $name in $dir")
+      if (tmp.exists()) { tmp.delete(); () }
+    }
+    f.getAbsolutePath
+  }
+}
+
+/** Mid-job artifact ROTATION with LRU eviction (reference:
+  * file_distribution/data_plane.rs — the data plane owns its cached
+  * files and evicts them under disk pressure while the job runs).
+  * [[ArtifactManager]] cannot offer that on SparkFiles (they are
+  * app-scoped with no removal API), so this cache owns its own data
+  * plane built from primitives Spark CAN reclaim:
+  *
+  *  - **distribution** is torrent broadcast (the same P2P chunk
+  *    transport the reference implements by hand): `register(uri)`
+  *    reads the bytes once on the driver through the uri's Hadoop
+  *    filesystem and broadcasts them; executors materialize lazily via
+  *    [[ArtifactHandle.localFile]], so a node that never touches an
+  *    artifact never stores it.
+  *  - **LRU eviction**: a registration that would push `usedBytes` past
+  *    `quotaBytes` first evicts least-recently-used entries (recency =
+  *    last `register`/`acquire` on the driver, where every pipeline
+  *    compile/stage-setup acquisition flows) until the newcomer fits.
+  *    Eviction destroys the broadcast (reclaiming executor block store
+  *    everywhere, Spark-guaranteed) and runs a best-effort cleanup job
+  *    deleting the materialized cache file on every executor the job
+  *    lands on (exact under local/local-cluster; on a large cluster any
+  *    missed straggler file is bounded by the content-addressed naming
+  *    — it can never be served for new content — and dies at app end).
+  *  - **delete + re-register**: an evicted uri registers again from
+  *    scratch — re-read, re-broadcast, fresh content-addressed name —
+  *    which is the reference's cache-miss-after-eviction path.
+  *
+  * A single artifact larger than the whole quota fails loud (nothing to
+  * evict would help). Directories/archives are out of scope — rotation
+  * is for model-weight-shaped single files; static trees stay on
+  * [[ArtifactManager]].
+  */
+final class EvictableArtifactCache(spark: SparkSession, quotaBytes: Long) {
+  require(quotaBytes > 0, "quotaBytes must be positive")
+
+  private final class Entry(val handle: ArtifactHandle, val size: Long, var lastUsed: Long)
+  private val entries = scala.collection.mutable.HashMap.empty[String, Entry]
+  private var clock = 0L
+  private var evicted = 0L
+  private val cacheDirName =
+    s"graft-artifacts-${spark.sparkContext.applicationId}"
+
+  def usedBytes: Long = synchronized { entries.valuesIterator.map(_.size).sum }
+  def registeredUris: Seq[String] = synchronized { entries.keys.toSeq.sorted }
+  def evictionCount: Long = synchronized { evicted }
+
+  /** Distribute `uri` (cache reuse: an already-registered uri is an LRU
+    * touch + the existing handle) and return the executor-usable handle.
+    */
+  def register(uri: String): ArtifactHandle = synchronized {
+    clock += 1
+    entries.get(uri) match {
+      case Some(e) => e.lastUsed = clock; e.handle
+      case None =>
+        val bytes = readBytes(uri)
+        if (bytes.length > quotaBytes)
+          throw new IllegalStateException(
+            s"artifact quota exceeded: $uri is ${bytes.length} bytes, over the " +
+              s"whole $quotaBytes-byte quota — eviction cannot make room")
+        while (usedBytes + bytes.length > quotaBytes) evictLru()
+        val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+          .take(6).map(b => f"$b%02x").mkString
+        val handle = ArtifactHandle(
+          s"$digest-${uri.split('/').last}", cacheDirName,
+          spark.sparkContext.broadcast(bytes))
+        entries.put(uri, new Entry(handle, bytes.length.toLong, clock))
+        handle
+    }
+  }
+
+  /** LRU-touching lookup for stages that expect the artifact to already
+    * be registered (fails loud on a miss instead of re-reading a uri the
+    * pipeline never declared).
+    */
+  def acquire(uri: String): ArtifactHandle = synchronized {
+    val e = entries.getOrElse(uri, throw new NoSuchElementException(
+      s"artifact not registered: $uri (registered: ${registeredUris.mkString(", ")})"))
+    clock += 1; e.lastUsed = clock; e.handle
+  }
+
+  /** Explicit eviction (rotation); true if the uri was present. */
+  def evict(uri: String): Boolean = synchronized {
+    entries.get(uri) match {
+      case Some(e) => drop(uri, e); true
+      case None => false
+    }
+  }
+
+  private def evictLru(): Unit = {
+    if (entries.isEmpty)
+      throw new IllegalStateException("artifact quota eviction underflow") // unreachable: size pre-checked
+    val (uri, e) = entries.minBy(_._2.lastUsed)
+    drop(uri, e)
+  }
+
+  private def drop(uri: String, e: Entry): Unit = {
+    entries.remove(uri)
+    evicted += 1
+    // reclaim the P2P copies everywhere (Spark removes the broadcast
+    // blocks from every executor's block store)...
+    e.handle.bc.destroy()
+    // ...then best-effort delete the materialized cache file on the
+    // executors. The closure captures only (dirName, fileName) — NOT the
+    // destroyed broadcast.
+    val dirName = e.handle.cacheDirName
+    val fileName = e.handle.name
+    val n = math.max(spark.sparkContext.defaultParallelism, 1)
+    spark.sparkContext.parallelize(0 until n, n).foreach { _ =>
+      val f = new java.io.File(
+        new java.io.File(System.getProperty("java.io.tmpdir"), dirName), fileName)
+      f.delete() // absent = already clean
+      ()
+    }
+  }
+
+  private def readBytes(uri: String): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    require(st.isFile,
+      s"EvictableArtifactCache rotates single files; $uri is a directory — " +
+        "use ArtifactManager/distributeDirectory for static trees")
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream(st.getLen.toInt.max(64))
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
   }
 }

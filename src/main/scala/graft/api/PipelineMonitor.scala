@@ -46,6 +46,25 @@ final class WorkerStatsAccumulator
   override def value: Map[String, WorkerStat] = m.asScala.toMap
 }
 
+/** Per-executor resource rollup (reference: ray_utils/resource_monitor.py
+  * — per-node CPU/memory sampled into the monitoring output). Spark-native
+  * sourcing: every finished task reports its TaskMetrics to the driver's
+  * listener bus, so the rollup needs no executor-side sampler process —
+  * `cpuNanos`/`runMillis`/`gcMillis` sum across the executor's tasks and
+  * `peakMemoryBytes` is the max single-task peak execution memory
+  * (Spark's memory-consumer high-water mark: shuffles, sorts, aggs).
+  */
+final case class ExecutorGauge(
+    tasks: Long,
+    cpuNanos: Long,
+    runMillis: Long,
+    gcMillis: Long,
+    peakMemoryBytes: Long) {
+  def +(o: ExecutorGauge): ExecutorGauge = ExecutorGauge(
+    tasks + o.tasks, cpuNanos + o.cpuNanos, runMillis + o.runMillis,
+    gcMillis + o.gcMillis, math.max(peakMemoryBytes, o.peakMemoryBytes))
+}
+
 /** Per-stage stats for a compiled pipeline stage. Holds only accumulators
   * (serializable), so it can be captured by the stage's task closure
   * without dragging the session along.
@@ -77,6 +96,41 @@ final class StageStats private[api] (
 final class PipelineMonitor(spark: SparkSession) {
 
   private val stages = TrieMap.empty[String, StageStats]
+
+  // Executor resource gauges (resource_monitor.py parity): a driver-side
+  // listener rolls each finished task's TaskMetrics into a per-executor
+  // gauge. Registered at construction so gauges cover the whole monitored
+  // run; call [[detach]] when discarding the monitor (listeners outlive
+  // the object otherwise). The bus posts asynchronously — a snapshot
+  // taken the instant a job returns may trail by a few tasks.
+  private val gauges = TrieMap.empty[String, ExecutorGauge]
+  private val resourceListener = new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null && e.taskInfo != null) {
+        val g = ExecutorGauge(1L, m.executorCpuTime, m.executorRunTime,
+          m.jvmGCTime, m.peakExecutionMemory)
+        // lock-free merge loop (listener thread is single, but replace-
+        // under-contention is the honest TrieMap idiom)
+        var done = false
+        while (!done) {
+          gauges.get(e.taskInfo.executorId) match {
+            case None => done = gauges.putIfAbsent(e.taskInfo.executorId, g).isEmpty
+            case Some(prev) => done = gauges.replace(e.taskInfo.executorId, prev, prev + g)
+          }
+        }
+      }
+    }
+  }
+  spark.sparkContext.addSparkListener(resourceListener)
+
+  /** Per-executor resource gauges accumulated so far ("driver" is the
+    * one executor id under local mode).
+    */
+  def resourceSnapshot: Map[String, ExecutorGauge] = gauges.toMap
+
+  /** Unregister the resource listener (end-of-pipeline teardown). */
+  def detach(): Unit = spark.sparkContext.removeSparkListener(resourceListener)
 
   private[api] def forStage(name: String): StageStats =
     stages.getOrElseUpdate(name, {
@@ -150,7 +204,17 @@ final class PipelineMonitor(spark: SparkSession) {
         }
         s"  $stage workers:\n${rows.mkString("\n")}"
       }
-      (renderStageTable +: workers).mkString("\n")
+      ((renderStageTable +: workers) ++ renderGauges).mkString("\n")
+  }
+
+  private def renderGauges: Seq[String] = {
+    val gs = resourceSnapshot
+    if (gs.isEmpty) Seq.empty
+    else "  executor gauges:" +: gs.toSeq.sortBy(_._1).map { case (id, g) =>
+      f"    $id%-12s tasks=${g.tasks}%-6d cpu_ms=${g.cpuNanos / 1000000L}%-8d " +
+        f"run_ms=${g.runMillis}%-8d gc_ms=${g.gcMillis}%-6d " +
+        f"peak_mem=${g.peakMemoryBytes}%d"
+    }
   }
 
   private def renderStageTable: String = {

@@ -33,4 +33,11 @@ object Bridge {
   def registerInjectedFunctions(e: org.apache.spark.sql.SparkSessionExtensions,
       spark: org.apache.spark.sql.SparkSession): Unit =
     e.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** Spec doorway: block until every queued listener event is delivered
+    * (`listenerBus` is `private[spark]`) — monitor specs assert on
+    * listener-fed gauges, and the bus posts asynchronously.
+    */
+  def waitForListeners(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

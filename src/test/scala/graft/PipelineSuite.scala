@@ -619,6 +619,40 @@ class PipelineSuite extends SparkSpec {
     assert(mon.report.contains("workers=5"))
   }
 
+  test("F15d: executor resource gauges roll TaskMetrics into the monitor (resource_monitor parity)") {
+    import spark.implicits._
+    val mon = new PipelineMonitor(spark)
+    try {
+      // a pipeline leg feeds the stage stats; a shuffle+agg leg guarantees
+      // a non-zero peak execution memory (memory-consumer high-water mark)
+      Pipeline.from(ints(1000, parts = 4), monitor = Some(mon))
+        .stage(new AddStage(1))
+        .run().count()
+      spark.range(200000).groupBy((org.apache.spark.sql.functions.col("id") % 512).as("k"))
+        .count().write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.graftbridge.Bridge.waitForListeners(spark.sparkContext)
+      val gauges = mon.resourceSnapshot
+      assert(gauges.nonEmpty, "at least one executor gauge after a run")
+      val total = gauges.values.reduce(_ + _)
+      assert(total.tasks > 0)
+      assert(total.cpuNanos > 0, "CPU time must accumulate")
+      assert(total.runMillis >= 0 && total.gcMillis >= 0)
+      assert(total.peakMemoryBytes > 0,
+        "the shuffle/agg leg must register peak execution memory")
+      // the Debug render carries the gauge table
+      val dbg = mon.render(Verbosity.Debug)
+      assert(dbg.contains("executor gauges:") && dbg.contains("cpu_ms="), dbg)
+      assert(mon.render(Verbosity.Info).contains("stage"),
+        "Info render unchanged by the gauge section")
+      assert(!mon.render(Verbosity.Info).contains("executor gauges:"))
+    } finally mon.detach()
+    // after detach the listener stops rolling: run another job, gauges frozen
+    val frozenTasks = mon.resourceSnapshot.values.map(_.tasks).sum
+    spark.range(10000).selectExpr("sum(id)").collect()
+    org.apache.spark.sql.graftbridge.Bridge.waitForListeners(spark.sparkContext)
+    assert(mon.resourceSnapshot.values.map(_.tasks).sum == frozenTasks)
+  }
+
   test("reference parity: fan-out into an oversized batch stage cannot hang (test_batch_size_hang)") {
     import spark.implicits._
     // the reference shape: batch-1 stage fans each sample out 2000x, then
@@ -724,6 +758,60 @@ class PipelineSuite extends SparkSpec {
     assert(mgr.usedBytes == 900, "rejected artifact is not counted")
     // and the admitted artifacts really are distributed (readable by workers)
     assert(new java.io.File(Artifacts.localPath("model_a.bin")).length() == 600)
+  }
+
+  test("F14c: EvictableArtifactCache — LRU eviction under quota, delete + re-register") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict").toFile
+    def mk(name: String, bytes: Int, fill: Byte): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.FileOutputStream(f)
+      w.write(Array.fill(bytes)(fill)); w.close(); f
+    }
+    val a = mk("rot_a.bin", 500, 'A')
+    val b = mk("rot_b.bin", 300, 'B')
+    val c = mk("rot_c.bin", 300, 'C')
+    val cache = new EvictableArtifactCache(spark, quotaBytes = 1000)
+    val ha = cache.register(a.getAbsolutePath)
+    val hb = cache.register(b.getAbsolutePath)
+    assert(cache.usedBytes == 800)
+    // executors materialize lazily inside tasks and read real bytes
+    val read = spark.sparkContext.parallelize(1 to 4, 4).map { _ =>
+      val f = new java.io.File(ha.localFile)
+      (f.length(), scala.io.Source.fromFile(f).mkString.head)
+    }.collect()
+    assert(read.forall(_ == (500L, 'A')))
+    val bFile = new java.io.File(hb.localFile) // materialize b too (driver JVM)
+    assert(bFile.length() == 300)
+    // touch a so b is the LRU entry, then register c: 800+300 > 1000 →
+    // exactly b is evicted (not a, which was used more recently)
+    cache.register(a.getAbsolutePath)
+    cache.register(c.getAbsolutePath)
+    assert(cache.registeredUris == Seq(a, c).map(_.getAbsolutePath).sorted)
+    assert(cache.usedBytes == 800 && cache.evictionCount == 1)
+    // eviction reclaimed the data plane: the materialized cache file is
+    // deleted (local mode: the cleanup job runs in this JVM), and the
+    // evicted handle fails loud instead of serving stale bytes
+    assert(!bFile.exists(), "evicted artifact's cache file must be deleted")
+    intercept[Exception](hb.localFile)
+    // delete + re-register: new content lands under a NEW content-
+    // addressed name — never the stale copy
+    mk("rot_b.bin", 400, 'Z')
+    cache.register(a.getAbsolutePath) // touch: c is now the LRU entry
+    val hb2 = cache.register(b.getAbsolutePath)
+    assert(hb2.name != hb.name)
+    val f2 = new java.io.File(hb2.localFile)
+    assert(f2.length() == 400 && scala.io.Source.fromFile(f2).mkString.head == 'Z')
+    assert(cache.evictionCount == 2, "a(500)+c(300)+b(400) > 1000 evicts LRU c")
+    assert(!cache.registeredUris.contains(c.getAbsolutePath))
+    // acquire touches LRU order and fails loud on a miss
+    assert(cache.acquire(a.getAbsolutePath).name == ha.name)
+    intercept[NoSuchElementException](cache.acquire("/nope/missing.bin"))
+    // a single artifact over the whole quota can never be admitted
+    val huge = mk("rot_huge.bin", 2000, 'H')
+    val ex = intercept[IllegalStateException](cache.register(huge.getAbsolutePath))
+    assert(ex.getMessage.contains("quota"))
+    // explicit rotation
+    assert(cache.evict(a.getAbsolutePath) && !cache.evict(a.getAbsolutePath))
   }
 
   test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
