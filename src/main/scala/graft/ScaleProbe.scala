@@ -45,6 +45,7 @@ object ScaleProbe {
     if (mode == "ext6") { ext6(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext7") { ext7(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext8") { ext8(spark, src, out, factor); spark.stop(); return }
+    if (mode == "serving") { serving(spark, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -587,7 +588,7 @@ object ScaleProbe {
     // Runs the VERIFIED binding itself (probe and oracle lane can never
     // desynchronize); the probe's orders dir carries the columns it reads
     time("q62 rfm")(
-      graft.queries.Relational.q62.fn(spark, out).count())
+      graft.queries.RelationalStats.q62.fn(spark, out).count())
     // suppliers ×f inside 25 fixed groups: the rank window deepens ×f
     time("q63 pareto")(
       Relational.paretoRank(li.withColumn("g", pmod(col("l_suppkey"), lit(25))),
@@ -1066,5 +1067,75 @@ object ScaleProbe {
         col("a_user"), col("b_user"),
         col("a_s"), col("a_e"), col("b_s"), col("b_e"),
         cellWidth = 86400000L).count())
+  }
+
+  /** SERVING-mode soak (`ScaleProbe <f> serving`): M concurrent hub
+    * routes × N enqueue/drain rounds, each route a watermarked tumbling-
+    * window aggregation — the production claim under test is that
+    * long-running serving state is BOUNDED: the 20 s watermark evicts
+    * closed windows, so rows-in-state (read from each route's
+    * StateOperatorProgress) must plateau at (live windows × keys), not
+    * grow with rounds. Asserts (1) the late-half state peak does not
+    * exceed the early-half peak ×1.5 (plateau, not growth), (2) state
+    * stays far below the unbounded-accumulation line (rounds × keys),
+    * (3) every route is still live and has served finalized windows.
+    * `factor` scales rows per round; state bounds are row-count-free by
+    * design, so the assertion holds at every factor.
+    */
+  private def serving(spark: SparkSession, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.streaming.ServingHub
+    // streaming state-store instances = shuffle partitions; the probe's
+    // 64 would mean 64 stores × M routes of pure overhead at this scale
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val hub = new ServingHub(spark)
+    val routesN = 4
+    val rounds = 30
+    val rowsPerRound = 500 * factor
+    val keys = 50
+    val inputs = (0 until routesN).map { r =>
+      val in = hub.openInput[(java.sql.Timestamp, Long, Double)](s"soak_in_$r")
+      val served = in.stream.toDF("ts", "k", "v")
+        .withWatermark("ts", "20 seconds")
+        .groupBy(window(col("ts"), "10 seconds"), col("k"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      hub.route(s"soak_out_$r", served)
+      in
+    }
+    def stateRows: Long = spark.streams.active
+      .filter(q => Option(q.name).exists(_.startsWith("soak_out_")))
+      .flatMap(q => Option(q.lastProgress))
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+    val base = 1700000000000L
+    var earlyPeak = 0L
+    var latePeak = 0L
+    val t0 = System.nanoTime()
+    for (round <- 0 until rounds) {
+      val ts = base + round * 10000L // event time advances one window per round
+      inputs.foreach { in =>
+        in.put((0 until rowsPerRound).map(i =>
+          (new java.sql.Timestamp(ts + (i % 10) * 1000L), (i % keys).toLong,
+            (i % 7).toDouble)): _*)
+      }
+      hub.processAllAvailable()
+      val sr = stateRows
+      if (round < rounds / 2) earlyPeak = math.max(earlyPeak, sr)
+      else latePeak = math.max(latePeak, sr)
+      if (round % 5 == 4)
+        println(f"[probe serving x$factor] round=${round + 1}%2d state_rows=$sr")
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(hub.isActive, "a route died during the soak")
+    require(latePeak <= math.max(1L, (earlyPeak * 1.5).toLong),
+      s"serving state grew across the soak: early peak $earlyPeak, late peak $latePeak")
+    require(latePeak < rounds.toLong * keys * routesN,
+      s"serving state tracks rounds (unbounded accumulation): $latePeak")
+    val servedWindows = (0 until routesN).map(r => spark.table(s"soak_out_$r").count()).sum
+    require(servedWindows > 0, "no finalized windows served")
+    val enq = rounds.toLong * rowsPerRound * routesN
+    println(f"[probe serving x$factor] routes=$routesN rounds=$rounds enqueued=$enq " +
+      f"served_windows=$servedWindows state_early_peak=$earlyPeak " +
+      f"state_late_peak=$latePeak ${secs}%.1f s")
+    hub.stop()
   }
 }

@@ -1,0 +1,947 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.functions.Rounding.{sqlMirrorRound => mr}
+import graft.sources.Tables
+
+/** Statistics query family (split from Relational.scala in round 7):
+  * outliers, trend, heavy hitters, correlation, Gini/HHI, chi-square,
+  * bins, A/B tests, RFM, Pareto, mutual information, winsorize, MAD,
+  * KS test, autocorrelation, profiling, expectations, Benford, Spearman,
+  * skew report, checksums, weighted median, Theil-Sen. One-pass partial
+  * aggregations wherever the statistic allows; exact rank selection where
+  * it does not (medians/percentile surfaces), always tie-order free.
+  */
+object RelationalStats {
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  private val OutlierZ = 3.0
+
+  /** q44: per-group z-score anomaly detection over the event stream
+    * ([[graft.operators.Relational.zscoreOutliers]]) — values snap to
+    * integer cents first, so the group moment sums are EXACT in any
+    * accumulation order and the |z| >= 3 row set is bit-reproducible
+    * across engines (a float-summed mean flips boundary rows). Stats
+    * are a |groups|-row partial agg broadcast back; no window, no
+    * per-group sort — parallelism never caps at |groups|.
+    */
+  val q44 = QueryDef(
+    "q44_outliers",
+    s"""WITH e AS (SELECT event_type, event_id, user_id, value,
+       |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+       |           FROM events),
+       |s AS (SELECT event_type, count(*) AS n, sum(c) AS s, sum(c * c) AS ss
+       |      FROM e GROUP BY 1 HAVING count(*) >= 2),
+       |r AS (SELECT event_type,
+       |        CAST(s AS DOUBLE) / n AS m,
+       |        sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+       |             / (n - CAST(1 AS DOUBLE))) AS sd
+       |      FROM s)
+       |SELECT e.event_type, e.event_id, e.user_id, e.value,
+       |  ${mr("(CAST(e.c AS DOUBLE) - r.m) / r.sd", 4)} AS z
+       |FROM e JOIN r USING (event_type)
+       |WHERE r.sd > 0 AND abs((CAST(e.c AS DOUBLE) - r.m) / r.sd) >= $OutlierZ
+       |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.zscoreOutliers(Tables.events(s, dir),
+        groupCols = Seq("event_type"), valueCol = col("value"),
+        threshold = OutlierZ,
+        payloadCols = Seq(col("event_id"), col("user_id"), col("value")))
+      .withColumn("z", Rounding.mirrorRound(col("z"), 4))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** q52: per-priority OLS revenue trend
+    * ([[graft.operators.Relational.linearTrend]]) — slope/intercept of
+    * order value (cents) over the day index since the corpus epoch: the
+    * five sufficient statistics are EXACT integer sums (q44 discipline),
+    * the closed form a shared double expression tree, so both engines
+    * produce bit-identical doubles. One partial-agg pass, |groups| rows.
+    */
+  val q52 = QueryDef(
+    "q52_trend",
+    """WITH pts AS (SELECT o_orderpriority AS grp,
+      |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT) AS x,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL),
+      |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1),
+      |t AS (SELECT grp, n, sx, sy, (CAST(n AS DOUBLE)*sxx - sx*sx) AS den,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx) AS slope
+      |  FROM s)
+      |SELECT grp AS o_orderpriority, n, slope,
+      |  (sy - slope*sx) / CAST(n AS DOUBLE) AS intercept
+      |FROM t WHERE n >= 2 AND den > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.linearTrend(Tables(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp")),
+        col("o_totalprice"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val HhMinEst = 100L
+
+  /** q53: heavy hitters via the frequent-items SKETCH in the VERIFIED
+    * lane ([[graft.operators.Sketches.heavyHitters]]): the map (128) is
+    * sized above the 31-token vocabulary, so the sketch provably never
+    * purges and its estimates — AND its lower/upper bounds — are the
+    * exact counts (lb = ub = est), which is exactly what the plain
+    * GROUP BY oracle computes. At real scale the same code undersizes
+    * the map and degrades to the bounded-error no-false-negatives
+    * contract (spec-tested); the shuffle carries ≤ maxMapSize entries
+    * per partition either way, never the token stream.
+    */
+  val q53 = QueryDef(
+    "q53_heavy_hitters",
+    s"""SELECT token, CAST(count(*) AS BIGINT) AS est,
+       |  CAST(count(*) AS BIGINT) AS lb, CAST(count(*) AS BIGINT) AS ub
+       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       |GROUP BY token HAVING count(*) >= $HhMinEst
+       |ORDER BY token""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ", -1)).as("token"))
+    graft.operators.Sketches.heavyHitters(toks, "token", Nil,
+        maxMapSize = 128, minEst = HhMinEst)
+      .withColumnRenamed("item", "token")
+      .orderBy("token")
+  }
+
+  /** q55: per-supplier Pearson correlation between quantity and line
+    * price via [[graft.operators.Relational.pearsonCorr]] — the q44/q52
+    * exact-integer-moment discipline extended to five sufficient
+    * statistics: quantity snaps at scale 1, price to cents, so every sum
+    * is an exact long and r is one fixed double expression (sqrt is
+    * IEEE correctly-rounded — bit-identical cross-engine). ONE
+    * partial-agg pass, |suppliers| rows, no window.
+    */
+  val q55 = QueryDef(
+    "q55_correlation",
+    """WITH pts AS (SELECT l_suppkey,
+      |  CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS x,
+      |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+      |s AS (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+      |  CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM pts GROUP BY 1),
+      |t AS (SELECT l_suppkey, n,
+      |  (CAST(n AS DOUBLE)*sxx - sx*sx) AS dx,
+      |  (CAST(n AS DOUBLE)*syy - sy*sy) AS dy,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) AS num
+      |  FROM s)
+      |SELECT l_suppkey, n, num / (sqrt(dx) * sqrt(dy)) AS corr
+      |FROM t WHERE n >= 2 AND dx > 0 AND dy > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.pearsonCorr(Tables(s, dir, "lineitem"),
+        Seq("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        scaleX = 1L, scaleY = 100L)
+      .orderBy("l_suppkey")
+  }
+
+  /** q56: Gini coefficient of customer spend per market segment via
+    * [[graft.operators.Relational.giniIndex]]. Per-customer totals are
+    * built EXACTLY before the operator — each order snaps to cents, the
+    * customer total is a long sum (a double pre-sum would be
+    * order-dependent and break the oracle) — then the segment-partitioned
+    * rank window (total order (spend, custkey)) and one agg produce the
+    * order statistic. The customer join is key-keyed (both sides
+    * corpus-sized at scale — deliberately NOT broadcast).
+    */
+  val q56 = QueryDef(
+    "q56_gini",
+    """WITH spend AS (SELECT o_custkey,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |j AS (SELECT c_mktsegment, c_custkey, cents FROM spend
+      |      JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT c_mktsegment, cents,
+      |  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS BIGINT) AS i
+      |  FROM j),
+      |s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS total,
+      |  CAST(sum(i * cents) AS DOUBLE) AS siv
+      |  FROM r GROUP BY 1)
+      |SELECT c_mktsegment, n, total,
+      |  (2.0 * siv - (CAST(n AS DOUBLE) + 1.0) * CAST(total AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+      |FROM s WHERE total > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val spend = Tables(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("_cents"))
+      .groupBy("o_custkey").agg(sum("_cents").cast("long").as("cents"))
+    val joined = spend.join(Tables(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    graft.operators.Relational.giniIndex(joined, Seq("c_mktsegment"),
+        col("cents"), col("c_custkey"), scale = 1L)
+      .orderBy("c_mktsegment")
+  }
+
+  /** q57: supplier revenue concentration per nation via
+    * [[graft.operators.Relational.herfindahl]] — two partial-agg passes
+    * (per-supplier cents, then the nation rollup), squares accumulated
+    * in DECIMAL(38,0) against DuckDB's int128 (a long would overflow at
+    * scale), the nation dim join BROADCAST.
+    */
+  val q57 = QueryDef(
+    "q57_hhi",
+    """WITH x AS (SELECT s_nationkey, l_suppkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+      |s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(v) AS BIGINT) AS sx,
+      |  sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS sxx
+      |  FROM x GROUP BY 1)
+      |SELECT n_name, n, CAST(sxx AS DOUBLE) / (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS hhi
+      |FROM s JOIN nation ON s_nationkey = n_nationkey
+      |WHERE sx > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    graft.operators.Relational.herfindahl(li, Seq("s_nationkey"),
+        col("l_suppkey"), col("l_extendedprice"), scale = 100L)
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "n", "hhi")
+      .orderBy("n_name")
+  }
+
+  /** q58: chi-squared independence scan (priority × status) via
+    * [[graft.operators.Relational.chiSquare]] — per-cell (O−E)²/E over
+    * the COMPLETE grid (zero cells included), marginals derived from the
+    * one-pass cell table, N as a driver scalar / oracle scalar subquery,
+    * and NO float total emitted (t18's no-cross-engine-sum contract).
+    */
+  val q58 = QueryDef(
+    "q58_chi2",
+    """WITH cells AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |  CAST(count(*) AS BIGINT) AS observed FROM orders
+      |  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(observed) AS BIGINT) AS ra FROM cells GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(observed) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(observed) AS DOUBLE) AS nd FROM cells),
+      |grid AS (SELECT rt.a, ct.b, ra, cb,
+      |  CAST(coalesce(cells.observed, 0) AS BIGINT) AS observed
+      |  FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+      |e AS (SELECT a, b, observed,
+      |  CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / tot.nd AS expected
+      |  FROM grid CROSS JOIN tot)
+      |SELECT a AS o_orderpriority, b AS o_orderstatus, observed, expected,
+      |  (CAST(observed AS DOUBLE) - expected) * (CAST(observed AS DOUBLE) - expected)
+      |    / expected AS chi2_term
+      |FROM e ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.chiSquare(Tables(s, dir, "orders"),
+        "o_orderpriority", "o_orderstatus")
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  /** q60: quartile binning of order totals via
+    * [[graft.operators.Relational.quantileBins]] — cutpoints from the
+    * cent-value histogram (|distinct cents| rows, never a corpus sort),
+    * then a NARROW broadcast-literal bin assignment; the oracle mirrors
+    * the same inclusive rank criterion with scalar subqueries. The probs
+    * (.25/.5/.75) are exactly binary-representable, so ceil(p·n) is the
+    * same integer on both engines.
+    */
+  val q60 = QueryDef(
+    "q60_bins",
+    """WITH v AS (SELECT o_orderkey,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS vu
+      |  FROM orders WHERE o_totalprice IS NOT NULL),
+      |h AS (SELECT vu, count(*) AS c FROM v GROUP BY 1),
+      |cum AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM h),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |cuts AS (SELECT
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(0.25 * n) AS BIGINT)) FROM nn)) AS c0,
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(0.5 * n) AS BIGINT)) FROM nn)) AS c1,
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(0.75 * n) AS BIGINT)) FROM nn)) AS c2)
+      |SELECT o_orderkey, vu AS value_units,
+      |  CAST((CASE WHEN vu > c0 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN vu > c1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN vu > c2 THEN 1 ELSE 0 END) AS INTEGER) AS bin
+      |FROM v CROSS JOIN cuts ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.quantileBins(
+        Tables(s, dir, "orders").filter(col("o_totalprice").isNotNull),
+        col("o_totalprice"), Seq(0.25, 0.5, 0.75), scale = 100L)
+      .select("o_orderkey", "value_units", "bin")
+      .orderBy("o_orderkey")
+  }
+
+  /** q61: Welch's t between fulfilled ('F') and open ('O') orders per
+    * priority via [[graft.operators.Relational.abTest]] — exact
+    * conditional integer moments in ONE partial-agg pass (Σy² in
+    * DECIMAL(38,0) against DuckDB's int128 — cent totals square past
+    * long range), then one fixed double tree for means/variances/t.
+    */
+  val q61 = QueryDef(
+    "q61_ab_test",
+    """WITH p AS (SELECT o_orderpriority AS prio, o_orderstatus AS arm,
+      |  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderstatus IN ('F','O')),
+      |s AS (SELECT prio,
+      |  CAST(sum(CASE WHEN arm = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN arm = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN arm = 'F' THEN y END) AS DOUBLE) AS sa,
+      |  CAST(sum(CASE WHEN arm = 'O' THEN y END) AS DOUBLE) AS sb,
+      |  CAST(sum(CASE WHEN arm = 'F' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) END) AS DOUBLE) AS ssa,
+      |  CAST(sum(CASE WHEN arm = 'O' THEN CAST(y AS HUGEINT) * CAST(y AS HUGEINT) END) AS DOUBLE) AS ssb
+      |  FROM p GROUP BY 1),
+      |t AS (SELECT prio, n_a, n_b,
+      |  sa / CAST(n_a AS DOUBLE) AS mean_a, sb / CAST(n_b AS DOUBLE) AS mean_b,
+      |  (ssa - sa * sa / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+      |  (ssb - sb * sb / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+      |  FROM s WHERE n_a >= 2 AND n_b >= 2),
+      |u AS (SELECT prio, n_a, n_b, mean_a, mean_b,
+      |  va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE) AS se2 FROM t)
+      |SELECT prio AS o_orderpriority, n_a, n_b, mean_a, mean_b,
+      |  (mean_a - mean_b) / sqrt(se2) AS t
+      |FROM u WHERE se2 > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.abTest(Tables(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_orderstatus"), col("o_totalprice"),
+        armA = "F", armB = "O", scale = 100L)
+      .orderBy("o_orderpriority")
+  }
+
+  /** q62: RFM customer scoring — the classic curation/marketing
+    * stratification, here to prove [[graft.operators.Relational.quantileBins]]
+    * COMPOSES: one partial-agg pass builds per-customer recency (days
+    * before the corpus max order day — a driver scalar / oracle scalar
+    * subquery, the t18 pattern), frequency and exact cent spend, the
+    * base materializes ONCE (localCheckpoint — three binning passes and
+    * the final projection all read it), and each metric gets quintile
+    * bins from its value histogram + a narrow broadcast-literal pass —
+    * never an ntile corpus sort. The quintile probs aren't binary-exact,
+    * so the oracle forces CAST(p AS DOUBLE) to make ceil(p·n) the same
+    * IEEE product on both engines.
+    */
+  val q62 = QueryDef(
+    "q62_rfm",
+    """WITH day0 AS (SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01',
+      |    max(o_orderdate)) AS BIGINT) AS ref FROM orders WHERE o_orderdate IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |base AS (SELECT o_custkey,
+      |  (SELECT ref FROM day0)
+      |    - max(CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)) AS r_days,
+      |  CAST(count(*) AS BIGINT) AS f,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+      |  GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+      |rh AS (SELECT r_days AS vu, count(*) AS c FROM base GROUP BY 1),
+      |rc AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM rh),
+      |fh AS (SELECT f AS vu, count(*) AS c FROM base GROUP BY 1),
+      |fc AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM fh),
+      |mh AS (SELECT m_cents AS vu, count(*) AS c FROM base GROUP BY 1),
+      |mc AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM mh),
+      |cuts AS (SELECT
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r0,
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r1,
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r2,
+      |  (SELECT min(vu) FROM rc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS r3,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f0,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f1,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f2,
+      |  (SELECT min(vu) FROM fc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS f3,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.2 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m0,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.4 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m1,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m2,
+      |  (SELECT min(vu) FROM mc WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.8 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS m3)
+      |SELECT o_custkey, r_days, f, m_cents,
+      |  CAST((CASE WHEN r_days > r0 THEN 1 ELSE 0 END) + (CASE WHEN r_days > r1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN r_days > r2 THEN 1 ELSE 0 END) + (CASE WHEN r_days > r3 THEN 1 ELSE 0 END) AS INTEGER) AS r_bin,
+      |  CAST((CASE WHEN f > f0 THEN 1 ELSE 0 END) + (CASE WHEN f > f1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN f > f2 THEN 1 ELSE 0 END) + (CASE WHEN f > f3 THEN 1 ELSE 0 END) AS INTEGER) AS f_bin,
+      |  CAST((CASE WHEN m_cents > m0 THEN 1 ELSE 0 END) + (CASE WHEN m_cents > m1 THEN 1 ELSE 0 END)
+      |     + (CASE WHEN m_cents > m2 THEN 1 ELSE 0 END) + (CASE WHEN m_cents > m3 THEN 1 ELSE 0 END) AS INTEGER) AS m_bin
+      |FROM base CROSS JOIN cuts ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val day = datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+      .cast("long")
+    val orders = Tables(s, dir, "orders")
+      .filter(col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+    val refDay = orders.agg(max(day)).head().getLong(0)
+    val base = orders.groupBy("o_custkey").agg(
+        (lit(refDay) - max(day)).as("r_days"),
+        count(lit(1)).cast("long").as("f"),
+        sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+          .cast("long").as("m_cents"))
+      .localCheckpoint()
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val binned = Seq(("r_days", "r_bin"), ("f", "f_bin"), ("m_cents", "m_bin"))
+      .foldLeft(base) { case (df, (metric, bin)) =>
+        graft.operators.Relational.quantileBins(df, col(metric), ps,
+          scale = 1L, binName = bin).drop("value_units")
+      }
+    binned.select("o_custkey", "r_days", "f", "m_cents", "r_bin", "f_bin", "m_bin")
+      .orderBy("o_custkey")
+  }
+
+  /** q63: Pareto concentration per nation via
+    * [[graft.operators.Relational.paretoRank]] — the 80/20 readout "how
+    * many suppliers make 80% of revenue", with the crossing test in PURE
+    * integer arithmetic (5·cumsum ≥ 4·total over exact longs — no float
+    * threshold to disagree across engines); per-supplier totals exact
+    * cents, ranking largest-first within nation ((revenue desc, suppkey)
+    * total order, parallelism = nations), nation dim join BROADCAST.
+    */
+  val q63 = QueryDef(
+    "q63_pareto",
+    """WITH x AS (SELECT s_nationkey, l_suppkey,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE l_extendedprice IS NOT NULL
+      |    AND CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) >= 0
+      |  GROUP BY 1, 2),
+      |r AS (SELECT s_nationkey, v,
+      |  CAST(sum(v) OVER (PARTITION BY s_nationkey ORDER BY v DESC, l_suppkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  CAST(sum(v) OVER (PARTITION BY s_nationkey) AS BIGINT) AS tot,
+      |  CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY v DESC, l_suppkey) AS BIGINT) AS rk
+      |  FROM x),
+      |s AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_entities,
+      |  max(tot) AS total,
+      |  min(CASE WHEN cum * 5 >= tot * 4 THEN rk END) AS n_to_threshold
+      |  FROM r GROUP BY 1)
+      |SELECT n_name, n_entities, total, n_to_threshold
+      |FROM s JOIN nation ON s_nationkey = n_nationkey
+      |WHERE total > 0 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .join(broadcast(Tables(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+    graft.operators.Relational.paretoRank(li, Seq("s_nationkey"),
+        col("l_suppkey"), col("l_extendedprice"), num = 4L, den = 5L,
+        scale = 100L)
+      .join(broadcast(Tables(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("n_name", "n_entities", "total", "n_to_threshold")
+      .orderBy("n_name")
+  }
+
+  /** q64: pointwise mutual information (returnflag × linestatus) via
+    * [[graft.operators.Relational.mutualInfo]] — the chiSquare plan
+    * (one cell pass, derived marginals, scalar N) over the observed
+    * support, per-cell pmi + MI contribution as fixed double trees,
+    * no float total (t18's contract).
+    */
+  val q64 = QueryDef(
+    "q64_mutual_info",
+    """WITH cells AS (SELECT l_returnflag AS a, l_linestatus AS b,
+      |  CAST(count(*) AS BIGINT) AS n_ab FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS na FROM cells GROUP BY 1),
+      |ct AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS nd FROM cells),
+      |e AS (SELECT a, b, n_ab,
+      |  ln(nd * CAST(n_ab AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS pmi,
+      |  nd FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
+      |SELECT a AS l_returnflag, b AS l_linestatus, n_ab, pmi,
+      |  CAST(n_ab AS DOUBLE) / nd * pmi AS mi_term
+      |FROM e ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.mutualInfo(Tables(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q65: percentile winsorization of the heavy-tailed event value via
+    * [[graft.operators.Relational.winsorize]] — exact histogram
+    * cutpoints (cent precision bounds the histogram by the value
+    * DOMAIN, not the corpus), then a narrow integer clamp; no floats
+    * anywhere in the clip decision.
+    */
+  val q65 = QueryDef(
+    "q65_winsorize",
+    """WITH v AS (SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vu
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT vu, count(*) AS c FROM v GROUP BY 1),
+      |cum AS (SELECT vu, sum(c) OVER (ORDER BY vu) AS cum FROM h),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |cuts AS (SELECT
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS lo,
+      |  (SELECT min(vu) FROM cum WHERE cum >= (SELECT greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)) FROM nn)) AS hi)
+      |SELECT event_id, vu AS value_units, greatest(lo, least(hi, vu)) AS clipped
+      |FROM v CROSS JOIN cuts ORDER BY event_id""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.winsorize(
+        Tables.events(s, dir).filter(col("value").isNotNull)
+          .select("event_id", "value"),
+        col("value"), pLo = 0.05, pHi = 0.95, scale = 100L)
+      .select("event_id", "value_units", "clipped")
+      .orderBy("event_id")
+  }
+
+  /** q66: pivoted revenue matrix (priority × status) — the DataFrame
+    * `pivot` API in the verified lane with an EXPLICIT column list (an
+    * inferred pivot would scan once just to learn the columns, and
+    * column ORDER would depend on data); cells are exact cent sums, a
+    * combination that never occurs is a null cell on both engines.
+    */
+  val q66 = QueryDef(
+    "q66_pivot",
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS F,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS O,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS P
+      |FROM orders WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+      .withColumn("_cents",
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum("_cents").cast("long"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val MadK = 5L
+
+  /** q67: MAD robust outliers per event type
+    * ([[graft.operators.Relational.madOutliers]]) — the flag decision is
+    * dev > k·MAD over exact longs (median = rank-⌊(n+1)/2⌋ selection on
+    * the unit histogram, both engines run the identical integer test);
+    * robust_z is reporting only, rounded at the binding.
+    */
+  val q67 = QueryDef(
+    "q67_mad_outliers",
+    s"""WITH e AS (SELECT event_type, event_id, user_id, value,
+       |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+       |           FROM events WHERE value IS NOT NULL),
+       |n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+       |h1 AS (SELECT event_type, c, count(*) AS cnt FROM e GROUP BY 1, 2),
+       |c1 AS (SELECT event_type, c,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cum
+       |       FROM h1),
+       |med AS (SELECT c1.event_type, min(c) AS med
+       |        FROM c1 JOIN n USING (event_type)
+       |        WHERE 2 * cum >= n GROUP BY 1),
+       |d AS (SELECT e.event_type, e.event_id, e.user_id, e.value,
+       |        abs(e.c - med.med) AS dev
+       |      FROM e JOIN med USING (event_type)),
+       |h2 AS (SELECT event_type, dev, count(*) AS cnt FROM d GROUP BY 1, 2),
+       |c2 AS (SELECT event_type, dev,
+       |         sum(cnt) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+       |       FROM h2),
+       |mad AS (SELECT c2.event_type, min(dev) AS mad
+       |        FROM c2 JOIN n USING (event_type)
+       |        WHERE 2 * cum >= n GROUP BY 1)
+       |SELECT d.event_type, d.event_id, d.user_id, d.value,
+       |  d.dev AS dev_units, mad.mad AS mad_units,
+       |  ${mr("CAST(d.dev AS DOUBLE) / (1.4826 * CAST(mad.mad AS DOUBLE))", 4)} AS robust_z
+       |FROM d JOIN mad USING (event_type)
+       |WHERE mad.mad > 0 AND d.dev > $MadK * mad.mad
+       |ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.madOutliers(Tables.events(s, dir),
+        groupCols = Seq("event_type"), valueCol = col("value"), k = MadK,
+        payloadCols = Seq(col("event_id"), col("user_id"), col("value")))
+      .withColumn("robust_z", Rounding.mirrorRound(col("robust_z"), 4))
+      .orderBy("event_type", "event_id")
+  }
+
+  /** q72: two-sample KS drift statistic per order status
+    * ([[graft.operators.Relational.ksTest]]) — urgent-priority order
+    * totals vs the rest: the sup-CDF-gap computed entirely in integers
+    * (cents histogram, cross-multiplied cumulative gap), with one exact
+    * closing division mirrored to 6 dp. The window sorts |distinct
+    * cents| rows per segment, never the raw orders.
+    */
+  val q72 = QueryDef(
+    "q72_ks_test",
+    s"""WITH p AS (SELECT o_orderstatus AS seg,
+       |             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+       |             (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS a
+       |           FROM orders),
+       |h AS (SELECT seg, c, sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+       |        sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+       |      FROM p GROUP BY 1, 2),
+       |w AS (SELECT seg, c,
+       |        sum(ca) OVER (PARTITION BY seg ORDER BY c
+       |          ROWS UNBOUNDED PRECEDING) AS cuma,
+       |        sum(cb) OVER (PARTITION BY seg ORDER BY c
+       |          ROWS UNBOUNDED PRECEDING) AS cumb,
+       |        sum(ca) OVER (PARTITION BY seg) AS na,
+       |        sum(cb) OVER (PARTITION BY seg) AS nb
+       |      FROM h),
+       |g AS (SELECT seg AS o_orderstatus,
+       |        CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+       |        CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+       |      FROM w GROUP BY 1
+       |      HAVING max(na) > 0 AND max(nb) > 0)
+       |SELECT o_orderstatus, n_a, n_b, d_num,
+       |  ${mr("CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)", 6)} AS d
+       |FROM g ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.ksTest(Tables(s, dir, "orders"),
+        Seq("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .withColumn("d", Rounding.mirrorRound(col("d"), 6))
+      .orderBy("o_orderstatus")
+  }
+
+  /** q74: lag-24 autocorrelation of hourly event counts per type
+    * ([[graft.operators.Relational.autocorrelation]]) — the daily-
+    * seasonality detector: hourly buckets pair with the bucket 24 hours
+    * ahead via a subtract-the-lag equi-join (never a range join), and
+    * the correlation runs over exact integer counts (q55's moment
+    * machinery at scale 1). Gap semantics: a pair exists only when both
+    * hours are observed.
+    */
+  val q74 = QueryDef(
+    "q74_autocorr",
+    """WITH b AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bk,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.event_type, a.c AS x, f.c AS y FROM b a
+      |      JOIN b f ON f.event_type = a.event_type AND f.bk = a.bk + 24),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+      |  CAST(sum(x*y) AS DOUBLE) AS sxy
+      |  FROM p GROUP BY 1),
+      |t AS (SELECT event_type, n,
+      |  (CAST(n AS DOUBLE)*sxx - sx*sx) AS dx,
+      |  (CAST(n AS DOUBLE)*syy - sy*sy) AS dy,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) AS num
+      |  FROM s)
+      |SELECT event_type, n, num / (sqrt(dx) * sqrt(dy)) AS corr
+      |FROM t WHERE n >= 2 AND dx > 0 AND dy > 0
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.autocorrelation(Tables.events(s, dir),
+        Seq("event_type"), unix_millis(col("ts")),
+        bucketMillis = 3600000L, lagBuckets = 24)
+      .orderBy("event_type")
+  }
+
+  /** q75: column-level data profile of lineitem
+    * ([[graft.operators.Relational.profile]]) — the ingest-gate quality
+    * report (rows, nulls, exact distincts, numeric ranges) in ONE
+    * aggregation pass (Catalyst Expand for the multi-distinct — one
+    * scan, never |cols| scans); string extrema deliberately absent
+    * (collation does not reproduce across engines). The oracle is the
+    * per-column UNION ALL a human would write.
+    */
+  val q75 = QueryDef(
+    "q75_profile", {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num
+           |FROM lineitem""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           |FROM lineitem""".stripMargin
+      s"""${num("l_partkey")}
+         |UNION ALL ${num("l_quantity")}
+         |UNION ALL ${num("l_extendedprice")}
+         |UNION ALL ${str("l_returnflag")}
+         |UNION ALL ${str("l_shipdate")}
+         |ORDER BY col_name""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.Relational.profile(Tables(s, dir, "lineitem"),
+        Seq("l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+          "l_shipdate"))
+      .orderBy("col_name")
+  }
+
+  /** q78: rule-based data expectations over lineitem
+    * ([[graft.operators.Relational.expectations]]) — the validation
+    * half of q75's quality gate: five named predicates judged in one
+    * conditional-aggregation pass (one scan), NULL predicate = not met;
+    * the oracle is the per-rule UNION ALL with each predicate mirrored
+    * verbatim.
+    */
+  val q78 = QueryDef(
+    "q78_expectations", {
+      val rules = Seq(
+        "quantity_in_range" -> "l_quantity BETWEEN 1 AND 50",
+        "discount_in_policy" -> "l_discount BETWEEN 0.0 AND 0.10",
+        "shipdate_present" -> "l_shipdate IS NOT NULL",
+        "price_positive" -> "l_extendedprice > 0",
+        "returnflag_known" -> "l_returnflag IN ('A', 'N', 'R')")
+      rules.map { case (n, p) =>
+        s"""SELECT '$n' AS rule, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+           |    AS violations,
+           |  ${mr(s"sum(CASE WHEN coalesce($p, FALSE) THEN 0 ELSE 1 END) * 1.0 / count(*)", 6)}
+           |    AS violation_frac
+           |FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL ", "\nORDER BY rule")
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.expectations(Tables(s, dir, "lineitem"), Seq(
+        "quantity_in_range" -> col("l_quantity").between(1, 50),
+        "discount_in_policy" -> col("l_discount").between(0.0, 0.10),
+        "shipdate_present" -> col("l_shipdate").isNotNull,
+        "price_positive" -> (col("l_extendedprice") > 0),
+        "returnflag_known" -> col("l_returnflag").isin("A", "N", "R")))
+      .withColumn("violation_frac", Rounding.mirrorRound(col("violation_frac"), 6))
+      .orderBy("rule")
+  }
+
+  /** q82: Benford first-digit audit of line prices per return flag
+    * ([[graft.operators.Relational.benfordScan]]) — amounts snap to
+    * cents, the first digit is the leading character of the exact
+    * integer's decimal string (never float log10), the COMPLETE 1–9
+    * grid reports per group (q58's zero-cell principle) and the
+    * expected fraction ln(1+1/d)/ln 10 plus the per-digit chi²
+    * contribution evaluate as fixed double trees on both engines.
+    */
+  val q82 = QueryDef(
+    "q82_benford",
+    """WITH u AS (SELECT l_returnflag,
+      |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS u
+      |  FROM lineitem),
+      |c AS (SELECT l_returnflag,
+      |  CAST(substr(CAST(u AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |  CAST(count(*) AS BIGINT) AS n
+      |  FROM u WHERE u >= 1 GROUP BY 1, 2),
+      |t AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+      |g AS (SELECT t.l_returnflag, d.digit, t.tot
+      |  FROM t CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]::BIGINT[]) AS digit) d),
+      |j AS (SELECT g.l_returnflag, g.digit, coalesce(c.n, 0) AS n, g.tot,
+      |  ln(1.0 + 1.0 / CAST(g.digit AS DOUBLE)) / ln(10.0) AS ef
+      |  FROM g LEFT JOIN c ON g.l_returnflag = c.l_returnflag AND g.digit = c.digit)
+      |SELECT l_returnflag, digit, CAST(n AS BIGINT) AS n,
+      |  (floor((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0)
+      |    AS frac,
+      |  (floor(ef * 1000000.0 + 0.5) / 1000000.0) AS expected_frac,
+      |  (floor(((CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * ef)
+      |          * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * ef)
+      |          / (CAST(tot AS DOUBLE) * ef)) * 1000000.0 + 0.5) / 1000000.0)
+      |    AS chi2_term
+      |FROM j ORDER BY l_returnflag, digit""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.benfordScan(Tables(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_extendedprice"), scale = 100L)
+      .withColumn("frac", Rounding.mirrorRound(col("frac"), 6))
+      .withColumn("expected_frac", Rounding.mirrorRound(col("expected_frac"), 6))
+      .withColumn("chi2_term", Rounding.mirrorRound(col("chi2_term"), 6))
+      .orderBy("l_returnflag", "digit")
+  }
+
+  /** q83: Spearman rank correlation between account balance and total
+    * spend per market segment ([[graft.operators.Relational
+    * .spearmanCorr]]) — [[graft.operators.Relational.pearsonCorr]] over
+    * DOUBLED average ranks (2·rank + tieCount − 1, an exact integer for
+    * tie runs), so every sufficient statistic stays an exact long sum
+    * and rho is scale-invariant under the ×2; per-customer spend builds
+    * EXACTLY upstream as cent-long sums (the q56 discipline). Oracle
+    * mirrors the rank windows (DuckDB rank() = min rank, same as Spark)
+    * and the Pearson closed form verbatim.
+    */
+  val q83 = QueryDef(
+    "q83_spearman",
+    """WITH spend AS (SELECT o_custkey,
+      |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+      |j AS (SELECT c_mktsegment,
+      |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS xu, cents AS yu
+      |  FROM spend JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_acctbal IS NOT NULL AND cents IS NOT NULL),
+      |r AS (SELECT c_mktsegment,
+      |  2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY xu)
+      |    + count(*) OVER (PARTITION BY c_mktsegment, xu) - 1 AS rx,
+      |  2 * rank() OVER (PARTITION BY c_mktsegment ORDER BY yu)
+      |    + count(*) OVER (PARTITION BY c_mktsegment, yu) - 1 AS ry
+      |  FROM j),
+      |s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+      |  CAST(sum(rx*rx) AS DOUBLE) AS sxx, CAST(sum(ry*ry) AS DOUBLE) AS syy,
+      |  CAST(sum(rx*ry) AS DOUBLE) AS sxy
+      |  FROM r GROUP BY 1),
+      |t AS (SELECT c_mktsegment, n,
+      |  (CAST(n AS DOUBLE)*sxx - sx*sx) AS dx,
+      |  (CAST(n AS DOUBLE)*syy - sy*sy) AS dy,
+      |  (CAST(n AS DOUBLE)*sxy - sx*sy) AS num
+      |  FROM s)
+      |SELECT c_mktsegment, n,
+      |  (floor((num / (sqrt(dx) * sqrt(dy))) * 1000000.0 + 0.5) / 1000000.0) AS rho
+      |FROM t WHERE n >= 2 AND dx > 0 AND dy > 0
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val spend = Tables(s, dir, "orders")
+      .filter(col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("_c"))
+      .groupBy("o_custkey").agg(sum("_c").cast("long").as("cents"))
+    val joined = spend.join(Tables(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    graft.operators.Relational.spearmanCorr(joined, Seq("c_mktsegment"),
+        col("c_acctbal"), col("cents"), scaleX = 100L, scaleY = 1L)
+      .withColumn("rho", Rounding.mirrorRound(col("rho"), 6))
+      .orderBy("c_mktsegment")
+  }
+
+  private val SkewTopN = 20
+
+  /** q85: join-key skew report over lineitem's part key
+    * ([[graft.operators.Relational.keySkewReport]]) — the pre-join
+    * diagnostic that sizes AQE skew splits and [[graft.operators
+    * .Relational.saltedJoin]] salt counts: top-20 hottest keys with
+    * share and ratio-to-mean (the skew factor), global denominators on
+    * every row; counts exact longs, the two ratios fixed double trees,
+    * ties at equal count broken on the key — total order, so the top-20
+    * SET is bit-identical cross-engine.
+    */
+  val q85 = QueryDef(
+    "q85_skew_report",
+    s"""WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+       |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+       |s AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+       |  CAST(count(*) AS BIGINT) AS n_keys FROM c),
+       |t AS (SELECT l_partkey, n_rows,
+       |  CAST(row_number() OVER (ORDER BY n_rows DESC, l_partkey) AS BIGINT) AS rank
+       |  FROM c)
+       |SELECT rank, l_partkey, n_rows,
+       |  (floor((CAST(n_rows AS DOUBLE) / CAST(n_rows_total AS DOUBLE)) * 1000000.0 + 0.5)
+       |    / 1000000.0) AS share,
+       |  (floor((CAST(n_rows AS DOUBLE)
+       |          / (CAST(n_rows_total AS DOUBLE) / CAST(n_keys AS DOUBLE))) * 1000000.0 + 0.5)
+       |    / 1000000.0) AS ratio_to_mean,
+       |  n_rows_total, n_keys
+       |FROM t CROSS JOIN s WHERE rank <= $SkewTopN ORDER BY rank""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.keySkewReport(Tables(s, dir, "lineitem"),
+        Seq("l_partkey"), topN = SkewTopN)
+      .withColumn("share", Rounding.mirrorRound(col("share"), 6))
+      .withColumn("ratio_to_mean", Rounding.mirrorRound(col("ratio_to_mean"), 6))
+      .orderBy("rank")
+  }
+
+  /** q86: order-independent table checksum per order status
+    * ([[graft.operators.Relational.tableChecksum]]) — the
+    * migration-validation primitive that pairs with q79: each row folds
+    * to the t04 polynomial fingerprint of its canonical string (key,
+    * status, snapped cents — doubles never stringify), fingerprints SUM
+    * per group in DECIMAL(38,0) (exact in any order — DuckDB's HUGEINT
+    * mirror), one mod at the end. Two engines computing the same
+    * checksum from independently-stored copies IS the verification
+    * story, run here as the oracle lane.
+    */
+  val q86 = QueryDef(
+    "q86_table_checksum",
+    s"""WITH s AS (SELECT o_orderstatus,
+       |  coalesce(CAST(o_orderkey AS VARCHAR), '') || '|' ||
+       |  coalesce(o_orderstatus, '') || '|' ||
+       |  coalesce(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), '')
+       |    AS rs
+       |  FROM orders),
+       |h AS (SELECT o_orderstatus,
+       |  ${graft.functions.Signatures.sqlPolyHashStr("rs")} AS fp FROM s)
+       |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CAST(fp AS HUGEINT)) % 1000000007 AS BIGINT) AS checksum
+       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.tableChecksum(Tables(s, dir, "orders"),
+        Seq("o_orderstatus"),
+        Seq(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")))
+      .orderBy("o_orderstatus")
+  }
+
+  private val WpProbs = Seq((1, 2), (9, 10), (99, 100))
+
+  /** q91: quantity-weighted price percentiles per return flag
+    * ([[graft.operators.Relational.weightedPercentiles]]) — the
+    * weighted order statistic with q63's pure-integer crossing test
+    * (den·cum ≥ num·tot over exact longs; probs are RATIONALS so no
+    * float threshold exists to disagree), selected from the q60/q67
+    * histogram shape: the corpus never sorts, the cumulative window
+    * orders |distinct cents| rows per group.
+    */
+  val q91 = QueryDef(
+    "q91_weighted_median",
+    s"""WITH h AS (SELECT l_returnflag,
+       |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS u,
+       |  CAST(sum(CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) > 0
+       |  GROUP BY 1, 2),
+       |c AS (SELECT l_returnflag, u,
+       |  sum(w) OVER (PARTITION BY l_returnflag ORDER BY u
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM h),
+       |t AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS tot FROM h GROUP BY 1),
+       |p AS (SELECT * FROM (VALUES ${WpProbs.map(p => s"(${p._1}, ${p._2})").mkString(", ")})
+       |      pp(p_num, p_den))
+       |SELECT c.l_returnflag, CAST(p_num AS BIGINT) AS p_num,
+       |  CAST(p_den AS BIGINT) AS p_den, CAST(min(u) AS BIGINT) AS value_units
+       |FROM c JOIN t USING (l_returnflag) CROSS JOIN p
+       |WHERE c.cum * p_den >= t.tot * p_num
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    graft.operators.Relational.weightedPercentiles(Tables(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        WpProbs, valueScale = 100L, weightScale = 1L)
+      .orderBy("l_returnflag", "p_num", "p_den")
+  }
+
+  /** q94: Theil–Sen robust daily trend per event type
+    * ([[graft.operators.Relational.theilSen]]) — median pairwise slope +
+    * median residual intercept, every slope ONE division of exact longs
+    * and both medians rank-selected, so the result is BIT-exact
+    * cross-engine with no rounding anywhere (the q69/q77 contract on an
+    * order statistic). The oracle replays pair generation as a rank
+    * self-join (the slope multiset is symmetric, so any pair enumeration
+    * agrees) and both rank selections verbatim.
+    */
+  val q94 = QueryDef(
+    "q94_theil_sen", {
+      val lower = "CAST(floor((cnt + 1) / 2.0) AS BIGINT)"
+      val upper = "CAST(floor(cnt / 2.0) AS BIGINT) + 1"
+      s"""WITH p AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_ms(ts) AS cx,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cy
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT p.*, row_number() OVER (PARTITION BY event_type, day
+         |        ORDER BY cx, cy) AS prn FROM p),
+         |sl AS (SELECT a.event_type, a.day,
+         |         CAST(b.cy - a.cy AS DOUBLE) / CAST(b.cx - a.cx AS DOUBLE) AS s
+         |       FROM r a JOIN r b ON a.event_type = b.event_type
+         |         AND a.day = b.day AND a.prn < b.prn
+         |       WHERE a.cx <> b.cx),
+         |sr AS (SELECT sl.*, row_number() OVER (PARTITION BY event_type, day
+         |         ORDER BY s) AS rn,
+         |         count(*) OVER (PARTITION BY event_type, day) AS cnt FROM sl),
+         |med AS (SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS n_slopes,
+         |          sum(CASE WHEN rn = $lower OR rn = $upper THEN s END)
+         |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
+         |                THEN 1 ELSE 0 END) AS DOUBLE) AS slope
+         |        FROM sr GROUP BY 1, 2),
+         |res AS (SELECT p.event_type, p.day, med.slope, med.n_slopes,
+         |          CAST(p.cy AS DOUBLE) - med.slope * CAST(p.cx AS DOUBLE) AS rr
+         |        FROM p JOIN med USING (event_type, day)),
+         |rr2 AS (SELECT res.*, row_number() OVER (PARTITION BY event_type, day
+         |          ORDER BY rr) AS rn,
+         |          count(*) OVER (PARTITION BY event_type, day) AS cnt FROM res),
+         |fin AS (SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS n_points,
+         |          CAST(max(n_slopes) AS BIGINT) AS n_slopes,
+         |          max(slope) AS slope,
+         |          sum(CASE WHEN rn = $lower OR rn = $upper THEN rr END)
+         |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
+         |                THEN 1 ELSE 0 END) AS DOUBLE) AS intercept
+         |        FROM rr2 GROUP BY 1, 2)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  n_points, n_slopes, slope, intercept
+         |FROM fin ORDER BY event_type, day""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.Relational.theilSen(
+        Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
+          .withColumn("day", to_date(col("ts"))),
+        groupCols = Seq("event_type", "day"),
+        xCol = unix_millis(col("ts")), yCol = col("value"),
+        maxN = 2000, scaleX = 1L, scaleY = 100L)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("event_type", "day")
+  }
+
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94)
+}
