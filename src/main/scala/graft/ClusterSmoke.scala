@@ -32,6 +32,35 @@ object ClusterSmoke {
     override def process(b: Seq[Long]): Seq[Long] = b.map(_ + 1)
   }
 
+  /** Real executor-PROCESS death (the reference's segfault test,
+    * test_segfaulting_pipeline.py, with an actual process kill rather
+    * than ChaosProbe's in-JVM task death): partition 0's first attempt
+    * halts its executor JVM — `Runtime.halt` skips shutdown hooks, the
+    * closest JVM analogue of a segfault. The driver sees the RPC drop,
+    * the standalone master relaunches the executor, lost shuffle map
+    * outputs are regenerated, and the scheduler retries the lost tasks
+    * (ExecutorLostFailure counts against spark.task.maxFailures,
+    * default 4 off local mode). Survives ONLY off local mode — in
+    * local[*] this would kill the driver, which is exactly why the
+    * chaos story needs this cluster leg.
+    */
+  private final class ExecutorKillerStage(appId: String) extends Stage[Long, Long] {
+    override def batchSize: Int = 64
+    override def setup(ctx: WorkerContext): Unit = {
+      // "die once" must survive the death itself: the replacement executor
+      // has fresh statics, and a stage RE-submission resets task
+      // attemptNumber to 0 (killing again every attempt until the stage
+      // aborts — observed). An atomic host-level file creation is the
+      // latch that survives both; on a real cluster this would live on
+      // the shared FS.
+      val flag = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-smoke-kill-$appId")
+      if (ctx.partitionId == 0 && flag.createNewFile())
+        Runtime.getRuntime.halt(42)
+    }
+    override def process(b: Seq[Long]): Seq[Long] = b.map(_ + 1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
@@ -82,9 +111,22 @@ object ClusterSmoke {
       val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
       require(execs >= 3, s"expected driver + >=2 executors, saw $execs") // driver counts
 
+      // executor-process death recovery: kill one executor JVM mid-stage,
+      // assert the job still completes with exact output (see
+      // ExecutorKillerStage doc for the recovery chain)
+      val tDeath = System.nanoTime()
+      val deathOut = Pipeline
+        .from(spark.createDataset(1L to 4000L).repartition(4))
+        .stage(new ExecutorKillerStage(spark.sparkContext.applicationId))
+        .run().collect().sorted
+      require(deathOut.toSeq == (2L to 4001L),
+        s"output wrong after executor-process death: ${deathOut.length} rows")
+      val deathSecs = (System.nanoTime() - tDeath) / 1e9
+
       val qjson = timings.map { case (n, t) => f""""$n":$t%.2f""" }.mkString("{", ",", "}")
       println(s"""SMOKE_OK {"sf":"$sfDir","executors":${execs - 1},""" +
-        s""""gauges":${gaugeIds.size},"queries":$qjson}""")
+        f""""gauges":${gaugeIds.size},"executor_death_recovery_sec":$deathSecs%.1f,""" +
+        s""""queries":$qjson}""")
     } finally spark.stop()
   }
 }
