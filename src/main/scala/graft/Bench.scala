@@ -88,15 +88,23 @@ object Bench {
     // The driver captures only the tail of stdout (2000 chars in round 6),
     // which truncated the per-query map to 78/154 entries and left the 2×
     // gate unauditable query-by-query. Persist the SAME json whole so a
-    // third party can audit every median. Overridable for local iteration
-    // runs that shouldn't clobber the committed artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch {
-      case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // third party can audit every median. A FILTERED run must not clobber
+    // the committed full-registry artifact: it only writes when
+    // SPARK_GRAFT_BENCH_OUT names a destination explicitly.
+    val filteredRun = sys.env.get("SPARK_GRAFT_QUERIES").isDefined
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (filteredRun) None else Some("BENCH_full.json"))
+    outPath.foreach { path =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch {
+        case e: Throwable => System.err.println(s"[bench] could not write $path: ${e.getMessage}")
+      }
     }
+    if (filteredRun && outPath.isEmpty)
+      System.err.println("[bench] filtered run: BENCH_full.json NOT written " +
+        "(set SPARK_GRAFT_BENCH_OUT to persist a partial artifact elsewhere)")
     spark.stop()
   }
 }

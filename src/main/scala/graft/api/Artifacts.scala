@@ -212,7 +212,9 @@ final case class ArtifactHandle private[api] (
 final class EvictableArtifactCache(spark: SparkSession, quotaBytes: Long) {
   require(quotaBytes > 0, "quotaBytes must be positive")
 
-  private final class Entry(val handle: ArtifactHandle, val size: Long, var lastUsed: Long)
+  private final class Entry(
+      val handle: ArtifactHandle, val size: Long,
+      val srcLen: Long, val srcMtime: Long, var lastUsed: Long)
   private val entries = scala.collection.mutable.HashMap.empty[String, Entry]
   private var clock = 0L
   private var evicted = 0L
@@ -223,28 +225,53 @@ final class EvictableArtifactCache(spark: SparkSession, quotaBytes: Long) {
   def registeredUris: Seq[String] = synchronized { entries.keys.toSeq.sorted }
   def evictionCount: Long = synchronized { evicted }
 
-  /** Distribute `uri` (cache reuse: an already-registered uri is an LRU
-    * touch + the existing handle) and return the executor-usable handle.
+  /** Distribute `uri` and return the executor-usable handle. An
+    * already-registered uri whose source is unchanged (same length +
+    * modification time — one FS stat per call) is an LRU touch + the
+    * existing handle; a CHANGED source rotates in place (evict + fresh
+    * read/broadcast), which is what keeps [[ArtifactHandle]]'s
+    * never-stale promise honest for in-place file replacement, not just
+    * for post-eviction re-registration. The change check is
+    * length+mtime (the rsync quick-check trade): an equal-length edit
+    * inside one mtime tick is indistinguishable without re-hashing the
+    * content — replace artifacts by writing a new file when that
+    * matters.
     */
-  def register(uri: String): ArtifactHandle = synchronized {
-    clock += 1
-    entries.get(uri) match {
-      case Some(e) => e.lastUsed = clock; e.handle
-      case None =>
-        val bytes = readBytes(uri)
-        if (bytes.length > quotaBytes)
-          throw new IllegalStateException(
-            s"artifact quota exceeded: $uri is ${bytes.length} bytes, over the " +
-              s"whole $quotaBytes-byte quota — eviction cannot make room")
-        while (usedBytes + bytes.length > quotaBytes) evictLru()
-        val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
-          .take(6).map(b => f"$b%02x").mkString
-        val handle = ArtifactHandle(
-          s"$digest-${uri.split('/').last}", cacheDirName,
-          spark.sparkContext.broadcast(bytes))
-        entries.put(uri, new Entry(handle, bytes.length.toLong, clock))
-        handle
+  def register(uri: String): ArtifactHandle = {
+    val (handle, cleanups) = synchronized {
+      clock += 1
+      val st = statOf(uri)
+      entries.get(uri) match {
+        case Some(e) if e.srcLen == st.getLen && e.srcMtime == st.getModificationTime =>
+          e.lastUsed = clock
+          (e.handle, Seq.empty[(String, String)])
+        case stale =>
+          val pending = scala.collection.mutable.ListBuffer.empty[(String, String)]
+          stale.foreach(e => pending += drop(uri, e)) // changed on disk: rotate
+          // admission BEFORE reading: a 10 GB file against a 1 GB quota
+          // must fail with the quota error, not an OOM mid-read; and the
+          // JVM cannot hold (or broadcast) a >2 GB byte array at all
+          if (st.getLen > quotaBytes)
+            throw new IllegalStateException(
+              s"artifact quota exceeded: $uri is ${st.getLen} bytes, over the " +
+                s"whole $quotaBytes-byte quota — eviction cannot make room")
+          require(st.getLen < Int.MaxValue - 16,
+            s"artifact $uri is ${st.getLen} bytes — beyond the JVM array/broadcast " +
+              "limit; ship it as multiple files")
+          val bytes = readBytes(uri, st.getLen.toInt)
+          while (usedBytes + bytes.length > quotaBytes) pending += evictLru()
+          val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+            .take(6).map(b => f"$b%02x").mkString
+          val handle = ArtifactHandle(
+            s"$digest-${uri.split('/').last}", cacheDirName,
+            spark.sparkContext.broadcast(bytes))
+          entries.put(uri,
+            new Entry(handle, bytes.length.toLong, st.getLen, st.getModificationTime, clock))
+          (handle, pending.toSeq)
+      }
     }
+    runCleanups(cleanups)
+    handle
   }
 
   /** LRU-touching lookup for stages that expect the artifact to already
@@ -258,50 +285,76 @@ final class EvictableArtifactCache(spark: SparkSession, quotaBytes: Long) {
   }
 
   /** Explicit eviction (rotation); true if the uri was present. */
-  def evict(uri: String): Boolean = synchronized {
-    entries.get(uri) match {
-      case Some(e) => drop(uri, e); true
-      case None => false
+  def evict(uri: String): Boolean = {
+    val dropped = synchronized {
+      entries.get(uri).map { e => drop(uri, e) }
     }
+    dropped.foreach(c => runCleanups(Seq(c)))
+    dropped.isDefined
   }
 
-  private def evictLru(): Unit = {
+  private def evictLru(): (String, String) = {
     if (entries.isEmpty)
       throw new IllegalStateException("artifact quota eviction underflow") // unreachable: size pre-checked
     val (uri, e) = entries.minBy(_._2.lastUsed)
     drop(uri, e)
   }
 
-  private def drop(uri: String, e: Entry): Unit = {
+  /** Drop the ledger entry and destroy the broadcast (fast, driver-RPC);
+    * returns the (dirName, fileName) whose materialized executor copies
+    * still need the deferred best-effort cleanup — run it via
+    * [[runCleanups]] AFTER releasing the cache monitor, so concurrent
+    * register/acquire calls never block behind a cluster job.
+    */
+  private def drop(uri: String, e: Entry): (String, String) = {
     entries.remove(uri)
     evicted += 1
     // reclaim the P2P copies everywhere (Spark removes the broadcast
-    // blocks from every executor's block store)...
+    // blocks from every executor's block store)
     e.handle.bc.destroy()
-    // ...then best-effort delete the materialized cache file on the
-    // executors. The closure captures only (dirName, fileName) — NOT the
-    // destroyed broadcast.
-    val dirName = e.handle.cacheDirName
-    val fileName = e.handle.name
-    val n = math.max(spark.sparkContext.defaultParallelism, 1)
-    spark.sparkContext.parallelize(0 until n, n).foreach { _ =>
-      val f = new java.io.File(
-        new java.io.File(System.getProperty("java.io.tmpdir"), dirName), fileName)
-      f.delete() // absent = already clean
-      ()
-    }
+    (e.handle.cacheDirName, e.handle.name)
   }
 
-  private def readBytes(uri: String): Array[Byte] = {
+  /** Best-effort executor-side cache-file deletion (one tiny job per
+    * batch of evictions). Best-effort MEANS best-effort: a failed
+    * cleanup job (executor churn mid-eviction — likely under exactly the
+    * pressure that triggers eviction) must not abort the registration
+    * that caused it; the content-addressed names already make any
+    * straggler file unservable.
+    */
+  private def runCleanups(targets: Seq[(String, String)]): Unit =
+    if (targets.nonEmpty) {
+      val n = math.max(spark.sparkContext.defaultParallelism, 1)
+      val local = targets.toArray // closure-clean: no Entry/Broadcast captured
+      try spark.sparkContext.parallelize(0 until n, n).foreach { _ =>
+        local.foreach { case (dirName, fileName) =>
+          val f = new java.io.File(
+            new java.io.File(System.getProperty("java.io.tmpdir"), dirName), fileName)
+          f.delete() // absent = already clean
+          ()
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"artifact cache cleanup job failed (best-effort): ${e.getMessage}")
+      }
+    }
+
+  private def statOf(uri: String): org.apache.hadoop.fs.FileStatus = {
     val p = new org.apache.hadoop.fs.Path(uri)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     require(st.isFile,
       s"EvictableArtifactCache rotates single files; $uri is a directory — " +
         "use ArtifactManager/distributeDirectory for static trees")
-    val in = fs.open(p)
+    st
+  }
+
+  private def readBytes(uri: String, sizeHint: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(uri)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
     try {
-      val out = new java.io.ByteArrayOutputStream(st.getLen.toInt.max(64))
+      val out = new java.io.ByteArrayOutputStream(sizeHint.max(64))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

@@ -17,15 +17,24 @@ class ChaosSuite extends AnyFunSuite {
       .get(System.getProperty("java.home"), "bin", "java").toString
     // this (forked) test JVM carries the full compile+test classpath
     val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // inherit THIS JVM's module options (build.sbt's jdk17AddOpens) so the
+    // two lists cannot drift when a Spark upgrade needs one more open;
+    // fall back to a minimal list if the MXBean reports none (unforked)
+    import scala.jdk.CollectionConverters._
+    val raw = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    // the flag arrives either as one "--add-opens=x" token or a
+    // ("--add-opens", "x") pair — keep both shapes intact
+    val inherited = raw.zipWithIndex.flatMap { case (a, i) =>
+      if (a == "--add-opens" || a == "--add-exports") Seq(a, raw(i + 1))
+      else if (a.startsWith("--add-opens=") || a.startsWith("--add-exports=")) Seq(a)
+      else Seq.empty
+    }
+    val addOpens =
+      if (inherited.nonEmpty) inherited
+      else Seq("java.base/java.lang", "java.base/java.nio", "java.base/sun.nio.ch",
+        "java.base/java.util", "java.base/java.util.concurrent")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
       "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp, "graft.ChaosProbe"))
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()

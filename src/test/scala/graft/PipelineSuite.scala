@@ -812,6 +812,14 @@ class PipelineSuite extends SparkSpec {
     assert(ex.getMessage.contains("quota"))
     // explicit rotation
     assert(cache.evict(a.getAbsolutePath) && !cache.evict(a.getAbsolutePath))
+    // in-place source replacement rotates on register (length+mtime stat
+    // check) — no explicit evict needed, stale weights can't survive
+    mk("rot_b.bin", 410, 'Y')
+    val hb3 = cache.register(b.getAbsolutePath)
+    assert(hb3.name != hb2.name, "changed content must mint a new handle")
+    val f3 = new java.io.File(hb3.localFile)
+    assert(f3.length() == 410 && scala.io.Source.fromFile(f3).mkString.head == 'Y')
+    assert(cache.usedBytes == 410)
   }
 
   test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
