@@ -224,6 +224,51 @@ class StreamingSuite extends SparkSpec {
     } finally query.stop()
   }
 
+  test("F5c: a stateful served route restarts from its checkpoint — state survives, exactly-once") {
+    import spark.implicits._
+    // the crash-resume story F5b only gestures at: stop a STATEFUL query
+    // (running per-key sums through a Stage chain), write more source
+    // data while it is down, start a NEW query from the same checkpoint
+    // — the state store must resume the sums (no loss) and the offsets
+    // ledger must not replay batch-1 files into them (no double count).
+    // A file source is the replayable "input queue" here: MemoryStream
+    // cannot survive a restart by design.
+    val dir = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val srcDir = s"$dir/src"
+    Seq((1L, 5L), (2L, 3L)).toDF("k", "v").write.mode("append").parquet(srcDir)
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema("k LONG, v LONG").parquet(srcDir).as[(Long, Long)]
+      val served = ServingPipeline.compile(stream)
+        .stage(new Stage[(Long, Long), (Long, Long)] {
+          override def process(b: Seq[(Long, Long)]): Seq[(Long, Long)] =
+            b.map { case (k, v) => (k, v * 10) }
+        })
+        .run().toDF("k", "v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+      served.writeStream.format("memory").queryName("restart_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+    }
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      val before = spark.table("restart_agg").as[(Long, Long)].collect().toMap
+      assert(before == Map(1L -> 50L, 2L -> 30L))
+    } finally q1.stop() // the "crash"
+    // requests keep arriving while the route is down
+    Seq((1L, 2L), (3L, 7L)).toDF("k", "v").write.mode("append").parquet(srcDir)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val after = spark.table("restart_agg").as[(Long, Long)].collect().toMap
+      // resumed state: 50+20 (not 50+50+20, which would mean batch-1
+      // replayed into state; not 20, which would mean state lost)
+      assert(after == Map(1L -> 70L, 2L -> 30L, 3L -> 70L), after.toString)
+    } finally q2.stop()
+  }
+
   test("F18b: event-time timeout evicts session state; late events can't resurrect it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
