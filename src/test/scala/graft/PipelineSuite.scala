@@ -822,6 +822,53 @@ class PipelineSuite extends SparkSpec {
     assert(cache.usedBytes == 410)
   }
 
+  test("F14d: EvictableArtifactCache invariants hold under randomized op sequences") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_prop").toFile
+    def write(name: String, bytes: Int, fill: Byte): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.FileOutputStream(f)
+      w.write(Array.fill(bytes)(fill)); w.close(); f
+    }
+    val quota = 1000L
+    val cache = new EvictableArtifactCache(spark, quota)
+    val rnd = new scala.util.Random(1234)
+    val uris = (0 until 8).map { i =>
+      write(s"prop_$i.bin", 50 + rnd.nextInt(350), ('a' + i).toByte).getAbsolutePath
+    }
+    val live = scala.collection.mutable.Map.empty[String, ArtifactHandle]
+    var lastEvictions = 0L
+    for (step <- 0 until 60) {
+      rnd.nextInt(10) match {
+        case n if n < 6 => // register (hit or miss or rotation)
+          val uri = uris(rnd.nextInt(uris.length))
+          val h = cache.register(uri)
+          live(uri) = h
+        case n if n < 8 => // in-place content change, then register → rotation
+          val i = rnd.nextInt(uris.length)
+          write(s"prop_$i.bin", 50 + rnd.nextInt(350), ('A' + rnd.nextInt(20)).toByte)
+          val h = cache.register(uris(i))
+          live(uris(i)) = h
+        case _ => // explicit evict
+          val uri = uris(rnd.nextInt(uris.length))
+          cache.evict(uri)
+          live.remove(uri)
+      }
+      // invariants after EVERY op
+      assert(cache.usedBytes <= quota, s"step $step: quota breached: ${cache.usedBytes}")
+      assert(cache.evictionCount >= lastEvictions, "eviction count must be monotone")
+      lastEvictions = cache.evictionCount
+      val reg = cache.registeredUris.toSet
+      assert(reg.subsetOf(uris.toSet))
+      // every registered uri still serves real bytes; acquire agrees with
+      // the last register's handle unless an eviction replaced it
+      reg.foreach { uri =>
+        val h = cache.acquire(uri)
+        assert(new java.io.File(h.localFile).length() > 0)
+      }
+    }
+    assert(cache.evictionCount > 0, "the sequence must have exercised eviction")
+  }
+
   test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
     import spark.implicits._
     val ds = spark.createDataset(1 to 10) // no repartition: plan stays narrow
