@@ -235,7 +235,10 @@ final class EvictableArtifactCache(spark: SparkSession, quotaBytes: Long) {
     * length+mtime (the rsync quick-check trade): an equal-length edit
     * inside one mtime tick is indistinguishable without re-hashing the
     * content — replace artifacts by writing a new file when that
-    * matters.
+    * matters. Because register re-validates, it STATs the source every
+    * call and fails if the source is gone; stages that only need the
+    * already-distributed handle (source possibly cleaned up) use
+    * [[acquire]], which never touches the source.
     */
   def register(uri: String): ArtifactHandle = {
     val (handle, cleanups) = synchronized {
