@@ -1,0 +1,220 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar-shard IO — the de-facto format for sharded
+  * multimodal training data at the 100 TB scale this engine targets
+  * (reference pipelines feed VLM workers from exactly such shards; see
+  * examples/simple_vlm_inference.py's data loading stage). A shard is a
+  * plain POSIX ustar archive whose members are sample files named
+  * `<key>.<ext>` (e.g. `000123.jpg`, `000123.json`, `000123.txt`); a
+  * SAMPLE is the group of members sharing a key.
+  *
+  * Scale design: the shard is the unit of parallelism AND of IO — one
+  * task reads one shard front-to-back (pure sequential reads, the whole
+  * point of the format: object stores and spinning disks both hate the
+  * per-file random reads a exploded-directory layout causes at 1e9
+  * samples). Shards are conventionally 100 MB–1 GB, so whole-shard
+  * parsing bounds task memory by shard size; `binaryFiles` gives one row
+  * per shard and Spark schedules shards across executors. The writer
+  * STREAMS members out through the Hadoop filesystem (no whole-shard
+  * buffering), one shard per partition — `df.repartition(n)` chooses the
+  * shard count, a range-partition by key gives key-sorted shards.
+  *
+  * The ustar encode/decode here is self-contained (~60 lines: fixed
+  * 512-byte headers, octal sizes, block padding) — no codec libraries,
+  * and spec-anchored BOTH ways against GNU tar (our shards list/extract
+  * with `tar`; `tar`-built archives parse with this reader).
+  */
+object TarShards {
+
+  private val Block = 512
+
+  /** Hadoop `Configuration` is not `Serializable`; this is the standard
+    * write()/readFields() envelope (Spark keeps its own copy of this
+    * class `private[spark]`).
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One row per tar member across all shards matched by `path`/`glob`:
+    * (shard, name, key, ext, content). Non-file members (directories,
+    * symlinks, pax/gnu metadata blocks) are skipped.
+    */
+  def entries(spark: SparkSession, path: String, glob: String = "*.tar"): DataFrame = {
+    import spark.implicits._
+    Tables.binaryFiles(spark, path, glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (shard, bytes) =>
+        parse(bytes).map { case (name, data) =>
+          val base = name.substring(name.lastIndexOf('/') + 1)
+          val dot = base.lastIndexOf('.')
+          val (key, ext) = if (dot <= 0) (base, "") else (base.substring(0, dot), base.substring(dot + 1))
+          (shard, name, key, ext, data)
+        }
+      }
+      .toDF("shard", "name", "key", "ext", "content")
+  }
+
+  /** One row per SAMPLE: (shard, key, exts, contents) with the two arrays
+    * zipped ext-sorted — the WebDataset grouping. Grouping is per-shard
+    * (keys never straddle shards by construction of the writer), so the
+    * groupBy shuffles only within the natural shard partitioning.
+    */
+  def samples(spark: SparkSession, path: String, glob: String = "*.tar"): DataFrame =
+    entries(spark, path, glob)
+      .groupBy("shard", "key")
+      .agg(sort_array(collect_list(struct(col("ext"), col("content")))).as("fs"))
+      .select(col("shard"), col("key"),
+        col("fs.ext").as("exts"), col("fs.content").as("contents"))
+
+  /** Write (key, ext, content) rows as tar shards, one shard per
+    * partition (`shard-%05d.tar`), members named `<key>.<ext>` and
+    * emitted in partition order. Pass `shards = Some(n)` to let the
+    * writer hash-partition BY KEY into n shards — the property
+    * [[samples]] depends on (all of a sample's members in one shard; a
+    * plain `repartition(n)` splits them, the row-level trap this
+    * parameter exists to close). Omit it only when the input is already
+    * key-colocated (e.g. sortWithinPartitions after a key repartition,
+    * for key-sorted shards). Streams each member straight to the Hadoop
+    * filesystem; memory is bounded by ONE member, not the shard. Rows
+    * with a null/empty key or null content fail loud: a silently dropped
+    * sample in training data is corruption, not convenience.
+    */
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists,
+      shards: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val out = new org.apache.hadoop.fs.Path(path)
+    val fs = out.getFileSystem(hadoopConf.value)
+    if (fs.exists(out)) mode match {
+      case SaveMode.Overwrite => fs.delete(out, true); ()
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalStateException(s"tar shard path exists: $path (use SaveMode.Overwrite)")
+      case SaveMode.Ignore => return
+      case SaveMode.Append =>
+        throw new IllegalArgumentException("tar shards are immutable; Append unsupported")
+    }
+    fs.mkdirs(out)
+    val pathStr = path
+    val laid = shards.fold(df)(n => df.repartition(n, col("key")))
+    laid.select(col("key").cast("string"), col("ext").cast("string"), col("content"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(f"$pathStr/shard-$pid%05d.tar")
+        val stream = p.getFileSystem(hadoopConf.value).create(p, true)
+        try {
+          var wrote = false
+          rows.foreach { r =>
+            val key = r.getString(0)
+            val ext = r.getString(1)
+            val content = r.getAs[Array[Byte]](2)
+            require(key != null && key.nonEmpty && content != null,
+              s"tar shard rows need a non-empty key and non-null content (key=$key)")
+            val name = if (ext == null || ext.isEmpty) key else s"$key.$ext"
+            writeMember(stream, name, content)
+            wrote = true
+          }
+          stream.write(new Array[Byte](2 * Block)) // end-of-archive marker
+          stream.close()
+          // an empty partition leaves no shard file (empty archives are
+          // valid tar but noise for readers)
+          if (!wrote) {
+            p.getFileSystem(hadoopConf.value).delete(p, false)
+            ()
+          }
+        } catch { case e: Throwable => try stream.close() catch { case _: Throwable => () }; throw e }
+        ()
+      }
+  }
+
+  // ---- ustar encode ----
+
+  private def writeMember(out: java.io.OutputStream, name: String, data: Array[Byte]): Unit = {
+    require(name.getBytes("UTF-8").length <= 100,
+      s"ustar member name over 100 bytes: $name (keep keys short; no pax extension here)")
+    val h = new Array[Byte](Block)
+    def put(s: String, off: Int, len: Int): Unit = {
+      val b = s.getBytes("UTF-8")
+      System.arraycopy(b, 0, h, off, math.min(b.length, len))
+    }
+    def putOctal(v: Long, off: Int, len: Int): Unit =
+      put(("%0" + (len - 1) + "o").format(v), off, len - 1) // NUL-terminated octal
+    put(name, 0, 100)
+    putOctal(420 /*0644*/, 100, 8)
+    putOctal(0, 108, 8)
+    putOctal(0, 116, 8)
+    putOctal(data.length.toLong, 124, 12)
+    putOctal(0, 136, 12)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum field as spaces
+    h(156) = '0'                                   // typeflag: regular file
+    put("ustar", 257, 6)
+    put("00", 263, 2)
+    val sum = h.foldLeft(0L)((a, b) => a + (b & 0xff))
+    put("%06o".format(sum), 148, 6)                // 6 octal digits, NUL, space
+    h(154) = 0
+    h(155) = ' '
+    out.write(h)
+    out.write(data)
+    val pad = (Block - data.length % Block) % Block
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  // ---- ustar decode ----
+
+  /** Iterate (memberName, bytes) over one in-memory shard; tolerant of
+    * GNU tar's pax global headers (skipped via typeflag) and trailing
+    * zero blocks.
+    */
+  private[sources] def parse(tar: Array[Byte]): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var off = 0
+      private var nextEntry: (String, Array[Byte]) = _
+      private def str(o: Int, len: Int): String = {
+        var end = o
+        val stop = o + len
+        while (end < stop && tar(end) != 0) end += 1
+        new String(tar, o, end - o, "UTF-8")
+      }
+      private def octal(o: Int, len: Int): Long = {
+        val s = str(o, len).trim
+        if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+      }
+      private def advance(): Unit = {
+        nextEntry = null
+        while (nextEntry == null && off + Block <= tar.length) {
+          if (tar.slice(off, off + Block).forall(_ == 0)) { off = tar.length } // end marker
+          else {
+            val name = str(off, 100)
+            val size = octal(off + 124, 12)
+            val typeflag = tar(off + 156)
+            val dataStart = off + Block
+            val padded = ((size + Block - 1) / Block * Block).toInt
+            require(dataStart + size <= tar.length, s"truncated tar member $name")
+            if ((typeflag == '0' || typeflag == 0) && !name.endsWith("/"))
+              nextEntry = (name, java.util.Arrays.copyOfRange(tar, dataStart, dataStart + size.toInt))
+            off = dataStart + padded
+          }
+        }
+      }
+      advance() // look ahead once; subsequent next() re-advances
+      override def hasNext: Boolean = nextEntry != null
+      override def next(): (String, Array[Byte]) = {
+        if (nextEntry == null) throw new NoSuchElementException("tar exhausted")
+        val e = nextEntry
+        advance()
+        e
+      }
+    }
+}

@@ -421,6 +421,50 @@ class MultimodalSuite extends SparkSpec {
       s"$st") // 4 distinct luma values -> ~2 bits
   }
 
+  test("M7+M2: WebDataset tar shards feed the decode pipeline end-to-end") {
+    import spark.implicits._
+    import graft.sources.TarShards
+    // 12 samples, each a REAL PNG (ImageIO-encoded, distinct width) plus
+    // a caption sidecar — the WebDataset shape the reference's VLM
+    // example consumes
+    val pngs = (0 until 12).map { i =>
+      val w = 8 + i
+      val img = new java.awt.image.BufferedImage(w, 5,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until 5)
+        img.setRGB(x, y, (x * 31 + y * 97 + i * 13) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (f"s$i%04d", bos.toByteArray)
+    }
+    val rows = pngs.flatMap { case (k, png) =>
+      Seq((k, "png", png), (k, "txt", s"caption $k".getBytes("UTF-8")))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wds").toString
+    TarShards.write(rows.toDF("key", "ext", "content"), s"$dir/shards", shards = Some(2))
+    // read samples back, pull the png member, run the standard decode leg
+    val media = TarShards.samples(spark, s"$dir/shards")
+      .select(col("key"), col("exts"), col("contents"))
+      .as[(String, Seq[String], Seq[Array[Byte]])]
+      .map { case (key, exts, contents) =>
+        val png = contents(exts.indexOf("png"))
+        MediaRow(key.drop(1).toLong, png)
+      }
+    val decoded = Pipeline.from(media)
+      .stage(new DecodeStage(batchSize = 4))
+      .run().collect().sortBy(_.id)
+    assert(decoded.length == 12)
+    decoded.foreach { f =>
+      assert(f.width == 8 + f.id && f.height == 5,
+        s"id=${f.id} decoded ${f.width}x${f.height}")
+      assert(f.pixels.length == f.width * f.height, "luma plane size")
+    }
+    // the caption sidecars rode the same samples
+    val caps = TarShards.entries(spark, s"$dir/shards")
+      .filter(col("ext") === "txt").count()
+    assert(caps == 12)
+  }
+
   private def Tables() = {
     import spark.implicits._
     spark.read.parquet(s"$sfDir/documents.parquet")

@@ -76,4 +76,64 @@ class SourcesSuite extends SparkSpec {
     val plan = back.filter($"g" === "a").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("g"), plan.take(500))
   }
+
+  test("tar shards: round-trip, sample grouping, and GNU-tar interop both ways") {
+    import spark.implicits._
+    import graft.sources.TarShards
+    val tmp = Files.createTempDirectory("graft-tar").toString
+    val rnd = new scala.util.Random(77)
+    // mixed binary + text members across 40 samples, incl. a payload
+    // crossing the 512-byte block boundary and an empty member
+    val rows = (0 until 40).flatMap { i =>
+      val key = f"sample$i%06d"
+      val img = Array.fill(if (i == 0) 0 else 300 + rnd.nextInt(700))(rnd.nextInt().toByte)
+      Seq((key, "bin", img), (key, "txt", s"caption for $i".getBytes("UTF-8")))
+    }
+    // shards = Some(3): the writer key-partitions, so a sample's members
+    // never straddle shards (a bare repartition(3) WOULD split them)
+    TarShards.write(rows.toDF("key", "ext", "content"), s"$tmp/shards", shards = Some(3))
+    val shardFiles = new java.io.File(s"$tmp/shards").listFiles().filter(_.getName.endsWith(".tar"))
+    assert(shardFiles.length == 3, "one shard per partition")
+
+    // round-trip: every member back, bytes identical
+    val back = TarShards.entries(spark, s"$tmp/shards")
+      .select("key", "ext", "content").as[(String, String, Array[Byte])]
+      .collect().map { case (k, e, c) => (k, e) -> c.toSeq }.toMap
+    assert(back.size == 80)
+    rows.foreach { case (k, e, c) => assert(back((k, e)) == c.toSeq, s"$k.$e bytes differ") }
+
+    // sample grouping: one row per key, both extensions zipped
+    val samples = TarShards.samples(spark, s"$tmp/shards")
+      .select("key", "exts").as[(String, Seq[String])].collect().toMap
+    assert(samples.size == 40 && samples.values.forall(_.sorted == Seq("bin", "txt")))
+
+    // interop 1: GNU tar lists and extracts our shards byte-identically
+    val shard0 = shardFiles.minBy(_.getName).getAbsolutePath
+    val listed = scala.sys.process.Process(Seq("tar", "-tf", shard0)).!!.trim.linesIterator.toSeq
+    assert(listed.nonEmpty && listed.forall(_.matches("sample\\d{6}\\.(bin|txt)")), listed.take(3).toString)
+    val xdir = Files.createTempDirectory("graft-untar").toFile
+    assert(scala.sys.process.Process(Seq("tar", "-xf", shard0, "-C", xdir.getAbsolutePath)).! == 0)
+    listed.foreach { name =>
+      val Array(k, e) = name.split("\\.", 2)
+      val onDisk = java.nio.file.Files.readAllBytes(new java.io.File(xdir, name).toPath)
+      assert(onDisk.toSeq == back((k, e)), s"GNU-extracted $name differs")
+    }
+
+    // interop 2: a GNU-tar-built archive parses with our reader
+    val gdir = Files.createTempDirectory("graft-gnu").toFile
+    java.nio.file.Files.write(new java.io.File(gdir, "a.txt").toPath, "alpha".getBytes)
+    java.nio.file.Files.write(new java.io.File(gdir, "b.bin").toPath, Array[Byte](1, 2, 3, 0, -1))
+    assert(scala.sys.process.Process(
+      Seq("tar", "-cf", s"$tmp/gnu.tar", "-C", gdir.getAbsolutePath, "a.txt", "b.bin")).! == 0)
+    val gnu = TarShards.entries(spark, tmp, "gnu.tar")
+      .select("name", "content").as[(String, Array[Byte])].collect()
+      .map { case (n, c) => n -> c.toSeq }.toMap
+    assert(gnu == Map("a.txt" -> "alpha".getBytes.toSeq, "b.bin" -> Seq[Byte](1, 2, 3, 0, -1)))
+
+    // loud guards: existing path without Overwrite; null key
+    intercept[IllegalStateException](TarShards.write(rows.take(2).toDF("key", "ext", "content"), s"$tmp/shards"))
+    val badRows = Seq((null.asInstanceOf[String], "txt", "x".getBytes)).toDF("key", "ext", "content")
+    val err = intercept[org.apache.spark.SparkException](TarShards.write(badRows, s"$tmp/bad"))
+    assert(err.getMessage.contains("key") || Option(err.getCause).exists(_.getMessage.contains("key")))
+  }
 }
