@@ -46,6 +46,7 @@ object ScaleProbe {
     if (mode == "ext7") { ext7(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext8") { ext8(spark, src, out, factor); spark.stop(); return }
     if (mode == "serving") { serving(spark, factor); spark.stop(); return }
+    if (mode == "tar") { tarShards(spark, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1082,6 +1083,45 @@ object ScaleProbe {
     * `factor` scales rows per round; state bounds are row-count-free by
     * design, so the assertion holds at every factor.
     */
+  /** Tar-shard IO probe (`ScaleProbe <f> tar`): f×2,000 WebDataset
+    * samples (a ~5 KB binary member + a caption member each) written as
+    * 16 key-partitioned shards, then read back three ways. The scale
+    * claim under test: shard write/read cost tracks total BYTES (the
+    * format is one sequential pass per shard) — time per MB should be
+    * flat across factors, and samples() adds only the per-shard groupBy.
+    */
+  private def tarShards(spark: SparkSession, out: String, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.sources.TarShards
+    val n = 2000 * factor
+    val dir = s"$out/tar_probe"
+    val rows = spark.range(n.toLong).select(col("id")).as[Long].flatMap { i =>
+      // deterministic pseudo-random payload: xorshift over the id
+      var x = i * 2654435761L + 1
+      val payload = Array.tabulate(5120) { j =>
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; (x + j).toByte
+      }
+      Seq((f"k$i%09d", "bin", payload),
+        (f"k$i%09d", "txt", s"caption $i".getBytes("UTF-8")))
+    }.toDF("key", "ext", "content")
+    val mb = n * 5.2 / 1024
+    val t0 = System.nanoTime()
+    TarShards.write(rows, dir, mode = org.apache.spark.sql.SaveMode.Overwrite,
+      shards = Some(16))
+    val wSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val nEntries = TarShards.entries(spark, dir).count()
+    val eSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val nSamples = TarShards.samples(spark, dir).count()
+    val sSec = (System.nanoTime() - t2) / 1e9
+    require(nEntries == 2L * n && nSamples == n.toLong,
+      s"tar probe lost rows: $nEntries entries, $nSamples samples for $n")
+    println(f"[probe tar x$factor] samples=$n ~${mb}%.0f MB  write=$wSec%.2fs " +
+      f"(${mb / wSec}%.0f MB/s)  entries=$eSec%.2fs (${mb / eSec}%.0f MB/s)  " +
+      f"samples()=$sSec%.2fs")
+  }
+
   private def serving(spark: SparkSession, factor: Int): Unit = {
     import spark.implicits._
     import graft.streaming.ServingHub
