@@ -71,6 +71,12 @@ object ClusterSmoke {
       require(!spark.sparkContext.isLocal,
         "ClusterSmoke must run OFF local mode (use scripts/cluster_smoke.sh)")
 
+      // the monitor attaches FIRST so its gauges observe every task of
+      // the run — "which executors ever ran work" is the cluster-reality
+      // signal that survives dynamic allocation scaling idle executors
+      // back down mid-run (an instantaneous executor count does not)
+      val mon = new PipelineMonitor(spark)
+
       // a slice spanning the operator families: agg, multi-join, native
       // as-of (custom exec), salted join, MinHash LSH dedup, TF-IDF,
       // IVF ANN, gap-fill grid, k-core iteration with localCheckpoints
@@ -97,7 +103,6 @@ object ClusterSmoke {
 
       // Stage pipeline across executor JVMs, with monitor + gauges
       import spark.implicits._
-      val mon = new PipelineMonitor(spark)
       val out = Pipeline
         .from(spark.createDataset(1L to 10000L).repartition(8), monitor = Some(mon))
         .stage(new AddOneStage)
@@ -105,11 +110,14 @@ object ClusterSmoke {
       require(out.toSeq == (2L to 10001L), "pipeline output wrong off local mode")
       org.apache.spark.sql.graftbridge.Bridge.waitForListeners(spark.sparkContext)
       val gaugeIds = mon.resourceSnapshot.keySet
-      require(gaugeIds.exists(_ != "driver"),
-        s"no executor-side gauges arrived (saw: ${gaugeIds.mkString(", ")})")
-
-      val execs = spark.sparkContext.statusTracker.getExecutorInfos.length
-      require(execs >= 3, s"expected driver + >=2 executors, saw $execs") // driver counts
+      // >=2 DISTINCT executor ids ran tasks at some point during the run
+      // — the cluster was real even if dynamic allocation has since
+      // reclaimed an idle executor (observed: a 60 s idle timeout can
+      // shrink to 1 before any instantaneous count)
+      val execIds = gaugeIds.filter(_ != "driver")
+      require(execIds.size >= 2,
+        s"expected tasks on >=2 executors over the run; gauges saw: ${gaugeIds.mkString(", ")}")
+      val execsNow = spark.sparkContext.statusTracker.getExecutorInfos.length - 1
 
       // executor-process death recovery: kill one executor JVM mid-stage,
       // assert the job still completes with exact output (see
@@ -124,8 +132,9 @@ object ClusterSmoke {
       val deathSecs = (System.nanoTime() - tDeath) / 1e9
 
       val qjson = timings.map { case (n, t) => f""""$n":$t%.2f""" }.mkString("{", ",", "}")
-      println(s"""SMOKE_OK {"sf":"$sfDir","executors":${execs - 1},""" +
-        f""""gauges":${gaugeIds.size},"executor_death_recovery_sec":$deathSecs%.1f,""" +
+      println(s"""SMOKE_OK {"sf":"$sfDir","executors_seen":${execIds.size},""" +
+        s""""executors_now":$execsNow,""" +
+        f""""executor_death_recovery_sec":$deathSecs%.1f,""" +
         s""""queries":$qjson}""")
     } finally spark.stop()
   }
