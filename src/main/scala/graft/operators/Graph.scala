@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Pin a STATIC per-round relation for an iteration loop: hash-partition
+    * on `key` and persist (eagerly materialized, matching
+    * `localCheckpoint(true)`'s blocking contract). `localCheckpoint` erases
+    * the SQL output partitioning (the checkpointed RDD scans as
+    * unknown-partitioned), so every round re-shuffles the static side;
+    * a persisted `repartition(key)` keeps `HashPartitioning(key)` visible
+    * to EnsureRequirements, and a round shaped as
+    * broadcast-join → aggregate-by-`key` then plans with ZERO Exchange
+    * (alias-aware propagation carries the partitioning through renames).
+    *
+    * Use it ONLY where the per-round AGGREGATE is the dominant shuffle
+    * (q80's neighbor histogram 5.2 → 3.1 s, q84's relaxation min, q49's
+    * degrees, all at sf0.1). Where the round's shuffle is a JOIN against
+    * the small iterated state, AQE already wins with the checkpointed
+    * form — runtime stats convert the join to broadcast and a local
+    * shuffle reader, skipping the static side's exchange — and pinning
+    * REGRESSES (pageRank 2.1 → 3.8 s, HITS 3.4 → 5.5 s measured: the
+    * columnar cache build + per-round cache scans cost more than the
+    * local-mode exchange they replace; those stay on localCheckpoint).
+    * The pinned blocks release in the harness's per-query cleanup
+    * (Bench/Verify unpersist-all), the same lifetime localCheckpoint
+    * RDDs had.
+    */
+  private def pinByKey(df: DataFrame, key: String): DataFrame = {
+    val pinned = df.repartition(col(key)).persist()
+    pinned.count()
+    pinned
+  }
+
   /** PageRank, fixed iterations (the deterministic fixed-round form an
     * external SQL oracle can unroll — convergence-threshold stopping
     * would make row content depend on float comparison order).
@@ -107,8 +136,9 @@ object Graph {
     * unroll as generated CTEs (fixpoint stopping would make row content
     * depend on convergence detection); run more rounds for a deeper
     * approximation of the true k-core (equal when a round removes
-    * nothing). Each round is one degree partial-agg + two left-semi
-    * joins, lineage truncated per round. Output: node, deg (within the
+    * nothing). Each round is one no-Exchange degree aggregate over the
+    * pinned symmetrized adjacency + two broadcast left-semi joins
+    * against the checkpointed survivor set. Output: node, deg (within the
     * final surviving subgraph — may dip below k for nodes whose
     * neighbors died in the LAST round, by fixed-round semantics).
     */
@@ -120,18 +150,25 @@ object Graph {
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    var e = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    // Work on the SYMMETRIZED adjacency (both twins of a canonical edge
+    // survive or drop together, so the surviving edge SET — and every
+    // degree — is identical to peeling the canonical list): pinned on u,
+    // per-round degrees are a no-Exchange aggregate, and with the small
+    // per-round survivor set eagerly checkpointed (known-size → both
+    // left-semi joins broadcast) a round adds only NARROW operators on
+    // top of the one pinned relation — the canonical-list form shuffled
+    // 2|E| degree rows plus one semi-join side per round.
+    val sym0 = canon0.union(canon0.select(col("v"), col("u"))).toDF("u", "v")
+    var adj = if (checkpoint) pinByKey(sym0, "u") else sym0
     for (_ <- 1 to rounds) {
-      val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select("node")
-      val e1 = e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+      val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+      val keep0 = deg.filter(col("deg") >= k).select("node")
+      val keep = if (checkpoint) keep0.localCheckpoint(true) else keep0
+      adj = adj.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-      e = if (checkpoint) e1.localCheckpoint(true) else e1
     }
-    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).cast("long").as("deg"))
+    adj.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("deg"))
   }
 
   /** Weakly connected components over an undirected edge list — the
@@ -332,7 +369,11 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
     val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
     val adj0 = canon.union(canon.select(col("v"), col("u"))).toDF("u", "v")
-    val adj = if (checkpoint) adj0.localCheckpoint(true) else adj0
+    // pinned on u: with the (checkpointed, known-small) label state
+    // broadcasting into the neighbor join, BOTH per-round aggregates —
+    // the (u, label) histogram and the per-u argmax — cluster by u and
+    // plan with zero Exchange; so does the initial node distinct
+    val adj = if (checkpoint) pinByKey(adj0, "u") else adj0
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     if (checkpoint) labels = labels.localCheckpoint(true)
@@ -380,7 +421,9 @@ object Graph {
         col(weightCol).cast("long").as("w"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
       .groupBy("u", "v").agg(min("w").as("w"))
-    val adj = if (checkpoint) adj0.localCheckpoint(true) else adj0
+    // pinned on v: the frontier broadcasts into the relaxation join, so
+    // the per-round candidate min-aggregate (groupBy v) needs no Exchange
+    val adj = if (checkpoint) pinByKey(adj0, "v") else adj0
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
     if (checkpoint) dist = dist.localCheckpoint(true)
