@@ -47,6 +47,7 @@ object ScaleProbe {
     if (mode == "ext8") { ext8(spark, src, out, factor); spark.stop(); return }
     if (mode == "serving") { serving(spark, factor); spark.stop(); return }
     if (mode == "tar") { tarShards(spark, out, factor); spark.stop(); return }
+    if (mode == "warc") { warcShards(spark, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1120,6 +1121,52 @@ object ScaleProbe {
     println(f"[probe tar x$factor] samples=$n ~${mb}%.0f MB  write=$wSec%.2fs " +
       f"(${mb / wSec}%.0f MB/s)  entries=$eSec%.2fs (${mb / eSec}%.0f MB/s)  " +
       f"samples()=$sSec%.2fs")
+  }
+
+  /** WARC crawl-ingestion probe (`ScaleProbe <f> warc`): f×2,000 synthetic
+    * HTML pages (a prose paragraph + a nav bar + a link farm each, ~4 KB)
+    * written as 16 url-partitioned .warc.gz shards, read back through
+    * responses(), then boilerplate-extracted with Html.htmlMainText. The
+    * scale claims under test: (1) shard IO tracks total bytes (one
+    * sequential gzip pass per shard); (2) the HTML scanner is linear in
+    * input chars — extract time per MB flat across factors.
+    */
+  private def warcShards(spark: SparkSession, out: String, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.sources.WarcShards
+    val n = 2000 * factor
+    val dir = s"$out/warc_probe"
+    val rows = spark.range(n.toLong).select(col("id")).as[Long].map { i =>
+      val prose = (1 to 12).map(k => s"Sentence $k of article $i carries real page prose.")
+        .mkString(" ")
+      val nav = (1 to 8).map(k => s"""<a href="/nav$k">Section $k</a>""").mkString(" | ")
+      val farm = (1 to 20).map(k => s"""<a href="http://f.example/$i/$k">link $k</a>""")
+        .mkString("<div>", " ", "</div>")
+      val html = s"<html><head><title>Page $i</title></head><body>" +
+        s"<div>$nav</div><p>$prose</p><p>$prose</p>$farm</body></html>"
+      (s"http://probe.example/$i", "2026-01-01T00:00:00Z", "text/html",
+        html.getBytes("UTF-8"))
+    }.toDF("url", "warc_date", "content_type", "body")
+    val mb = n * 4.0 / 1024
+    val t0 = System.nanoTime()
+    WarcShards.write(rows, dir, mode = org.apache.spark.sql.SaveMode.Overwrite,
+      shards = Some(16))
+    val wSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val resp = WarcShards.responses(spark, dir)
+    val nResp = resp.count()
+    val rSec = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val extracted = resp.select(
+        graft.operators.Html.htmlMainText(col("body").cast("string")).as("text"))
+      .filter(length(col("text")) > 0)
+    val nKept = extracted.count()
+    val xSec = (System.nanoTime() - t2) / 1e9
+    require(nResp == n.toLong && nKept == n.toLong,
+      s"warc probe lost rows: $nResp responses, $nKept extracted for $n")
+    println(f"[probe warc x$factor] pages=$n ~${mb}%.0f MB  write=$wSec%.2fs " +
+      f"(${mb / wSec}%.0f MB/s)  responses=$rSec%.2fs (${mb / rSec}%.0f MB/s)  " +
+      f"extract=$xSec%.2fs (${mb / xSec}%.0f MB/s)")
   }
 
   private def serving(spark: SparkSession, factor: Int): Unit = {

@@ -31,22 +31,6 @@ object TarShards {
 
   private val Block = 512
 
-  /** Hadoop `Configuration` is not `Serializable`; this is the standard
-    * write()/readFields() envelope (Spark keeps its own copy of this
-    * class `private[spark]`).
-    */
-  private final class SerializableHadoopConf(
-      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject(); value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new org.apache.hadoop.conf.Configuration(false)
-      value.readFields(in)
-    }
-  }
-
   /** One row per tar member across all shards matched by `path`/`glob`:
     * (shard, name, key, ext, content). Non-file members (directories,
     * symlinks, pax/gnu metadata blocks) are skipped.
