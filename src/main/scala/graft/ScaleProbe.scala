@@ -48,6 +48,7 @@ object ScaleProbe {
     if (mode == "serving") { serving(spark, factor); spark.stop(); return }
     if (mode == "tar") { tarShards(spark, out, factor); spark.stop(); return }
     if (mode == "warc") { warcShards(spark, out, factor); spark.stop(); return }
+    if (mode == "crawl") { crawlE2e(spark, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1167,6 +1168,96 @@ object ScaleProbe {
     println(f"[probe warc x$factor] pages=$n ~${mb}%.0f MB  write=$wSec%.2fs " +
       f"(${mb / wSec}%.0f MB/s)  responses=$rSec%.2fs (${mb / rSec}%.0f MB/s)  " +
       f"extract=$xSec%.2fs (${mb / xSec}%.0f MB/s)")
+  }
+
+  /** Composed crawl-curation probe (`ScaleProbe <f> crawl`) — the whole
+    * Common Crawl front chained END TO END at probe scale, every stage a
+    * graft operator: WARC shards → responses() → Html.mainText →
+    * Url.canonicalize/registeredDomain → exact dedup on the canonical
+    * URL → token-count quality gate → MinHash near-dedup → per-domain
+    * rollup. The synthetic corpus makes every stage's output count
+    * PROVABLE: each article is served at two URL spellings differing
+    * only by tracking param and host case (canonical dedup must halve),
+    * and articles come in near-dup twins differing by one token of ~81
+    * (near-dedup must halve again); articles draw 80 tokens from a
+    * 5,000-word vocabulary so cross-article Jaccard ~1% (no false
+    * merges). Counts are REQUIREd exact, times logged per stage.
+    */
+  private def crawlE2e(spark: SparkSession, out: String, factor: Int): Unit = {
+    import spark.implicits._
+    import graft.operators.{Dedup, Html, Url}
+    import graft.sources.WarcShards
+    val m = 1000 * factor           // articles (near-dup twins: (2k, 2k+1))
+    val n = 2 * m                   // pages: each article at 2 url spellings
+    val dir = s"$out/crawl_probe"
+
+    def stage[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe crawl x$factor] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val pages = spark.range(m.toLong).select(col("id")).as[Long].flatMap { a =>
+      val topic = a / 2 // twins share the prose, differ by the marker token
+      // bit-mixed token draws — an arithmetic progression here makes
+      // DIFFERENT topics share stride-aligned token sets (measured: the
+      // near-dup graph chained past diameter 20 at x10)
+      val prose = (1 to 80).map { j =>
+        val x0 = topic * 2654435761L + j * 1013904223L
+        val x1 = x0 ^ (x0 >>> 16)
+        s"w${math.floorMod((x1 * 2246822519L) >>> 13, 5000)}"
+      }.mkString(" ")
+      val html = s"<html><head><title>Article $a</title></head><body>" +
+        s"""<div><a href="/home">Home</a> | <a href="/next">Next</a></div>""" +
+        s"<p>the $prose and marker$a</p></body></html>"
+      val site = s"site${topic % 50}" // twins share a site, like real near-dup crawls
+      Seq(
+        (s"http://$site.example/art/$a?id=$a", html),
+        (s"HTTP://${site.toUpperCase}.EXAMPLE/art/$a?id=$a&utm_source=feed", html))
+    }.map { case (u, h) => (u, "2026-01-01T00:00:00Z", "text/html", h.getBytes("UTF-8")) }
+      .toDF("url", "warc_date", "content_type", "body")
+
+    stage("write_warc") {
+      WarcShards.write(pages, dir, mode = org.apache.spark.sql.SaveMode.Overwrite,
+        shards = Some(16))
+    }
+    val extracted = stage("responses+html+url") {
+      val e = WarcShards.responses(spark, dir)
+        .select(
+          Url.canonicalize(col("url")).as("canon"),
+          Url.registeredDomain(col("url")).as("domain"),
+          Html.htmlMainText(col("body").cast("string")).as("text"))
+        .localCheckpoint(true)
+      require(e.count() == n.toLong, s"expected $n responses")
+      e
+    }
+    val exact = stage("exact_url_dedup") {
+      // one survivor per canonical URL, deterministically the min struct
+      val d = extracted.groupBy("canon")
+        .agg(min(struct(col("domain"), col("text"))).as("_r"))
+        .select(col("canon"), col("_r.domain").as("domain"), col("_r.text").as("text"))
+        .localCheckpoint(true)
+      require(d.count() == m.toLong,
+        s"canonical dedup must collapse the two spellings: expected $m")
+      d
+    }
+    val gated = stage("quality_gate") {
+      val g = exact.filter(size(split(col("text"), " ")) >= lit(30))
+      require(g.count() == m.toLong, "clean synthetic corpus: the gate drops nothing")
+      g
+    }
+    val near = stage("near_dedup") {
+      val nd = Dedup.nearDedup(gated, "canon", "text", 0.8).localCheckpoint(true)
+      require(nd.count() == m.toLong / 2,
+        s"near-dedup must collapse each twin pair: expected ${m / 2}")
+      nd
+    }
+    stage("domain_rollup") {
+      val roll = near.groupBy("domain").agg(count(lit(1)).as("docs"))
+      require(roll.count() == 50, "50 registered domains by construction")
+    }
+    println(f"[probe crawl x$factor] pages=$n -> curated=${m / 2} (exact 2:1, near 2:1)")
   }
 
   private def serving(spark: SparkSession, factor: Int): Unit = {

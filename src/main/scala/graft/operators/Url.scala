@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL operators for crawl curation — the normalization layer between
+  * [[graft.sources.WarcShards]]/[[Html.links]] and everything keyed by
+  * URL or domain: exact URL dedup wants a CANONICAL key (tracking
+  * params, fragments and default ports make one page arrive under many
+  * spellings), per-domain quality/blocklist gates want the REGISTERED
+  * domain (`news.bbc.co.uk` → `bbc.co.uk`, the CCNet/RefinedWeb grouping
+  * unit), and the web-graph operators want hosts.
+  *
+  * Everything here is a pure `Column` composition over Spark's built-in
+  * `try_parse_url` / regexp / array functions — fully codegen'd, NO UDFs
+  * (the rule: a scan-wide per-row function must stay inside
+  * WholeStageCodegen; at 100 TB the URL column is touched on every row).
+  * Unparsable URLs propagate null (`try_parse_url` semantics) — filter
+  * or coalesce at the call site; null is the honest answer for garbage.
+  *
+  * Registered-domain note: the full public-suffix list is a 10k-entry
+  * moving target; this implements the standard two-label rule plus the
+  * second-level country suffixes (`co.uk`, `com.au`, …) that cover the
+  * overwhelming share of crawl traffic — the documented trade every
+  * engine without a PSL dependency makes. Swap in a broadcast PSL join
+  * when exactness matters more than zero dependencies.
+  */
+object Url {
+
+  /** Lowercased host, null when unparsable. */
+  def host(c: Column): Column = lower(try_parse_url(c, lit("HOST")))
+
+  /** Registered domain: last two host labels, or three when the
+    * second-to-last is a second-level suffix under a 2-letter ccTLD
+    * (`co.uk`, `com.au`, `ac.jp`, …). A bare/dotless host returns
+    * itself; null host propagates.
+    */
+  def registeredDomain(c: Column): Column = {
+    val h = host(c)
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    val multi = n >= 3 &&
+      element_at(parts, -2).isin("co", "com", "net", "org", "gov", "edu", "ac", "mil") &&
+      length(element_at(parts, -1)) === 2
+    when(h.isNull, lit(null).cast("string"))
+      .when(n <= 2, h)
+      .when(multi, concat_ws(".", slice(parts, -3, 3)))
+      .otherwise(concat_ws(".", slice(parts, -2, 2)))
+  }
+
+  /** Query-param names that never identify content: analytics campaign
+    * tags and click ids. Matched against the full `name=value` pair.
+    */
+  private val TrackingParam =
+    "^(utm_[a-z]+|gclid|fbclid|msclkid|mc_eid|mc_cid|igshid|yclid|_ga|ref|ref_src)(=.*)?$"
+
+  /** The query string with tracking params removed, empty-string when
+    * nothing survives, null when the URL has no query at all.
+    */
+  private def cleanQuery(c: Column): Column = {
+    val q = try_parse_url(c, lit("QUERY"))
+    when(q.isNull, lit(null).cast("string"))
+      .otherwise(array_join(filter(split(q, "&"), p => !p.rlike(TrackingParam)), "&"))
+  }
+
+  /** Canonical URL key for exact dedup / frontier dedup:
+    * lowercased scheme and host, default ports dropped (`:80` http,
+    * `:443` https), fragment dropped, tracking params stripped, empty
+    * path normalized to `/`. Parameter ORDER is preserved (reordering
+    * can change what a server returns; canonicalization must never merge
+    * two genuinely different pages). Null for unparsable input.
+    */
+  def canonicalize(c: Column): Column = {
+    val scheme = lower(try_parse_url(c, lit("PROTOCOL")))
+    val h = host(c)
+    val authority = try_parse_url(c, lit("AUTHORITY"))
+    val port = regexp_extract(authority, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = coalesce(nullif(try_parse_url(c, lit("PATH")), lit("")), lit("/"))
+    val q = cleanQuery(c)
+    when(scheme.isNull || h.isNull, lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), h,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(q.isNotNull && q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** The original URL with only tracking params removed (scheme/host
+    * case and ports untouched) — the lighter-touch form for display or
+    * re-fetching. Null for unparsable input.
+    */
+  def stripTrackingParams(c: Column): Column = {
+    val q = try_parse_url(c, lit("QUERY"))
+    val clean = cleanQuery(c)
+    val base = regexp_extract(c, "^([^?#]*)", 1)
+    val frag = regexp_extract(c, "(#.*)$", 1)
+    when(try_parse_url(c, lit("HOST")).isNull, lit(null).cast("string"))
+      .when(q.isNull, c)
+      .otherwise(concat(base,
+        when(clean =!= "", concat(lit("?"), clean)).otherwise(lit("")), frag))
+  }
+}

@@ -195,6 +195,47 @@ class WarcHtmlSuite extends SparkSpec {
     assert(Html.links("""<a href="/q?a>b">x</a>""") == Vector("/q?a>b"))
   }
 
+  test("url: host, registered domain, canonicalization, tracking-param strip") {
+    import graft.operators.Url
+    def one(expr: org.apache.spark.sql.Column, url: String): Option[String] =
+      Seq(url).toDF("u").select(expr.as("r")).as[Option[String]].head()
+
+    assert(one(Url.host($"u"), "https://News.BBC.co.uk/x").contains("news.bbc.co.uk"))
+    assert(one(Url.registeredDomain($"u"), "https://News.BBC.co.uk/x").contains("bbc.co.uk"))
+    assert(one(Url.registeredDomain($"u"), "http://a.b.example.org/p").contains("example.org"))
+    assert(one(Url.registeredDomain($"u"), "http://example.com/").contains("example.com"))
+    assert(one(Url.registeredDomain($"u"), "http://localhost/").contains("localhost"))
+    assert(one(Url.registeredDomain($"u"), "https://shop.com.au.evil.net/").contains("evil.net"))
+
+    assert(one(Url.canonicalize($"u"), "HTTP://Example.COM:80/path?utm_source=x&id=3#frag")
+      .contains("http://example.com/path?id=3"))
+    assert(one(Url.canonicalize($"u"), "https://example.com:8443/?gclid=1")
+      .contains("https://example.com:8443/"))
+    assert(one(Url.canonicalize($"u"), "https://example.com")
+      .contains("https://example.com/"))
+    // param ORDER preserved — canonicalization must not merge different pages
+    assert(one(Url.canonicalize($"u"), "http://e.com/s?b=2&a=1&utm_medium=m")
+      .contains("http://e.com/s?b=2&a=1"))
+    assert(one(Url.canonicalize($"u"), "https://example.com:443/x").contains("https://example.com/x"))
+
+    assert(one(Url.stripTrackingParams($"u"), "HTTP://Ex.com/p?utm_x=1&a=2#f")
+      .contains("HTTP://Ex.com/p?a=2#f"))
+    assert(one(Url.stripTrackingParams($"u"), "http://ex.com/p").contains("http://ex.com/p"))
+    assert(one(Url.stripTrackingParams($"u"), "http://ex.com/p?utm_a=1")
+      .contains("http://ex.com/p"))
+
+    // unparsable / hostless input → null, never a throw
+    assert(one(Url.canonicalize($"u"), "::::not a url").isEmpty)
+    assert(one(Url.host($"u"), "mailto:a@b.c").isEmpty ||
+      one(Url.canonicalize($"u"), "mailto:a@b.c").isEmpty)
+
+    // codegen check: the whole chain is expression-only (no UDF in the plan)
+    val plan = Seq("http://e.com/?utm_a=1&x=2").toDF("u")
+      .select(Url.canonicalize($"u"), Url.registeredDomain($"u"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
   test("html: column wrappers + warc->html->curation end-to-end") {
     val pages = Seq(
       ("http://s.example/a", "<html><head><title>A</title></head><body>" +
