@@ -38,9 +38,17 @@ object WarcShards {
     * fields every consumer filters on, pre-extracted so the common path
     * never map-probes. Gzip shards are detected by magic, not suffix.
     */
-  def records(spark: SparkSession, path: String, glob: String = "*.warc.gz"): DataFrame = {
+  def records(spark: SparkSession, path: String, glob: String = "*.warc.gz"): DataFrame =
+    recordsOf(Tables.binaryFiles(spark, path, glob))
+
+  /** Shared batch/streaming core: (path, content) shard rows → record
+    * rows. Stateless flatMap, so the SAME code serves the batch reader
+    * and the streaming one.
+    */
+  private def recordsOf(shards: DataFrame): DataFrame = {
+    val spark = shards.sparkSession
     import spark.implicits._
-    Tables.binaryFiles(spark, path, glob)
+    shards
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (shard, raw) =>
@@ -66,9 +74,13 @@ object WarcShards {
     * truncated and non-HTTP responses, and dropping them silently is the
     * corruption [[TarShards.write]]'s null guard exists to prevent).
     */
-  def responses(spark: SparkSession, path: String, glob: String = "*.warc.gz"): DataFrame = {
+  def responses(spark: SparkSession, path: String, glob: String = "*.warc.gz"): DataFrame =
+    responsesOf(records(spark, path, glob))
+
+  private def responsesOf(recs: DataFrame): DataFrame = {
+    val spark = recs.sparkSession
     import spark.implicits._
-    records(spark, path, glob)
+    recs
       .filter(col("warc_type") === "response")
       .select(col("shard"), col("target_uri"), col("warc_date"), col("payload"))
       .as[(String, String, String, Array[Byte])]
@@ -77,6 +89,34 @@ object WarcShards {
         (shard, uri, date, status, ctype, body)
       }
       .toDF("shard", "url", "warc_date", "http_status", "http_content_type", "body")
+  }
+
+  /** Streaming ingestion: cure crawl shards AS THEY LAND — the
+    * continuous twin of [[responses]], over Spark's file stream source
+    * (each micro-batch picks up newly arrived shards; exactly-once per
+    * shard via the source's file ledger in the query's checkpoint).
+    * The per-shard parse is the SAME stateless flatMap as the batch
+    * reader, so batch and streaming ingestion cannot drift. Compose
+    * downstream exactly like any stream: [[graft.operators.Html]]
+    * extraction is narrow, and the E-family (streaming dedup / bloom
+    * first-seen / heavy hitters) picks up from there. Shard files must
+    * arrive ATOMICALLY (write elsewhere, rename in — the standard file
+    * stream contract; a half-written shard would fail the parse loudly).
+    */
+  def streamResponses(spark: SparkSession, path: String,
+      glob: String = "*.warc.gz"): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val shards = spark.readStream.format("binaryFile")
+      .schema(schema).option("pathGlobFilter", glob).load(path)
+    responsesOf(recordsOf(shards))
   }
 
   /** Write WARC response shards, one `.warc.gz` per partition

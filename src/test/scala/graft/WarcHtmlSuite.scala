@@ -195,6 +195,49 @@ class WarcHtmlSuite extends SparkSpec {
     assert(Html.links("""<a href="/q?a>b">x</a>""") == Vector("/q?a>b"))
   }
 
+  test("warc: streaming ingestion cures shards as they land, batch-identical parse") {
+    val tmp = Files.createTempDirectory("graft-warcstream").toString
+    val watch = s"$tmp/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      // write elsewhere, rename in — the atomic-arrival contract
+      val staging = s"$tmp/stage-$name"
+      WarcShards.write(
+        rows.map { case (u, h) => (u, "2026-03-03T00:00:00Z", "text/html", h.getBytes("UTF-8")) }
+          .toDF("url", "warc_date", "content_type", "body"),
+        staging, shards = Some(1))
+      val shard = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".warc.gz")).get
+      Files.move(shard.toPath, java.nio.file.Paths.get(s"$watch/$name.warc.gz"))
+      ()
+    }
+    land("s1", Seq(
+      ("http://st.example/1", "<html><body><p>Streaming article one, long enough to pass boilerplate gates easily.</p></body></html>"),
+      ("http://st.example/2", "<html><body><p>Streaming article two, long enough to pass boilerplate gates easily.</p></body></html>")))
+
+    val q = WarcShards.streamResponses(spark, watch)
+      .select($"url", Html.htmlMainText($"body".cast("string")).as("text"))
+      .writeStream.format("memory").queryName("warc_stream")
+      .option("checkpointLocation", s"$tmp/ckpt").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got1 = spark.table("warc_stream").select("url").as[String].collect().sorted
+      assert(got1.toSeq == Seq("http://st.example/1", "http://st.example/2"))
+
+      land("s2", Seq(
+        ("http://st.example/3", "<html><body><p>Streaming article three, long enough to pass boilerplate gates easily.</p></body></html>")))
+      q.processAllAvailable()
+      val got2 = spark.table("warc_stream")
+        .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+      assert(got2.map(_._1).toSeq == Seq("http://st.example/1", "http://st.example/2",
+        "http://st.example/3"))
+      assert(got2.forall(_._2.startsWith("Streaming article")))
+      // re-delivering processAllAvailable adds nothing: per-shard exactly-once
+      q.processAllAvailable()
+      assert(spark.table("warc_stream").count() == 3)
+    } finally q.stop()
+  }
+
   test("url: host, registered domain, canonicalization, tracking-param strip") {
     import graft.operators.Url
     def one(expr: org.apache.spark.sql.Column, url: String): Option[String] =
