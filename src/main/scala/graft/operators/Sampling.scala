@@ -246,6 +246,46 @@ object Sampling {
         graft.functions.Rounding.mirrorRound(col("_lw"), 4).as("logw"))
   }
 
+  /** Deterministic per-group take-to-budget — the data-mixer selection
+    * step (the Dolma/RefinedWeb "mix sources to a target token budget"
+    * shape): for each group (domain, source, language), take rows in
+    * scrambled-hash order until the group's cumulative `weightCol`
+    * (token/char count) reaches its budget. The row that CROSSES the
+    * budget is kept — a group rich enough always fills its budget; a
+    * group poorer than its budget contributes whole. Groups absent from
+    * `budgets` drop entirely (explicit mixes only — a silently-default
+    * budget would ship an unreviewed corpus slice).
+    *
+    * Determinism: selection is a pure function of (key, salt, budgets) —
+    * layout-independent, permanent under re-runs, and a new salt draws a
+    * fresh decorrelated prefix (epoch re-mixing). `keyCol` must be
+    * unique per row (the (hash, key) order ties otherwise — the X-family
+    * contract). Null weights exclude the row (an unknown token count
+    * cannot be budgeted); weights must be non-negative.
+    *
+    * Scale shape: the budget table broadcasts (|groups| rows), the
+    * cumulative sum is a window PER GROUP (parallelism = |groups|, the
+    * q23/q28 contract — mixes run over thousands of domains), nothing
+    * global anywhere.
+    */
+  def takeToBudget(df: DataFrame, groupCol: String, weightCol: String,
+      keyCol: String, budgets: Map[String, Long], salt: String = ""): DataFrame = {
+    require(budgets.nonEmpty, "takeToBudget needs at least one group budget")
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    GraftExpressions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(budgets.toSeq.toDF("_bgroup", "_budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol)
+      .orderBy(scrambledHash(col(keyCol), salt), col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .join(bdf, col(groupCol) === col("_bgroup"))
+      .withColumn("_cum", sum(col(weightCol)).over(w))
+      .filter(col("_cum") - col(weightCol) < col("_budget"))
+      .drop("_bgroup", "_budget", "_cum")
+  }
+
   /** Add a `split` column assigning each row to a named fraction.
     * `splits` are (name, weight) with weights summing to `buckets`, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,

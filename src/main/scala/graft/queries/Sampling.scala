@@ -249,5 +249,33 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54)
+  /** q102: per-source token-budget mixing
+    * ([[graft.operators.Sampling.takeToBudget]]) — the data-mixer
+    * selection: each source contributes documents in scrambled-hash
+    * order until its char budget (1000 + 400·i for src`i`) is reached,
+    * the crossing document kept. The budget formula spans both paths at
+    * every SF: small budgets truncate rich sources, large budgets
+    * exhaust poor ones (whole source kept). Oracle mirrors the hash
+    * order and the running-sum window; `cum − w < budget` is exact
+    * integer arithmetic on both engines.
+    */
+  val q102 = QueryDef(
+    "q102_token_budget",
+    s"""WITH k AS (SELECT doc_id, source, n_chars,
+       |             'mix:' || CAST(doc_id AS VARCHAR) AS kk,
+       |             1000 + 400 * CAST(substr(source, 4) AS BIGINT) AS budget
+       |           FROM documents),
+       |c AS (SELECT doc_id, source, n_chars, budget,
+       |        sum(n_chars) OVER (PARTITION BY source
+       |          ORDER BY ${sqlScram("kk")}, doc_id) AS cum
+       |      FROM k)
+       |SELECT doc_id, source, n_chars FROM c
+       |WHERE cum - n_chars < budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val budgets = (0 until 20).map(i => s"src$i" -> (1000L + 400L * i)).toMap
+    Ops.takeToBudget(Tables(s, dir, "documents"), "source", "n_chars",
+        "doc_id", budgets, salt = "mix:")
+      .select("doc_id", "source", "n_chars").orderBy("doc_id")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54, q102)
 }

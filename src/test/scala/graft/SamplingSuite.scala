@@ -230,4 +230,50 @@ class SamplingSuite extends SparkSpec {
       .orderBy(col("h").desc).limit(3).select("id").as[Long].collect().toSet
     assert(eq.select("id").as[Long].collect().toSet == byHand)
   }
+
+  test("takeToBudget: crossing row kept, prefix in hash order, absent group drops, guards") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i => (i, if (i <= 20) "a" else "b", 10L + i % 7))
+      .toDF("id", "grp", "w")
+    val budgets = Map("a" -> 55L, "b" -> 1000000L)
+    val got = Sampling.takeToBudget(df, "grp", "w", "id", budgets, salt = "m1")
+
+    // group b: budget exceeds total weight -> contributes WHOLE
+    assert(got.filter($"grp" === "b").count() == 20)
+
+    // group a: kept set is exactly the scrambled-hash-order prefix whose
+    // preceding cumulative weight < budget (crossing row kept)
+    val orderedA = df.filter($"grp" === "a")
+      .select($"id", $"w", Sampling.scrambledHash($"id", "m1").as("h"))
+      .orderBy($"h", $"id").as[(Long, Long, Long)].collect()
+    var cum = 0L
+    val expectA = orderedA.takeWhile { case (_, w, _) =>
+      val keep = cum < 55L; cum += w; keep
+    }.map(_._1).toSet
+    val gotA = got.filter($"grp" === "a").select("id").as[Long].collect().toSet
+    assert(gotA == expectA)
+    val keptW = orderedA.filter(r => expectA(r._1)).map(_._2).sum
+    assert(keptW >= 55L, "a rich group must FILL its budget")
+    assert(keptW - orderedA.filter(r => expectA(r._1)).map(_._2).last < 55L)
+
+    // absent group drops entirely; null weights excluded
+    val g2 = Sampling.takeToBudget(df, "grp", "w", "id", Map("a" -> 55L), salt = "m1")
+    assert(g2.filter($"grp" === "b").count() == 0)
+    val withNull = df.withColumn("w", when($"id" === 1L, lit(null)).otherwise($"w"))
+    val g3 = Sampling.takeToBudget(withNull, "grp", "w", "id", budgets, salt = "m1")
+    assert(!g3.filter($"grp" === "a").select("id").as[Long].collect().contains(1L))
+
+    // layout independence + salt decorrelation
+    val g4 = Sampling.takeToBudget(df.repartition(7), "grp", "w", "id", budgets, "m1")
+      .select("id").as[Long].collect().toSet
+    assert(g4 == got.select("id").as[Long].collect().toSet)
+    val g5 = Sampling.takeToBudget(df, "grp", "w", "id", budgets, "m2")
+      .filter($"grp" === "a").select("id").as[Long].collect().toSet
+    assert(g5 != gotA, "a fresh salt draws a fresh prefix")
+
+    intercept[IllegalArgumentException](
+      Sampling.takeToBudget(df, "grp", "w", "id", Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.takeToBudget(df, "grp", "w", "id", Map("a" -> -1L)))
+  }
 }
