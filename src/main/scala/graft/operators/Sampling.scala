@@ -286,6 +286,39 @@ object Sampling {
       .drop("_bgroup", "_budget", "_cum")
   }
 
+  /** Deterministic per-group epoch upsampling — [[takeToBudget]]'s
+    * companion mixer step (the "repeat high-quality sources 2.5×,
+    * commons 1×" weighting of LLM pre-training mixes): each group's rows
+    * replicate `epochsPermille/1000` times, with an `epoch` column
+    * distinguishing copies (trainers shuffle on (key, epoch)). The
+    * FRACTIONAL epoch is a deterministic scrambled-hash subset — permille
+    * precision keeps every comparison integer (no float thresholds, so an
+    * external SQL oracle reproduces membership bit-for-bit), and the
+    * epoch index salts the hash, so successive fractional epochs of the
+    * same group draw decorrelated subsets. Groups absent from the map
+    * drop (the [[takeToBudget]] explicit-mix rule); permille 0 drops a
+    * group explicitly. Scale shape: the mix table broadcasts, replication
+    * is a NARROW `sequence`+`explode` (fan-out = per-row epoch count,
+    * bounded by the mix), no shuffle anywhere.
+    */
+  def epochMix(df: DataFrame, groupCol: String, keyCol: String,
+      epochsPermille: Map[String, Long], salt: String = ""): DataFrame = {
+    require(epochsPermille.nonEmpty, "epochMix needs at least one group weight")
+    require(epochsPermille.values.forall(_ >= 0), "epoch permille must be non-negative")
+    GraftExpressions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bdf = broadcast(epochsPermille.toSeq.toDF("_egroup", "_permille"))
+    val full = (col("_permille") / 1000L).cast("long")
+    val frac = col("_permille") % 1000L
+    df.join(bdf, col(groupCol) === col("_egroup"))
+      .withColumn("epoch", explode(sequence(lit(0L), full)))
+      .filter(col("epoch") < full ||
+        scrambledHash(concat(lit("ep"), col("epoch"), lit(":"),
+          col(keyCol).cast("string")), salt) % 1000L < frac)
+      .drop("_egroup", "_permille")
+  }
+
   /** Add a `split` column assigning each row to a named fraction.
     * `splits` are (name, weight) with weights summing to `buckets`, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,

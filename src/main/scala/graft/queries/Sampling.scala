@@ -277,5 +277,31 @@ object Sampling {
       .select("doc_id", "source", "n_chars").orderBy("doc_id")
   }
 
-  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54, q102)
+  /** q103: per-source epoch upsampling
+    * ([[graft.operators.Sampling.epochMix]]) — the mixer's other half:
+    * src`i` repeats 1 + (i mod 5)·0.5 epochs (1.0×–3.0×), full copies
+    * exploded with an epoch id, the fractional epoch a scrambled-hash
+    * permille subset salted by the epoch index. Everything integer:
+    * membership is `scram % 1000 < frac`, bit-identical cross-engine.
+    */
+  val q103 = QueryDef(
+    "q103_epoch_mix",
+    s"""WITH k AS (SELECT doc_id, source,
+       |             1000 + (CAST(substr(source, 4) AS BIGINT) % 5) * 500 AS permille
+       |           FROM documents),
+       |s(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+       |x AS (SELECT doc_id, source, epoch, permille // 1000 AS eFull,
+       |        permille % 1000 AS frac,
+       |        'em:ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |      FROM k JOIN s ON epoch <= permille // 1000),
+       |y AS (SELECT doc_id, source, epoch FROM x
+       |      WHERE epoch < eFull OR ${sqlScram("kk")} % 1000 < frac)
+       |SELECT doc_id, source, epoch FROM y ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+    val mix = (0 until 20).map(i => s"src$i" -> (1000L + (i % 5) * 500L)).toMap
+    Ops.epochMix(Tables(s, dir, "documents"), "source", "doc_id", mix, salt = "em:")
+      .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54,
+    q102, q103)
 }

@@ -276,4 +276,50 @@ class SamplingSuite extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.takeToBudget(df, "grp", "w", "id", Map("a" -> -1L)))
   }
+
+  test("epochMix: full copies exact, fractional epoch a salted subset, drops, guards") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val mix = Map("a" -> 2500L, "b" -> 1000L) // a: 2.5 epochs, b: exactly 1
+    val got = Sampling.epochMix(df, "grp", "id", mix, salt = "e1").cache()
+
+    // b at permille 1000: exactly one copy per row, epoch 0
+    assert(got.filter($"grp" === "b").count() == 200)
+    assert(got.filter($"grp" === "b" && $"epoch" =!= 0L).count() == 0)
+
+    // a: epochs 0 and 1 are FULL copies; epoch 2 is the ~50% fractional draw
+    val aByEpoch = got.filter($"grp" === "a").groupBy("epoch").count()
+      .as[(Long, Long)].collect().toMap
+    assert(aByEpoch(0L) == 200 && aByEpoch(1L) == 200)
+    assert(aByEpoch(2L) > 60 && aByEpoch(2L) < 140, s"frac epoch drew ${aByEpoch(2L)}")
+
+    // fractional membership is the exact permille rule, reproducible by hand
+    val expectFrac = df.filter($"grp" === "a")
+      .filter(Sampling.scrambledHash(
+        concat(lit("ep"), lit(2L), lit(":"), $"id".cast("string")), "e1") % 1000L < 500L)
+      .select("id").as[Long].collect().toSet
+    val gotFrac = got.filter($"grp" === "a" && $"epoch" === 2L)
+      .select("id").as[Long].collect().toSet
+    assert(gotFrac == expectFrac)
+
+    // successive fractional epochs of the same group are decorrelated draws
+    val frac3 = Sampling.epochMix(df, "grp", "id", Map("a" -> 3500L), salt = "e1")
+      .filter($"epoch" === 3L).select("id").as[Long].collect().toSet
+    assert(frac3 != gotFrac, "epoch index must salt the fractional draw")
+
+    // absent group drops; permille 0 drops explicitly; layout independence
+    assert(Sampling.epochMix(df, "grp", "id", Map("a" -> 1000L), "e1")
+      .filter($"grp" === "b").count() == 0)
+    assert(Sampling.epochMix(df, "grp", "id", Map("a" -> 1000L, "b" -> 0L), "e1")
+      .filter($"grp" === "b").count() == 0)
+    val again = Sampling.epochMix(df.repartition(7), "grp", "id", mix, "e1")
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again == got.select("id", "epoch").as[(Long, Long)].collect().toSet)
+
+    intercept[IllegalArgumentException](Sampling.epochMix(df, "grp", "id", Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.epochMix(df, "grp", "id", Map("a" -> -1L)))
+    got.unpersist()
+  }
 }
