@@ -319,6 +319,46 @@ object Sampling {
       .drop("_egroup", "_permille")
   }
 
+  /** Curriculum (annealed) mixing — the schedule-aware third of the mixer
+    * trio ([[takeToBudget]] selects, [[epochMix]] repeats, this SHIFTS the
+    * mix over training phases, the two-phase / "midtraining" data schedule
+    * where e.g. high-quality sources anneal UP late in pre-training): each
+    * group's keep-rate interpolates linearly from `startPermille` to
+    * `endPermille` across `phases` buckets, and a row joins phase `k` iff
+    * its phase-salted scrambled hash lands under that phase's permille.
+    * The interpolation is the all-non-negative form
+    * `(w0·(P−1−k) + w1·k) / (P−1)` so integer division agrees cross-engine
+    * (Scala truncates toward zero, DuckDB floors — they only match on
+    * non-negative numerators). Phase salts the hash, so a group annealing
+    * DOWN sheds a decorrelated subset each phase rather than a nested
+    * prefix. Groups absent from the maps drop (explicit-mix rule). Scale
+    * shape: the `phases`×|groups| weight table broadcasts, membership is a
+    * narrow filter — no shuffle; fan-out per row ≤ `phases`.
+    */
+  def annealMix(df: DataFrame, groupCol: String, keyCol: String,
+      startPermille: Map[String, Long], endPermille: Map[String, Long],
+      phases: Int, salt: String = ""): DataFrame = {
+    require(phases >= 2, "annealMix needs at least two phases to interpolate")
+    require(startPermille.nonEmpty, "annealMix needs at least one group weight")
+    require(startPermille.keySet == endPermille.keySet,
+      "start/end weight maps must cover the same groups")
+    require((startPermille.values ++ endPermille.values).forall(v => v >= 0 && v <= 1000),
+      "anneal permille must be in [0, 1000]")
+    GraftExpressions.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = for {
+      (g, w0) <- startPermille.toSeq
+      k <- 0 until phases
+    } yield (g, k.toLong,
+      (w0 * (phases - 1 - k) + endPermille(g) * k) / (phases - 1))
+    val bdf = broadcast(rows.toDF("_agroup", "phase", "_permille"))
+    df.join(bdf, col(groupCol) === col("_agroup"))
+      .filter(scrambledHash(concat(lit("ph"), col("phase"), lit(":"),
+        col(keyCol).cast("string")), salt) % 1000L < col("_permille"))
+      .drop("_agroup", "_permille")
+  }
+
   /** Add a `split` column assigning each row to a named fraction.
     * `splits` are (name, weight) with weights summing to `buckets`, e.g.
     * Seq("train" -> 80, "val" -> 10, "test" -> 10). Splits are disjoint,

@@ -302,6 +302,34 @@ object Sampling {
       .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
   }
 
+  /** q104: curriculum annealing ([[graft.operators.Sampling.annealMix]]) —
+    * the mixer's schedule axis: src`i`'s keep-rate interpolates from
+    * 1000−(i%5)·200‰ to 200+(i%5)·200‰ across 4 phases, so some sources
+    * anneal down while others anneal up, and the /3 interpolation exercises
+    * truncation. Membership per phase is the phase-salted permille rule —
+    * all integer, bit-identical cross-engine.
+    */
+  val q104 = QueryDef(
+    "q104_anneal_mix",
+    s"""WITH w AS (SELECT doc_id, source,
+       |             1000 - (CAST(substr(source, 4) AS BIGINT) % 5) * 200 AS w0,
+       |             200 + (CAST(substr(source, 4) AS BIGINT) % 5) * 200 AS w1
+       |           FROM documents),
+       |p(phase) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+       |x AS (SELECT doc_id, source, phase,
+       |        (w0 * (3 - phase) + w1 * phase) // 3 AS permille,
+       |        'am:ph' || CAST(phase AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |      FROM w CROSS JOIN p)
+       |SELECT doc_id, source, phase FROM x
+       |WHERE ${sqlScram("kk")} % 1000 < permille
+       |ORDER BY doc_id, phase""".stripMargin) { (s, dir) =>
+    val start = (0 until 20).map(i => s"src$i" -> (1000L - (i % 5) * 200L)).toMap
+    val end = (0 until 20).map(i => s"src$i" -> (200L + (i % 5) * 200L)).toMap
+    Ops.annealMix(Tables(s, dir, "documents"), "source", "doc_id",
+        start, end, phases = 4, salt = "am:")
+      .select("doc_id", "source", "phase").orderBy("doc_id", "phase")
+  }
+
   val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54,
-    q102, q103)
+    q102, q103, q104)
 }

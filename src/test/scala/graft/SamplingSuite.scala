@@ -322,4 +322,57 @@ class SamplingSuite extends SparkSpec {
       Sampling.epochMix(df, "grp", "id", Map("a" -> -1L)))
     got.unpersist()
   }
+
+  test("annealMix: endpoint phases exact, interpolated rates, phase decorrelation, guards") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "up" else "dn"))
+      .toDF("id", "grp")
+    val start = Map("up" -> 100L, "dn" -> 1000L)
+    val end = Map("up" -> 1000L, "dn" -> 100L)
+    val got = Sampling.annealMix(df, "grp", "id", start, end, phases = 4, salt = "a1")
+      .cache()
+
+    // permille 1000 endpoints keep the WHOLE group; counts track the schedule
+    val counts = got.groupBy("grp", "phase").count()
+      .as[(String, Long, Long)].collect().map { case (g, p, n) => (g, p) -> n }.toMap
+    assert(counts(("dn", 0L)) == 500, "permille 1000 start keeps every dn row")
+    assert(counts(("up", 3L)) == 500, "permille 1000 end keeps every up row")
+    // interpolated phases: (100·(3−k) + 1000·k)/3 ‰ of 500, within binomial noise
+    for ((k, pm) <- Seq(1L -> 400L, 2L -> 700L)) {
+      val exp = 500.0 * pm / 1000.0
+      assert(math.abs(counts(("up", k)) - exp) < 70,
+        s"up phase $k drew ${counts(("up", k))}, expected ~$exp")
+    }
+
+    // membership is the exact phase-salted permille rule, reproducible by hand
+    val exp1 = df.filter($"grp" === "up")
+      .filter(Sampling.scrambledHash(
+        concat(lit("ph"), lit(1L), lit(":"), $"id".cast("string")), "a1") % 1000L < 400L)
+      .select("id").as[Long].collect().toSet
+    assert(got.filter($"grp" === "up" && $"phase" === 1L)
+      .select("id").as[Long].collect().toSet == exp1)
+
+    // a group annealing DOWN sheds a decorrelated subset, not a nested prefix
+    val dn1 = got.filter($"grp" === "dn" && $"phase" === 1L)
+      .select("id").as[Long].collect().toSet
+    val dn2 = got.filter($"grp" === "dn" && $"phase" === 2L)
+      .select("id").as[Long].collect().toSet
+    assert(!dn1.subsetOf(dn2) && !dn2.subsetOf(dn1),
+      "phase draws must be decorrelated, not nested")
+
+    // absent group drops; layout independence
+    assert(Sampling.annealMix(df, "grp", "id", Map("up" -> 500L),
+      Map("up" -> 500L), 2, "a1").filter($"grp" === "dn").count() == 0)
+    val again = Sampling.annealMix(df.repartition(7), "grp", "id", start, end, 4, "a1")
+      .select("id", "phase").as[(Long, Long)].collect().toSet
+    assert(again == got.select("id", "phase").as[(Long, Long)].collect().toSet)
+
+    intercept[IllegalArgumentException](
+      Sampling.annealMix(df, "grp", "id", start, end, phases = 1))
+    intercept[IllegalArgumentException](
+      Sampling.annealMix(df, "grp", "id", start, Map("up" -> 1L), 4))
+    intercept[IllegalArgumentException](
+      Sampling.annealMix(df, "grp", "id", Map("up" -> 1001L), Map("up" -> 0L), 4))
+    got.unpersist()
+  }
 }
