@@ -45,6 +45,7 @@ object ScaleProbe {
     if (mode == "ext6") { ext6(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext7") { ext7(spark, src, out, factor); spark.stop(); return }
     if (mode == "ext8") { ext8(spark, src, out, factor); spark.stop(); return }
+    if (mode == "mixer") { mixer(spark, src, out, factor); spark.stop(); return }
     if (mode == "serving") { serving(spark, factor); spark.stop(); return }
     if (mode == "tar") { tarShards(spark, out, factor); spark.stop(); return }
     if (mode == "warc") { warcShards(spark, out, factor); spark.stop(); return }
@@ -1258,6 +1259,44 @@ object ScaleProbe {
       require(roll.count() == 50, "50 registered domains by construction")
     }
     println(f"[probe crawl x$factor] pages=$n -> curated=${m / 2} (exact 2:1, near 2:1)")
+  }
+
+  /** Mixer-trio trend (X10/X11/X12): documents ×factor with the 20 source
+    * groups HELD CONSTANT (the realistic shape — a bigger corpus, the same
+    * mix), budgets scaled ×factor so the selected fraction stays fixed.
+    * takeToBudget's only exchange is the per-group window (parallelism =
+    * |groups|, constant); epochMix/annealMix are shuffle-free broadcasts —
+    * so all three should trend ~linear in the scan.
+    */
+  private def mixer(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.Sampling
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0) + 1
+    docs0.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * maxId)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/docs_mixer.parquet")
+    val docs = spark.read.parquet(s"$out/docs_mixer.parquet")
+    println(s"[scale x$factor] docs=${docs.count()} groups=20")
+
+    val budgets = (0 until 20)
+      .map(i => s"src$i" -> (1000L + 400L * i) * factor).toMap
+    time("x10 takeToBudget xf")(
+      Sampling.takeToBudget(docs, "source", "n_chars", "doc_id",
+        budgets, salt = "sp:").count())
+    val epochs = (0 until 20).map(i => s"src$i" -> (1000L + (i % 5) * 500L)).toMap
+    time("x11 epochMix xf")(
+      Sampling.epochMix(docs, "source", "doc_id", epochs, salt = "sp:").count())
+    val start = (0 until 20).map(i => s"src$i" -> (1000L - (i % 5) * 200L)).toMap
+    val end = (0 until 20).map(i => s"src$i" -> (200L + (i % 5) * 200L)).toMap
+    time("x12 annealMix xf")(
+      Sampling.annealMix(docs, "source", "doc_id", start, end,
+        phases = 4, salt = "sp:").count())
   }
 
   private def serving(spark: SparkSession, factor: Int): Unit = {

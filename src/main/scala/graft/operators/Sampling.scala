@@ -309,7 +309,7 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val bdf = broadcast(epochsPermille.toSeq.toDF("_egroup", "_permille"))
-    val full = (col("_permille") / 1000L).cast("long")
+    val full = expr("_permille div 1000") // integral div: no double round-trip
     val frac = col("_permille") % 1000L
     df.join(bdf, col(groupCol) === col("_egroup"))
       .withColumn("epoch", explode(sequence(lit(0L), full)))

@@ -375,4 +375,28 @@ class SamplingSuite extends SparkSpec {
       Sampling.annealMix(df, "grp", "id", Map("up" -> 1001L), Map("up" -> 0L), 4))
     got.unpersist()
   }
+
+  test("epochMix/annealMix plans are shuffle-free: broadcast mix table, narrow membership") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val df = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val em = Sampling.epochMix(df, "grp", "id", Map("a" -> 2500L, "b" -> 1000L), "s")
+    em.count() // finalize AQE
+    assert(!collectAll(em.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"epochMix must not shuffle:\n${em.queryExecution.executedPlan}")
+    val am = Sampling.annealMix(df, "grp", "id",
+      Map("a" -> 1000L, "b" -> 400L), Map("a" -> 200L, "b" -> 800L), 4, "s")
+    am.count()
+    assert(!collectAll(am.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"annealMix must not shuffle:\n${am.queryExecution.executedPlan}")
+  }
 }
