@@ -667,4 +667,61 @@ class StreamingSuite extends SparkSpec {
       assert(got == Set(("a", 5.0, 2L), ("a", 4.0, 4L), ("b", 9.0, 5L), ("b", 3.0, 3L)))
     } finally q.stop()
   }
+
+  test("streaming budget admission: crossing row kept, closes across batches, batch parity") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, String, Long)]
+    val out = graft.streaming.StreamingBudget.admitToBudget(
+      src.toDS(), Map("a" -> 25L, "b" -> 1000L))
+    val q = out.writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a spends 10+10=20 < 25 after the second row, both admit;
+      // in-batch order is ascending id regardless of addData order
+      src.addData((2L, "a", 10L), (1L, "a", 10L), (3L, "b", 5L), (9L, "c", 1L))
+      q.processAllAvailable()
+      // batch 2: a at spent=20 < 25 admits id 4 (CROSSING row, spent→32),
+      // then id 5 must drop; b stays open
+      src.addData((4L, "a", 12L), (5L, "a", 1L), (6L, "b", 5L))
+      q.processAllAvailable()
+      // batch 3: a is closed forever
+      src.addData((7L, "a", 1L))
+      q.processAllAvailable()
+      val got = spark.table("budget_out")
+        .as[graft.streaming.StreamingBudget.Admitted].collect().map(_.id).toSet
+      assert(got == Set(1L, 2L, 3L, 4L, 6L),
+        s"crossing row kept, later arrivals and unbudgeted groups drop: $got")
+    } finally q.stop()
+
+    // lambda parity: fed in scrambled-hash id order (one batch per row),
+    // the live gate reproduces batch takeToBudget's kept set EXACTLY
+    val rows = (1L to 30L).map(i => (i, if (i % 2 == 0) "a" else "b", 10L + i % 7))
+    val df = rows.toDF("id", "grp", "w")
+    val budgets = Map("a" -> 60L, "b" -> 45L)
+    val batchKept = graft.operators.Sampling
+      .takeToBudget(df, "grp", "w", "id", budgets, salt = "sb")
+      .select("id").as[Long].collect().toSet
+    val hashOrder = df
+      .withColumn("h", graft.operators.Sampling.scrambledHash(col("id"), "sb"))
+      .orderBy("h", "id").as[(Long, String, Long, Long)].collect()
+    val src2 = MemoryStream[(Long, String, Long)]
+    val out2 = graft.streaming.StreamingBudget.admitToBudget(src2.toDS(), budgets)
+    val q2 = out2.writeStream.format("memory").queryName("budget_parity")
+      .outputMode("append").start()
+    try {
+      hashOrder.foreach { case (id, g, w, _) =>
+        src2.addData((id, g, w)); q2.processAllAvailable()
+      }
+      val streamKept = spark.table("budget_parity")
+        .as[graft.streaming.StreamingBudget.Admitted].collect().map(_.id).toSet
+      assert(streamKept == batchKept,
+        "live gate in hash order must equal the batch mixer's kept set")
+    } finally q2.stop()
+
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamingBudget.admitToBudget(src.toDS(), Map.empty))
+    intercept[IllegalArgumentException](
+      graft.streaming.StreamingBudget.admitToBudget(src.toDS(), Map("a" -> -1L)))
+  }
 }
