@@ -109,4 +109,77 @@ class PropertySuite extends SparkSpec {
       assert(hl.sortedDesc.map(c => (c.score, c.id)) == expected, s"case $i merged")
     }
   }
+
+  test("mixer trio invariants on random corpora: budget fill, epoch counts, anneal endpoints") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Sampling
+    (0 until 8).foreach { c =>
+      val rnd = new scala.util.Random(31 + c)
+      val groups = (0 until 2 + rnd.nextInt(4)).map(g => s"g$g")
+      val rows = (1L to (50L + rnd.nextInt(150))).map { i =>
+        (i, groups(rnd.nextInt(groups.length)), 1L + rnd.nextInt(20))
+      }
+      val df = rows.toDF("id", "grp", "w")
+      val salt = s"pp$c:"
+
+      // takeToBudget: per group — poor groups whole, rich groups fill the
+      // budget with the crossing row kept, kept set = hash-order prefix
+      val budgets = groups.map(g => g -> (10L + rnd.nextInt(400)).toLong).toMap
+      val kept = Sampling.takeToBudget(df, "grp", "w", "id", budgets, salt)
+        .select("id").as[Long].collect().toSet
+      val hashed = df
+        .withColumn("h", Sampling.scrambledHash(col("id"), salt))
+        .as[(Long, String, Long, Long)].collect()
+      groups.foreach { g =>
+        val ordered = hashed.filter(_._2 == g).sortBy(r => (r._4, r._1))
+        var cum = 0L
+        val expect = ordered.takeWhile { r =>
+          val keep = cum < budgets(g); cum += r._3; keep
+        }.map(_._1).toSet
+        assert(kept.intersect(ordered.map(_._1).toSet) == expect,
+          s"case $c group $g: kept set must be the hash-order prefix")
+        val total = ordered.map(_._3).sum
+        val keptW = ordered.filter(r => expect(r._1)).map(_._3).sum
+        if (total <= budgets(g)) assert(keptW == total, s"case $c $g: poor group whole")
+        else assert(keptW >= budgets(g), s"case $c $g: rich group fills its budget")
+      }
+
+      // epochMix: per group — count == |g|·full + |fractional draw|, epochs dense
+      val permille = groups.map(g => g -> (rnd.nextInt(4000)).toLong).toMap
+      val em = Sampling.epochMix(df, "grp", "id", permille, salt)
+        .select("id", "grp", "epoch").as[(Long, String, Long)].collect()
+      groups.foreach { g =>
+        val ids = rows.filter(_._2 == g).map(_._1)
+        val full = permille(g) / 1000
+        val fracExp = df.filter($"grp" === g)
+          .filter(Sampling.scrambledHash(concat(lit("ep"), lit(full), lit(":"),
+            $"id".cast("string")), salt) % 1000L < permille(g) % 1000)
+          .count()
+        val got = em.filter(_._2 == g)
+        assert(got.length == ids.length * full + fracExp,
+          s"case $c $g: epoch count must be full copies + the fractional draw")
+        assert(got.forall(r => r._3 >= 0 && r._3 <= full), s"case $c $g: epoch range")
+        (0L until full).foreach(k =>
+          assert(got.count(_._3 == k) == ids.length, s"case $c $g: epoch $k full"))
+      }
+
+      // annealMix: phase-0/last counts equal the start/end permille rule
+      val start = groups.map(g => g -> rnd.nextInt(1001).toLong).toMap
+      val end = groups.map(g => g -> rnd.nextInt(1001).toLong).toMap
+      val phases = 2 + rnd.nextInt(4)
+      val am = Sampling.annealMix(df, "grp", "id", start, end, phases, salt)
+        .select("grp", "phase").as[(String, Long)].collect()
+      groups.foreach { g =>
+        def drawn(k: Long, pm: Long) = df.filter($"grp" === g)
+          .filter(Sampling.scrambledHash(concat(lit("ph"), lit(k), lit(":"),
+            $"id".cast("string")), salt) % 1000L < pm).count()
+        assert(am.count(r => r._1 == g && r._2 == 0L) == drawn(0L, start(g)),
+          s"case $c $g: phase 0 must draw at startPermille")
+        assert(am.count(r => r._1 == g && r._2 == phases - 1L) ==
+          drawn(phases - 1L, end(g)),
+          s"case $c $g: last phase must draw at endPermille")
+      }
+    }
+  }
 }
