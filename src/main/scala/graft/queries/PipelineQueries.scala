@@ -496,5 +496,61 @@ object PipelineQueries {
       .orderBy("p_partkey")
   }
 
-  val queries: Seq[QueryDef] = Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09)
+  /** p10: the data-MIXER end-to-end — length gate → exact dedup (d01) →
+    * per-source token-budget selection (X10, budgets 2000+500·i chars) →
+    * epoch upsampling (X11, 1 + (i mod 4)·0.75 epochs), each stage
+    * consuming the previous stage's output: budgets select from the
+    * POST-dedup corpus, epochs replicate the POST-selection survivors.
+    * The round-7 mixer trio proven IN COMPOSITION with the curation
+    * operators, not just per-operator: the oracle chains the d01 window,
+    * the q102 running-sum window, and the q103 epoch draw as CTEs over
+    * one pipeline. Scale shapes unchanged by composition — dedup window
+    * on the fingerprint, budget window per source, epoch explode narrow.
+    */
+  val p10 = QueryDef(
+    "p10_mixer_e2e", {
+      val scram = (c: String) =>
+        s"((${graft.functions.Signatures.sqlPolyHashStr(c)} * 2654435761) % 1000000007)"
+      s"""WITH gated AS (SELECT doc_id, source, n_chars, text FROM documents
+       |               WHERE n_chars >= 150),
+       |uniq AS (SELECT doc_id, source, n_chars FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
+       |    FROM gated) WHERE doc_id = canon),
+       |k AS (SELECT doc_id, source, n_chars,
+       |        'pm:' || CAST(doc_id AS VARCHAR) AS kk,
+       |        2000 + 500 * CAST(substr(source, 4) AS BIGINT) AS budget
+       |      FROM uniq),
+       |c AS (SELECT doc_id, source, n_chars, budget,
+       |        sum(n_chars) OVER (PARTITION BY source
+       |          ORDER BY ${scram("kk")}, doc_id) AS cum
+       |      FROM k),
+       |sel AS (SELECT doc_id, source FROM c WHERE cum - n_chars < budget),
+       |w AS (SELECT doc_id, source,
+       |        1000 + (CAST(substr(source, 4) AS BIGINT) % 4) * 750 AS permille
+       |      FROM sel),
+       |e(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+       |x AS (SELECT doc_id, source, epoch, permille // 1000 AS eFull,
+       |        permille % 1000 AS frac,
+       |        'pm:ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |      FROM w JOIN e ON epoch <= permille // 1000)
+       |SELECT doc_id, source, epoch FROM x
+       |WHERE epoch < eFull OR ${scram("kk")} % 1000 < frac
+       |ORDER BY doc_id, epoch""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables(s, dir, "documents")
+    val gated = docs.filter(col("n_chars") >= 150)
+    val keep = Dedup.exact(gated, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val uniq = gated.join(keep, "doc_id")
+    val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
+    val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
+      budgets, salt = "pm:")
+    val epochs = (0 until 20).map(i => s"src$i" -> (1000L + (i % 4) * 750L)).toMap
+    Sampling.epochMix(sel, "source", "doc_id", epochs, salt = "pm:")
+      .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+  }
+
+  val queries: Seq[QueryDef] =
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
 }
