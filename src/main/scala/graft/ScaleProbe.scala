@@ -1264,9 +1264,13 @@ object ScaleProbe {
   /** Mixer-trio trend (X10/X11/X12): documents ×factor with the 20 source
     * groups HELD CONSTANT (the realistic shape — a bigger corpus, the same
     * mix), budgets scaled ×factor so the selected fraction stays fixed.
-    * takeToBudget's only exchange is the per-group window (parallelism =
-    * |groups|, constant); epochMix/annealMix are shuffle-free broadcasts —
-    * so all three should trend ~linear in the scan.
+    * takeToBudget's histogram-cutpoint plan (round 8) shuffles only the
+    * per-(group, hash-bucket) histogram plus the boundary buckets —
+    * admission is a narrow broadcast filter, so selection cost tracks the
+    * SCAN, not |groups|; epochMix/annealMix are shuffle-free broadcasts —
+    * so all three should trend ~linear in the scan. The |groups|=5 leg is
+    * the shape that killed the old per-group-window plan (100 TB into 5
+    * sort tasks); here it must cost the same as the 20-group leg.
     */
   private def mixer(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
@@ -1289,6 +1293,17 @@ object ScaleProbe {
     time("x10 takeToBudget xf")(
       Sampling.takeToBudget(docs, "source", "n_chars", "doc_id",
         budgets, salt = "sp:").count())
+    // few-sources leg: 5 coarse sources over the whole corpus — the
+    // realistic LLM-mix cardinality and the old plan's worst case
+    // (corpus sort-shuffled into 5 tasks). Budget = half each coarse
+    // group's weight, so the boundary search does real work.
+    val coarse = docs.withColumn("source",
+      concat(lit("mix"), pmod(hash(col("source")), lit(5))))
+    val half = coarse.groupBy("source").agg(sum("n_chars").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / 2).toMap
+    time("x10 takeToBudget 5grp")(
+      Sampling.takeToBudget(coarse, "source", "n_chars", "doc_id",
+        half, salt = "sp5:").count())
     val epochs = (0 until 20).map(i => s"src$i" -> (1000L + (i % 5) * 500L)).toMap
     time("x11 epochMix xf")(
       Sampling.epochMix(docs, "source", "doc_id", epochs, salt = "sp:").count())

@@ -261,29 +261,121 @@ object Sampling {
     * fresh decorrelated prefix (epoch re-mixing). `keyCol` must be
     * unique per row (the (hash, key) order ties otherwise — the X-family
     * contract). Null weights exclude the row (an unknown token count
-    * cannot be budgeted); weights must be non-negative.
+    * cannot be budgeted); a NEGATIVE weight fails loud (`raise_error` in
+    * the histogram pass, which evaluates every row — a corrupted token
+    * count must not silently shrink the corpus; the StreamingBudget twin
+    * already throws).
     *
-    * Scale shape: the budget table broadcasts (|groups| rows), the
-    * cumulative sum is a window PER GROUP (parallelism = |groups|, the
-    * q23/q28 contract — mixes run over thousands of domains), nothing
-    * global anywhere.
+    * Scale shape (the q60/q65 histogram-cutpoint discipline — the corpus
+    * NEVER enters a per-group sort): the realistic LLM mix is 10–30
+    * sources over the whole corpus, so a per-group running-sum window
+    * would sort-shuffle 100 TB into ≤30 tasks. Instead: (1) bucket each
+    * row by the high bits of its scrambled hash (`_h div width` — bucket
+    * order IS hash order), (2) build a per-(group, bucket) weight
+    * histogram — a partial agg, ≤ |groups|·`buckets` rows after map-side
+    * combine, (3) find each group's BOUNDARY bucket (smallest bucket
+    * whose cumulative weight reaches the budget — the q63 integer
+    * crossing rule, exact longs; the only full-corpus-derived window
+    * runs over this histogram METADATA, and the |groups|-row (boundary,
+    * remaining-budget) result returns to the driver exactly like
+    * `histogramCutpoints`' cutpoint longs), (4) admit buckets strictly
+    * before the boundary with a NARROW literal-map filter — no join, no
+    * shuffle, (5) resolve the boundary bucket exactly with a residual
+    * window over ~1/`buckets` of the corpus, crossing row kept.
+    * Selection cost scales with the scan, not with |groups|; the
+    * admitted set is bit-identical to the definitional per-group running
+    * sum (cum − w < budget in (hash, key) order), which the oracle
+    * mirrors. Weights must be integral (token/char counts — the
+    * arithmetic stays in exact longs, and a fractional weight would be
+    * silently truncated instead of budgeted).
     */
   def takeToBudget(df: DataFrame, groupCol: String, weightCol: String,
-      keyCol: String, budgets: Map[String, Long], salt: String = ""): DataFrame = {
+      keyCol: String, budgets: Map[String, Long], salt: String = "",
+      buckets: Int = 4096): DataFrame = {
     require(budgets.nonEmpty, "takeToBudget needs at least one group budget")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(buckets >= 2, "need at least two hash-range buckets")
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(weightCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case t => throw new IllegalArgumentException(
+        s"takeToBudget needs an integral $weightCol (token/char count), got $t")
+    }
     GraftExpressions.register(df.sparkSession)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bdf = broadcast(budgets.toSeq.toDF("_bgroup", "_budget"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol)
-      .orderBy(scrambledHash(col(keyCol), salt), col(keyCol))
-    df.filter(col(weightCol).isNotNull && col(weightCol) >= 0)
-      .join(bdf, col(groupCol) === col("_bgroup"))
-      .withColumn("_cum", sum(col(weightCol)).over(w))
-      .filter(col("_cum") - col(weightCol) < col("_budget"))
-      .drop("_bgroup", "_budget", "_cum")
+    // bucket = high bits of the scrambled hash: monotone in _h, so
+    // cumulative-by-bucket is cumulative-in-hash-order at bucket grain.
+    // Group membership (the explicit-mix rule) is an InSet literal — it
+    // pushes to the scan; a broadcast join here would cost an exchange
+    // in both the histogram job and the admission query for a table
+    // that's already driver-resident.
+    val width = (graft.functions.TextFunctions.P + buckets - 1) / buckets
+    val base = df
+      .filter(col(weightCol).isNotNull &&
+        col(groupCol).isInCollection(budgets.keys.toSeq))
+      .withColumn("_w", when(col(weightCol) < 0, raise_error(concat(
+          lit(s"takeToBudget: negative $weightCol at $keyCol="),
+          col(keyCol).cast("string")))).otherwise(col(weightCol)).cast("long"))
+      .withColumn("_h", scrambledHash(col(keyCol), salt))
+      .withColumn("_bk", expr(s"_h div $width"))
+    // per-(group, bucket) weight histogram — metadata-sized after the
+    // partial agg; cumulating it in bucket order finds the boundary
+    // bucket b* = smallest bucket whose cumulative weight reaches the
+    // budget (absent → the group never fills: keep whole) and _rm = the
+    // budget still open ENTERING b*. |groups| (b*, _rm) pairs come back
+    // as driver metadata — the histogramCutpoints discipline. The
+    // histogram itself collects when provably small (≤ |groups|·buckets
+    // rows — one job, the cheap path); past ~4M potential rows the
+    // cumulation runs as a Spark window over the histogram (still
+    // metadata — buckets ordered, never rows).
+    val hist = base.groupBy(col(groupCol), col("_bk"))
+      .agg(sum(col("_w")).as("_bw"))
+    val boundaries: Map[String, (Long, Long)] =
+      if (budgets.size.toLong * buckets <= 4000000L) {
+        hist.collect().groupBy(_.getString(0)).flatMap { case (g, rs) =>
+          var cum = 0L
+          rs.sortBy(_.getLong(1)).iterator.map { r =>
+            cum += r.getLong(2)
+            (r.getLong(1), cum, r.getLong(2))
+          }.collectFirst { case (bk, c, bw) if c >= budgets(g) =>
+            g -> (bk, budgets(g) - c + bw)
+          }
+        }
+      } else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val bdf = broadcast(budgets.toSeq.toDF("_bgroup", "_budget"))
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCol).orderBy("_bk")
+        hist.join(bdf, col(groupCol) === col("_bgroup"))
+          .withColumn("_cum", sum(col("_bw")).over(wc))
+          .filter(col("_cum") >= col("_budget"))
+          .groupBy(col(groupCol))
+          .agg(min(struct(col("_bk"),
+            (col("_budget") - col("_cum") + col("_bw")).as("_rm"))).as("_b"))
+          .select(col(groupCol), col("_b").getField("_bk"),
+            col("_b").getField("_rm"))
+          .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+    val bstar = typedlit(boundaries.map { case (g, b) => g -> b._1 })
+    val remain = typedlit(boundaries.map { case (g, b) => g -> b._2 })
+    val keep = df.columns.map(col)
+    // buckets strictly before the boundary admit with a narrow
+    // literal-map filter — their whole prefix sits under the budget by
+    // construction of b*; never-filling groups (absent key → null) keep
+    // every bucket
+    val clear = base
+      .filter(element_at(bstar, col(groupCol)).isNull ||
+        col("_bk") < element_at(bstar, col(groupCol)))
+      .select(keep: _*)
+    // the boundary bucket alone gets the exact residual window — a
+    // per-group sort of ~1/buckets of the corpus, crossing row kept
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("_h"), col(keyCol))
+    val edge = base.filter(col("_bk") === element_at(bstar, col(groupCol)))
+      .withColumn("_rcum", sum(col("_w")).over(we))
+      .filter(col("_rcum") - col("_w") < element_at(remain, col(groupCol)))
+      .select(keep: _*)
+    clear.unionByName(edge)
   }
 
   /** Deterministic per-group epoch upsampling — [[takeToBudget]]'s

@@ -277,6 +277,71 @@ class SamplingSuite extends SparkSpec {
       Sampling.takeToBudget(df, "grp", "w", "id", Map("a" -> -1L)))
   }
 
+  test("takeToBudget fails loud on a negative weight (no silent corpus shrink)") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, "a", if (i == 7) -3L else 5L))
+      .toDF("id", "grp", "w")
+    val e = intercept[Exception](
+      Sampling.takeToBudget(df, "grp", "w", "id", Map("a" -> 20L)).count())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("negative w")),
+      s"expected the raise_error message, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("takeToBudget plan: the corpus never enters a per-group sort") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, Join, LeafNode, LogicalPlan, Window => LWindow}
+    // file-backed source: over a LocalRelation the optimizer folds the
+    // narrow admission filters away entirely (ConvertToLocalRelation),
+    // hiding the very plan shape under test
+    val pq = java.nio.file.Files.createTempDirectory("graft_ttb").toString
+    (1L to 4000L).map(i => (i, s"src${i % 5}", 3L + i % 11))
+      .toDF("id", "grp", "w").write.mode("overwrite").parquet(pq)
+    val df = spark.read.parquet(pq)
+    val out = Sampling.takeToBudget(df, "grp", "w", "id",
+      (0 until 5).map(i => s"src$i" -> 200L).toMap, salt = "pl")
+    val plan = out.queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.size == 1,
+      s"exactly the boundary-bucket residual window, got ${windows.size}")
+    // every root-to-leaf path under the residual Window must pass an
+    // Aggregate (metadata beyond that point) or the boundary-bucket
+    // restriction BEFORE reaching a source relation: the full corpus is
+    // never the direct input of a per-group sort. After pushdown the
+    // boundary filter reads `hash-bucket expr = element_at(<literal
+    // boundary map>, group)` directly over the scan, so detect the
+    // ElementAt lookup rather than the pre-optimization column name.
+    import org.apache.spark.sql.catalyst.expressions.ElementAt
+    def boundaryCond(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+      e.exists(_.isInstanceOf[ElementAt])
+    def guarded(node: LogicalPlan): Boolean = node match {
+      case _: Aggregate => true
+      case f: Filter if boundaryCond(f.condition) => true
+      case j: Join if j.condition.exists(boundaryCond) => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true // the literal budgets table — metadata, not the corpus
+      case _: LeafNode => false
+      case other => other.children.forall(guarded)
+    }
+    windows.foreach { w =>
+      assert(guarded(w.child),
+        s"window over unguarded corpus input:\n${w.treeString.take(2000)}")
+    }
+    // and the plan is still exact: boundary residual agrees with the
+    // definitional per-group running sum
+    val ordered = df.select($"id", $"w", $"grp",
+        Sampling.scrambledHash($"id", "pl").as("h"))
+      .as[(Long, Long, String, Long)].collect()
+    val expect = (0 until 5).flatMap { g =>
+      val rows = ordered.filter(_._3 == s"src$g").sortBy(r => (r._4, r._1))
+      var cum = 0L
+      rows.takeWhile { r => val k = cum < 200L; cum += r._2; k }.map(_._1)
+    }.toSet
+    assert(out.select("id").as[Long].collect().toSet == expect)
+  }
+
   test("epochMix: full copies exact, fractional epoch a salted subset, drops, guards") {
     import spark.implicits._
     val df = (1L to 400L).map(i => (i, if (i % 2 == 0) "a" else "b"))
