@@ -97,8 +97,9 @@ object TarShards {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new org.apache.hadoop.fs.Path(f"$pathStr/shard-$pid%05d.tar")
-        val stream = p.getFileSystem(hadoopConf.value).create(p, true)
-        try {
+        // temp-then-rename commit: concurrent attempts (speculation,
+        // zombie-vs-retry) must never interleave into one final shard
+        ShardCommit.withCommit(hadoopConf, p) { stream =>
           var wrote = false
           rows.foreach { r =>
             val key = r.getString(0)
@@ -111,15 +112,10 @@ object TarShards {
             wrote = true
           }
           stream.write(new Array[Byte](2 * Block)) // end-of-archive marker
-          stream.close()
           // an empty partition leaves no shard file (empty archives are
           // valid tar but noise for readers)
-          if (!wrote) {
-            p.getFileSystem(hadoopConf.value).delete(p, false)
-            ()
-          }
-        } catch { case e: Throwable => try stream.close() catch { case _: Throwable => () }; throw e }
-        ()
+          wrote
+        }
       }
   }
 
@@ -157,14 +153,22 @@ object TarShards {
 
   // ---- ustar decode ----
 
-  /** Iterate (memberName, bytes) over one in-memory shard; tolerant of
-    * GNU tar's pax global headers (skipped via typeflag) and trailing
-    * zero blocks.
+  /** Iterate (memberName, bytes) over one in-memory shard. Long member
+    * paths resolve through all three mechanisms real archives use: the
+    * POSIX ustar `prefix` field (offset 345 — only when the header magic
+    * is POSIX `ustar\0`; GNU-format headers reuse those bytes for
+    * atime/ctime), GNU `L` longname entries (the data block IS the next
+    * member's name), and pax `x` extended headers' `path=` record.
+    * Without these, a tar-built archive with >100-char paths silently
+    * loses its directory prefix — truncated names that can collide keys
+    * in [[samples]]. Global pax headers (`g`) and non-file entries are
+    * skipped; trailing zero blocks end the archive.
     */
   private[sources] def parse(tar: Array[Byte]): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var off = 0
       private var nextEntry: (String, Array[Byte]) = _
+      private var pendingName: String = _ // from 'L' / pax 'x' path=
       private def str(o: Int, len: Int): String = {
         var end = o
         val stop = o + len
@@ -175,19 +179,42 @@ object TarShards {
         val s = str(o, len).trim
         if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
       }
+      // POSIX ustar magic: "ustar" NUL (GNU's is "ustar" space space NUL)
+      private def posixMagic(hdr: Int): Boolean =
+        str(hdr + 257, 6) == "ustar" && tar(hdr + 262) == 0
       private def advance(): Unit = {
         nextEntry = null
         while (nextEntry == null && off + Block <= tar.length) {
           if (tar.slice(off, off + Block).forall(_ == 0)) { off = tar.length } // end marker
           else {
-            val name = str(off, 100)
+            val rawName = str(off, 100)
             val size = octal(off + 124, 12)
             val typeflag = tar(off + 156)
+            val hdr = off
             val dataStart = off + Block
             val padded = ((size + Block - 1) / Block * Block).toInt
-            require(dataStart + size <= tar.length, s"truncated tar member $name")
-            if ((typeflag == '0' || typeflag == 0) && !name.endsWith("/"))
-              nextEntry = (name, java.util.Arrays.copyOfRange(tar, dataStart, dataStart + size.toInt))
+            require(dataStart + size <= tar.length, s"truncated tar member $rawName")
+            def data = java.util.Arrays.copyOfRange(tar, dataStart, dataStart + size.toInt)
+            typeflag match {
+              case 'L' => // GNU longname: data = NUL-terminated real name
+                val d = data
+                var e = 0
+                while (e < d.length && d(e) != 0) e += 1
+                pendingName = new String(d, 0, e, "UTF-8")
+              case 'x' | 'X' => // pax extended header: path= overrides
+                paxPath(data).foreach(pendingName = _)
+              case '0' | 0 =>
+                val name =
+                  if (pendingName != null) pendingName
+                  else if (posixMagic(hdr)) {
+                    val prefix = str(hdr + 345, 155)
+                    if (prefix.nonEmpty) prefix + "/" + rawName else rawName
+                  } else rawName
+                pendingName = null
+                if (!name.endsWith("/")) nextEntry = (name, data)
+              case _ => // dirs, links, 'g' global pax, devices: skip —
+                pendingName = null // and a longname names ONLY its entry
+            }
             off = dataStart + padded
           }
         }
@@ -201,4 +228,30 @@ object TarShards {
         e
       }
     }
+
+  /** Extract the `path=` record from a pax extended-header block. Pax
+    * records are `"<len> <key>=<value>\n"` with `len` the DECIMAL length
+    * of the whole record including its own digits; a malformed record
+    * ends the scan (the remaining block is padding or noise — the entry
+    * then falls back to its header name).
+    */
+  private[sources] def paxPath(data: Array[Byte]): Option[String] = {
+    var i = 0
+    var res: Option[String] = None
+    while (i < data.length && data(i) != 0) {
+      var j = i
+      while (j < data.length && data(j) != ' ') j += 1
+      if (j >= data.length) return res
+      val len =
+        try Integer.parseInt(new String(data, i, j - i, "UTF-8").trim)
+        catch { case _: NumberFormatException => return res }
+      if (len <= 0 || i + len > data.length) return res
+      val rec = new String(data, j + 1, i + len - j - 1, "UTF-8")
+      val eq = rec.indexOf('=')
+      if (eq > 0 && rec.substring(0, eq) == "path")
+        res = Some(rec.substring(eq + 1).stripSuffix("\n"))
+      i += len
+    }
+    res
+  }
 }

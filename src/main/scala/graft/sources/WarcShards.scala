@@ -152,8 +152,9 @@ object WarcShards {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new org.apache.hadoop.fs.Path(f"$pathStr/shard-$pid%05d.warc.gz")
-        val stream = p.getFileSystem(hadoopConf.value).create(p, true)
-        try {
+        // temp-then-rename commit: concurrent attempts (speculation,
+        // zombie-vs-retry) must never interleave into one final shard
+        ShardCommit.withCommit(hadoopConf, p) { stream =>
           var wrote = false
           rows.foreach { r =>
             val url = r.getString(0)
@@ -166,13 +167,8 @@ object WarcShards {
             stream.write(gzipMember(responseRecord(url, date, ctype, body)))
             wrote = true
           }
-          stream.close()
-          if (!wrote) {
-            p.getFileSystem(hadoopConf.value).delete(p, false)
-            ()
-          }
-        } catch { case e: Throwable => try stream.close() catch { case _: Throwable => () }; throw e }
-        ()
+          wrote
+        }
       }
   }
 

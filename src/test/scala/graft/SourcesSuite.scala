@@ -136,4 +136,62 @@ class SourcesSuite extends SparkSpec {
     val err = intercept[org.apache.spark.SparkException](TarShards.write(badRows, s"$tmp/bad"))
     assert(err.getMessage.contains("key") || Option(err.getCause).exists(_.getMessage.contains("key")))
   }
+
+  test("tar reader: >100-char paths via ustar prefix, GNU longname, pax path") {
+    import spark.implicits._
+    import graft.sources.TarShards
+    val tmp = Files.createTempDirectory("graft-long").toString
+    val base = Files.createTempDirectory("graft-lsrc").toFile
+    // 137-char directory prefix + "/data.txt" = a 146-char member path:
+    // over the 100-byte name field in every format
+    val relDir = Seq("a" * 45, "b" * 45, "c" * 45).mkString("/")
+    val deep = new java.io.File(base, relDir)
+    assert(deep.mkdirs())
+    java.nio.file.Files.write(new java.io.File(deep, "data.txt").toPath,
+      "deep".getBytes("UTF-8"))
+    val member = s"$relDir/data.txt"
+    // gnu → 'L' longname entry; posix → pax 'x' path= record;
+    // ustar → prefix field split (prefix 137 ≤ 155, name 8 ≤ 100)
+    for (fmt <- Seq("gnu", "posix", "ustar")) {
+      assert(scala.sys.process.Process(Seq("tar", s"--format=$fmt", "-cf",
+        s"$tmp/$fmt.tar", "-C", base.getAbsolutePath, member)).! == 0, fmt)
+      val got = TarShards.entries(spark, tmp, s"$fmt.tar")
+        .select("name", "content", "key", "ext")
+        .as[(String, Array[Byte], String, String)].collect()
+      assert(got.length == 1, s"$fmt: expected one member, got ${got.length}")
+      val (name, content, key, ext) = got.head
+      assert(name == member, s"$fmt: full path must survive, got $name")
+      assert(content.toSeq == "deep".getBytes("UTF-8").toSeq, fmt)
+      assert(key == "data" && ext == "txt", s"$fmt: key/ext from basename")
+    }
+  }
+
+  test("shard writers commit via temp+rename: no temp residue, failures leave nothing") {
+    import spark.implicits._
+    import graft.sources.{TarShards, WarcShards}
+    val tmp = Files.createTempDirectory("graft-commit").toString
+    // success path: only final shard files, no _tmp attempt files
+    val rows = (0 until 10).map(i => (f"k$i%03d", "txt", s"v$i".getBytes("UTF-8")))
+    TarShards.write(rows.toDF("key", "ext", "content"), s"$tmp/t", shards = Some(2))
+    // ignore Hadoop local-FS .crc sidecars (dot-hidden to readers); the
+    // assertion is: finals only, zero _tmp attempt files
+    def visible(dir: String) = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSeq.filterNot(_.startsWith("."))).getOrElse(Nil)
+    val tNames = visible(s"$tmp/t")
+    assert(tNames.nonEmpty && tNames.forall(_.matches("shard-\\d{5}\\.tar")), tNames.toString)
+    val wrows = (0 until 10).map(i => (s"http://x.test/$i", "2024-01-01T00:00:00Z",
+      "text/html", s"<p>$i</p>".getBytes("UTF-8")))
+    WarcShards.write(wrows.toDF("url", "warc_date", "content_type", "body"),
+      s"$tmp/w", shards = Some(2))
+    val wNames = visible(s"$tmp/w")
+    assert(wNames.nonEmpty && wNames.forall(_.matches("shard-\\d{5}\\.warc\\.gz")), wNames.toString)
+    // failure path: a mid-partition error must leave NO final shard and
+    // NO temp file — an aborted attempt is invisible to readers
+    val bad = (Seq(("good", "txt", "x".getBytes)) :+
+      (null.asInstanceOf[String], "txt", "y".getBytes)).toDF("key", "ext", "content")
+    intercept[org.apache.spark.SparkException](
+      TarShards.write(bad.coalesce(1), s"$tmp/fail"))
+    val leftover = visible(s"$tmp/fail")
+    assert(leftover.isEmpty, s"aborted write left files: $leftover")
+  }
 }
