@@ -34,6 +34,14 @@ object Url {
     * second-to-last is a second-level suffix under a 2-letter ccTLD
     * (`co.uk`, `com.au`, `ac.jp`, …). A bare/dotless host returns
     * itself; null host propagates.
+    *
+    * KNOWN FALSE MERGES: multi-label PRIVATE suffixes (`github.io`,
+    * `blogspot.com`, the ugc-platform family) collapse to one registered
+    * domain here (`user1.github.io` and `user2.github.io` → `github.io`),
+    * so per-domain quality gates and blocklists act on the whole platform
+    * instead of the site. When that matters, pass a public-suffix table
+    * to the [[registeredDomain(c:org\.apache\.spark\.sql\.Column,suffixes:Iterable[String])*
+    * PSL overload]] below.
     */
   def registeredDomain(c: Column): Column = {
     val h = host(c)
@@ -46,6 +54,53 @@ object Url {
       .when(n <= 2, h)
       .when(multi, concat_ws(".", slice(parts, -3, 3)))
       .otherwise(concat_ws(".", slice(parts, -2, 2)))
+  }
+
+  /** Public-suffix-list registered domain: `suffixes` is the rule table
+    * (publicsuffix.org format entries — `uk`, `co.uk`, `github.io`, …;
+    * distribute the file via [[graft.api.Artifacts]] and pass its lines).
+    * Longest matching rule wins (the PSL algorithm): the registered
+    * domain is the matched public suffix plus one label, so
+    * `user.github.io` → `user.github.io` when `github.io` is in the
+    * table. A host that IS a public suffix (or a bare TLD under the PSL
+    * default `*` rule) yields null — nothing is registrable there, and
+    * null is the honest grouping key. Hosts matching no rule follow the
+    * PSL default rule (suffix = last label → registered = last two).
+    *
+    * Still a pure Column composition — each suffix-length tier compiles
+    * to an `InSet` membership over the literal rule set (hash-set
+    * lookup inside WholeStageCodegen, the same zero-UDF contract as the
+    * heuristic; a broadcast join would cost an exchange per tier on a
+    * column touched on every row at 100 TB). Wildcard (`*.foo`) and
+    * exception (`!bar.foo`) rules are intentionally unsupported (≈50 of
+    * 10k PSL entries) and fail loud — silently mis-grouping them would
+    * defeat the point of passing a PSL.
+    */
+  def registeredDomain(c: Column, suffixes: Iterable[String]): Column = {
+    val rules = suffixes.iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(s => s.nonEmpty && !s.startsWith("//")).toSeq.distinct
+    require(rules.nonEmpty, "empty public-suffix table")
+    require(!rules.exists(r => r.contains("*") || r.startsWith("!")),
+      "wildcard/exception PSL rules unsupported: " +
+        rules.filter(r => r.contains("*") || r.startsWith("!")).take(3).mkString(","))
+    val byLen: Map[Int, Seq[String]] = rules.groupBy(_.count(_ == '.') + 1)
+    val h = host(c)
+    val parts = split(h, "\\.")
+    val n = size(parts)
+    // default rule "*": suffix = last label, registered = last 2 labels
+    val dflt = when(n >= 2, concat_ws(".", slice(parts, -2, 2)))
+      .otherwise(lit(null).cast("string"))
+    // longest match wins: fold ascending so the LARGEST tier lands
+    // outermost in the when-chain and is therefore tested first
+    val matched = byLen.keys.toSeq.sorted.foldLeft(dflt) { (els, k) =>
+      val cand = concat_ws(".", slice(parts, -k, k))
+      when(n > k && cand.isInCollection(byLen(k)),
+          concat_ws(".", slice(parts, -(k + 1), k + 1)))
+        .when(n === k && cand.isInCollection(byLen(k)),
+          lit(null).cast("string"))
+        .otherwise(els)
+    }
+    when(h.isNull, lit(null).cast("string")).otherwise(matched)
   }
 
   /** Query-param names that never identify content: analytics campaign

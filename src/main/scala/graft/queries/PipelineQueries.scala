@@ -551,6 +551,81 @@ object PipelineQueries {
       .select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
   }
 
+  /** p11: the FULL mixer — p10's chain (gate → d01 dedup → X10 budget →
+    * X11 epochs) with the schedule axis composed on top: a 3-phase
+    * X12 anneal over the post-epoch corpus (start permille 1000−(i%5)·150
+    * annealing to 250+(i%4)·250 — high-quality sources anneal UP, commons
+    * DOWN, the midtraining-schedule shape). The anneal keys on
+    * (doc_id, epoch) — each epoch copy draws its own phase membership —
+    * and the oracle chains all four operators' CTEs plus the phase
+    * cross-join and the non-negative-numerator integer interpolation
+    * (Scala truncates toward zero, DuckDB floors; they agree only on
+    * non-negative numerators, the X12 contract). Composition adds no new
+    * shuffle: the anneal is a broadcast weight table + narrow filter over
+    * p10's output, fan-out ≤ phases.
+    */
+  val p11 = QueryDef(
+    "p11_mixer_anneal_e2e", {
+      val scram = (c: String) =>
+        s"((${graft.functions.Signatures.sqlPolyHashStr(c)} * 2654435761) % 1000000007)"
+      s"""WITH gated AS (SELECT doc_id, source, n_chars, text FROM documents
+       |               WHERE n_chars >= 150),
+       |uniq AS (SELECT doc_id, source, n_chars FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canon
+       |    FROM gated) WHERE doc_id = canon),
+       |k AS (SELECT doc_id, source, n_chars,
+       |        'pm:' || CAST(doc_id AS VARCHAR) AS kk,
+       |        2000 + 500 * CAST(substr(source, 4) AS BIGINT) AS budget
+       |      FROM uniq),
+       |c AS (SELECT doc_id, source, n_chars, budget,
+       |        sum(n_chars) OVER (PARTITION BY source
+       |          ORDER BY ${scram("kk")}, doc_id) AS cum
+       |      FROM k),
+       |sel AS (SELECT doc_id, source FROM c WHERE cum - n_chars < budget),
+       |w AS (SELECT doc_id, source,
+       |        1000 + (CAST(substr(source, 4) AS BIGINT) % 4) * 750 AS permille
+       |      FROM sel),
+       |e(epoch) AS (VALUES (CAST(0 AS BIGINT)), (1), (2), (3)),
+       |x AS (SELECT doc_id, source, epoch, permille // 1000 AS eFull,
+       |        permille % 1000 AS frac,
+       |        'pm:ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR) AS kk
+       |      FROM w JOIN e ON epoch <= permille // 1000),
+       |mix AS (SELECT doc_id, source, epoch FROM x
+       |        WHERE epoch < eFull OR ${scram("kk")} % 1000 < frac),
+       |ph(phase) AS (VALUES (CAST(0 AS BIGINT)), (1), (2)),
+       |aw AS (SELECT m.doc_id, m.source, m.epoch, ph.phase,
+       |        ((1000 - (CAST(substr(m.source, 4) AS BIGINT) % 5) * 150)
+       |           * (2 - ph.phase)
+       |         + (250 + (CAST(substr(m.source, 4) AS BIGINT) % 4) * 250)
+       |           * ph.phase) // 2 AS permille,
+       |        'an:ph' || CAST(ph.phase AS VARCHAR) || ':' ||
+       |          CAST(m.doc_id AS VARCHAR) || ':' ||
+       |          CAST(m.epoch AS VARCHAR) AS hk
+       |      FROM mix m CROSS JOIN ph)
+       |SELECT doc_id, source, epoch, phase FROM aw
+       |WHERE ${scram("hk")} % 1000 < permille
+       |ORDER BY doc_id, epoch, phase""".stripMargin
+    }) { (s, dir) =>
+    import graft.operators.{Dedup, Sampling}
+    val docs = Tables(s, dir, "documents")
+    val gated = docs.filter(col("n_chars") >= 150)
+    val keep = Dedup.exact(gated, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val uniq = gated.join(keep, "doc_id")
+    val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
+    val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
+      budgets, salt = "pm:")
+    val epochs = (0 until 20).map(i => s"src$i" -> (1000L + (i % 4) * 750L)).toMap
+    val mixed = Sampling.epochMix(sel, "source", "doc_id", epochs, salt = "pm:")
+      .withColumn("mk", concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string")))
+    val start = (0 until 20).map(i => s"src$i" -> (1000L - (i % 5) * 150L)).toMap
+    val end = (0 until 20).map(i => s"src$i" -> (250L + (i % 4) * 250L)).toMap
+    Sampling.annealMix(mixed, "source", "mk", start, end, phases = 3, salt = "an:")
+      .select("doc_id", "source", "epoch", "phase")
+      .orderBy("doc_id", "epoch", "phase")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
 }

@@ -91,6 +91,94 @@ object WarcShards {
       .toDF("shard", "url", "warc_date", "http_status", "http_content_type", "body")
   }
 
+  /** [[responses]] with the body DECODED to text: adds `text`, `charset`
+    * and `charset_source` columns. Real crawls are full of
+    * Windows-1252 / Latin-1 / GBK pages; decoding everything as fixed
+    * UTF-8 mojibakes them silently into the curation operators.
+    * Resolution order (WHATWG encoding sniffing, which browsers use):
+    * a byte-order mark wins over everything (the bytes literally declare
+    * themselves), then the HTTP `Content-Type` header's `charset=`
+    * parameter, then a `<meta charset=…>` / `<meta http-equiv…>` sniff
+    * over the first 1 KiB, then UTF-8. `charset_source` ∈ {"bom",
+    * "http-header", "meta", "fallback"} is a first-class column because
+    * curation wants to filter on it (a "fallback" page with replacement
+    * chars is a quality signal, not just a decode detail). Malformed
+    * bytes decode to U+FFFD — data, never an error (the [[responses]]
+    * tolerance rule). Unknown/unsupported charset names fall through to
+    * the next source.
+    */
+  def decodedResponses(spark: SparkSession, path: String,
+      glob: String = "*.warc.gz"): DataFrame =
+    decodedOf(responses(spark, path, glob))
+
+  /** Same decode over an existing [[responses]]-shaped frame (batch or
+    * streaming — the flatMap is stateless). Narrow: no shuffle.
+    */
+  def decodedOf(resps: DataFrame): DataFrame = {
+    val dec = udf { (ctype: String, body: Array[Byte]) =>
+      decodeBytes(ctype, if (body == null) Array.emptyByteArray else body)
+    }
+    resps.withColumn("_d", dec(col("http_content_type"), col("body")))
+      .withColumn("text", col("_d._1"))
+      .withColumn("charset", col("_d._2"))
+      .withColumn("charset_source", col("_d._3"))
+      .drop("_d")
+  }
+
+  /** (text, charsetName, source) for one HTTP body — see
+    * [[decodedResponses]] for the resolution order.
+    */
+  private[graft] def decodeBytes(httpContentType: String,
+      body: Array[Byte]): (String, String, String) = {
+    val resolved: Option[(java.nio.charset.Charset, String)] =
+      bomCharset(body).map((_, "bom"))
+        .orElse(charsetParam(httpContentType).map((_, "http-header")))
+        .orElse(metaCharset(body).map((_, "meta")))
+    val (cs, src) = resolved.getOrElse((java.nio.charset.StandardCharsets.UTF_8, "fallback"))
+    val d = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val text = d.decode(java.nio.ByteBuffer.wrap(body)).toString
+    // the BOM itself is an encoding declaration, not document text
+    (if (text.startsWith("\uFEFF")) text.substring(1) else text, cs.name(), src)
+  }
+
+  private def lookup(name: String): Option[java.nio.charset.Charset] =
+    try {
+      if (java.nio.charset.Charset.isSupported(name))
+        Some(java.nio.charset.Charset.forName(name))
+      else None
+    } catch { case _: java.nio.charset.IllegalCharsetNameException => None }
+
+  private def bomCharset(b: Array[Byte]): Option[java.nio.charset.Charset] =
+    if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb &&
+        (b(2) & 0xff) == 0xbf) lookup("UTF-8")
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xfe)
+      lookup("UTF-16LE")
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      lookup("UTF-16BE")
+    else None
+
+  private val CharsetParamRe =
+    """(?i)charset\s*=\s*"?([A-Za-z0-9_.:+-]+)""".r
+
+  private def charsetParam(ctype: String): Option[java.nio.charset.Charset] =
+    Option(ctype).flatMap(c => CharsetParamRe.findFirstMatchIn(c))
+      .flatMap(m => lookup(m.group(1)))
+
+  private val MetaCharsetRe =
+    """(?i)<meta[^>]{0,200}?charset\s*=\s*["']?([A-Za-z0-9_.:+-]+)""".r
+
+  /** `<meta charset=…>` (or the http-equiv form — the same regex catches
+    * `content="text/html; charset=…"` inside the tag) over the first
+    * 1 KiB read as Latin-1: charset declarations are ASCII by spec, so
+    * this sniff is encoding-independent for every ASCII-superset.
+    */
+  private def metaCharset(b: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val head = new String(b, 0, math.min(b.length, 1024), "ISO-8859-1")
+    MetaCharsetRe.findFirstMatchIn(head).flatMap(m => lookup(m.group(1)))
+  }
+
   /** Streaming ingestion: cure crawl shards AS THEY LAND — the
     * continuous twin of [[responses]], over Spark's file stream source
     * (each micro-batch picks up newly arrived shards; exactly-once per

@@ -279,6 +279,48 @@ class WarcHtmlSuite extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("url: PSL-backed registered domain — private suffixes, longest match, defaults") {
+    import graft.operators.Url
+    // a miniature publicsuffix.org table: TLDs, a ccTLD second level,
+    // and the multi-label PRIVATE suffixes the heuristic merges wrong
+    val psl = Seq("com", "org", "io", "uk", "co.uk", "ac.uk",
+      "github.io", "blogspot.com", "// comment lines are ignored", "")
+    def one(url: String): Option[String] =
+      Seq(url).toDF("u").select(Url.registeredDomain($"u", psl).as("r"))
+        .as[Option[String]].head()
+
+    assert(one("https://News.BBC.co.uk/x").contains("bbc.co.uk"))
+    assert(one("https://user.github.io/repo").contains("user.github.io"))
+    assert(one("https://deep.pages.user.github.io/").contains("user.github.io"))
+    assert(one("https://someone.blogspot.com/post").contains("someone.blogspot.com"))
+    assert(one("http://a.b.example.org/p").contains("example.org"))
+    assert(one("http://example.com/").contains("example.com"))
+    // vs the heuristic's false merge — the exact failure ADVICE flagged
+    assert(Seq("https://user.github.io/").toDF("u")
+      .select(Url.registeredDomain($"u").as("r")).as[String].head() == "github.io")
+    // a host that IS a public suffix registers nothing
+    assert(one("https://github.io/").isEmpty)
+    assert(one("https://co.uk/").isEmpty)
+    // unknown TLD → PSL default rule (last two labels); dotless → null
+    assert(one("http://foo.bar.unknowntld/").contains("bar.unknowntld"))
+    assert(one("http://localhost/").isEmpty)
+    assert(one("::::junk").isEmpty)
+
+    // still zero-UDF: InSet literals, not a join or a udf
+    val plan = Seq("https://user.github.io/").toDF("u")
+      .select(Url.registeredDomain($"u", psl))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("Join"), plan.take(400))
+
+    // wildcard / exception rules fail loud, never mis-group silently
+    intercept[IllegalArgumentException](
+      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("com", "*.ck"))))
+    intercept[IllegalArgumentException](
+      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("com", "!www.ck"))))
+    intercept[IllegalArgumentException](
+      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("// only", ""))))
+  }
+
   test("html: column wrappers + warc->html->curation end-to-end") {
     val pages = Seq(
       ("http://s.example/a", "<html><head><title>A</title></head><body>" +
@@ -309,5 +351,48 @@ class WarcHtmlSuite extends SparkSpec {
       pages.map { case (u, h) => Html.Page(u, h) })
     assert(staged.map(_.text) == out.map(_._3).toSeq)
     assert(staged.map(_.n_links) == Seq(2L, 0L))
+  }
+
+  test("charset-aware decode: 1252/GBK/BOM pages survive responses → mainText") {
+    val tmp = Files.createTempDirectory("graft-charset").toString
+    val cafe = "Résumé? No — café naïve."
+      .replace("é", "é") // plain precomposed é
+    val zh = "你好世界" // 你好世界
+    val p1252 = s"<html><body><p>$cafe and more words to pass the boilerplate gate here.</p></body></html>"
+    val pGbk = s"<html><head><meta charset=gbk></head><body><p>$zh $zh $zh $zh and filler words to pass the length gate.</p></body></html>"
+    val pBom = s"<html><body><p>utf16 page $cafe with enough words to pass the length gate.</p></body></html>"
+    val pPlain = "<html><body><p>plain ascii page with enough words to pass the length gate.</p></body></html>"
+    val bom16 = Array[Byte](0xff.toByte, 0xfe.toByte) ++ pBom.getBytes("UTF-16LE")
+    val rows = Seq(
+      // charset in the HTTP header only — the header must win
+      ("http://c.example/1252", "2026-01-01T00:00:00Z",
+        "text/html; charset=windows-1252", p1252.getBytes("windows-1252")),
+      // charset declared in-band only — the meta sniff must find it
+      ("http://c.example/gbk", "2026-01-01T00:00:00Z",
+        "text/html", pGbk.getBytes("GBK")),
+      // UTF-16LE BOM, no declaration anywhere else — the BOM must win
+      ("http://c.example/bom", "2026-01-01T00:00:00Z",
+        "text/html", bom16),
+      // nothing declared: UTF-8 fallback
+      ("http://c.example/plain", "2026-01-01T00:00:00Z",
+        "text/html", pPlain.getBytes("UTF-8")))
+    WarcShards.write(rows.toDF("url", "warc_date", "content_type", "body"),
+      s"$tmp/shards", shards = Some(1))
+    val got = WarcShards.decodedResponses(spark, s"$tmp/shards")
+      .select("url", "text", "charset", "charset_source")
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1.split('/').last -> r).toMap
+    assert(got("1252")._3.equalsIgnoreCase("windows-1252") &&
+      got("1252")._4 == "http-header")
+    assert(got("gbk")._3.equalsIgnoreCase("GBK") && got("gbk")._4 == "meta")
+    assert(got("bom")._3.equalsIgnoreCase("UTF-16LE") && got("bom")._4 == "bom")
+    assert(got("plain")._3 == "UTF-8" && got("plain")._4 == "fallback")
+    // no mojibake: the non-ASCII text reaches mainText intact
+    assert(Html.mainText(got("1252")._2).contains(cafe), got("1252")._2)
+    assert(Html.mainText(got("gbk")._2).contains(zh), got("gbk")._2)
+    assert(Html.mainText(got("bom")._2).contains(cafe), got("bom")._2)
+    assert(!got("bom")._2.contains("\uFEFF"), "BOM must be stripped from text")
+    // and the wrong-decode really WOULD have mojibaked (guards the test)
+    assert(!new String(p1252.getBytes("windows-1252"), "UTF-8").contains("café"))
   }
 }
