@@ -131,10 +131,71 @@ object ClusterSmoke {
         s"output wrong after executor-process death: ${deathOut.length} rows")
       val deathSecs = (System.nanoTime() - tDeath) / 1e9
 
+      // streaming-route executor death (reference parity:
+      // test_actor_pool_death_recovery.py on the continuous path): a
+      // WATERMARKED stateful window aggregation keeps state on executors;
+      // an executor JVM halts mid-micro-batch, the master relaunches it,
+      // the micro-batch's lost tasks retry, and the state store recovers
+      // from its checkpoint+delta files — the closed windows must come
+      // out EXACT, not just "the query survived".
+      val tStream = System.nanoTime()
+      val streamSecs = {
+        import org.apache.spark.sql.functions._
+        val sdir = java.nio.file.Files.createTempDirectory("graft-smoke-stream")
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-smoke-ckpt")
+        val appId = spark.sparkContext.applicationId
+        // batch 1: 40 users x 50 events across two 1-minute windows
+        val b1 = (0 until 2000).map { i =>
+          val u = i % 40
+          s"""{"user":"u$u","ts":"2026-01-01T00:0${(i % 2)}:${10 + i % 40}.000Z","v":${i % 7}}"""
+        }
+        java.nio.file.Files.write(sdir.resolve("b1.json"),
+          String.join("\n", b1: _*).getBytes("UTF-8"))
+        val killOnce = udf { (u: String) =>
+          val flag = new java.io.File(
+            System.getProperty("java.io.tmpdir"), s"graft-smoke-streamkill-$appId")
+          if (u == "u7" && flag.createNewFile()) Runtime.getRuntime.halt(42)
+          u
+        }
+        val schema = "user STRING, ts TIMESTAMP, v LONG"
+        val in = spark.readStream.schema(schema).json(sdir.toString)
+        val agg = in.select(killOnce(col("user")).as("user"), col("ts"), col("v"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 minute"),
+            col("user"))
+          .agg(sum("v").as("sv"), count("*").as("n"))
+        val q = agg.writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt.toString)
+          .format("memory").queryName("smoke_stream").start()
+        q.processAllAvailable() // batch 1 — the executor dies in here
+        // batch 2: one late sentinel advances the watermark past both
+        // windows, closing them into the append sink
+        java.nio.file.Files.write(sdir.resolve("b2.json"),
+          """{"user":"sentinel","ts":"2026-01-01T01:00:00.000Z","v":0}""".getBytes("UTF-8"))
+        q.processAllAvailable()
+        q.processAllAvailable() // one more cycle: append emits on the NEXT batch after the watermark moves
+        val got = spark.table("smoke_stream")
+          .select(col("user"), col("window.start").cast("string").as("w"),
+            col("sv"), col("n"))
+          .collect().map(r => (r.getString(0), r.getString(1)) ->
+            (r.getLong(2), r.getLong(3))).toMap
+        q.stop()
+        val want = (0 until 2000).groupBy(i =>
+            (s"u${i % 40}", s"2026-01-01 00:0${i % 2}:00"))
+          .map { case (k, is) => k -> (is.map(_ % 7).sum.toLong, is.size.toLong) }
+        require(got == want,
+          s"streaming state wrong after executor death: got ${got.size} rows, " +
+            s"want ${want.size}; diff=${(got.toSet -- want.toSet).take(3)}")
+        require(new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft-smoke-streamkill-$appId").exists, "the streaming kill never fired")
+        (System.nanoTime() - tStream) / 1e9
+      }
+
       val qjson = timings.map { case (n, t) => f""""$n":$t%.2f""" }.mkString("{", ",", "}")
       println(s"""SMOKE_OK {"sf":"$sfDir","executors_seen":${execIds.size},""" +
         s""""executors_now":$execsNow,""" +
         f""""executor_death_recovery_sec":$deathSecs%.1f,""" +
+        f""""streaming_death_recovery_sec":$streamSecs%.1f,""" +
         s""""queries":$qjson}""")
     } finally spark.stop()
   }

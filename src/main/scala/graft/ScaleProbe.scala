@@ -1123,6 +1123,15 @@ object ScaleProbe {
     println(f"[probe tar x$factor] samples=$n ~${mb}%.0f MB  write=$wSec%.2fs " +
       f"(${mb / wSec}%.0f MB/s)  entries=$eSec%.2fs (${mb / eSec}%.0f MB/s)  " +
       f"samples()=$sSec%.2fs")
+    // compact probe: 16 shards -> ~4; content survives, time tracks bytes
+    val t3 = System.nanoTime()
+    TarShards.compactShards(spark, dir, (mb * 1024 * 1024 / 4).toLong + 1)
+    val cSec = (System.nanoTime() - t3) / 1e9
+    val nAfter = TarShards.entries(spark, dir).count()
+    require(nAfter == 2L * n, s"tar compact lost rows: $nAfter for ${2L * n}")
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar"))
+    println(f"[probe tar x$factor] compact 16->$files shards  $cSec%.2fs " +
+      f"(${mb / cSec}%.0f MB/s)")
   }
 
   /** WARC crawl-ingestion probe (`ScaleProbe <f> warc`): f×2,000 synthetic
@@ -1169,6 +1178,15 @@ object ScaleProbe {
     println(f"[probe warc x$factor] pages=$n ~${mb}%.0f MB  write=$wSec%.2fs " +
       f"(${mb / wSec}%.0f MB/s)  responses=$rSec%.2fs (${mb / rSec}%.0f MB/s)  " +
       f"extract=$xSec%.2fs (${mb / xSec}%.0f MB/s)")
+    // compact probe: byte-level gzip-member concat, 16 shards -> ~4
+    val t3 = System.nanoTime()
+    WarcShards.compactShards(spark, dir, (mb * 1024 * 1024 / 4).toLong + 1)
+    val cSec = (System.nanoTime() - t3) / 1e9
+    val nAfter = WarcShards.responses(spark, dir).count()
+    require(nAfter == n.toLong, s"warc compact lost rows: $nAfter for $n")
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".warc.gz"))
+    println(f"[probe warc x$factor] compact 16->$files shards  $cSec%.2fs " +
+      f"(${mb / cSec}%.0f MB/s, pure byte concat)")
   }
 
   /** Composed crawl-curation probe (`ScaleProbe <f> crawl`) — the whole

@@ -239,43 +239,61 @@ final class EvictableArtifactCache(spark: SparkSession, quotaBytes: Long) {
     * call and fails if the source is gone; stages that only need the
     * already-distributed handle (source possibly cleaned up) use
     * [[acquire]], which never touches the source.
+    *
+    * Concurrency: the slow work — the source stat, the (possibly
+    * multi-GB, possibly remote-FS) read, and the broadcast — runs
+    * OUTSIDE the cache monitor, under a per-uri in-flight lock, so a
+    * large registration never blocks `acquire`/`register` of OTHER
+    * artifacts; only the ledger update + eviction sweep take the cache
+    * monitor, and they are pure in-memory bookkeeping. Concurrent
+    * registrations of the SAME uri serialize on the per-uri lock, so
+    * the source is still read and broadcast at most once per change.
     */
-  def register(uri: String): ArtifactHandle = {
-    val (handle, cleanups) = synchronized {
-      clock += 1
+  def register(uri: String): ArtifactHandle =
+    loadLocks.computeIfAbsent(uri, _ => new Object).synchronized {
       val st = statOf(uri)
-      entries.get(uri) match {
-        case Some(e) if e.srcLen == st.getLen && e.srcMtime == st.getModificationTime =>
-          e.lastUsed = clock
-          (e.handle, Seq.empty[(String, String)])
-        case stale =>
+      val cached = synchronized {
+        entries.get(uri) match {
+          case Some(e) if e.srcLen == st.getLen && e.srcMtime == st.getModificationTime =>
+            clock += 1; e.lastUsed = clock; Some(e.handle)
+          case _ => None // absent, or changed on disk: rotate below
+        }
+      }
+      cached.getOrElse {
+        // admission BEFORE reading: a 10 GB file against a 1 GB quota
+        // must fail with the quota error, not an OOM mid-read; and the
+        // JVM cannot hold (or broadcast) a >2 GB byte array at all
+        if (st.getLen > quotaBytes)
+          throw new IllegalStateException(
+            s"artifact quota exceeded: $uri is ${st.getLen} bytes, over the " +
+              s"whole $quotaBytes-byte quota — eviction cannot make room")
+        require(st.getLen < Int.MaxValue - 16,
+          s"artifact $uri is ${st.getLen} bytes — beyond the JVM array/broadcast " +
+            "limit; ship it as multiple files")
+        val bytes = readBytes(uri, st.getLen.toInt)
+        val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+          .take(6).map(b => f"$b%02x").mkString
+        val handle = ArtifactHandle(
+          s"$digest-${uri.split('/').last}", cacheDirName,
+          spark.sparkContext.broadcast(bytes))
+        val cleanups = synchronized {
+          clock += 1
           val pending = scala.collection.mutable.ListBuffer.empty[(String, String)]
-          stale.foreach(e => pending += drop(uri, e)) // changed on disk: rotate
-          // admission BEFORE reading: a 10 GB file against a 1 GB quota
-          // must fail with the quota error, not an OOM mid-read; and the
-          // JVM cannot hold (or broadcast) a >2 GB byte array at all
-          if (st.getLen > quotaBytes)
-            throw new IllegalStateException(
-              s"artifact quota exceeded: $uri is ${st.getLen} bytes, over the " +
-                s"whole $quotaBytes-byte quota — eviction cannot make room")
-          require(st.getLen < Int.MaxValue - 16,
-            s"artifact $uri is ${st.getLen} bytes — beyond the JVM array/broadcast " +
-              "limit; ship it as multiple files")
-          val bytes = readBytes(uri, st.getLen.toInt)
+          entries.get(uri).foreach(e => pending += drop(uri, e)) // rotate stale
           while (usedBytes + bytes.length > quotaBytes) pending += evictLru()
-          val digest = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
-            .take(6).map(b => f"$b%02x").mkString
-          val handle = ArtifactHandle(
-            s"$digest-${uri.split('/').last}", cacheDirName,
-            spark.sparkContext.broadcast(bytes))
           entries.put(uri,
             new Entry(handle, bytes.length.toLong, st.getLen, st.getModificationTime, clock))
-          (handle, pending.toSeq)
+          pending.toSeq
+        }
+        runCleanups(cleanups)
+        handle
       }
     }
-    runCleanups(cleanups)
-    handle
-  }
+
+  /** Per-uri in-flight registration locks (see [[register]]). Grows with
+    * |distinct uris| — lock objects, not artifact bytes.
+    */
+  private val loadLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** LRU-touching lookup for stages that expect the artifact to already
     * be registered (fails loud on a miss instead of re-reading a uri the

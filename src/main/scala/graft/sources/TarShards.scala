@@ -119,6 +119,54 @@ object TarShards {
       }
   }
 
+  /** Compact small shards in place to ~`targetShardBytes` each — the
+    * [[graft.sources.Sinks.compact]] discipline applied to tar shards.
+    * Incremental ingestion (one shard per micro-batch partition) strews
+    * thousands of tiny shards; since the shard is the unit of
+    * parallelism AND of sequential IO, tiny shards turn a 100 TB read
+    * into the per-file random-read storm the format exists to avoid.
+    *
+    * The shard count comes from the driver-side file LISTING (metadata
+    * only — no data read): ceil(Σ shard bytes / target). Rows then
+    * re-shard through [[write]]'s key-hash partitioning, so the
+    * sample-affinity invariant [[samples]] depends on is re-established
+    * no matter how the input shards were laid out. Tar archives cannot
+    * be safely byte-concatenated (trailing zero blocks are ambiguous
+    * with zero-filled member data), so compaction decodes and re-encodes
+    * members — task memory stays bounded by one input shard (read) and
+    * one member (write). Member names flatten to `<key>.<ext>` (the
+    * WebDataset contract this module's readers key on) — foreign
+    * archives whose semantics live in directory prefixes should not be
+    * compacted here. The swap deletes exactly the matched input shards
+    * before renaming the rewritten ones in as `compacted-%05d.tar`
+    * (files the glob did NOT match are untouched) — run it in the
+    * ingest pipeline's maintenance step, not while readers race it.
+    */
+  def compactShards(spark: SparkSession, path: String, targetShardBytes: Long,
+      glob: String = "*.tar"): Unit = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/$glob"))
+    require(listed != null && listed.nonEmpty, s"no shards match $path/$glob")
+    val total = listed.map(_.getLen).sum
+    val n = math.max(1L, (total + targetShardBytes - 1) / targetShardBytes).toInt
+    val tmp = path + "._compacting"
+    write(entries(spark, path, glob).select("key", "ext", "content"),
+      tmp, SaveMode.Overwrite, shards = Some(n))
+    // swap: drop exactly the matched inputs, rename the rewrite in
+    listed.foreach(st => fs.delete(st.getPath, false))
+    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/shard-*.tar")).foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(path,
+        st.getPath.getName.replaceFirst("^shard-", "compacted-"))
+      fs.delete(dst, false)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"compactShards commit failed: ${st.getPath} -> $dst")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
   // ---- ustar encode ----
 
   private def writeMember(out: java.io.OutputStream, name: String, data: Array[Byte]): Unit = {

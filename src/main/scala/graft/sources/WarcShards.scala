@@ -260,6 +260,78 @@ object WarcShards {
       }
   }
 
+  /** Compact small crawl shards in place into ~`targetShardBytes` bins —
+    * the small-shards hygiene for incrementally-ingested crawls (the
+    * streaming route lands one shard per micro-batch partition; a
+    * long-running crawl strews thousands of tiny files, and the shard is
+    * the unit of parallelism and sequential IO).
+    *
+    * Unlike tar (see [[TarShards.compactShards]]), WARC shards ARE
+    * byte-concatenatable: the shard format is a concatenation of gzip
+    * members (one per record), so merging shards is literally streaming
+    * their bytes back to back — no decode, no re-encode, bit-exact
+    * record preservation (warcinfo records stay attached to the records
+    * they describe; ISO 28500 permits multiple warcinfo records per
+    * file). Shards first-fit into bins of ≤ target bytes from the
+    * driver-side LISTING (metadata only), one task per bin streams the
+    * concatenation under the temp+rename task commit, and the swap
+    * deletes exactly the matched input files before renaming the bins in
+    * as `compacted-%05d.warc.gz` (files the glob did NOT match are
+    * untouched) — the Sinks.compact not-while-readers-race caveat
+    * applies. Oversized single shards pass through their own bin
+    * unchanged.
+    */
+  def compactShards(spark: SparkSession, path: String, targetShardBytes: Long,
+      glob: String = "*.warc.gz"): Unit = {
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hadoopConf.value)
+    val listed = fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/$glob"))
+    require(listed != null && listed.nonEmpty, s"no shards match $path/$glob")
+    // first-fit by listing order (deterministic: globStatus sorts by
+    // name) — keeps ingestion order roughly intact within bins
+    val bins = scala.collection.mutable.ListBuffer.empty[scala.collection.mutable.ListBuffer[String]]
+    var binBytes = 0L
+    listed.foreach { st =>
+      if (bins.isEmpty || binBytes + st.getLen > targetShardBytes) {
+        bins += scala.collection.mutable.ListBuffer(st.getPath.toString)
+        binBytes = st.getLen
+      } else { bins.last += st.getPath.toString; binBytes += st.getLen }
+    }
+    val tmp = path + "._compacting"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true)
+    fs.mkdirs(tmpPath)
+    val plan = bins.toSeq.map(_.toSeq).zipWithIndex
+    spark.sparkContext.parallelize(plan, plan.size).foreach { case (files, i) =>
+      val out = new org.apache.hadoop.fs.Path(f"$tmp/compacted-$i%05d.warc.gz")
+      ShardCommit.withCommit(hadoopConf, out) { stream =>
+        val buf = new Array[Byte](1 << 16)
+        files.foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val in = p.getFileSystem(hadoopConf.value).open(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) stream.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+        files.nonEmpty
+      }
+    }
+    // swap: drop exactly the matched inputs, rename the bins in
+    listed.foreach(st => fs.delete(st.getPath, false))
+    plan.foreach { case (_, i) =>
+      val src = new org.apache.hadoop.fs.Path(f"$tmp/compacted-$i%05d.warc.gz")
+      val dst = new org.apache.hadoop.fs.Path(root, f"compacted-$i%05d.warc.gz")
+      fs.delete(dst, false)
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"compactShards commit failed: $src -> $dst")
+    }
+    fs.delete(tmpPath, true)
+    ()
+  }
+
   // ---- encode ----
 
   private def record(headers: Seq[(String, String)], payload: Array[Byte]): Array[Byte] = {

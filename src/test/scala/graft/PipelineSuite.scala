@@ -822,6 +822,42 @@ class PipelineSuite extends SparkSpec {
     assert(cache.usedBytes == 410)
   }
 
+  test("F14e: EvictableArtifactCache — concurrent registers don't serialize on the cache monitor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_conc").toFile
+    def mk(name: String, bytes: Int, fill: Byte): String = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.FileOutputStream(f)
+      w.write(Array.fill(bytes)(fill)); w.close(); f.getAbsolutePath
+    }
+    val uris = (0 until 6).map(i => mk(s"conc_$i.bin", 100 + 10 * i, ('a' + i).toByte))
+    val cache = new EvictableArtifactCache(spark, quotaBytes = 100000)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(12)
+    try {
+      // 12 threads × 30 ops over 6 uris: registers racing registers of
+      // the same AND other uris, plus acquires — must neither deadlock
+      // nor double-broadcast (same-uri races serialize on the per-uri
+      // lock, so every thread sees the same handle per content version)
+      val tasks = (0 until 12).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Seq[(String, String)]] {
+          def call(): Seq[(String, String)] = (0 until 30).map { k =>
+            val uri = uris((t + k) % uris.length)
+            val h = if (k % 3 == 2) { cache.register(uri); cache.acquire(uri) }
+                    else cache.register(uri)
+            uri -> h.name
+          }
+        })
+      }
+      val seen = tasks.flatMap(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      // unchanged sources: exactly ONE handle name per uri across all
+      // threads — the in-flight guard collapsed concurrent loads
+      uris.foreach(u => assert(seen(u).size == 1, s"$u: ${seen(u)}"))
+      assert(cache.registeredUris.toSet == uris.toSet)
+      assert(cache.usedBytes == uris.zipWithIndex.map { case (_, i) => 100 + 10 * i }.sum)
+      assert(cache.evictionCount == 0)
+    } finally pool.shutdownNow()
+  }
+
   test("F14d: EvictableArtifactCache invariants hold under randomized op sequences") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evict_prop").toFile
     def write(name: String, bytes: Int, fill: Byte): java.io.File = {

@@ -166,6 +166,67 @@ class SourcesSuite extends SparkSpec {
     }
   }
 
+  test("compactShards: tiny tar/warc shards merge to ~target size, content identical") {
+    import spark.implicits._
+    import graft.sources.{TarShards, WarcShards}
+    val tmp = Files.createTempDirectory("graft-compact").toString
+    def visible(dir: String) = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSeq.filterNot(_.startsWith("."))).getOrElse(Nil)
+
+    // tar: 16 tiny shards -> a handful near the target
+    val rows = (0 until 64).map(i => (f"k$i%04d", "txt",
+      (s"payload $i " * 20).getBytes("UTF-8")))
+    TarShards.write(rows.toDF("key", "ext", "content"), s"$tmp/t", shards = Some(16))
+    val before = TarShards.entries(spark, s"$tmp/t")
+      .select("key", "ext", "content").as[(String, String, Array[Byte])]
+      .collect().map { case (k, e, c) => (k, e) -> c.toSeq }.toMap
+    val sizes0 = new java.io.File(s"$tmp/t").listFiles()
+      .filter(_.getName.endsWith(".tar")).map(_.length())
+    val target = sizes0.sum / 4 + 1
+    TarShards.compactShards(spark, s"$tmp/t", target)
+    val names = visible(s"$tmp/t")
+    assert(names.forall(_.matches("compacted-\\d{5}\\.tar")), names.toString)
+    assert(names.size <= 5 && names.size < sizes0.length, s"${names.size} of ${sizes0.length}")
+    val after = TarShards.entries(spark, s"$tmp/t")
+      .select("key", "ext", "content").as[(String, String, Array[Byte])]
+      .collect().map { case (k, e, c) => (k, e) -> c.toSeq }.toMap
+    assert(after == before, "compaction must preserve every member byte-for-byte")
+    // compaction re-establishes sample affinity: samples() still groups
+    assert(TarShards.samples(spark, s"$tmp/t").count() == 64)
+
+    // warc: byte-level concat bins; responses identical, zcat still reads
+    val wrows = (0 until 40).map(i => (s"http://c.test/$i", "2026-01-01T00:00:00Z",
+      "text/html", (s"<p>page $i</p>" * 10).getBytes("UTF-8")))
+    WarcShards.write(wrows.toDF("url", "warc_date", "content_type", "body"),
+      s"$tmp/w", shards = Some(10))
+    val wBefore = WarcShards.responses(spark, s"$tmp/w")
+      .select("url", "body").as[(String, Array[Byte])]
+      .collect().map { case (u, b) => u -> b.toSeq }.toMap
+    val wSizes = new java.io.File(s"$tmp/w").listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length())
+    WarcShards.compactShards(spark, s"$tmp/w", wSizes.sum / 3 + 1)
+    val wNames = visible(s"$tmp/w")
+    assert(wNames.forall(_.matches("compacted-\\d{5}\\.warc\\.gz")), wNames.toString)
+    assert(wNames.size <= 4 && wNames.size < wSizes.length, s"${wNames.size} of ${wSizes.length}")
+    val wAfter = WarcShards.responses(spark, s"$tmp/w")
+      .select("url", "body").as[(String, Array[Byte])]
+      .collect().map { case (u, b) => u -> b.toSeq }.toMap
+    assert(wAfter == wBefore, "warc compaction must preserve every response")
+    // the gzip anchor survives concatenation: system zcat walks all members
+    val f0 = new java.io.File(s"$tmp/w", wNames.min).getAbsolutePath
+    val zcat = scala.sys.process.Process(Seq("zcat", f0)).!!
+    assert(zcat.contains("WARC/1.0") && zcat.contains("http://c.test/"))
+    // files outside the glob are untouched by the swap
+    val stray = new java.io.File(s"$tmp/w", "MANIFEST.json")
+    java.nio.file.Files.write(stray.toPath, "{}".getBytes)
+    WarcShards.compactShards(spark, s"$tmp/w", Long.MaxValue)
+    assert(stray.exists, "compaction must not delete non-shard files")
+    assert(visible(s"$tmp/w").count(_.endsWith(".warc.gz")) == 1)
+    assert(WarcShards.responses(spark, s"$tmp/w")
+      .select("url", "body").as[(String, Array[Byte])]
+      .collect().map { case (u, b) => u -> b.toSeq }.toMap == wBefore)
+  }
+
   test("shard writers commit via temp+rename: no temp residue, failures leave nothing") {
     import spark.implicits._
     import graft.sources.{TarShards, WarcShards}
