@@ -1,11 +1,15 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's correctness gate: run graft.Verify via sbt,
 then execute each oracle SQL in DuckDB over the same parquet tables and
-compare values (columns sorted by name, rows sorted, values hashed)."""
-import duckdb, glob, json, os, subprocess, sys
+compare values (columns sorted by name, rows sorted, values hashed).
+
+Set CHECK_JSON_OUT=<path> to also write a CORRECTNESS_r{N}.json-style
+artifact (per-query rows/schema/values match + row counts + timings) —
+used for the committed sf1 full-registry sweep."""
+import duckdb, glob, json, os, subprocess, sys, time
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+OUT = os.environ.get("CHECK_OUT", "/tmp/graft_verify")
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 if os.environ.get("SKIP_VERIFY") != "1":
@@ -37,24 +41,37 @@ def canon(df):
     return df
 
 fails = []
+report = {}
 for name, sql in sorted(oracle.items()):
     if ONLY and name not in ONLY:
         continue
+    rec = report[name] = {"rows_match": False, "schema_match": False,
+                          "hash_match": False, "spark_rows": None,
+                          "oracle_rows": None, "oracle_sec": None, "err": None}
     pdir = f"{OUT}/{name}"
     files = glob.glob(f"{pdir}/*.parquet")
     if not files:
-        print(f"FAIL {name}: no spark output"); fails.append(name); continue
+        print(f"FAIL {name}: no spark output"); fails.append(name)
+        rec["err"] = "no spark output"; continue
     try:
         spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        t0 = time.time()
         duck_df = canon(con.execute(sql).df())
+        rec["oracle_sec"] = round(time.time() - t0, 2)
     except Exception as e:
-        print(f"FAIL {name}: {e}"); fails.append(name); continue
+        print(f"FAIL {name}: {e}"); fails.append(name)
+        rec["err"] = str(e)[:300]; continue
+    rec["spark_rows"], rec["oracle_rows"] = len(spark_df), len(duck_df)
     if list(spark_df.columns) != list(duck_df.columns):
         print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
-        fails.append(name); continue
+        fails.append(name)
+        rec["err"] = "schema mismatch"; continue
+    rec["schema_match"] = True
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
-        fails.append(name); continue
+        fails.append(name)
+        rec["err"] = "row count mismatch"; continue
+    rec["rows_match"] = True
     eq = True
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
@@ -69,8 +86,13 @@ for name, sql in sorted(oracle.items()):
             eq = False
     if eq:
         print(f"OK   {name}: {len(spark_df)} rows")
+        rec["hash_match"] = True
     else:
         fails.append(name)
+        rec["err"] = "value mismatch"
 
+if os.environ.get("CHECK_JSON_OUT"):
+    with open(os.environ["CHECK_JSON_OUT"], "w") as f:
+        json.dump({"sf_dir": SF_DIR, "queries": report}, f, indent=1, sort_keys=True)
 print(f"\n{len(oracle) - len(fails)}/{len(oracle)} matched" if not ONLY else "")
 sys.exit(1 if fails else 0)

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt parsing and URL admission (RFC 9309) — the crawl-front
+  * gate between [[graft.sources.WarcShards]] ingestion and everything
+  * downstream keyed by URL: a compliant crawl pipeline must drop pages
+  * its agent was never allowed to fetch BEFORE they enter curation, and
+  * a frontier builder must not emit candidate URLs a host disallows.
+  * (Reference scope: cosmos-xenna pipelines treat crawl compliance as a
+  * user stage; here it is a first-class operator over the same WARC
+  * tables, like `Html`/`Url`.)
+  *
+  * Everything is a pure `Column`/window/array-lambda composition — NO
+  * UDFs, same contract as [[Url]]: admission touches every URL at
+  * 100 TB and must stay inside codegen. The shapes are crawl-scale by
+  * construction:
+  *
+  *   - [[rules]] parses per-host bodies with windows PARTITIONED BY
+  *     HOST (RFC 9309 caps a robots.txt at 500 KiB, so a host's line
+  *     set is one small partition-local sort; parallelism = |hosts|);
+  *   - [[admit]] aggregates each host's rule set into ONE array row
+  *     (bounded by the same cap) and joins urls→rule-arrays once on
+  *     host — the longest-match argmax then runs as an array lambda
+  *     per URL with no per-URL groupBy and no second shuffle. Hosts
+  *     without robots rows admit everything, per the RFC.
+  *
+  * Matching semantics implemented (RFC 9309 §2.2): groups of
+  * consecutive `User-agent` lines share the rules that follow; rules
+  * before any group are ignored; empty `Allow`/`Disallow` values match
+  * nothing and are dropped; the most specific (longest-pattern) rule
+  * wins with `Allow` winning exact ties; `*` wildcards and the `$`
+  * end-anchor are honored; keys and agent names are case-insensitive,
+  * paths are case-sensitive. Agent-group selection is simplified to
+  * "exact product token, else the `*` group" (the RFC's longest-prefix
+  * product-token match matters only for versioned agent strings —
+  * callers pass the bare token).
+  */
+object Robots {
+
+  /** Parse per-host robots.txt bodies into one row per (host, agent,
+    * rule): `host, agent, allow, path, has_wildcard`. `bodies` needs a
+    * host column and a STRING body column (decode bytes upstream, e.g.
+    * via `WarcShards.decodedResponses`). Agents are lowercased; paths
+    * keep their case. Empty-path rules (the "allow everything" idiom
+    * `Disallow:` with no value) match nothing per the RFC and are not
+    * emitted.
+    */
+  def rules(bodies: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    val byPos = Window.partitionBy("host").orderBy("pos")
+    val lines = bodies
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\r?\n")).as(Seq("pos", "raw")))
+      // comments run to end of line; keys are case-insensitive
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
+      .withColumn("is_ua", col("key") === "user-agent")
+      .withColumn("is_rule",
+        col("key").isin("allow", "disallow") && col("value") =!= "")
+    // a group starts at a User-agent line NOT preceded by another
+    // User-agent line; group id = running count of starts (0 = preamble)
+    val grouped = lines
+      .withColumn("starts",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(byPos), lit(false)))
+      .withColumn("grp", sum(when(col("starts"), 1).otherwise(0)).over(byPos))
+    val agents = grouped.where(col("is_ua") && col("grp") > 0)
+      .select(col("host"), col("grp"), lower(col("value")).as("agent")).distinct()
+    val ruleRows = grouped.where(col("is_rule") && col("grp") > 0)
+      .select(col("host"), col("grp"), (col("key") === "allow").as("allow"),
+        col("value").as("path"))
+    // small per-host metadata joining small per-host metadata: both
+    // sides are robots lines (≤500 KiB/host), keyed identically
+    agents.join(ruleRows, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("allow"), col("path"),
+        col("path").contains("*").or(col("path").contains("$"))
+          .as("has_wildcard"))
+  }
+
+  /** `Sitemap:` URLs declared in robots bodies (host, sitemap) — they
+    * live outside agent groups and seed frontier builders.
+    */
+  def sitemaps(bodies: DataFrame, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame =
+    bodies
+      .select(col(hostCol).as("host"),
+        explode(split(col(bodyCol), "\r?\n")).as("raw"))
+      .withColumn("line", trim(regexp_replace(col("raw"), "#.*$", "")))
+      .where(lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))) === "sitemap")
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("sitemap"))
+      .where(col("sitemap") =!= "")
+
+  /** A rule path as an anchored regex: specials escaped, `*` → `.*`,
+    * a trailing `$` kept as the end anchor. Built column-side so rule
+    * tables can come straight off a crawl with no driver round-trip.
+    */
+  private def ruleRegex(path: Column): Column = {
+    val endAnchored = path.endsWith("$")
+    val body = when(endAnchored, path.substr(lit(1), length(path) - 1))
+      .otherwise(path)
+    val escaped = regexp_replace(body, "([\\.\\[\\]\\{\\}\\(\\)\\+\\?\\^\\$\\|\\\\])", "\\\\$1")
+    val wild = regexp_replace(escaped, "\\*", ".*")
+    concat(lit("^"), wild, when(endAnchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Admission: `urls` gains a `robots_allowed` boolean (and keeps all
+    * its columns). `ruleRows` is [[rules]] output; `agent` is the
+    * crawler's product token. Per host the agent's own group is
+    * preferred over `*`; within the group the longest matching rule
+    * wins, `Allow` winning ties; no rules / no robots row → allowed.
+    *
+    * Plan shape: rules collapse to ONE row per host (group-preference
+    * resolved with a window over the per-host rule metadata, then
+    * `collect_list` into a struct array), the urls side joins that once
+    * on host, and the match/argmax is an array lambda — the only
+    * exchange on the 100-TB side is the host-keyed join, which AQE
+    * broadcasts whenever the crawled host set fits.
+    */
+  def admit(urls: DataFrame, ruleRows: DataFrame, agent: String,
+      urlCol: String = "url"): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val byHost = Window.partitionBy("host")
+    val chosen = ruleRows
+      .where(col("agent").isin(a, "*"))
+      .withColumn("exact", col("agent") === a)
+      .withColumn("has_exact", max(col("exact")).over(byHost))
+      .where(col("exact") === col("has_exact"))
+      .withColumn("rx", when(col("has_wildcard"), ruleRegex(col("path")))
+        .otherwise(lit(null).cast("string")))
+      .groupBy("host")
+      .agg(collect_list(struct(
+        length(col("path")).as("len"),
+        when(col("allow"), 1).otherwise(0).as("allow"),
+        col("path").as("path"),
+        col("rx").as("rx"))).as("robots_rules"))
+    val path = coalesce(nullif(try_parse_url(col(urlCol), lit("PATH")), lit("")), lit("/"))
+    val hits = filter(col("robots_rules"), r =>
+      when(r.getField("rx").isNotNull, regexp_like(path, r.getField("rx")))
+        .otherwise(path.startsWith(r.getField("path"))))
+    val winner = array_max(transform(hits, r =>
+      struct(r.getField("len").as("len"), r.getField("allow").as("allow"))))
+    urls
+      .withColumn("__robots_host", Url.host(col(urlCol)))
+      .join(chosen.withColumnRenamed("host", "__robots_host"),
+        Seq("__robots_host"), "left")
+      .withColumn("robots_allowed",
+        col("robots_rules").isNull || winner.isNull ||
+          winner.getField("allow") === 1)
+      .drop("__robots_host", "robots_rules")
+  }
+}

@@ -626,6 +626,90 @@ object PipelineQueries {
       .orderBy("doc_id", "epoch", "phase")
   }
 
+  /** p12: the crawl-frontier composition — candidate URLs minus the
+    * already-crawled set (anti join), gated by T27 `Robots.admit` (RFC
+    * 9309 longest-match with Allow winning ties, `*`/`$` wildcard rules,
+    * and the group-preference rule: hosts with a graftbot group IGNORE
+    * their `*` group entirely), then capped per host (politeness). The
+    * oracle mirrors admission with an integer argmax (`len*2+allow` —
+    * length dominates, the allow bit breaks exact ties) over the same
+    * rule table, pinning the operator's struct-argmax lambda against an
+    * independent SQL encoding. URLs/rules derive deterministically from
+    * `documents` (host per source; `.pdf` every 7th doc; even-numbered
+    * hosts get a graftbot-only group), so the three-way interaction —
+    * `/zh/doc1` allow (len 8) beating both `/zh/` (4) and the `$`-anchored
+    * pdf disallow (7), but only on hosts whose `*` group applies — is
+    * all exercised. Scale shape: admission is ONE host-keyed join of the
+    * URL stream against per-host rule arrays (no per-URL groupBy); the
+    * per-host cap is a window whose partition is the natural politeness
+    * unit.
+    */
+  val p12 = QueryDef(
+    "p12_robots_frontier",
+    """WITH u0 AS (SELECT doc_id, source || '.example' AS host,
+      |        '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) ||
+      |          CASE WHEN doc_id % 7 = 0 THEN '.pdf' ELSE '.html' END AS path
+      |      FROM documents),
+      |u AS (SELECT doc_id, host, path, 'https://' || host || path AS url
+      |      FROM u0 WHERE doc_id % 5 <> 0),
+      |h AS (SELECT DISTINCT source || '.example' AS host,
+      |        CAST(substr(source, 4) AS BIGINT) AS srcn FROM documents),
+      |rules AS (
+      |  SELECT host, '*' AS agent, FALSE AS allow, '/zh/' AS path,
+      |         CAST(NULL AS VARCHAR) AS rx, 4 AS len FROM h
+      |  UNION ALL SELECT host, '*', TRUE, '/zh/doc1', NULL, 8 FROM h
+      |  UNION ALL SELECT host, '*', FALSE, '/*.pdf$', '^/.*\.pdf$', 7 FROM h
+      |  UNION ALL SELECT host, 'graftbot', FALSE, '/fr/', NULL, 4 FROM h
+      |    WHERE srcn % 2 = 0),
+      |sel AS (SELECT r.* FROM rules r JOIN (
+      |    SELECT host, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS he
+      |    FROM rules GROUP BY host) g ON r.host = g.host
+      |  WHERE (CASE WHEN r.agent = 'graftbot' THEN 1 ELSE 0 END) = g.he),
+      |m AS (SELECT u.url, u.host, u.doc_id,
+      |        max(CASE WHEN r.path IS NULL THEN NULL
+      |             ELSE r.len * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END END) AS code
+      |      FROM u LEFT JOIN sel r ON u.host = r.host AND
+      |        (CASE WHEN r.rx IS NOT NULL THEN regexp_matches(u.path, r.rx)
+      |              ELSE starts_with(u.path, r.path) END)
+      |      GROUP BY u.url, u.host, u.doc_id),
+      |ok AS (SELECT host, doc_id, url FROM m WHERE code IS NULL OR code % 2 = 1),
+      |top AS (SELECT host, doc_id, url,
+      |        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn FROM ok)
+      |SELECT host, doc_id, url FROM top WHERE rn <= 3
+      |ORDER BY host, doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Robots
+    val docs = Tables(s, dir, "documents")
+    val urls = docs
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("url", concat(lit("https://"), col("host"), lit("/"), col("lang"),
+        lit("/doc"), col("doc_id").cast("string"),
+        when(col("doc_id") % 7 === 0, ".pdf").otherwise(".html")))
+      .select("doc_id", "host", "url")
+    val crawled = urls.where(col("doc_id") % 5 === 0).select("url")
+    val fresh = urls.join(crawled, Seq("url"), "left_anti")
+    val hosts = docs.select(col("source")).distinct()
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("srcn", substring(col("source"), 4, 10).cast("long"))
+    val star = hosts.select(col("host"), explode(array(
+      struct(lit("*").as("agent"), lit(false).as("allow"), lit("/zh/").as("path")),
+      struct(lit("*").as("agent"), lit(true).as("allow"), lit("/zh/doc1").as("path")),
+      struct(lit("*").as("agent"), lit(false).as("allow"), lit("/*.pdf$").as("path"))))
+        .as("r"))
+      .select(col("host"), col("r.agent"), col("r.allow"), col("r.path"))
+    val bot = hosts.where(col("srcn") % 2 === 0)
+      .select(col("host"), lit("graftbot").as("agent"), lit(false).as("allow"),
+        lit("/fr/").as("path"))
+    val rules = star.unionByName(bot)
+      .withColumn("has_wildcard",
+        col("path").contains("*").or(col("path").contains("$")))
+    val admitted = Robots.admit(fresh, rules, "graftbot").where(col("robots_allowed"))
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("doc_id")
+    admitted
+      .withColumn("rn", row_number().over(byHost)).where(col("rn") <= 3)
+      .select("host", "doc_id", "url").orderBy("host", "doc_id")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
 }

@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shard-directory manifests: per-file byte counts + SHA-256, the
+  * integrity layer under [[TarShards]]/[[WarcShards]] (and any other
+  * shard directory). At 100 TB a corpus is ~100k shards that outlive
+  * the job that wrote them and cross machines, object stores and
+  * transfer tools; a training run reading a silently-truncated or
+  * bit-flipped shard poisons everything downstream with no error at
+  * read time (tar/gzip both happily parse a prefix of a damaged file).
+  * The manifest makes corruption, loss and drift DETECTABLE: write one
+  * after producing shards, [[verify]] before consuming them.
+  *
+  * Scale shape: hashing is a distributed full scan (one task per shard
+  * via binaryFile, each a single sequential read — the same IO pattern
+  * as consuming the shards, and the only way to notice rot); the
+  * manifest itself is |shards| rows of metadata, collected to the
+  * driver and written as one sorted JSON-lines file (100k shards ≈ a
+  * few MB — driver-bounded by design, like the writers' listing-driven
+  * compaction). `_MANIFEST.jsonl` starts with an underscore so the
+  * shard readers' globs (`*.tar`, `*.warc.gz`) never match it.
+  */
+object Manifests {
+
+  val FileName = "_MANIFEST.jsonl"
+
+  /** One row per shard file: (file, bytes, sha256) — distributed scan,
+    * metadata-sized result.
+    */
+  def digest(spark: SparkSession, path: String, glob: String): DataFrame =
+    Tables.binaryFiles(spark, path, glob)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file"),
+        col("length").as("bytes"),
+        sha2(col("content"), 256).as("sha256"))
+
+  /** Digest the shards matched by `glob` and write `_MANIFEST.jsonl`
+    * (sorted by file name, one JSON object per line, temp+rename
+    * committed). Call it right after a write/compact — the maintenance
+    * step owns the manifest like it owns compaction.
+    */
+  def write(spark: SparkSession, path: String, glob: String = "*"): Unit = {
+    val rows = digest(spark, path, glob)
+      .orderBy("file")
+      .select(to_json(struct(col("file"), col("bytes"), col("sha256"))).as("j"))
+      .collect().map(_.getString(0)) // |shards| metadata rows, driver-bounded
+    require(rows.nonEmpty, s"no shards match $path/$glob")
+    val p = new org.apache.hadoop.fs.Path(path, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_tmp-$FileName")
+    val out = fs.create(tmp, true)
+    try out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest commit failed: $tmp -> $p")
+    ()
+  }
+
+  /** Re-digest the directory and diff it against `_MANIFEST.jsonl`.
+    * Returns (file, status, manifest_bytes, actual_bytes) with status
+    * `changed` (hash differs — truncation, bit rot, overwrite),
+    * `missing` (manifested file gone) or `extra` (file present but not
+    * manifested — a foreign or partial write). Empty result = intact.
+    * The diff is a full-outer join of two |shards|-row metadata frames.
+    */
+  def verify(spark: SparkSession, path: String, glob: String = "*"): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no $FileName under $path — write() one first")
+    // read driver-side: Spark's file index skips underscore-prefixed
+    // paths (the very property that hides the manifest from shard
+    // globs), and the manifest is |shards| rows of metadata anyway
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    import spark.implicits._
+    val want = spark.read.schema("file STRING, bytes LONG, sha256 STRING")
+      .json(spark.createDataset(lines))
+      .withColumnRenamed("bytes", "manifest_bytes")
+      .withColumnRenamed("sha256", "manifest_sha")
+    val got = digest(spark, path, glob)
+      .withColumnRenamed("bytes", "actual_bytes")
+      .withColumnRenamed("sha256", "actual_sha")
+    want.join(got, Seq("file"), "full_outer")
+      .withColumn("status",
+        when(col("actual_sha").isNull, "missing")
+          .when(col("manifest_sha").isNull, "extra")
+          .when(col("manifest_sha") =!= col("actual_sha"), "changed"))
+      .where(col("status").isNotNull)
+      .select("file", "status", "manifest_bytes", "actual_bytes")
+  }
+
+  /** [[verify]] that fails loud — the pre-consumption gate: throws with
+    * the first few offenders if anything is missing, changed or extra.
+    */
+  def check(spark: SparkSession, path: String, glob: String = "*"): Unit = {
+    val bad = verify(spark, path, glob).limit(4).collect()
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        s"shard manifest violation under $path: " +
+          bad.map(r => s"${r.getString(0)} ${r.getString(1)}").mkString(", "))
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.operators.Robots
+
+/** robots.txt parsing + URL admission (RFC 9309) — the crawl-front
+  * compliance gate. Grammar cases come straight from the RFC: group
+  * assembly from consecutive User-agent lines, longest-match with
+  * Allow winning ties, `*`/`$` patterns, empty-pattern rules matching
+  * nothing, comments, CRLF, case rules (keys/agents insensitive, paths
+  * sensitive).
+  */
+class RobotsSuite extends SparkSpec {
+  import spark.implicits._
+
+  private val body =
+    """# graft test robots
+      |User-agent: graftbot
+      |User-agent: otherbot
+      |Disallow: /private/
+      |Allow: /private/ok
+      |Disallow: /*.pdf$
+      |
+      |User-agent: *
+      |Disallow: /
+      |Allow: /public
+      |Crawl-delay: 3
+      |Sitemap: https://a.test/sitemap.xml
+      |""".stripMargin
+
+  private def rulesFor(hostBodies: (String, String)*) =
+    Robots.rules(hostBodies.toSeq.toDF("host", "body"))
+
+  test("rules: groups, shared agents, empty patterns, preamble, CRLF") {
+    val r = rulesFor("a.test" -> body).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getBoolean(2), x.getString(3), x.getBoolean(4)))
+    // both agents of group 1 inherit all three rules; * group gets its two
+    assert(r.count(_._2 == "graftbot") == 3)
+    assert(r.count(_._2 == "otherbot") == 3)
+    assert(r.filter(_._2 == "*").map(t => (t._4, t._3)).toSet ==
+      Set(("/", false), ("/public", true)))
+    // wildcard flag only on the pattern rule
+    assert(r.filter(_._5).map(_._4).toSet == Set("/*.pdf$"))
+
+    // rules BEFORE any User-agent line are ignored; empty Disallow
+    // matches nothing and is dropped; CRLF and UA-case are fine
+    val r2 = rulesFor("b.test" ->
+      "Disallow: /orphan\r\nUSER-AGENT: GraftBot\r\nDisallow:\r\nAllow: /x\r\n")
+      .collect().map(x => (x.getString(1), x.getString(3)))
+    assert(r2.toSeq == Seq(("graftbot", "/x")))
+  }
+
+  test("sitemaps are surfaced host-keyed") {
+    val s = Robots.sitemaps(Seq("a.test" -> body).toDF("host", "body"))
+      .as[(String, String)].collect().toSet
+    assert(s == Set("a.test" -> "https://a.test/sitemap.xml"))
+  }
+
+  test("admit: longest match wins, Allow wins ties, wildcard/$, missing robots admits") {
+    val rules = rulesFor("a.test" -> body, "tie.test" ->
+      "User-agent: *\nDisallow: /page\nAllow: /page\n")
+    val urls = Seq(
+      "https://a.test/private/secret.html",   // graftbot: /private/ disallow
+      "https://a.test/private/ok/fine.html",  // longer Allow overrides
+      "https://a.test/docs/file.pdf",         // /*.pdf$ wildcard disallow
+      "https://a.test/docs/file.pdf.html",    // $ anchor: NOT matched -> allowed
+      "https://a.test/public/x",              // no graftbot rule matches -> allowed
+      "https://a.test/PRIVATE/x",             // paths case-sensitive -> allowed
+      "https://tie.test/page",                // equal length: Allow wins
+      "https://norobots.test/anything"        // host absent -> allowed
+    ).toDF("url")
+    val got = Robots.admit(urls, rules, "GraftBot")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(!got("https://a.test/private/secret.html"))
+    assert(got("https://a.test/private/ok/fine.html"))
+    assert(!got("https://a.test/docs/file.pdf"))
+    assert(got("https://a.test/docs/file.pdf.html"))
+    assert(got("https://a.test/public/x"))
+    assert(got("https://a.test/PRIVATE/x"))
+    assert(got("https://tie.test/page"))
+    assert(got("https://norobots.test/anything"))
+    // unknown agent falls to the * group: root disallow, /public carve-out
+    val star = Robots.admit(urls, rules, "strangerbot")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(!star("https://a.test/private/secret.html"))
+    assert(star("https://a.test/public/x"))
+    assert(star("https://norobots.test/anything"))
+  }
+
+  test("admit plan: one host join, no per-URL aggregation, zero UDFs") {
+    val rules = rulesFor("a.test" -> body)
+    val urls = Seq("https://a.test/x").toDF("url")
+    val plan = Robots.admit(urls, rules, "graftbot")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("scalaudf"), "admission must stay zero-UDF")
+    // the URL side must not be re-aggregated: every Aggregate in the
+    // plan groups robots metadata (host/grp), never the url relation
+    val aggLines = plan.linesIterator.filter(_.trim.startsWith("Aggregate")).toSeq
+    assert(aggLines.forall(l => l.contains("host") || l.contains("grp")), aggLines.mkString("\n"))
+  }
+
+  test("crawl chain: WARC robots bodies gate extracted page URLs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-robots-warc").toString + "/shards"
+    val pages = Seq(
+      ("http://site.test/robots.txt", "User-agent: *\nDisallow: /private/\n"),
+      ("http://site.test/index.html", "<p>hello</p>"),
+      ("http://site.test/private/x.html", "<p>secret</p>"))
+    val rows = pages.map { case (u, b) =>
+      (u, "2026-01-01T00:00:00Z", "text/plain",
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\nContent-Length: ${b.length}\r\n\r\n$b").getBytes("UTF-8"))
+    }
+    graft.sources.WarcShards.write(
+      rows.toDF("url", "warc_date", "content_type", "body"), dir)
+    val resp = graft.sources.WarcShards.decodedResponses(spark, dir)
+    val robots = resp.where(col("url").endsWith("/robots.txt"))
+      .select(graft.operators.Url.host(col("url")).as("host"), col("text").as("body"))
+    val admitted = Robots.admit(
+      resp.where(!col("url").endsWith("/robots.txt")).select("url"),
+      Robots.rules(robots), "graftbot")
+      .as[(String, Boolean)].collect().toMap
+    assert(admitted == Map(
+      "http://site.test/index.html" -> true,
+      "http://site.test/private/x.html" -> false))
+  }
+}

@@ -255,4 +255,51 @@ class SourcesSuite extends SparkSpec {
     val leftover = visible(s"$tmp/fail")
     assert(leftover.isEmpty, s"aborted write left files: $leftover")
   }
+
+  test("manifests: write/verify detect bit rot, loss, and foreign files") {
+    import spark.implicits._
+    import graft.sources.{Manifests, TarShards}
+    val tmp = Files.createTempDirectory("graft-manifest").toString + "/shards"
+    val rows = (0 until 32).map(i => (f"k$i%04d", "txt", s"payload $i".getBytes("UTF-8")))
+    TarShards.write(rows.toDF("key", "ext", "content"), tmp, shards = Some(4))
+    Manifests.write(spark, tmp, "*.tar")
+
+    // intact: empty diff, check() passes, readers' glob skips the manifest
+    assert(Manifests.verify(spark, tmp, "*.tar").isEmpty)
+    Manifests.check(spark, tmp, "*.tar")
+    assert(TarShards.entries(spark, tmp).count() == 32)
+
+    // deterministic and sorted: rewriting yields identical bytes
+    val mPath = java.nio.file.Paths.get(tmp, Manifests.FileName)
+    val before = java.nio.file.Files.readAllBytes(mPath).toSeq
+    Manifests.write(spark, tmp, "*.tar")
+    assert(java.nio.file.Files.readAllBytes(mPath).toSeq == before)
+
+    // single flipped byte (same length) -> changed. Drop Hadoop's local
+    // .crc sidecar first: object stores have no such layer, and with it
+    // present ChecksumFileSystem throws before our digest ever runs.
+    val shard = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".tar")).head
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tmp, s".${shard.getName}.crc"))
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    bytes(600) = (bytes(600) ^ 0x01).toByte
+    java.nio.file.Files.write(shard.toPath, bytes)
+    val changed = Manifests.verify(spark, tmp, "*.tar")
+      .select("file", "status").as[(String, String)].collect().toSeq
+    assert(changed == Seq(shard.getName -> "changed"), changed.toString)
+    val e = intercept[IllegalStateException](Manifests.check(spark, tmp, "*.tar"))
+    assert(e.getMessage.contains("changed"))
+
+    // restore; then delete one shard and plant a stray
+    bytes(600) = (bytes(600) ^ 0x01).toByte
+    java.nio.file.Files.write(shard.toPath, bytes)
+    val gone = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".tar")).last
+    java.nio.file.Files.delete(gone.toPath)
+    java.nio.file.Files.write(java.nio.file.Paths.get(tmp, "stray-00099.tar"),
+      Array.fill(512)(0.toByte))
+    val diff = Manifests.verify(spark, tmp, "*.tar")
+      .select("file", "status").as[(String, String)].collect().toMap
+    assert(diff == Map(gone.getName -> "missing", "stray-00099.tar" -> "extra"))
+  }
 }
