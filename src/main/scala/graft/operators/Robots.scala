@@ -119,6 +119,12 @@ object Robots {
     * on host, and the match/argmax is an array lambda — the only
     * exchange on the 100-TB side is the host-keyed join, which AQE
     * broadcasts whenever the crawled host set fits.
+    *
+    * Streaming: `urls` may be a streaming Dataset — the rule side is
+    * static, so this plans as a stream-static join and gates URLs live
+    * at ingest (spec-asserted batch parity). The static side is planned
+    * once per query; refreshed robots bodies need a query restart (or a
+    * periodically re-read table source).
     */
   def admit(urls: DataFrame, ruleRows: DataFrame, agent: String,
       urlCol: String = "url"): DataFrame = {

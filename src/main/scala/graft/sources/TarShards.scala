@@ -119,6 +119,59 @@ object TarShards {
       }
   }
 
+  private val KeyIndexDir = "_keyindex"
+
+  /** Build the sample-key index under `path/_keyindex`: one (shard, key)
+    * parquet row per sample, written distributed (one task per shard —
+    * the index build is a full sequential scan, same IO as one read of
+    * the corpus; NEVER driver-collected, unlike the byte manifests).
+    * This is the WebDataset `.idx` role done relationally: a training
+    * or debugging job that needs a HANDFUL of samples out of 100k
+    * shards must not scan 100 TB to find them. Shard names are stored
+    * relative (file name only) so the index survives directory moves.
+    * The underscore dir is invisible to the shard readers' globs and to
+    * Spark's file index, exactly like `_MANIFEST.jsonl`.
+    */
+  def writeKeyIndex(spark: SparkSession, path: String, glob: String = "*.tar"): Unit =
+    entries(spark, path, glob)
+      .select(element_at(split(col("shard"), "/"), -1).as("shard"), col("key"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$KeyIndexDir")
+
+  /** The shards holding any of `keys`, per the key index — ≤ |keys|
+    * names, driver-bounded by the lookup size (the index itself stays
+    * distributed; only the hit LIST collects).
+    */
+  def shardsForKeys(spark: SparkSession, path: String, keys: Seq[String]): Seq[String] = {
+    require(keys.nonEmpty, "shardsForKeys needs at least one key")
+    spark.read.parquet(s"$path/$KeyIndexDir")
+      .where(col("key").isin(keys: _*))
+      .select("shard").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** Point access: [[samples]] for exactly `keys`, reading ONLY the
+    * shards the key index maps them to (a `{a,b,…}` listing glob — the
+    * other 100k shards are never opened). A hit shard missing from the
+    * directory fails loud: the index is stale (compaction or manual
+    * deletes since [[writeKeyIndex]]) and silently returning fewer
+    * samples than indexed is training-data corruption.
+    */
+  def lookupSamples(spark: SparkSession, path: String, keys: Seq[String]): DataFrame = {
+    val hit = shardsForKeys(spark, path, keys)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hit.foreach { s =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(path, s)),
+        s"key index is stale: indexed shard $s is gone — re-run writeKeyIndex")
+    }
+    // no hits: a glob that cannot match keeps samples()'s schema with
+    // zero shards opened (binaryFile has a fixed schema, so an empty
+    // listing is a valid empty relation)
+    val glob = if (hit.isEmpty) "*.__none__" else hit.mkString("{", ",", "}")
+    samples(spark, path, glob).where(col("key").isin(keys: _*))
+  }
+
   /** Compact small shards in place to ~`targetShardBytes` each — the
     * [[graft.sources.Sinks.compact]] discipline applied to tar shards.
     * Incremental ingestion (one shard per micro-batch partition) strews
@@ -141,6 +194,8 @@ object TarShards {
     * before renaming the rewritten ones in as `compacted-%05d.tar`
     * (files the glob did NOT match are untouched) — run it in the
     * ingest pipeline's maintenance step, not while readers race it.
+    * A key index under the directory is DELETED (its shard mapping is
+    * stale the moment members move) — re-run [[writeKeyIndex]] after.
     */
   def compactShards(spark: SparkSession, path: String, targetShardBytes: Long,
       glob: String = "*.tar"): Unit = {
@@ -164,6 +219,7 @@ object TarShards {
         throw new java.io.IOException(s"compactShards commit failed: ${st.getPath} -> $dst")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path, KeyIndexDir), true) // stale now
     ()
   }
 

@@ -122,4 +122,35 @@ class RobotsSuite extends SparkSpec {
       "http://site.test/index.html" -> true,
       "http://site.test/private/x.html" -> false))
   }
+
+  test("E16: admit gates a streaming URL source (stream-static, batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rules = rulesFor("a.test" -> body, "tie.test" ->
+      "User-agent: *\nDisallow: /page\nAllow: /page\n")
+    val urls = Seq(
+      "https://a.test/private/secret.html",
+      "https://a.test/private/ok/fine.html",
+      "https://a.test/docs/file.pdf",
+      "https://tie.test/page",
+      "https://norobots.test/anything")
+    val src = MemoryStream[String]
+    val q = Robots.admit(src.toDS().toDF("url"), rules, "graftbot")
+      .select("url", "robots_allowed")
+      .writeStream.format("memory").queryName("robots_stream")
+      .outputMode("append").start()
+    try {
+      src.addData(urls.take(2): _*)
+      q.processAllAvailable()
+      src.addData(urls.drop(2): _*) // rules stay static across batches
+      q.processAllAvailable()
+      val live = spark.table("robots_stream")
+        .as[(String, Boolean)].collect().toMap
+      val batch = Robots.admit(urls.toDF("url"), rules, "graftbot")
+        .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+      assert(live == batch, s"stream/batch verdicts diverge: $live vs $batch")
+      assert(!live("https://a.test/private/secret.html"))
+      assert(live("https://norobots.test/anything"))
+    } finally q.stop()
+  }
 }

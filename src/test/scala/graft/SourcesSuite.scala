@@ -256,6 +256,53 @@ class SourcesSuite extends SparkSpec {
     assert(leftover.isEmpty, s"aborted write left files: $leftover")
   }
 
+  test("tar key index: point lookups read only the hit shards; stale index fails loud") {
+    import spark.implicits._
+    import graft.sources.TarShards
+    val tmp = Files.createTempDirectory("graft-keyidx").toString + "/shards"
+    val rows = (0 until 48).flatMap { i =>
+      Seq((f"k$i%04d", "txt", s"text $i".getBytes("UTF-8")),
+          (f"k$i%04d", "bin", Array.fill(64)(i.toByte)))
+    }
+    TarShards.write(rows.toDF("key", "ext", "content"), tmp, shards = Some(8))
+    TarShards.writeKeyIndex(spark, tmp)
+
+    // the hit list is bounded by the lookup, not the corpus
+    val keys = Seq("k0003", "k0017")
+    val hit = TarShards.shardsForKeys(spark, tmp, keys)
+    val all = new java.io.File(tmp).listFiles().count(_.getName.endsWith(".tar"))
+    assert(hit.size <= keys.size && hit.size < all, s"hit=$hit of $all shards")
+
+    // pruned read == full-scan filter, both members per sample intact
+    val got = TarShards.lookupSamples(spark, tmp, keys)
+      .select("key", "exts").as[(String, Seq[String])].collect().toMap
+    assert(got == Map("k0003" -> Seq("bin", "txt"), "k0017" -> Seq("bin", "txt")))
+    val full = TarShards.samples(spark, tmp).where(col("key").isin(keys: _*))
+      .select("key", "exts").as[(String, Seq[String])].collect().toMap
+    assert(got == full)
+
+    // unknown key: empty result, zero shards opened
+    assert(TarShards.shardsForKeys(spark, tmp, Seq("nope")).isEmpty)
+    assert(TarShards.lookupSamples(spark, tmp, Seq("nope")).isEmpty)
+
+    // a deleted hit shard makes the index stale -> loud failure
+    val hitPath = java.nio.file.Paths.get(tmp, hit.head)
+    val saved = java.nio.file.Files.readAllBytes(hitPath)
+    java.nio.file.Files.delete(hitPath)
+    val e = intercept[IllegalArgumentException](
+      TarShards.lookupSamples(spark, tmp, keys).collect())
+    assert(e.getMessage.contains("stale"))
+    java.nio.file.Files.write(hitPath, saved) // restore for the compaction leg
+
+    // compaction invalidates the mapping and removes the index
+    TarShards.compactShards(spark, tmp, 1L << 20)
+    assert(!new java.io.File(tmp, "_keyindex").exists())
+    TarShards.writeKeyIndex(spark, tmp) // rebuild maps the compacted layout
+    val again = TarShards.lookupSamples(spark, tmp, keys)
+      .select("key", "exts").as[(String, Seq[String])].collect().toMap
+    assert(again == got)
+  }
+
   test("manifests: write/verify detect bit rot, loss, and foreign files") {
     import spark.implicits._
     import graft.sources.{Manifests, TarShards}
