@@ -77,7 +77,12 @@ for name, sql in sorted(oracle.items()):
         a, b = spark_df[c], duck_df[c]
         if str(a.dtype).startswith("float"):
             import numpy as np
-            same = np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+            # atol for near-zero; rtol 1e-9 because big-SF sums
+            # legitimately differ by summation ORDER between engines
+            # (measured 2e-11 relative on q05 revenue at sf1) — while a
+            # real logic error is off by at least one row, orders of
+            # magnitude above it
+            same = np.allclose(a, b, rtol=1e-9, atol=1e-9, equal_nan=True)
         else:
             same = a.equals(b.astype(a.dtype))
         if not same:

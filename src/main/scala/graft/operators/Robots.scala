@@ -50,8 +50,58 @@ object Robots {
     */
   def rules(bodies: DataFrame, hostCol: String = "host",
       bodyCol: String = "body"): DataFrame = {
+    val grouped = groupedLines(bodies, hostCol, bodyCol)
+    val ruleRows = grouped
+      .where(col("key").isin("allow", "disallow") && col("value") =!= "" &&
+        col("grp") > 0)
+      .select(col("host"), col("grp"), (col("key") === "allow").as("allow"),
+        col("value").as("path"))
+    // small per-host metadata joining small per-host metadata: both
+    // sides are robots lines (≤500 KiB/host), keyed identically
+    groupAgents(grouped).join(ruleRows, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("allow"), col("path"),
+        col("path").contains("*").or(col("path").contains("$"))
+          .as("has_wildcard"))
+  }
+
+  /** Per-host `Crawl-delay` for `agent` (seconds, fractional allowed) —
+    * the de-facto politeness directive (not in RFC 9309, but honored by
+    * most crawlers and load-bearing for frontier scheduling). Same group
+    * semantics as [[admit]]: the agent's own group is preferred over
+    * `*`; several directives in scope collapse to the MINIMUM (the
+    * conservative read). Hosts without a parseable directive are absent
+    * — the caller owns the default. Output: (host, crawl_delay_s).
+    */
+  def crawlDelays(bodies: DataFrame, agent: String, hostCol: String = "host",
+      bodyCol: String = "body"): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val grouped = groupedLines(bodies, hostCol, bodyCol)
+    val delayRows = grouped
+      .where(col("key") === "crawl-delay" && col("grp") > 0)
+      .withColumn("delay_s", col("value").try_cast("double")) // junk → null, not ANSI throw
+      .where(col("delay_s").isNotNull && col("delay_s") >= 0)
+      .select(col("host"), col("grp"), col("delay_s"))
+    val byHost = Window.partitionBy("host")
+    groupAgents(grouped).join(delayRows, Seq("host", "grp"))
+      .where(col("agent").isin(a, "*"))
+      .withColumn("exact", col("agent") === a)
+      .withColumn("has_exact", max(col("exact")).over(byHost))
+      .where(col("exact") === col("has_exact"))
+      .groupBy("host")
+      .agg(min(col("delay_s")).as("crawl_delay_s"))
+  }
+
+  /** Shared line machinery: one row per robots.txt line with comments
+    * stripped, `key`/`value` split (keys lowercased), and the RFC group
+    * id (`grp`): a group starts at a User-agent line NOT preceded by
+    * another User-agent line; grp 0 = ignored preamble. The window is
+    * partitioned by host — a body is ≤500 KiB by the RFC, one small
+    * partition-local sort.
+    */
+  private def groupedLines(bodies: DataFrame, hostCol: String,
+      bodyCol: String): DataFrame = {
     val byPos = Window.partitionBy("host").orderBy("pos")
-    val lines = bodies
+    bodies
       .select(col(hostCol).as("host"),
         posexplode(split(col(bodyCol), "\r?\n")).as(Seq("pos", "raw")))
       // comments run to end of line; keys are case-insensitive
@@ -59,26 +109,15 @@ object Robots {
       .withColumn("key", lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))))
       .withColumn("value", trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)))
       .withColumn("is_ua", col("key") === "user-agent")
-      .withColumn("is_rule",
-        col("key").isin("allow", "disallow") && col("value") =!= "")
-    // a group starts at a User-agent line NOT preceded by another
-    // User-agent line; group id = running count of starts (0 = preamble)
-    val grouped = lines
       .withColumn("starts",
         col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(byPos), lit(false)))
       .withColumn("grp", sum(when(col("starts"), 1).otherwise(0)).over(byPos))
-    val agents = grouped.where(col("is_ua") && col("grp") > 0)
-      .select(col("host"), col("grp"), lower(col("value")).as("agent")).distinct()
-    val ruleRows = grouped.where(col("is_rule") && col("grp") > 0)
-      .select(col("host"), col("grp"), (col("key") === "allow").as("allow"),
-        col("value").as("path"))
-    // small per-host metadata joining small per-host metadata: both
-    // sides are robots lines (≤500 KiB/host), keyed identically
-    agents.join(ruleRows, Seq("host", "grp"))
-      .select(col("host"), col("agent"), col("allow"), col("path"),
-        col("path").contains("*").or(col("path").contains("$"))
-          .as("has_wildcard"))
   }
+
+  /** (host, grp, agent) — the agents naming each group. */
+  private def groupAgents(grouped: DataFrame): DataFrame =
+    grouped.where(col("is_ua") && col("grp") > 0)
+      .select(col("host"), col("grp"), lower(col("value")).as("agent")).distinct()
 
   /** `Sitemap:` URLs declared in robots bodies (host, sitemap) — they
     * live outside agent groups and seed frontier builders.

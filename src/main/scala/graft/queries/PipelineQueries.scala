@@ -710,6 +710,65 @@ object PipelineQueries {
       .select("host", "doc_id", "url").orderBy("host", "doc_id")
   }
 
+  /** p13: the politeness SCHEDULE over the frontier — per-host fetch
+    * waves spaced by the host's `Crawl-delay` directive. Delays come
+    * through T27 `Robots.crawlDelays` parsing fabricated robots bodies
+    * (so the parse → schedule chain is what's verified): hosts with
+    * srcn%4==0 carry NO directive (caller default 500 ms), srcn%5==0
+    * hosts add a graftbot-group delay of 10 s that the exact-agent
+    * preference must pick over their `*` value, everyone else gets
+    * `*`-group (srcn%3+1) s. The oracle recomputes the delay per host
+    * from srcn alone — it agrees only if the parser extracted the right
+    * number AND picked the right group. Scale shape: delays are
+    * |hosts|-row metadata joined once (broadcast); the wave counter is
+    * a window whose partition is the politeness unit, exactly the
+    * per-host cap shape from p12.
+    */
+  val p13 = QueryDef(
+    "p13_frontier_schedule",
+    """WITH u AS (SELECT doc_id, source || '.example' AS host,
+      |        CAST(substr(source, 4) AS BIGINT) AS srcn,
+      |        'https://' || source || '.example/doc' ||
+      |          CAST(doc_id AS VARCHAR) AS url
+      |      FROM documents),
+      |s AS (SELECT doc_id, host, url,
+      |        CASE WHEN srcn % 4 = 0 THEN 500
+      |             WHEN srcn % 5 = 0 THEN 10000
+      |             ELSE 1000 * (srcn % 3 + 1) END AS delay_ms,
+      |        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS wave
+      |      FROM u)
+      |SELECT host, doc_id, url, wave, (wave - 1) * delay_ms AS eta_ms
+      |FROM s ORDER BY host, doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Robots
+    val docs = Tables(s, dir, "documents")
+    val urls = docs
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("url",
+        concat(lit("https://"), col("host"), lit("/doc"), col("doc_id").cast("string")))
+      .select("doc_id", "host", "url")
+    val hosts = docs.select("source").distinct()
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("srcn", substring(col("source"), 4, 10).cast("long"))
+    val bodies = hosts.withColumn("body",
+      when(col("srcn") % 4 === 0, lit("User-agent: *\nDisallow: /x\n"))
+        .otherwise(concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          (col("srcn") % 3 + 1).cast("string"), lit("\n"),
+          when(col("srcn") % 5 === 0,
+            lit("\nUser-agent: graftbot\nCrawl-delay: 10\n"))
+            .otherwise(lit("")))))
+    val delays = Robots.crawlDelays(bodies, "graftbot")
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("doc_id")
+    urls.join(delays, Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce((col("crawl_delay_s") * 1000).cast("long"), lit(500L)))
+      .withColumn("wave", row_number().over(byHost))
+      .select(col("host"), col("doc_id"), col("url"), col("wave"),
+        ((col("wave") - 1) * col("delay_ms")).as("eta_ms"))
+      .orderBy("host", "doc_id")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
 }

@@ -123,6 +123,22 @@ class RobotsSuite extends SparkSpec {
       "http://site.test/private/x.html" -> false))
   }
 
+  test("crawlDelays: group preference, min-collapse, fractional, junk values") {
+    val bodies = Seq(
+      // exact group (5) preferred over * (1); two * directives -> min
+      "a.test" -> ("User-agent: *\nCrawl-delay: 2\nCrawl-delay: 1\n\n" +
+        "User-agent: graftbot\nCrawl-delay: 5\n"),
+      // fractional + comment; agent case-insensitive
+      "b.test" -> "User-Agent: GRAFTBOT\nCrawl-Delay: 0.5 # be gentle\n",
+      // junk / negative values don't parse; preamble directive ignored
+      "c.test" -> "Crawl-delay: 9\nUser-agent: *\nCrawl-delay: soon\nCrawl-delay: -1\n",
+      // no directive at all
+      "d.test" -> "User-agent: *\nDisallow: /x\n").toDF("host", "body")
+    val got = Robots.crawlDelays(bodies, "graftbot")
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a.test" -> 5.0, "b.test" -> 0.5))
+  }
+
   test("E16: admit gates a streaming URL source (stream-static, batch parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
