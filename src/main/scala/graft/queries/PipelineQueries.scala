@@ -720,9 +720,13 @@ object PipelineQueries {
     * `*`-group (srcn%3+1) s. The oracle recomputes the delay per host
     * from srcn alone — it agrees only if the parser extracted the right
     * number AND picked the right group. Scale shape: delays are
-    * |hosts|-row metadata joined once (broadcast); the wave counter is
-    * a window whose partition is the politeness unit, exactly the
-    * per-host cap shape from p12.
+    * |hosts|-row metadata joined once (broadcast); the schedule has a
+    * LOOKAHEAD HORIZON (next 5 waves per host) — a politeness sequence
+    * is inherently a per-host total order, so an uncapped schedule over
+    * the whole frontier would sort 100 TB into |hosts| tasks (the q102
+    * trap); capped, Spark plans a WindowGroupLimit that keeps ≤5 rows
+    * per host per input partition BEFORE the exchange, so the sort sees
+    * ≤ 5·|hosts|·|partitions| rows no matter the corpus size.
     */
   val p13 = QueryDef(
     "p13_frontier_schedule",
@@ -738,7 +742,7 @@ object PipelineQueries {
       |        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS wave
       |      FROM u)
       |SELECT host, doc_id, url, wave, (wave - 1) * delay_ms AS eta_ms
-      |FROM s ORDER BY host, doc_id""".stripMargin) { (s, dir) =>
+      |FROM s WHERE wave <= 5 ORDER BY host, doc_id""".stripMargin) { (s, dir) =>
     import graft.operators.Robots
     val docs = Tables(s, dir, "documents")
     val urls = docs
@@ -760,10 +764,13 @@ object PipelineQueries {
     val delays = Robots.crawlDelays(bodies, "graftbot")
     val byHost = org.apache.spark.sql.expressions.Window
       .partitionBy("host").orderBy("doc_id")
-    urls.join(delays, Seq("host"), "left")
+    // delays are |hosts|-row metadata — say so, don't leave the 100-TB
+    // url side to a sort-merge exchange if stats mis-estimate
+    urls.join(broadcast(delays), Seq("host"), "left")
       .withColumn("delay_ms",
         coalesce((col("crawl_delay_s") * 1000).cast("long"), lit(500L)))
       .withColumn("wave", row_number().over(byHost))
+      .where(col("wave") <= 5) // lookahead horizon → WindowGroupLimit
       .select(col("host"), col("doc_id"), col("url"), col("wave"),
         ((col("wave") - 1) * col("delay_ms")).as("eta_ms"))
       .orderBy("host", "doc_id")
