@@ -50,6 +50,7 @@ object ScaleProbe {
     if (mode == "tar") { tarShards(spark, out, factor); spark.stop(); return }
     if (mode == "warc") { warcShards(spark, out, factor); spark.stop(); return }
     if (mode == "crawl") { crawlE2e(spark, out, factor); spark.stop(); return }
+    if (mode == "frontier") { frontier(spark, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1093,6 +1094,52 @@ object ScaleProbe {
     * format is one sequential pass per shard) — time per MB should be
     * flat across factors, and samples() adds only the per-shard groupBy.
     */
+  /** Frontier probe: T27 admission + the p13 capped politeness schedule
+    * over a FIXED 30-host rule set while the URL volume grows ×factor —
+    * the trap this disproves is parallelism collapsing to |hosts| (the
+    * q102 window shape): admission is a broadcast join + array lambda
+    * (narrow, scales with cores) and the capped schedule's
+    * WindowGroupLimit keeps ≤5 rows/host/partition ahead of the only
+    * exchange, so wall time must track the SCAN, not |hosts|.
+    */
+  private def frontier(spark: SparkSession, factor: Int): Unit = {
+    import graft.operators.Robots
+    val hosts = 30
+    val n = 200000L * factor
+    val rules = spark.range(hosts.toLong)
+      .select(concat(lit("host"), col("id"), lit(".example")).as("host"),
+        explode(array(
+          struct(lit("*").as("agent"), lit(false).as("allow"), lit("/private/").as("path")),
+          struct(lit("*").as("agent"), lit(true).as("allow"), lit("/private/ok").as("path")),
+          struct(lit("*").as("agent"), lit(false).as("allow"), lit("/*.pdf$").as("path")),
+          struct(lit("graftbot").as("agent"), lit(false).as("allow"), lit("/nobots/").as("path")))).as("r"))
+      .select(col("host"), col("r.agent"), col("r.allow"), col("r.path"),
+        col("r.path").contains("*").or(col("r.path").contains("$")).as("has_wildcard"))
+    val urls = spark.range(n)
+      .select(col("id"),
+        concat(lit("https://host"), pmod(col("id"), lit(hosts)), lit(".example"),
+          when(col("id") % 7 === 0, concat(lit("/private/doc"), col("id")))
+            .when(col("id") % 11 === 0, concat(lit("/nobots/doc"), col("id")))
+            .when(col("id") % 13 === 0, concat(lit("/files/doc"), col("id"), lit(".pdf")))
+            .otherwise(concat(lit("/page/doc"), col("id")))).as("url"))
+    def stage(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val c = f
+      println(f"[probe frontier x$factor] $name rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    val admitted = Robots.admit(urls, rules, "graftbot")
+      .where(col("robots_allowed")).localCheckpoint(true)
+    stage("admit")(admitted.count())
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("id")
+    stage("schedule5") {
+      admitted
+        .withColumn("host", graft.operators.Url.host(col("url")))
+        .withColumn("wave", row_number().over(byHost))
+        .where(col("wave") <= 5).count()
+    }
+  }
+
   private def tarShards(spark: SparkSession, out: String, factor: Int): Unit = {
     import spark.implicits._
     import graft.sources.TarShards
