@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Html, Robots, Url}
+import graft.sources.WarcShards
+import graft.streaming.StreamingBudget
+
+/** The composed LIVE ingestion chain: WARC shards land → decode →
+  * HTML main text → robots admission (E16, stream-static) → per-host
+  * token-budget gate (E15, stateful) — p12's batch frontier discipline
+  * running as one continuous query. What this pins beyond the parts:
+  * the stages actually compose in a single streaming plan (one
+  * stream-static join + one flatMapGroupsWithState), and budget state
+  * carries across shard arrivals while robots verdicts stay static.
+  */
+class StreamingCrawlSuite extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming crawl chain: shards land -> decode -> robots gate -> budget admit") {
+    val tmp = Files.createTempDirectory("graft-streamcrawl").toString
+    val watch = s"$tmp/incoming"
+    Files.createDirectories(java.nio.file.Paths.get(watch))
+    def land(name: String, rows: Seq[(String, String)]): Unit = {
+      val staging = s"$tmp/stage-$name"
+      WarcShards.write(
+        rows.map { case (u, h) =>
+          (u, "2026-03-03T00:00:00Z", "text/html", h.getBytes("UTF-8"))
+        }.toDF("url", "warc_date", "content_type", "body"),
+        staging, shards = Some(1))
+      val shard = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".warc.gz")).get
+      Files.move(shard.toPath, java.nio.file.Paths.get(s"$watch/$name.warc.gz"))
+      ()
+    }
+    def page(words: Int, tag: String): String =
+      s"<html><body><p>${(1 to words).map(i => s"$tag$i").mkString(" ")}</p></body></html>"
+
+    // shard 0 carries the host's robots.txt; rules are the STATIC side,
+    // pinned once (reference data — refresh = query restart, documented)
+    land("s0", Seq(("http://st.example/robots.txt",
+      "User-agent: *\nDisallow: /private/\n")))
+    val rules = Robots.rules(
+      WarcShards.decodedResponses(spark, watch)
+        .where($"url".endsWith("/robots.txt"))
+        .select(Url.host($"url").as("host"), $"text".as("body")))
+      .localCheckpoint(true)
+
+    val pages = WarcShards.streamResponses(spark, watch)
+      .where(!$"url".endsWith("/robots.txt"))
+      .select($"url", Html.htmlMainText($"body".cast("string")).as("text"))
+    val gated = Robots.admit(pages, rules, "graftbot")
+      .where($"robots_allowed")
+      .select(
+        regexp_extract($"url", "/p(\\d+)\\.html$", 1).try_cast("long").as("id"),
+        Url.host($"url").as("group"),
+        size(split($"text", "\\s+")).cast("long").as("weight"))
+      .as[(Long, String, Long)]
+    // 20-token budget: p1(8) + p3(8) = 16 < 20, p4 is the crossing row
+    // (kept, spent=24), p5 arrives over budget and drops
+    val admitted = StreamingBudget.admitToBudget(gated, Map("st.example" -> 20L))
+    val q = admitted.writeStream.format("memory").queryName("crawl_admitted")
+      .option("checkpointLocation", s"$tmp/ckpt").outputMode("append").start()
+    try {
+      land("s1", Seq(
+        ("http://st.example/p1.html", page(8, "alpha")),
+        ("http://st.example/private/p2.html", page(8, "secret")),
+        ("http://st.example/p3.html", page(8, "bravo"))))
+      q.processAllAvailable()
+      assert(spark.table("crawl_admitted").select("id").as[Long].collect().sorted
+        .toSeq == Seq(1L, 3L))
+
+      land("s2", Seq(
+        ("http://st.example/p4.html", page(8, "carol")),
+        ("http://st.example/p5.html", page(8, "delta"))))
+      q.processAllAvailable()
+      val got = spark.table("crawl_admitted")
+        .select("id", "weight").as[(Long, Long)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq == Seq(1L, 3L, 4L), got.mkString(","))
+      assert(got.forall(_._2 == 8L))
+      // robots stayed static: the private page never surfaced
+      assert(!spark.table("crawl_admitted").select("id").as[Long]
+        .collect().contains(2L))
+    } finally q.stop()
+  }
+}
