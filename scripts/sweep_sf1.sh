@@ -1,0 +1,65 @@
+#!/usr/bin/env bash
+# Full-registry sf1 correctness sweep -> CORRECTNESS_sf1.json.
+#
+# Procedure (what round 8 ran, scripted for reruns):
+#   1. generate the sf1 tables (10x the per-round gate) via make_sf1.py
+#   2. dump every SparkEntry query once with graft.Verify (one sbt run)
+#   3. compare against DuckDB in PARALLEL chunks — the heavy oracles
+#      (list-lambda banding d05/d07, ~1-2 h each) must not serialize the
+#      other ~155, and the two known resource-infeasible oracles are
+#      SKIPPED with documented records instead of run:
+#        - q94_theil_sen: by design both sides (quadratic-fit guard on
+#          the operator; the oracle's pairwise-slope spill fills disk)
+#        - p07_chunk_pack: oracle-side only (recursive-CTE packing
+#          replay spills >55 GB; the same rule is green at sf1 via q22)
+#   4. merge chunk JSONs into CORRECTNESS_sf1.json
+#
+# Needs ~25 GB under $SF_DIR and several hours of DuckDB CPU for the
+# dedup-oracle tail. Float compare uses check.py's rtol=1e-9 (summation-
+# order divergence is real at this scale — see BASELINE.md).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR=${SF_DIR:-/tmp/testdata-sf1}
+OUT=${OUT:-/tmp/graft_verify_sf1}
+JDIR=$(mktemp -d /tmp/sf1_sweep.XXXX)
+
+[ -f "$SF_DIR/lineitem.parquet" ] || python3 scripts/make_sf1.py "$SF_DIR"
+
+sbt -batch "runMain graft.Verify $SF_DIR $OUT"
+
+SKIP='q94_theil_sen p07_chunk_pack'
+HEAVY='d05_embedding_dup d07_embedding_exact d09_semantic_dedup d13_sparse_cosine d14_lsh_rescored d02_ngram_jaccard d03_minhash_lsh q22_pack_sequences p09_golden_record p10_mixer_e2e p11_mixer_anneal_e2e'
+ALL=$(python3 -c "
+import json
+qs = sorted(json.load(open('$OUT/oracle_sql.json')))
+skip = set('$SKIP'.split()); heavy = set('$HEAVY'.split())
+rest = [q for q in qs if q not in skip | heavy]
+n = 4
+for i in range(n): print(','.join(rest[i::n]))
+for h in sorted(heavy & set(qs)): print(h)")
+
+i=0
+pids=()
+while IFS= read -r chunk; do
+  SKIP_VERIFY=1 CHECK_OUT=$OUT CHECK_JSON_OUT=$JDIR/chunk_$i.json \
+    python3 scripts/check.py "$SF_DIR" "$chunk" > "$JDIR/chunk_$i.log" 2>&1 &
+  pids+=($!)
+  i=$((i+1))
+done <<< "$ALL"
+for p in "${pids[@]}"; do wait "$p" || echo "chunk exited nonzero (see $JDIR)"; done
+
+# documented-infeasible records for the two skipped oracles
+cat > "$JDIR/skipped.json" <<'EOF'
+{"queries": {
+ "q94_theil_sen": {"rows_match": false, "schema_match": false, "hash_match": false,
+   "spark_rows": null, "oracle_rows": null, "oracle_sec": null,
+   "err": "documented-infeasible at sf1 by design on both sides: operator quadratic-fit guard (6.9k-point groups > maxN=2000, the pre-bucket contract); oracle pairwise-slope spill exceeds container disk"},
+ "p07_chunk_pack": {"rows_match": false, "schema_match": false, "hash_match": false,
+   "spark_rows": null, "oracle_rows": null, "oracle_sec": null,
+   "err": "documented-infeasible ORACLE at sf1: DuckDB recursive-CTE packing replay spills >55 GB; Spark side dumps fine and the identical greedy rule is oracle-green at sf1 via q22_pack_sequences"}
+}}
+EOF
+
+python3 scripts/merge_correctness.py CORRECTNESS_sf1.json "$JDIR"/chunk_*.json "$JDIR/skipped.json"
+echo "chunk logs in $JDIR"
