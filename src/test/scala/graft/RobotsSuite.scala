@@ -139,6 +139,37 @@ class RobotsSuite extends SparkSpec {
     assert(got == Map("a.test" -> 5.0, "b.test" -> 0.5))
   }
 
+  test("E18: streaming wave scheduler — cross-batch counters, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamingFrontier
+    implicit val sqlCtx = spark.sqlContext
+    val delays = Map("a.test" -> 2000L, "b.test" -> 500L)
+    val src = MemoryStream[(Long, String)]
+    val q = StreamingFrontier.scheduleWaves(src.toDS(), delays, defaultDelayMs = 100L)
+      .writeStream.format("memory").queryName("waves").outputMode("append").start()
+    try {
+      src.addData((3L, "a.test"), (1L, "a.test"), (2L, "b.test"))
+      q.processAllAvailable()
+      src.addData((4L, "a.test"), (5L, "c.test")) // counter continues; default delay
+      q.processAllAvailable()
+      val live = spark.table("waves")
+        .as[StreamingFrontier.Scheduled].collect().sortBy(_.id)
+      assert(live.map(s => (s.id, s.wave, s.etaMs)).toSeq == Seq(
+        (1L, 1L, 0L), (2L, 1L, 0L), (3L, 2L, 2000L), // in-batch id order
+        (4L, 3L, 4000L),                              // wave 3 across batches
+        (5L, 1L, 0L)))                                // unknown host, default
+
+      // fed in id order, the batch row_number wave assignment is identical
+      val batch = Seq((1L, "a.test"), (2L, "b.test"), (3L, "a.test"),
+        (4L, "a.test"), (5L, "c.test")).toDF("id", "host")
+        .withColumn("wave", row_number().over(Window.partitionBy("host").orderBy("id")))
+        .as[(Long, String, Int)].collect().map(t => t._1 -> t._3.toLong).toMap
+      assert(live.map(s => s.id -> s.wave).toMap == batch)
+    } finally q.stop()
+  }
+
   test("E16: admit gates a streaming URL source (stream-static, batch parity)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
