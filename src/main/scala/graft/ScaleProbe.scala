@@ -1179,6 +1179,31 @@ object ScaleProbe {
     val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".tar"))
     println(f"[probe tar x$factor] compact 16->$files shards  $cSec%.2fs " +
       f"(${mb / cSec}%.0f MB/s)")
+    // manifest probe (M9): digest = one sequential read per shard; the
+    // verify diff is |shards|-row metadata — wall must track bytes
+    val t4 = System.nanoTime()
+    graft.sources.Manifests.write(spark, dir, "*.tar")
+    val mSec = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    require(graft.sources.Manifests.verify(spark, dir, "*.tar").isEmpty,
+      "fresh manifest must verify clean")
+    val vSec = (System.nanoTime() - t5) / 1e9
+    println(f"[probe tar x$factor] manifest write=$mSec%.2fs " +
+      f"(${mb / mSec}%.0f MB/s)  verify=$vSec%.2fs (${mb / vSec}%.0f MB/s)")
+    // key-index probe: build over the compacted layout, then point-lookup
+    // 3 keys — the read must open only the hit shards
+    val t6 = System.nanoTime()
+    TarShards.writeKeyIndex(spark, dir)
+    val iSec = (System.nanoTime() - t6) / 1e9
+    val keys = Seq(0, n / 2, n - 1).map(i => f"k$i%09d")
+    val t7 = System.nanoTime()
+    val hit = TarShards.shardsForKeys(spark, dir, keys)
+    val looked = TarShards.lookupSamples(spark, dir, keys).count()
+    val lSec = (System.nanoTime() - t7) / 1e9
+    require(looked == keys.size.toLong && hit.size <= keys.size,
+      s"key lookup: $looked rows via ${hit.size} shards")
+    println(f"[probe tar x$factor] keyindex build=$iSec%.2fs  " +
+      f"lookup(3 keys)=$lSec%.2fs via ${hit.size}/$files shards")
   }
 
   /** WARC crawl-ingestion probe (`ScaleProbe <f> warc`): f×2,000 synthetic
