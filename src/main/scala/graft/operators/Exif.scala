@@ -94,6 +94,25 @@ object Exif {
     if (b == null) null else stripGps(b)
   }
 
+  // ---- pipeline lane (the Html.ExtractStage precedent) ----
+
+  final case class Image(key: String, jpeg: Array[Byte])
+  final case class ImageScrubbed(key: String, jpeg: Array[Byte],
+      orientation: Option[Int], make: Option[String], hadGps: Boolean)
+
+  /** Stage form for `PipelineSpec` lanes: per image, surface the
+    * curation metadata and ship the GPS-scrubbed bytes onward.
+    */
+  final class ScrubStage(override val batchSize: Int = 64)
+      extends graft.api.Stage[Image, ImageScrubbed] {
+    override def process(batch: Seq[Image]): Seq[ImageScrubbed] =
+      batch.map { img =>
+        val m = meta(img.jpeg)
+        ImageScrubbed(img.key, stripGps(img.jpeg),
+          m.orientation, m.make, m.hasGps)
+      }
+  }
+
   // ---- JPEG marker walk ----
 
   /** The TIFF blob inside the Exif APP1 segment as (absolute base,

@@ -105,6 +105,17 @@ class ExifSuite extends SparkSpec {
       Exif.meta("not a jpeg".getBytes)).getMessage.contains("JPEG"))
   }
 
+  test("ScrubStage: pipeline-lane form surfaces metadata and ships scrubbed bytes") {
+    val out = new Exif.ScrubStage().process(Seq(
+      Exif.Image("a", jpegWith(tiffBlob(le = true))),
+      Exif.Image("b", Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte))))
+    val byKey = out.map(s => s.key -> s).toMap
+    assert(byKey("a").hadGps && byKey("a").make.contains("graftcam"))
+    assert(!Exif.meta(byKey("a").jpeg).hasGps)
+    assert(!byKey("b").hadGps && (byKey("b").jpeg sameElements
+      Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)))
+  }
+
   test("column API: meta struct + scrub over a binary column") {
     val df = Seq(
       ("gps", jpegWith(tiffBlob(le = true))),
