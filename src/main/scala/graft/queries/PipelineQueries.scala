@@ -542,7 +542,10 @@ object PipelineQueries {
     val gated = docs.filter(col("n_chars") >= 150)
     val keep = Dedup.exact(gated, "doc_id", "text")
       .filter(col("keep")).select("doc_id")
-    val uniq = gated.join(keep, "doc_id")
+    // materialize the post-dedup corpus ONCE: takeToBudget's histogram
+    // job + admission scan would otherwise recompute the gate->dedup
+    // window chain three times (q62's localCheckpoint discipline)
+    val uniq = gated.join(keep, "doc_id").localCheckpoint(true)
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")
@@ -611,7 +614,7 @@ object PipelineQueries {
     val gated = docs.filter(col("n_chars") >= 150)
     val keep = Dedup.exact(gated, "doc_id", "text")
       .filter(col("keep")).select("doc_id")
-    val uniq = gated.join(keep, "doc_id")
+    val uniq = gated.join(keep, "doc_id").localCheckpoint(true) // see p10
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")
