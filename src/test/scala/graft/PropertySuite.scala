@@ -182,4 +182,71 @@ class PropertySuite extends SparkSpec {
       }
     }
   }
+
+  test("Robots.admit matches an independent matcher on random rule tables") {
+    import spark.implicits._
+    import graft.operators.Robots
+    // reference semantics, implemented with direct char matching (no
+    // regex): '*' any run, trailing '$' end anchor, other chars literal
+    // (incl. mid-pattern '$' and regex specials); longest raw pattern
+    // wins, Allow wins ties; exact-agent group else '*'; no match/no
+    // rules -> allowed.
+    def matches(pat: String, path: String): Boolean = {
+      val (body, anchored) =
+        if (pat.endsWith("$")) (pat.dropRight(1), true) else (pat, false)
+      def m(p: Int, t: Int): Boolean =
+        if (p == body.length) !anchored || t == path.length
+        else if (body(p) == '*') (t to path.length).exists(i => m(p + 1, i))
+        else t < path.length && path(t) == body(p) && m(p + 1, t + 1)
+      m(0, 0)
+    }
+    def refAllowed(path: String, hostRules: Seq[(String, Boolean, String)],
+        agent: String): Boolean = {
+      val mine = hostRules.filter(_._1 == agent)
+      val grp = if (mine.nonEmpty) mine else hostRules.filter(_._1 == "*")
+      val hits = grp.filter(r => matches(r._3, path))
+      if (hits.isEmpty) true
+      else hits.maxBy(r => (r._3.length, r._2))._2 // longest, allow wins tie
+    }
+    val rnd = new scala.util.Random(4242)
+    val segs = Vector("a", "bb", "c.d", "img", "doc", "x")
+    def randPath(): String =
+      (1 to 1 + rnd.nextInt(3)).map(_ => segs(rnd.nextInt(segs.size)))
+        .mkString("/", "/", if (rnd.nextBoolean()) ".html" else "")
+    def randPattern(): String = {
+      var p = randPath().take(1 + rnd.nextInt(8))
+      if (rnd.nextInt(3) == 0) { // inject a wildcard at a random cut
+        val i = 1 + rnd.nextInt(p.length)
+        p = p.substring(0, i) + "*" + p.substring(i)
+      }
+      if (rnd.nextInt(4) == 0) p += "$"
+      p
+    }
+    val hosts = (0 until 12).map(h => s"h$h.test")
+    val table: Map[String, Seq[(String, Boolean, String)]] = hosts.map { h =>
+      val n = rnd.nextInt(6)
+      h -> (0 until n).map { _ =>
+        val agent = if (rnd.nextInt(3) == 0) "graftbot" else "*"
+        (agent, rnd.nextBoolean(), randPattern())
+      }
+    }.toMap
+    val urls = (0 until 400).map { _ =>
+      val h = hosts(rnd.nextInt(hosts.size))
+      (h, randPath())
+    }
+    val ruleRows = table.toSeq.flatMap { case (h, rs) =>
+      rs.map { case (a, allow, p) =>
+        (h, a, allow, p, p.contains("*") || p.contains("$"))
+      }
+    }.toDF("host", "agent", "allow", "path", "has_wildcard")
+    val got = Robots.admit(
+      urls.map { case (h, p) => s"https://$h$p" }.toDF("url"),
+      ruleRows, "graftbot")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    urls.foreach { case (h, p) =>
+      val want = refAllowed(p, table(h), "graftbot")
+      assert(got(s"https://$h$p") == want,
+        s"host=$h path=$p rules=${table(h)} want=$want")
+    }
+  }
 }
