@@ -116,6 +116,67 @@ class ExifSuite extends SparkSpec {
       Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)))
   }
 
+  test("property: randomized TIFF layouts — shuffled entries, moved values, junk tags (120 cases)") {
+    val rnd = new scala.util.Random(99)
+    (0 until 120).foreach { c =>
+      val le = rnd.nextBoolean()
+      val makeStr = "cam" + rnd.nextInt(1000)
+      val orient = 1 + rnd.nextInt(8)
+      val withGps = rnd.nextBoolean()
+      // entries in random order; random unknown tags mixed in
+      val unknown = (0 until rnd.nextInt(3)).map { _ =>
+        (0x9000 + rnd.nextInt(100), 3, 1L, "ul")
+      }
+      // layout: header(8) + ifd0 + out-of-line region + optional gps
+      val known = Seq(
+        (0x0112, 3, 1L, "orient"),
+        (0x010f, 2, (makeStr.length + 1).toLong, "make")) ++
+        (if (withGps) Seq((0x8825, 4, 1L, "gps")) else Nil)
+      val entries = rnd.shuffle(known ++ unknown)
+      val n = entries.size
+      val ifd0End = 8 + 2 + n * 12 + 4
+      // out-of-line make string placed at a random gap past ifd0
+      val makeOff = ifd0End + rnd.nextInt(16)
+      val gpsOff = makeOff + makeStr.length + 1 + rnd.nextInt(16)
+      val gpsValOff = gpsOff + 2 + 12 + 4 + rnd.nextInt(8)
+      val total = gpsValOff + 24 + rnd.nextInt(8)
+      val b = new Array[Byte](total)
+      def put(at: Int, bytes: Array[Byte]): Unit =
+        System.arraycopy(bytes, 0, b, at, bytes.length)
+      put(0, (if (le) "II" else "MM").getBytes); put(2, u16(42, le)); put(4, u32(8, le))
+      put(8, u16(n, le))
+      entries.zipWithIndex.foreach { case ((tag, typ, cnt, kind), i) =>
+        val value = kind match {
+          case "orient" => u16(orient, le) ++ u16(0, le)
+          case "make"   => u32(makeOff, le)
+          case "gps"    => u32(gpsOff, le)
+          case _        => u16(7, le) ++ u16(0, le)
+        }
+        put(8 + 2 + i * 12, entry(tag, typ, cnt, value, le))
+      }
+      put(8 + 2 + n * 12, u32(0, le))
+      put(makeOff, (makeStr + "\u0000").getBytes("US-ASCII"))
+      if (withGps) {
+        put(gpsOff, u16(1, le))
+        put(gpsOff + 2, entry(0x0002, 5, 3, u32(gpsValOff, le), le))
+        put(gpsOff + 2 + 12, u32(0, le))
+        put(gpsValOff, u32(rnd.nextInt(90), le) ++ u32(1, le))
+      }
+      val img = jpegWith(b)
+      val m = Exif.meta(img)
+      assert(m.orientation.contains(orient) && m.make.contains(makeStr) &&
+        m.hasGps == withGps, s"case $c le=$le n=$n: $m")
+      val scrubbed = Exif.stripGps(img)
+      assert(!Exif.meta(scrubbed).hasGps, s"case $c: gps survives scrub")
+      if (!withGps) assert(scrubbed eq img, s"case $c: gps-free must be untouched")
+      else {
+        val m2 = Exif.meta(scrubbed)
+        assert(m2.orientation.contains(orient) && m2.make.contains(makeStr),
+          s"case $c: scrub damaged other metadata: $m2")
+      }
+    }
+  }
+
   test("column API: meta struct + scrub over a binary column") {
     val df = Seq(
       ("gps", jpegWith(tiffBlob(le = true))),
