@@ -36,7 +36,13 @@ import org.apache.spark.sql.functions._
   * paths are case-sensitive. Agent-group selection is simplified to
   * "exact product token, else the `*` group" (the RFC's longest-prefix
   * product-token match matters only for versioned agent strings —
-  * callers pass the bare token).
+  * callers pass the bare token). Patterns and paths compare as the
+  * literal octets given (documented trade): RFC 9309 §2.2.2 also wants
+  * percent-encoding-insensitive matching of unreserved characters
+  * (`/a%2Fb` vs `/a/b` stay distinct here, which is the CONSERVATIVE
+  * direction for Disallow only when rules are encoded and paths are
+  * not) — normalize both sides through [[Url.canonicalize]] upstream
+  * for encoded corpora.
   */
 object Robots {
 

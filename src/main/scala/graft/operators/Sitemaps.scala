@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * fan-out is bounded by the spec's 50k URLs per sitemap file). The five
   * predefined XML entities are decoded (the protocol REQUIRES entity-
   * escaped URLs); numeric character references are out of scope and
-  * survive as-is. Malformed entries (no `<loc>`) drop.
+  * survive as-is. Malformed entries (no `<loc>`) drop. Inputs are
+  * DECODED XML strings — the protocol also ships `.xml.gz` sitemaps,
+  * and decompression belongs to the fetch layer (the WARC path already
+  * yields decoded bodies; for raw files run bytes through a gzip
+  * column upstream).
   */
 object Sitemaps {
 
