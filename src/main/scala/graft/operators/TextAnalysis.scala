@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftExpressions, Rounding, SignatureExpressions => SigX}
@@ -777,4 +777,44 @@ object TextAnalysis {
             col("n_deflated").cast("double") / col("n_bytes"), 4)))
       .drop("_z")
   }
+
+  /** Gzip-decompress a binary column (e.g. fetched `.xml.gz` sitemaps or
+    * other gzipped payloads that arrive OUTSIDE the WARC layer, which
+    * decompresses its own members). Concatenated multi-member streams
+    * decode fully (JDK GZIPInputStream walks members). Untrusted-input
+    * discipline: output is capped (default 64 MiB) and a stream
+    * expanding past the cap FAILS LOUD — a decompression bomb must not
+    * OOM an executor; truncated/corrupt streams also throw. Null in →
+    * null out. Byte-work UDF exception, like the zlib ratio above.
+    */
+  def gunzip(c: Column, maxBytes: Int = 64 << 20): Column = {
+    require(maxBytes > 0, "maxBytes must be positive")
+    val cap = maxBytes
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          if (out.size > cap)
+            throw new IllegalArgumentException(
+              s"gunzip: stream expanded past $cap bytes — refusing (bomb guard)")
+          n = in.read(buf)
+        }
+        in.close()
+        out.toByteArray
+      }
+    }
+    f(c)
+  }
+
+  /** [[gunzip]] + UTF-8 decode to a string column (malformed bytes →
+    * U+FFFD as data, the WARC decode discipline).
+    */
+  def gunzipText(c: Column): Column =
+    gunzip(c).cast("string")
 }

@@ -63,6 +63,29 @@ class SitemapsSuite extends SparkSpec {
     assert(!plan.toLowerCase.contains("scalaudf"), "sitemap parse must be zero-UDF")
   }
 
+  test("gunzip column: .xml.gz sitemap decodes, multi-member ok, bomb guard throws") {
+    import graft.operators.TextAnalysis
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes("UTF-8")); g.close(); bo.toByteArray
+    }
+    // a gzipped sitemap decodes and parses end-to-end
+    val df = Seq(("a.test", gz(urlset))).toDF("host", "gz")
+      .withColumn("xml", TextAnalysis.gunzipText(col("gz"))).drop("gz")
+    assert(Sitemaps.urls(df).count() == 3)
+    // concatenated members decode fully
+    val two = Seq(Tuple1(gz("hello ") ++ gz("world"))).toDF("gz")
+      .select(TextAnalysis.gunzipText(col("gz")).as("t")).as[String].head()
+    assert(two == "hello world")
+    // bomb guard: 1 MB of zeros against a 1000-byte cap fails loud
+    val bomb = gz(new String(new Array[Char](1 << 20)))
+    val e = intercept[Exception](
+      Seq(Tuple1(bomb)).toDF("gz")
+        .select(TextAnalysis.gunzip(col("gz"), maxBytes = 1000)).collect())
+    assert(e.getMessage.contains("bomb") || e.getCause != null)
+  }
+
   test("frontier chain: robots Sitemap line -> fetched body -> admitted seeds") {
     val robotsBody =
       "User-agent: *\nDisallow: /private/\nSitemap: https://a.test/sitemap.xml\n"
