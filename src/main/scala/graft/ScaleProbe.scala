@@ -51,6 +51,7 @@ object ScaleProbe {
     if (mode == "warc") { warcShards(spark, out, factor); spark.stop(); return }
     if (mode == "crawl") { crawlE2e(spark, out, factor); spark.stop(); return }
     if (mode == "frontier") { frontier(spark, factor); spark.stop(); return }
+    if (mode == "theilsen") { theilSenBucketed(spark, src, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1138,6 +1139,43 @@ object ScaleProbe {
         .withColumn("wave", row_number().over(byHost))
         .where(col("wave") <= 5).count()
     }
+  }
+
+  /** The documented pre-bucket path for q94's quadratic-fit guard: at
+    * sf1 each (event_type, day) group is ~6.9k points > maxN=2000 and
+    * theilSen fails loud BY CONTRACT. The contract's escape hatch is
+    * demonstrated here at exactly that shape (events ×factor): a salted
+    * hash bucket joins the group key, every bucket fits the guard, and
+    * the per-bucket exact fits aggregate to a median-of-buckets slope —
+    * the standard approximation whose error shrinks with bucket size.
+    * Parallelism = |groups|·|buckets|; the quadratic work stays LOCAL
+    * per basket.
+    */
+  private def theilSenBucketed(spark: SparkSession, src: String, factor: Int): Unit = {
+    import graft.sources.Tables
+    val ev0 = Tables.events(spark, src)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .withColumn("day", to_date(col("ts")))
+    val reps = spark.range(factor.toLong).select(col("id").as("_rep"))
+    // replicate with a value nudge so replicas are distinct points
+    val ev = ev0.crossJoin(reps)
+      .withColumn("value", col("value") + col("_rep") * lit(0.001))
+      .withColumn("xms", unix_millis(col("ts")) + col("_rep"))
+    val buckets = math.max(1, (factor * 800) / 2000 + 1)
+    val t0 = System.nanoTime()
+    val fits = graft.operators.Relational.theilSen(
+      ev.withColumn("_bkt", pmod(hash(col("xms"), col("value")), lit(buckets))),
+      groupCols = Seq("event_type", "day", "_bkt"),
+      xCol = col("xms"), yCol = col("value"),
+      maxN = 2000, scaleX = 1L, scaleY = 100L)
+    val agg = fits.groupBy("event_type", "day")
+      .agg(expr("percentile(slope, 0.5)").as("slope"),
+        sum(col("n_points")).as("n_points"))
+    val rows = agg.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val pts = ev.count()
+    println(f"[probe theilsen x$factor] points=$pts buckets=$buckets " +
+      f"groups_out=$rows  fit=$sec%.2f s (guard-compliant: every basket ≤ 2000)")
   }
 
   private def tarShards(spark: SparkSession, out: String, factor: Int): Unit = {
