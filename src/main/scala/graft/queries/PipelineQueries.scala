@@ -779,6 +779,102 @@ object PipelineQueries {
       .orderBy("host", "doc_id")
   }
 
+  /** p14: the WHOLE crawl frontier as one verified pipeline — p12's
+    * admission chain (candidate URLs, anti-join the crawled set, T27
+    * robots gate with group preference / longest-match / wildcard rules)
+    * feeding p13's politeness schedule (crawlDelays parse with the
+    * exact-agent override, default for directive-less hosts, 5-wave
+    * lookahead, ETA arithmetic) — the composition a crawler actually
+    * runs, against ONE chained oracle. Everything is the proven shapes:
+    * broadcast anti-join + broadcast rule-array join + broadcast delay
+    * join on the URL side, WindowGroupLimit for the capped wave window.
+    */
+  val p14 = QueryDef(
+    "p14_frontier_e2e",
+    """WITH u0 AS (SELECT doc_id, source || '.example' AS host,
+      |        CAST(substr(source, 4) AS BIGINT) AS srcn,
+      |        '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) ||
+      |          CASE WHEN doc_id % 7 = 0 THEN '.pdf' ELSE '.html' END AS path
+      |      FROM documents),
+      |u AS (SELECT doc_id, host, srcn, path,
+      |        'https://' || host || path AS url
+      |      FROM u0 WHERE doc_id % 5 <> 0),
+      |h AS (SELECT DISTINCT host, srcn FROM u0),
+      |rules AS (
+      |  SELECT host, '*' AS agent, FALSE AS allow, '/zh/' AS path,
+      |         CAST(NULL AS VARCHAR) AS rx, 4 AS len FROM h
+      |  UNION ALL SELECT host, '*', TRUE, '/zh/doc1', NULL, 8 FROM h
+      |  UNION ALL SELECT host, '*', FALSE, '/*.pdf$', '^/.*\.pdf$', 7 FROM h
+      |  UNION ALL SELECT host, 'graftbot', FALSE, '/fr/', NULL, 4 FROM h
+      |    WHERE srcn % 2 = 0),
+      |sel AS (SELECT r.* FROM rules r JOIN (
+      |    SELECT host, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS he
+      |    FROM rules GROUP BY host) g ON r.host = g.host
+      |  WHERE (CASE WHEN r.agent = 'graftbot' THEN 1 ELSE 0 END) = g.he),
+      |m AS (SELECT u.url, u.host, u.srcn, u.doc_id,
+      |        max(CASE WHEN r.path IS NULL THEN NULL
+      |             ELSE r.len * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END END) AS code
+      |      FROM u LEFT JOIN sel r ON u.host = r.host AND
+      |        (CASE WHEN r.rx IS NOT NULL THEN regexp_matches(u.path, r.rx)
+      |              ELSE starts_with(u.path, r.path) END)
+      |      GROUP BY u.url, u.host, u.srcn, u.doc_id),
+      |ok AS (SELECT host, srcn, doc_id, url FROM m
+      |       WHERE code IS NULL OR code % 2 = 1),
+      |s AS (SELECT host, doc_id, url,
+      |        CASE WHEN srcn % 4 = 0 THEN 500
+      |             WHEN srcn % 5 = 0 THEN 10000
+      |             ELSE 1000 * (srcn % 3 + 1) END AS delay_ms,
+      |        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS wave
+      |      FROM ok)
+      |SELECT host, doc_id, url, wave, (wave - 1) * delay_ms AS eta_ms
+      |FROM s WHERE wave <= 5 ORDER BY host, doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.Robots
+    val docs = Tables(s, dir, "documents")
+    val urls = docs
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("url", concat(lit("https://"), col("host"), lit("/"), col("lang"),
+        lit("/doc"), col("doc_id").cast("string"),
+        when(col("doc_id") % 7 === 0, ".pdf").otherwise(".html")))
+      .select("doc_id", "host", "url")
+    val crawled = urls.where(col("doc_id") % 5 === 0).select("url")
+    val fresh = urls.join(crawled, Seq("url"), "left_anti")
+    val hosts = docs.select(col("source")).distinct()
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("srcn", substring(col("source"), 4, 10).cast("long"))
+    val star = hosts.select(col("host"), explode(array(
+      struct(lit("*").as("agent"), lit(false).as("allow"), lit("/zh/").as("path")),
+      struct(lit("*").as("agent"), lit(true).as("allow"), lit("/zh/doc1").as("path")),
+      struct(lit("*").as("agent"), lit(false).as("allow"), lit("/*.pdf$").as("path"))))
+        .as("r"))
+      .select(col("host"), col("r.agent"), col("r.allow"), col("r.path"))
+    val bot = hosts.where(col("srcn") % 2 === 0)
+      .select(col("host"), lit("graftbot").as("agent"), lit(false).as("allow"),
+        lit("/fr/").as("path"))
+    val rules = star.unionByName(bot)
+      .withColumn("has_wildcard",
+        col("path").contains("*").or(col("path").contains("$")))
+    val admitted = Robots.admit(fresh, rules, "graftbot").where(col("robots_allowed"))
+    val bodies = hosts.withColumn("body",
+      when(col("srcn") % 4 === 0, lit("User-agent: *\nDisallow: /x\n"))
+        .otherwise(concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          (col("srcn") % 3 + 1).cast("string"), lit("\n"),
+          when(col("srcn") % 5 === 0,
+            lit("\nUser-agent: graftbot\nCrawl-delay: 10\n"))
+            .otherwise(lit("")))))
+    val delays = Robots.crawlDelays(bodies, "graftbot")
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("doc_id")
+    admitted.join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce((col("crawl_delay_s") * 1000).cast("long"), lit(500L)))
+      .withColumn("wave", row_number().over(byHost))
+      .where(col("wave") <= 5)
+      .select(col("host"), col("doc_id"), col("url"), col("wave"),
+        ((col("wave") - 1) * col("delay_ms")).as("eta_ms"))
+      .orderBy("host", "doc_id")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14)
 }
