@@ -30,19 +30,20 @@ import org.apache.spark.sql.functions._
   * Matching semantics implemented (RFC 9309 §2.2): groups of
   * consecutive `User-agent` lines share the rules that follow; rules
   * before any group are ignored; empty `Allow`/`Disallow` values match
-  * nothing and are dropped; the most specific (longest-pattern) rule
+  * nothing (a group whose only rules are empty — the `Disallow:`
+  * allow-all idiom — still EXISTS for agent selection and admits
+  * everything, see [[rules]]); the most specific (longest-pattern) rule
   * wins with `Allow` winning exact ties; `*` wildcards and the `$`
   * end-anchor are honored; keys and agent names are case-insensitive,
   * paths are case-sensitive. Agent-group selection is simplified to
   * "exact product token, else the `*` group" (the RFC's longest-prefix
   * product-token match matters only for versioned agent strings —
-  * callers pass the bare token). Patterns and paths compare as the
-  * literal octets given (documented trade): RFC 9309 §2.2.2 also wants
-  * percent-encoding-insensitive matching of unreserved characters
-  * (`/a%2Fb` vs `/a/b` stay distinct here, which is the CONSERVATIVE
-  * direction for Disallow only when rules are encoded and paths are
-  * not) — normalize both sides through [[Url.canonicalize]] upstream
-  * for encoded corpora.
+  * callers pass the bare token). Per RFC 9309 §2.2.2, `%XX` escapes of
+  * UNRESERVED octets are decoded and surviving escapes' hex uppercased
+  * on BOTH rule paths and URL paths before comparison
+  * ([[normalizePercent]]), so `/a%2Db` and `/a-b` match while `/a%2Fb`
+  * and `/a/b` stay distinct (decoding a reserved octet would change
+  * path structure).
   */
 object Robots {
 
@@ -52,7 +53,14 @@ object Robots {
     * via `WarcShards.decodedResponses`). Agents are lowercased; paths
     * keep their case. Empty-path rules (the "allow everything" idiom
     * `Disallow:` with no value) match nothing per the RFC and are not
-    * emitted.
+    * emitted AS RULES — but the group they name must still win agent
+    * selection (RFC 9309 §2.2.1: a matched group with no applicable
+    * rules admits everything; falling through to `*` would apply the
+    * WRONG group). Every group therefore also emits one zero-length
+    * `Allow` marker row (`path = ""`): it matches every path at the
+    * lowest possible precedence (len 0, beaten by any real rule), so it
+    * encodes exactly "this group exists and its default verdict is
+    * allow" for [[admit]]/[[crawlDelays]] without a side-channel.
     */
   def rules(bodies: DataFrame, hostCol: String = "host",
       bodyCol: String = "body"): DataFrame = {
@@ -62,12 +70,17 @@ object Robots {
         col("grp") > 0)
       .select(col("host"), col("grp"), (col("key") === "allow").as("allow"),
         col("value").as("path"))
+    val agents = groupAgents(grouped)
     // small per-host metadata joining small per-host metadata: both
     // sides are robots lines (≤500 KiB/host), keyed identically
-    groupAgents(grouped).join(ruleRows, Seq("host", "grp"))
+    val real = agents.join(ruleRows, Seq("host", "grp"))
       .select(col("host"), col("agent"), col("allow"), col("path"),
         col("path").contains("*").or(col("path").contains("$"))
           .as("has_wildcard"))
+    val markers = agents
+      .select(col("host"), col("agent"), lit(true).as("allow"),
+        lit("").as("path"), lit(false).as("has_wildcard"))
+    real.unionByName(markers)
   }
 
   /** Per-host `Crawl-delay` for `agent` (seconds, fractional allowed) —
@@ -75,8 +88,12 @@ object Robots {
     * most crawlers and load-bearing for frontier scheduling). Same group
     * semantics as [[admit]]: the agent's own group is preferred over
     * `*`; several directives in scope collapse to the MINIMUM (the
-    * conservative read). Hosts without a parseable directive are absent
-    * — the caller owns the default. Output: (host, crawl_delay_s).
+    * conservative read). Group preference follows group EXISTENCE, not
+    * directive presence (RFC 9309 §2.2.1): an exact-agent group WITHOUT
+    * a Crawl-delay never inherits the `*` group's value — the host is
+    * simply absent. Hosts without a parseable directive in the selected
+    * group are absent — the caller owns the default.
+    * Output: (host, crawl_delay_s).
     */
   def crawlDelays(bodies: DataFrame, agent: String, hostCol: String = "host",
       bodyCol: String = "body"): DataFrame = {
@@ -88,11 +105,14 @@ object Robots {
       .where(col("delay_s").isNotNull && col("delay_s") >= 0)
       .select(col("host"), col("grp"), col("delay_s"))
     val byHost = Window.partitionBy("host")
-    groupAgents(grouped).join(delayRows, Seq("host", "grp"))
+    // LEFT join: agent-group rows with no directive survive, so the
+    // exact-group-preference window sees every group the host declares
+    groupAgents(grouped).join(delayRows, Seq("host", "grp"), "left")
       .where(col("agent").isin(a, "*"))
       .withColumn("exact", col("agent") === a)
       .withColumn("has_exact", max(col("exact")).over(byHost))
       .where(col("exact") === col("has_exact"))
+      .where(col("delay_s").isNotNull)
       .groupBy("host")
       .agg(min(col("delay_s")).as("crawl_delay_s"))
   }
@@ -139,6 +159,39 @@ object Robots {
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("sitemap"))
       .where(col("sitemap") =!= "")
 
+  /** RFC 9309 §2.2.2 percent-encoding normalization, pure-Column: `%XX`
+    * escapes of UNRESERVED octets (ALPHA / DIGIT / `-` `.` `_` `~`,
+    * RFC 3986 §2.3) decode to the literal character, and every surviving
+    * escape's hex digits are uppercased — so a rule and a path match no
+    * matter which spelling the webmaster and the crawler chose.
+    * Reserved / non-ASCII escapes stay encoded (decoding `%2F` would
+    * turn it into a path separator — a structural change, not a
+    * spelling). Malformed escapes (`%` not followed by two hex digits)
+    * pass through untouched; a guard keeps escape-free strings (the
+    * overwhelming crawl majority) on a single `contains` check.
+    *
+    * Shape: split on a `(?=%)` lookahead (each escape starts its own
+    * segment), one array lambda per segment, re-concat — all codegen'd
+    * collection ops, zero UDFs, applied per-URL at 100 TB.
+    */
+  def normalizePercent(s: Column): Column = {
+    val normalized = concat_ws("", transform(split(s, "(?=%)"), seg => {
+      val hex = upper(seg.substr(lit(2), lit(2)))
+      val isEsc = seg.startsWith("%") && hex.rlike("^[0-9A-F]{2}$")
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved =
+        (code >= 0x30 && code <= 0x39) || (code >= 0x41 && code <= 0x5A) ||
+        (code >= 0x61 && code <= 0x7A) || code.isin(0x2D, 0x2E, 0x5F, 0x7E)
+      val rest = seg.substr(lit(4), length(seg))
+      when(!isEsc, seg)
+        .when(unreserved, concat(chr(code), rest))
+        .otherwise(concat(lit("%"), hex, rest))
+    }))
+    when(s.isNull, lit(null).cast("string"))
+      .when(!s.contains("%"), s)
+      .otherwise(normalized)
+  }
+
   /** A rule path as an anchored regex: specials escaped, `*` → `.*`,
     * a trailing `$` kept as the end anchor. Built column-side so rule
     * tables can come straight off a crawl with no driver round-trip.
@@ -180,15 +233,19 @@ object Robots {
       .withColumn("exact", col("agent") === a)
       .withColumn("has_exact", max(col("exact")).over(byHost))
       .where(col("exact") === col("has_exact"))
-      .withColumn("rx", when(col("has_wildcard"), ruleRegex(col("path")))
+      // §2.2.2: rules and paths compare percent-normalized; precedence
+      // (len) counts the normalized octets
+      .withColumn("path_n", normalizePercent(col("path")))
+      .withColumn("rx", when(col("has_wildcard"), ruleRegex(col("path_n")))
         .otherwise(lit(null).cast("string")))
       .groupBy("host")
       .agg(collect_list(struct(
-        length(col("path")).as("len"),
+        length(col("path_n")).as("len"),
         when(col("allow"), 1).otherwise(0).as("allow"),
-        col("path").as("path"),
+        col("path_n").as("path"),
         col("rx").as("rx"))).as("robots_rules"))
-    val path = coalesce(nullif(try_parse_url(col(urlCol), lit("PATH")), lit("")), lit("/"))
+    val path = normalizePercent(
+      coalesce(nullif(try_parse_url(col(urlCol), lit("PATH")), lit("")), lit("/")))
     val hits = filter(col("robots_rules"), r =>
       when(r.getField("rx").isNotNull, regexp_like(path, r.getField("rx")))
         .otherwise(path.startsWith(r.getField("path"))))

@@ -187,10 +187,30 @@ class PropertySuite extends SparkSpec {
     import spark.implicits._
     import graft.operators.Robots
     // reference semantics, implemented with direct char matching (no
-    // regex): '*' any run, trailing '$' end anchor, other chars literal
-    // (incl. mid-pattern '$' and regex specials); longest raw pattern
-    // wins, Allow wins ties; exact-agent group else '*'; no match/no
-    // rules -> allowed.
+    // regex): RFC 9309 §2.2.2 percent-normalization first (unreserved
+    // escapes decode, surviving hex uppercases), then '*' any run,
+    // trailing '$' end anchor, other chars literal (incl. mid-pattern
+    // '$' and regex specials); longest NORMALIZED pattern wins, Allow
+    // wins ties; exact-agent group else '*'; no match/no rules ->
+    // allowed. Zero-length patterns match everything at len 0 (the
+    // group-marker contract of Robots.rules).
+    def refNorm(s: String): String = {
+      def hex(c: Char) = Character.digit(c, 16) >= 0
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s(i) == '%' && i + 2 < s.length && hex(s(i + 1)) && hex(s(i + 2))) {
+          val h = s.substring(i + 1, i + 3)
+          val code = Integer.parseInt(h, 16)
+          val unres = (code >= '0' && code <= '9') ||
+            (code >= 'A' && code <= 'Z') || (code >= 'a' && code <= 'z') ||
+            "-._~".indexOf(code.toChar) >= 0
+          if (unres) sb.append(code.toChar)
+          else sb.append('%').append(h.toUpperCase)
+          i += 3
+        } else { sb.append(s(i)); i += 1 }
+      }
+      sb.toString
+    }
     def matches(pat: String, path: String): Boolean = {
       val (body, anchored) =
         if (pat.endsWith("$")) (pat.dropRight(1), true) else (pat, false)
@@ -200,21 +220,46 @@ class PropertySuite extends SparkSpec {
         else t < path.length && path(t) == body(p) && m(p + 1, t + 1)
       m(0, 0)
     }
-    def refAllowed(path: String, hostRules: Seq[(String, Boolean, String)],
+    def refAllowed(rawPath: String, hostRules: Seq[(String, Boolean, String)],
         agent: String): Boolean = {
+      val path = refNorm(rawPath)
       val mine = hostRules.filter(_._1 == agent)
       val grp = if (mine.nonEmpty) mine else hostRules.filter(_._1 == "*")
-      val hits = grp.filter(r => matches(r._3, path))
+      val hits = grp.map(r => (r._1, r._2, refNorm(r._3)))
+        .filter(r => matches(r._3, path))
       if (hits.isEmpty) true
       else hits.maxBy(r => (r._3.length, r._2))._2 // longest, allow wins tie
     }
     val rnd = new scala.util.Random(4242)
-    val segs = Vector("a", "bb", "c.d", "img", "doc", "x")
-    def randPath(): String =
+    // q%2Fr / q%2fr: reserved escapes that must match each other (hex
+    // case-fold) but never the decoded 'q/r'
+    val segs = Vector("a", "bb", "c.d", "img", "doc", "x", "q%2Fr", "q%2fr")
+    // re-spell random unreserved chars as escapes, but never the chars
+    // of an EXISTING escape: a malformed '%2%46' makes try_parse_url
+    // reject the whole URL (null host/path — admit's unparsable-URL
+    // path, not the matcher under test)
+    def encodeMix(s: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        val ch = s(i)
+        if (ch == '%') { sb.append(s.substring(i, math.min(i + 3, s.length))); i += 3 }
+        else {
+          if (rnd.nextInt(5) == 0 && (ch.isLetterOrDigit || ch == '.')) {
+            val h = f"${ch.toInt}%02X"
+            sb.append('%').append(if (rnd.nextBoolean()) h else h.toLowerCase)
+          } else sb.append(ch)
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    def randPath(): String = encodeMix(
       (1 to 1 + rnd.nextInt(3)).map(_ => segs(rnd.nextInt(segs.size)))
-        .mkString("/", "/", if (rnd.nextBoolean()) ".html" else "")
+        .mkString("/", "/", if (rnd.nextBoolean()) ".html" else ""))
     def randPattern(): String = {
+      if (rnd.nextInt(8) == 0) return "" // zero-length group marker
       var p = randPath().take(1 + rnd.nextInt(8))
+      if (p.endsWith("%") || p.takeRight(2).startsWith("%")) p = p + "x" // no cut mid-escape
       if (rnd.nextInt(3) == 0) { // inject a wildcard at a random cut
         val i = 1 + rnd.nextInt(p.length)
         p = p.substring(0, i) + "*" + p.substring(i)

@@ -31,8 +31,13 @@ class RobotsSuite extends SparkSpec {
     Robots.rules(hostBodies.toSeq.toDF("host", "body"))
 
   test("rules: groups, shared agents, empty patterns, preamble, CRLF") {
-    val r = rulesFor("a.test" -> body).collect()
+    val all = rulesFor("a.test" -> body).collect()
       .map(x => (x.getString(0), x.getString(1), x.getBoolean(2), x.getString(3), x.getBoolean(4)))
+    // every group carries exactly one zero-length allow marker per agent
+    // (group existence for agent selection); real rules have path != ""
+    assert(all.filter(_._4 == "").map(t => (t._2, t._3)).sorted.toSeq ==
+      Seq(("*", true), ("graftbot", true), ("otherbot", true)))
+    val r = all.filter(_._4 != "")
     // both agents of group 1 inherit all three rules; * group gets its two
     assert(r.count(_._2 == "graftbot") == 3)
     assert(r.count(_._2 == "otherbot") == 3)
@@ -42,11 +47,70 @@ class RobotsSuite extends SparkSpec {
     assert(r.filter(_._5).map(_._4).toSet == Set("/*.pdf$"))
 
     // rules BEFORE any User-agent line are ignored; empty Disallow
-    // matches nothing and is dropped; CRLF and UA-case are fine
+    // matches nothing and is dropped (only the group marker remains);
+    // CRLF and UA-case are fine
     val r2 = rulesFor("b.test" ->
       "Disallow: /orphan\r\nUSER-AGENT: GraftBot\r\nDisallow:\r\nAllow: /x\r\n")
       .collect().map(x => (x.getString(1), x.getString(3)))
-    assert(r2.toSeq == Seq(("graftbot", "/x")))
+    assert(r2.filter(_._2 != "").toSeq == Seq(("graftbot", "/x")))
+    assert(r2.toSet == Set(("graftbot", "/x"), ("graftbot", "")))
+  }
+
+  test("rules: the Disallow-nothing idiom keeps its group winning selection") {
+    // RFC 9309 §2.2.1: 'User-agent: graftbot / Disallow:' is an
+    // allow-everything group; falling through to the * group (which
+    // blocks all) would be the wrong group entirely
+    val rules = rulesFor("a.test" ->
+      "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n")
+    val got = Robots.admit(
+      Seq("https://a.test/x", "https://a.test/").toDF("url"), rules, "graftbot")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(got.values.forall(identity), s"empty graftbot group must admit all: $got")
+    // an agent NOT naming the empty group still gets the * rules
+    val star = Robots.admit(
+      Seq("https://a.test/x").toDF("url"), rules, "strangerbot")
+      .select("robots_allowed").as[Boolean].collect()
+    assert(star.toSeq == Seq(false))
+    // a group with rules is unaffected by its own marker: real rule wins
+    val rules2 = rulesFor("b.test" ->
+      "User-agent: graftbot\nDisallow:\nDisallow: /priv/\n")
+    val got2 = Robots.admit(
+      Seq("https://b.test/priv/x", "https://b.test/pub").toDF("url"),
+      rules2, "graftbot")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(!got2("https://b.test/priv/x") && got2("https://b.test/pub"))
+  }
+
+  test("admit/rules: percent-encoding normalization (RFC 9309 §2.2.2)") {
+    // unreserved escapes decode on both sides; reserved stay encoded
+    // but hex case-folds; precedence counts normalized octets
+    val rules = rulesFor("a.test" ->
+      ("User-agent: *\nDisallow: /a%2Db/\nDisallow: /c%2fd\n" +
+        "Allow: /%7Euser\nDisallow: /%7E*\n"))
+    val got = Robots.admit(Seq(
+      "https://a.test/a-b/x",     // rule /a%2Db/ == /a-b/ -> disallow
+      "https://a.test/a%2Db/x",   // URL escape decodes too -> disallow
+      "https://a.test/c%2Fd",     // reserved: %2f ~ %2F (hex case) -> disallow
+      "https://a.test/c/d",       // reserved NOT decoded -> no match -> allow
+      "https://a.test/~user/p",   // allow len 6 beats /%7E* len 3 wildcard
+      "https://a.test/%7euser/p", // same, URL-side escape + lowercase hex
+      "https://a.test/~other"     // only the wildcard disallow matches
+    ).toDF("url"), rules, "graftbot")
+      .select("url", "robots_allowed").as[(String, Boolean)].collect().toMap
+    assert(!got("https://a.test/a-b/x"))
+    assert(!got("https://a.test/a%2Db/x"))
+    assert(!got("https://a.test/c%2Fd"))
+    assert(got("https://a.test/c/d"))
+    assert(got("https://a.test/~user/p"))
+    assert(got("https://a.test/%7euser/p"))
+    assert(!got("https://a.test/~other"))
+
+    // the normalizer itself: malformed escapes pass through, hex
+    // uppercases, unreserved decodes — and escape-free strings short-circuit
+    import org.apache.spark.sql.functions.col
+    val norm = Seq("/a%41b%2fc%G1%", "/plain", "%7e").toDF("s")
+      .select(Robots.normalizePercent(col("s"))).as[String].collect().toSeq
+    assert(norm == Seq("/aAb%2Fc%G1%", "/plain", "~"))
   }
 
   test("sitemaps are surfaced host-keyed") {
@@ -133,10 +197,18 @@ class RobotsSuite extends SparkSpec {
       // junk / negative values don't parse; preamble directive ignored
       "c.test" -> "Crawl-delay: 9\nUser-agent: *\nCrawl-delay: soon\nCrawl-delay: -1\n",
       // no directive at all
-      "d.test" -> "User-agent: *\nDisallow: /x\n").toDF("host", "body")
+      "d.test" -> "User-agent: *\nDisallow: /x\n",
+      // exact group EXISTS but carries no delay: it still wins group
+      // selection (RFC 9309 §2.2.1), so the * group's 7 must NOT leak
+      "e.test" -> ("User-agent: graftbot\nDisallow: /y\n\n" +
+        "User-agent: *\nCrawl-delay: 7\n")).toDF("host", "body")
     val got = Robots.crawlDelays(bodies, "graftbot")
       .as[(String, Double)].collect().toMap
     assert(got == Map("a.test" -> 5.0, "b.test" -> 0.5))
+    // e.test's * delay is still there for agents without their own group
+    val star = Robots.crawlDelays(bodies, "strangerbot")
+      .as[(String, Double)].collect().toMap
+    assert(star("e.test") == 7.0)
   }
 
   test("E18: streaming wave scheduler — cross-batch counters, batch parity") {
