@@ -57,33 +57,52 @@ object Url {
   }
 
   /** Public-suffix-list registered domain: `suffixes` is the rule table
-    * (publicsuffix.org format entries — `uk`, `co.uk`, `github.io`, …;
-    * distribute the file via [[graft.api.Artifacts]] and pass its lines).
-    * Longest matching rule wins (the PSL algorithm): the registered
-    * domain is the matched public suffix plus one label, so
-    * `user.github.io` → `user.github.io` when `github.io` is in the
-    * table. A host that IS a public suffix (or a bare TLD under the PSL
-    * default `*` rule) yields null — nothing is registrable there, and
-    * null is the honest grouping key. Hosts matching no rule follow the
-    * PSL default rule (suffix = last label → registered = last two).
+    * (publicsuffix.org format entries — `uk`, `co.uk`, `github.io`,
+    * `*.ck`, `!www.ck`, …; pass the VERBATIM file's lines — comments and
+    * blanks are skipped; distribute it via [[graft.api.Artifacts]]).
+    * The PSL algorithm: exception rules win outright, else the longest
+    * matching rule; the registered domain is the matched public suffix
+    * plus one label, so `user.github.io` → `user.github.io` when
+    * `github.io` is in the table. A wildcard `*.ck` makes EVERY
+    * `<label>.ck` a public suffix (`foo.ck` → null, `bar.foo.ck` →
+    * `bar.foo.ck`); the exception `!www.ck` carves `www.ck` back out as
+    * registrable (suffix = the exception minus its leftmost label). A
+    * host that IS a public suffix (or a bare TLD under the PSL default
+    * `*` rule) yields null — nothing is registrable there, and null is
+    * the honest grouping key. Hosts matching no rule follow the PSL
+    * default rule (suffix = last label → registered = last two).
     *
     * Still a pure Column composition — each suffix-length tier compiles
     * to an `InSet` membership over the literal rule set (hash-set
     * lookup inside WholeStageCodegen, the same zero-UDF contract as the
     * heuristic; a broadcast join would cost an exchange per tier on a
-    * column touched on every row at 100 TB). Wildcard (`*.foo`) and
-    * exception (`!bar.foo`) rules are intentionally unsupported (≈50 of
-    * 10k PSL entries) and fail loud — silently mis-grouping them would
-    * defeat the point of passing a PSL.
+    * column touched on every row at 100 TB). A wildcard tier is one
+    * more `InSet` over the PARENT labels at +1 slice depth; exceptions
+    * are a pre-check set tested before everything. Only the published
+    * PSL shapes are accepted: a leading `*.` (no inner wildcards — none
+    * exist in the PSL format) and a leading `!`; anything else still
+    * fails loud.
     */
   def registeredDomain(c: Column, suffixes: Iterable[String]): Column = {
     val rules = suffixes.iterator.map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(s => s.nonEmpty && !s.startsWith("//")).toSeq.distinct
     require(rules.nonEmpty, "empty public-suffix table")
-    require(!rules.exists(r => r.contains("*") || r.startsWith("!")),
-      "wildcard/exception PSL rules unsupported: " +
-        rules.filter(r => r.contains("*") || r.startsWith("!")).take(3).mkString(","))
-    val byLen: Map[Int, Seq[String]] = rules.groupBy(_.count(_ == '.') + 1)
+    val (excRules, plain) = rules.partition(_.startsWith("!"))
+    val (wildRules, normal) = plain.partition(_.startsWith("*."))
+    val exceptions = excRules.map(_.drop(1))
+    val wildParents = wildRules.map(_.drop(2))
+    val malformed = (normal ++ wildParents ++ exceptions)
+      .filter(r => r.contains("*") || r.contains("!") || r.isEmpty)
+    require(malformed.isEmpty,
+      "PSL rules outside the published format (leading '*.' / '!' only): " +
+        malformed.take(3).mkString(","))
+    def labels(s: String): Int = s.count(_ == '.') + 1
+    // tiers by EFFECTIVE suffix length: a normal k-label rule matches a
+    // k-label suffix; a wildcard '*.<parent>' matches a (labels(parent)+1)-
+    // label suffix. Same when-chain, two InSets per tier.
+    val normByLen = normal.groupBy(labels)
+    val wildByLen = wildParents.groupBy(labels(_) + 1)
+    val excByLen = exceptions.groupBy(labels)
     val h = host(c)
     val parts = split(h, "\\.")
     val n = size(parts)
@@ -92,15 +111,26 @@ object Url {
       .otherwise(lit(null).cast("string"))
     // longest match wins: fold ascending so the LARGEST tier lands
     // outermost in the when-chain and is therefore tested first
-    val matched = byLen.keys.toSeq.sorted.foldLeft(dflt) { (els, k) =>
-      val cand = concat_ws(".", slice(parts, -k, k))
-      when(n > k && cand.isInCollection(byLen(k)),
-          concat_ws(".", slice(parts, -(k + 1), k + 1)))
-        .when(n === k && cand.isInCollection(byLen(k)),
-          lit(null).cast("string"))
+    val tiers = (normByLen.keySet ++ wildByLen.keySet).toSeq.sorted
+    val matched = tiers.foldLeft(dflt) { (els, k) =>
+      val candK = concat_ws(".", slice(parts, -k, k))
+      val candParent = concat_ws(".", slice(parts, -(k - 1), k - 1))
+      val hit = Seq(
+        normByLen.get(k).map(s => candK.isInCollection(s)),
+        wildByLen.get(k).map(s => candParent.isInCollection(s))
+      ).flatten.reduce(_ || _)
+      when(n > k && hit, concat_ws(".", slice(parts, -(k + 1), k + 1)))
+        .when(n === k && hit, lit(null).cast("string"))
         .otherwise(els)
     }
-    when(h.isNull, lit(null).cast("string")).otherwise(matched)
+    // exception rules beat every other match: the suffix is the rule
+    // minus its leftmost label, so the rule's labels ARE the registered
+    // domain whenever the host ends with them
+    val withExc = excByLen.keys.toSeq.sorted.foldLeft(matched) { (els, k) =>
+      val candK = concat_ws(".", slice(parts, -k, k))
+      when(n >= k && candK.isInCollection(excByLen(k)), candK).otherwise(els)
+    }
+    when(h.isNull, lit(null).cast("string")).otherwise(withExc)
   }
 
   /** Query-param names that never identify content: analytics campaign

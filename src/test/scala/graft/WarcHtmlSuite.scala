@@ -281,10 +281,12 @@ class WarcHtmlSuite extends SparkSpec {
 
   test("url: PSL-backed registered domain — private suffixes, longest match, defaults") {
     import graft.operators.Url
-    // a miniature publicsuffix.org table: TLDs, a ccTLD second level,
-    // and the multi-label PRIVATE suffixes the heuristic merges wrong
+    // a miniature publicsuffix.org table in the VERBATIM file shape:
+    // TLDs, a ccTLD second level, the multi-label PRIVATE suffixes the
+    // heuristic merges wrong, and the wildcard/exception family
     val psl = Seq("com", "org", "io", "uk", "co.uk", "ac.uk",
-      "github.io", "blogspot.com", "// comment lines are ignored", "")
+      "github.io", "blogspot.com", "ck", "*.ck", "!www.ck", "*.nom.br",
+      "// comment lines are ignored", "")
     def one(url: String): Option[String] =
       Seq(url).toDF("u").select(Url.registeredDomain($"u", psl).as("r"))
         .as[Option[String]].head()
@@ -306,17 +308,30 @@ class WarcHtmlSuite extends SparkSpec {
     assert(one("http://localhost/").isEmpty)
     assert(one("::::junk").isEmpty)
 
+    // wildcard rule: every <label>.ck is a public suffix…
+    assert(one("https://foo.ck/").isEmpty)          // IS a suffix under *.ck
+    assert(one("https://bar.foo.ck/p").contains("bar.foo.ck"))
+    assert(one("https://deep.bar.foo.ck/").contains("bar.foo.ck"))
+    assert(one("https://ck/").isEmpty)              // bare TLD rule 'ck'
+    // …except the exception rule, which carves www.ck back out
+    assert(one("https://www.ck/").contains("www.ck"))
+    assert(one("https://shop.www.ck/x").contains("www.ck"))
+    // deeper wildcard parent: *.nom.br (wildcard tier at 3 labels)
+    assert(one("https://someone.nom.br/").isEmpty)
+    assert(one("https://site.someone.nom.br/").contains("site.someone.nom.br"))
+
     // still zero-UDF: InSet literals, not a join or a udf
     val plan = Seq("https://user.github.io/").toDF("u")
       .select(Url.registeredDomain($"u", psl))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("ScalaUDF") && !plan.contains("Join"), plan.take(400))
 
-    // wildcard / exception rules fail loud, never mis-group silently
+    // rules OUTSIDE the published PSL shapes still fail loud (inner
+    // wildcards / bare '*.' / empty tables never mis-group silently)
     intercept[IllegalArgumentException](
-      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("com", "*.ck"))))
+      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("com", "a.*.ck"))))
     intercept[IllegalArgumentException](
-      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("com", "!www.ck"))))
+      Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("com", "!w*.ck"))))
     intercept[IllegalArgumentException](
       Seq("x").toDF("u").select(Url.registeredDomain($"u", Seq("// only", ""))))
   }
