@@ -41,22 +41,83 @@ object Manifests {
     * committed). Call it right after a write/compact — the maintenance
     * step owns the manifest like it owns compaction.
     */
-  def write(spark: SparkSession, path: String, glob: String = "*"): Unit = {
+  def write(spark: SparkSession, path: String, glob: String = "*"): Unit =
+    writeFor(spark, path, glob, allowEmpty = false)
+
+  /** [[write]] with an explicit empty policy — [[ShardCommit.publish]]
+    * legitimately publishes an EMPTY manifest when every partition was
+    * empty (readers then see an empty-but-committed corpus, which is
+    * different from "nobody published here yet").
+    */
+  private[sources] def writeFor(spark: SparkSession, path: String,
+      glob: String, allowEmpty: Boolean): Unit = {
     val rows = digest(spark, path, glob)
       .orderBy("file")
       .select(to_json(struct(col("file"), col("bytes"), col("sha256"))).as("j"))
       .collect().map(_.getString(0)) // |shards| metadata rows, driver-bounded
-    require(rows.nonEmpty, s"no shards match $path/$glob")
+    require(allowEmpty || rows.nonEmpty, s"no shards match $path/$glob")
     val p = new org.apache.hadoop.fs.Path(path, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, s"_tmp-$FileName")
     val out = fs.create(tmp, true)
-    try out.write((rows.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write(rows.map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
     fs.delete(p, false)
     if (!fs.rename(tmp, p))
       throw new java.io.IOException(s"manifest commit failed: $tmp -> $p")
     ()
+  }
+
+  /** The manifest's file list (sorted) — the authoritative shard set of
+    * a [[ShardCommit.Publish]]-mode directory. Driver-side metadata read
+    * (|shards| lines).
+    */
+  def listedFiles(spark: SparkSession, path: String): Seq[String] =
+    readLines(spark, path).map { l =>
+      val m = "\"file\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(l)
+      require(m.isDefined, s"manifest line without a file field: ${l.take(80)}")
+      m.get.group(1)
+    }.sorted
+
+  /** A `{f1,f2,…}` listing glob over the manifest's files — pass as the
+    * `glob` of [[TarShards.entries]]/[[WarcShards.records]]/compaction
+    * so readers consume ONLY published shards (the object-store commit
+    * contract: orphan attempt files from zombie writers sit in the same
+    * directory but are never listed here). An empty manifest yields a
+    * cannot-match glob (a valid empty relation, like
+    * [[TarShards.lookupSamples]] with zero hits).
+    */
+  def listedGlob(spark: SparkSession, path: String): String = {
+    val files = listedFiles(spark, path)
+    if (files.isEmpty) "*.__none__" else files.mkString("{", ",", "}")
+  }
+
+  /** Post-maintenance manifest upkeep: if (and only if) the directory is
+    * manifest-published, swap `removed` files out of the authoritative
+    * list and digest `added` ones in — compaction moves bytes, so the
+    * manifest it invalidates must be re-owned in the same maintenance
+    * step (the key-index deletion discipline, applied to the commit
+    * ledger). No-op when no manifest exists (a plain rename-committed
+    * directory).
+    */
+  def refresh(spark: SparkSession, path: String, removed: Seq[String],
+      added: Seq[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val keep = (listedFiles(spark, path).toSet -- removed) ++ added
+    writeFor(spark, path,
+      if (keep.isEmpty) "*.__none__" else keep.toSeq.sorted.mkString("{", ",", "}"),
+      allowEmpty = true)
+  }
+
+  private def readLines(spark: SparkSession, path: String): List[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, FileName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no $FileName under $path — write() one first")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
   }
 
   /** Re-digest the directory and diff it against `_MANIFEST.jsonl`.
@@ -67,16 +128,10 @@ object Manifests {
     * The diff is a full-outer join of two |shards|-row metadata frames.
     */
   def verify(spark: SparkSession, path: String, glob: String = "*"): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path, FileName)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"no $FileName under $path — write() one first")
     // read driver-side: Spark's file index skips underscore-prefixed
     // paths (the very property that hides the manifest from shard
     // globs), and the manifest is |shards| rows of metadata anyway
-    val in = fs.open(p)
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-      finally in.close()
+    val lines = readLines(spark, path)
     import spark.implicits._
     val want = spark.read.schema("file STRING, bytes LONG, sha256 STRING")
       .json(spark.createDataset(lines))

@@ -75,9 +75,19 @@ object TarShards {
     * filesystem; memory is bounded by ONE member, not the shard. Rows
     * with a null/empty key or null content fail loud: a silently dropped
     * sample in training data is corruption, not convenience.
+    *
+    * `commit` picks the task-commit protocol: [[ShardCommit.Rename]]
+    * (default — HDFS/local atomic rename) or [[ShardCommit.Publish]] for
+    * S3-class object stores: attempt-unique final names, then a
+    * driver-side election publishes the authoritative shard list as the
+    * `_MANIFEST.jsonl`; read such a directory ONLY through
+    * `Manifests.listedGlob(spark, path)` as the glob (zombie attempts
+    * landing after publish are invisible to the manifest and flagged
+    * `extra` by `Manifests.check`).
     */
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists,
-      shards: Option[Int] = None): Unit = {
+      shards: Option[Int] = None,
+      commit: ShardCommit.Mode = ShardCommit.Rename): Unit = {
     val spark = df.sparkSession
     val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val out = new org.apache.hadoop.fs.Path(path)
@@ -97,9 +107,10 @@ object TarShards {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new org.apache.hadoop.fs.Path(f"$pathStr/shard-$pid%05d.tar")
-        // temp-then-rename commit: concurrent attempts (speculation,
-        // zombie-vs-retry) must never interleave into one final shard
-        ShardCommit.withCommit(hadoopConf, p) { stream =>
+        // task commit (rename or attempt-unique publish): concurrent
+        // attempts (speculation, zombie-vs-retry) must never interleave
+        // into one final shard
+        ShardCommit.withCommit(hadoopConf, p, commit) { stream =>
           var wrote = false
           rows.foreach { r =>
             val key = r.getString(0)
@@ -117,6 +128,7 @@ object TarShards {
           wrote
         }
       }
+    if (commit == ShardCommit.Publish) ShardCommit.publish(spark, path, ".tar")
   }
 
   private val KeyIndexDir = "_keyindex"
@@ -211,16 +223,18 @@ object TarShards {
       tmp, SaveMode.Overwrite, shards = Some(n))
     // swap: drop exactly the matched inputs, rename the rewrite in
     listed.foreach(st => fs.delete(st.getPath, false))
-    fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/shard-*.tar")).foreach { st =>
+    val produced = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/shard-*.tar")).map { st =>
       val dst = new org.apache.hadoop.fs.Path(path,
         st.getPath.getName.replaceFirst("^shard-", "compacted-"))
       fs.delete(dst, false)
       if (!fs.rename(st.getPath, dst))
         throw new java.io.IOException(s"compactShards commit failed: ${st.getPath} -> $dst")
+      dst.getName
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     fs.delete(new org.apache.hadoop.fs.Path(path, KeyIndexDir), true) // stale now
-    ()
+    Manifests.refresh(spark, path, listed.map(_.getPath.getName).toSeq,
+      produced.toSeq)
   }
 
   // ---- ustar encode ----

@@ -217,9 +217,14 @@ object WarcShards {
     * the job writes byte-identical records (no RNG, the X-family
     * discipline; gzip members carry mtime 0 for the same reason).
     * Null url/body fail loud; `shards = Some(n)` hash-partitions by url.
+    * `commit` = [[ShardCommit.Publish]] for object stores without atomic
+    * rename: attempt-unique final names + driver-elected
+    * `_MANIFEST.jsonl`; read only via `Manifests.listedGlob` then (see
+    * [[TarShards.write]] — same contract).
     */
   def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.ErrorIfExists,
-      shards: Option[Int] = None): Unit = {
+      shards: Option[Int] = None,
+      commit: ShardCommit.Mode = ShardCommit.Rename): Unit = {
     val spark = df.sparkSession
     val hadoopConf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
     val out = new org.apache.hadoop.fs.Path(path)
@@ -240,9 +245,10 @@ object WarcShards {
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val p = new org.apache.hadoop.fs.Path(f"$pathStr/shard-$pid%05d.warc.gz")
-        // temp-then-rename commit: concurrent attempts (speculation,
-        // zombie-vs-retry) must never interleave into one final shard
-        ShardCommit.withCommit(hadoopConf, p) { stream =>
+        // task commit (rename or attempt-unique publish): concurrent
+        // attempts (speculation, zombie-vs-retry) must never interleave
+        // into one final shard
+        ShardCommit.withCommit(hadoopConf, p, commit) { stream =>
           var wrote = false
           rows.foreach { r =>
             val url = r.getString(0)
@@ -258,6 +264,7 @@ object WarcShards {
           wrote
         }
       }
+    if (commit == ShardCommit.Publish) ShardCommit.publish(spark, path, ".warc.gz")
   }
 
   /** Compact small crawl shards in place into ~`targetShardBytes` bins —
@@ -321,15 +328,16 @@ object WarcShards {
     }
     // swap: drop exactly the matched inputs, rename the bins in
     listed.foreach(st => fs.delete(st.getPath, false))
-    plan.foreach { case (_, i) =>
+    val produced = plan.map { case (_, i) =>
       val src = new org.apache.hadoop.fs.Path(f"$tmp/compacted-$i%05d.warc.gz")
       val dst = new org.apache.hadoop.fs.Path(root, f"compacted-$i%05d.warc.gz")
       fs.delete(dst, false)
       if (!fs.rename(src, dst))
         throw new java.io.IOException(s"compactShards commit failed: $src -> $dst")
+      dst.getName
     }
     fs.delete(tmpPath, true)
-    ()
+    Manifests.refresh(spark, path, listed.map(_.getPath.getName).toSeq, produced)
   }
 
   // ---- encode ----

@@ -256,6 +256,101 @@ class SourcesSuite extends SparkSpec {
     assert(leftover.isEmpty, s"aborted write left files: $leftover")
   }
 
+  test("publish-mode commit: attempt-unique finals, manifest is the truth, zombies invisible") {
+    import spark.implicits._
+    import graft.sources.{Manifests, ShardCommit, TarShards, WarcShards}
+    val tmp = Files.createTempDirectory("graft-publish").toString
+    def visible(dir: String) = Option(new java.io.File(dir).listFiles())
+      .map(_.map(_.getName).toSeq.filterNot(_.startsWith("."))).getOrElse(Nil)
+
+    // --- tar: write in Publish mode ---
+    val rows = (0 until 12).map(i => (f"k$i%03d", "txt", s"v$i".getBytes("UTF-8")))
+    TarShards.write(rows.toDF("key", "ext", "content"), s"$tmp/t",
+      shards = Some(3), commit = ShardCommit.Publish)
+    // finals are attempt-suffixed (NO rename happened), manifest published
+    val tNames = visible(s"$tmp/t")
+    assert(tNames.count(_.matches("shard-\\d{5}-a\\d{8}\\.tar")) == 3, tNames.toString)
+    assert(tNames.contains(Manifests.FileName), tNames.toString)
+    assert(Manifests.listedFiles(spark, s"$tmp/t").size == 3)
+    // manifest-driven read round-trips the corpus
+    def readT() = TarShards.entries(spark, s"$tmp/t",
+      Manifests.listedGlob(spark, s"$tmp/t"))
+      .select("key", "content").as[(String, Array[Byte])].collect()
+      .map { case (k, c) => (k, new String(c, "UTF-8")) }.toMap
+    val before = readT()
+    assert(before == rows.map { case (k, _, c) => k -> new String(c, "UTF-8") }.toMap)
+    Manifests.check(spark, s"$tmp/t") // clean directory: losers were swept
+
+    // --- zombie attempt lands AFTER publish: different bytes, higher id ---
+    val winner = Manifests.listedFiles(spark, s"$tmp/t")
+      .find(_.startsWith("shard-00001")).get
+    val zombie = winner.replaceFirst("-a\\d{8}", "-a99999999")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/t", zombie),
+      "NOT A REAL SHARD".getBytes("UTF-8"))
+    // readers consume only manifest-listed files: identical result
+    assert(readT() == before, "zombie attempt leaked into a manifest-driven read")
+    // …and check() rejects the orphan for maintenance to sweep
+    val e = intercept[IllegalStateException](Manifests.check(spark, s"$tmp/t"))
+    assert(e.getMessage.contains("extra") && e.getMessage.contains(zombie), e.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/t", zombie))
+
+    // --- duplicate attempt present at publish time: election keeps the
+    // first, deletes the loser, manifest unchanged (byte-identical
+    // attempts — the writers' determinism contract) ---
+    val dupe = winner.replaceFirst("-a\\d{8}", "-a00000042")
+    val winnerBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/t", winner))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/t", dupe), winnerBytes)
+    ShardCommit.publish(spark, s"$tmp/t", ".tar")
+    val elected = Manifests.listedFiles(spark, s"$tmp/t")
+    assert(elected.count(_.startsWith("shard-00001")) == 1)
+    assert(elected.find(_.startsWith("shard-00001")).get ==
+      (if (winner < dupe) winner else dupe))
+    assert(!visible(s"$tmp/t").contains(if (winner < dupe) dupe else winner),
+      "loser attempt must be swept at publish")
+    assert(readT() == before)
+    Manifests.check(spark, s"$tmp/t")
+
+    // --- warc: same contract, plus compaction re-owns the manifest ---
+    val wrows = (0 until 10).map(i => (s"http://x.test/$i", "2024-01-01T00:00:00Z",
+      "text/html", s"<p>$i</p>".getBytes("UTF-8")))
+    WarcShards.write(wrows.toDF("url", "warc_date", "content_type", "body"),
+      s"$tmp/w", shards = Some(4), commit = ShardCommit.Publish)
+    val wNames = visible(s"$tmp/w")
+    assert(wNames.count(_.matches("shard-\\d{5}-a\\d{8}\\.warc\\.gz")) == 4, wNames.toString)
+    def readW() = WarcShards.responses(spark, s"$tmp/w",
+      Manifests.listedGlob(spark, s"$tmp/w"))
+      .select("url", "body").as[(String, Array[Byte])].collect()
+      .map { case (u, b) => (u, new String(b, "UTF-8")) }.toMap
+    val wBefore = readW()
+    assert(wBefore == wrows.map { case (u, _, _, b) => u -> new String(b, "UTF-8") }.toMap)
+    // zombie double-write on the warc side too
+    val wWinner = Manifests.listedFiles(spark, s"$tmp/w").head
+    val wZombie = wWinner.replaceFirst("-a\\d{8}", "-a99999999")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/w", wZombie),
+      Array[Byte](0x1f, 0x8b.toByte, 8, 0)) // gzip-magic junk
+    assert(readW() == wBefore, "zombie attempt leaked into a manifest-driven warc read")
+    assert(Manifests.verify(spark, s"$tmp/w").select("status")
+      .as[String].collect().toSeq == Seq("extra"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$tmp/w", wZombie))
+    // compaction consumes ONLY manifest-listed shards and refreshes the
+    // manifest over the compacted layout
+    WarcShards.compactShards(spark, s"$tmp/w", 1L << 20,
+      glob = Manifests.listedGlob(spark, s"$tmp/w"))
+    val wAfter = Manifests.listedFiles(spark, s"$tmp/w")
+    assert(wAfter.nonEmpty && wAfter.forall(_.startsWith("compacted-")), wAfter.toString)
+    Manifests.check(spark, s"$tmp/w")
+    assert(readW() == wBefore)
+
+    // --- empty input still publishes: an empty manifest is a committed
+    // empty corpus, not an unpublished directory ---
+    TarShards.write(rows.take(0).toDF("key", "ext", "content"), s"$tmp/e",
+      commit = ShardCommit.Publish)
+    assert(Manifests.listedFiles(spark, s"$tmp/e").isEmpty)
+    assert(TarShards.entries(spark, s"$tmp/e",
+      Manifests.listedGlob(spark, s"$tmp/e")).isEmpty)
+  }
+
   test("tar key index: point lookups read only the hit shards; stale index fails loud") {
     import spark.implicits._
     import graft.sources.TarShards
