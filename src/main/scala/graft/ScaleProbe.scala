@@ -1095,13 +1095,18 @@ object ScaleProbe {
     * format is one sequential pass per shard) — time per MB should be
     * flat across factors, and samples() adds only the per-shard groupBy.
     */
-  /** Frontier probe: T27 admission + the p13 capped politeness schedule
-    * over a FIXED 30-host rule set while the URL volume grows ×factor —
-    * the trap this disproves is parallelism collapsing to |hosts| (the
-    * q102 window shape): admission is a broadcast join + array lambda
-    * (narrow, scales with cores) and the capped schedule's
+  /** Frontier probe: the bloom novelty gate, T27 admission and the p13
+    * capped politeness schedule over a FIXED 30-host rule set while the
+    * URL volume grows ×factor — the traps this disproves are
+    * parallelism collapsing to |hosts| (the q102 window shape) and the
+    * already-crawled check shuffling the ledger at every tick:
+    * the novel gate is a broadcast bloom + an anti-join whose candidate
+    * side is only the flagged fraction (`Dedup.frontierNovel`, ledger =
+    * every 5th URL), admission is a broadcast join + array lambda
+    * (narrow, scales with cores), and the capped schedule's
     * WindowGroupLimit keeps ≤5 rows/host/partition ahead of the only
-    * exchange, so wall time must track the SCAN, not |hosts|.
+    * exchange — so wall time must track the SCAN, not |hosts| or the
+    * ledger.
     */
   private def frontier(spark: SparkSession, factor: Int): Unit = {
     import graft.operators.Robots
@@ -1128,7 +1133,15 @@ object ScaleProbe {
       val c = f
       println(f"[probe frontier x$factor] $name rows=$c ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val admitted = Robots.admit(urls, rules, "graftbot")
+    // the already-crawled ledger: every 5th URL; the gate's output must
+    // shuffle only the bloom-flagged fraction, so its wall time tracks
+    // the candidate scan even as the ledger grows with the corpus
+    val crawled = urls.where(col("id") % 5 === 0).select("url").localCheckpoint(true)
+    val fresh = graft.operators.Dedup
+      .frontierNovel(urls, crawled, "url", fpp = 0.01)
+      .localCheckpoint(true)
+    stage("novelgate")(fresh.count())
+    val admitted = Robots.admit(fresh, rules, "graftbot")
       .where(col("robots_allowed")).localCheckpoint(true)
     stage("admit")(admitted.count())
     val byHost = org.apache.spark.sql.expressions.Window

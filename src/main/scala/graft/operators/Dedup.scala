@@ -508,8 +508,11 @@ object Dedup {
       expectedItems: Long = -1L): DataFrame = {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     def fp(c: org.apache.spark.sql.Column) = graft.functions.TextFunctions.contentFingerprint(c)
-    val items = if (expectedItems > 0) expectedItems
-      else math.max(reference.count(), 1L)
+    // an empty reference has no members: everything is novel (and
+    // stat.bloomFilter cannot aggregate zero rows — null buffer)
+    val items = if (expectedItems > 0) { if (reference.isEmpty) 0L else expectedItems }
+      else reference.count()
+    if (items == 0L) return newDf.withColumn("probably_seen", lit(false))
     val bloom = reference.select(fp(col(textCol)).as("_fp"))
       .stat.bloomFilter("_fp", items, fpp)
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
@@ -517,6 +520,40 @@ object Dedup {
     // null text hashes to null -> definitely not in the reference
     newDf.withColumn("probably_seen",
       coalesce(seen(fp(col(textCol))), lit(false)))
+  }
+
+  /** Bloom-gated frontier novelty — the d11 contract packaged as the
+    * crawl-frontier step: `candidates` minus the `crawled` ledger,
+    * EXACTLY equal to `candidates.join(crawled, urlCol, "left_anti")`
+    * but with the ledger-sized shuffle amputated. At 100 TB the crawled
+    * ledger is corpus-sized (every URL ever fetched) while a frontier
+    * batch is small; a plain anti-join shuffles BOTH sides on the URL
+    * key at every tick. Here the ledger collapses once into a broadcast
+    * bloom ([[bloomSeen]]); rows the bloom clears are DEFINITELY novel
+    * (no false negatives) and never shuffle, and only flagged rows —
+    * true dups + ~fpp false positives — pay the exact anti-join
+    * backstop that removes the false positives. definite ∪ confirmed ≡
+    * the anti-join (spec-asserted), so correctness is free; the win is
+    * that the anti-join's candidate side shrinks to (dup rate + fpp) of
+    * the batch, and the ledger side of THAT join prunes to the
+    * suspects' partitions.
+    *
+    * Sizing: the bloom costs ~1.44·log2(1/fpp)/8 bytes per ledger URL —
+    * at fpp 0.5 that is 0.18 B/URL (10^10 URLs ≈ 1.8 GB broadcast,
+    * still halving every batch's shuffled volume); at fpp 0.01 it is
+    * 1.2 B/URL (right up to ~10^9 URLs). Choose fpp by broadcast budget
+    * — exactness never changes, only how much of the batch takes the
+    * backstop. Output: the novel candidate rows, all columns intact.
+    */
+  def frontierNovel(candidates: DataFrame, crawled: DataFrame,
+      urlCol: String = "url", fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
+    val ledger = crawled.select(col(urlCol)).distinct()
+    val gated = bloomSeen(candidates, ledger, urlCol, urlCol, fpp, expectedItems)
+    val definite = gated.filter(!col("probably_seen")).drop("probably_seen")
+    val confirmed = gated.filter(col("probably_seen")).drop("probably_seen")
+      .join(ledger, Seq(urlCol), "left_anti")
+    definite.unionByName(confirmed)
   }
 
   /** Banded hyperplane-LSH embedding near-dup pairs — the scale path.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -647,8 +648,7 @@ object PipelineQueries {
     * per-host cap is a window whose partition is the natural politeness
     * unit.
     */
-  val p12 = QueryDef(
-    "p12_robots_frontier",
+  private val RobotsFrontierSql =
     """WITH u0 AS (SELECT doc_id, source || '.example' AS host,
       |        '/' || lang || '/doc' || CAST(doc_id AS VARCHAR) ||
       |          CASE WHEN doc_id % 7 = 0 THEN '.pdf' ELSE '.html' END AS path
@@ -679,7 +679,13 @@ object PipelineQueries {
       |top AS (SELECT host, doc_id, url,
       |        row_number() OVER (PARTITION BY host ORDER BY doc_id) AS rn FROM ok)
       |SELECT host, doc_id, url FROM top WHERE rn <= 3
-      |ORDER BY host, doc_id""".stripMargin) { (s, dir) =>
+      |ORDER BY host, doc_id""".stripMargin
+
+  /** The p12/p15 chain, parameterized by the novelty gate (the only
+    * difference between the two registry entries).
+    */
+  private def robotsFrontier(s: SparkSession, dir: String)(
+      novel: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     import graft.operators.Robots
     val docs = Tables(s, dir, "documents")
     val urls = docs
@@ -689,7 +695,7 @@ object PipelineQueries {
         when(col("doc_id") % 7 === 0, ".pdf").otherwise(".html")))
       .select("doc_id", "host", "url")
     val crawled = urls.where(col("doc_id") % 5 === 0).select("url")
-    val fresh = urls.join(crawled, Seq("url"), "left_anti")
+    val fresh = novel(urls, crawled)
     val hosts = docs.select(col("source")).distinct()
       .withColumn("host", concat(col("source"), lit(".example")))
       .withColumn("srcn", substring(col("source"), 4, 10).cast("long"))
@@ -711,6 +717,25 @@ object PipelineQueries {
     admitted
       .withColumn("rn", row_number().over(byHost)).where(col("rn") <= 3)
       .select("host", "doc_id", "url").orderBy("host", "doc_id")
+  }
+
+  val p12 = QueryDef("p12_robots_frontier", RobotsFrontierSql) { (s, dir) =>
+    robotsFrontier(s, dir)((urls, crawled) =>
+      urls.join(crawled, Seq("url"), "left_anti"))
+  }
+
+  /** p15: p12's chain with the already-crawled anti-join replaced by the
+    * D13 bloom-gated novelty gate (`Dedup.frontierNovel`) — the 100 TB
+    * shape, where the crawled ledger is corpus-sized and must collapse
+    * into a broadcast bloom instead of shuffling at every frontier tick.
+    * fpp = 0.5 ON PURPOSE (the d11 proof pattern): half the batch gets
+    * flagged and must survive the exact backstop, so the oracle — the
+    * SAME chained SQL as p12, whose novelty step is a plain NOT-IN —
+    * only matches if definite ∪ confirmed is EXACTLY the anti-join.
+    */
+  val p15 = QueryDef("p15_bloom_frontier", RobotsFrontierSql) { (s, dir) =>
+    robotsFrontier(s, dir)((urls, crawled) =>
+      graft.operators.Dedup.frontierNovel(urls, crawled, "url", fpp = 0.5))
   }
 
   /** p13: the politeness SCHEDULE over the frontier — per-host fetch
@@ -876,5 +901,5 @@ object PipelineQueries {
   }
 
   val queries: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14, p15)
 }

@@ -306,6 +306,31 @@ class DedupOpsSuite extends SparkSpec {
     assert(got == exact && exact == (10200L until 10350L).toSeq, s"${got.size} vs ${exact.size}")
   }
 
+  test("frontierNovel equals the plain anti-join at any fpp; columns intact") {
+    import spark.implicits._
+    // the packaged d11 composition for crawl frontiers: candidates keep
+    // ALL their columns, and the result is EXACTLY candidates ∖ crawled
+    // no matter how hard the bloom floods the backstop
+    val crawled = (0 until 300).map(i => s"https://h${i % 7}.test/p$i").toDF("url")
+    val cand = (200 until 500)
+      .map(i => (s"https://h${i % 7}.test/p$i", i.toLong, s"h${i % 7}.test"))
+      .toDF("url", "prio", "host")
+    val exact = cand.join(crawled, Seq("url"), "left_anti")
+      .as[(String, Long, String)].collect().sortBy(_._2).toSeq
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.frontierNovel(cand, crawled, "url", fpp = fpp)
+      assert(got.columns.toSeq == Seq("url", "prio", "host"))
+      assert(got.as[(String, Long, String)].collect().sortBy(_._2).toSeq == exact,
+        s"fpp=$fpp diverged from the anti-join")
+    }
+    // a duplicated ledger URL must not duplicate survivors (the distinct
+    // inside the gate) and an empty ledger admits everything
+    val dupLedger = crawled.unionAll(crawled)
+    assert(Dedup.frontierNovel(cand, dupLedger, "url", fpp = 0.5).count() ==
+      exact.size)
+    assert(Dedup.frontierNovel(cand, crawled.limit(0), "url").count() == cand.count())
+  }
+
   test("hashClassifier: supplied-weights path agrees with the derived table") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, "beta beta")).toDF("id", "text")
