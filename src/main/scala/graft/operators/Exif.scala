@@ -57,6 +57,11 @@ object Exif {
             val t = Tiff(out, base, limit)
             // zero each GPS entry's out-of-line value, then the table
             val n = t.u16(gpsIfdPos)
+            // the final table fill spans the whole IFD (count word, n
+            // entries, next-IFD pointer); a truncated GPS IFD must fail
+            // loud here, not silently zero the next JPEG segment
+            require(gpsIfdPos + 2 + n * 12 + 4 <= limit,
+              s"corrupt GPS IFD at $gpsIfdPos: $n entries run past the TIFF region")
             for (i <- 0 until n) {
               val e = gpsIfdPos + 2 + i * 12
               val typ = t.u16(e + 2)

@@ -813,8 +813,22 @@ object TextAnalysis {
   }
 
   /** [[gunzip]] + UTF-8 decode to a string column (malformed bytes →
-    * U+FFFD as data, the WARC decode discipline).
+    * U+FFFD as data, the WARC decode discipline). A binary→string cast
+    * would pass invalid byte sequences through UNVALIDATED
+    * (UTF8String.fromBytes never replaces), so the decode runs through
+    * a CharsetDecoder with REPLACE — the same path as
+    * [[graft.sources.WarcShards]]' body decode.
     */
-  def gunzipText(c: Column): Column =
-    gunzip(c).cast("string")
+  def gunzipText(c: Column): Column = {
+    val f = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val d = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        d.decode(java.nio.ByteBuffer.wrap(b)).toString
+      }
+    }
+    f(gunzip(c))
+  }
 }

@@ -84,6 +84,17 @@ class SitemapsSuite extends SparkSpec {
       Seq(Tuple1(bomb)).toDF("gz")
         .select(TextAnalysis.gunzip(col("gz"), maxBytes = 1000)).collect())
     assert(e.getMessage.contains("bomb") || e.getCause != null)
+    // malformed UTF-8 inside the gzipped payload decodes to U+FFFD data
+    // (a binary->string cast would pass the invalid bytes through)
+    val badBytes = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write("ok".getBytes("UTF-8")); g.write(Array(0xC3.toByte)) // dangling lead byte
+      g.close(); bo.toByteArray
+    }
+    val dec = Seq(Tuple1(badBytes)).toDF("gz")
+      .select(TextAnalysis.gunzipText(col("gz")).as("t")).as[String].head()
+    assert(dec == "ok�", dec.map(_.toInt).mkString(","))
   }
 
   test("frontier chain: robots Sitemap line -> fetched body -> admitted seeds") {
