@@ -1681,6 +1681,52 @@ object Relational {
         col("_fit.intercept")): _*)
   }
 
+  /** Median-of-buckets Theil–Sen — [[theilSen]]'s guard escape hatch as
+    * a first-class operator. [[theilSen]] fails loud past `maxN` because
+    * the pairwise fit is quadratic; groups BIGGER than the guard split
+    * into `buckets` deterministic hash buckets (bucket key = snapped x
+    * units mod `buckets` — pure integer arithmetic, so any external
+    * engine replays the split verbatim), the EXACT fit runs per bucket,
+    * and the group's slope/intercept are the MEDIANS of the bucket
+    * fits — the standard sub-sample aggregation whose error shrinks as
+    * per-bucket n grows (each bucket is already a 29%-breakdown robust
+    * estimate; the outer median keeps that breakdown across buckets).
+    * Both outer medians use theilSen's exact rank rule (values at ranks
+    * ⌊(n+1)/2⌋ and ⌊n/2⌋+1 averaged), so the whole result stays
+    * deterministic and cross-engine replayable. Buckets with <2 points
+    * or no finite slope drop from the medians and the n_points/n_slopes
+    * sums, exactly as such groups drop from [[theilSen]].
+    *
+    * Sizing: choose `buckets ≥ maxGroupRows / maxN` so every bucket
+    * passes the guard; the quadratic work stays LOCAL per basket and
+    * parallelism becomes |groups|·buckets. `buckets = 1` degenerates to
+    * the exact [[theilSen]] bit for bit (one bucket, identity medians).
+    * Output: groupCols, n_buckets, n_points, n_slopes, slope, intercept.
+    */
+  def theilSenBucketed(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, buckets: Int, maxN: Int = 5000, scaleX: Long = 1L,
+      scaleY: Long = 100L): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fits = theilSen(
+      df.withColumn("_bkt", pmod(snap(xCol, scaleX), lit(buckets.toLong))),
+      groupCols :+ "_bkt", xCol, yCol, maxN, scaleX, scaleY)
+    // medianOf's rank rule over the (≤ buckets)-sized fit lists: the
+    // (a+a)/2 = a identity makes the odd case the same expression
+    def rankMedian(sorted: Column, cnt: Column): Column =
+      (element_at(sorted, ((cnt + 1) / 2).cast("int")) +
+        element_at(sorted, (cnt / 2 + 1).cast("int"))) / 2.0
+    val cnt = col("n_buckets")
+    fits.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("n_points")).as("n_points"),
+        sum(col("n_slopes")).as("n_slopes"),
+        sort_array(collect_list(col("slope"))).as("_s"),
+        sort_array(collect_list(col("intercept"))).as("_i"))
+      .withColumn("slope", rankMedian(col("_s"), cnt))
+      .withColumn("intercept", rankMedian(col("_i"), cnt))
+      .drop("_s", "_i")
+  }
+
   /** Per-entity CUSUM changepoint detection — the sequential
     * mean-shift monitor (Page 1954): s⁺ accumulates positive deviations
     * past an allowance, s⁻ the negative ones, and a flag raises the

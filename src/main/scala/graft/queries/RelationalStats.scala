@@ -942,6 +942,82 @@ object RelationalStats {
       .orderBy("event_type", "day")
   }
 
+  /** q105: median-of-buckets Theil–Sen
+    * ([[graft.operators.Relational.theilSenBucketed]]) — q94's shape
+    * made sf1-SAFE: past the quadratic-fit guard the group splits into
+    * 16 deterministic hash buckets (snapped-x mod 16, pure integer
+    * arithmetic), the exact fit runs per bucket, and the group's
+    * slope/intercept are the rank-rule medians of the bucket fits. The
+    * oracle replays the bucket split, every per-bucket pair join, and
+    * BOTH outer rank medians verbatim — so this stays value-exact
+    * cross-engine at every SF, including the decade where q94's guard
+    * fires by design.
+    */
+  val q105 = QueryDef(
+    "q105_theil_sen_bucketed", {
+      val lower = "CAST(floor((cnt + 1) / 2.0) AS BIGINT)"
+      val upper = "CAST(floor(cnt / 2.0) AS BIGINT) + 1"
+      val blower = "CAST(floor((bc + 1) / 2.0) AS BIGINT)"
+      val bupper = "CAST(floor(bc / 2.0) AS BIGINT) + 1"
+      s"""WITH p AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_ms(ts) AS cx,
+         |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cy,
+         |         epoch_ms(ts) % 16 AS bkt
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
+         |r AS (SELECT p.*, row_number() OVER (PARTITION BY event_type, day, bkt
+         |        ORDER BY cx, cy) AS prn FROM p),
+         |sl AS (SELECT a.event_type, a.day, a.bkt,
+         |         CAST(b.cy - a.cy AS DOUBLE) / CAST(b.cx - a.cx AS DOUBLE) AS s
+         |       FROM r a JOIN r b ON a.event_type = b.event_type
+         |         AND a.day = b.day AND a.bkt = b.bkt AND a.prn < b.prn
+         |       WHERE a.cx <> b.cx),
+         |sr AS (SELECT sl.*, row_number() OVER (PARTITION BY event_type, day, bkt
+         |         ORDER BY s) AS rn,
+         |         count(*) OVER (PARTITION BY event_type, day, bkt) AS cnt FROM sl),
+         |med AS (SELECT event_type, day, bkt, CAST(max(cnt) AS BIGINT) AS n_slopes,
+         |          sum(CASE WHEN rn = $lower OR rn = $upper THEN s END)
+         |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
+         |                THEN 1 ELSE 0 END) AS DOUBLE) AS slope
+         |        FROM sr GROUP BY 1, 2, 3),
+         |res AS (SELECT p.event_type, p.day, p.bkt, med.slope, med.n_slopes,
+         |          CAST(p.cy AS DOUBLE) - med.slope * CAST(p.cx AS DOUBLE) AS rr
+         |        FROM p JOIN med USING (event_type, day, bkt)),
+         |rr2 AS (SELECT res.*, row_number() OVER (PARTITION BY event_type, day, bkt
+         |          ORDER BY rr) AS rn,
+         |          count(*) OVER (PARTITION BY event_type, day, bkt) AS cnt FROM res),
+         |bfin AS (SELECT event_type, day, bkt, CAST(max(cnt) AS BIGINT) AS n_points,
+         |          CAST(max(n_slopes) AS BIGINT) AS n_slopes,
+         |          max(slope) AS slope,
+         |          sum(CASE WHEN rn = $lower OR rn = $upper THEN rr END)
+         |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
+         |                THEN 1 ELSE 0 END) AS DOUBLE) AS intercept
+         |        FROM rr2 GROUP BY 1, 2, 3),
+         |bs AS (SELECT bfin.*,
+         |         row_number() OVER (PARTITION BY event_type, day ORDER BY slope) AS srn,
+         |         row_number() OVER (PARTITION BY event_type, day ORDER BY intercept) AS irn,
+         |         count(*) OVER (PARTITION BY event_type, day) AS bc FROM bfin),
+         |fin AS (SELECT event_type, day, CAST(max(bc) AS BIGINT) AS n_buckets,
+         |          sum(n_points) AS n_points, sum(n_slopes) AS n_slopes,
+         |          (sum(CASE WHEN srn = $blower THEN slope END)
+         |            + sum(CASE WHEN srn = $bupper THEN slope END)) / 2.0 AS slope,
+         |          (sum(CASE WHEN irn = $blower THEN intercept END)
+         |            + sum(CASE WHEN irn = $bupper THEN intercept END)) / 2.0 AS intercept
+         |        FROM bs GROUP BY 1, 2)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+         |  n_buckets, n_points, n_slopes, slope, intercept
+         |FROM fin ORDER BY event_type, day""".stripMargin
+    }) { (s, dir) =>
+    graft.operators.Relational.theilSenBucketed(
+        Tables.events(s, dir)
+          .filter(col("event_type").isNotNull)
+          .withColumn("day", to_date(col("ts"))),
+        groupCols = Seq("event_type", "day"),
+        xCol = unix_millis(col("ts")), yCol = col("value"),
+        buckets = 16, maxN = 2000, scaleX = 1L, scaleY = 100L)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .orderBy("event_type", "day")
+  }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94)
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105)
 }

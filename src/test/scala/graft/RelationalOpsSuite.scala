@@ -1131,6 +1131,43 @@ class RelationalOpsSuite extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("theilSenBucketed: buckets=1 is the exact fit; bucketed fit bounds the error past the guard") {
+    import spark.implicits._
+    // noisy line y = 3x + 7 with 10% wild outliers, 600 points/group —
+    // the shape that trips theilSen's guard at maxN=100
+    val pts = for (g <- Seq("a", "b"); i <- 0 until 600) yield {
+      val y = if (i % 10 == 3) 5000.0 else 3.0 * i + 7.0 + (i % 5) * 0.01
+      (g, i.toDouble, y)
+    }
+    val df = pts.toDF("g", "x", "y")
+    // buckets=1 degenerates to theilSen bit for bit (modulo the extra
+    // n_buckets column)
+    val exact = graft.operators.Relational.theilSen(df, Seq("g"),
+        col("x"), col("y"), maxN = 1000, scaleX = 1L, scaleY = 100L)
+      .orderBy("g").as[(String, Long, Long, Double, Double)].collect().toSeq
+    val one = graft.operators.Relational.theilSenBucketed(df, Seq("g"),
+        col("x"), col("y"), buckets = 1, maxN = 1000, scaleX = 1L, scaleY = 100L)
+      .select("g", "n_points", "n_slopes", "slope", "intercept")
+      .orderBy("g").as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(one == exact, s"buckets=1 must be the exact fit: $one vs $exact")
+    // 8 buckets passes a guard the exact fit trips, and the
+    // median-of-buckets estimate stays within 1% of the exact robust fit
+    intercept[Exception] {
+      graft.operators.Relational.theilSen(df, Seq("g"), col("x"), col("y"),
+        maxN = 100, scaleX = 1L, scaleY = 100L).collect()
+    }
+    val bucketed = graft.operators.Relational.theilSenBucketed(df, Seq("g"),
+        col("x"), col("y"), buckets = 8, maxN = 100, scaleX = 1L, scaleY = 100L)
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(bucketed.map(_._2) == Seq(8L, 8L), s"$bucketed")
+    assert(bucketed.map(_._3) == Seq(600L, 600L), "all points accounted")
+    exact.zip(bucketed).foreach { case ((g, _, _, es, ei), (_, _, _, _, bs, bi)) =>
+      assert(math.abs(bs - es) <= 0.01 * math.abs(es), s"$g slope $bs vs $es")
+      assert(math.abs(bi - ei) <= 1.0, s"$g intercept $bi vs $ei")
+    }
+  }
+
   test("expectations: one pass, NULL predicate is a violation, unique names enforced") {
     import spark.implicits._
     val df = Seq((Some(5), Some("a")), (Some(500), Some("b")), (None, Some("a")),
