@@ -332,7 +332,12 @@ object PipelineQueries {
     * t15 bound), so the key stays numeric for the packer and decodes
     * back losslessly for the output. The oracle chains the same three
     * mirrors: the t15 window rebuild, a min-per-text group, and the q22
-    * recursive greedy replay — every decision pure integer.
+    * recursive greedy replay — every decision pure integer. `d` is
+    * MATERIALIZED by name: DuckDB inlines plain CTEs into the recursive
+    * term, re-evaluating the whole string_split chunking chain EVERY
+    * iteration — at sf1 that replay spilled >55 GB and never finished;
+    * materialized, the recursion probes a computed table and the sf1
+    * oracle completes in minutes.
     */
   val p07 = QueryDef(
     "p07_chunk_pack", {
@@ -350,7 +355,7 @@ object PipelineQueries {
          |kp AS (SELECT min(ck) AS ck FROM c GROUP BY chunk_text),
          |sv AS (SELECT c.ck, c.nt FROM c JOIN kp USING (ck)),
          |k AS (SELECT ck, 'cp:' || CAST(ck AS VARCHAR) AS kk, nt AS n FROM sv),
-         |d AS (SELECT ck, ${scram("kk")} % $P7Shards AS shard, n,
+         |d AS MATERIALIZED (SELECT ck, ${scram("kk")} % $P7Shards AS shard, n,
          |        row_number() OVER (PARTITION BY ${scram("kk")} % $P7Shards
          |                           ORDER BY ck) AS rn
          |      FROM k),
