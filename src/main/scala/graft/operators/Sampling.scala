@@ -288,6 +288,15 @@ object Sampling {
     * mirrors. Weights must be integral (token/char counts — the
     * arithmetic stays in exact longs, and a fractional weight would be
     * silently truncated instead of budgeted).
+    *
+    * Bucket sizing: the residual window sorts each group's ONE boundary
+    * bucket in a single task — about `corpusBytes / (|groups| ·
+    * buckets)` bytes — so choose `buckets ≥ corpusBytes / (|groups| ·
+    * targetTaskBytes)`. The 4096 default puts a 100 TB, 30-source
+    * corpus near 0.8 GB per residual task; 65536 takes it to ~50 MB.
+    * Buckets are hash-range slices, so the count changes ONLY that task
+    * size: the admitted set is invariant in `buckets` (spec-asserted),
+    * making the knob free to raise with corpus size.
     */
   def takeToBudget(df: DataFrame, groupCol: String, weightCol: String,
       keyCol: String, budgets: Map[String, Long], salt: String = "",

@@ -271,6 +271,12 @@ class SamplingSuite extends SparkSpec {
       .filter($"grp" === "a").select("id").as[Long].collect().toSet
     assert(g5 != gotA, "a fresh salt draws a fresh prefix")
 
+    // the bucket count is a pure task-sizing knob: membership invariant
+    // (the scaladoc's "free to raise with corpus size" claim)
+    val g6 = Sampling.takeToBudget(df, "grp", "w", "id", budgets, "m1",
+      buckets = 7).select("id").as[Long].collect().toSet
+    assert(g6 == got.select("id").as[Long].collect().toSet)
+
     intercept[IllegalArgumentException](
       Sampling.takeToBudget(df, "grp", "w", "id", Map.empty))
     intercept[IllegalArgumentException](
@@ -340,6 +346,20 @@ class SamplingSuite extends SparkSpec {
       rows.takeWhile { r => val k = cum < 200L; cum += r._2; k }.map(_._1)
     }.toSet
     assert(out.select("id").as[Long].collect().toSet == expect)
+    // default-bucket residual bound: each group's boundary bucket holds
+    // ~|group|/buckets rows (the scaladoc sizing formula at the 4096
+    // default — here 800/4096 per group, so single digits with slack)
+    val width = (graft.functions.TextFunctions.P + 4096 - 1) / 4096
+    (0 until 5).foreach { g =>
+      val rows = ordered.filter(_._3 == s"src$g").sortBy(r => (r._4, r._1))
+      var cum = 0L
+      val crossing = rows.find { r => cum += r._2; cum >= 200L }.get
+      val bstar = crossing._4 / width
+      val edgeRows = rows.count(_._4 / width == bstar)
+      assert(edgeRows <= 8,
+        s"src$g boundary bucket holds $edgeRows rows — residual task " +
+          "unbounded vs the |group|/buckets sizing formula")
+    }
   }
 
   test("epochMix: full copies exact, fractional epoch a salted subset, drops, guards") {
