@@ -85,4 +85,66 @@ class StreamingCrawlSuite extends SparkSpec {
         .collect().contains(2L))
     } finally q.stop()
   }
+
+  test("E16+: robots refresh mid-stream gates SUBSEQUENT batches only, rate-limited") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingRobots
+    implicit val sqlCtx = spark.sqlContext
+
+    // the authoritative robots source: a mutable bodies table the
+    // loader re-reads (stand-in for re-scanning a robots-bodies dir)
+    @volatile var bodies: Seq[(String, String)] =
+      Seq(("rf.example", "User-agent: *\nDisallow: /private/\n"))
+    var loaderRan = 0
+    // manual clock so the TTL is driven deterministically
+    var clockMs = 0L
+    val rules = new StreamingRobots.RefreshingRules(
+      () => { loaderRan += 1; Robots.rules(bodies.toDF("host", "body")) },
+      ttlMs = 1000L, clock = () => clockMs)
+
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Boolean)])]
+    val src = MemoryStream[(Long, String)]
+    val urls = src.toDF().toDF("id", "url")
+    val q = urls.writeStream
+      .foreachBatch(StreamingRobots.admitBatches(rules, "graftbot",
+        (gated, batchId) => {
+          // batch parity: the foreachBatch body IS Robots.admit on the
+          // batch's rows — pin the emitted verdicts per batch
+          val got = gated.select("id", "robots_allowed")
+            .as[(Long, Boolean)].collect().sortBy(_._1).toSeq
+          perBatch += batchId -> got
+        }))
+      .start()
+    try {
+      // batch 0 under rules v1: /private/ blocked
+      src.addData((1L, "http://rf.example/a.html"),
+        (2L, "http://rf.example/private/b.html"))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(1L -> true, 2L -> false))
+      assert(rules.loadCount == 1L)
+
+      // source changes but TTL has not elapsed: old snapshot still
+      // serves (no re-read), /blog/ still admitted
+      bodies = Seq(("rf.example", "User-agent: *\nDisallow: /blog/\n"))
+      src.addData((3L, "http://rf.example/blog/c.html"),
+        (4L, "http://rf.example/private/d.html"))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(3L -> true, 4L -> false))
+      assert(rules.loadCount == 1L, "a refresh under TTL must not re-read")
+
+      // TTL elapses: the NEXT batch picks up v2 — /blog/ now blocked,
+      // /private/ released — while earlier batches' verdicts stand
+      clockMs += 1500L
+      src.addData((5L, "http://rf.example/blog/e.html"),
+        (6L, "http://rf.example/private/f.html"))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(5L -> false, 6L -> true))
+      assert(rules.loadCount == 2L)
+      // emitted history never revised: batch 0/1 rows as first verdicted
+      assert(perBatch.map(_._2).flatten.toSeq ==
+        Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+          5L -> false, 6L -> true))
+      assert(loaderRan == 2)
+    } finally { q.stop(); rules.close() }
+  }
 }
