@@ -1,0 +1,148 @@
+package graft.operators
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.api.{DownloadRequest, Stage, WorkerContext}
+
+/** The production swap path for the codecs the JVM genuinely lacks
+  * (MP3, H.264 — see [[Multimodal]]'s FakeCodec note): decode through
+  * an EXTERNAL subprocess (ffmpeg-shaped: payload on stdin, decoded
+  * bytes on stdout, diagnostics on stderr, non-zero exit on failure)
+  * instead of pretending a pure-JVM codec exists. The stage pattern
+  * carries everything the in-JVM decoders get for free:
+  *
+  *  - **binary distribution**: the decoder executable ships through
+  *    [[Stage.downloadRequests]] — fetched once per node by Spark's
+  *    file distribution before `setup` runs (the reference
+  *    download-requests contract), never baked into the image.
+  *  - **per-worker setup**: `setup()` resolves the executor-local
+  *    path, restores the executable bit (file distribution does not
+  *    preserve mode), and PROBES the binary (`probeArgs`, e.g.
+  *    `--version`) so a broken download fails inside the
+  *    `numSetupAttempts` retry envelope, not on the first sample.
+  *  - **bounded batch memory**: stdout is read into a capped buffer —
+  *    a decoder gone wild (or a decompression bomb of a payload)
+  *    fails loud at `maxOutputBytes` instead of OOMing the executor.
+  *    Resident bytes are ≤ `batchSize × (payload + maxOutputBytes)`.
+  *  - **corrupt-stream discipline**: non-zero exit, cap breach, or
+  *    timeout throws with the decoder's stderr attached — so the
+  *    pipeline's failure machinery (`numRunAttempts`,
+  *    `ignoreFailures`, `failuresReturnNones`,
+  *    `resetWorkersOnFailure`) applies to external decode exactly as
+  *    to JVM stages.
+  *  - **teardown**: `destroy()` force-kills any in-flight subprocess,
+  *    so a cancelled task never leaks a decoder process on the node.
+  *
+  * One subprocess per payload, not a long-lived daemon: decode is
+  * seconds-per-item work where fork cost is noise, and per-item
+  * processes give hard memory/crash isolation (a decoder segfault
+  * fails ONE sample). Wire format stays the decoder's own (PCM/PPM on
+  * stdout) — parse with [[Multimodal]]'s existing walkers downstream.
+  *
+  * Reference anchor: the subprocess-worker pattern of
+  * pipelines/v1 stages that shell out per batch, with
+  * file_distribution supplying the binary.
+  */
+class ExternalDecoderStage(
+    decoder: DownloadRequest,
+    decodeArgs: Seq[String] = Seq.empty,
+    probeArgs: Seq[String] = Seq("--version"),
+    maxOutputBytes: Long = 256L << 20,
+    timeoutMs: Long = 120000L,
+    override val batchSize: Int = 4)
+  extends Stage[(String, Array[Byte]), (String, Array[Byte])] {
+  require(maxOutputBytes > 0, "maxOutputBytes must be positive")
+  require(timeoutMs > 0, "timeoutMs must be positive")
+
+  override def downloadRequests: Seq[DownloadRequest] = Seq(decoder)
+
+  @transient private var binPath: String = _
+  @transient private lazy val inFlight = new AtomicReference[Process](null)
+
+  override def setup(ctx: WorkerContext): Unit = {
+    val f = new java.io.File(decoder.localPath)
+    require(f.isFile, s"decoder binary not distributed: ${decoder.uri}")
+    f.setExecutable(true, false)
+    binPath = f.getAbsolutePath
+    val (code, _, err) = run(probeArgs, Array.emptyByteArray, 8192)
+    require(code == 0,
+      s"decoder probe `$binPath ${probeArgs.mkString(" ")}` exited $code: $err")
+  }
+
+  override def process(batch: Seq[(String, Array[Byte])]): Seq[(String, Array[Byte])] =
+    batch.map { case (key, payload) =>
+      val (code, out, err) = run(decodeArgs, payload, maxOutputBytes)
+      if (code != 0)
+        throw new IllegalStateException(
+          s"decoder exited $code on key=$key: $err")
+      key -> out
+    }
+
+  override def destroy(): Unit = {
+    val p = inFlight.getAndSet(null)
+    if (p != null && p.isAlive) p.destroyForcibly()
+  }
+
+  /** Launch `binPath args`, feed `stdin`, return (exit, stdout, stderr
+    * snippet). stdin pumps from its own thread (a decoder that writes
+    * before draining its input would deadlock a single-threaded pump);
+    * stdout reads on the task thread under the byte cap; stderr drains
+    * concurrently into a small ring so failures carry diagnostics.
+    */
+  private def run(args: Seq[String], stdin: Array[Byte],
+      outCap: Long): (Int, Array[Byte], String) = {
+    val pb = new ProcessBuilder((binPath +: args): _*)
+    val p = pb.start()
+    inFlight.set(p)
+    try {
+      val feeder = new Thread(() => {
+        try { p.getOutputStream.write(stdin); p.getOutputStream.close() }
+        catch { case _: java.io.IOException => () } // decoder died early: exit code tells
+      }, "graft-decoder-stdin")
+      feeder.setDaemon(true)
+      feeder.start()
+      val errBuf = new ByteArrayOutputStream()
+      val errPump = new Thread(() => {
+        try copyCapped(p.getErrorStream, errBuf, 65536)
+        catch { case _: java.io.IOException => () }
+      }, "graft-decoder-stderr")
+      errPump.setDaemon(true)
+      errPump.start()
+      val out = new ByteArrayOutputStream()
+      val capped = copyCapped(p.getInputStream, out, outCap)
+      if (capped) {
+        p.destroyForcibly()
+        throw new IllegalStateException(
+          s"decoder output exceeded $outCap bytes (maxOutputBytes) — " +
+            "runaway decode or bomb payload")
+      }
+      if (!p.waitFor(timeoutMs, TimeUnit.MILLISECONDS)) {
+        p.destroyForcibly()
+        throw new IllegalStateException(s"decoder timed out after ${timeoutMs}ms")
+      }
+      errPump.join(1000)
+      (p.exitValue(), out.toByteArray,
+        new String(errBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+    } finally {
+      inFlight.compareAndSet(p, null)
+      if (p.isAlive) p.destroyForcibly()
+    }
+  }
+
+  /** Copy until EOF or cap; true iff the cap was hit (cap+1 bytes seen). */
+  private def copyCapped(in: InputStream, out: ByteArrayOutputStream,
+      cap: Long): Boolean = {
+    val buf = new Array[Byte](65536)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (total + n > cap) return true
+      out.write(buf, 0, n)
+      total += n
+      n = in.read(buf)
+    }
+    false
+  }
+}

@@ -13,8 +13,12 @@ import graft.api.{Resources, Stage}
   * `javax.imageio` codecs. [[DecodeStage]] sniffs the payload magic to
   * route to the right decoder. Only codecs genuinely absent from the
   * JDK (MP3/H.264) fall back to `FakeCodec`: a clearly-marked
-  * deterministic stand-in (swap in a JNI/FFmpeg decoder by replacing
-  * that one function). Everything Spark-side — schema, batching,
+  * deterministic stand-in. The verified production swap is
+  * [[ExternalDecoderStage]] — an ffmpeg-shaped subprocess decoder with
+  * binary distribution, probed per-worker setup, bounded output and
+  * the corrupt-stream failure path spec-tested against a stub binary;
+  * route MP3/H.264 payloads through it and parse its PCM/PPM output
+  * with the walkers here. Everything Spark-side — schema, batching,
   * partition flow, stage composition — is real and spec-tested.
   */
 object Multimodal {
