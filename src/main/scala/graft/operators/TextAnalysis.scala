@@ -627,6 +627,79 @@ object TextAnalysis {
       .select(col("_id").as(idCol), col("term"), col("tfidf"), col("rk"))
   }
 
+  /** BM25 relevance of every document against a fixed query term set
+    * (Robertson–Spärck Jones; the Okapi form with Lucene's +1 inside
+    * the idf log so scores stay positive) — the retrieval scorer a
+    * curation pipeline runs for decontamination sweeps ("find training
+    * docs that answer benchmark questions") and topical quality mining.
+    *   score(D) = Σ_{t ∈ Q∩D} ln((N − df + 0.5)/(df + 0.5) + 1)
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+    * Scale shape: ONE corpus pass — tokenize, keep only query terms (an
+    * `InSet` literal, narrow), partial-agg (doc, term) counts with the
+    * doc length CARRIED through the explode (it's per-doc constant, so
+    * `first` rides the same aggregate — no second scan, no doc-length
+    * join); df per query term derives from that tf table (≤ |Q| rows,
+    * broadcast back); N and avgdl are one metadata scalar pair. Nothing
+    * corpus-sized ever sorts; the only shuffle keys are (doc, term) and
+    * term. Float note (the t16/t17 trade): per-doc score is a ≤|Q|-term
+    * double sum of identical expression trees over discrete (tf, df,
+    * dl) inputs — cross-engine divergence is ulp-scale and the 4 dp
+    * mirror-round absorbs it.
+    * Output: idCol, matched_terms, dl, score (unrounded).
+    */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0 and b in [0,1]")
+    // null text counts toward N but contributes zero length (the SQL
+    // mirror's sum() skips its NULL len — same value)
+    val stats = df.agg(count(lit(1)).as("n"),
+      sum(when(col(textCol).isNull, lit(0L))
+        .otherwise(size(tokens(col(textCol))).cast("long"))).as("tot")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "bm25 over an empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val tf = df.select(col(idCol).as("_id"),
+        size(tokens(col(textCol))).cast("double").as("_dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isInCollection(queryTerms))
+      .groupBy("_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("_dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("_c", contrib)
+      .groupBy("_id")
+      .agg(count(lit(1)).as("matched_terms"), first(col("dl")).as("dl"),
+        sum(col("_c")).as("score"))
+      .select(col("_id").as(idCol), col("matched_terms"),
+        col("dl").cast("long").as("dl"), col("score"))
+  }
+
+  /** Global top-k retrieval over [[bm25Scores]] through the q96 heap
+    * aggregate (`graft_topk`): each map task keeps ONE k-capped min-heap,
+    * the shuffle carries ≤ k (score, id) pairs per task — at 100 TB the
+    * ranking exchanges kilobytes where a window plan would sort the
+    * matched set into one task (a GLOBAL top-k has no partition key).
+    * Ties break on id DESC under the heap's (score, id) lexicographic
+    * order, exactly q96's contract. Output: idCol, score, rk (1-based).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    graft.functions.TopKAggregate.register(df.sparkSession)
+    bm25Scores(df, idCol, textCol, queryTerms, k1, b)
+      .agg(graft.functions.TopKAggregate.topK(
+        col("score"), col(idCol), lit(k)).as("top"))
+      .select(posexplode(col("top")).as(Seq("_p", "e")))
+      .select(col("e.id").as(idCol), col("e.score").as("score"),
+        (col("_p") + 1).cast("long").as("rk"))
+  }
+
   /** Per-document Shannon entropy of the token distribution (nats) — a
     * repetition/quality signal: boilerplate and keyword-stuffed docs
     * score low, diverse prose high. Uses the algebraic identity

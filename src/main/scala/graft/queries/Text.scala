@@ -505,7 +505,43 @@ object Text {
 
   private def duckBlocked = Blocked.map(w => s"'$w'").mkString(", ")
 
+  /** t22: BM25 relevance against a fixed query term set
+    * ([[TextAnalysis.bm25Scores]], k1 = 1.5 / b = 0.75 — constants whose
+    * derived literals (k1+1 = 2.5, 1−b = 0.25) are EXACT doubles, so
+    * both engines fold them identically) — the decontamination /
+    * topical-mining retrieval scorer. The oracle restates the whole
+    * Okapi expression tree verbatim — idf's +0.5/+1 smoothing, the
+    * length normalization against a derived avgdl scalar — over the
+    * same tf/df/dl integers; per-doc score sums ≤ |Q| such terms (the
+    * t16/t17 float trade, 4 dp mirror-round).
+    */
+  val BmTerms = Seq("spark", "shuffle", "window", "merge")
+  val t22 = QueryDef(
+    "t22_bm25",
+    s"""WITH stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(len($duckToks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM documents),
+       |toks AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl,
+       |    unnest($duckToks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf,
+       |    any_value(dl) AS dl
+       |  FROM toks WHERE term IN (${BmTerms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2),
+       |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |s AS (SELECT doc_id, dl,
+       |    ln((n - df + 0.5) / (df + 0.5) + 1) * (tf * (1.5 + 1)) /
+       |      (tf + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS matched_terms,
+       |  CAST(any_value(dl) AS BIGINT) AS dl, ${mr("sum(c)", 4)} AS score
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    TextAnalysis.bm25Scores(Tables(s, dir, "documents"), "doc_id", "text",
+        BmTerms, k1 = 1.5, b = 0.75)
+      .withColumn("score", Rounding.mirrorRound(col("score"), 4))
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }

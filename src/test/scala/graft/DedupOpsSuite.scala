@@ -802,4 +802,42 @@ class DedupOpsSuite extends SparkSpec {
       Dedup.windowDupProfile(docs, "doc_id", "text", w = 4, minDocs = 1)
     }
   }
+
+  test("bm25Scores: hand Okapi formula, absent terms contribute nothing, guards") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spark join join extra pad"), // dl 5: spark x1, join x2
+      (2L, "spark spark spark"),         // dl 3: spark x3
+      (3L, "other words only here")      // dl 4: no query terms
+    ).toDF("id", "text")
+    val got = TextAnalysis.bm25Scores(df, "id", "text",
+        Seq("spark", "join", "zzz"), k1 = 1.5, b = 0.75)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // independent re-derivation: N=3, total tokens 12, avgdl=4
+    def idf(dfq: Double) = math.log((3.0 - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    def w(tf: Double, dl: Double) =
+      tf * 2.5 / (tf + 1.5 * (0.25 + 0.75 * dl / 4.0))
+    val s1 = idf(2) * w(1, 5) + idf(1) * w(2, 5)
+    val s2 = idf(2) * w(3, 3)
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 2L, 5L), (2L, 1L, 3L)),
+      s"doc 3 matches nothing and must be absent: $got")
+    assert(math.abs(got(0)._4 - s1) < 1e-12 && math.abs(got(1)._4 - s2) < 1e-12,
+      s"got ${got.map(_._4)}, want ($s1, $s2)")
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25Scores(df, "id", "text", Nil))
+  }
+
+  test("bm25TopK: heap retrieval equals the sorted replay, ties on id desc") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, ("spark " * (1 + (i % 4).toInt)) + ("pad " * (i % 7).toInt) + "end"))
+      .toDF("id", "text")
+    val top = TextAnalysis.bm25TopK(df, "id", "text", Seq("spark"), k = 6)
+      .as[(Long, Double, Long)].collect().toSeq
+    val replay = TextAnalysis.bm25Scores(df, "id", "text", Seq("spark"))
+      .orderBy(desc("score"), desc("id")).limit(6)
+      .select("id", "score").as[(Long, Double)].collect().toSeq
+    assert(top.map(r => (r._1, r._2)) == replay, s"$top vs $replay")
+    assert(top.map(_._3) == (1L to 6L), "rk must be 1-based dense")
+  }
 }
