@@ -330,6 +330,45 @@ object Sampling {
       .select("doc_id", "source", "phase").orderBy("doc_id", "phase")
   }
 
+  /** q106: leakage-safe domain-grouped split (X13) — q19's hash split
+    * with the split KEY lifted from the row to its REGISTERED DOMAIN,
+    * so every page of one site lands in one split and near-duplicates
+    * within a site (boilerplate, templated pages, mirrored articles)
+    * can never straddle train/test — the contamination mode a row-level
+    * split is blind to. The chain under verification is the real one:
+    * fabricated per-doc URLs (subdomain varying, `.com`/`.co.uk` TLDs)
+    * → `Url.host` → `Url.registeredDomain` (the second-level-ccTLD
+    * rule must strip `co.uk` to the same depth as `.com`) → the q19
+    * scrambled-hash bucket on the DOMAIN string. The oracle recomputes
+    * the domain INDEPENDENTLY from doc_id arithmetic (the p13 pattern)
+    * — it agrees only if host extraction and PSL-style reduction both
+    * worked — then replays the hash membership bit-identically.
+    * Scale shape: domain derivation and split assignment are narrow
+    * codegen'd Columns (zero UDFs, zero shuffle, zero joins) — at
+    * 100 TB split assignment rides the scan.
+    */
+  val q106 = QueryDef(
+    "q106_domain_split",
+    s"""WITH d AS (SELECT doc_id,
+       |    'example' || CAST(doc_id % 211 AS VARCHAR) ||
+       |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END AS domain
+       |  FROM documents),
+       |b AS (SELECT doc_id, domain, 'dsplit:' || domain AS kk FROM d)
+       |SELECT doc_id, domain,
+       |  CASE WHEN ${sqlScram("kk")} % 100 < 90 THEN 'train' ELSE 'test' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val subs = typedlit(Seq("www", "cdn", "shop"))
+    val docs = Tables(s, dir, "documents")
+      .withColumn("url", concat(lit("https://"),
+        element_at(subs, (col("doc_id") % 3 + 1).cast("int")),
+        lit(".example"), (col("doc_id") % 211).cast("string"),
+        when(col("doc_id") % 2 === 0, ".com").otherwise(".co.uk"),
+        lit("/p/"), col("doc_id").cast("string")))
+      .withColumn("domain", graft.operators.Url.registeredDomain(col("url")))
+    Ops.split(docs, "domain", Seq("train" -> 90, "test" -> 10), salt = "dsplit:")
+      .select("doc_id", "domain", "split").orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54,
-    q102, q103, q104)
+    q102, q103, q104, q106)
 }

@@ -484,4 +484,38 @@ class SamplingSuite extends SparkSpec {
       .exists(_.isInstanceOf[ShuffleExchangeExec]),
       s"annealMix must not shuffle:\n${am.queryExecution.executedPlan}")
   }
+
+  test("domain-grouped split: one domain never straddles splits, and stays narrow") {
+    import spark.implicits._
+    import graft.operators.Url
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    // many pages per site across subdomains: every page of a registered
+    // domain must land in ONE split (the leakage-safety contract)
+    val df = (1L to 300L).map(i =>
+      (i, s"https://${Seq("www", "cdn", "shop")((i % 3).toInt)}.site${i % 23}." +
+        s"${if (i % 2 == 0) "com" else "co.uk"}/p/$i"))
+      .toDF("id", "url")
+      .withColumn("domain", Url.registeredDomain(col("url")))
+    val got = Sampling.split(df, "domain",
+      Seq("train" -> 90, "test" -> 10), salt = "ds:")
+    val perDomain = got.groupBy("domain")
+      .agg(countDistinct("split").as("n")).as[(String, Long)].collect()
+    assert(perDomain.forall(_._2 == 1L),
+      s"straddling domains: ${perDomain.filter(_._2 > 1).mkString(",")}")
+    // 46 domains, both TLD families present, both splits used
+    assert(perDomain.length == 46)
+    assert(got.select("split").distinct().count() == 2)
+    // subdomain never leaks into the key: no domain value carries one
+    assert(got.where(col("domain").rlike("www|cdn|shop")).count() == 0)
+    // assignment is narrow — no exchange
+    assert(!collectAll(got.queryExecution.executedPlan)
+      .exists(_.isInstanceOf[ShuffleExchangeExec]),
+      s"domain split must not shuffle:\n${got.queryExecution.executedPlan}")
+  }
 }
