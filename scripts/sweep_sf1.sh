@@ -28,7 +28,8 @@ SF_DIR=${SF_DIR:-/tmp/testdata-sf1}
 OUT=${OUT:-/tmp/graft_verify_sf1}
 JDIR=$(mktemp -d /tmp/sf1_sweep.XXXX)
 
-[ -f "$SF_DIR/lineitem.parquet" ] || python3 scripts/make_sf1.py "$SF_DIR"
+[ -f "$SF_DIR/lineitem.parquet" ] || \
+  python3 scripts/make_sf1.py /root/testdata/sf0.1 "$SF_DIR"
 
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 

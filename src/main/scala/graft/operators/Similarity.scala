@@ -537,6 +537,36 @@ object Similarity {
           .otherwise(lit(0.0)).as("z"))
   }
 
+  /** Matryoshka (MRL) truncation — keep the first `d` dimensions of a
+    * nested-representation embedding and re-normalize to unit length
+    * (Kusupati et al., "Matryoshka Representation Learning": prefixes of
+    * an MRL-trained vector are themselves valid embeddings, so the
+    * 100 TB ANN/dedup path can run at d/D of the flops and bytes —
+    * truncate once, feed s01/s02/s04/d05 unchanged). Cosine over
+    * truncated-and-renormalized vectors equals dot product, and
+    * renormalizing HERE (once, at write) beats renormalizing per
+    * comparison (billions of times, at query).
+    *
+    * Shape: completely NARROW — slice + one sequential-fold norm + a
+    * per-element divide, all codegen'd collection lambdas, zero UDFs,
+    * zero shuffle; at 100 TB it rides the scan that reads the vectors.
+    * The fold (((0+x₁²)+x₂²)+…) is stated left-to-right so an external
+    * engine replays it bit for bit (the d05/s01 discipline). All-zero
+    * prefixes keep zeros (no 0/0). Output: idCol, `emb_d`
+    * (array<double>, unit-norm), `norm` (the pre-normalization length —
+    * downstream quality filters threshold on it: a near-zero prefix
+    * norm means the truncation destroyed the vector).
+    */
+  def mrlTruncate(df: DataFrame, idCol: String, vecCol: String, d: Int): DataFrame = {
+    require(d >= 1, s"d must be >= 1, got $d")
+    val t = slice(col(vecCol).cast("array<double>"), 1, d)
+    val norm = sqrt(aggregate(t, lit(0.0), (acc, x) => acc + x * x))
+    df.select(col(idCol),
+      when(norm > 0.0, transform(t, x => x / norm))
+        .otherwise(transform(t, _ => lit(0.0))).as("emb_d"),
+      norm.as("norm"))
+  }
+
   /** Top principal component by power iteration on the d×d covariance of
     * [[covState]] (driver-side on the d²-sized state — the data itself is
     * touched exactly once). Deterministic: fixed uniform start vector,

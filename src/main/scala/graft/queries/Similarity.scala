@@ -251,5 +251,35 @@ object Similarity {
       .orderBy("vec_id", "i")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** s09: Matryoshka truncation ([[Ops.mrlTruncate]], S10) — half-dim
+    * prefixes re-normalized to unit length, the flop/byte halving an
+    * MRL-trained corpus gets before any ANN stage. The oracle restates
+    * the left-to-right norm fold (the d05/s01 `sqlFoldSum` mirror) and
+    * the per-element divide; 6 dp mirror-round absorbs the sqrt/divide
+    * ulps. Output exploded to (vec_id, i, y, norm) rows for the
+    * array-free compare (the s08 convention).
+    */
+  private val MrlD = Dim / 2
+  val s09 = QueryDef(
+    "s09_mrl_truncate",
+    s"""WITH t AS (SELECT vec_id,
+       |    sqrt(${sqlFoldSum(s"list_transform(range(1, ${MrlD + 1}), " +
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))")}) AS norm
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, r.range AS i, CAST(embedding[r.range] AS DOUBLE) AS x
+       |      FROM embeddings, range(1, ${MrlD + 1}) r)
+       |SELECT e.vec_id, CAST(e.i AS BIGINT) AS i,
+       |  CASE WHEN t.norm > 0.0 THEN ${mr("e.x / t.norm", 6)} ELSE 0.0 END AS y,
+       |  ${mr("t.norm", 6)} AS norm
+       |FROM e JOIN t USING (vec_id) ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding.mirrorRound
+    Ops.mrlTruncate(Tables(s, dir, "embeddings"), "vec_id", "embedding", MrlD)
+      .select(col("vec_id"), posexplode(col("emb_d")).as(Seq("_p", "y")),
+        col("norm"))
+      .select(col("vec_id"), (col("_p") + 1).cast("long").as("i"),
+        mirrorRound(col("y"), 6).as("y"), mirrorRound(col("norm"), 6).as("norm"))
+      .orderBy("vec_id", "i")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

@@ -389,4 +389,26 @@ class SimilarityOpsSuite extends SparkSpec {
     val empty = Seq.empty[Seq[Float]].toDF("v")
     intercept[Exception] { Similarity.covarianceMatrix(empty, "v").collect() }
   }
+
+  test("mrlTruncate: unit norm, prefix proportions kept, zero prefix safe, narrow plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(3f, 4f, 9f, 9f)),  // prefix (3,4): norm 5 -> (0.6, 0.8)
+      (2L, Seq(0f, 0f, 7f, 7f))   // all-zero prefix: stays zeros, no NaN
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mrlTruncate(df, "vec_id", "embedding", 2)
+      .orderBy("vec_id").as[(Long, Seq[Double], Double)].collect().toSeq
+    assert(got(0)._2 == Seq(0.6, 0.8) && got(0)._3 == 5.0, got.toString)
+    assert(got(1)._2 == Seq(0.0, 0.0) && got(1)._3 == 0.0, got.toString)
+    // truncation then renorm preserves cosine ranking on the prefix: the
+    // renormalized dot IS the prefix cosine
+    val a = got(0)._2
+    assert(math.abs(a.map(x => x * x).sum - 1.0) < 1e-12)
+    intercept[IllegalArgumentException](
+      Similarity.mrlTruncate(df, "vec_id", "embedding", 0))
+    // narrow: no exchange anywhere — truncation rides the scan
+    val plan = Similarity.mrlTruncate(df, "vec_id", "embedding", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
