@@ -58,6 +58,57 @@ object Sinks {
     fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
   }
 
+  /** SELECTIVE small-file compaction — [[compact]] rewrites the whole
+    * table, which is the wrong tool at 100 TB where incremental ingest
+    * leaves ~1% of the bytes in tiny files and 99% in healthy ones.
+    * This is the tar/WARC compaction discipline
+    * ([[TarShards.compactShards]]) applied to a parquet directory: list
+    * the files (driver-side metadata, like the shard compactors), pick
+    * ONLY data files under `smallBytes`, rewrite just those into
+    * `ceil(bytes/targetBytes)` files via round-robin repartition, and
+    * swap — healthy files are never read, never written, byte-identical
+    * after the pass (spec-asserted). Compacted outputs land as
+    * `compacted-*` (writer-unique names, so reruns never collide).
+    *
+    * Swap caveat (same as the shard compactors): delete-inputs then
+    * rename-in is not transactional — a reader listing the directory
+    * mid-swap can miss the small files' rows. Run in the table's
+    * maintenance window; a post-pass row-count check (or a table format
+    * with snapshot isolation) is the backstop. Needs ≥ 2 small files to
+    * act. Returns (smallFilesRemoved, compactedFilesProduced).
+    */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      smallBytes: Long, targetBytes: Long): (Int, Int) = {
+    require(smallBytes > 0 && targetBytes >= smallBytes,
+      "need 0 < smallBytes <= targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val small = listed.filter(_.getLen < smallBytes)
+    if (small.length < 2) return (0, 0)
+    val total = small.map(_.getLen).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
+      .repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    small.foreach(st => fs.delete(st.getPath, false))
+    val produced = fs.listStatus(tmp).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    produced.foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(p,
+        "compacted-" + st.getPath.getName.stripPrefix("part-"))
+      fs.delete(dst, false)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(
+          s"compactSmallFiles commit failed: ${st.getPath} -> $dst")
+    }
+    fs.delete(tmp, true)
+    (small.length, produced.length)
+  }
+
   /** Range-clustered write — data skipping for range/equality predicates
     * on `clusterCols` WITHOUT partitioning by them (partitionBy needs
     * low cardinality; clustering doesn't): rows are range-partitioned

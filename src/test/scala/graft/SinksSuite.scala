@@ -64,6 +64,42 @@ class SinksSuite extends SparkSpec {
     assert(back.select("id").as[Long].collect().toSet == (0L until 1000L).toSet)
   }
 
+  test("compactSmallFiles: only smalls rewrite; healthy files byte-identical; idempotent") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-selcompact").toString
+    val path = s"$tmp/t"
+    // one healthy file ...
+    (0 until 5000).map(j => (j.toLong, s"big-$j" * 10)).toDF("id", "s")
+      .coalesce(1).write.mode("append").parquet(path)
+    // ... plus incremental-ingest smalls
+    (0 until 12).foreach { i =>
+      (0 until 5).map(j => (100000L + i * 5 + j, s"tiny$i-$j")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    val dir = new java.io.File(path)
+    def pq() = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val big = pq().maxBy(_.length)
+    val bigBytes = java.nio.file.Files.readAllBytes(big.toPath)
+    assert(pq().length == 13)
+
+    val (removed, made) = Sinks.compactSmallFiles(spark, path,
+      smallBytes = big.length, targetBytes = 512L * 1024)
+    assert(removed == 12 && made == 1, s"($removed, $made)")
+    assert(pq().length == 2)
+    assert(pq().count(_.getName.startsWith("compacted-")) == 1)
+    // the healthy file was never touched
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(big.toPath), bigBytes))
+    // rows intact
+    val back = spark.read.parquet(path)
+    assert(back.count() == 5060)
+    assert(back.where($"id" >= 100000L).count() == 60)
+    // second pass: a single small is left alone (needs >= 2 to act)
+    assert(Sinks.compactSmallFiles(spark, path, big.length, 512L * 1024) == ((0, 0)))
+    intercept[IllegalArgumentException](
+      Sinks.compactSmallFiles(spark, path, 100, 50))
+  }
+
   test("clusteredWrite: per-file key ranges are disjoint (data skipping)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cluster").toString
