@@ -554,7 +554,62 @@ object Dedup {
       D15W, D15MinDocs, D15Thr).orderBy("doc_id")
   }
 
+  /** p16: decontamination-safe split end-to-end (P16) — the pipeline a
+    * lab actually runs before training, as ONE verified chain: X13's
+    * leakage-safe DOMAIN split assigns train/test by registered domain
+    * (no site straddles), then q21's shingle decontamination removes
+    * from TRAIN every doc sharing ≥ `MinContamOverlap` rare 13-gram
+    * shingles with ANY test doc — belt and suspenders, because a
+    * mirror hosted on a different domain slips the domain split but not
+    * the n-gram gate. The oracle chains the q106 domain arithmetic +
+    * hash membership with the q21 shingle/df/overlap CTEs and the final
+    * NOT-IN — pinning the COMPOSITION, not just the parts. Scale shape
+    * unchanged from the parts: narrow split + the q21 equi-join on
+    * df-capped shingles; the anti-join key side is \|flagged\| ids.
+    */
+  val p16 = QueryDef(
+    "p16_decontam_split",
+    s"""$sqlShingleCte,
+       |dm AS (SELECT doc_id,
+       |    'example' || CAST(doc_id % 211 AS VARCHAR) ||
+       |      CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.co.uk' END AS domain
+       |  FROM documents),
+       |b AS (SELECT doc_id, domain, 'dsplit:' || domain AS kk FROM dm),
+       |m AS (SELECT doc_id, domain,
+       |    ((${Sig.sqlPolyHashStr("kk")} * 2654435761) % 1000000007) % 100 < 90 AS is_train
+       |  FROM b),
+       |ex AS (SELECT s.doc_id, unnest(sh) AS shingle FROM s),
+       |tr AS (SELECT doc_id, shingle FROM (
+       |    SELECT e.doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+       |    FROM ex e JOIN m USING (doc_id) WHERE is_train)
+       |  WHERE df <= $MaxShingleDf),
+       |te AS (SELECT e.doc_id, shingle FROM ex e JOIN m USING (doc_id)
+       |       WHERE NOT is_train),
+       |bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN te USING (shingle)
+       |        GROUP BY tr.doc_id, te.doc_id HAVING count(*) >= $MinContamOverlap)
+       |SELECT doc_id, domain FROM m
+       |WHERE is_train AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftExpressions.register(s)
+    val subs = typedlit(Seq("www", "cdn", "shop"))
+    val docs = Tables(s, dir, "documents")
+      .withColumn("url", concat(lit("https://"),
+        element_at(subs, (col("doc_id") % 3 + 1).cast("int")),
+        lit(".example"), (col("doc_id") % 211).cast("string"),
+        when(col("doc_id") % 2 === 0, ".com").otherwise(".co.uk"),
+        lit("/p/"), col("doc_id").cast("string")))
+      .withColumn("domain", graft.operators.Url.registeredDomain(col("url")))
+    val split = graft.operators.Sampling.split(docs, "domain",
+      Seq("train" -> 90, "test" -> 10), salt = "dsplit:")
+    val clean = Ops.decontaminate(
+      split.filter(col("split") === "train"),
+      split.filter(col("split") === "test"),
+      "doc_id", "text", MinContamOverlap, MaxShingleDf)
+    clean.select("doc_id", "domain").orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13,
-      d14, d15)
+      d14, d15, p16)
 }
