@@ -905,6 +905,98 @@ object PipelineQueries {
       .orderBy("host", "doc_id")
   }
 
+  /** p17: RECRAWL scheduling — the loop a crawler runs FOREVER after the
+    * first pass, closing the sitemap arc (T28) the way p13 closed the
+    * robots arc: per-host sitemap XML bodies (fabricated from doc_id
+    * arithmetic, one `<url><loc/><lastmod/><changefreq/></url>` entry
+    * per page) parse through `Sitemaps.urls`, each page's NEXT-DUE date
+    * is lastmod + its changefreq interval (daily/weekly/monthly →
+    * 1/7/30 days — computed from the PARSED fields, so the XML
+    * extraction is what's verified), and the stalest-due-first per-host
+    * fetch waves space by the host's `Crawl-delay` (p13's exact robots
+    * fabrication + `crawlDelays` parse, exact-agent override included).
+    * The oracle regenerates entries from doc_id, replays the due
+    * arithmetic, the (due, loc) rank and the delay CASE — agreement
+    * requires the sitemap parser, the date arithmetic, the delay
+    * parser's group choice, and the wave window to ALL line up.
+    * Scale shape: sitemap assembly is one host-keyed agg (bodies are
+    * per-host metadata, ≤50k entries by the protocol spec); the parse
+    * is a narrow explode; delays broadcast; the 5-wave lookahead keeps
+    * the schedule behind a WindowGroupLimit exactly like p13.
+    */
+  val p17 = QueryDef(
+    "p17_recrawl_schedule",
+    """WITH u AS (SELECT doc_id, source || '.example' AS host,
+      |        CAST(substr(source, 4) AS BIGINT) AS srcn,
+      |        'https://' || source || '.example/doc' ||
+      |          CAST(doc_id AS VARCHAR) AS loc,
+      |        strftime(DATE '2026-01-01' + CAST(doc_id % 365 AS INTEGER),
+      |          '%Y-%m-%d') AS lastmod,
+      |        CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+      |          ELSE 'monthly' END AS cf
+      |      FROM documents),
+      |d AS (SELECT *, CAST(lastmod AS DATE) +
+      |        CAST(CASE cf WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7
+      |          ELSE 30 END AS INTEGER) AS due
+      |      FROM u),
+      |s AS (SELECT host, srcn, loc, lastmod, due,
+      |        row_number() OVER (PARTITION BY host ORDER BY due, loc) AS wave
+      |      FROM d)
+      |SELECT host, loc, lastmod, strftime(due, '%Y-%m-%d') AS due, wave,
+      |  (wave - 1) * (CASE WHEN srcn % 4 = 0 THEN 500
+      |                     WHEN srcn % 5 = 0 THEN 10000
+      |                     ELSE 1000 * (srcn % 3 + 1) END) AS eta_ms
+      |FROM s WHERE wave <= 5 ORDER BY host, wave, loc""".stripMargin) { (s, dir) =>
+    import graft.operators.{Robots, Sitemaps}
+    val docs = Tables(s, dir, "documents")
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("loc",
+        concat(lit("https://"), col("host"), lit("/doc"), col("doc_id").cast("string")))
+      .withColumn("lastmod", date_format(date_add(
+        to_date(lit("2026-01-01")), (col("doc_id") % 365).cast("int")), "yyyy-MM-dd"))
+      .withColumn("cf", element_at(typedlit(Seq("daily", "weekly", "monthly")),
+        (col("doc_id") % 3 + 1).cast("int")))
+    val sitemapXml = docs.groupBy("host").agg(concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      concat_ws("", collect_list(concat(
+        lit("<url><loc>"), col("loc"), lit("</loc><lastmod>"), col("lastmod"),
+        lit("</lastmod><changefreq>"), col("cf"), lit("</changefreq></url>")))),
+      lit("</urlset>")).as("xml"))
+    val parsed = Sitemaps.urls(sitemapXml, "xml")
+    // p13's robots fabrication verbatim: Crawl-delay parse with the
+    // exact-agent override and the directive-less default
+    val hosts = docs.select("source").distinct()
+      .withColumn("host", concat(col("source"), lit(".example")))
+      .withColumn("srcn", substring(col("source"), 4, 10).cast("long"))
+    val bodies = hosts.withColumn("body",
+      when(col("srcn") % 4 === 0, lit("User-agent: *\nDisallow: /x\n"))
+        .otherwise(concat(
+          lit("User-agent: *\nCrawl-delay: "),
+          (col("srcn") % 3 + 1).cast("string"), lit("\n"),
+          when(col("srcn") % 5 === 0,
+            lit("\nUser-agent: graftbot\nCrawl-delay: 10\n"))
+            .otherwise(lit("")))))
+    val delays = Robots.crawlDelays(bodies, "graftbot")
+    val due = date_add(to_date(col("lastmod")),
+      when(col("changefreq") === "daily", 1)
+        .when(col("changefreq") === "weekly", 7).otherwise(30))
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy(col("due"), col("loc"))
+    parsed
+      .withColumn("due", due)
+      .join(broadcast(delays), Seq("host"), "left")
+      .withColumn("delay_ms",
+        coalesce((col("crawl_delay_s") * 1000).cast("long"), lit(500L)))
+      .withColumn("wave", row_number().over(byHost))
+      .where(col("wave") <= 5) // lookahead horizon → WindowGroupLimit
+      .select(col("host"), col("loc"), col("lastmod"),
+        date_format(col("due"), "yyyy-MM-dd").as("due"), col("wave"),
+        ((col("wave") - 1) * col("delay_ms")).as("eta_ms"))
+      .orderBy("host", "wave", "loc")
+  }
+
   val queries: Seq[QueryDef] =
-    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14, p15)
+    Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14,
+      p15, p17)
 }
