@@ -765,12 +765,66 @@ object Relational {
   }
 
 
+  /** q107: cohort retention matrix (Q95) — the classic product-analytics
+    * triangle: customers grouped by FIRST-ORDER month (the cohort), and
+    * for every (cohort, months-since) cell the count of distinct
+    * customers active in that month, plus the retention fraction
+    * against the cohort's size (its months_since = 0 cell, where every
+    * member appears by construction). ALL calendar arithmetic is exact
+    * integers — ym = year·12 + (month−1), cohort = min(ym) per
+    * customer, months_since = ym − cohort — so the only float is the
+    * final mirror-rounded ratio. Scale shape: one (custkey, ym)
+    * partial-agg dedup, a custkey-keyed join of per-customer cohorts
+    * (both sides corpus-keyed — the standard shuffle), a
+    * (cohort, months_since) partial agg over ALREADY-DEDUPED pairs
+    * (countDistinct would re-shuffle; distinct-then-count keeps the
+    * cell agg a plain count), and a broadcast of the \|cohorts\|-row
+    * size table.
+    */
+  val q107 = QueryDef(
+    "q107_cohort_retention",
+    s"""WITH o AS (SELECT DISTINCT o_custkey,
+       |    year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS ym
+       |  FROM orders),
+       |c AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1),
+       |cell AS (SELECT cym, ym - cym AS months_since,
+       |    count(*) AS n_customers
+       |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+       |sz AS (SELECT cym, n_customers AS n_cohort FROM cell
+       |       WHERE months_since = 0)
+       |SELECT CAST(cym // 12 AS BIGINT) AS cohort_year,
+       |  CAST(cym % 12 + 1 AS BIGINT) AS cohort_month,
+       |  CAST(months_since AS BIGINT) AS months_since,
+       |  CAST(n_customers AS BIGINT) AS n_customers,
+       |  CAST(n_cohort AS BIGINT) AS n_cohort,
+       |  ${mr("n_customers * 1.0 / n_cohort", 4)} AS retention
+       |FROM cell JOIN sz USING (cym)
+       |ORDER BY cohort_year, cohort_month, months_since""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"))
+      .distinct()
+    val c = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+    val cell = o.join(c, "o_custkey")
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("months_since"))
+      .agg(count(lit(1)).as("n_customers"))
+    val size = cell.filter(col("months_since") === 0)
+      .select(col("cym"), col("n_customers").as("n_cohort"))
+    cell.join(broadcast(size), "cym")
+      .select(expr("cym div 12").cast("long").as("cohort_year"),
+        (col("cym") % 12 + 1).cast("long").as("cohort_month"),
+        col("months_since").cast("long").as("months_since"),
+        col("n_customers"), col("n_cohort"),
+        graft.functions.Rounding.mirrorRound(
+          col("n_customers") * 1.0 / col("n_cohort"), 4).as("retention"))
+      .orderBy("cohort_year", "cohort_month", "months_since")
+  }
+
   /** Full relational registry: this file's core queries plus the family
     * files the round-7 split moved out (RelationalGraph / RelationalStats
     * / RelationalTimeseries). Same QueryDef set as before the split.
     */
   val queries: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q26, q33, q34, q35, q37, q38, q39, q40, q42, q46, q47, q51, q89, q96) ++
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14, q15, q16, q17, q18, q24, q25, q26, q33, q34, q35, q37, q38, q39, q40, q42, q46, q47, q51, q89, q96, q107) ++
       RelationalGraph.queries ++ RelationalStats.queries ++
       RelationalTimeseries.queries
 }

@@ -144,6 +144,65 @@ object TarShards {
     * The underscore dir is invisible to the shard readers' globs and to
     * Spark's file index, exactly like `_MANIFEST.jsonl`.
     */
+  /** TOKEN-balanced shard export — [[write]] sizes shards by key-hash
+    * row distribution, but a training loader wants shards of ~equal
+    * TOKEN budget (a shard is a unit of loader work; 10 long documents
+    * can outweigh 10k short ones). Rides the verified q22 machinery:
+    * [[graft.operators.Packing.packSequences]] greedily packs keys to
+    * `budgetTokens` within `hashShards` deterministic hash shards
+    * (scale: each shard packs independently — no global sort), each
+    * (hash-shard, pack) pair becomes ONE tar, and placement uses an
+    * IDENTITY partitioner over the dense global pack index (hash
+    * repartition would collide two packs into one tar and double it).
+    * The per-shard pack counts are the only driver state
+    * (`hashShards` longs — metadata). All members of a key share its
+    * pack (the sample-affinity contract of [[write]]); keys must be
+    * numeric-castable (packSequences' contract — surrogate via polyHash
+    * otherwise). Every tar's token total is ≤ `budgetTokens` unless a
+    * single document exceeds the budget alone (greedy first-fit keeps
+    * oversized docs in their own pack).
+    *
+    * `tokens` maps each key to its token count — one row per key
+    * (dedupe upstream if the corpus carries it per member).
+    */
+  def writeTokenBalanced(df: DataFrame, tokens: DataFrame, path: String,
+      budgetTokens: Long, hashShards: Int = 32, salt: String = "",
+      mode: SaveMode = SaveMode.ErrorIfExists,
+      commit: ShardCommit.Mode = ShardCommit.Rename): Unit = {
+    require(hashShards >= 1, "hashShards must be >= 1")
+    val spark = df.sparkSession
+    val Seq(keyCol, tokCol) = tokens.columns.toSeq.take(2)
+    val packs = graft.operators.Packing.packSequences(
+      tokens, keyCol, tokCol, budgetTokens, hashShards, salt)
+      .select(col(keyCol).cast("string").as("__pkey"),
+        col("shard").as("__ws"), col("pack").as("__wp"))
+    // dense global pack index: per-hash-shard pack counts are the only
+    // driver state (|hashShards| longs)
+    val counts = packs.groupBy("__ws").agg(max("__wp").as("mp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) + 1)).sortBy(_._1)
+    require(counts.nonEmpty, "writeTokenBalanced on an empty corpus")
+    val offsets = counts.scanLeft(0L)(_ + _._2).init
+    val offsetMap = counts.map(_._1).zip(offsets).toMap
+    val numTars = offsets.last + counts.last._2
+    require(numTars <= 1000000, s"$numTars output shards — raise budgetTokens")
+    val joined = df
+      .withColumn("__pkey", col("key").cast("string"))
+      .join(packs, "__pkey")
+      .withColumn("__gp",
+        element_at(typedlit(offsetMap), col("__ws")) + col("__wp"))
+      .select(col("key"), col("ext"), col("content"), col("__gp"))
+    val schema = joined.schema
+    val laid = joined.rdd
+      .map(r => (r.getAs[Long]("__gp").toInt, r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = numTars.toInt
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    write(spark.createDataFrame(laid, schema).drop("__gp"), path, mode,
+      shards = None, commit = commit)
+  }
+
   def writeKeyIndex(spark: SparkSession, path: String, glob: String = "*.tar"): Unit =
     entries(spark, path, glob)
       .select(element_at(split(col("shard"), "/"), -1).as("shard"), col("key"))

@@ -444,4 +444,35 @@ class SourcesSuite extends SparkSpec {
       .select("file", "status").as[(String, String)].collect().toMap
     assert(diff == Map(gone.getName -> "missing", "stray-00099.tar" -> "extra"))
   }
+
+  test("writeTokenBalanced: every tar under the token budget, samples whole, keys once") {
+    import spark.implicits._
+    import graft.sources.TarShards
+    val tmp = Files.createTempDirectory("graft-balanced").toString
+    // 40 docs, token counts 10..49; doc 7 is a two-member sample
+    val toks = (1L to 40L).map(i => (i, 9L + i)).toDF("key", "n_tokens")
+    val members = (1L to 40L).flatMap { i =>
+      val base = Seq((i, "txt", s"doc$i".getBytes("UTF-8")))
+      if (i == 7L) base :+ ((i, "json", s"""{"id":$i}""".getBytes("UTF-8"))) else base
+    }.toDF("key", "ext", "content")
+    TarShards.writeTokenBalanced(members, toks, s"$tmp/shards",
+      budgetTokens = 100L, hashShards = 4, salt = "tb")
+
+    val back = TarShards.entries(spark, s"$tmp/shards")
+    // every member lands exactly once; the two-member sample stays whole
+    assert(back.count() == 41)
+    assert(back.select("key").distinct().count() == 40)
+    assert(back.filter($"key" === "7").select("shard").distinct().count() == 1)
+    // per-tar token totals respect the budget (no doc exceeds it alone)
+    val perShard = back.select($"shard", $"key".cast("long").as("key"))
+      .distinct()
+      .join(toks, "key")
+      .groupBy("shard").agg(sum("n_tokens").as("t"))
+      .as[(String, Long)].collect()
+    assert(perShard.forall(_._2 <= 100L),
+      s"over-budget shards: ${perShard.filter(_._2 > 100L).mkString(",")}")
+    // balance actually happened: more than hashShards tars exist (40 docs
+    // x ~29 avg tokens / 100 budget ~ 12 packs)
+    assert(perShard.length > 4, s"only ${perShard.length} shards")
+  }
 }
