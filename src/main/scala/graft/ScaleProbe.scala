@@ -52,6 +52,7 @@ object ScaleProbe {
     if (mode == "crawl") { crawlE2e(spark, out, factor); spark.stop(); return }
     if (mode == "frontier") { frontier(spark, factor); spark.stop(); return }
     if (mode == "theilsen") { theilSenBucketed(spark, src, factor); spark.stop(); return }
+    if (mode == "retrieval") { retrieval(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1108,6 +1109,35 @@ object ScaleProbe {
     * exchange — so wall time must track the SCAN, not |hosts| or the
     * ledger.
     */
+  /** T29/S10 probe: BM25 and MRL truncation at ×factor — both must stay
+    * scan-bound: bm25's tf table is bounded by |docs|·|Q| regardless of
+    * corpus width, top-k exchanges ≤ k pairs/task through the heap agg,
+    * and mrlTruncate is a pure narrow pass.
+    */
+  private def retrieval(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Similarity, TextAnalysis}
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val reps = spark.range(factor.toLong).select(col("id").as("rep"))
+    docs.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/docs_retrieval.parquet")
+    val d = spark.read.parquet(s"$out/docs_retrieval.parquet")
+    println(s"[scale x$factor] retrieval docs=${nDocs * factor}")
+    val terms = Seq("spark", "shuffle", "window", "merge", "join", "hash")
+    timed(factor, "t22 bm25 scores")(
+      TextAnalysis.bm25Scores(d, "doc_id", "text", terms).count())
+    timed(factor, "t22 bm25 top-100")(
+      TextAnalysis.bm25TopK(d, "doc_id", "text", terms, 100).count())
+    writeEmbeddings(spark, src, out, factor)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    timed(factor, "s09 mrl truncate d=32")(
+      Similarity.mrlTruncate(emb, "vec_id", "embedding", 32).count())
+  }
+
   private def frontier(spark: SparkSession, factor: Int): Unit = {
     import graft.operators.Robots
     val hosts = 30

@@ -1019,5 +1019,39 @@ object RelationalStats {
       .orderBy("event_type", "day")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105)
+  private val KAnon = 5L
+
+  /** q108: k-anonymity audit (Q96) — the privacy release gate a corpus
+    * passes before leaving the curation pipeline: every combination of
+    * quasi-identifiers (here nation × market segment) must cover at
+    * least k individuals, or the rows in that cell are re-identifiable
+    * by joining public attributes (Sweeney 2002). Per cell: the count,
+    * the flag, and each cell's share of the total population — so the
+    * release decision ("0.4% of rows are at risk") is one SUM over the
+    * flagged rows. Everything is ONE partial-agg groupBy over exact
+    * longs plus a broadcast total; the only float is the mirror-rounded
+    * share.
+    */
+  val q108 = QueryDef(
+    "q108_k_anonymity",
+    s"""WITH c AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+       |  FROM customer GROUP BY 1, 2),
+       |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+       |SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+       |  n >= $KAnon AS k_anonymous,
+       |  ${mr("n / total", 6)} AS pop_share
+       |FROM c CROSS JOIN t
+       |ORDER BY c_nationkey, c_mktsegment""".stripMargin) { (s, dir) =>
+    val cells = Tables(s, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum("n")).head().getLong(0).toDouble
+    cells.select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") >= KAnon).as("k_anonymous"),
+        graft.functions.Rounding.mirrorRound(col("n") / lit(total), 6)
+          .as("pop_share"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108)
 }
