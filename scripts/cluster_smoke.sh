@@ -17,6 +17,7 @@ SPARK_HOME=/opt/spark exec /opt/spark/bin/spark-submit \
   --conf spark.dynamicAllocation.enabled=true \
   --conf spark.dynamicAllocation.shuffleTracking.enabled=true \
   --conf spark.dynamicAllocation.minExecutors=1 \
+  --conf spark.dynamicAllocation.initialExecutors=2 \
   --conf spark.dynamicAllocation.maxExecutors=2 \
   --conf spark.executor.memory=2g \
   --conf spark.ui.enabled=false \
