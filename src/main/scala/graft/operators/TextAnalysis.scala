@@ -648,7 +648,8 @@ object TextAnalysis {
     * Output: idCol, matched_terms, dl, score (unrounded).
     */
   def bm25Scores(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      checkpoint: Boolean = true): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 >= 0 and b in [0,1]")
     // null text counts toward N but contributes zero length (the SQL
@@ -659,12 +660,16 @@ object TextAnalysis {
     val n = stats.getLong(0)
     require(n > 0, "bm25 over an empty corpus")
     val avgdl = stats.getLong(1).toDouble / n.toDouble
-    val tf = df.select(col(idCol).as("_id"),
+    val tf0 = df.select(col(idCol).as("_id"),
         size(tokens(col(textCol))).cast("double").as("_dl"),
         explode(tokens(col(textCol))).as("term"))
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("_dl")).as("dl"))
+    // tf feeds BOTH the df derivation and the scoring join — pin it
+    // (|matching docs|·|Q| rows) or the corpus explode+agg runs twice
+    // (the t16 tfIdfTopK lesson; PlanAudit showed 4 corpus scans)
+    val tf = if (checkpoint) tf0.localCheckpoint(true) else tf0
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
