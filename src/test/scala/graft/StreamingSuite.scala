@@ -724,4 +724,38 @@ class StreamingSuite extends SparkSpec {
     intercept[IllegalArgumentException](
       graft.streaming.StreamingBudget.admitToBudget(src.toDS(), Map("a" -> -1L)))
   }
+
+  test("E20: streaming k-anonymity gate holds sub-k cells, releases on crossing") {
+    import spark.implicits._
+    import graft.streaming.StreamingKAnonymity
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Long)]
+    val q = StreamingKAnonymity.gate(src.toDS(), k = 3)
+      .writeStream.format("memory").queryName("kanon")
+      .outputMode("append").start()
+    try {
+      // batch 0: B reaches k in-batch and flows; A (2 rows) is HELD
+      src.addData(("A", 1L), ("A", 2L), ("B", 10L), ("B", 11L), ("B", 12L))
+      q.processAllAvailable()
+      def released() = spark.table("kanon")
+        .as[StreamingKAnonymity.Released].collect().map(r => (r.cell, r.id)).toSet
+      assert(released() == Set(("B", 10L), ("B", 11L), ("B", 12L)))
+
+      // batch 1: A crosses k -> its buffer flushes WITH the crossing row;
+      // B is past k so new rows pass straight through; C starts held
+      src.addData(("A", 3L), ("B", 13L), ("C", 20L))
+      q.processAllAvailable()
+      assert(released() == Set(("B", 10L), ("B", 11L), ("B", 12L), ("B", 13L),
+        ("A", 1L), ("A", 2L), ("A", 3L)))
+
+      // stream-end parity with the q108 batch rule: released == rows of
+      // cells whose TOTAL count reached k; suppressed == the rest
+      val arrived = Seq(("A", 1L), ("A", 2L), ("B", 10L), ("B", 11L),
+        ("B", 12L), ("A", 3L), ("B", 13L), ("C", 20L))
+      val safe = arrived.groupBy(_._1).filter(_._2.size >= 3).keySet
+      assert(released() == arrived.filter(r => safe(r._1)).toSet)
+      intercept[IllegalArgumentException](
+        StreamingKAnonymity.gate(src.toDS(), 0))
+    } finally q.stop()
+  }
 }
