@@ -147,4 +147,51 @@ class StreamingCrawlSuite extends SparkSpec {
       assert(loaderRan == 2)
     } finally { q.stop(); rules.close() }
   }
+
+  test("E21: exactly-once streaming shard export — replays never double-write") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.{Manifests, TarShards}
+    import graft.streaming.StreamingShardExport
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-shardexport").toString
+    val out = s"$tmp/out"
+    val src = MemoryStream[(String, String, String)]
+    val sink = StreamingShardExport.tarBatches(out, shards = 2)
+    val q = src.toDF().toDF("key", "ext", "payload")
+      .withColumn("content", col("payload").cast("binary")).drop("payload")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    try {
+      src.addData(("k1", "txt", "alpha"), ("k2", "txt", "bravo"))
+      q.processAllAvailable()
+      assert(StreamingShardExport.committed(spark, out, 0L))
+      val b0 = s"$out/batch-000000000"
+      def snapshot() = new java.io.File(b0).listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      val before = snapshot()
+
+      // failure re-delivery of a COMMITTED batch: byte-for-byte no-op
+      val replay = Seq(("k1", "txt", "alpha".getBytes("UTF-8")),
+        ("k2", "txt", "bravo".getBytes("UTF-8"))).toDF("key", "ext", "content")
+      sink(replay, 0L)
+      assert(snapshot() == before, "replay of a committed batch must not touch files")
+
+      // crash-mid-write simulation: shards landed, manifest did not ->
+      // the replay REWRITES the batch and commits it
+      assert(new java.io.File(b0, "_MANIFEST.jsonl").delete())
+      sink(replay, 0L)
+      assert(StreamingShardExport.committed(spark, out, 0L))
+
+      src.addData(("k3", "txt", "carol"))
+      q.processAllAvailable()
+      assert(StreamingShardExport.committed(spark, out, 1L))
+      // consume ONLY manifest-listed shards across batch dirs
+      val keys = Seq(0L, 1L).flatMap { id =>
+        val d = f"$out/batch-$id%09d"
+        TarShards.entries(spark, d, Manifests.listedGlob(spark, d))
+          .select("key").as[String].collect()
+      }.sorted
+      assert(keys == Seq("k1", "k2", "k3"))
+    } finally q.stop()
+  }
 }
