@@ -294,4 +294,44 @@ class PropertySuite extends SparkSpec {
         s"host=$h path=$p rules=${table(h)} want=$want")
     }
   }
+
+  test("bm25Scores matches an independent in-memory scorer on random corpora") {
+    import spark.implicits._
+    // independent reference: plain-Scala Okapi over token lists — no
+    // shared code with the operator beyond the published formula
+    def refBm25(docs: Seq[(Long, String)], q: Seq[String], k1: Double,
+        b: Double): Map[Long, Double] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val n = docs.size.toDouble
+      val avgdl = toks.map(_._2.size).sum.toDouble / n
+      val dfq = q.map(t => t -> toks.count(_._2.contains(t)).toDouble).toMap
+      toks.flatMap { case (id, ts) =>
+        val dl = ts.size.toDouble
+        val s = q.flatMap { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0 || dfq(t) == 0) None
+          else Some(math.log((n - dfq(t) + 0.5) / (dfq(t) + 0.5) + 1.0) *
+            (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        }
+        if (s.isEmpty) None else Some(id -> s.sum)
+      }.toMap
+    }
+    val vocab = Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    (0 until 6).foreach { case_i =>
+      val rnd = new scala.util.Random(31 + case_i)
+      val docs = (1L to 60L).map(i =>
+        i -> Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      val q = rnd.shuffle(vocab).take(1 + rnd.nextInt(3))
+      val got = TextAnalysis.bm25Scores(docs.toDF("id", "text"), "id", "text",
+          q, k1 = 1.2, b = 0.75)
+        .select("id", "score").as[(Long, Double)].collect().toMap
+      val want = refBm25(docs, q, 1.2, 0.75)
+      assert(got.keySet == want.keySet, s"case $case_i: matched-doc sets differ")
+      got.foreach { case (id, s) =>
+        assert(math.abs(s - want(id)) < 1e-9,
+          s"case $case_i doc $id: $s vs ${want(id)} (q=$q)")
+      }
+    }
+  }
 }
