@@ -221,8 +221,9 @@ object Robots {
     * Streaming: `urls` may be a streaming Dataset — the rule side is
     * static, so this plans as a stream-static join and gates URLs live
     * at ingest (spec-asserted batch parity). The static side is planned
-    * once per query; refreshed robots bodies need a query restart (or a
-    * periodically re-read table source).
+    * once per query; for live rule refresh WITHOUT a query restart,
+    * route through [[graft.streaming.StreamingRobots]] (foreachBatch
+    * re-plans per micro-batch against a rate-limited snapshot).
     */
   def admit(urls: DataFrame, ruleRows: DataFrame, agent: String,
       urlCol: String = "url"): DataFrame = {
