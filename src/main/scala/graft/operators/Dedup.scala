@@ -509,12 +509,19 @@ object Dedup {
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
     def fp(c: org.apache.spark.sql.Column) = graft.functions.TextFunctions.contentFingerprint(c)
     // an empty reference has no members: everything is novel (and
-    // stat.bloomFilter cannot aggregate zero rows — null buffer)
-    val items = if (expectedItems > 0) { if (reference.isEmpty) 0L else expectedItems }
-      else reference.count()
+    // stat.bloomFilter cannot aggregate zero rows — null buffer). With
+    // expectedItems > 0 (the caller sized us to AVOID touching the
+    // reference) emptiness is detected from the aggregation's own
+    // failure rather than an extra per-call isEmpty job on the hot path.
+    val items = if (expectedItems > 0) expectedItems else reference.count()
     if (items == 0L) return newDf.withColumn("probably_seen", lit(false))
-    val bloom = reference.select(fp(col(textCol)).as("_fp"))
-      .stat.bloomFilter("_fp", items, fpp)
+    val bloom =
+      try reference.select(fp(col(textCol)).as("_fp"))
+        .stat.bloomFilter("_fp", items, fpp)
+      catch {
+        case _: NullPointerException | _: NoSuchElementException =>
+          return newDf.withColumn("probably_seen", lit(false))
+      }
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
     val seen = udf((s: String) => s != null && bc.value.mightContainString(s))
     // null text hashes to null -> definitely not in the reference

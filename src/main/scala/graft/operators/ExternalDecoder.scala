@@ -82,20 +82,44 @@ class ExternalDecoderStage(
 
   override def destroy(): Unit = {
     val p = inFlight.getAndSet(null)
-    if (p != null && p.isAlive) p.destroyForcibly()
+    if (p != null && p.isAlive) kill(p)
+  }
+
+  /** Kill the decoder AND its descendants: a decoder that shells out
+    * (ffmpeg via a wrapper script) leaves grandchildren holding the
+    * stdout pipe open — killing only the direct child would leave the
+    * reader blocked until the grandchild exits on its own.
+    */
+  private def kill(p: Process): Unit = {
+    p.descendants().forEach(h => { h.destroyForcibly(); () })
+    p.destroyForcibly()
+    ()
   }
 
   /** Launch `binPath args`, feed `stdin`, return (exit, stdout, stderr
     * snippet). stdin pumps from its own thread (a decoder that writes
     * before draining its input would deadlock a single-threaded pump);
     * stdout reads on the task thread under the byte cap; stderr drains
-    * concurrently into a small ring so failures carry diagnostics.
+    * TO EOF concurrently, keeping only the first 64 KiB (stopping at
+    * the cap would fill the pipe and deadlock a chatty decoder); a
+    * watchdog kills the process at `timeoutMs` — the stdout read
+    * happens BEFORE waitFor, so without the watchdog a hung decoder
+    * that holds stdout open would block the task forever.
     */
   private def run(args: Seq[String], stdin: Array[Byte],
       outCap: Long): (Int, Array[Byte], String) = {
     val pb = new ProcessBuilder((binPath +: args): _*)
     val p = pb.start()
     inFlight.set(p)
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new Thread(() => {
+      if (!p.waitFor(timeoutMs, TimeUnit.MILLISECONDS)) {
+        timedOut.set(true)
+        kill(p)
+      }
+    }, "graft-decoder-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
     try {
       val feeder = new Thread(() => {
         try { p.getOutputStream.write(stdin); p.getOutputStream.close() }
@@ -105,44 +129,60 @@ class ExternalDecoderStage(
       feeder.start()
       val errBuf = new ByteArrayOutputStream()
       val errPump = new Thread(() => {
-        try copyCapped(p.getErrorStream, errBuf, 65536)
+        try copyCapped(p.getErrorStream, errBuf, 65536, drainPastCap = true)
         catch { case _: java.io.IOException => () }
       }, "graft-decoder-stderr")
       errPump.setDaemon(true)
       errPump.start()
       val out = new ByteArrayOutputStream()
-      val capped = copyCapped(p.getInputStream, out, outCap)
+      val capped = copyCapped(p.getInputStream, out, outCap, drainPastCap = false)
+      if (timedOut.get())
+        throw new IllegalStateException(s"decoder timed out after ${timeoutMs}ms")
       if (capped) {
-        p.destroyForcibly()
+        kill(p)
         throw new IllegalStateException(
           s"decoder output exceeded $outCap bytes (maxOutputBytes) — " +
             "runaway decode or bomb payload")
       }
       if (!p.waitFor(timeoutMs, TimeUnit.MILLISECONDS)) {
-        p.destroyForcibly()
+        kill(p)
         throw new IllegalStateException(s"decoder timed out after ${timeoutMs}ms")
       }
       errPump.join(1000)
+      if (timedOut.get())
+        throw new IllegalStateException(s"decoder timed out after ${timeoutMs}ms")
       (p.exitValue(), out.toByteArray,
         new String(errBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
     } finally {
       inFlight.compareAndSet(p, null)
-      if (p.isAlive) p.destroyForcibly()
+      if (p.isAlive) kill(p)
     }
   }
 
-  /** Copy until EOF or cap; true iff the cap was hit (cap+1 bytes seen). */
+  /** Copy until EOF or cap; true iff the cap was hit (cap+1 bytes seen).
+    * `drainPastCap` keeps READING (discarding) after the cap — required
+    * for stderr, where abandoning the pipe would block the child.
+    */
   private def copyCapped(in: InputStream, out: ByteArrayOutputStream,
-      cap: Long): Boolean = {
+      cap: Long, drainPastCap: Boolean): Boolean = {
     val buf = new Array[Byte](65536)
     var total = 0L
+    var hit = false
     var n = in.read(buf)
     while (n >= 0) {
-      if (total + n > cap) return true
-      out.write(buf, 0, n)
-      total += n
+      if (!hit) {
+        if (total + n > cap) {
+          val room = (cap - total).toInt
+          if (room > 0) out.write(buf, 0, room)
+          hit = true
+          if (!drainPastCap) return true
+        } else {
+          out.write(buf, 0, n)
+          total += n
+        }
+      }
       n = in.read(buf)
     }
-    false
+    hit
   }
 }

@@ -62,9 +62,15 @@ object Manifests {
     val out = fs.create(tmp, true)
     try out.write(rows.map(_ + "\n").mkString.getBytes("UTF-8"))
     finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"manifest commit failed: $tmp -> $p")
+    // rename FIRST, delete-and-retry only on failure (the ShardCommit
+    // Rename discipline): deleting the live manifest before the rename
+    // lands would leave a published corpus looking unpublished to any
+    // reader in the window — and permanently on a crash between the two
+    if (!fs.rename(tmp, p)) {
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"manifest commit failed: $tmp -> $p")
+    }
     ()
   }
 

@@ -62,12 +62,17 @@ object ShardCommit {
   }
 
   /** The logical shard name of an attempt file, or None if the name is
-    * not attempt-suffixed.
+    * not attempt-suffixed. Accepts 8+ digits: `%08d` zero-pads to AT
+    * LEAST 8 but a long-running application's task-attempt counter can
+    * pass 10^8, and an unmatched attempt file would silently drop its
+    * shard from the publish election — data loss, not a formatting
+    * nit. (Election past that boundary is still deterministic — any
+    * winner is correct, attempts are byte-identical.)
     */
   private[sources] def logicalName(attemptFile: String): Option[String] = {
-    val m = "-a\\d{8}(\\.|$)".r.findFirstMatchIn(attemptFile)
+    val m = "-a(\\d{8,})(\\.|$)".r.findFirstMatchIn(attemptFile)
     m.map(mm => attemptFile.substring(0, mm.start) +
-      attemptFile.substring(mm.start + 10))
+      attemptFile.substring(mm.start + 2 + mm.group(1).length))
   }
 
   /** Runs `body` against a stream for `finalPath`'s shard; `body`

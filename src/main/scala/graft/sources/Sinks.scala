@@ -97,15 +97,22 @@ object Sinks {
     small.foreach(st => fs.delete(st.getPath, false))
     val produced = fs.listStatus(tmp).filter(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
-    produced.foreach { st =>
+    val producedNames = produced.map { st =>
       val dst = new org.apache.hadoop.fs.Path(p,
         "compacted-" + st.getPath.getName.stripPrefix("part-"))
       fs.delete(dst, false)
       if (!fs.rename(st.getPath, dst))
         throw new java.io.IOException(
           s"compactSmallFiles commit failed: ${st.getPath} -> $dst")
+      dst.getName
     }
     fs.delete(tmp, true)
+    // a manifest-published directory's commit ledger must be re-owned by
+    // the maintenance step that moved its bytes (the shard-compaction
+    // discipline) — else verify/check report missing+extra and
+    // manifest-driven readers lose the compacted rows
+    Manifests.refresh(spark, path, small.map(_.getPath.getName).toSeq,
+      producedNames.toSeq) // no-op when the directory has no manifest
     (small.length, produced.length)
   }
 

@@ -185,11 +185,18 @@ object TarShards {
     val offsetMap = counts.map(_._1).zip(offsets).toMap
     val numTars = offsets.last + counts.last._2
     require(numTars <= 1000000, s"$numTars output shards — raise budgetTokens")
+    // LEFT join + raise_error: a df key absent from `tokens` (or whose
+    // string form differs from the numeric round-trip, e.g. "007" vs 7)
+    // must FAIL LOUD — a silently dropped sample in training data is
+    // corruption, the write() contract of this file
     val joined = df
-      .withColumn("__pkey", col("key").cast("string"))
-      .join(packs, "__pkey")
+      .withColumn("__pkey", col("key").cast("long").cast("string"))
+      .join(packs, Seq("__pkey"), "left")
       .withColumn("__gp",
-        element_at(typedlit(offsetMap), col("__ws")) + col("__wp"))
+        when(col("__ws").isNull, raise_error(concat(
+          lit("writeTokenBalanced: key has no tokens-table row: "),
+          col("key").cast("string"))).cast("long"))
+          .otherwise(element_at(typedlit(offsetMap), col("__ws")) + col("__wp")))
       .select(col("key"), col("ext"), col("content"), col("__gp"))
     val schema = joined.schema
     val laid = joined.rdd

@@ -52,16 +52,34 @@ object StreamingRobots {
     def loadCount: Long = synchronized(loads)
 
     /** The current snapshot: cached under TTL, else reloaded. The fresh
-      * snapshot is pinned (persist + count) before the stale one drops,
-      * so a failed reload leaves the old snapshot serving.
+      * snapshot is pinned (persist + count) before the stale one drops;
+      * a FAILED reload unpersists its half-built snapshot and keeps the
+      * old one serving (retry at the next batch, stale-but-gated beats
+      * a dead query) — only a first load with nothing to fall back on
+      * propagates the failure.
       */
     def current(): DataFrame = synchronized {
       val now = clock()
       cached match {
         case Some((df, at)) if now - at < ttlMs => df
         case stale =>
-          val fresh = load().persist()
-          fresh.count() // materialize: a broken source fails HERE, not mid-batch
+          var fresh: DataFrame = null
+          try {
+            fresh = load().persist()
+            fresh.count() // materialize: a broken source fails HERE, not mid-batch
+          } catch {
+            case e: Throwable =>
+              if (fresh != null) {
+                try { fresh.unpersist(); () } catch { case _: Throwable => () }
+              }
+              stale match {
+                case Some((old, _)) =>
+                  System.err.println(
+                    s"[StreamingRobots] rule reload failed, serving stale snapshot: $e")
+                  return old
+                case None => throw e
+              }
+          }
           loads += 1
           stale.foreach(_._1.unpersist())
           cached = Some((fresh, now))

@@ -81,10 +81,14 @@ class SinksSuite extends SparkSpec {
     val big = pq().maxBy(_.length)
     val bigBytes = java.nio.file.Files.readAllBytes(big.toPath)
     assert(pq().length == 13)
+    // a manifest-published directory: compaction must re-own the ledger
+    graft.sources.Manifests.write(spark, path, "*.parquet")
 
     val (removed, made) = Sinks.compactSmallFiles(spark, path,
       smallBytes = big.length, targetBytes = 512L * 1024)
     assert(removed == 12 && made == 1, s"($removed, $made)")
+    // the ledger followed the bytes: no missing, no extra
+    graft.sources.Manifests.check(spark, path, "*.parquet")
     assert(pq().length == 2)
     assert(pq().count(_.getName.startsWith("compacted-")) == 1)
     // the healthy file was never touched
