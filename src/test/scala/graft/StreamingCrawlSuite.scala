@@ -96,10 +96,14 @@ class StreamingCrawlSuite extends SparkSpec {
     @volatile var bodies: Seq[(String, String)] =
       Seq(("rf.example", "User-agent: *\nDisallow: /private/\n"))
     var loaderRan = 0
+    @volatile var loaderBroken = false
     // manual clock so the TTL is driven deterministically
     var clockMs = 0L
     val rules = new StreamingRobots.RefreshingRules(
-      () => { loaderRan += 1; Robots.rules(bodies.toDF("host", "body")) },
+      () => {
+        if (loaderBroken) sys.error("robots source outage")
+        loaderRan += 1; Robots.rules(bodies.toDF("host", "body"))
+      },
       ttlMs = 1000L, clock = () => clockMs)
 
     val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Boolean)])]
@@ -145,6 +149,23 @@ class StreamingCrawlSuite extends SparkSpec {
         Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false,
           5L -> false, 6L -> true))
       assert(loaderRan == 2)
+
+      // a FAILED reload past TTL serves the stale snapshot instead of
+      // failing the batch (retry next time); the query stays alive
+      loaderBroken = true
+      clockMs += 1500L
+      src.addData((7L, "http://rf.example/blog/g.html"))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(7L -> false), "v2 must still gate")
+      assert(rules.loadCount == 2L)
+      // source recovers: the next over-TTL batch reloads
+      loaderBroken = false
+      bodies = Seq(("rf.example", "User-agent: *\nDisallow: /private/\n"))
+      clockMs += 1500L
+      src.addData((8L, "http://rf.example/blog/h.html"))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(8L -> true))
+      assert(rules.loadCount == 3L)
     } finally { q.stop(); rules.close() }
   }
 
