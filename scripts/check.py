@@ -26,6 +26,37 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 import pandas as pd
 
+# Driver-strict type discipline (round-10, VERDICT r9 item 2): the
+# driver hashes without cross-family coercion, so an oracle column that
+# DuckDB types as HUGEINT (un-cast sum(BIGINT)) or DECIMAL lands in
+# pandas as float64 vs Spark's int64 and fails the driver even when
+# every value is bit-identical. Reject those declared types outright,
+# and refuse to compare columns whose pandas dtype FAMILY differs —
+# widening within a family (int32→int64, float32→float64) is the only
+# coercion the gate may apply.
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def duck_type_violations(sql):
+    rel = con.sql(sql)
+    return [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+            if any(b in str(t).upper() for b in BANNED_DUCK_TYPES)]
+
+def dtype_family(dt):
+    k = pd.api.types.pandas_dtype(dt).kind
+    if k == "u":
+        k = "i"                      # unsigned widens into int64
+    return {"i": "int", "f": "float", "b": "bool", "M": "datetime",
+            "O": "str", "U": "str", "S": "str"}.get(k, k)
+
+def family_mismatches(spark_df, duck_df):
+    bad = []
+    for c in sorted(spark_df.columns):
+        if c in duck_df.columns:
+            fa, fb = dtype_family(spark_df[c].dtype), dtype_family(duck_df[c].dtype)
+            if fa != fb:
+                bad.append(f"{c}: spark={spark_df[c].dtype}({fa}) vs oracle={duck_df[c].dtype}({fb})")
+    return bad
+
 def canon(df):
     df = df[sorted(df.columns)]
     for c in df.columns:
@@ -54,10 +85,20 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: no spark output"); fails.append(name)
         rec["err"] = "no spark output"; continue
     try:
-        spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        banned = duck_type_violations(sql)
+        if banned:
+            print(f"FAIL {name}: oracle declares banned type(s) {banned} "
+                  f"(HUGEINT/DECIMAL → pandas float64 vs Spark int64 at the driver; CAST in the SQL)")
+            fails.append(name); rec["err"] = f"banned oracle types: {banned}"; continue
+        raw_spark = pd.concat([pd.read_parquet(f) for f in files])
         t0 = time.time()
-        duck_df = canon(con.execute(sql).df())
+        raw_duck = con.execute(sql).df()
         rec["oracle_sec"] = round(time.time() - t0, 2)
+        fam = family_mismatches(raw_spark, raw_duck)
+        if fam:
+            print(f"FAIL {name}: dtype family mismatch (driver-strict): {fam}")
+            fails.append(name); rec["err"] = f"dtype family mismatch: {fam}"; continue
+        spark_df, duck_df = canon(raw_spark), canon(raw_duck)
     except Exception as e:
         print(f"FAIL {name}: {e}"); fails.append(name)
         rec["err"] = str(e)[:300]; continue

@@ -84,7 +84,6 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}"""
-    println(json)
     // The driver captures only the tail of stdout (2000 chars in round 6),
     // which truncated the per-query map to 78/154 entries and left the 2×
     // gate unauditable query-by-query. Persist the SAME json whole so a
@@ -105,6 +104,17 @@ object Bench {
     if (filteredRun && outPath.isEmpty)
       System.err.println("[bench] filtered run: BENCH_full.json NOT written " +
         "(set SPARK_GRAFT_BENCH_OUT to persist a partial artifact elsewhere)")
+    // Stdout contract (round 10, VERDICT r9 item 8): the driver keeps only
+    // the TAIL of stdout, and rounds 8/9 proved the single full-map line
+    // gets truncated at the FRONT — BENCH_r{N}.json recorded
+    // "parsed": null both rounds. So the LAST stdout line is a compact
+    // summary that always fits the tail capture: totals plus only the
+    // slowest queries (the ones the 2× gate could plausibly flag);
+    // the complete per-query map lives in BENCH_full.json, written above.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"failed":$failed,"runs":$Runs,"n_queries":${results.size},"detail":"BENCH_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,9 +44,18 @@ object Dedup {
       thr: Double, maxDf: Int): DataFrame = {
     val ex = shingled(df, idCol, textCol)
       .select(col("_gid"), explode(col("sh")).as("shingle"))
-    val kept = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    // df cap as PARTIAL-AGG + SEMI-JOIN, not a window (the q31/d15
+    // discipline): a count window over the exploded shingle stream ships
+    // every copy of a boilerplate shingle to one task and BUFFERS the
+    // whole group before the cap can drop it. The partial-agg count
+    // collapses hot shingles map-side (one (shingle, partial) row per
+    // task), and the semi-join's build side contains no hot key at all —
+    // the hot copies stream through the probe and drop without ever
+    // being held together in memory.
+    val lowDf = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+      .select("shingle")
+    val kept = ex.join(lowDf, Seq("shingle"), "left_semi")
       .select("_gid", "shingle")
     val n = kept.groupBy("_gid").agg(count(lit(1)).as("n"))
     val pairs = kept.as("a")
@@ -519,8 +528,16 @@ object Dedup {
       try reference.select(fp(col(textCol)).as("_fp"))
         .stat.bloomFilter("_fp", items, fpp)
       catch {
-        case _: NullPointerException | _: NoSuchElementException =>
-          return newDf.withColumn("probably_seen", lit(false))
+        // stat.bloomFilter cannot aggregate zero rows (null buffer →
+        // NPE/NoSuchElement). But those exception TYPES are not proof of
+        // emptiness — a genuine driver-side failure must not silently
+        // disable the dedup gate. Confirm emptiness explicitly (one
+        // limit(1) job, paid only on this cold path) and rethrow if the
+        // reference turns out non-empty.
+        case e @ (_: NullPointerException | _: NoSuchElementException) =>
+          if (reference.select(col(textCol)).limit(1).isEmpty)
+            return newDf.withColumn("probably_seen", lit(false))
+          else throw e
       }
     val bc = newDf.sparkSession.sparkContext.broadcast(bloom)
     val seen = udf((s: String) => s != null && bc.value.mightContainString(s))

@@ -66,7 +66,12 @@ class ExternalDecoderStage(
     require(f.isFile, s"decoder binary not distributed: ${decoder.uri}")
     f.setExecutable(true, false)
     binPath = f.getAbsolutePath
-    val (code, _, err) = run(probeArgs, Array.emptyByteArray, 8192)
+    // The probe only needs the exit code + stderr; a --version banner
+    // longer than the 8 KiB keep-buffer is fine — drain it to EOF and
+    // keep a truncated prefix (truncateOk) rather than failing setup on
+    // a chatty but healthy binary.
+    val (code, _, err) = run(probeArgs, Array.emptyByteArray, 8192,
+      truncateOk = true)
     require(code == 0,
       s"decoder probe `$binPath ${probeArgs.mkString(" ")}` exited $code: $err")
   }
@@ -107,7 +112,7 @@ class ExternalDecoderStage(
     * that holds stdout open would block the task forever.
     */
   private def run(args: Seq[String], stdin: Array[Byte],
-      outCap: Long): (Int, Array[Byte], String) = {
+      outCap: Long, truncateOk: Boolean = false): (Int, Array[Byte], String) = {
     val pb = new ProcessBuilder((binPath +: args): _*)
     val p = pb.start()
     inFlight.set(p)
@@ -135,10 +140,11 @@ class ExternalDecoderStage(
       errPump.setDaemon(true)
       errPump.start()
       val out = new ByteArrayOutputStream()
-      val capped = copyCapped(p.getInputStream, out, outCap, drainPastCap = false)
+      val capped = copyCapped(p.getInputStream, out, outCap,
+        drainPastCap = truncateOk)
       if (timedOut.get())
         throw new IllegalStateException(s"decoder timed out after ${timeoutMs}ms")
-      if (capped) {
+      if (capped && !truncateOk) {
         kill(p)
         throw new IllegalStateException(
           s"decoder output exceeded $outCap bytes (maxOutputBytes) — " +

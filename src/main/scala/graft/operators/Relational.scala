@@ -1609,7 +1609,75 @@ object Relational {
     */
   def theilSen(df: DataFrame, groupCols: Seq[String], xCol: Column,
       yCol: Column, maxN: Int = 5000, scaleX: Long = 1L,
-      scaleY: Long = 100L): DataFrame = {
+      scaleY: Long = 100L,
+      onOversize: OversizeMode = OversizeMode.Fail): DataFrame =
+    onOversize match {
+      case OversizeMode.Fail =>
+        theilSenExact(df, groupCols, xCol, yCol, maxN, scaleX, scaleY)
+      case OversizeMode.Bucket(b) =>
+        theilSenEscalated(df, groupCols, xCol, yCol, maxN, scaleX, scaleY, b)
+    }
+
+  /** What [[theilSen]] does when a group exceeds `maxN` (the quadratic
+    * guard). `Fail` (the default) keeps the fail-loud contract: a
+    * too-big group raises with a clear message. `Bucket(n)` degrades
+    * THAT GROUP ONLY to the [[theilSenBucketed]] median-of-buckets
+    * estimator (n hash buckets) so a pipeline survives one oversized
+    * group mid-run instead of dying — in-guard groups still get the
+    * exact fit, bit for bit.
+    */
+  sealed trait OversizeMode
+  object OversizeMode {
+    case object Fail extends OversizeMode
+    final case class Bucket(buckets: Int) extends OversizeMode {
+      require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    }
+  }
+
+  /** The Bucket(n) escalation path: one extra partial-agg pass counts
+    * group sizes (|groups| rows — the only added shuffle), oversized
+    * groups split into n deterministic x-unit hash buckets while
+    * in-guard groups keep a single bucket 0, the exact fit runs per
+    * (group, bucket), and the outer rank-rule medians collapse the
+    * buckets — for a single-bucket (in-guard) group the medians are the
+    * identity, so those groups return [[theilSenExact]]'s numbers
+    * unchanged (spec-asserted). A bucket that STILL exceeds maxN fails
+    * loud — escalation degrades precision once, never silently twice.
+    */
+  private def theilSenEscalated(df: DataFrame, groupCols: Seq[String],
+      xCol: Column, yCol: Column, maxN: Int, scaleX: Long, scaleY: Long,
+      buckets: Int): DataFrame = {
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ snap(xCol, scaleX).as("_cx") :+
+        snap(yCol, scaleY).as("_cy"): _*)
+      .filter(col("_cx").isNotNull && col("_cy").isNotNull)
+    val sizes = pts.groupBy(parts: _*).agg(count(lit(1)).as("_gn"))
+    val routed = pts.join(sizes, groupCols)
+      .withColumn("_bkt",
+        when(col("_gn") > maxN, pmod(col("_cx"), lit(buckets.toLong)))
+          .otherwise(lit(0L)))
+    // scales 1: _cx/_cy are already snapped units; re-snapping is identity
+    val fits = theilSenExact(routed, groupCols :+ "_bkt", col("_cx"),
+      col("_cy"), maxN, 1L, 1L)
+    def rankMedian(sorted: Column, cnt: Column): Column =
+      (element_at(sorted, ((cnt + 1) / 2).cast("int")) +
+        element_at(sorted, (cnt / 2 + 1).cast("int"))) / 2.0
+    val cnt = count(lit(1))
+    fits.groupBy(parts: _*)
+      .agg(sum(col("n_points")).as("n_points"),
+        sum(col("n_slopes")).as("n_slopes"),
+        sort_array(collect_list(col("slope"))).as("_s"),
+        sort_array(collect_list(col("intercept"))).as("_i"),
+        cnt.as("_nb"))
+      .withColumn("slope", rankMedian(col("_s"), col("_nb")))
+      .withColumn("intercept", rankMedian(col("_i"), col("_nb")))
+      .select(parts ++ Seq(col("n_points"), col("n_slopes"), col("slope"),
+        col("intercept")): _*)
+  }
+
+  private def theilSenExact(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, maxN: Int, scaleX: Long,
+      scaleY: Long): DataFrame = {
     require(maxN >= 2, s"maxN must be >= 2, got $maxN")
     require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
     val parts = groupCols.map(col)

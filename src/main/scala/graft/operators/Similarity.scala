@@ -388,6 +388,125 @@ object Similarity {
       .select("query_id", "cell", "rank", "neighbor_id", "cos")
   }
 
+  /** IVFADC — the production 100 TB ANN shape (Jégou et al. 2011, §IV:
+    * coarse cells × compressed-domain scan): [[ivfKnn]]'s coarse
+    * quantizer bounds WHAT is scanned (a query touches only its
+    * `nprobe` nearest cells), [[pqKnn]]'s asymmetric-distance scan
+    * bounds HOW it is scanned (corpus vectors are ranked from their
+    * `m`-byte PQ codes against a per-query distance table — the
+    * corpus's float vectors are NEVER read in the scan). Codes are
+    * whole-vector PQ against shared codebooks (FAISS's
+    * `by_residual=false` IVFPQ variant — one distance table per query,
+    * not one per (query, cell); the residual variant trades that for
+    * extra precision and is a codebook swap away since assignment
+    * and encoding are already separate stages here).
+    *
+    * Plan shape: corpus → ONE max_by cell assignment + ONE PQ encode
+    * (both map-side against broadcasts, the s04/PQ folds); the scan is
+    * corpus codes ⋈ broadcast(query probes) on the CELL key — the only
+    * corpus-sized shuffle input, pruned to nprobe/|cells| of the data —
+    * then ⋈ broadcast(distance table) on (query, sub, code) and a
+    * partial-agg sum of m terms per (query, candidate). adc_d2 keeps
+    * [[pqKnn]]'s ADC identity: exactly L2² between the query and the
+    * RECONSTRUCTED candidate (spec-asserted through the composition).
+    * Output: query_id, cell, rank, neighbor_id, adc_d2 — top-k per
+    * query by (adc_d2, neighbor_id).
+    */
+  def ivfPqKnn(df: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, codebooks: DataFrame, isQuery: Column,
+      dim: Int, m: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    val sc = ivfPqScores(df, idCol, vecCol, cells, codebooks, isQuery, dim, m, nprobe)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "rank", "neighbor_id", "adc_d2")
+  }
+
+  /** [[ivfPqKnn]] + exact re-rank: the top-`rerank` ADC candidates per
+    * query (rerank ≥ k) fetch their float vectors — a semi-join-sized
+    * read of rerank·|queries| rows, NOT a corpus scan — and the final
+    * top-k ranks by exact cosine. This is the standard two-stage
+    * IVFADC+R serving shape: the compressed scan does the corpus-sized
+    * work, the exact pass touches only a candidate set that no longer
+    * depends on corpus size. Output: query_id, rank, neighbor_id,
+    * adc_d2 (the candidate stage's score), cos — top-k per query by
+    * (cos desc, neighbor_id).
+    */
+  def ivfPqKnnRerank(df: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, codebooks: DataFrame, isQuery: Column,
+      dim: Int, m: Int, k: Int, rerank: Int, nprobe: Int = 1): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    GraftExpressions.register(df.sparkSession)
+    val sc = ivfPqScores(df, idCol, vecCol, cells, codebooks, isQuery, dim, m, nprobe)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    val cand = sc.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= rerank)
+      .select("query_id", "neighbor_id", "adc_d2")
+    val corpus = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("_nv"))
+    val q = df.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val exact = cand.join(corpus, "neighbor_id").join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"),
+        round(GraftExpressions.cosineSim(col("_qv"), col("_nv")), 6).as("cos"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_d2", "cos")
+  }
+
+  /** Shared IVFADC candidate scorer: (query_id, cell, neighbor_id,
+    * adc_d2) for every corpus vector in a probed cell.
+    */
+  private def ivfPqScores(df: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, codebooks: DataFrame, isQuery: Column,
+      dim: Int, m: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    GraftExpressions.register(df.sparkSession)
+    val subDim = dim / m
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+    // corpus → coarse cell (map-side max_by, the s04 fold)
+    val assigned = e.crossJoin(broadcast(cells))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("clabel").cast("long").as("cell"), col("_v").as("v")),
+        struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
+          negate(col("clabel").cast("long")).as("negl"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"),
+        VectorFunctions.toDouble(col("m.v")).as("_v"))
+    // corpus → PQ codes, cell carried through (map-side argmin per sub)
+    val codes = subVectors(assigned, m, subDim)
+      .join(broadcast(codebooks), "sub")
+      .groupBy("vec_id", "sub")
+      .agg(max_by(col("code"),
+        struct(negate(sqDist(col("sv"), col("cv"))).as("nd"),
+          negate(col("code")).as("negc"))).as("code"))
+      .join(assigned.select("vec_id", "cell"), "vec_id")
+    // queries: top-nprobe cells each
+    val qv = e.filter(isQuery)
+      .select(col("vec_id").as("query_id"), VectorFunctions.toDouble(col("_v")).as("_qv"))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(VectorFunctions.cosine(col("_qv"), col("cv")).desc, col("clabel"))
+    val probes = qv.crossJoin(broadcast(cells))
+      .withColumn("_rn", row_number().over(qw)).filter(col("_rn") <= nprobe)
+      .select(col("query_id"), col("clabel").cast("long").as("cell"))
+    // per-query ADC distance table: m·k entries against the codebooks
+    val dt = subVectors(qv.select(col("query_id").as("vec_id"), col("_qv").as("_v")), m, subDim)
+      .join(broadcast(codebooks), "sub")
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        sqDist(col("sv"), col("cv")).as("d2"))
+    // compressed-domain scan: cells prune, codes join the table, partial
+    // aggregation sums the m terms map-side
+    codes.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "cell", "vec_id")
+      // mirror-round (not round): s10's oracle replays this exact fold
+      .agg(graft.functions.Rounding.mirrorRound(sum(col("d2")), 6).as("adc_d2"))
+      .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
+        col("adc_d2"))
+  }
+
   /** Symmetric per-vector int8 scalar quantization — the 4× embedding
     * store shrink (float32 → one byte/dim + one scale/vector) that keeps
     * a 100 TB embedding corpus in cluster memory when PQ's lossier 32×
@@ -579,28 +698,158 @@ object Similarity {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val (_, means, cov) = covState(df, vecCol)
     val d = means.length
-    var v = Array.fill(d)(1.0 / math.sqrt(d))
-    var lambda = 0.0
-    var it = 0
-    while (it < iters) {
-      val av = Array.tabulate(d)(i => {
-        var s = 0.0; var j = 0
-        while (j < d) { s += cov(i)(j) * v(j); j += 1 }
-        s
-      })
-      val norm = math.sqrt(av.map(x => x * x).sum)
-      require(norm > 0.0, "pcaTopComponent: degenerate (zero) covariance")
-      v = av.map(_ / norm)
-      lambda = norm
-      it += 1
-    }
-    val maxIdx = v.indices.maxBy(i => (math.abs(v(i)), -i))
-    if (v(maxIdx) < 0) v = v.map(x => -x)
+    val (v, lambda) = powerIterate(cov, iters, startBasis = -1)
+    require(lambda > 0.0, "pcaTopComponent: degenerate (zero) covariance")
     val trace = (0 until d).map(i => cov(i)(i)).sum
     val rows = v.zipWithIndex.map { case (l, i) =>
       (i + 1L, l, lambda, if (trace > 0) lambda / trace else 0.0)
     }.toSeq
     df.sparkSession.createDataFrame(rows)
       .toDF("i", "loading", "eigenvalue", "explained_frac")
+  }
+
+  /** Deterministic power iteration on a symmetric d×d matrix: fixed
+    * uniform start (or basis vector `startBasis` when the uniform start
+    * is orthogonal to the dominant eigenvector — the deflation loop
+    * passes the component index), `iters` fixed rounds, sign normalized
+    * so the largest-|loading| entry is positive. Returns (eigenvector,
+    * eigenvalue); eigenvalue 0 with a zero vector for a zero matrix.
+    */
+  private def powerIterate(a: Array[Array[Double]], iters: Int,
+      startBasis: Int): (Array[Double], Double) = {
+    val d = a.length
+    def run(start: Array[Double]): (Array[Double], Double) = {
+      var v = start
+      var lambda = 0.0
+      var it = 0
+      while (it < iters && v != null) {
+        val av = Array.tabulate(d)(i => {
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          s
+        })
+        val norm = math.sqrt(av.map(x => x * x).sum)
+        if (norm <= 0.0) v = null
+        else { v = av.map(_ / norm); lambda = norm }
+        it += 1
+      }
+      if (v == null) (Array.fill(d)(0.0), 0.0) else (v, lambda)
+    }
+    var (v, lambda) = run(Array.fill(d)(1.0 / math.sqrt(d)))
+    if (lambda == 0.0 && startBasis >= 0) {
+      // uniform start annihilated (orthogonal to every surviving
+      // eigenvector, or zero matrix): retry from a basis vector — the
+      // deflation loop cycles through all d, so a nonzero residual
+      // spectrum is always found deterministically
+      var b = startBasis % d
+      var tries = 0
+      while (lambda == 0.0 && tries < d) {
+        val e = Array.fill(d)(0.0); e(b) = 1.0
+        val r = run(e); v = r._1; lambda = r._2
+        b = (b + 1) % d; tries += 1
+      }
+    }
+    if (lambda > 0.0) {
+      val maxIdx = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(maxIdx) < 0) v = v.map(x => -x)
+    }
+    (v, lambda)
+  }
+
+  /** Top-`m` principal components + eigenvalues from the one-pass
+    * [[covState]] buffer, by DEFLATED power iteration on the collected
+    * d×d state (Hotelling deflation: after each component, cov ←
+    * cov − λ·v·vᵀ, so the next dominant direction of the residual is the
+    * next component) — the driver-side cost is m·iters·d² flops on a
+    * matrix that already fits in memory; the DATA is touched exactly
+    * once regardless of m. Components whose residual eigenvalue is 0
+    * (spectrum exhausted: m > rank) are returned with eigenvalue 0 and a
+    * zero loading vector, so the caller can see exactly where the
+    * spectrum ends instead of crashing mid-pipeline.
+    *
+    * Output: one row per (component, dimension) —
+    * (comp 1-based, i 1-based, loading, eigenvalue,
+    * explained_frac = λ_c / trace(cov)).
+    */
+  def pcaComponents(df: DataFrame, vecCol: String, m: Int,
+      iters: Int = 100): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val (_, means, cov) = covState(df, vecCol)
+    val d = means.length
+    require(m <= d, s"m=$m components from a $d-dimensional space")
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val work = cov.map(_.clone())
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double)]
+    var c = 0
+    while (c < m) {
+      val (v, lambda) = powerIterate(work, iters, startBasis = c)
+      var i = 0
+      while (i < d) {
+        rows += ((c + 1L, i + 1L, v(i), lambda,
+          if (trace > 0) lambda / trace else 0.0))
+        i += 1
+      }
+      // deflate: work -= lambda v v^T
+      i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    df.sparkSession.createDataFrame(rows.toSeq)
+      .toDF("comp", "i", "loading", "eigenvalue", "explained_frac")
+  }
+
+  /** PCA whitening — the embedding-space normalization SemDeDup-style
+    * pipelines apply before cosine work: center on the corpus mean,
+    * project onto the top-`m` principal components, scale each
+    * coordinate by 1/√λ so every retained direction carries unit
+    * variance. Stats come from the SAME one-pass [[covState]] buffer as
+    * s07/s08 (no second scan); eigenvectors from [[pcaComponents]]'
+    * deflation loop on the collected d×d state. The transform itself is
+    * a NARROW projection — the m×d loading matrix and the mean embed as
+    * literals, each output coordinate is one codegen'd fold over the
+    * input vector, zero UDFs, zero shuffle: at 100 TB it rides the scan.
+    *
+    * Directions with λ ≤ `eps` (numerically empty: m past the effective
+    * rank) whiten to 0 rather than amplifying noise by 1/√0 — the
+    * standard guarded-whitening rule. Output: (idCol, y array<double>
+    * length m).
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      iters: Int = 100, eps: Double = 1e-12): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val (_, means, cov) = covState(df, vecCol)
+    val d = means.length
+    require(m <= d, s"m=$m components from a $d-dimensional space")
+    val work = cov.map(_.clone())
+    val comps = Array.ofDim[Double](m, d)
+    val scales = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val (v, lambda) = powerIterate(work, iters, startBasis = c)
+      comps(c) = v
+      scales(c) = if (lambda > eps) 1.0 / math.sqrt(lambda) else 0.0
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { work(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    val meanLit = array(means.map(lit): _*)
+    val centered = zip_with(col(vecCol).cast("array<double>"), meanLit,
+      (x, mu) => x - mu)
+    val ys = (0 until m).map { ci =>
+      val vLit = array(comps(ci).map(lit): _*)
+      aggregate(zip_with(col("_c"), vLit, (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x) * lit(scales(ci))
+    }
+    df.select(col(idCol), centered.as("_c"))
+      .select(col(idCol), array(ys: _*).as("y"))
   }
 }

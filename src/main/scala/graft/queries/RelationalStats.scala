@@ -998,7 +998,8 @@ object RelationalStats {
          |         row_number() OVER (PARTITION BY event_type, day ORDER BY intercept) AS irn,
          |         count(*) OVER (PARTITION BY event_type, day) AS bc FROM bfin),
          |fin AS (SELECT event_type, day, CAST(max(bc) AS BIGINT) AS n_buckets,
-         |          sum(n_points) AS n_points, sum(n_slopes) AS n_slopes,
+         |          CAST(sum(n_points) AS BIGINT) AS n_points,
+         |          CAST(sum(n_slopes) AS BIGINT) AS n_slopes,
          |          (sum(CASE WHEN srn = $blower THEN slope END)
          |            + sum(CASE WHEN srn = $bupper THEN slope END)) / 2.0 AS slope,
          |          (sum(CASE WHEN irn = $blower THEN intercept END)

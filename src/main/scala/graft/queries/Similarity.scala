@@ -281,5 +281,87 @@ object Similarity {
       .orderBy("vec_id", "i")
   }
 
-  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  private val PqM = 4              // subspaces
+  private val PqSubDim = Dim / PqM // 16 dims each
+
+  /** DuckDB mirror of the subspace L2² ([[Ops.ivfPqKnn]]'s `sqDist`):
+    * left-to-right fold over the subDim squared differences.
+    */
+  private def sqlSubD2(a: String, b: String): String =
+    sqlFoldSum(s"list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))")
+
+  /** s10: IVFADC ([[Ops.ivfPqKnn]]) — coarse cells × compressed-domain
+    * ADC scan, the production 100 TB ANN shape. Coarse cells are the s04
+    * label centroids; PQ codebooks are label-supervised (per-(subspace,
+    * label) averages — a deterministic one-step Lloyd both engines
+    * replay verbatim, mirror-rounded at 6 dp so cross-engine float-sum
+    * ordering cannot flip an encode). The oracle replays ALL FIVE
+    * stages: coarse assignment (argmax cosine, ties → smallest label),
+    * per-subspace encode (argmin L2², ties → smallest code), the
+    * per-query distance table, the probed-cell candidate scan, and the
+    * ADC sum — so a hash match certifies the whole composition, not
+    * just the final ranking.
+    */
+  val s10 = QueryDef(
+    "s10_ivfpq",
+    s"""WITH $sqlCentroids,
+       |asg AS (SELECT vec_id, cell FROM (
+       |  SELECT e.vec_id, CAST(c.label AS BIGINT) AS cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${sqlCosine("e.embedding", "c.cv")} DESC, c.label) AS rn
+       |  FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |cb AS (SELECT sub, code, list(c ORDER BY i) AS cv FROM (
+       |  SELECT CAST(sp.s AS BIGINT) AS sub, CAST(label AS BIGINT) AS code, r.i AS i,
+       |    ${mr(s"avg(CAST(embedding[sp.s * $PqSubDim + r.i + 1] AS DOUBLE))", 6)} AS c
+       |  FROM embeddings CROSS JOIN range(0, $PqM) sp(s) CROSS JOIN range(0, $PqSubDim) r(i)
+       |  GROUP BY 1, 2, 3) GROUP BY sub, code),
+       |sv AS (SELECT vec_id, CAST(sp.s AS BIGINT) AS sub,
+       |    list_transform(range(1, ${PqSubDim + 1}),
+       |      i -> CAST(embedding[sp.s * $PqSubDim + i] AS DOUBLE)) AS sv
+       |  FROM embeddings CROSS JOIN range(0, $PqM) sp(s)),
+       |enc AS (SELECT vec_id, sub, code FROM (
+       |  SELECT sv.vec_id, sv.sub, cb.code,
+       |    row_number() OVER (PARTITION BY sv.vec_id, sv.sub
+       |      ORDER BY ${sqlSubD2("sv.sv", "cb.cv")} ASC, cb.code) AS rn
+       |  FROM sv JOIN cb USING (sub)) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, cell AS qcell FROM asg
+       |      WHERE vec_id < $NumQueries),
+       |dt AS (SELECT sv.vec_id AS query_id, sv.sub, cb.code,
+       |         ${sqlSubD2("sv.sv", "cb.cv")} AS d2
+       |       FROM sv JOIN cb USING (sub) WHERE sv.vec_id < $NumQueries),
+       |sc AS (SELECT dt.query_id, q.qcell AS cell, enc.vec_id AS neighbor_id,
+       |         ${mr("sum(dt.d2)", 6)} AS adc_d2
+       |       FROM enc JOIN asg ON enc.vec_id = asg.vec_id
+       |         JOIN q ON asg.cell = q.qcell AND enc.vec_id <> q.query_id
+       |         JOIN dt ON dt.query_id = q.query_id AND dt.sub = enc.sub
+       |           AND dt.code = enc.code
+       |       GROUP BY 1, 2, 3)
+       |SELECT query_id, cell,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS BIGINT) AS rank,
+       |  neighbor_id, adc_d2
+       |FROM sc QUALIFY rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val e = Tables(s, dir, "embeddings")
+    val cells = Ops.centroidVectors(e, "label", "embedding")
+    // label-supervised codebooks: per-(sub, label) averages, the same
+    // deterministic one-step Lloyd the oracle replays
+    val cb = e.select(col("label").cast("long").as("code"),
+        posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+          sp => slice(col("embedding").cast("array<double>"),
+            sp * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "_sv")))
+      .select(col("code"), col("sub").cast("long").as("sub"),
+        posexplode(col("_sv")).as(Seq("i", "x")))
+      .groupBy("sub", "code", "i")
+      .agg(Rounding.mirrorRound(avg(col("x")), 6).as("c"))
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    Ops.ivfPqKnn(e, "vec_id", "embedding", cells, cb,
+        isQuery = col("vec_id") < NumQueries, dim = Dim, m = PqM, k = TopK)
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }

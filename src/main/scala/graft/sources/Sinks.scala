@@ -70,12 +70,18 @@ object Sinks {
     * after the pass (spec-asserted). Compacted outputs land as
     * `compacted-*` (writer-unique names, so reruns never collide).
     *
-    * Swap caveat (same as the shard compactors): delete-inputs then
-    * rename-in is not transactional — a reader listing the directory
-    * mid-swap can miss the small files' rows. Run in the table's
-    * maintenance window; a post-pass row-count check (or a table format
-    * with snapshot isolation) is the backstop. Needs ≥ 2 small files to
-    * act. Returns (smallFilesRemoved, compactedFilesProduced).
+    * Swap discipline (round 10): RENAME-FIRST, never delete-first. The
+    * compacted outputs are renamed INTO the table before the small
+    * inputs are deleted, so a crash anywhere in the swap leaves
+    * recoverable DUPLICATES (smalls + their compacted copy coexist),
+    * never silent row loss — and the swap plan (which smalls feed which
+    * outputs) is persisted in the staging dir BEFORE the first rename,
+    * so the next invocation completes the interrupted swap
+    * deterministically instead of re-compacting around stranded bytes.
+    * A reader in the rename→delete window can see a row twice; run in
+    * the table's maintenance window (or a snapshot-isolated format) if
+    * readers can never pause. Needs ≥ 2 small files to act. Returns
+    * (smallFilesRemoved, compactedFilesProduced).
     */
   def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       smallBytes: Long, targetBytes: Long): (Int, Int) = {
@@ -83,6 +89,8 @@ object Sinks {
       "need 0 < smallBytes <= targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    recoverCompaction(spark, fs, p, tmp)
     val listed = fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
       st.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -91,29 +99,82 @@ object Sinks {
     if (small.length < 2) return (0, 0)
     val total = small.map(_.getLen).sum
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
     spark.read.parquet(small.map(_.getPath.toString).toIndexedSeq: _*)
       .repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    small.foreach(st => fs.delete(st.getPath, false))
     val produced = fs.listStatus(tmp).filter(st =>
       st.isFile && st.getPath.getName.endsWith(".parquet"))
-    val producedNames = produced.map { st =>
-      val dst = new org.apache.hadoop.fs.Path(p,
-        "compacted-" + st.getPath.getName.stripPrefix("part-"))
-      fs.delete(dst, false)
-      if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(
-          s"compactSmallFiles commit failed: ${st.getPath} -> $dst")
-      dst.getName
+    val plan = produced.map { st =>
+      st.getPath.getName -> ("compacted-" + st.getPath.getName.stripPrefix("part-"))
     }
+    // Persist the swap plan BEFORE the first destructive step: lines
+    // "S\t<smallName>" (inputs to delete once outputs are in) and
+    // "P\t<tmpName>\t<destName>" (renames to perform). Recovery replays
+    // exactly this plan, so an interrupted swap finishes instead of
+    // stranding bytes.
+    val planTxt = (small.map(s => s"S\t${s.getPath.getName}") ++
+      plan.map { case (src, dst) => s"P\t$src\t$dst" }).mkString("", "\n", "\n")
+    val planPath = new org.apache.hadoop.fs.Path(tmp, PlanFile)
+    val out = fs.create(planPath, true)
+    try out.write(planTxt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    applyCompactionPlan(spark, fs, p, tmp,
+      small.map(_.getPath.getName).toSeq, plan.toSeq)
+    (small.length, produced.length)
+  }
+
+  private val PlanFile = "_SWAP_PLAN"
+
+  /** Completes an interrupted [[compactSmallFiles]] swap. A staging dir
+    * with no plan file means the crash happened mid-WRITE (table
+    * untouched) — abort by deleting the staging dir. A plan file means
+    * the outputs were fully written and the swap may be half-applied —
+    * replay it: every rename and delete below is idempotent (skip
+    * renames whose source is gone, deletes of already-deleted files),
+    * so completion is exactly-once in effect.
+    */
+  private def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(tmp)) return
+    val planPath = new org.apache.hadoop.fs.Path(tmp, PlanFile)
+    if (!fs.exists(planPath)) { fs.delete(tmp, true); return }
+    val in = fs.open(planPath)
+    val txt = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val lines = txt.split("\n").filter(_.nonEmpty).map(_.split("\t"))
+    val smalls = lines.collect { case Array("S", name) => name }.toSeq
+    val renames = lines.collect { case Array("P", src, dst) => src -> dst }.toSeq
+    applyCompactionPlan(spark, fs, p, tmp, smalls, renames)
+  }
+
+  private def applyCompactionPlan(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path, smalls: Seq[String],
+      renames: Seq[(String, String)]): Unit = {
+    // 1. Rename compacted outputs IN (idempotent: a rename whose source
+    //    vanished already completed in a prior attempt).
+    renames.foreach { case (srcName, dstName) =>
+      val src = new org.apache.hadoop.fs.Path(tmp, srcName)
+      val dst = new org.apache.hadoop.fs.Path(p, dstName)
+      if (fs.exists(src)) {
+        fs.delete(dst, false)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"compactSmallFiles commit failed: $src -> $dst")
+      }
+    }
+    // 2. Only now delete the small inputs — worst crash case is dupes.
+    smalls.foreach(name =>
+      fs.delete(new org.apache.hadoop.fs.Path(p, name), false))
     fs.delete(tmp, true)
     // a manifest-published directory's commit ledger must be re-owned by
     // the maintenance step that moved its bytes (the shard-compaction
     // discipline) — else verify/check report missing+extra and
     // manifest-driven readers lose the compacted rows
-    Manifests.refresh(spark, path, small.map(_.getPath.getName).toSeq,
-      producedNames.toSeq) // no-op when the directory has no manifest
-    (small.length, produced.length)
+    Manifests.refresh(spark, p.toString, smalls, renames.map(_._2))
   }
 
   /** Range-clustered write — data skipping for range/equality predicates

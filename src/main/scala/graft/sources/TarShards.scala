@@ -188,9 +188,19 @@ object TarShards {
     // LEFT join + raise_error: a df key absent from `tokens` (or whose
     // string form differs from the numeric round-trip, e.g. "007" vs 7)
     // must FAIL LOUD — a silently dropped sample in training data is
-    // corruption, the write() contract of this file
+    // corruption, the write() contract of this file. The round-trip
+    // itself is checked FIRST: a fractional or padded key ("7.9", " 7")
+    // would otherwise truncate onto an EXISTING tokens-table key and
+    // silently join that key's pack — the join can't catch what the
+    // cast has already collapsed.
     val joined = df
-      .withColumn("__pkey", col("key").cast("long").cast("string"))
+      .withColumn("__pkey",
+        when(col("key").cast("string") =!= col("key").cast("long").cast("string"),
+          raise_error(concat(
+            lit("writeTokenBalanced: key is not a canonical long (lossy "),
+            lit("numeric round-trip): '"), col("key").cast("string"), lit("'")))
+            .cast("string"))
+          .otherwise(col("key").cast("long").cast("string")))
       .join(packs, Seq("__pkey"), "left")
       .withColumn("__gp",
         when(col("__ws").isNull, raise_error(concat(

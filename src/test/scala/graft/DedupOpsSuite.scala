@@ -84,6 +84,29 @@ class DedupOpsSuite extends SparkSpec {
     assert(ok.filter(col("keep")).count() == 1)
   }
 
+  test("ngramJaccardPairs: df cap is partial-agg + semi-join, never a window over the shingle stream") {
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      (i.toLong, s"alpha beta gamma delta common$i words shared tail")).toDF("id", "text")
+    val q = Dedup.ngramJaccardPairs(docs, "id", "text", thr = 0.1, maxDf = 5)
+    // the hot-shingle cap must not buffer a boilerplate shingle's whole
+    // group in one task: assert zero WindowExec anywhere in the plan
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val nodes = collectAll(q.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "df cap must be a partial-agg count + semi-join (q31/d15 discipline)")
+    // semantics unchanged: boilerplate shingles (df > cap) contribute no
+    // pairs; docs sharing a low-df shingle pair normally
+    val pair = Dedup.ngramJaccardPairs(
+      Seq((1L, "x y z unique one"), (2L, "x y z unique two")).toDF("id", "text"),
+      "id", "text", thr = 0.1, maxDf = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(pair.length == 1 && pair.head._1 == 1L && pair.head._2 == 2L)
+  }
+
   test("contaminationPairs flags train docs overlapping test docs; cap drops boilerplate") {
     import spark.implicits._
     // tokens are 3-gram shingled, so overlap = shared distinct 3-grams

@@ -1168,6 +1168,48 @@ class RelationalOpsSuite extends SparkSpec {
     }
   }
 
+  test("theilSen onOversize=Bucket: oversized group degrades, in-guard groups stay bit-exact") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // group "big": 600 points (trips maxN=100); group "small": 40 points
+    // (within guard) — a mid-run pipeline must survive "big" WITHOUT
+    // changing "small"'s exact fit by one bit
+    val pts =
+      (0 until 600).map(i => ("big", i.toDouble,
+        if (i % 10 == 3) 5000.0 else 3.0 * i + 7.0 + (i % 5) * 0.01)) ++
+      (0 until 40).map(i => ("small", i.toDouble, 2.0 * i + 1.0 + (i % 3) * 0.02))
+    val df = pts.toDF("g", "x", "y")
+    // default mode still fails loud
+    intercept[Exception] {
+      Relational.theilSen(df, Seq("g"), col("x"), col("y"),
+        maxN = 100, scaleX = 1L, scaleY = 100L).collect()
+    }
+    val got = Relational.theilSen(df, Seq("g"), col("x"), col("y"),
+        maxN = 100, scaleX = 1L, scaleY = 100L,
+        onOversize = Relational.OversizeMode.Bucket(8))
+      .orderBy("g").as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("big", "small"))
+    // the in-guard group is BIT-EQUAL to the exact estimator
+    val smallExact = Relational.theilSen(df.filter(col("g") === "small"),
+        Seq("g"), col("x"), col("y"), maxN = 100, scaleX = 1L, scaleY = 100L)
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(got(1) == smallExact, s"${got(1)} vs $smallExact")
+    // the oversized group routes to the bucketed estimator's numbers
+    val bigBucketed = Relational.theilSenBucketed(
+        df.filter(col("g") === "big"), Seq("g"), col("x"), col("y"),
+        buckets = 8, maxN = 100, scaleX = 1L, scaleY = 100L)
+      .select("g", "n_points", "n_slopes", "slope", "intercept")
+      .as[(String, Long, Long, Double, Double)].collect().head
+    assert(got.head == bigBucketed, s"${got.head} vs $bigBucketed")
+    // a bucket that STILL trips the guard fails loud (no silent double
+    // degradation): 600/2 = 300 > maxN=100
+    intercept[Exception] {
+      Relational.theilSen(df, Seq("g"), col("x"), col("y"),
+        maxN = 100, scaleX = 1L, scaleY = 100L,
+        onOversize = Relational.OversizeMode.Bucket(2)).collect()
+    }
+  }
+
   test("expectations: one pass, NULL predicate is a violation, unique names enforced") {
     import spark.implicits._
     val df = Seq((Some(5), Some("a")), (Some(500), Some("b")), (None, Some("a")),

@@ -243,6 +243,182 @@ class SimilarityOpsSuite extends SparkSpec {
       s"rank-1 should be the matching-letter vector: ${knn.toSeq}")
   }
 
+  test("ivfPqKnn: cell pruning + ADC identity survive the composition") {
+    import spark.implicits._
+    // two direction clusters (coarse cells) × two PQ letters per subspace
+    val corpus = Seq(
+      (0L, Seq(5.0f, 5.0f, 0.12f, 0.12f)), // query; cell 0
+      (1L, Seq(5.0f, 5.0f, 0.1f, 0.1f)),   // cell 0
+      (2L, Seq(5.1f, 4.9f, 0.1f, 0.2f)),   // cell 0
+      (3L, Seq(4.9f, 5.1f, 0.15f, 0.1f)),  // cell 0
+      (4L, Seq(0.1f, 0.1f, 5.0f, 5.0f)),   // cell 1
+      (5L, Seq(0.1f, 0.2f, 5.1f, 5.0f)),   // cell 1
+      (6L, Seq(0.2f, 0.1f, 5.0f, 5.1f))    // cell 1
+    ).toDF("vec_id", "embedding")
+    val cells = cellsOf(Seq(0L -> Seq(1.0, 1.0, 0.0, 0.0), 1L -> Seq(0.0, 0.0, 1.0, 1.0)))
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 3)
+    val got = Similarity.ivfPqKnn(corpus, "vec_id", "embedding", cells, cb,
+        isQuery = col("vec_id") === 0, dim = 4, m = 2, k = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // cell pruning: only the query's own cell is scanned
+    assert(got.map(_._4).toSet == Set(1L, 2L, 3L),
+      s"nprobe=1 must scan cell 0 only: ${got.toSeq}")
+    assert(got.forall(_._2 == 0L))
+    // ADC identity THROUGH the composition: adc_d2 = L2² to the
+    // reconstructed vector, reconstructed independently here
+    val book = cb.as[(Int, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb, 4, 2)
+      .as[(Long, Seq[Long])].collect().toMap
+    val qv = Seq(5.0f, 5.0f, 0.12f, 0.12f).map(_.toDouble)
+    got.foreach { case (_, _, _, nid, adc) =>
+      // replay the engine's arithmetic: per-subspace left-to-right fold,
+      // partials summed (2 terms — commutative, so row order is moot),
+      // then the same mirror-round floor(x·1e6 + 0.5)/1e6
+      val exact = codes(nid).zipWithIndex.map { case (c, s) =>
+        val cv = book((s, c))
+        val qs = qv.slice(s * 2, s * 2 + 2)
+        qs.zip(cv).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+      }.sum
+      val mirrored = math.floor(exact * 1e6 + 0.5) / 1e6
+      assert(math.abs(adc - mirrored) < 1e-9,
+        s"ADC identity violated for $nid: $adc vs $exact")
+    }
+  }
+
+  test("ivfPqKnnRerank: recall vs exact top-k on planted clusters") {
+    import spark.implicits._
+    // 3 direction clusters × 20 members, deterministic noise
+    val rnd = new scala.util.Random(11)
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.2), Seq(0.0, 1.0, 0.2, 0.0),
+      Seq(0.1, 0.0, 1.0, 1.0))
+    val corpus = (for {
+      (d, ci) <- dirs.zipWithIndex
+      i <- 0 until 20
+    } yield ((ci * 100 + i).toLong,
+      d.map(x => (x * 5.0 + rnd.nextGaussian() * 0.15).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cells = cellsOf(dirs.zipWithIndex.map { case (d, i) => i.toLong -> d })
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding",
+      dim = 4, m = 2, k = 8, iters = 3)
+    val isQ = col("vec_id").isin(0L, 100L, 200L)
+    val k = 5
+    val exact = Similarity.knnBruteForce(corpus,
+        corpus.filter(isQ), "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val ivf = Similarity.ivfPqKnnRerank(corpus, "vec_id", "embedding",
+        cells, cb, isQ, dim = 4, m = 2, k = k, rerank = 15)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    assert(ivf.keySet == exact.keySet)
+    val recall = exact.map { case (q, e) => (e & ivf(q)).size.toDouble / k }
+      .sum / exact.size
+    assert(recall >= 0.8,
+      s"IVFADC+rerank recall@$k = $recall vs exact (want >= 0.8)")
+    // re-ranked scores are EXACT cosines: rank-1 per query must agree
+    // with brute force (same cell by construction)
+    val exactTop = Similarity.knnBruteForce(corpus, corpus.filter(isQ),
+        "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivfTop = Similarity.ivfPqKnnRerank(corpus, "vec_id", "embedding",
+        cells, cb, isQ, dim = 4, m = 2, k = 1, rerank = 15)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivfTop == exactTop, s"$ivfTop vs $exactTop")
+  }
+
+  test("ivfPqKnn plan: no cartesian shuffle; corpus windows stay off the scan") {
+    import spark.implicits._
+    val corpus = corpusOf((0L until 64L).map(i =>
+      i -> Seq((i % 8).toFloat + 1f, (i % 3).toFloat, 1f, (i % 5).toFloat)))
+    val cells = cellsOf(Seq(0L -> Seq(1.0, 0.1, 1.0, 0.1), 1L -> Seq(0.3, 1.0, 0.1, 1.0)))
+    val cb = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 4, 2, 4, 1)
+    val df = Similarity.ivfPqKnn(corpus, "vec_id", "embedding", cells, cb,
+      isQuery = col("vec_id") < 2, dim = 4, m = 2, k = 3, nprobe = 2)
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      "every corpus×broadcast product must be broadcast, never cartesian")
+    // windows: query probe fan-out (tiny side) + final top-k only — the
+    // corpus-sized paths (assignment, encode, scan) are aggregations
+    assert(nodes.count(_.isInstanceOf[WindowExec]) <= 2,
+      "corpus assignment/encode/scan must not sort per-vector in a window")
+  }
+
+  test("pcaComponents: planted 2-spectrum recovery, orthogonality, deflation") {
+    import spark.implicits._
+    val u1 = Array(0.6, 0.8, 0.0, 0.0)
+    val u2 = Array(0.0, 0.0, -0.8, 0.6)
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(400) { _ =>
+      val t1 = rnd.nextGaussian() * 5.0 // var 25 along u1
+      val t2 = rnd.nextGaussian() * 2.0 // var 4 along u2
+      (0 until 4).map(i => (t1 * u1(i) + t2 * u2(i)).toFloat)
+    }
+    val got = Similarity.pcaComponents(pts.toDF("v"), "v", m = 3)
+      .orderBy("comp", "i")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val byComp = got.groupBy(_._1).map { case (c, rs) =>
+      c -> (rs.sortBy(_._2).map(_._3).toArray, rs.head._4, rs.head._5)
+    }
+    val (v1, l1, f1) = byComp(1L)
+    val (v2, l2, _) = byComp(2L)
+    val (_, l3, _) = byComp(3L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(v1, u1)) > 0.999, s"PC1 ${v1.toSeq}")
+    assert(math.abs(dot(v2, u2)) > 0.999, s"PC2 ${v2.toSeq}")
+    assert(math.abs(dot(v1, v2)) < 1e-6, "components must be orthogonal")
+    assert(l1 > 15 && l2 > 2 && l1 > l2, s"spectrum order: $l1, $l2")
+    assert(l3 < 0.05 * l2, s"third eigenvalue must be residual noise: $l3")
+    assert(f1 > 0.5 && f1 < 1.0)
+    // exhausted spectrum: exactly-rank-1 data (variance on one basis axis
+    // only — the deflation c − λ·v·vᵀ is then EXACT in IEEE), m=2 -> the
+    // second component is the explicit zero row, not a crash
+    val clean = Seq.tabulate(50)(j => Seq(((j % 7) - 3).toFloat, 0f, 0f, 0f))
+    val g2 = Similarity.pcaComponents(clean.toDF("v"), "v", m = 2)
+      .filter(col("comp") === 2).as[(Long, Long, Double, Double, Double)].collect()
+    assert(g2.forall(r => r._4 == 0.0 && r._3 == 0.0),
+      s"past-rank component must be (0 loadings, 0 eigenvalue): ${g2.toSeq}")
+  }
+
+  test("whiten: unit variance per retained direction, centered, narrow plan") {
+    import spark.implicits._
+    val u1 = Array(0.6, 0.8, 0.0, 0.0)
+    val u2 = Array(0.0, 0.0, -0.8, 0.6)
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.tabulate(500) { j =>
+      val t1 = rnd.nextGaussian() * 5.0 + 10.0 // nonzero mean: centering matters
+      val t2 = rnd.nextGaussian() * 2.0
+      (j.toLong, (0 until 4).map(i => (t1 * u1(i) + t2 * u2(i)).toFloat))
+    }
+    val df = pts.toDF("id", "v")
+    val ys = Similarity.whiten(df, "id", "v", m = 2)
+      .select("y").as[Seq[Double]].collect()
+    assert(ys.forall(_.length == 2))
+    for (c <- 0 until 2) {
+      val col_ = ys.map(_(c))
+      val mean = col_.sum / col_.length
+      val variance = col_.map(x => (x - mean) * (x - mean)).sum / col_.length
+      assert(math.abs(mean) < 1e-6, s"component $c mean $mean (must center)")
+      assert(math.abs(variance - 1.0) < 0.01,
+        s"whitened component $c variance $variance (must be 1)")
+    }
+    // degenerate: constant corpus -> zero covariance -> guarded zeros
+    val const = Seq.tabulate(10)(j => (j.toLong, Seq(1f, 2f, 3f, 4f))).toDF("id", "v")
+    val z = Similarity.whiten(const, "id", "v", m = 2)
+      .select("y").as[Seq[Double]].collect()
+    assert(z.forall(_.forall(_ == 0.0)), "zero-variance directions whiten to 0")
+    // the transform is a narrow projection: no exchange
+    val plan = Similarity.whiten(df, "id", "v", m = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("quantizeInt8: max component maps to ±127, zero vector to zero codes") {
     import spark.implicits._
     val df = Seq(

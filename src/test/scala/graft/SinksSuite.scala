@@ -104,6 +104,60 @@ class SinksSuite extends SparkSpec {
       Sinks.compactSmallFiles(spark, path, 100, 50))
   }
 
+  test("compactSmallFiles: interrupted swap recovers — plan replay, no loss, no dupes") {
+    import spark.implicits._
+    def mkTable(tag: String): String = {
+      val path = s"${Files.createTempDirectory(s"graft-swap$tag")}/t"
+      (0 until 4).foreach { i =>
+        (0 until 5).map(j => ((i * 5 + j).toLong, s"row$i-$j")).toDF("id", "s")
+          .coalesce(1).write.mode("append").parquet(path)
+      }
+      path
+    }
+    // Case A — crash mid-WRITE: staging dir exists, no plan file. Entry
+    // must abort the stale staging and compact normally.
+    val pa = mkTable("a")
+    val stA = new java.io.File(pa + "._compacting")
+    assert(stA.mkdirs())
+    java.nio.file.Files.write(stA.toPath.resolve("part-junk.parquet"),
+      "not parquet".getBytes)
+    val (r1, m1) = Sinks.compactSmallFiles(spark, pa, 1L << 20, 1L << 20)
+    assert(r1 == 4 && m1 >= 1)
+    assert(!stA.exists(), "stale (plan-less) staging must be aborted")
+    assert(spark.read.parquet(pa).count() == 20)
+
+    // Case B — crash MID-SWAP: outputs written, plan persisted, ONE
+    // rename already applied (so the table momentarily holds duplicates),
+    // smalls not yet deleted. The next invocation must complete the swap:
+    // all 20 rows, exactly once.
+    val pb = mkTable("b")
+    val dirB = new java.io.File(pb)
+    val smalls = dirB.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName)
+    assert(smalls.length == 4)
+    val stB = pb + "._compacting"
+    spark.read.parquet(smalls.map(n => s"$pb/$n").toIndexedSeq: _*)
+      .repartition(1).write.mode("overwrite").parquet(stB)
+    val produced = new java.io.File(stB).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    val plan = smalls.map(n => s"S\t$n") ++
+      produced.map(n => s"P\t$n\tcompacted-${n.stripPrefix("part-")}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stB, "_SWAP_PLAN"),
+      plan.mkString("", "\n", "\n").getBytes("UTF-8"))
+    // apply the FIRST rename by hand — the crash point with dupes visible
+    val first = produced.head
+    assert(new java.io.File(s"$stB/$first")
+      .renameTo(new java.io.File(s"$pb/compacted-${first.stripPrefix("part-")}")))
+    assert(spark.read.parquet(pb).count() > 20, "pre-recovery state holds dupes")
+    // recovery runs at entry; afterwards nothing small remains to compact
+    val (r2, m2) = Sinks.compactSmallFiles(spark, pb, 10L, 1L << 20)
+    assert((r2, m2) == ((0, 0)), s"($r2, $m2)")
+    assert(!new java.io.File(stB).exists(), "staging must be cleared")
+    val back = spark.read.parquet(pb).select("id").as[Long].collect().sorted
+    assert(back.toSeq == (0L until 20L), "exactly-once rows after recovery")
+    assert(dirB.listFiles().count(f => f.getName.endsWith(".parquet")) == 1)
+  }
+
   test("clusteredWrite: per-file key ranges are disjoint (data skipping)") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-cluster").toString
