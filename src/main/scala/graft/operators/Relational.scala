@@ -1795,6 +1795,117 @@ object Relational {
       .drop("_s", "_i")
   }
 
+  /** Mann–Whitney U rank-sum test per group (Mann & Whitney 1947) — the
+    * DISTRIBUTION-FREE A/B test next to q61's parametric t-test: does
+    * sample A stochastically dominate sample B? No normality assumption,
+    * immune to the wild outliers that move a mean (the q94-vs-q52
+    * robustness story applied to hypothesis testing — exactly what
+    * quality-score or latency distributions need, where t-tests lie).
+    *
+    * Determinism is the q44/q94 discipline — EVERYTHING up to the final
+    * z is exact integer arithmetic: values snap to long units, tie
+    * groups get average ranks carried as 2·rank (an integer: a tie run
+    * starting at rank s of length t has average rank s + (t−1)/2, so
+    * 2·R_A = Σ t_A·(2s + t − 1) stays in longs), U enters as the exact
+    * long u2 = 2·U_A, and the tie-corrected normal approximation
+    *   z = (u2 − n_a·n_b) / (2·√(n_a·n_b/12·((n+1) − Στ/(n(n−1)))))
+    * (τ = t³−t per tie group) is ONE fixed double expression — an
+    * external engine replays it bit for bit before any rounding.
+    *
+    * Plan: one partial-agg groupBy to the tie table (group, value) —
+    * hot values combine map-side — then ONE window over the tie table
+    * (rows = |distinct values| per group, NOT |rows|: ties collapse
+    * before the sort) for the cumulative start ranks, then a partial-agg
+    * reduce to one row per group. Groups need both samples non-empty
+    * and n ≥ 2 with at least one untied pair (variance > 0) — others
+    * drop, like theilSen's degenerate groups. Output: groupCols, n_a,
+    * n_b, u2 (= 2·U_A, exact), z.
+    */
+  def mannWhitney(df: DataFrame, groupCols: Seq[String], isA: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ isA.cast("boolean").as("_a") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_a").isNotNull && col("_v").isNotNull)
+    val ties = pts.groupBy(parts :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_t"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_ta"))
+    val w = Window.partitionBy(parts: _*).orderBy(col("_v"))
+    val ranked = ties.withColumn("_cum", sum(col("_t")).over(w))
+      .withColumn("_s", col("_cum") - col("_t") + lit(1L))
+    val agg = ranked.groupBy(parts: _*)
+      .agg(sum(col("_ta") * (lit(2L) * col("_s") + col("_t") - lit(1L))).as("_r2a"),
+        sum(col("_ta")).as("n_a"),
+        sum(col("_t") - col("_ta")).as("n_b"),
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tau"))
+    val n = col("n_a") + col("n_b")
+    val u2 = (col("_r2a") - col("n_a") * (col("n_a") + lit(1L))).as("u2")
+    val varU = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
+      ((n + lit(1L)).cast("double") -
+        col("_tau").cast("double") / (n.cast("double") * (n - lit(1L)).cast("double")))
+    val z = (col("u2") - col("n_a") * col("n_b")).cast("double") /
+      (lit(2.0) * sqrt(col("_varU")))
+    agg.filter(col("n_a") > 0 && col("n_b") > 0 && n >= 2)
+      .withColumn("u2", u2)
+      .withColumn("_varU", varU)
+      .filter(col("_varU") > 0.0) // all-tied groups have no test
+      .select(parts ++ Seq(col("n_a"), col("n_b"), col("u2"), z.as("z")): _*)
+  }
+
+  /** Kaplan–Meier survival estimator per group (Kaplan & Meier 1958) —
+    * right-censored time-to-event curves: at each distinct event time t,
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), where n_i counts subjects still
+    * AT RISK (neither failed nor censored before t_i). Censoring is what
+    * makes this an estimator and not a q26-style empirical CDF: subjects
+    * still alive at the analysis cutoff reduce the risk set when they
+    * leave, but never count as deaths — dropping them (or counting them
+    * as events) biases retention/lifetime curves, the classic churn
+    * mistake.
+    *
+    * Determinism: durations and event flags are exact longs; d_i/n_i is
+    * one exact division; the running product is exp of a RUNNING SUM of
+    * ln(1 − d/n) over the per-group time order — a sequential
+    * left-to-right fold both engines replay in the same order (the q69
+    * fold discipline applied to a window), so the only float ops are
+    * ln/exp on identical inputs in identical order. A time where the
+    * whole risk set fails yields ln(0) = −∞ and survival exactly 0 —
+    * well-defined in both engines.
+    *
+    * Plan: one partial-agg groupBy to the (group, duration) event table,
+    * ONE window over it (|distinct durations| rows per group, ties
+    * collapsed before the sort) for risk sets and the running product.
+    * Output (event times only, the standard KM table): groupCols, t,
+    * n_risk, d_events, n_censored_at_t, survival.
+    */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String],
+      durationCol: Column, eventCol: Column): DataFrame = {
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ durationCol.cast("long").as("_d") :+
+        eventCol.cast("long").as("_e"): _*)
+      .filter(col("_d").isNotNull && col("_e").isNotNull)
+      .withColumn("_e", when(col("_e") =!= 0L, 1L).otherwise(0L))
+    val byT = pts.groupBy(parts :+ col("_d"): _*)
+      .agg(sum("_e").as("d_events"), count(lit(1)).as("_tot"))
+    val w = Window.partitionBy(parts: _*).orderBy(col("_d"))
+    val grp = Window.partitionBy(parts: _*)
+    // d == n (the whole risk set fails) is an explicit −∞ branch:
+    // Spark's `log` returns NULL on 0 (a silent row-drop in the window
+    // sum), so the survival-0 case must not reach it — exp(−∞) = 0.0
+    // exactly in both engines
+    val term = when(col("d_events") > 0 && col("d_events") < col("n_risk"),
+      log(lit(1.0) - col("d_events").cast("double") / col("n_risk").cast("double")))
+      .when(col("d_events") > 0, lit(Double.NegativeInfinity))
+      .otherwise(lit(0.0))
+    byT.withColumn("_cum", sum(col("_tot")).over(w))
+      .withColumn("n_risk", sum(col("_tot")).over(grp) - col("_cum") + col("_tot"))
+      .withColumn("survival", exp(sum(term).over(w)))
+      .filter(col("d_events") > 0)
+      .select(parts ++ Seq(col("_d").as("t"), col("n_risk"), col("d_events"),
+        (col("_tot") - col("d_events")).as("n_censored_at_t"),
+        col("survival")): _*)
+  }
+
   /** Per-entity CUSUM changepoint detection — the sequential
     * mean-shift monitor (Page 1954): s⁺ accumulates positive deviations
     * past an allowance, s⁻ the negative ones, and a flag raises the

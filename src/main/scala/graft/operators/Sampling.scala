@@ -478,4 +478,91 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Poisson(1) bootstrap CDF thresholds (k = 0..4; weights cap at 5):
+    * e⁻¹·Σ_{j≤k} 1/j! as exact decimal literals — both engines parse
+    * the same doubles, so a uniform draw maps to the same weight
+    * everywhere.
+    */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, // P(0)
+    0.7357588823428846,  // P(<=1)
+    0.9196986029286058,  // P(<=2)
+    0.9810118431238462,  // P(<=3)
+    0.9963401531726563)  // P(<=4)
+
+  /** The threshold literals verbatim, for oracle SQL construction —
+    * decimal strings both engines parse to the identical doubles.
+    */
+  def poissonCdfLiterals: Seq[String] = PoissonCdf.map(_.toString)
+
+  /** Poisson bootstrap confidence interval for the per-group mean — the
+    * SCALABLE bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    * for massive data streams"; Owen & Eckles 2012): classical
+    * resampling draws n rows WITH replacement per replicate, which is
+    * unshardable (a replicate's multiset needs global coordination);
+    * the Poisson approximation gives every (row, replicate) an
+    * INDEPENDENT Poisson(1) multiplicity, so weights are a pure
+    * map-side function of the row key and the whole bootstrap becomes
+    * one partial-agg groupBy — at 100 TB the only shuffled rows are the
+    * B·|groups| replicate partials, never the data.
+    *
+    * Determinism (the repo's no-RNG rule): the uniform behind each
+    * weight is [[scrambledHash]](id#b)/P — exact integer hash, one
+    * exact division — inverted through the Poisson CDF thresholds
+    * ([[PoissonCdf]], shared literals). Replicate means mirror-round to
+    * 6 dp BEFORE ranking (so a last-ulp float-sum difference between
+    * engines cannot flip a rank), ties break by replicate id, and the
+    * CI bounds select by the exact rank rule lo = max(1, ceil(α·B)),
+    * hi = ceil((1−α)·B) over the sorted replicate means. Replicates
+    * whose total weight is 0 (possible only for tiny groups) drop, and
+    * n_reps reports how many survived — the caller sees the
+    * degradation instead of a silently wider interval.
+    *
+    * Output: groupCols, n (rows), mean (full-sample, 6 dp), n_reps,
+    * lo, hi (the (α, 1−α) bootstrap percentile interval, 6 dp).
+    */
+  def poissonBootstrapMeanCI(df: DataFrame, groupCols: Seq[String],
+      idCol: String, valueCol: Column, b: Int = 200,
+      alphaPct: Int = 25, salt: String = "boot:"): DataFrame = {
+    require(b >= 2, s"need at least 2 replicates, got $b")
+    // alphaPct = one-sided tail mass in 1/1000 units (25 -> 2.5% tails,
+    // a 95% interval) — integer so the rank arithmetic stays exact
+    require(alphaPct >= 1 && alphaPct < 500,
+      s"alphaPct (tail mass, 1/1000 units) must be in [1, 500), got $alphaPct")
+    GraftExpressions.register(df.sparkSession)
+    val parts = groupCols.map(col)
+    val base = df.select(parts :+ col(idCol).cast("string").as("_id") :+
+        valueCol.cast("double").as("_x"): _*)
+      .filter(col("_x").isNotNull && col("_id").isNotNull)
+    val rep = base.select(parts ++ Seq(col("_id"), col("_x"),
+      explode(sequence(lit(0), lit(b - 1))).as("_b")): _*)
+    val u = scrambledHash(concat(col("_id"), lit("#"), col("_b").cast("string")), salt)
+      .cast("double") / lit(graft.functions.TextFunctions.P.toDouble)
+    val wgt = PoissonCdf.zipWithIndex.foldRight(lit(PoissonCdf.length.toLong)) {
+      case ((thr, k), rest) => when(u < thr, lit(k.toLong)).otherwise(rest)
+    }
+    val means = rep.withColumn("_w", wgt)
+      .groupBy(parts :+ col("_b"): _*)
+      .agg(sum(col("_w") * col("_x")).as("_wx"), sum(col("_w")).as("_wn"))
+      .filter(col("_wn") > 0L)
+      .withColumn("_m",
+        graft.functions.Rounding.mirrorRound(col("_wx") / col("_wn").cast("double"), 6))
+    val full = base.groupBy(parts: _*)
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Rounding.mirrorRound(
+          sum(col("_x")) / count(lit(1)).cast("double"), 6).as("mean"))
+    val lo = greatest(lit(1L), ceil(col("n_reps") * lit(alphaPct.toLong) / lit(1000.0)).cast("long"))
+    val hi = ceil(col("n_reps") * lit(1000L - alphaPct) / lit(1000.0)).cast("long")
+    val ci = means.groupBy(parts: _*)
+      .agg(count(lit(1)).as("n_reps"),
+        transform(array_sort(collect_list(struct(col("_m"), col("_b")))),
+          p => p.getField("_m")).as("_ms"))
+      .select(parts ++ Seq(col("n_reps"),
+        element_at(col("_ms"), lo.cast("int")).as("lo"),
+        element_at(col("_ms"), hi.cast("int")).as("hi")): _*)
+    full.join(ci, groupCols)
+      .select(parts ++ Seq(col("n"), col("mean"), col("n_reps"),
+        col("lo"), col("hi")): _*)
+  }
 }

@@ -774,6 +774,46 @@ object TextAnalysis {
     }
   }
 
+  /** Per-token Jensen–Shannon divergence contributions between two corpus
+    * slices — [[domainShift]]'s KL made SYMMETRIC and BOUNDED:
+    * JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M) with M = (P+Q)/2, so the total is
+    * always ≤ ln 2 and disjoint-support tokens contribute finitely —
+    * the property that makes JS the right DRIFT GATE between corpus
+    * snapshots (KL explodes to ∞ the moment one side gains a new token,
+    * which at 100 TB is every batch; a gate must saturate, not blow up).
+    * Same add-one smoothing over the union vocabulary, same plan as
+    * domainShift (ONE partial-agg groupBy to the vocabulary-sized count
+    * table, totals as driver scalars, every output row a fixed scalar
+    * expression — no cross-engine float sum). Output: token, n_p, n_q,
+    * js_term = ½(p·ln(p/m) + q·ln(q/m)) ≥ 0; downstream sums |V| terms
+    * for the scalar divergence.
+    */
+  def jsDivergence(p: DataFrame, q: DataFrame, textCol: String): DataFrame = {
+    val tp = p.select(explode(tokens(col(textCol))).as("token"),
+      lit(1L).as("_inP"), lit(0L).as("_inQ"))
+    val tq = q.select(explode(tokens(col(textCol))).as("token"),
+      lit(0L).as("_inP"), lit(1L).as("_inQ"))
+    val counts = tp.union(tq).groupBy("token")
+      .agg(sum("_inP").as("n_p"), sum("_inQ").as("n_q"))
+      .localCheckpoint(true)
+    val totals = counts.agg(count(lit(1)), sum("n_p"), sum("n_q")).head()
+    val v = totals.getLong(0)
+    if (v == 0) {
+      counts.withColumn("js_term", lit(0.0)).select("token", "n_p", "n_q", "js_term")
+    } else {
+      val np = totals.getLong(1)
+      val nq = totals.getLong(2)
+      val ps = (col("n_p") + lit(1L)).cast("double") / lit((np + v).toDouble)
+      val qs = (col("n_q") + lit(1L)).cast("double") / lit((nq + v).toDouble)
+      counts.withColumn("_ps", ps).withColumn("_qs", qs)
+        .withColumn("_ms", (col("_ps") + col("_qs")) / 2.0)
+        .withColumn("js_term",
+          (col("_ps") * log(col("_ps") / col("_ms")) +
+            col("_qs") * log(col("_qs") / col("_ms"))) / 2.0)
+        .select("token", "n_p", "n_q", "js_term")
+    }
+  }
+
   /** Per-token burstiness across the corpus — the variance-to-mean ratio
     * (index of dispersion) of per-document counts, zeros included: VMR ≈ 1
     * is Poisson scatter (function words), VMR ≫ 1 is bursty (content /

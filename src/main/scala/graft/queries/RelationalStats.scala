@@ -1054,5 +1054,114 @@ object RelationalStats {
       .orderBy("c_nationkey", "c_mktsegment")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108)
+  /** q109: Mann–Whitney U rank-sum test (open vs fulfilled orders'
+    * totalprice per priority) — the distribution-free A/B test next to
+    * q61's parametric t: values snap to cents, tie groups carry average
+    * ranks as the exact integer 2·R_A, u2 = 2·U_A stays a long, and the
+    * tie-corrected normal z is ONE fixed double expression replayed
+    * verbatim by the oracle (the q94 exact-integer discipline applied to
+    * hypothesis testing). Plan: partial-agg tie table → one window over
+    * |distinct prices| rows per group (ties collapse BEFORE the sort) →
+    * partial-agg reduce.
+    */
+  val q109 = QueryDef(
+    "q109_mann_whitney", {
+      val varu = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * " +
+        "(CAST(n_a + n_b + 1 AS DOUBLE) - CAST(tau AS DOUBLE) / " +
+        "(CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)))"
+      val z = mr(s"CAST(u2 - n_a * n_b AS DOUBLE) / (2.0 * sqrt($varu))", 6)
+      s"""WITH p AS (SELECT o_orderpriority AS grp, o_orderstatus = 'O' AS a,
+         |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM orders WHERE o_orderstatus IN ('O', 'F')
+         |    AND o_totalprice IS NOT NULL),
+         |t AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS t,
+         |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+         |      FROM p GROUP BY 1, 2),
+         |r AS (SELECT t.*, CAST(sum(t) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum
+         |      FROM t),
+         |g AS (SELECT grp,
+         |        CAST(sum(ta * (2 * (cum - t + 1) + t - 1)) AS BIGINT) AS r2a,
+         |        CAST(sum(ta) AS BIGINT) AS n_a,
+         |        CAST(sum(t - ta) AS BIGINT) AS n_b,
+         |        CAST(sum(t * t * t - t) AS BIGINT) AS tau
+         |      FROM r GROUP BY 1),
+         |f AS (SELECT grp, n_a, n_b, tau,
+         |        CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2
+         |      FROM g WHERE n_a > 0 AND n_b > 0 AND n_a + n_b >= 2)
+         |SELECT grp AS o_orderpriority, n_a, n_b, u2, $z AS z,
+         |  abs($z) > 1.96 AS significant
+         |FROM f WHERE $varu > 0.0
+         |ORDER BY o_orderpriority""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F") && col("o_totalprice").isNotNull)
+    graft.operators.Relational.mannWhitney(o, Seq("o_orderpriority"),
+        isA = col("o_orderstatus") === "O", valueCol = col("o_totalprice"),
+        scale = 100L)
+      .withColumn("z", Rounding.mirrorRound(col("z"), 6))
+      .withColumn("significant", abs(col("z")) > lit(1.96))
+      .orderBy("o_orderpriority")
+  }
+
+  private val KmCensorDays = 60
+
+  /** q110: Kaplan–Meier survival per market segment — customer
+    * "lifetime" is first→last order span in days; customers whose last
+    * order falls within the final $KmCensorDays days of the dataset are
+    * CENSORED (still active), not churned — the estimator's whole point:
+    * counting them as events biases every retention curve downward (the
+    * classic churn mistake), dropping them wastes their at-risk time.
+    * All risk-set arithmetic is exact longs; the running product is exp
+    * of a running ln sum in per-group time order — the same sequential
+    * fold in both engines (the q69 discipline on a window), so only
+    * ln/exp touch floats, on identical inputs in identical order.
+    */
+  val q110 = QueryDef(
+    "q110_kaplan_meier",
+    s"""WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS md FROM orders),
+       |life AS (SELECT o_custkey,
+       |    CAST(date_diff('day', min(CAST(o_orderdate AS DATE)),
+       |      max(CAST(o_orderdate AS DATE))) AS BIGINT) AS dur,
+       |    CASE WHEN max(CAST(o_orderdate AS DATE)) <
+       |      (SELECT md FROM mx) - INTERVAL $KmCensorDays DAY THEN 1 ELSE 0 END AS ev
+       |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+       |j AS (SELECT c.c_mktsegment AS seg, l.dur, l.ev
+       |      FROM life l JOIN customer c ON l.o_custkey = c.c_custkey),
+       |byt AS (SELECT seg, dur, CAST(sum(ev) AS BIGINT) AS d_events,
+       |          CAST(count(*) AS BIGINT) AS tot
+       |        FROM j GROUP BY 1, 2),
+       |r AS (SELECT byt.*,
+       |        CAST(sum(tot) OVER (PARTITION BY seg ORDER BY dur) AS BIGINT) AS cum,
+       |        CAST(sum(tot) OVER (PARTITION BY seg) AS BIGINT) AS gtot
+       |      FROM byt),
+       |k AS (SELECT seg, dur, d_events, tot, gtot - cum + tot AS n_risk,
+       |        exp(sum(CASE WHEN d_events > 0 AND d_events < gtot - cum + tot
+       |            THEN ln(1.0 - CAST(d_events AS DOUBLE) /
+       |              CAST(gtot - cum + tot AS DOUBLE))
+       |            WHEN d_events > 0 THEN CAST('-infinity' AS DOUBLE)
+       |            ELSE 0.0 END) OVER (PARTITION BY seg ORDER BY dur)) AS surv
+       |      FROM r)
+       |SELECT seg AS c_mktsegment, dur AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       |  d_events, CAST(tot - d_events AS BIGINT) AS n_censored_at_t,
+       |  ${mr("surv", 6)} AS survival
+       |FROM k WHERE d_events > 0
+       |ORDER BY c_mktsegment, t""".stripMargin) { (s, dir) =>
+    import graft.functions.Rounding
+    val o = Tables(s, dir, "orders").filter(col("o_orderdate").isNotNull)
+    val maxD = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+    val life = o.groupBy("o_custkey")
+      .agg(datediff(max(to_date(col("o_orderdate"))),
+          min(to_date(col("o_orderdate")))).cast("long").as("dur"),
+        when(max(to_date(col("o_orderdate"))) <
+          date_sub(lit(maxD), KmCensorDays), 1L).otherwise(0L).as("ev"))
+    val df = life.join(Tables(s, dir, "customer"),
+      col("o_custkey") === col("c_custkey"))
+    graft.operators.Relational.kaplanMeier(df, Seq("c_mktsegment"),
+        col("dur"), col("ev"))
+      .withColumn("survival", Rounding.mirrorRound(col("survival"), 6))
+      .orderBy("c_mktsegment", "t")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110)
 }

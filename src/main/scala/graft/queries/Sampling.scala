@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
+import graft.functions.Rounding.{sqlMirrorRound => mr}
 import graft.operators.{Sampling => Ops}
 import graft.sources.Tables
 
@@ -369,6 +370,58 @@ object Sampling {
       .select("doc_id", "domain", "split").orderBy("doc_id")
   }
 
+  private val BootB = 200     // replicates
+  private val BootAlpha = 25  // one-sided tail mass, 1/1000 units -> 95% CI
+
+  /** q111: Poisson-bootstrap 95% CI for the mean account balance per
+    * market segment ([[Ops.poissonBootstrapMeanCI]]) — the SCALABLE
+    * bootstrap (Chamandy et al.): classical with-replacement resampling
+    * needs global coordination per replicate; Poisson(1) multiplicities
+    * are a pure map-side function of the (row, replicate) hash, so the
+    * whole bootstrap is ONE partial-agg groupBy shuffling only B·|groups|
+    * replicate partials. The oracle replays the hash→uniform→inverse-CDF
+    * weight chain bit for bit (shared threshold literals), mirror-rounds
+    * each replicate mean BEFORE ranking (a last-ulp float-sum gap cannot
+    * flip a rank), and selects the interval by the exact rank rule.
+    */
+  val q111 = QueryDef(
+    "q111_bootstrap_ci", {
+      val cdf = graft.operators.Sampling.poissonCdfLiterals
+      val wgt = cdf.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString("CASE ", " ", s" ELSE ${cdf.length} END")
+      s"""WITH rep AS (SELECT c_mktsegment AS seg, c_custkey, c_acctbal, b.range AS b,
+         |    'boot:' || CAST(c_custkey AS VARCHAR) || '#' || CAST(b.range AS VARCHAR) AS kk
+         |  FROM customer CROSS JOIN range(0, $BootB) b
+         |  WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL),
+         |w AS (SELECT seg, b, c_acctbal,
+         |        CAST(${sqlScram("kk")} AS DOUBLE) / 1000000007.0 AS u
+         |      FROM rep),
+         |means AS (SELECT seg, b,
+         |    ${mr("sum(CAST(w AS DOUBLE) * c_acctbal) / CAST(sum(w) AS DOUBLE)", 6)} AS m
+         |  FROM (SELECT seg, b, c_acctbal, $wgt AS w FROM w) s
+         |  GROUP BY 1, 2 HAVING sum(w) > 0),
+         |ci AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_reps,
+         |         list(m ORDER BY m, b) AS ms
+         |       FROM means GROUP BY 1),
+         |fin AS (SELECT seg, n_reps,
+         |    ms[CAST(greatest(1, ceil(n_reps * $BootAlpha / 1000.0)) AS BIGINT)] AS lo,
+         |    ms[CAST(ceil(n_reps * ${1000 - BootAlpha} / 1000.0) AS BIGINT)] AS hi
+         |  FROM ci),
+         |allrows AS (SELECT c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+         |    ${mr("sum(c_acctbal) / CAST(count(*) AS DOUBLE)", 6)} AS mean
+         |  FROM customer WHERE c_acctbal IS NOT NULL AND c_custkey IS NOT NULL
+         |  GROUP BY 1)
+         |SELECT allrows.seg AS c_mktsegment, n, mean, n_reps, lo, hi
+         |FROM allrows JOIN fin ON allrows.seg = fin.seg
+         |ORDER BY c_mktsegment""".stripMargin
+    }) { (s, dir) =>
+    Ops.poissonBootstrapMeanCI(Tables(s, dir, "customer"),
+        Seq("c_mktsegment"), "c_custkey", col("c_acctbal"),
+        b = BootB, alphaPct = BootAlpha, salt = "boot:")
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Seq[QueryDef] = Seq(q19, q20, q22, q23, q28, q29, q30, q32, q54,
-    q102, q103, q104, q106)
+    q102, q103, q104, q106, q111)
 }

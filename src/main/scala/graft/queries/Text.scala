@@ -541,7 +541,44 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** t23: per-token Jensen–Shannon divergence contributions between the
+    * English and Chinese slices ([[TextAnalysis.jsDivergence]]) — t18's
+    * KL made symmetric and bounded (≤ ln 2 total, finite on disjoint
+    * support): the drift gate shape for corpus snapshots, where KL
+    * explodes the moment one side gains a new token. Same add-one
+    * smoothing, same scalar-totals plan as t18; the oracle restates the
+    * ½(p·ln(p/m) + q·ln(q/m)) tree verbatim with m = (p+q)/2 expanded
+    * in place (same ops → same doubles).
+    */
+  val t23 = QueryDef(
+    "t23_js_divergence", {
+      val m = "((ps + qs) / 2.0)"
+      s"""WITH tp AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'en'),
+         |tq AS (SELECT unnest($duckToks) AS token FROM documents WHERE lang = 'zh'),
+         |cp AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tp GROUP BY 1),
+         |cq AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tq GROUP BY 1),
+         |v AS (SELECT token FROM cp UNION SELECT token FROM cq),
+         |tot AS (SELECT (SELECT count(*) FROM tp) AS np,
+         |               (SELECT count(*) FROM tq) AS nq,
+         |               (SELECT count(*) FROM v) AS nv),
+         |base AS (SELECT v.token,
+         |    CAST(coalesce(cp.n, 0) AS BIGINT) AS n_p,
+         |    CAST(coalesce(cq.n, 0) AS BIGINT) AS n_q,
+         |    CAST(coalesce(cp.n, 0) + 1 AS DOUBLE) / CAST(tot.np + tot.nv AS DOUBLE) AS ps,
+         |    CAST(coalesce(cq.n, 0) + 1 AS DOUBLE) / CAST(tot.nq + tot.nv AS DOUBLE) AS qs
+         |  FROM v LEFT JOIN cp USING (token) LEFT JOIN cq USING (token) CROSS JOIN tot)
+         |SELECT token, n_p, n_q,
+         |  ${mr(s"(ps * ln(ps / $m) + qs * ln(qs / $m)) / 2.0", 6)} AS js_term
+         |FROM base ORDER BY token""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    TextAnalysis.jsDivergence(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "zh"), "text")
+      .withColumn("js_term", Rounding.mirrorRound(col("js_term"), 6))
+      .orderBy("token")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }

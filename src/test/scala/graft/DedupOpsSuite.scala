@@ -623,6 +623,40 @@ class DedupOpsSuite extends SparkSpec {
     assert(math.abs(r("a")._4 - ps * math.log(ps / qs)) < 1e-15, s"${r("a")}")
   }
 
+  test("jsDivergence: zero on identical slices, symmetric, bounded by ln 2, finite on disjoint support") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val p = Seq("a a b", "a c").toDF("text")
+    // identical distributions -> ps == qs -> m == ps -> every term 0.0
+    val same = TextAnalysis.jsDivergence(p, p, "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(same.length == 3 && same.forall(_._4 == 0.0), s"${same.toSeq}")
+    val q = Seq("a d d b c").toDF("text")
+    val pq = TextAnalysis.jsDivergence(p, q, "text")
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t._4).toMap
+    val qp = TextAnalysis.jsDivergence(q, p, "text")
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t._4).toMap
+    // symmetry: JS(P,Q) = JS(Q,P) term by term (the property KL lacks)
+    pq.foreach { case (tok, v) => assert(math.abs(v - qp(tok)) < 1e-15, tok) }
+    // non-negative terms, total bounded by ln 2
+    assert(pq.values.forall(_ >= 0.0), s"$pq")
+    assert(pq.values.sum <= math.log(2.0))
+    // DISJOINT corpora: KL's per-token terms are large, JS stays finite
+    // and the total still respects the ln 2 bound
+    val x = Seq("x x y").toDF("text")
+    val z = Seq("z w w").toDF("text")
+    val dis = TextAnalysis.jsDivergence(x, z, "text")
+      .as[(String, Long, Long, Double)].collect()
+    assert(dis.forall(t => !t._4.isInfinite && !t._4.isNaN), s"${dis.toSeq}")
+    assert(dis.map(_._4).sum <= math.log(2.0) + 1e-12)
+    // hand-check one term: token a — n_p=3 of 5 (V=4), n_q=1 of 5 (V=4)
+    val ps = 4.0 / 9.0; val qs = 2.0 / 9.0; val ms = (ps + qs) / 2.0
+    val expect = (ps * math.log(ps / ms) + qs * math.log(qs / ms)) / 2.0
+    val a = TextAnalysis.jsDivergence(p, q, "text")
+      .filter(col("token") === "a").as[(String, Long, Long, Double)].head()
+    assert(math.abs(a._4 - expect) < 1e-15, s"$a vs $expect")
+  }
+
   test("tokenEntropy: uniform=ln(n), constant=0, identity matches direct -sum(p ln p)") {
     import spark.implicits._
     import graft.operators.TextAnalysis

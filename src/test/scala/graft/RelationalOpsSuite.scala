@@ -1168,6 +1168,68 @@ class RelationalOpsSuite extends SparkSpec {
     }
   }
 
+  test("mannWhitney: hand-computed tie-corrected z; degenerate groups drop") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // group g: A = {1, 2, 3}, B = {2, 4} — tie at 2 gets average rank 2.5
+    // R_A = 1 + 2.5 + 4 = 7.5 -> u2 = 2R_A − 2·n_a(n_a+1)/2·... = 15 − 12 = 3
+    // varU = 3·2/12·((5+1) − 6/(5·4)) = 2.85; z = (3 − 6)/(2√2.85)
+    val g = Seq((true, 1.0), (true, 2.0), (true, 3.0), (false, 2.0), (false, 4.0))
+      .map { case (a, v) => ("g", a, v) }
+    // group t: ALL values tied -> variance 0 -> no test, drops
+    val t = Seq(("t", true, 7.0), ("t", false, 7.0), ("t", true, 7.0))
+    // group s: only sample A present -> drops
+    val s = Seq(("s", true, 1.0), ("s", true, 2.0))
+    val df = (g ++ t ++ s).toDF("grp", "a", "v")
+    val got = Relational.mannWhitney(df, Seq("grp"), col("a"), col("v"),
+        scale = 1L)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("g"), s"$got")
+    val (_, na, nb, u2, z) = got.head
+    assert((na, nb, u2) == ((3L, 2L, 3L)))
+    val expZ = (3.0 - 6.0) / (2.0 * math.sqrt(2.85))
+    assert(math.abs(z - expZ) < 1e-12, s"$z vs $expZ")
+    // direction check: A systematically larger than B flips the sign
+    val big = (1 to 20).map(i => ("d", true, 100.0 + i)) ++
+      (1 to 20).map(i => ("d", false, i.toDouble))
+    val zd = Relational.mannWhitney(big.toDF("grp", "a", "v"), Seq("grp"),
+        col("a"), col("v"), scale = 1L)
+      .as[(String, Long, Long, Long, Double)].head()._5
+    assert(zd > 5.0, s"complete separation must give a large positive z: $zd")
+  }
+
+  test("kaplanMeier: hand-computed curve with censoring; whole-risk-set death hits exactly 0") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // subjects: event at 1, censored at 2, event+censor tied at 3,
+    // event at 4, censored at 5
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 0L), ("g", 3L, 1L), ("g", 3L, 0L),
+      ("g", 4L, 1L), ("g", 5L, 0L)).toDF("grp", "dur", "ev")
+    val got = Relational.kaplanMeier(df, Seq("grp"), col("dur"), col("ev"))
+      .orderBy("t").as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // event-time rows only: t = 1, 3, 4
+    assert(got.map(_._2) == Seq(1L, 3L, 4L), s"$got")
+    val byT = got.map(r => r._2 -> r).toMap
+    assert(byT(1L) == (("g", 1L, 6L, 1L, 0L, byT(1L)._6)))
+    assert(math.abs(byT(1L)._6 - 5.0 / 6.0) < 1e-12)
+    // at t=3 the risk set lost the t=1 event AND the t=2 censor: n=4;
+    // the tied censor at 3 is reported but not an event
+    assert(byT(3L)._3 == 4L && byT(3L)._4 == 1L && byT(3L)._5 == 1L)
+    assert(math.abs(byT(3L)._6 - (5.0 / 6.0) * (3.0 / 4.0)) < 1e-12)
+    assert(byT(4L)._3 == 2L && math.abs(byT(4L)._6 - 0.3125) < 1e-12)
+    // censoring matters: counting censored subjects as events would give
+    // a different curve — assert the censored variant diverges
+    val naive = Relational.kaplanMeier(df.withColumn("ev", lit(1L)),
+        Seq("grp"), col("dur"), col("ev"))
+      .orderBy("t").as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(naive.last._6 < byT(4L)._6, "all-events curve must fall faster")
+    // whole risk set dies at the last time: survival exactly 0, no NaN
+    val all = Seq(("h", 1L, 1L), ("h", 1L, 1L)).toDF("grp", "dur", "ev")
+    val h = Relational.kaplanMeier(all, Seq("grp"), col("dur"), col("ev"))
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    assert(h._3 == 2L && h._4 == 2L && h._6 == 0.0, s"$h")
+  }
+
   test("theilSen onOversize=Bucket: oversized group degrades, in-guard groups stay bit-exact") {
     import spark.implicits._
     import graft.operators.Relational

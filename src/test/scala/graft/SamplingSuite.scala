@@ -518,4 +518,38 @@ class SamplingSuite extends SparkSpec {
       .exists(_.isInstanceOf[ShuffleExchangeExec]),
       s"domain split must not shuffle:\n${got.queryExecution.executedPlan}")
   }
+
+  test("poissonBootstrapMeanCI: CI brackets the mean, constant data collapses, layout-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // two groups: a wide-spread one and a constant one
+    val rows = (1L to 400L).map(i => ("w", i, (i % 37).toDouble * 3.0 + 10.0)) ++
+      (1L to 50L).map(i => ("c", 1000L + i, 42.0))
+    val df = rows.toDF("grp", "id", "x")
+    val got = Sampling.poissonBootstrapMeanCI(df, Seq("grp"), "id", col("x"),
+        b = 100)
+      .as[(String, Long, Double, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, nw, mw, repsW, loW, hiW) = got("w")
+    assert(nw == 400L && repsW == 100L)
+    // a 95% percentile interval around a 400-row mean must bracket it
+    assert(loW <= mw && mw <= hiW, s"CI [$loW, $hiW] must contain $mw")
+    assert(loW < hiW, "wide-spread data has a non-degenerate interval")
+    // the interval is a resampling interval, not the data range: for
+    // n=400 the half-width must be well inside one population sd (~32)
+    assert(hiW - loW < 32.0, s"implausibly wide bootstrap CI: ${hiW - loW}")
+    // constant data: every replicate mean IS the constant — CI collapses
+    val (_, nc, mc, _, loC, hiC) = got("c")
+    assert(nc == 50L && mc == 42.0 && loC == 42.0 && hiC == 42.0)
+    // determinism: identical output under a different layout
+    val again = Sampling.poissonBootstrapMeanCI(df.repartition(13), Seq("grp"),
+        "id", col("x"), b = 100)
+      .as[(String, Long, Double, Long, Double, Double)].collect().toSet
+    assert(again == got.values.toSet, "bootstrap must be layout-independent")
+    intercept[IllegalArgumentException](
+      Sampling.poissonBootstrapMeanCI(df, Seq("grp"), "id", col("x"), b = 1))
+    intercept[IllegalArgumentException](
+      Sampling.poissonBootstrapMeanCI(df, Seq("grp"), "id", col("x"),
+        alphaPct = 600))
+  }
 }
