@@ -7,10 +7,16 @@ Set CHECK_JSON_OUT=<path> to also write a CORRECTNESS_r{N}.json-style
 artifact (per-query rows/schema/values match + row counts + timings) —
 used for the committed sf1 full-registry sweep."""
 import duckdb, glob, json, os, subprocess, sys, time
+import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = os.environ.get("CHECK_OUT", "/tmp/graft_verify")
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+# CHECK_SELFTEST=1: prove the type gate bites (no Verify run, no oracle
+# file needed) — see gate_selftest below.
+if os.environ.get("CHECK_SELFTEST") == "1":
+    os.environ["SKIP_VERIFY"] = "1"
 
 if os.environ.get("SKIP_VERIFY") != "1":
     r = subprocess.run(
@@ -23,9 +29,6 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
-oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-import pandas as pd
-
 # Driver-strict type discipline (round-10, VERDICT r9 item 2): the
 # driver hashes without cross-family coercion, so an oracle column that
 # DuckDB types as HUGEINT (un-cast sum(BIGINT)) or DECIMAL lands in
@@ -36,10 +39,27 @@ import pandas as pd
 # coercion the gate may apply.
 BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
-def duck_type_violations(sql):
-    rel = con.sql(sql)
+def duck_type_violations(sql, connection=None):
+    rel = (connection or con).sql(sql)
     return [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
             if any(b in str(t).upper() for b in BANNED_DUCK_TYPES)]
+
+def gate_selftest():
+    """Fixture proving the driver-grade gate bites locally: an un-cast
+    sum(BIGINT) — the exact slip that cost q105 a round — must FAIL both
+    layers (declared-type scan + dtype-family compare). Run via
+    CHECK_SELFTEST=1; exits non-zero if either layer would let it pass."""
+    c2 = duckdb.connect()
+    c2.execute("CREATE TABLE t AS SELECT * FROM (VALUES (1, 10), (2, 20)) v(g, n)")
+    bad = "SELECT g, sum(n) AS s FROM t GROUP BY 1"
+    good = "SELECT g, CAST(sum(n) AS BIGINT) AS s FROM t GROUP BY 1"
+    assert duck_type_violations(bad, c2) == ["s:HUGEINT"], "type scan missed HUGEINT"
+    assert duck_type_violations(good, c2) == [], "type scan false-positive on cast"
+    spark_like = pd.DataFrame({"g": [1, 2], "s": pd.array([10, 20], dtype="int64")})
+    fam = family_mismatches(spark_like, c2.execute(bad).df())
+    assert fam and fam[0].startswith("s:"), f"family gate missed int-vs-float: {fam}"
+    assert family_mismatches(spark_like, c2.execute(good).df()) == []
+    print("gate selftest OK: un-cast sum(BIGINT) fails both layers")
 
 def dtype_family(dt):
     k = pd.api.types.pandas_dtype(dt).kind
@@ -56,6 +76,12 @@ def family_mismatches(spark_df, duck_df):
             if fa != fb:
                 bad.append(f"{c}: spark={spark_df[c].dtype}({fa}) vs oracle={duck_df[c].dtype}({fb})")
     return bad
+
+if os.environ.get("CHECK_SELFTEST") == "1":
+    gate_selftest()
+    sys.exit(0)
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
 def canon(df):
     df = df[sorted(df.columns)]

@@ -474,14 +474,20 @@ object Similarity {
           negate(col("clabel").cast("long")).as("negl"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"),
         VectorFunctions.toDouble(col("m.v")).as("_v"))
-    // corpus → PQ codes, cell carried through (map-side argmin per sub)
-    val codes = subVectors(assigned, m, subDim)
+    // corpus → PQ codes, cell carried through the AGGREGATION KEYS (it is
+    // functionally dependent on vec_id, so partial aggregation still
+    // collapses map-side) — re-attaching it with a join after the encode
+    // would re-shuffle the whole |corpus|·m code stream on vec_id for
+    // nothing
+    val codes = assigned
+      .select(col("vec_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("_v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
       .join(broadcast(codebooks), "sub")
-      .groupBy("vec_id", "sub")
+      .groupBy("vec_id", "cell", "sub")
       .agg(max_by(col("code"),
         struct(negate(sqDist(col("sv"), col("cv"))).as("nd"),
           negate(col("code")).as("negc"))).as("code"))
-      .join(assigned.select("vec_id", "cell"), "vec_id")
     // queries: top-nprobe cells each
     val qv = e.filter(isQuery)
       .select(col("vec_id").as("query_id"), VectorFunctions.toDouble(col("_v")).as("_qv"))
