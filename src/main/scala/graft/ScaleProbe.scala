@@ -53,6 +53,7 @@ object ScaleProbe {
     if (mode == "frontier") { frontier(spark, factor); spark.stop(); return }
     if (mode == "theilsen") { theilSenBucketed(spark, src, factor); spark.stop(); return }
     if (mode == "retrieval") { retrieval(spark, src, out, factor); spark.stop(); return }
+    if (mode == "ivfpq") { ivfpq(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1136,6 +1137,60 @@ object ScaleProbe {
     val emb = spark.read.parquet(s"$out/embeddings.parquet")
     timed(factor, "s09 mrl truncate d=32")(
       Similarity.mrlTruncate(emb, "vec_id", "embedding", 32).count())
+  }
+
+  /** IVFADC scale probe (s10, round 10): the production ANN query shape
+    * vs the exact baseline as the corpus grows. At ×factor the corpus is
+    * nEmb·factor vectors in the SAME 10 label cells, so an nprobe=1
+    * IVFADC query scans corpus/10 PQ CODES (m longs each — the floats
+    * are never read in the scan) while s01 brute force reads every
+    * float vector for every query. Both are linear in corpus size —
+    * the probe's evidence is the CONSTANT-FACTOR separation (bytes
+    * touched per candidate) and that the ADC scan's wall time tracks
+    * the PRUNED candidate count, not the corpus: the printed
+    * `candidates` column is |probed cells' population|·|queries|,
+    * 1/|cells| of what brute force scores. The exact re-rank tail
+    * (ivfPqKnnRerank) adds a candidate-set-sized float read that does
+    * NOT grow with the corpus (rerank·|queries| rows).
+    */
+  private def ivfpq(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    writeEmbeddings(spark, src, out, factor)
+    val dim = 64; val m = 4; val k = 5
+    // a serving-sized query batch: per-batch fixed costs (probe window,
+    // distance tables) amortize over 256 queries, so the timing contrast
+    // isolates the per-candidate scan cost — the quantity that matters
+    // at corpus scale
+    val isQ = col("vec_id") < 256
+    for ((tag, path) <- Seq("x1" -> s"$src/embeddings.parquet",
+        s"x$factor" -> s"$out/embeddings.parquet")) {
+      val e = spark.read.parquet(path).localCheckpoint(true)
+      val n = e.count()
+      val cells = Similarity.centroidVectors(e, "label", "embedding")
+        .localCheckpoint(true)
+      val cb = Similarity.labelCodebooks(e, "label", "embedding", dim, m)
+        .localCheckpoint(true)
+      println(s"[scale x$factor] ivfpq $tag corpus=$n cells=${cells.count()} " +
+        s"codebook=${cb.count()} entries")
+      // index build: the ONCE cost a standing corpus amortizes
+      var index: org.apache.spark.sql.DataFrame = null
+      timed(factor, s"s10 build $tag") {
+        index = Similarity.ivfPqIndex(e, "vec_id", "embedding", cells, cb, dim, m)
+          .localCheckpoint(true)
+        index.count()
+      }
+      // per-query-batch costs: the exact float scan vs the pruned code scan
+      timed(factor, s"s01 brute $tag")(
+        Similarity.knnBruteForce(e, e.filter(isQ), "vec_id", "embedding", k).count())
+      timed(factor, s"s10 search $tag") {
+        val sc = Similarity.ivfPqSearch(index, cells, cb, e.filter(isQ),
+          "vec_id", "embedding", dim, m, nprobe = 1)
+        val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+        sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k).count()
+      }
+    }
   }
 
   private def frontier(spark: SparkSession, factor: Int): Unit = {

@@ -388,6 +388,33 @@ object Similarity {
       .select("query_id", "cell", "rank", "neighbor_id", "cos")
   }
 
+  /** Label-supervised PQ codebooks: per-(subspace, label) averages — a
+    * deterministic one-step Lloyd where an existing clustering (labels,
+    * coarse cells, any upstream partition) supplies the assignment. The
+    * externally-replayable codebook behind the s10 oracle (every entry is
+    * a partial-agg average mirror-rounded at `roundDp`, so cross-engine
+    * float-sum ordering cannot flip an encode); [[pqCodebooks]] is the
+    * unsupervised alternative when no clustering exists. Output:
+    * (sub, code, cv) — `codebooks` shaped for [[pqEncode]]/[[pqKnn]]/
+    * [[ivfPqKnn]].
+    */
+  def labelCodebooks(df: DataFrame, labelCol: String, vecCol: String,
+      dim: Int, m: Int, roundDp: Int = 6): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    df.select(col(labelCol).cast("long").as("code"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          sp => slice(col(vecCol).cast("array<double>"),
+            sp * subDim + 1, lit(subDim)))).as(Seq("sub", "_sv")))
+      .select(col("code"), col("sub").cast("long").as("sub"),
+        posexplode(col("_sv")).as(Seq("i", "x")))
+      .groupBy("sub", "code", "i")
+      .agg(graft.functions.Rounding.mirrorRound(avg(col("x")), roundDp).as("c"))
+      .groupBy("sub", "code")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        p => p.getField("c")).as("cv"))
+  }
+
   /** IVFADC — the production 100 TB ANN shape (Jégou et al. 2011, §IV:
     * coarse cells × compressed-domain scan): [[ivfKnn]]'s coarse
     * quantizer bounds WHAT is scanned (a query touches only its
@@ -454,13 +481,17 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "adc_d2", "cos")
   }
 
-  /** Shared IVFADC candidate scorer: (query_id, cell, neighbor_id,
-    * adc_d2) for every corpus vector in a probed cell.
+  /** IVFADC index BUILD — the amortized half of the s10 path, separated
+    * so a standing corpus pays assignment + encode ONCE and every query
+    * batch pays only [[ivfPqSearch]]'s code scan (the FAISS
+    * `index.add` / `index.search` split; [[ivfPqKnn]] composes the two
+    * for the oracle's one-shot contract). Output: (vec_id, cell, sub,
+    * code) — m rows per corpus vector, the long-form stored index; at
+    * 100 TB this is the table that persists (≈ m longs + a cell id per
+    * vector, ~40 bytes at m=4 vs 256 floats), bucketable by `cell`.
     */
-  private def ivfPqScores(df: DataFrame, idCol: String, vecCol: String,
-      cells: DataFrame, codebooks: DataFrame, isQuery: Column,
-      dim: Int, m: Int, nprobe: Int): DataFrame = {
-    require(nprobe >= 1, "nprobe must be >= 1")
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     GraftExpressions.register(df.sparkSession)
     val subDim = dim / m
@@ -478,8 +509,9 @@ object Similarity {
     // functionally dependent on vec_id, so partial aggregation still
     // collapses map-side) — re-attaching it with a join after the encode
     // would re-shuffle the whole |corpus|·m code stream on vec_id for
-    // nothing
-    val codes = assigned
+    // nothing; the per-sub codes re-assemble into ONE array row per
+    // vector (codes(s) = subspace s's code), the form the search scans
+    assigned
       .select(col("vec_id"), col("cell"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           s => slice(col("_v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
@@ -488,30 +520,70 @@ object Similarity {
       .agg(max_by(col("code"),
         struct(negate(sqDist(col("sv"), col("cv"))).as("nd"),
           negate(col("code")).as("negc"))).as("code"))
-    // queries: top-nprobe cells each
-    val qv = e.filter(isQuery)
-      .select(col("vec_id").as("query_id"), VectorFunctions.toDouble(col("_v")).as("_qv"))
+      .groupBy("vec_id", "cell")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        p => p.getField("code")).as("codes"))
+  }
+
+  /** IVFADC SEARCH over a prebuilt [[ivfPqIndex]]: queries probe their
+    * `nprobe` nearest cells, build their m·k ADC distance tables against
+    * the broadcast codebooks, and the index's CODES — never the corpus
+    * floats — are scanned within the probed cells only. The scan is the
+    * FAISS table-lookup shape: the per-query distance table broadcasts
+    * as ONE map row per query, and each (query, candidate) pair costs m
+    * map lookups folded left-to-right in a codegen'd collection lambda —
+    * no per-subspace row explosion, no (sub, code) join, no groupBy; the
+    * only corpus-sized operation is the cell-pruned probe join. A query
+    * id that also exists in the index is excluded from its own results
+    * (self-match), so in-corpus and external queries both work. Output:
+    * (query_id, cell, neighbor_id, adc_d2), every scored candidate —
+    * [[ivfPqKnn]] applies the top-k.
+    */
+  def ivfPqSearch(index: DataFrame, cells: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    GraftExpressions.register(queries.sparkSession)
+    val subDim = dim / m
+    val qv = queries.select(col(idCol).as("query_id"),
+      VectorFunctions.toDouble(col(vecCol)).as("_qv"))
     val qw = Window.partitionBy("query_id")
       .orderBy(VectorFunctions.cosine(col("_qv"), col("cv")).desc, col("clabel"))
     val probes = qv.crossJoin(broadcast(cells))
       .withColumn("_rn", row_number().over(qw)).filter(col("_rn") <= nprobe)
       .select(col("query_id"), col("clabel").cast("long").as("cell"))
-    // per-query ADC distance table: m·k entries against the codebooks
+    // per-query ADC distance table, folded to ONE map row per query:
+    // (sub, code) -> d2, |queries|·m·k entries total — broadcast-sized
     val dt = subVectors(qv.select(col("query_id").as("vec_id"), col("_qv").as("_v")), m, subDim)
       .join(broadcast(codebooks), "sub")
-      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
-        sqDist(col("sv"), col("cv")).as("d2"))
-    // compressed-domain scan: cells prune, codes join the table, partial
-    // aggregation sums the m terms map-side
-    codes.join(broadcast(probes), "cell")
+      .groupBy(col("vec_id").as("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        struct(col("sub").cast("long").as("s"), col("code").cast("long").as("c")).as("key"),
+        sqDist(col("sv"), col("cv")).as("value")))).as("_dt"))
+    // compressed-domain scan: ONE cell-pruned join fans candidates out to
+    // their probing queries, then adc_d2 is a narrow left-to-right fold of
+    // m table lookups — the d05/s01 fold discipline, so the sum order is
+    // fixed (not an aggregation's arbitrary order)
+    val adc = aggregate(
+      transform(sequence(lit(0L), lit(m - 1L)),
+        s => element_at(col("_dt"),
+          struct(s.as("s"), element_at(col("codes"), (s + 1).cast("int")).cast("long").as("c")))),
+      lit(0.0), (acc, x) => acc + x)
+    index.join(broadcast(probes), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(dt), Seq("query_id", "sub", "code"))
-      .groupBy("query_id", "cell", "vec_id")
-      // mirror-round (not round): s10's oracle replays this exact fold
-      .agg(graft.functions.Rounding.mirrorRound(sum(col("d2")), 6).as("adc_d2"))
+      .join(broadcast(dt), "query_id")
+      // mirror-round (not round): s10's oracle replays this exact value
       .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
-        col("adc_d2"))
+        graft.functions.Rounding.mirrorRound(adc, 6).as("adc_d2"))
   }
+
+  /** One-shot IVFADC scorer: [[ivfPqIndex]] + [[ivfPqSearch]]. */
+  private def ivfPqScores(df: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame, codebooks: DataFrame, isQuery: Column,
+      dim: Int, m: Int, nprobe: Int): DataFrame =
+    ivfPqSearch(ivfPqIndex(df, idCol, vecCol, cells, codebooks, dim, m),
+      cells, codebooks, df.filter(isQuery), idCol, vecCol, dim, m, nprobe)
 
   /** Symmetric per-vector int8 scalar quantization — the 4× embedding
     * store shrink (float32 → one byte/dim + one scale/vector) that keeps

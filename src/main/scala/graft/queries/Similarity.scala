@@ -342,22 +342,11 @@ object Similarity {
        |  neighbor_id, adc_d2
        |FROM sc QUALIFY rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-    import graft.functions.Rounding
     val e = Tables(s, dir, "embeddings")
     val cells = Ops.centroidVectors(e, "label", "embedding")
     // label-supervised codebooks: per-(sub, label) averages, the same
     // deterministic one-step Lloyd the oracle replays
-    val cb = e.select(col("label").cast("long").as("code"),
-        posexplode(transform(sequence(lit(0), lit(PqM - 1)),
-          sp => slice(col("embedding").cast("array<double>"),
-            sp * PqSubDim + 1, lit(PqSubDim)))).as(Seq("sub", "_sv")))
-      .select(col("code"), col("sub").cast("long").as("sub"),
-        posexplode(col("_sv")).as(Seq("i", "x")))
-      .groupBy("sub", "code", "i")
-      .agg(Rounding.mirrorRound(avg(col("x")), 6).as("c"))
-      .groupBy("sub", "code")
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-        p => p.getField("c")).as("cv"))
+    val cb = Ops.labelCodebooks(e, "label", "embedding", Dim, PqM)
     Ops.ivfPqKnn(e, "vec_id", "embedding", cells, cb,
         isQuery = col("vec_id") < NumQueries, dim = Dim, m = PqM, k = TopK)
       .orderBy("query_id", "rank")
