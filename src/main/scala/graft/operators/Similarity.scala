@@ -441,8 +441,10 @@ object Similarity {
     */
   def ivfPqKnn(df: DataFrame, idCol: String, vecCol: String,
       cells: DataFrame, codebooks: DataFrame, isQuery: Column,
-      dim: Int, m: Int, k: Int, nprobe: Int = 1): DataFrame = {
-    val sc = ivfPqScores(df, idCol, vecCol, cells, codebooks, isQuery, dim, m, nprobe)
+      dim: Int, m: Int, k: Int, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame = {
+    val sc = ivfPqScores(df, idCol, vecCol, cells, codebooks, isQuery, dim, m,
+      nprobe, residual)
     val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
     sc.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
@@ -461,10 +463,12 @@ object Similarity {
     */
   def ivfPqKnnRerank(df: DataFrame, idCol: String, vecCol: String,
       cells: DataFrame, codebooks: DataFrame, isQuery: Column,
-      dim: Int, m: Int, k: Int, rerank: Int, nprobe: Int = 1): DataFrame = {
+      dim: Int, m: Int, k: Int, rerank: Int, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame = {
     require(rerank >= k, s"rerank=$rerank must be >= k=$k")
     GraftExpressions.register(df.sparkSession)
-    val sc = ivfPqScores(df, idCol, vecCol, cells, codebooks, isQuery, dim, m, nprobe)
+    val sc = ivfPqScores(df, idCol, vecCol, cells, codebooks, isQuery, dim, m,
+      nprobe, residual)
     val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
     val cand = sc.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= rerank)
@@ -491,13 +495,17 @@ object Similarity {
     * vector, ~40 bytes at m=4 vs 256 floats), bucketable by `cell`.
     */
   def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
-      cells: DataFrame, codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+      cells: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
+      residual: Boolean = false): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     GraftExpressions.register(df.sparkSession)
     val subDim = dim / m
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
-    // corpus → coarse cell (map-side max_by, the s04 fold)
-    val assigned = e.crossJoin(broadcast(cells))
+    // corpus → coarse cell (map-side max_by, the s04 fold); the residual
+    // variant (FAISS by_residual=true — better recall at the same bytes,
+    // since the codebook only has to cover within-cell variation) encodes
+    // v − centroid(cell) instead of v, via one more broadcast join
+    val assigned0 = e.crossJoin(broadcast(cells))
       .groupBy(col("vec_id"))
       .agg(max_by(
         struct(col("clabel").cast("long").as("cell"), col("_v").as("v")),
@@ -505,6 +513,13 @@ object Similarity {
           negate(col("clabel").cast("long")).as("negl"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"),
         VectorFunctions.toDouble(col("m.v")).as("_v"))
+    val assigned =
+      if (!residual) assigned0
+      else assigned0.join(
+          broadcast(cells.select(col("clabel").cast("long").as("cell"),
+            VectorFunctions.toDouble(col("cv")).as("_cc"))), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("_v"), col("_cc"), (x, c) => x - c).as("_v"))
     // corpus → PQ codes, cell carried through the AGGREGATION KEYS (it is
     // functionally dependent on vec_id, so partial aggregation still
     // collapses map-side) — re-attaching it with a join after the encode
@@ -541,7 +556,8 @@ object Similarity {
     */
   def ivfPqSearch(index: DataFrame, cells: DataFrame, codebooks: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
-      dim: Int, m: Int, nprobe: Int = 1): DataFrame = {
+      dim: Int, m: Int, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     GraftExpressions.register(queries.sparkSession)
@@ -550,14 +566,24 @@ object Similarity {
       VectorFunctions.toDouble(col(vecCol)).as("_qv"))
     val qw = Window.partitionBy("query_id")
       .orderBy(VectorFunctions.cosine(col("_qv"), col("cv")).desc, col("clabel"))
+    // probed (query, cell) pairs KEEP the cell centroid: the residual
+    // variant quantizes against q − centroid(cell), so the distance
+    // table is per (query, PROBED CELL) — the non-residual table is the
+    // same for every probed cell and just rides the same shape
     val probes = qv.crossJoin(broadcast(cells))
       .withColumn("_rn", row_number().over(qw)).filter(col("_rn") <= nprobe)
-      .select(col("query_id"), col("clabel").cast("long").as("cell"))
-    // per-query ADC distance table, folded to ONE map row per query:
-    // (sub, code) -> d2, |queries|·m·k entries total — broadcast-sized
-    val dt = subVectors(qv.select(col("query_id").as("vec_id"), col("_qv").as("_v")), m, subDim)
+      .select(col("query_id"), col("clabel").cast("long").as("cell"),
+        (if (residual)
+          zip_with(col("_qv"), VectorFunctions.toDouble(col("cv")), (x, c) => x - c)
+        else col("_qv")).as("_qr"))
+    // per-(query, cell) ADC distance table folded to ONE map row:
+    // (sub, code) -> d2 — |queries|·nprobe·m·k entries, broadcast-sized
+    val dt = probes
+      .select(col("query_id"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("_qr"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
       .join(broadcast(codebooks), "sub")
-      .groupBy(col("vec_id").as("query_id"))
+      .groupBy("query_id", "cell")
       .agg(map_from_entries(collect_list(struct(
         struct(col("sub").cast("long").as("s"), col("code").cast("long").as("c")).as("key"),
         sqDist(col("sv"), col("cv")).as("value")))).as("_dt"))
@@ -570,9 +596,8 @@ object Similarity {
         s => element_at(col("_dt"),
           struct(s.as("s"), element_at(col("codes"), (s + 1).cast("int")).cast("long").as("c")))),
       lit(0.0), (acc, x) => acc + x)
-    index.join(broadcast(probes), "cell")
+    index.join(broadcast(dt), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(dt), "query_id")
       // mirror-round (not round): s10's oracle replays this exact value
       .select(col("query_id"), col("cell"), col("vec_id").as("neighbor_id"),
         graft.functions.Rounding.mirrorRound(adc, 6).as("adc_d2"))
@@ -581,9 +606,33 @@ object Similarity {
   /** One-shot IVFADC scorer: [[ivfPqIndex]] + [[ivfPqSearch]]. */
   private def ivfPqScores(df: DataFrame, idCol: String, vecCol: String,
       cells: DataFrame, codebooks: DataFrame, isQuery: Column,
-      dim: Int, m: Int, nprobe: Int): DataFrame =
-    ivfPqSearch(ivfPqIndex(df, idCol, vecCol, cells, codebooks, dim, m),
-      cells, codebooks, df.filter(isQuery), idCol, vecCol, dim, m, nprobe)
+      dim: Int, m: Int, nprobe: Int, residual: Boolean = false): DataFrame =
+    ivfPqSearch(ivfPqIndex(df, idCol, vecCol, cells, codebooks, dim, m, residual),
+      cells, codebooks, df.filter(isQuery), idCol, vecCol, dim, m, nprobe, residual)
+
+  /** Coarse-cell residuals — the training set for a residual-variant PQ
+    * codebook ([[pqCodebooks]] over the `rvec` column): each vector minus
+    * its nearest cell's centroid, the distribution the by_residual
+    * codebook must cover (within-cell variation only, which is why the
+    * same byte budget buys more precision). Output: (vec_id, cell, rvec).
+    */
+  def ivfResiduals(df: DataFrame, idCol: String, vecCol: String,
+      cells: DataFrame): DataFrame = {
+    GraftExpressions.register(df.sparkSession)
+    val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+    e.crossJoin(broadcast(cells))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("clabel").cast("long").as("cell"), col("_v").as("v")),
+        struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
+          negate(col("clabel").cast("long")).as("negl"))).as("m"))
+      .join(broadcast(cells.select(col("clabel").cast("long").as("cell"),
+        VectorFunctions.toDouble(col("cv")).as("_cc"))),
+        col("m.cell") === col("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(VectorFunctions.toDouble(col("m.v")), col("_cc"),
+          (x, c) => x - c).as("rvec"))
+  }
 
   /** Symmetric per-vector int8 scalar quantization — the 4× embedding
     * store shrink (float32 → one byte/dim + one scale/vector) that keeps

@@ -328,6 +328,86 @@ class SimilarityOpsSuite extends SparkSpec {
     assert(ivfTop == exactTop, s"$ivfTop vs $exactTop")
   }
 
+  test("residual IVFPQ: ADC identity on residuals; beats non-residual at equal bytes") {
+    import spark.implicits._
+    // 3 well-separated clusters; within-cluster structure is a ±1 sign
+    // pattern per subspace (PQ-representable EXACTLY with k=2 residual
+    // codes), while a NON-residual k=2 codebook must cover 3 cluster
+    // positions × 2 offsets per subspace with 2 codes — forced collisions.
+    val centers = Seq(Seq(10.0, 0.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 10.0, 10.0))
+    val corpus = (for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 12
+    } yield {
+      val s1 = if (j % 2 == 0) 1.0 else -1.0   // subspace 1 offset sign
+      val s2 = if ((j / 2) % 2 == 0) 1.0 else -1.0 // subspace 2 offset sign
+      ((ci * 100 + j).toLong, Seq(
+        (c(0) + s1).toFloat, (c(1) + s1 * 0.5).toFloat,
+        (c(2) + s2).toFloat, (c(3) + s2 * 0.5).toFloat))
+    }).toDF("vec_id", "embedding")
+    val cells = cellsOf(centers.zipWithIndex.map { case (c, i) => i.toLong -> c })
+    val cbRaw = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 4, 2, 2, 3)
+    // ivfResiduals is the training-set producer for a LEARNED residual
+    // codebook; here the within-cell structure is known exactly, so the
+    // codebook is supplied as literals (the operator takes any codebook)
+    // and the residual ADC becomes EXACT — recall must be 1.0
+    val resTrain = Similarity.ivfResiduals(corpus, "vec_id", "embedding", cells)
+    assert(resTrain.count() == 36 &&
+      resTrain.columns.toSeq == Seq("vec_id", "cell", "rvec"))
+    val cbRes = Seq(
+      (0L, 0L, Seq(1.0, 0.5)), (0L, 1L, Seq(-1.0, -0.5)),
+      (1L, 0L, Seq(1.0, 0.5)), (1L, 1L, Seq(-1.0, -0.5)))
+      .toDF("sub", "code", "cv")
+    val isQ = col("vec_id").isin(0L, 100L, 200L)
+    val k = 3
+    // exact L2 ground truth, same-cell (clusters are far apart, so the
+    // global L2 top-k IS the within-cluster top-k)
+    val vecs = corpus.as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def exactTop(q: Long): Set[Long] =
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (vecs(n).zip(vecs(q)).map { case (a, b) => (a - b) * (a - b) }.sum, n))
+        .take(k).toSet
+    def recallOf(residual: Boolean, cb: org.apache.spark.sql.DataFrame): Double = {
+      val got = Similarity.ivfPqKnn(corpus, "vec_id", "embedding", cells, cb,
+          isQ, dim = 4, m = 2, k = k, residual = residual)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      got.map { case (q, ns) => (ns & exactTop(q)).size.toDouble / k }.sum / got.size
+    }
+    val rRes = recallOf(residual = true, cbRes)
+    val rRaw = recallOf(residual = false, cbRaw)
+    assert(rRes == 1.0, s"exact residual codebook must give perfect recall: $rRes")
+    assert(rRes >= rRaw,
+      s"residual must not lose to non-residual at equal bytes: $rRes vs $rRaw")
+    // residual ADC identity: adc_d2 = L2²((q − centroid_probedCell) −
+    // decodedResidual(neighbor)), reconstructed independently here
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", cells,
+      cbRes, 4, 2, residual = true)
+    val codes = index.select("vec_id", "codes").as[(Long, Seq[Long])].collect().toMap
+    val cellOf = index.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val book = cbRes.as[(Long, Long, Seq[Double])].collect()
+      .map { case (s, c, v) => (s, c) -> v }.toMap
+    val got = Similarity.ivfPqSearch(index, cells, cbRes, corpus.filter(isQ),
+        "vec_id", "embedding", 4, 2, residual = true)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, cell, nid, adc) =>
+      assert(cellOf(nid) == cell, "candidates must come from the probed cell")
+      val cc = centers(cell.toInt)
+      val qres = vecs(q).zip(cc).map { case (x, c) => x - c }
+      val exact = codes(nid).zipWithIndex.map { case (code, s) =>
+        val cv = book((s.toLong, code))
+        val qs = qres.slice(s * 2, s * 2 + 2)
+        qs.zip(cv).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+      }.sum
+      val mirrored = math.floor(exact * 1e6 + 0.5) / 1e6
+      assert(math.abs(adc - mirrored) < 1e-9,
+        s"residual ADC identity violated for ($q, $nid): $adc vs $exact")
+    }
+  }
+
   test("ivfPqKnn plan: no cartesian shuffle; corpus windows stay off the scan") {
     import spark.implicits._
     val corpus = corpusOf((0L until 64L).map(i =>
