@@ -795,7 +795,17 @@ object TextAnalysis {
       lit(0L).as("_inP"), lit(1L).as("_inQ"))
     val counts = tp.union(tq).groupBy("token")
       .agg(sum("_inP").as("n_p"), sum("_inQ").as("n_q"))
-      .localCheckpoint(true)
+    jsFromCounts(counts)
+  }
+
+  /** [[jsDivergence]] from a pre-joined count table (token, n_p, n_q) —
+    * the entry point when one side is a STANDING reference vocabulary
+    * (the streaming drift gate compares every micro-batch against the
+    * same reference counts; re-tokenizing the reference per batch would
+    * be corpus-sized work per tick). Same smoothing, same term tree.
+    */
+  def jsFromCounts(countsIn: DataFrame): DataFrame = {
+    val counts = countsIn.localCheckpoint(true)
     val totals = counts.agg(count(lit(1)), sum("n_p"), sum("n_q")).head()
     val v = totals.getLong(0)
     if (v == 0) {
@@ -813,6 +823,13 @@ object TextAnalysis {
         .select("token", "n_p", "n_q", "js_term")
     }
   }
+
+  /** Token count table for a corpus slice: (token, n) — the standing
+    * reference side of the streaming JS drift gate, computed ONCE.
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
 
   /** Per-token burstiness across the corpus — the variance-to-mean ratio
     * (index of dispersion) of per-document counts, zeros included: VMR ≈ 1

@@ -38,24 +38,47 @@ object Sinks {
     * overhead eventually dominates scans. Rewrites `path` into
     * `ceil(rows / rowsPerFile)` files via a round-robin repartition (no
     * key skew — file sizes are uniform by construction), staged through a
-    * sibling temp dir then swapped in (delete + rename). The swap is
-    * near-atomic, not transactional: a reader that lists the directory in
-    * the tiny delete→rename window errors and retries — run compaction in
-    * the table's maintenance window, or use a table format with snapshot
+    * sibling temp dir then swapped in by RENAME-ONLY steps (round 10:
+    * table → `._old`, temp → table, drop `._old`), so every crash point
+    * leaves the rows recoverable and the next invocation completes or
+    * aborts the interrupted swap at entry. The swap is near-atomic, not
+    * transactional: a reader that lists the directory in the tiny
+    * rename→rename window errors and retries — run compaction in the
+    * table's maintenance window, or use a table format with snapshot
     * isolation when readers can never pause.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       rowsPerFile: Long): Unit = {
     require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compacting")
+    val old = new org.apache.hadoop.fs.Path(path + "._old")
+    // recovery (rename-first discipline, round 10): a prior crash leaves
+    // one of three states, each resolvable without data loss —
+    //  - old + tmp, no table: the swap was mid-flight; finish it
+    //  - old + table: the swap finished but the old copy lingers; drop it
+    //  - tmp alone: the rewrite never finished; abort it
+    if (fs.exists(old) && !fs.exists(p) && fs.exists(tmp)) {
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"compact recovery failed: $tmp -> $p")
+      fs.delete(old, true)
+    } else if (fs.exists(old) && fs.exists(p)) {
+      fs.delete(old, true)
+    } else if (fs.exists(tmp)) {
+      fs.delete(tmp, true)
+    }
     val df = spark.read.parquet(path)
     val n = df.count()
     val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
-    val tmp = path + "._compacting"
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap by rename, never delete-then-rename: the table is ALWAYS
+    // recoverable from (old, tmp) at every crash point above
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact swap failed: $p -> $old")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $p")
+    fs.delete(old, true)
   }
 
   /** SELECTIVE small-file compaction — [[compact]] rewrites the whole

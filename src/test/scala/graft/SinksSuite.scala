@@ -62,6 +62,24 @@ class SinksSuite extends SparkSpec {
     val back = spark.read.parquet(path)
     assert(back.count() == 1000)
     assert(back.select("id").as[Long].collect().toSet == (0L until 1000L).toSet)
+    assert(!new java.io.File(path + "._old").exists() &&
+      !new java.io.File(path + "._compacting").exists(), "swap dirs cleaned")
+
+    // crash recovery (rename-first, round 10): simulate the worst point —
+    // table renamed away, compacted dir not yet renamed in — and the next
+    // invocation must restore all 1000 rows before recompacting
+    assert(new java.io.File(path).renameTo(new java.io.File(path + "._old")))
+    // stage a "compacted" copy the way the crashed pass would have left it
+    spark.read.parquet(path + "._old").repartition(2)
+      .write.mode("overwrite").parquet(path + "._compacting")
+    assert(!new java.io.File(path).exists(), "crash state: table missing")
+    Sinks.compact(spark, path, rowsPerFile = 500)
+    val rec = spark.read.parquet(path)
+    assert(rec.count() == 1000, "recovery must restore every row")
+    assert(rec.select("id").as[Long].collect().toSet == (0L until 1000L).toSet)
+    assert(parquetFiles() == 2)
+    assert(!new java.io.File(path + "._old").exists() &&
+      !new java.io.File(path + "._compacting").exists())
   }
 
   test("compactSmallFiles: only smalls rewrite; healthy files byte-identical; idempotent") {

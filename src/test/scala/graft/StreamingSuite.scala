@@ -758,4 +758,69 @@ class StreamingSuite extends SparkSpec {
         StreamingKAnonymity.gate(src.toDS(), 0))
     } finally q.stop()
   }
+
+  test("E22: streaming JS drift gate — in-distribution passes, drifted batch quarantines") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    import graft.streaming.StreamingJsDrift
+    implicit val sqlCtx = spark.sqlContext
+    val refDocs = Seq("the quick brown fox", "the lazy dog sleeps",
+      "quick dog runs the fox", "brown fox sleeps").toDF("text")
+    val refCounts = TextAnalysis.tokenCounts(refDocs, "text")
+    // self-calibrating threshold: compute the gate's own js for an
+    // in-distribution and a drifted batch, place the bar between them —
+    // the streamed verdicts below then hold by construction
+    def jsOf(docs: Seq[String]): Double = {
+      val bc = TextAnalysis.tokenCounts(docs.toDF("text"), "text")
+        .select(col("token"), col("n").cast("long").as("n_p"))
+      val j = bc.join(refCounts.select(col("token"), col("n").cast("long").as("n_q")),
+          Seq("token"), "full_outer")
+        .select(col("token"), coalesce(col("n_p"), lit(0L)).as("n_p"),
+          coalesce(col("n_q"), lit(0L)).as("n_q"))
+      TextAnalysis.jsFromCounts(j).agg(sum("js_term")).head().getDouble(0)
+    }
+    val inDist = Seq("the quick fox", "the lazy dog")
+    val drifted = Seq("zzz yyy xxx www vvv", "qqq ppp ooo nnn")
+    val (jsIn, jsOut) = (jsOf(inDist), jsOf(drifted))
+    assert(jsIn < jsOut && jsOut <= math.log(2.0) + 1e-9,
+      s"calibration: $jsIn vs $jsOut (bound ${math.log(2.0)})")
+    val gate = new StreamingJsDrift(refCounts, threshold = (jsIn + jsOut) / 2)
+
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val out = gate.gate(b, "text", id)
+        perBatch += id -> out.select("id").as[Long].collect().sorted.toSeq
+        ()
+      }.start()
+    try {
+      src.addData((1L, inDist(0)), (2L, inDist(1)))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(1L, 2L), "in-distribution batch must export")
+
+      src.addData((3L, drifted(0)), (4L, drifted(1)))
+      q.processAllAvailable()
+      assert(perBatch.last._2.isEmpty, "drifted batch must quarantine whole")
+
+      src.addData((5L, "quick brown dog"))
+      q.processAllAvailable()
+      assert(perBatch.last._2 == Seq(5L), "recovery batch must export again")
+
+      val vs = gate.verdicts
+      assert(vs.map(_.pass) == Seq(true, false, true), vs.toString)
+      // batch parity: the stream's js values are exactly the gate
+      // arithmetic recomputed in batch mode (same plan, same data)
+      assert(math.abs(vs(0).js - jsIn) < 1e-9, s"${vs(0)} vs $jsIn")
+      assert(math.abs(vs(1).js - jsOut) < 1e-9, s"${vs(1)} vs $jsOut")
+      assert(vs.forall(_.js <= math.log(2.0) + 1e-9), "JS is bounded by ln 2")
+      // exported union == rows of passing batches exactly
+      assert(perBatch.flatMap(_._2).toSeq == Seq(1L, 2L, 5L))
+    } finally q.stop()
+    // a token-less batch is a no-op tick: js 0, pass
+    val empty = gate.gate(Seq.empty[(Long, String)].toDF("id", "text"), "text", 99L)
+    assert(empty.count() == 0)
+    assert(gate.verdicts.last.js == 0.0 && gate.verdicts.last.pass)
+    intercept[IllegalArgumentException](new StreamingJsDrift(refCounts, 0.0))
+  }
 }
