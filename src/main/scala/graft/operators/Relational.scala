@@ -1651,12 +1651,20 @@ object Relational {
     val pts = df.select(parts :+ snap(xCol, scaleX).as("_cx") :+
         snap(yCol, scaleY).as("_cy"): _*)
       .filter(col("_cx").isNotNull && col("_cy").isNotNull)
-    val sizes = pts.groupBy(parts: _*).agg(count(lit(1)).as("_gn"))
-    val routed = pts.join(sizes, groupCols)
+    // NULL-SAFE size join: groupBy treats null group keys as a real
+    // group, so the routing join must too — a plain equi-join would
+    // silently drop null-keyed groups that the Fail path fits
+    val sizes = pts.groupBy(parts: _*)
+      .agg(count(lit(1)).as("_gn"))
+      .select(groupCols.map(c => col(c).as(s"_s_$c")) :+ col("_gn"): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"_s_$c")).reduce(_ && _)
+    val routed = pts.join(sizes, cond)
+      .drop(groupCols.map(c => s"_s_$c"): _*)
       .withColumn("_bkt",
         when(col("_gn") > maxN, pmod(col("_cx"), lit(buckets.toLong)))
           .otherwise(lit(0L)))
     // scales 1: _cx/_cy are already snapped units; re-snapping is identity
+    // (|values| < 2^53, the snap contract)
     val fits = theilSenExact(routed, groupCols :+ "_bkt", col("_cx"),
       col("_cy"), maxN, 1L, 1L)
     def rankMedian(sorted: Column, cnt: Column): Column =

@@ -63,6 +63,11 @@ object Sinks {
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"compact recovery failed: $tmp -> $p")
       fs.delete(old, true)
+    } else if (fs.exists(old) && !fs.exists(p)) {
+      // defensive (unreachable under this protocol, which writes tmp
+      // before any rename): the old copy is the only copy — restore it
+      if (!fs.rename(old, p))
+        throw new java.io.IOException(s"compact recovery failed: $old -> $p")
     } else if (fs.exists(old) && fs.exists(p)) {
       fs.delete(old, true)
     } else if (fs.exists(tmp)) {

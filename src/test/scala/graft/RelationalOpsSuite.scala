@@ -1270,6 +1270,18 @@ class RelationalOpsSuite extends SparkSpec {
         maxN = 100, scaleX = 1L, scaleY = 100L,
         onOversize = Relational.OversizeMode.Bucket(2)).collect()
     }
+    // NULL group keys are a real group in groupBy land: the escalation
+    // path's size join must keep them (null-safe), matching Fail mode
+    val withNull = pts.toDF("g", "x", "y").unionByName(
+      (0 until 10).map(i => (null.asInstanceOf[String], i.toDouble, 4.0 * i))
+        .toDF("g", "x", "y"))
+    val gotN = Relational.theilSen(withNull, Seq("g"), col("x"), col("y"),
+        maxN = 100, scaleX = 1L, scaleY = 100L,
+        onOversize = Relational.OversizeMode.Bucket(8))
+      .as[(String, Long, Long, Double, Double)].collect()
+    val nullRow = gotN.filter(_._1 == null)
+    assert(nullRow.length == 1 && nullRow.head._4 == 400.0,
+      s"null-keyed group must survive escalation: ${gotN.toSeq}")
   }
 
   test("expectations: one pass, NULL predicate is a violation, unique names enforced") {
