@@ -1861,6 +1861,72 @@ object Relational {
       .select(parts ++ Seq(col("n_a"), col("n_b"), col("u2"), z.as("z")): _*)
   }
 
+  /** ROC-AUC per group from scores + binary labels — the evaluation a
+    * corpus-scale quality classifier (t12) actually gets: AUC is EXACTLY
+    * the Mann–Whitney statistic U/(n₊·n₋) (the probability a random
+    * positive outranks a random negative, ties at ½), so it inherits
+    * [[mannWhitney]]'s exact integer rank arithmetic wholesale — u2 is
+    * a long, and auc = u2/(2·n₊·n₋) is ONE division, bit-identical
+    * cross-engine. No sampling, no sklearn-on-the-driver: the corpus
+    * never leaves the cluster. Output: groupCols, n_pos, n_neg, u2,
+    * auc. Groups missing a class drop (AUC undefined), like
+    * mannWhitney's degenerate groups — but all-tied groups are KEPT
+    * (AUC ½ is well-defined where a z-test is not).
+    */
+  def aucScore(df: DataFrame, groupCols: Seq[String], isPositive: Column,
+      scoreCol: Column, scale: Long = 1000000L): DataFrame = {
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ isPositive.cast("boolean").as("_a") :+
+        snap(scoreCol, scale).as("_v"): _*)
+      .filter(col("_a").isNotNull && col("_v").isNotNull)
+    val ties = pts.groupBy(parts :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_t"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("_ta"))
+    val w = Window.partitionBy(parts: _*).orderBy(col("_v"))
+    val ranked = ties.withColumn("_cum", sum(col("_t")).over(w))
+      .withColumn("_s", col("_cum") - col("_t") + lit(1L))
+    ranked.groupBy(parts: _*)
+      .agg(sum(col("_ta") * (lit(2L) * col("_s") + col("_t") - lit(1L))).as("_r2a"),
+        sum(col("_ta")).as("n_pos"),
+        sum(col("_t") - col("_ta")).as("n_neg"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .withColumn("u2", col("_r2a") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .select(parts ++ Seq(col("n_pos"), col("n_neg"), col("u2"),
+        (col("u2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc")): _*)
+  }
+
+  /** Calibration table (reliability-diagram bins) per group: scores in
+    * [0, 1] bin into `bins` equal-width buckets, each reporting its row
+    * count, mean score, and positive rate — "does a 0.8 score mean 80%
+    * positive?", the question an AUC alone can't answer and the standard
+    * companion diagnostic before a classifier gates a corpus. Exact
+    * arithmetic: bins by integer unit floor (score 1.0 clamps into the
+    * top bin), counts are longs, mean score is an exact-unit sum over a
+    * count, so both doubles are single divisions of exact longs. One
+    * partial-agg groupBy — at 100 TB the table is |groups|·bins rows.
+    * Output: groupCols, bin (0-based), n, mean_score, pos_rate.
+    */
+  def calibrationBins(df: DataFrame, groupCols: Seq[String],
+      isPositive: Column, scoreCol: Column, bins: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ isPositive.cast("boolean").as("_a") :+
+        snap(scoreCol, scale).as("_v"): _*)
+      .filter(col("_a").isNotNull && col("_v").isNotNull)
+    val bin = least(floor(col("_v") * bins / lit(scale.toDouble)).cast("long"),
+      lit(bins - 1L))
+    pts.withColumn("bin", bin)
+      .groupBy(parts :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        (sum(col("_v")).cast("double") / (count(lit(1)) * lit(scale)).cast("double"))
+          .as("mean_score"),
+        (sum(when(col("_a"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double")).as("pos_rate"))
+  }
+
   /** Kaplan–Meier survival estimator per group (Kaplan & Meier 1958) —
     * right-censored time-to-event curves: at each distinct event time t,
     * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), where n_i counts subjects still

@@ -578,7 +578,88 @@ object Text {
       .orderBy("token")
   }
 
+  /** t03's composite quality expression, shared verbatim with t24/t25
+    * (the score those diagnostics evaluate).
+    */
+  private def qualitySqlRaw =
+    s"""0.6 * (1 - ${duckMarkers(Seq("the", "a"))} / len($duckToks))
+       |    + 0.4 * least((length(text) - len($duckToks) + 1) / len($duckToks) / 8.0, 1.0)""".stripMargin
+
+  /** t24: ROC-AUC of the t03 quality score predicting the English slice,
+    * per source ([[graft.operators.Relational.aucScore]]) — the
+    * evaluation a corpus-scale quality classifier actually gets before
+    * it gates anything. AUC IS the Mann–Whitney statistic U/(n₊·n₋)
+    * (probability a random positive outranks a random negative, ties ½),
+    * so the whole computation is q109's exact integer rank arithmetic
+    * plus ONE division — no sampling, no driver-side sklearn, the corpus
+    * never leaves the cluster. Scores enter as exact 10⁻⁴ units (t03's
+    * own mirror-round), so the tie structure is identical cross-engine.
+    */
+  val t24 = QueryDef(
+    "t24_quality_auc", {
+      val auc = mr("CAST(r2a - n_pos * (n_pos + 1) AS DOUBLE) / " +
+        "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))", 6)
+      s"""WITH s AS (SELECT source, lang = 'en' AS a,
+         |    CAST(floor((${mr(qualitySqlRaw, 4)}) * 10000.0 + 0.5) AS BIGINT) AS v
+         |  FROM documents),
+         |t AS (SELECT source, v, CAST(count(*) AS BIGINT) AS t,
+         |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ta
+         |      FROM s WHERE a IS NOT NULL AND v IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT t.*, CAST(sum(t) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cum
+         |      FROM t),
+         |g AS (SELECT source,
+         |        CAST(sum(ta * (2 * (cum - t + 1) + t - 1)) AS BIGINT) AS r2a,
+         |        CAST(sum(ta) AS BIGINT) AS n_pos,
+         |        CAST(sum(t - ta) AS BIGINT) AS n_neg
+         |      FROM r GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  CAST(r2a - n_pos * (n_pos + 1) AS BIGINT) AS u2, $auc AS auc
+         |FROM g WHERE n_pos > 0 AND n_neg > 0
+         |ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality")
+    val df = docs.select(col("doc_id"), col("source"),
+        (col("lang") === "en").as("pos"))
+      .join(scored, "doc_id")
+    graft.operators.Relational.aucScore(df, Seq("source"), col("pos"),
+        col("quality"), scale = 10000L)
+      .withColumn("auc", Rounding.mirrorRound(col("auc"), 6))
+      .orderBy("source")
+  }
+
+  private val CalBins = 5
+
+  /** t25: calibration table of the same score
+    * ([[graft.operators.Relational.calibrationBins]]) — the
+    * reliability-diagram companion t24's AUC can't answer: per
+    * equal-width score bin, row count, mean score, and positive rate.
+    * Bins by exact-unit arithmetic (score 1.0 clamps into the top bin);
+    * both reported doubles are single divisions of exact longs.
+    */
+  val t25 = QueryDef(
+    "t25_calibration",
+    s"""WITH s AS (SELECT lang = 'en' AS a,
+       |    CAST(floor((${mr(qualitySqlRaw, 4)}) * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM documents)
+       |SELECT least(CAST(floor(v * $CalBins / 10000.0) AS BIGINT), ${CalBins - 1}) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(v) AS DOUBLE) / CAST(count(*) * 10000 AS DOUBLE) AS mean_score,
+       |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pos_rate
+       |FROM s WHERE a IS NOT NULL AND v IS NOT NULL
+       |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val scored = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select("doc_id", "quality")
+    val df = docs.select(col("doc_id"), (col("lang") === "en").as("pos"))
+      .join(scored, "doc_id")
+    graft.operators.Relational.calibrationBins(df, Seq.empty, col("pos"),
+        col("quality"), bins = CalBins, scale = 10000L)
+      .orderBy("bin")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }

@@ -1198,6 +1198,58 @@ class RelationalOpsSuite extends SparkSpec {
     assert(zd > 5.0, s"complete separation must give a large positive z: $zd")
   }
 
+  test("aucScore: perfect/reversed/all-tied hand cases; one-class groups drop") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = (
+      // g=sep: positives all above negatives -> AUC exactly 1
+      (1 to 5).map(i => ("sep", true, 10.0 + i)) ++
+      (1 to 4).map(i => ("sep", false, i.toDouble)) ++
+      // g=rev: positives all BELOW -> AUC exactly 0
+      (1 to 3).map(i => ("rev", true, i.toDouble)) ++
+      (1 to 3).map(i => ("rev", false, 10.0 + i)) ++
+      // g=tie: every score equal -> AUC exactly 0.5 (kept, unlike the
+      // z-test where variance 0 drops the group)
+      Seq(("tie", true, 7.0), ("tie", false, 7.0), ("tie", true, 7.0)) ++
+      // g=solo: one class only -> AUC undefined -> drops
+      Seq(("solo", true, 1.0), ("solo", true, 2.0))
+    ).toDF("g", "pos", "score")
+    val got = Relational.aucScore(df, Seq("g"), col("pos"), col("score"), scale = 100L)
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("sep", "rev", "tie"))
+    assert(got("sep")._5 == 1.0 && got("sep")._2 == 5L && got("sep")._3 == 4L)
+    assert(got("rev")._5 == 0.0)
+    assert(got("tie")._5 == 0.5, s"${got("tie")}")
+    // AUC is the Mann–Whitney statistic: u2/(2·n+·n−) against q109's op
+    val mw = Relational.mannWhitney(df.filter(col("g") === "sep"), Seq("g"),
+        col("pos"), col("score"), scale = 100L)
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(got("sep")._4 == mw._4, "aucScore and mannWhitney must share u2")
+  }
+
+  test("calibrationBins: exact bin edges, 1.0 clamps into the top bin, rates exact") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = Seq(
+      (0.05, false), (0.15, false),            // bin 0 [0, 0.2): rate 0
+      (0.45, true), (0.55, false),             // bins 2 : mixed
+      (0.55, true),
+      (0.95, true), (1.0, true)                // top bin, incl. the clamp
+    ).toDF("score", "pos")
+    val got = Relational.calibrationBins(df, Seq.empty, col("pos"),
+        col("score"), bins = 5, scale = 100L)
+      .orderBy("bin").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0L, 2L, 4L), s"$got")
+    val byBin = got.map(r => r._1 -> r).toMap
+    assert(byBin(0L)._2 == 2L && byBin(0L)._4 == 0.0)
+    assert(byBin(0L)._3 == 0.1, "mean of 0.05 and 0.15 in exact units")
+    assert(byBin(2L)._2 == 3L && byBin(2L)._4 == 2.0 / 3.0)
+    assert(byBin(4L)._2 == 2L && byBin(4L)._4 == 1.0,
+      "score 1.0 must clamp into the last bin, not a phantom bin 5")
+    intercept[IllegalArgumentException](
+      Relational.calibrationBins(df, Seq.empty, col("pos"), col("score"), 0))
+  }
+
   test("kaplanMeier: hand-computed curve with censoring; whole-risk-set death hits exactly 0") {
     import spark.implicits._
     import graft.operators.Relational
