@@ -803,6 +803,12 @@ object TextAnalysis {
     * (the streaming drift gate compares every micro-batch against the
     * same reference counts; re-tokenizing the reference per batch would
     * be corpus-sized work per tick). Same smoothing, same term tree.
+    *
+    * The counts pin once (the totals job and the term projection share
+    * one materialization); batch callers let Bench/Verify's cleanup
+    * release it — a PER-TICK caller must manage its own pinning and use
+    * [[jsTermsExpr]] directly, or the pinned blocks accumulate across
+    * ticks (the streaming gate's round-10 lesson).
     */
   def jsFromCounts(countsIn: DataFrame): DataFrame = {
     val counts = countsIn.localCheckpoint(true)
@@ -811,17 +817,21 @@ object TextAnalysis {
     if (v == 0) {
       counts.withColumn("js_term", lit(0.0)).select("token", "n_p", "n_q", "js_term")
     } else {
-      val np = totals.getLong(1)
-      val nq = totals.getLong(2)
-      val ps = (col("n_p") + lit(1L)).cast("double") / lit((np + v).toDouble)
-      val qs = (col("n_q") + lit(1L)).cast("double") / lit((nq + v).toDouble)
-      counts.withColumn("_ps", ps).withColumn("_qs", qs)
-        .withColumn("_ms", (col("_ps") + col("_qs")) / 2.0)
-        .withColumn("js_term",
-          (col("_ps") * log(col("_ps") / col("_ms")) +
-            col("_qs") * log(col("_qs") / col("_ms"))) / 2.0)
+      counts.withColumn("js_term",
+          jsTermsExpr(v, totals.getLong(1), totals.getLong(2)))
         .select("token", "n_p", "n_q", "js_term")
     }
+  }
+
+  /** The per-token JS term as a pure Column over (n_p, n_q), given the
+    * three scalar totals — shared by [[jsFromCounts]] and callers that
+    * manage their own materialization (the streaming gate).
+    */
+  def jsTermsExpr(v: Long, np: Long, nq: Long): org.apache.spark.sql.Column = {
+    val ps = (col("n_p") + lit(1L)).cast("double") / lit((np + v).toDouble)
+    val qs = (col("n_q") + lit(1L)).cast("double") / lit((nq + v).toDouble)
+    val ms = (ps + qs) / 2.0
+    (ps * log(ps / ms) + qs * log(qs / ms)) / 2.0
   }
 
   /** Token count table for a corpus slice: (token, n) — the standing

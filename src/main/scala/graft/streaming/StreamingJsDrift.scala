@@ -67,15 +67,27 @@ final class StreamingJsDrift(referenceCounts: DataFrame, threshold: Double)
   def gate(batch: DataFrame, textCol: String, batchId: Long): DataFrame = {
     val bc = TextAnalysis.tokenCounts(batch, textCol)
       .select(col("token"), col("n").cast("long").as("n_p"))
+    // persist/unpersist per tick, NOT localCheckpoint: the totals job
+    // and the term reduction share one materialization, and the blocks
+    // RELEASE before the next batch — a per-tick checkpoint would
+    // accumulate dead blocks in storage memory for the stream's lifetime
     val joined = bc.join(ref, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("n_p"), lit(0L)).as("n_p"),
         coalesce(col("n_q"), lit(0L)).as("n_q"))
-    val agg = TextAnalysis.jsFromCounts(joined)
-      .agg(coalesce(sum(col("js_term")), lit(0.0)),
-        coalesce(sum(col("n_p")), lit(0L)),
-        coalesce(sum(col("n_q")), lit(0L)),
-        count(lit(1))).head()
+      .persist()
+    val agg = try {
+      val totals = joined.agg(count(lit(1)), sum("n_p"), sum("n_q")).head()
+      val vocab = totals.getLong(0)
+      val term =
+        if (vocab == 0) lit(0.0)
+        else TextAnalysis.jsTermsExpr(vocab, totals.getLong(1), totals.getLong(2))
+      joined.select(term.as("js_term"), col("n_p"), col("n_q"))
+        .agg(coalesce(sum(col("js_term")), lit(0.0)),
+          coalesce(sum(col("n_p")), lit(0L)),
+          coalesce(sum(col("n_q")), lit(0L)),
+          count(lit(1))).head()
+    } finally { joined.unpersist(false); () }
     // a token-less batch is a no-op tick, not a drifted corpus: the
     // smoothed all-zeros-vs-reference js would be spuriously large
     val js = if (agg.getLong(1) == 0L) 0.0 else agg.getDouble(0)
