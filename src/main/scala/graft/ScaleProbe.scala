@@ -54,6 +54,7 @@ object ScaleProbe {
     if (mode == "theilsen") { theilSenBucketed(spark, src, factor); spark.stop(); return }
     if (mode == "retrieval") { retrieval(spark, src, out, factor); spark.stop(); return }
     if (mode == "ivfpq") { ivfpq(spark, src, out, factor); spark.stop(); return }
+    if (mode == "stats") { stats(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1190,6 +1191,56 @@ object ScaleProbe {
         val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
         sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k).count()
       }
+    }
+  }
+
+  /** Round-10 stats-operator probe: Mann–Whitney / AUC, Kaplan–Meier,
+    * and the Poisson bootstrap at ×factor orders. The scale claims under
+    * test: mannWhitney/aucScore's only window runs over |DISTINCT
+    * values| per group (ties collapse BEFORE the sort — replication
+    * multiplies tie counts, not window rows), kaplanMeier's windows run
+    * over |distinct durations|, and the bootstrap shuffles only
+    * B·|groups| replicate partials however many rows fan out map-side.
+    * All three should scale ~linearly in scan cost with flat shuffle
+    * structure.
+    */
+  private def stats(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    import graft.operators.{Relational, Sampling}
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val n = orders.count()
+    val reps = spark.range(factor.toLong).select(col("id").as("rep"))
+    orders.crossJoin(reps)
+      .select((col("o_custkey") + col("rep") * 200000L).as("cust"),
+        col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"),
+        // rep-jitter the price so replicas add tie MASS and some new
+        // distinct values — the realistic shape
+        (col("o_totalprice") + col("rep").cast("double") * 0.01).as("price"),
+        col("o_orderdate").as("odate"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$out/orders_stats.parquet")
+    val d = spark.read.parquet(s"$out/orders_stats.parquet").localCheckpoint(true)
+    println(s"[scale x$factor] stats rows=${n * factor}")
+    timed(factor, "q109 mann-whitney") {
+      Relational.mannWhitney(d.filter(col("status").isin("O", "F")),
+        Seq("prio"), col("status") === "O", col("price"), scale = 100L).count()
+    }
+    timed(factor, "t24 auc") {
+      Relational.aucScore(d.filter(col("status").isin("O", "F")),
+        Seq("prio"), col("status") === "O", col("price"), scale = 100L).count()
+    }
+    timed(factor, "q110 kaplan-meier") {
+      val life = d.groupBy("cust")
+        .agg(datediff(max(to_date(col("odate"))), min(to_date(col("odate"))))
+          .cast("long").as("dur"),
+          (pmod(col("cust"), lit(5L)) =!= 0L).cast("long").as("ev"))
+      Relational.kaplanMeier(life, Seq.empty, col("dur"), col("ev")).count()
+    }
+    timed(factor, "q111 bootstrap b=200") {
+      Sampling.poissonBootstrapMeanCI(
+        d.select(col("prio"), col("cust"), col("price")),
+        Seq("prio"), "cust", col("price"), b = 200).count()
     }
   }
 
