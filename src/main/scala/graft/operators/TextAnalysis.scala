@@ -841,6 +841,49 @@ object TextAnalysis {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
 
+  /** PPMI co-occurrence scores (Church & Hanks 1990 PMI, positive-clamped
+    * as in Levy & Goldberg 2014) — the word-association matrix behind
+    * count-based distributional semantics and collocation mining over a
+    * training corpus: for every DIRECTED token pair (a before b, within
+    * `window` forward positions), ppmi = max(0, ln(c(a,b)·N / (c(a)·c(b))))
+    * with c(a)/c(b) the pair table's row/column marginals and N its total.
+    *
+    * Pair generation is JOIN-FREE and map-side: each position pairs with
+    * the next `window` ARRAY ELEMENTS of its own document (a slice of the
+    * token array — no positional self-join, no window function), so the
+    * only shuffles are vocabulary-bounded partial aggregations: the pair
+    * count, two marginals, and two vocab-keyed joins to stitch them. N
+    * enters as a driver scalar (the t18 discipline). All counts are exact
+    * longs; ppmi is one fixed double expression (products in the double
+    * domain — no long overflow at any corpus size) — externally
+    * replayable. `minPairCount` prunes the hapax tail AFTER marginals are
+    * taken (marginals must see every pair). Output: token_a, token_b,
+    * n_pair, ppmi.
+    */
+  def ppmi(df: DataFrame, textCol: String, window: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val pairs = df.select(tokens(col(textCol)).as("_t"))
+      .select(posexplode(col("_t")).as(Seq("_i", "token_a")), col("_t"))
+      .select(col("token_a"),
+        explode(slice(col("_t"), col("_i") + 2, lit(window))).as("token_b"))
+    val c = pairs.groupBy("token_a", "token_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
+    val nRow = c.agg(sum("n_pair")).head()
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0) // empty corpus: no pairs
+    val ca = c.groupBy("token_a").agg(sum("n_pair").as("_ca"))
+    val cb = c.groupBy("token_b").agg(sum("n_pair").as("_cb"))
+    c.join(ca, "token_a").join(cb, "token_b")
+      .filter(col("n_pair") >= minPairCount)
+      .select(col("token_a"), col("token_b"), col("n_pair"),
+        greatest(lit(0.0),
+          log(col("n_pair").cast("double") * lit(n.toDouble) /
+            (col("_ca").cast("double") * col("_cb").cast("double"))))
+          .as("ppmi"))
+  }
+
   /** Per-token burstiness across the corpus — the variance-to-mean ratio
     * (index of dispersion) of per-document counts, zeros included: VMR ≈ 1
     * is Poisson scatter (function words), VMR ≫ 1 is bursty (content /

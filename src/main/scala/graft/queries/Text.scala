@@ -659,7 +659,43 @@ object Text {
       .orderBy("bin")
   }
 
+  private val PpmiWindow = 2
+  private val PpmiMinPair = 3L
+
+  /** t26: PPMI co-occurrence ([[TextAnalysis.ppmi]], Church & Hanks PMI,
+    * positive-clamped per Levy & Goldberg) — collocation mining over the
+    * corpus: directed forward-window pairs, marginals from the pair
+    * table itself, N as a driver scalar / oracle scalar subquery. The
+    * oracle regenerates pairs with the IDENTICAL slice-window rule
+    * (position i pairs with array elements i+1..i+window of its own
+    * document — a range cross join, no positional self-join) and
+    * replays the one fixed double expression.
+    */
+  val t26 = QueryDef(
+    "t26_ppmi",
+    s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+       |p AS (SELECT unnest(flatten(list_transform(range(1, len(toks) + 1),
+       |        i -> list_transform(range(1, least($PpmiWindow, len(toks) - i) + 1),
+       |          o -> {'a': toks[i], 'b': toks[i + o]})))) AS pr
+       |      FROM t),
+       |c AS (SELECT pr.a AS token_a, pr.b AS token_b, CAST(count(*) AS BIGINT) AS n_pair
+       |      FROM p GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS n FROM c),
+       |ca AS (SELECT token_a, CAST(sum(n_pair) AS BIGINT) AS ma FROM c GROUP BY 1),
+       |cb AS (SELECT token_b, CAST(sum(n_pair) AS BIGINT) AS mb FROM c GROUP BY 1)
+       |SELECT token_a, token_b, n_pair,
+       |  ${mr("greatest(0.0, ln(CAST(n_pair AS DOUBLE) * n / " +
+            "(CAST(ma AS DOUBLE) * CAST(mb AS DOUBLE))))", 6)} AS ppmi
+       |FROM c JOIN ca USING (token_a) JOIN cb USING (token_b) CROSS JOIN tot
+       |WHERE n_pair >= $PpmiMinPair
+       |ORDER BY token_a, token_b""".stripMargin) { (s, dir) =>
+    TextAnalysis.ppmi(Tables(s, dir, "documents"), "text",
+        window = PpmiWindow, minPairCount = PpmiMinPair)
+      .withColumn("ppmi", Rounding.mirrorRound(col("ppmi"), 6))
+      .orderBy("token_a", "token_b")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }

@@ -657,6 +657,45 @@ class DedupOpsSuite extends SparkSpec {
     assert(math.abs(a._4 - expect) < 1e-15, s"$a vs $expect")
   }
 
+  test("ppmi: hand-computed directed-window scores; negatives clamp; marginals precede the prune") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "a b a b", window 1: pairs (a,b)x2, (b,a)x1 -> N=3
+    // row marginals a=2, b=1; col marginals b=2, a=1
+    val got = TextAnalysis.ppmi(Seq("a b a b").toDF("text"), "text", window = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.keySet == Set(("a", "b"), ("b", "a")))
+    assert(got(("a", "b"))._1 == 2L && got(("b", "a"))._1 == 1L)
+    assert(math.abs(got(("a", "b"))._2 - math.log(2.0 * 3 / (2 * 2))) < 1e-12)
+    assert(math.abs(got(("b", "a"))._2 - math.log(3.0)) < 1e-12)
+    // window 2 reaches over one token: "x y z" adds the (x, z) pair
+    val w2 = TextAnalysis.ppmi(Seq("x y z").toDF("text"), "text", window = 2)
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(w2 == Set(("x", "y"), ("x", "z"), ("y", "z")))
+    // under-associated pairs clamp to 0, never negative: in "a b b a"
+    // ppmi(b,b) = ln(1*3/(2*2)) < 0 -> 0.0
+    val cl = TextAnalysis.ppmi(Seq("a b b a").toDF("text"), "text", window = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(cl(("b", "b")) == 0.0, s"$cl")
+    assert(cl.values.forall(_ >= 0.0))
+    // minPairCount prunes AFTER marginals: surviving scores are identical
+    // with and without the pruned tail
+    val full = TextAnalysis.ppmi(Seq("a b a b").toDF("text"), "text", 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val pruned = TextAnalysis.ppmi(Seq("a b a b").toDF("text"), "text", 1,
+        minPairCount = 2L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(pruned.keySet == Set(("a", "b")))
+    assert(pruned(("a", "b")) == full(("a", "b")),
+      "pruning the hapax tail must not move surviving scores")
+    intercept[IllegalArgumentException](
+      TextAnalysis.ppmi(Seq("a").toDF("text"), "text", 0))
+  }
+
   test("tokenEntropy: uniform=ln(n), constant=0, identity matches direct -sum(p ln p)") {
     import spark.implicits._
     import graft.operators.TextAnalysis
