@@ -1846,7 +1846,21 @@ object Relational {
       .agg(sum(col("_ta") * (lit(2L) * col("_s") + col("_t") - lit(1L))).as("_r2a"),
         sum(col("_ta")).as("n_a"),
         sum(col("_t") - col("_ta")).as("n_b"),
-        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tau"))
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tau"),
+        max(col("_t")).as("_tmax"))
+      // exactness guard (fail loud, never wrap): t³ in the tie
+      // correction overflows long past t ≈ 2M identical values, and
+      // 2·R_A past n ≈ 2·10⁹ rows per group — Spark long arithmetic
+      // wraps SILENTLY where DuckDB errors. Woven into a USED column
+      // (the theilSen guard pattern): a dropped guard column would be
+      // pruned by the optimizer and never evaluate.
+      .withColumn("n_a",
+        when(col("_tmax") > 2000000L || col("n_a") + col("n_b") > 2000000000L,
+          raise_error(lit("mannWhitney: tie run > 2e6 or group > 2e9 rows — " +
+            "the exact long rank arithmetic would overflow; pre-aggregate " +
+            "or subsample the group")).cast("long"))
+          .otherwise(col("n_a")))
+      .drop("_tmax")
     val n = col("n_a") + col("n_b")
     val u2 = (col("_r2a") - col("n_a") * (col("n_a") + lit(1L))).as("u2")
     val varU = col("n_a").cast("double") * col("n_b").cast("double") / 12.0 *
@@ -1890,6 +1904,14 @@ object Relational {
         sum(col("_ta")).as("n_pos"),
         sum(col("_t") - col("_ta")).as("n_neg"))
       .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      // exactness guard, woven into a used column (see mannWhitney):
+      // 2·R overflows long past n ≈ 2·10⁹ rows per group
+      .withColumn("n_pos",
+        when(col("n_pos") + col("n_neg") > 2000000000L,
+          raise_error(lit("aucScore: group > 2e9 rows — the exact long " +
+            "rank arithmetic would overflow; pre-aggregate or subsample"))
+            .cast("long"))
+          .otherwise(col("n_pos")))
       .withColumn("u2", col("_r2a") - col("n_pos") * (col("n_pos") + lit(1L)))
       .select(parts ++ Seq(col("n_pos"), col("n_neg"), col("u2"),
         (col("u2").cast("double") /

@@ -561,8 +561,18 @@ object Sampling {
       .select(parts ++ Seq(col("n_reps"),
         element_at(col("_ms"), lo.cast("int")).as("lo"),
         element_at(col("_ms"), hi.cast("int")).as("hi")): _*)
-    full.join(ci, groupCols)
-      .select(parts ++ Seq(col("n"), col("mean"), col("n_reps"),
-        col("lo"), col("hi")): _*)
+    // NULL-SAFE stitch: groupBy treats a null group key as a real group
+    // in BOTH aggregates — a plain equi-join would silently drop it
+    // (the theilSen-escalation lesson, same round)
+    if (groupCols.isEmpty) full.crossJoin(ci)
+      .select(col("n"), col("mean"), col("n_reps"), col("lo"), col("hi"))
+    else {
+      val ciR = ci.select(groupCols.map(c => col(c).as(s"_c_$c")) ++
+        Seq(col("n_reps"), col("lo"), col("hi")): _*)
+      val cond = groupCols.map(c => col(c) <=> col(s"_c_$c")).reduce(_ && _)
+      full.join(ciR, cond)
+        .select(parts ++ Seq(col("n"), col("mean"), col("n_reps"),
+          col("lo"), col("hi")): _*)
+    }
   }
 }

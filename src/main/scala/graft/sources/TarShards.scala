@@ -195,10 +195,12 @@ object TarShards {
     // cast has already collapsed.
     val joined = df
       .withColumn("__pkey",
-        when(col("key").cast("string") =!= col("key").cast("long").cast("string"),
+        when(col("key").cast("long").isNull ||
+            col("key").cast("string") =!= col("key").cast("long").cast("string"),
           raise_error(concat(
             lit("writeTokenBalanced: key is not a canonical long (lossy "),
-            lit("numeric round-trip): '"), col("key").cast("string"), lit("'")))
+            lit("numeric round-trip): '"),
+            coalesce(col("key").cast("string"), lit("NULL")), lit("'")))
             .cast("string"))
           .otherwise(col("key").cast("long").cast("string")))
       .join(packs, Seq("__pkey"), "left")
