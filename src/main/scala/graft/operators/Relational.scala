@@ -1938,7 +1938,14 @@ object Relational {
     val pts = df.select(parts :+ isPositive.cast("boolean").as("_a") :+
         snap(scoreCol, scale).as("_v"): _*)
       .filter(col("_a").isNotNull && col("_v").isNotNull)
-    val bin = least(floor(col("_v") * bins / lit(scale.toDouble)).cast("long"),
+    // scores must be in [0, 1] (the probability contract): out-of-range
+    // input fails LOUD — a silent clamp would fold bad scores into the
+    // edge bins and corrupt exactly the diagnostic this table exists for
+    val checked = when(col("_v") < 0L || col("_v") > scale,
+      raise_error(concat(lit("calibrationBins: score outside [0, 1]: "),
+        (col("_v").cast("double") / scale).cast("string"))).cast("long"))
+      .otherwise(col("_v"))
+    val bin = least(floor(checked * bins / lit(scale.toDouble)).cast("long"),
       lit(bins - 1L))
     pts.withColumn("bin", bin)
       .groupBy(parts :+ col("bin"): _*)

@@ -500,7 +500,10 @@ object Similarity {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     GraftExpressions.register(df.sparkSession)
     val subDim = dim / m
+    // null vectors cannot index (their cosine/argmin is undefined) — drop
+    // them here rather than emitting a garbage cell downstream
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .filter(col("_v").isNotNull)
     // corpus → coarse cell (map-side max_by, the s04 fold); the residual
     // variant (FAISS by_residual=true — better recall at the same bytes,
     // since the codebook only has to cover within-cell variation) encodes
@@ -564,6 +567,7 @@ object Similarity {
     val subDim = dim / m
     val qv = queries.select(col(idCol).as("query_id"),
       VectorFunctions.toDouble(col(vecCol)).as("_qv"))
+      .filter(col("_qv").isNotNull) // a null-vector query probes nothing
     val qw = Window.partitionBy("query_id")
       .orderBy(VectorFunctions.cosine(col("_qv"), col("cv")).desc, col("clabel"))
     // probed (query, cell) pairs KEEP the cell centroid: the residual
@@ -620,6 +624,7 @@ object Similarity {
       cells: DataFrame): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
+      .filter(col("_v").isNotNull) // null vectors have no residual
     e.crossJoin(broadcast(cells))
       .groupBy(col("vec_id"))
       .agg(max_by(
