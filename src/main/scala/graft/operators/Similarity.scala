@@ -950,6 +950,12 @@ object Similarity {
     * rank) whiten to 0 rather than amplifying noise by 1/√0 — the
     * standard guarded-whitening rule. Output: (idCol, y array<double>
     * length m).
+    *
+    * Sizing bound: the m×d loadings embed as plan literals and the
+    * driver holds the d×d covariance — right for embedding-sized d
+    * (64–1024, plans of ≤ ~10⁵ literals); at d in the several-thousands
+    * both the d² driver state and the literal plan grow quadratic/linear
+    * — project with [[mrlTruncate]] or a narrower feature set first.
     */
   def whiten(df: DataFrame, idCol: String, vecCol: String, m: Int,
       iters: Int = 100, eps: Double = 1e-12): DataFrame = {
