@@ -1956,6 +1956,44 @@ object Relational {
           count(lit(1)).cast("double")).as("pos_rate"))
   }
 
+  /** Two-proportion z-test per group — the CONVERSION-RATE A/B test
+    * completing the testing trio (q61's t compares means, q109's
+    * rank-sum compares distributions; this compares binary success
+    * rates, the shape most product experiments actually have): with
+    * pooled p̂ = (s_a+s_b)/(n_a+n_b),
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    * EVERYTHING aggregates to four exact longs per group (ONE
+    * partial-agg groupBy, no window at all — counts don't need ranks),
+    * and z is one fixed double expression over them — bit-identical
+    * cross-engine before any rounding. Groups missing a sample, or
+    * with a degenerate pooled rate (p̂ ∈ {0, 1}: all successes or all
+    * failures — no variance, no test), drop. Output: groupCols, n_a,
+    * s_a, n_b, s_b, z.
+    */
+  def twoProportionZ(df: DataFrame, groupCols: Seq[String], isA: Column,
+      isSuccess: Column): DataFrame = {
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ isA.cast("boolean").as("_a") :+
+        isSuccess.cast("boolean").as("_s"): _*)
+      .filter(col("_a").isNotNull && col("_s").isNotNull)
+    val agg = pts.groupBy(parts: _*)
+      .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_a") && col("_s"), 1L).otherwise(0L)).as("s_a"),
+        sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("_a") && col("_s"), 1L).otherwise(0L)).as("s_b"))
+    val pa = col("s_a").cast("double") / col("n_a").cast("double")
+    val pb = col("s_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("s_a") + col("s_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val z = (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    agg.filter(col("n_a") > 0 && col("n_b") > 0 &&
+        col("s_a") + col("s_b") > 0 &&
+        col("s_a") + col("s_b") < col("n_a") + col("n_b"))
+      .select(parts ++ Seq(col("n_a"), col("s_a"), col("n_b"), col("s_b"),
+        z.as("z")): _*)
+  }
+
   /** Kaplan–Meier survival estimator per group (Kaplan & Meier 1958) —
     * right-censored time-to-event curves: at each distinct event time t,
     * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), where n_i counts subjects still

@@ -1163,5 +1163,44 @@ object RelationalStats {
       .orderBy("c_mktsegment", "t")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110)
+  /** q112: two-proportion z-test per priority ([[graft.operators.Relational.twoProportionZ]])
+    * — the conversion-rate A/B shape: arm A = even customer keys (a
+    * deterministic experiment split), success = a fulfilled order.
+    * Four exact longs per group from ONE windowless partial-agg
+    * groupBy; z is a single fixed double expression over them, so only
+    * the final 6 dp mirror-round touches floats.
+    */
+  val q112 = QueryDef(
+    "q112_two_proportion", {
+      val pa = "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+      val pb = "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+      val pp = "CAST(s_a + s_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+      val z = mr(s"($pa - $pb) / sqrt($pp * (1.0 - $pp) * " +
+        s"(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))", 6)
+      s"""WITH p AS (SELECT o_orderpriority AS grp,
+         |    o_custkey % 2 = 0 AS a, o_orderstatus = 'F' AS s
+         |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderstatus IS NOT NULL),
+         |g AS (SELECT grp,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN a AND s THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN NOT a AND s THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+         |  FROM p GROUP BY 1)
+         |SELECT grp AS o_orderpriority, n_a, s_a, n_b, s_b, $z AS z,
+         |  abs($z) > 1.96 AS significant
+         |FROM g WHERE n_a > 0 AND n_b > 0
+         |  AND s_a + s_b > 0 AND s_a + s_b < n_a + n_b
+         |ORDER BY o_orderpriority""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    val o = Tables(s, dir, "orders")
+      .filter(col("o_custkey").isNotNull && col("o_orderstatus").isNotNull)
+    graft.operators.Relational.twoProportionZ(o, Seq("o_orderpriority"),
+        isA = col("o_custkey") % 2 === 0, isSuccess = col("o_orderstatus") === "F")
+      .withColumn("z", Rounding.mirrorRound(col("z"), 6))
+      .withColumn("significant", abs(col("z")) > lit(1.96))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112)
 }

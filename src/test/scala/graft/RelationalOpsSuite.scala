@@ -1198,6 +1198,31 @@ class RelationalOpsSuite extends SparkSpec {
     assert(zd > 5.0, s"complete separation must give a large positive z: $zd")
   }
 
+  test("twoProportionZ: hand-computed pooled z; degenerate groups drop") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // g: A 6/10 vs B 3/10 -> pooled 0.45, z = 0.3/sqrt(0.45*0.55*0.2)
+    val g = (1 to 10).map(i => ("g", true, i <= 6)) ++
+      (1 to 10).map(i => ("g", false, i <= 3))
+    // h: every trial succeeds -> pooled p = 1, no variance -> drops
+    val h = Seq(("h", true, true), ("h", false, true))
+    // k: only arm A present -> drops
+    val k = Seq(("k", true, true), ("k", true, false))
+    val got = Relational.twoProportionZ((g ++ h ++ k).toDF("grp", "a", "s"),
+        Seq("grp"), col("a"), col("s"))
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq("g"), s"${got.toSeq}")
+    val (_, na, sa, nb, sb, z) = got.head
+    assert((na, sa, nb, sb) == ((10L, 6L, 10L, 3L)))
+    val exp = 0.3 / math.sqrt(0.45 * 0.55 * 0.2)
+    assert(math.abs(z - exp) < 1e-12, s"$z vs $exp")
+    // symmetry: swapping arms flips the sign exactly
+    val sw = Relational.twoProportionZ(g.toDF("grp", "a", "s"), Seq("grp"),
+        !col("a"), col("s"))
+      .as[(String, Long, Long, Long, Long, Double)].head()
+    assert(sw._6 == -z, s"${sw._6} vs ${-z}")
+  }
+
   test("aucScore: perfect/reversed/all-tied hand cases; one-class groups drop") {
     import spark.implicits._
     import graft.operators.Relational
