@@ -2695,4 +2695,249 @@ object Relational {
     }
     selections.reduce(_.unionByName(_))
   }
+
+  /** Mann–Kendall trend test per group (Mann 1945, Kendall 1975) — the
+    * NONPARAMETRIC "is this series trending?" next to q52's parametric
+    * slope and q94/q105's robust slope: S = Σ_{i<j} sgn(y_j − y_i) over
+    * the time-ordered series asks only "do later points tend to be
+    * larger?", immune to outliers and to any monotone transform of y —
+    * the standard drift detector for daily metric series (exactly what
+    * a corpus-health dashboard runs per metric per segment).
+    *
+    * Determinism is the q44/q94 discipline end to end: x and y snap to
+    * longs, S and the tie-corrected variance numerator
+    *   var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (t = y-tie run sizes)
+    * are EXACT integer sums in any accumulation order, and the
+    * continuity-corrected z = (S∓1)/√(var18/18) is ONE fixed double
+    * expression replayed verbatim by an external engine.
+    *
+    * Plan: groups shuffle once on groupCols; the pair set is a
+    * self-join within the group (quadratic — the theilSen trade), so
+    * `maxN` fails loud in-plan before a big group detonates: the caller
+    * pre-aggregates to a coarser time grain (daily → weekly), which is
+    * the statistically right move anyway. Duplicate x within a group
+    * also fails loud — MK is defined on a series, and silently averaging
+    * would change the test. Groups with var18 ≤ 0 (all-tied y) drop.
+    * Output: groupCols, n, s, var18, z.
+    */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, maxN: Int = 5000, scaleX: Long = 1L,
+      scaleY: Long = 1L): DataFrame = {
+    require(maxN >= 2 && maxN <= 1600000,
+      s"maxN must be in [2, 1.6e6] (n(n-1)(2n+5) must fit a long), got $maxN")
+    require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
+    val gcols = groupCols.map(col)
+    val pts = df.select(gcols :+ snap(xCol, scaleX).as("_x")
+        :+ snap(yCol, scaleY).as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      // both guards woven into a USED column (the mannWhitney pattern):
+      // duplicate x is a definition error, an over-maxN group is a
+      // quadratic detonation — neither may run silently
+      .withColumn("_dup", count(lit(1))
+        .over(Window.partitionBy(gcols :+ col("_x"): _*)))
+      .withColumn("_gn", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      .withColumn("_y",
+        when(col("_dup") > 1L, raise_error(lit(
+          "mannKendall: duplicate x within a group — pre-aggregate to one " +
+            "row per time point")).cast("long"))
+          .when(col("_gn") > maxN, raise_error(lit(
+            s"mannKendall: group exceeds maxN=$maxN — the pair join is " +
+              "quadratic; pre-aggregate to a coarser time grain")).cast("long"))
+          .otherwise(col("_y")))
+      .drop("_dup").localCheckpoint(true)
+    val a = pts.select(gcols :+ col("_x").as("_xa") :+ col("_y").as("_ya"): _*)
+    val b = pts.select(gcols :+ col("_x").as("_xb") :+ col("_y").as("_yb"): _*)
+    val sTab = a.join(b, groupCols).filter(col("_xa") < col("_xb"))
+      .groupBy(gcols: _*)
+      .agg(sum(when(col("_yb") > col("_ya"), 1L)
+        .when(col("_yb") < col("_ya"), -1L).otherwise(0L)).as("s"))
+    val ties = pts.groupBy(gcols :+ col("_y"): _*).agg(count(lit(1)).as("_t"))
+      .groupBy(gcols: _*)
+      .agg(sum(col("_t") * (col("_t") - 1L) * (lit(2L) * col("_t") + 5L)).as("_tau"),
+        sum(col("_t")).as("n"))
+    val nL = col("n")
+    val var18 = (nL * (nL - 1L) * (lit(2L) * nL + 5L) - col("_tau")).as("var18")
+    val sd = sqrt(col("var18").cast("double") / lit(18.0))
+    val z = when(col("s") > 0L, (col("s") - 1L).cast("double") / sd)
+      .when(col("s") < 0L, (col("s") + 1L).cast("double") / sd)
+      .otherwise(lit(0.0))
+    ties.join(sTab, groupCols)
+      .withColumn("var18", var18)
+      .filter(col("var18") > 0L)
+      .select(gcols ++ Seq(col("n"), col("s"), col("var18"), z.as("z")): _*)
+  }
+
+  /** Kruskal–Wallis H test per group (Kruskal & Wallis 1952) — the
+    * k-sample extension of [[mannWhitney]]: do the value distributions
+    * differ across k treatment levels? Rank-based, so no normality
+    * assumption and outlier-immune — "does quality differ by source?" /
+    * "does latency differ by weekday?" at corpus scale.
+    *
+    * The integer rank discipline is mannWhitney's wholesale: tie groups
+    * carry average ranks as the exact long 2·rank, each treatment's rank
+    * sum enters as 2·R_i (exact), and only the final
+    *   H = 3·Σ(2R_i)²/n_i / (n(n+1)) − 3(n+1),  H_adj = H / C,
+    *   C = 1 − Στ/(n³−n)   (τ = t³−t per tie run)
+    * touches doubles. Σ(2R_i)²/n_i is a sum of k DOUBLES, so it folds on
+    * an ORDERED window over the treatment levels — the q110/q69
+    * sequential-fold discipline: both engines add the same terms in the
+    * same left-to-right order, bit-identical.
+    *
+    * Plan: one partial-agg pass to the (group, treat, value) tie table
+    * (hot values combine map-side), ONE window over |distinct values|
+    * rows per group for start ranks, partial-agg to k rows per group,
+    * ONE window over those k rows for the fold — never a corpus sort.
+    * Overflow guards mirror mannWhitney's (fail loud, woven into a used
+    * column). Groups need k ≥ 2 treatments and an untied pair (C > 0).
+    * Output: groupCols, k, n, h, h_adj.
+    */
+  def kruskalWallis(df: DataFrame, groupCols: Seq[String], treatCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val pts = df.select(parts :+ treatCol.as("_k") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+    val tt = pts.groupBy(parts :+ col("_k") :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_tc"))
+    val tv = tt.groupBy(parts :+ col("_v"): _*).agg(sum(col("_tc")).as("_t"))
+    val wv = Window.partitionBy(parts: _*).orderBy(col("_v"))
+    val ranked = tv.withColumn("_cum", sum(col("_t")).over(wv))
+      // average rank of the tie run, carried exactly as 2·rank
+      .withColumn("_r2", lit(2L) * (col("_cum") - col("_t") + 1L) + col("_t") - 1L)
+    val perTreat = tt
+      .join(ranked.select(parts :+ col("_v") :+ col("_r2"): _*),
+        groupCols :+ "_v")
+      .groupBy(parts :+ col("_k"): _*)
+      .agg(sum(col("_tc") * col("_r2")).as("_r2a"), sum(col("_tc")).as("_ni"))
+    val wk = Window.partitionBy(parts: _*).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // terms are ≥ 0, so the ordered running sum is monotone and its max
+    // IS the deterministically-folded total
+    val folded = perTreat
+      .withColumn("_term", col("_r2a").cast("double") * col("_r2a").cast("double")
+        / col("_ni").cast("double"))
+      .withColumn("_run", sum(col("_term")).over(wk))
+      .groupBy(parts: _*)
+      .agg(count(lit(1)).as("k"), max(col("_run")).as("_h4"))
+    val perGroup = ranked.groupBy(parts: _*)
+      .agg(sum(col("_t")).as("n"),
+        sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_tau"),
+        max(col("_t")).as("_tmax"))
+      .withColumn("n",
+        when(col("_tmax") > 2000000L || col("n") > 2000000000L,
+          raise_error(lit("kruskalWallis: tie run > 2e6 or group > 2e9 rows — " +
+            "the exact long rank arithmetic would overflow; pre-aggregate " +
+            "or subsample the group")).cast("long"))
+          .otherwise(col("n")))
+      .drop("_tmax")
+    val nD = col("n").cast("double")
+    val h = lit(3.0) * col("_h4") / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val c = lit(1.0) - col("_tau").cast("double") / (nD * nD * nD - nD)
+    folded.join(perGroup, groupCols)
+      .filter(col("k") >= 2 && col("n") > col("k"))
+      .withColumn("h", h)
+      .withColumn("_c", c)
+      .filter(col("_c") > 0.0)
+      .select(parts ++ Seq(col("k"), col("n"), col("h"),
+        (col("h") / col("_c")).as("h_adj")): _*)
+  }
+
+  /** Benjamini–Hochberg step-up FDR adjustment (Benjamini & Hochberg
+    * 1995) — the multiple-testing control every per-group scan in this
+    * family NEEDS once it emits hundreds of p-values (q44's outlier
+    * scan, q115's daily anomaly sweep): at α=0.05, a 1000-hypothesis
+    * sweep hands back ~50 false positives under the null; BH caps the
+    * FALSE DISCOVERY RATE instead, the standard for anomaly triage.
+    *
+    * adj_i = min_{j ≥ i} (p_(j) · m / j), capped at 1 — computed as a
+    * suffix-min window over the p-ascending ranking. The ranking
+    * tie-breaks on `keyCols` so it is TOTAL (equal p-values get a
+    * deterministic order — the adjusted values are identical either way,
+    * but the emitted rank column must be reproducible cross-engine).
+    *
+    * Scale: a hypothesis table is per-GROUP test results — thousands of
+    * rows, not the corpus — so the single-partition ranking window is a
+    * driver-sized sort by construction (the q53 contract: the corpus
+    * never sorts; only the reduced statistic table does). Output: input
+    * columns + bh_rank, m, p_adj, discovery.
+    */
+  def bhAdjust(df: DataFrame, pCol: Column, keyCols: Seq[Column],
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(keyCols.nonEmpty, "keyCols must make the p-ordering total")
+    val ranked = df.filter(pCol.isNotNull)
+      .withColumn("_p", pCol.cast("double"))
+      .withColumn("bh_rank",
+        row_number().over(Window.orderBy(col("_p") +: keyCols: _*)))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val wSuffix = Window.orderBy(col("bh_rank"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ranked
+      .withColumn("p_adj", least(
+        min(col("_p") * col("m").cast("double") / col("bh_rank").cast("double"))
+          .over(wSuffix), lit(1.0)))
+      .withColumn("discovery", col("p_adj") <= lit(alpha))
+      .drop("_p")
+  }
+
+  /** Cramér's V effect size + scalar chi² (Cramér 1946) — what [[q58]]'s
+    * per-cell chi² table deliberately does NOT emit (the no-cross-engine-
+    * float-sum contract): the scalar χ² folded DETERMINISTICALLY (ordered
+    * window over the grid cells — the q110/q69 sequential-fold
+    * discipline, both engines add the same doubles left to right) plus
+    * V = √(χ² / (n·(min(r,c)−1))) ∈ [0,1], the sample-size-free
+    * dependence strength a 10⁹-row contingency needs (χ² alone grows
+    * with n; V answers "how strong", comparable across corpora).
+    * One row out: n, r, c, chi2, v. Degenerate grids (min(r,c) < 2)
+    * produce no row — V is undefined, not zero.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val grid = chiSquare(df, aCol, bCol)
+    val w = Window.orderBy(col(aCol), col(bCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("_run", sum(col("chi2_term")).over(w))
+      .agg(sum(col("observed")).cast("long").as("n"),
+        countDistinct(col(aCol)).as("r"),
+        countDistinct(col(bCol)).as("c"),
+        max(col("_run")).as("chi2"))
+      .filter(least(col("r"), col("c")) >= 2L && col("n") > 0L)
+      .withColumn("v", sqrt(col("chi2") /
+        (col("n").cast("double") * (least(col("r"), col("c")) - 1L).cast("double"))))
+  }
+
+  /** Cohen's kappa inter-rater agreement (Cohen 1960) — do two binary
+    * labelers agree BEYOND CHANCE? The evaluation a curation pipeline
+    * owes every pair of quality gates (t03's stopword gate vs a length
+    * gate, a model classifier vs a rule): raw agreement p_o is inflated
+    * when both raters mostly say "keep"; kappa subtracts the chance
+    * agreement p_e implied by the marginals. All four contingency counts
+    * are exact longs in ONE partial-agg pass (no grid, no join);
+    *   p_o = (n − n_a − n_b + 2·n_both)/n,
+    *   p_e = (n_a·n_b + (n−n_a)(n−n_b))/n²,  κ = (p_o − p_e)/(1 − p_e)
+    * is one fixed double tree. Rows where either label is null drop
+    * whole; p_e = 1 (both raters constant) has no kappa — no row.
+    * Output one row: n, n_a, n_b, n_both, po, pe, kappa.
+    */
+  def agreementKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val counts = df
+      .select(aCol.cast("boolean").as("_a"), bCol.cast("boolean").as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("_b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("_a") && col("_b"), 1L).otherwise(0L)).as("n_both"))
+    val nD = col("n").cast("double")
+    val po = (col("n") - col("n_a") - col("n_b") + lit(2L) * col("n_both"))
+      .cast("double") / nD
+    val pe = (col("n_a").cast("double") * col("n_b").cast("double") +
+      (nD - col("n_a").cast("double")) * (nD - col("n_b").cast("double"))) / (nD * nD)
+    counts.filter(col("n") > 0L)
+      .withColumn("po", po).withColumn("pe", pe)
+      .filter(col("pe") < 1.0)
+      .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+  }
 }

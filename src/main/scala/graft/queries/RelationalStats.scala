@@ -1202,5 +1202,235 @@ object RelationalStats {
       .orderBy("o_orderpriority")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112)
+  /** q113: Mann–Kendall trend test per event type over the DAILY total
+    * series ([[graft.operators.Relational.mannKendall]]) — the
+    * nonparametric "is this metric drifting?" companion to q52's
+    * parametric slope and q105's robust slope: S and the tie-corrected
+    * variance numerator are exact longs (order-free), the
+    * continuity-corrected z one fixed double tree. The daily pre-agg is
+    * the operator's scale contract: the corpus reduces to ≤ |types|·|days|
+    * rows BEFORE the quadratic pair join (guarded at maxN).
+    */
+  val q113 = QueryDef(
+    "q113_mann_kendall", {
+      val sd = "sqrt(CAST(var18 AS DOUBLE) / 18.0)"
+      val z = s"CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / $sd " +
+        s"WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / $sd ELSE 0.0 END"
+      s"""WITH d AS (SELECT event_type,
+         |    CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+         |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL GROUP BY 1, 2),
+         |s AS (SELECT a.event_type,
+         |    CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+         |      ELSE 0 END) AS BIGINT) AS s
+         |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x
+         |  GROUP BY 1),
+         |t AS (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+         |      FROM d GROUP BY 1, 2),
+         |g AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+         |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tau
+         |  FROM t GROUP BY 1),
+         |f AS (SELECT g.event_type, n, s.s,
+         |    CAST(n * (n - 1) * (2 * n + 5) - tau AS BIGINT) AS var18
+         |  FROM g JOIN s ON g.event_type = s.event_type)
+         |SELECT event_type, n, s, var18, ${mr(z, 6)} AS z
+         |FROM f WHERE var18 > 0 ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    val daily = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1995-01-01").cast("date")).as("x"))
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("y"))
+    graft.operators.Relational.mannKendall(daily, Seq("event_type"),
+        col("x"), col("y"), maxN = 5000, scaleX = 1L, scaleY = 1L)
+      .withColumn("z", Rounding.mirrorRound(col("z"), 6))
+      .orderBy("event_type")
+  }
+
+  /** q114: Kruskal–Wallis H per event type across day-of-week treatments
+    * ([[graft.operators.Relational.kruskalWallis]]) — "does the value
+    * distribution differ by weekday?" without a normality assumption:
+    * exact long 2·rank arithmetic end to end, the k-term Σ(2Rᵢ)²/nᵢ
+    * folded on an ORDERED window (both engines add the same doubles left
+    * to right), H and the tie-corrected H_adj fixed double trees. DOW is
+    * Sunday=0 on both engines (Spark dayofweek−1 = DuckDB dow).
+    */
+  val q114 = QueryDef(
+    "q114_kruskal_wallis", {
+      val nD = "CAST(n AS DOUBLE)"
+      val h = s"(3.0 * h4 / ($nD * ($nD + 1.0)) - 3.0 * ($nD + 1.0))"
+      val c = s"(1.0 - CAST(tau AS DOUBLE) / ($nD * $nD * $nD - $nD))"
+      s"""WITH p AS (SELECT event_type,
+         |    CAST(date_part('dow', ts) AS BIGINT) AS dw,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |tt AS (SELECT event_type, dw, v, CAST(count(*) AS BIGINT) AS tc
+         |       FROM p GROUP BY 1, 2, 3),
+         |tv AS (SELECT event_type, v, CAST(sum(tc) AS BIGINT) AS t
+         |       FROM tt GROUP BY 1, 2),
+         |r AS (SELECT tv.*, CAST(sum(t) OVER (PARTITION BY event_type
+         |        ORDER BY v) AS BIGINT) AS cum FROM tv),
+         |rr AS (SELECT event_type, v,
+         |       2 * (cum - t + 1) + t - 1 AS r2 FROM r),
+         |pt AS (SELECT tt.event_type, tt.dw,
+         |    CAST(sum(tc * r2) AS BIGINT) AS r2a, CAST(sum(tc) AS BIGINT) AS ni
+         |  FROM tt JOIN rr ON tt.event_type = rr.event_type AND tt.v = rr.v
+         |  GROUP BY 1, 2),
+         |fold AS (SELECT event_type,
+         |    sum(CAST(r2a AS DOUBLE) * CAST(r2a AS DOUBLE) / CAST(ni AS DOUBLE))
+         |      OVER (PARTITION BY event_type ORDER BY dw
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM pt),
+         |fg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+         |       max(run) AS h4 FROM fold GROUP BY 1),
+         |gg AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+         |    CAST(sum(t * t * t - t) AS BIGINT) AS tau FROM tv GROUP BY 1)
+         |SELECT fg.event_type, k, n, ${mr(h, 6)} AS h,
+         |  ${mr(s"$h / $c", 6)} AS h_adj
+         |FROM fg JOIN gg ON fg.event_type = gg.event_type
+         |WHERE k >= 2 AND n > k AND $c > 0.0
+         |ORDER BY fg.event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.kruskalWallis(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long"), col("value"), scale = 100L)
+      .withColumn("h", Rounding.mirrorRound(col("h"), 6))
+      .withColumn("h_adj", Rounding.mirrorRound(col("h_adj"), 6))
+      .orderBy("event_type")
+  }
+
+  /** q115: Benjamini–Hochberg FDR over the daily anomaly sweep
+    * ([[graft.operators.Relational.bhAdjust]]) — each (type, day) tests
+    * its daily mean against the type's overall mean (q44's exact integer
+    * moments), the z→p map is the SHARED A&S 26.2.17 polynomial
+    * ([[graft.functions.NormalDist]] — both engines evaluate identical
+    * IEEE ops, so the BH ordering is decided on identical bits), and the
+    * step-up suffix-min runs on the |types|·|days| hypothesis table —
+    * driver-sized by construction, never the corpus.
+    */
+  val q115 = QueryDef(
+    "q115_bh_fdr", {
+      import graft.functions.NormalDist
+      val p = NormalDist.sqlTwoSidedP("z")
+      s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS ss
+         |  FROM e GROUP BY 1),
+         |gs AS (SELECT event_type,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+         |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) AS sd
+         |  FROM g WHERE n >= 2),
+         |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_day,
+         |    CAST(sum(c) AS BIGINT) AS sc FROM e GROUP BY 1, 2),
+         |zt AS (SELECT d.event_type, d.day, n_day,
+         |    (CAST(sc AS DOUBLE) / CAST(n_day AS DOUBLE) - mean)
+         |      / (sd / sqrt(CAST(n_day AS DOUBLE))) AS z
+         |  FROM d JOIN gs ON d.event_type = gs.event_type WHERE sd > 0.0),
+         |pt AS (SELECT *, $p AS p FROM zt),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p, event_type, day)
+         |      AS BIGINT) AS bh_rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS m FROM pt),
+         |adj AS (SELECT *, least(min(p * CAST(m AS DOUBLE)
+         |      / CAST(bh_rank AS DOUBLE)) OVER (ORDER BY bh_rank
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0) AS p_adj
+         |  FROM r)
+         |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_day,
+         |  ${mr("z", 6)} AS z, bh_rank, m, ${mr("p_adj", 8)} AS p_adj,
+         |  p_adj <= 0.05 AS discovery
+         |FROM adj ORDER BY bh_rank""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.{NormalDist, Rounding}
+    val e = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("c"))
+    val g = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      .filter(col("n") >= 2)
+    val nD = col("n").cast("double")
+    val gs = g.select(col("event_type"),
+        (col("s").cast("double") / nD).as("mean"),
+        sqrt((col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / nD) /
+          (nD - lit(1.0))).as("sd"))
+      .filter(col("sd") > 0.0)
+    val d = e.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_day"), sum("c").as("sc"))
+    val zt = d.join(broadcast(gs), "event_type")
+      .withColumn("z",
+        (col("sc").cast("double") / col("n_day").cast("double") - col("mean"))
+          / (col("sd") / sqrt(col("n_day").cast("double"))))
+      .select(col("event_type"), col("day"), col("n_day"), col("z"))
+    val pt = zt.withColumn("p", NormalDist.twoSidedP(col("z")))
+    graft.operators.Relational.bhAdjust(pt, col("p"),
+        Seq(col("event_type"), col("day")), alpha = 0.05)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_day"), Rounding.mirrorRound(col("z"), 6).as("z"),
+        col("bh_rank").cast("long").as("bh_rank"), col("m"),
+        Rounding.mirrorRound(col("p_adj"), 8).as("p_adj"), col("discovery"))
+      .orderBy("bh_rank")
+  }
+
+  /** q116: Cramér's V on the event-type × day-of-week contingency
+    * ([[graft.operators.Relational.cramersV]]) — the scalar strength
+    * q58's per-cell table refuses to sum cross-engine, made safe here by
+    * the ordered-window fold (q110's sequential-fold discipline over the
+    * completed grid, zero cells included). One row out.
+    */
+  val q116 = QueryDef(
+    "q116_cramers_v", {
+      s"""WITH cells AS (SELECT event_type AS a,
+         |    CAST(date_part('dow', ts) AS BIGINT) AS b,
+         |    CAST(count(*) AS BIGINT) AS observed
+         |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT a, CAST(sum(observed) AS BIGINT) AS ra FROM cells GROUP BY 1),
+         |ct AS (SELECT b, CAST(sum(observed) AS BIGINT) AS cb FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(observed) AS DOUBLE) AS nd,
+         |        CAST(sum(observed) AS BIGINT) AS ntot FROM cells),
+         |grid AS (SELECT rt.a, ct.b, ra, cb,
+         |    CAST(coalesce(cells.observed, 0) AS BIGINT) AS observed
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b),
+         |t AS (SELECT a, b, observed,
+         |    (CAST(observed AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / tot.nd)
+         |      * (CAST(observed AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / tot.nd)
+         |      / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / tot.nd) AS term
+         |  FROM grid CROSS JOIN tot),
+         |run AS (SELECT sum(term) OVER (ORDER BY a, b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum FROM t),
+         |agg AS (SELECT (SELECT ntot FROM tot) AS n,
+         |    (SELECT CAST(count(DISTINCT a) AS BIGINT) FROM cells) AS r,
+         |    (SELECT CAST(count(DISTINCT b) AS BIGINT) FROM cells) AS c,
+         |    max(rsum) AS chi2 FROM run)
+         |SELECT n, r, c, ${mr("chi2", 6)} AS chi2,
+         |  ${mr("sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))", 6)} AS v
+         |FROM agg WHERE least(r, c) >= 2 AND n > 0""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.cramersV(
+        Tables.events(s, dir)
+          .filter(col("event_type").isNotNull && col("ts").isNotNull)
+          .select(col("event_type").as("a"),
+            (dayofweek(col("ts")) - 1).cast("long").as("b")),
+        "a", "b")
+      .select(col("n"), col("r"), col("c"),
+        Rounding.mirrorRound(col("chi2"), 6).as("chi2"),
+        Rounding.mirrorRound(col("v"), 6).as("v"))
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116)
 }

@@ -695,7 +695,52 @@ object Text {
       .orderBy("token_a", "token_b")
   }
 
+  /** t27: Cohen's kappa between two quality gates
+    * ([[graft.operators.Relational.agreementKappa]]) — do t03's stopword
+    * gate and the mean-word-length gate agree beyond chance? The audit a
+    * curation pipeline owes any pair of filters before composing them
+    * (two gates that agree at κ≈1 are redundant; κ≈0 means they prune
+    * DIFFERENT documents and the composite is stricter than either).
+    * Both gates are EXACT integer comparisons (10·stops ≥ n_toks;
+    * chars−n_toks+1 ≤ 7·n_toks) — no float threshold to flip
+    * cross-engine — and the four contingency counts reduce in one
+    * partial-agg pass. One row out.
+    */
+  val t27 = QueryDef(
+    "t27_cohen_kappa", {
+      val nD = "CAST(n AS DOUBLE)"
+      val po = s"(CAST(n - n_a - n_b + 2 * n_both AS DOUBLE) / $nD)"
+      val pe = s"((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) + " +
+        s"($nD - CAST(n_a AS DOUBLE)) * ($nD - CAST(n_b AS DOUBLE))) / ($nD * $nD))"
+      s"""WITH l AS (SELECT
+         |    (10 * ${duckMarkers(Seq("the", "a"))} >= len($duckToks)) AS a,
+         |    ((length(text) - len($duckToks) + 1) <= 7 * len($duckToks)) AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |  FROM l)
+         |SELECT n, n_a, n_b, n_both, ${mr(po, 6)} AS po, ${mr(pe, 6)} AS pe,
+         |  ${mr(s"($po - $pe) / (1.0 - $pe)", 6)} AS kappa
+         |FROM c WHERE n > 0 AND $pe < 1.0""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.tokens(col("text"))
+    val nTok = size(toks).cast("long")
+    val stops = size(filter(toks, t => t.isin("the", "a"))).cast("long")
+    val labeled = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select((stops * 10L >= nTok).as("a"),
+        (length(col("text")).cast("long") - nTok + 1L <= lit(7L) * nTok).as("b"))
+    graft.operators.Relational.agreementKappa(labeled, col("a"), col("b"))
+      .select(col("n"), col("n_a"), col("n_b"), col("n_both"),
+        Rounding.mirrorRound(col("po"), 6).as("po"),
+        Rounding.mirrorRound(col("pe"), 6).as("pe"),
+        Rounding.mirrorRound(col("kappa"), 6).as("kappa"))
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
 }

@@ -1809,4 +1809,132 @@ class RelationalOpsSuite extends SparkSpec {
         col("ls"), col("le"), col("ls"), col("le"), cellWidth = 100L)
     }
   }
+
+  test("mannKendall: hand-computed S/var18/z; guards fire; all-tied drops") {
+    import spark.implicits._
+    // g: strictly increasing 1,2,3,4 -> S = 6, no ties: var18 = 4·3·13 = 156
+    val g = Seq(1L, 2L, 3L, 4L).zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+    // h: 1,2,2,3 -> S = 5, tie t=2 -> tau = 2·1·9 = 18, var18 = 138
+    val h = Seq(1L, 2L, 2L, 3L).zipWithIndex.map { case (y, i) => ("h", i.toLong, y) }
+    // t: all tied -> var18 = 0, drops
+    val t = Seq(7L, 7L, 7L).zipWithIndex.map { case (y, i) => ("t", i.toLong, y) }
+    val got = Relational.mannKendall((g ++ h ++ t).toDF("grp", "x", "y"),
+        Seq("grp"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, ng, sg, v18g, zg), (_, nh, sh, v18h, zh)) = got
+    assert((ng, sg, v18g) == ((4L, 6L, 156L)))
+    assert(math.abs(zg - 5.0 / math.sqrt(156.0 / 18.0)) < 1e-12, s"$zg")
+    assert((nh, sh, v18h) == ((4L, 5L, 138L)))
+    assert(math.abs(zh - 4.0 / math.sqrt(138.0 / 18.0)) < 1e-12, s"$zh")
+    // decreasing series: negative S, continuity correction toward zero
+    val d = Seq(4L, 3L, 2L, 1L).zipWithIndex.map { case (y, i) => ("d", i.toLong, y) }
+    val zd = Relational.mannKendall(d.toDF("grp", "x", "y"), Seq("grp"),
+      col("x"), col("y")).as[(String, Long, Long, Long, Double)].head()
+    assert(zd._3 == -6L && math.abs(zd._5 + 5.0 / math.sqrt(156.0 / 18.0)) < 1e-12)
+    // duplicate x fails loud (MK is defined on a series)
+    val dup = Seq(("e", 1L, 1L), ("e", 1L, 2L), ("e", 2L, 3L)).toDF("grp", "x", "y")
+    val e1 = intercept[Exception] {
+      Relational.mannKendall(dup, Seq("grp"), col("x"), col("y")).collect()
+    }
+    assert(e1.getMessage != null)
+    // over-maxN group fails loud before the quadratic join detonates
+    val big = (1 to 50).map(i => ("f", i.toLong, i.toLong)).toDF("grp", "x", "y")
+    intercept[Exception] {
+      Relational.mannKendall(big, Seq("grp"), col("x"), col("y"), maxN = 10)
+        .collect()
+    }
+  }
+
+  test("kruskalWallis: hand-computed H with and without ties; degenerates drop") {
+    import spark.implicits._
+    // g (no ties): a={1,2}, b={3,4} -> ranks 1..4, 2R_a=6, 2R_b=14,
+    // Σ(2R)²/n = 36/2 + 196/2 = 116, H = 3·116/(4·5) − 3·5 = 2.4, C = 1
+    val g = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 3.0), ("g", "b", 4.0))
+    // h (tie at 2): a={1,2}, b={2,3} -> avg rank 2.5 for the tie,
+    // 2R_a=7, 2R_b=13, Σ=49/2+169/2=109, H=3·109/20−15=1.35,
+    // C = 1 − 6/60 = 0.9 -> H_adj = 1.5
+    val h = Seq(("h", "a", 1.0), ("h", "a", 2.0), ("h", "b", 2.0), ("h", "b", 3.0))
+    // s: single treatment -> k < 2, drops; t: all values tied -> C = 0, drops
+    val s = Seq(("s", "a", 1.0), ("s", "a", 2.0))
+    val t = Seq(("t", "a", 5.0), ("t", "b", 5.0), ("t", "a", 5.0))
+    val got = Relational.kruskalWallis((g ++ h ++ s ++ t).toDF("grp", "k", "v"),
+        Seq("grp"), col("k"), col("v"), scale = 1L)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, kg, ng, hg, hadjg), (_, kh, nh, hh, hadjh)) = got
+    assert((kg, ng) == ((2L, 4L)) && math.abs(hg - 2.4) < 1e-12, s"$hg")
+    assert(math.abs(hadjg - 2.4) < 1e-12, "no ties: H_adj == H")
+    assert((kh, nh) == ((2L, 4L)) && math.abs(hh - 1.35) < 1e-12, s"$hh")
+    assert(math.abs(hadjh - 1.5) < 1e-12, s"$hadjh")
+  }
+
+  test("bhAdjust: suffix-min step-up, cap at 1, deterministic total order") {
+    import spark.implicits._
+    // sorted p = .01,.03,.04,.05 (m=4): raw = .04,.06,.0533,.05;
+    // suffix-min = .04,.05,.05,.05
+    val df = Seq(("w", 0.04), ("x", 0.01), ("y", 0.05), ("z", 0.03))
+      .toDF("id", "p")
+    val got = Relational.bhAdjust(df, col("p"), Seq(col("id")), alpha = 0.045)
+      .select("id", "bh_rank", "p_adj", "discovery")
+      .as[(String, Int, Double, Boolean)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._1) == Seq("x", "z", "w", "y"), s"$got")
+    assert(math.abs(got(0)._3 - 0.04) < 1e-12)
+    got.tail.foreach(r => assert(math.abs(r._3 - 0.05) < 1e-12, s"$r"))
+    assert(got.map(_._4) == Seq(true, false, false, false))
+    // p_adj never exceeds 1 even when p·m/rank does
+    val capped = Relational.bhAdjust(Seq(("a", 0.9), ("b", 0.95)).toDF("id", "p"),
+        col("p"), Seq(col("id")))
+      .select("p_adj").as[Double].collect()
+    assert(capped.forall(_ <= 1.0), s"${capped.toSeq}")
+  }
+
+  test("cramersV: perfect association -> 1, independence -> 0") {
+    import spark.implicits._
+    val perfect = ((1 to 10).map(_ => ("x", "p")) ++ (1 to 10).map(_ => ("y", "q")))
+      .toDF("a", "b")
+    val v1 = Relational.cramersV(perfect, "a", "b")
+      .select("n", "chi2", "v").as[(Long, Double, Double)].head()
+    assert(v1._1 == 20L && math.abs(v1._2 - 20.0) < 1e-9 &&
+      math.abs(v1._3 - 1.0) < 1e-12, s"$v1")
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val v0 = Relational.cramersV(indep, "a", "b").select("v").as[Double].head()
+    assert(math.abs(v0) < 1e-12, s"$v0")
+    // a 1×k grid has no V (undefined, not zero)
+    val degenerate = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    assert(Relational.cramersV(degenerate, "a", "b").isEmpty)
+  }
+
+  test("agreementKappa: perfect=1, chance-level=0, constant raters drop") {
+    import spark.implicits._
+    val perfect = Seq((true, true), (false, false), (true, true), (false, false))
+      .toDF("a", "b")
+    val k1 = Relational.agreementKappa(perfect, col("a"), col("b"))
+      .select("kappa").as[Double].head()
+    assert(math.abs(k1 - 1.0) < 1e-12, s"$k1")
+    // independent raters with balanced marginals: po = pe = 0.5 -> kappa 0
+    val chance = Seq((true, true), (true, false), (false, true), (false, false))
+      .toDF("a", "b")
+    val k0 = Relational.agreementKappa(chance, col("a"), col("b"))
+      .select("po", "pe", "kappa").as[(Double, Double, Double)].head()
+    assert(k0._1 == 0.5 && k0._2 == 0.5 && math.abs(k0._3) < 1e-12, s"$k0")
+    // both raters constant-true: pe = 1, kappa undefined -> no row
+    val constant = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(Relational.agreementKappa(constant, col("a"), col("b")).isEmpty)
+  }
+
+  test("NormalDist.twoSidedP: anchors, cap, symmetry, monotone tail") {
+    import spark.implicits._
+    import graft.functions.NormalDist
+    val zs = Seq(0.0, 0.5, -0.5, 1.0, 1.959964, -1.959964, 3.0).toDF("z")
+    val ps = zs.select(col("z"), NormalDist.twoSidedP(col("z")).as("p"))
+      .as[(Double, Double)].collect().toMap
+    assert(math.abs(ps(0.0) - 1.0) < 1e-8, s"p(0) within A&S error of 1: ${ps(0.0)}")
+    assert(ps.values.forall(_ <= 1.0), "cap holds")
+    assert(math.abs(ps(1.959964) - 0.05) < 1e-4, s"${ps(1.959964)}")
+    assert(math.abs(ps(3.0) - 0.0027) < 1e-4, s"${ps(3.0)}")
+    assert(ps(0.5) == ps(-0.5) && ps(1.959964) == ps(-1.959964), "two-sided symmetry")
+    assert(ps(0.5) > ps(1.0) && ps(1.0) > ps(1.959964) && ps(1.959964) > ps(3.0))
+  }
 }
