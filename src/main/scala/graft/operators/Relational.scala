@@ -2909,6 +2909,183 @@ object Relational {
         (col("n").cast("double") * (least(col("r"), col("c")) - 1L).cast("double"))))
   }
 
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (Cochran 1954, Mantel &
+    * Haenszel 1959) — "is the arm associated with the outcome AFTER
+    * controlling for the strata?", the Simpson's-paradox guard a pooled
+    * 2×2 (q58/q112) cannot give: aggregating over strata can reverse the
+    * direction of an association entirely; CMH tests the common effect
+    * within strata. Per stratum the four margins are exact longs from
+    * ONE partial-agg pass; the per-stratum
+    *   num_i = a_i − n1_i·m1_i/n_i,   den_i = n1_i·n0_i·m1_i·m0_i /
+    *     (n_i²·(n_i−1))
+    * are fixed double trees, and the two cross-strata double sums fold
+    * on an ORDERED window over the strata (the q110 sequential-fold
+    * discipline — num_i is SIGNED, so the fold takes the value at the
+    * LAST stratum, not a max). CMH = (Σnum)²/Σden ~ χ²(1); the p-value
+    * is the shared [[graft.functions.NormalDist]] polynomial on √CMH
+    * (χ²(1) = Z²). No continuity correction (both engines would have to
+    * agree on its arbitrary 0.5 — omitted, documented). Zero-margin
+    * strata contribute exactly 0 to both sums; strata with n < 2 drop
+    * (den undefined). Output one row per group: n_strata, cmh, p.
+    */
+  def cmhTest(df: DataFrame, groupCols: Seq[String], strataCol: Column,
+      armCol: Column, successCol: Column): DataFrame = {
+    val parts = groupCols.map(col)
+    val cells = df.select(parts :+ strataCol.as("_s") :+
+        armCol.cast("boolean").as("_arm") :+
+        successCol.cast("boolean").as("_succ"): _*)
+      .filter(col("_s").isNotNull && col("_arm").isNotNull && col("_succ").isNotNull)
+      .groupBy(parts :+ col("_s"): _*)
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("_arm") && col("_succ"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_arm"), 1L).otherwise(0L)).as("_n1"),
+        sum(when(col("_succ"), 1L).otherwise(0L)).as("_m1"))
+      .filter(col("_n") >= 2)
+    val nD = col("_n").cast("double")
+    val n1 = col("_n1").cast("double")
+    val n0 = (col("_n") - col("_n1")).cast("double")
+    val m1 = col("_m1").cast("double")
+    val m0 = (col("_n") - col("_m1")).cast("double")
+    val w = Window.partitionBy(parts: _*).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = cells
+      .withColumn("_num", col("_a").cast("double") - n1 * m1 / nD)
+      .withColumn("_den", n1 * n0 * m1 * m0 / (nD * nD * (nD - lit(1.0))))
+      .withColumn("_rnum", sum(col("_num")).over(w))
+      .withColumn("_rden", sum(col("_den")).over(w))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(parts: _*).orderBy(col("_s"))))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(parts: _*)))
+      .filter(col("_rk") === col("_cnt")) // the completed fold, signed-safe
+    folded.filter(col("_rden") > 0.0)
+      .withColumn("cmh", col("_rnum") * col("_rnum") / col("_rden"))
+      .select(parts ++ Seq(col("_cnt").as("n_strata"), col("cmh"),
+        graft.functions.NormalDist.twoSidedP(sqrt(col("cmh"))).as("p")): _*)
+  }
+
+  /** Delta-method standard error of a per-group RATIO metric (Cochran
+    * 1977 §6.4, the survey-sampling ratio estimator; fpc omitted) — the
+    * honest error bar for revenue-per-unit / tokens-per-doc / CTR-style
+    * metrics, where naive per-row averaging is a DIFFERENT (wrong)
+    * estimand and a jackknife would need a float sum over n rows (which
+    * has no deterministic cross-engine order — rejected). Everything
+    * reduces to SIX moment sums in ONE windowless partial-agg pass: n,
+    * Σy, Σw exact longs; Σy², Σw², Σyw in decimal(38,0) (the q61
+    * discipline — cent squares overflow longs at corpus scale; decimal
+    * accumulation is exact in any order, the single terminal cast to
+    * double is one shared rounding). Then
+    *   R = Σy/Σw,  Σe² = Σy² − 2R·Σyw + R²·Σw²,
+    *   se = √( n/(Σw)² · Σe²/(n−1) )
+    * is a fixed double tree, with Σe² clamped at 0 (it is ≥ 0
+    * analytically; the clamp kills the one-ulp negative both engines
+    * would share anyway). Output: groupCols, n, ratio, se, ci_lo, ci_hi
+    * (±1.96·se).
+    */
+  def ratioSE(df: DataFrame, groupCols: Seq[String], yCol: Column,
+      wCol: Column, scaleY: Long = 100L, scaleW: Long = 1L): DataFrame = {
+    require(scaleY >= 1 && scaleW >= 1, "scales must be >= 1")
+    val gcols = groupCols.map(col)
+    val pts = df.select(gcols :+ snap(yCol, scaleY).as("_y")
+        :+ snap(wCol, scaleW).as("_w"): _*)
+      .filter(col("_y").isNotNull && col("_w").isNotNull)
+    val yd = col("_y").cast("decimal(19,0)")
+    val wd = col("_w").cast("decimal(19,0)")
+    val s = pts.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_w")).cast("double").as("_sw"),
+      sum(yd * yd).cast("decimal(38,0)").cast("double").as("_syy"),
+      sum(wd * wd).cast("decimal(38,0)").cast("double").as("_sww"),
+      sum(yd * wd).cast("decimal(38,0)").cast("double").as("_syw"))
+    val nD = col("n").cast("double")
+    val r = col("_sy") / col("_sw")
+    s.filter(col("n") >= 2 && col("_sw") =!= 0.0)
+      .withColumn("ratio", r)
+      .withColumn("_ss", greatest(
+        col("_syy") - lit(2.0) * col("ratio") * col("_syw") +
+          col("ratio") * col("ratio") * col("_sww"), lit(0.0)))
+      .withColumn("se", sqrt(nD / (col("_sw") * col("_sw")) *
+        (col("_ss") / (nD - lit(1.0)))))
+      .select(gcols ++ Seq(col("n"), col("ratio"), col("se"),
+        (col("ratio") - lit(1.96) * col("se")).as("ci_lo"),
+        (col("ratio") + lit(1.96) * col("se")).as("ci_hi")): _*)
+  }
+
+  /** Population Stability Index per group (the credit-scoring /
+    * model-monitoring drift standard; see also t23's JS divergence for
+    * token distributions) — "has this metric's DISTRIBUTION shifted
+    * between the reference and current populations?": the reference
+    * half's deciles define the bins (so under no drift every bin holds
+    * ~10% by construction), both halves' bin shares are compared via
+    * PSI = Σ (p−q)·ln(p/q); the folk thresholds (0.1 watch, 0.25 act)
+    * only mean anything because the binning is fixed this way.
+    *
+    * Scale discipline: cutpoints come from the VALUE HISTOGRAM (q60 —
+    * |distinct units| rows per group, never a corpus sort), the
+    * crossing rule is pure integer (cum·bins ≥ k·n, exact ceil
+    * semantics with no float rank), bin assignment joins the HISTOGRAM
+    * against the ≤ bins−1 cutpoints (rows never fan out), counts are
+    * exact longs on the COMPLETED bin grid, and the +1-Laplace-smoothed
+    * shares (empty bins must not produce ln 0 — standard practice,
+    * shared with the oracle) make each term (p−q)ln(p/q) ≥ 0, so the
+    * ordered-window fold's running max IS the deterministic total.
+    * Groups with no reference rows have no bins and drop. Output:
+    * groupCols, n_ref, n_cur, psi.
+    */
+  def psiDrift(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+      isRefCol: Column, bins: Int = 10, scale: Long = 100L): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2, 1000], got $bins")
+    require(scale >= 1, "scale must be >= 1")
+    val gcols = groupCols.map(col)
+    val pts = df.select(gcols :+ isRefCol.cast("boolean").as("_ref")
+        :+ snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_ref").isNotNull && col("_v").isNotNull)
+    // value histogram per (group, half) — everything downstream runs on
+    // |distinct units| rows, never the corpus
+    val hist = pts.groupBy(gcols :+ col("_ref") :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c")).localCheckpoint(true)
+    val refHist = hist.filter(col("_ref")).drop("_ref")
+    val wv = Window.partitionBy(gcols: _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val refCum = refHist.withColumn("_cum", sum(col("_c")).over(wv))
+      .withColumn("_n", sum(col("_c")).over(Window.partitionBy(gcols: _*)))
+    // cut k (1..bins−1) = min unit whose cum reaches ceil(k·n/bins):
+    // cum·bins ≥ k·n is that exact integer crossing (q63's discipline)
+    val cuts = refCum
+      .withColumn("_k", explode(lit((1 until bins).toArray)))
+      .filter(col("_cum") * lit(bins.toLong) >= col("_k").cast("long") * col("_n"))
+      .groupBy(gcols :+ col("_k"): _*).agg(min(col("_v")).as("_cut"))
+    // bin of a unit = how many cuts lie strictly below it
+    val binned = hist.join(cuts, groupCols)
+      .groupBy(gcols :+ col("_ref") :+ col("_v") :+ col("_c"): _*)
+      .agg(sum(when(col("_v") > col("_cut"), 1L).otherwise(0L)).as("_bin"))
+      .groupBy(gcols :+ col("_ref") :+ col("_bin"): _*)
+      .agg(sum(col("_c")).as("_bc"))
+    val grid = binned.select(gcols: _*).distinct()
+      .withColumn("_bin", explode(lit((0L until bins.toLong).toArray)))
+    val wide = grid
+      .join(binned.filter(col("_ref")).select(gcols :+ col("_bin") :+
+        col("_bc").as("_cr"): _*), groupCols :+ "_bin", "left")
+      .join(binned.filter(!col("_ref")).select(gcols :+ col("_bin") :+
+        col("_bc").as("_cc"): _*), groupCols :+ "_bin", "left")
+      .withColumn("_cr", coalesce(col("_cr"), lit(0L)))
+      .withColumn("_cc", coalesce(col("_cc"), lit(0L)))
+      .withColumn("_nr", sum(col("_cr")).over(Window.partitionBy(gcols: _*)))
+      .withColumn("_nc", sum(col("_cc")).over(Window.partitionBy(gcols: _*)))
+      .filter(col("_nr") > 0L)
+    val p = (col("_cr") + lit(1L)).cast("double") /
+      (col("_nr") + lit(bins.toLong)).cast("double")
+    val q = (col("_cc") + lit(1L)).cast("double") /
+      (col("_nc") + lit(bins.toLong)).cast("double")
+    val wb = Window.partitionBy(gcols: _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wide.withColumn("_term", (p - q) * log(p / q))
+      .withColumn("_run", sum(col("_term")).over(wb))
+      .groupBy(gcols: _*)
+      .agg(max(col("_nr")).as("n_ref"), max(col("_nc")).as("n_cur"),
+        max(col("_run")).as("psi"))
+  }
+
   /** Cohen's kappa inter-rater agreement (Cohen 1960) — do two binary
     * labelers agree BEYOND CHANCE? The evaluation a curation pipeline
     * owes every pair of quality gates (t03's stopword gate vs a length

@@ -1432,5 +1432,172 @@ object RelationalStats {
         Rounding.mirrorRound(col("v"), 6).as("v"))
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116)
+  /** q117: Cochran–Mantel–Haenszel across market-segment strata
+    * ([[graft.operators.Relational.cmhTest]]) — is order status (open vs
+    * fulfilled) associated with high priority AFTER controlling for
+    * segment? The Simpson's-paradox guard q58/q112's pooled tables
+    * cannot give. Exact long margins per stratum, signed cross-strata
+    * sums folded on an ordered window taken at the LAST stratum, χ²(1)
+    * p via the shared NormalDist polynomial on √CMH.
+    */
+  val q117 = QueryDef(
+    "q117_cmh", {
+      import graft.functions.NormalDist
+      val p = NormalDist.sqlTwoSidedP("sqrt(cmh)")
+      s"""WITH j AS (SELECT c.c_mktsegment AS s, o.o_orderstatus = 'O' AS arm,
+         |    o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS succ
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  WHERE o.o_orderstatus IN ('O', 'F') AND o.o_orderpriority IS NOT NULL
+         |    AND c.c_mktsegment IS NOT NULL),
+         |cells AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN arm AND succ THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(sum(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN succ THEN 1 ELSE 0 END) AS BIGINT) AS m1
+         |  FROM j GROUP BY 1 HAVING count(*) >= 2),
+         |t AS (SELECT s,
+         |    CAST(a AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+         |      / CAST(n AS DOUBLE) AS num,
+         |    CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) * CAST(m1 AS DOUBLE)
+         |      * CAST(n - m1 AS DOUBLE)
+         |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS den
+         |  FROM cells),
+         |f AS (SELECT sum(num) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rnum,
+         |    sum(den) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rden,
+         |    row_number() OVER (ORDER BY s) AS rk,
+         |    CAST(count(*) OVER () AS BIGINT) AS cnt FROM t),
+         |g AS (SELECT cnt AS n_strata, rnum * rnum / rden AS cmh
+         |      FROM f WHERE rk = cnt AND rden > 0.0)
+         |SELECT n_strata, ${mr("cmh", 6)} AS cmh, ${mr(p, 8)} AS p FROM g""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    val j = Tables(s, dir, "orders")
+      .filter(col("o_orderstatus").isin("O", "F") &&
+        col("o_orderpriority").isNotNull)
+      .join(broadcast(Tables(s, dir, "customer")
+        .filter(col("c_mktsegment").isNotNull)),
+        col("o_custkey") === col("c_custkey"))
+    graft.operators.Relational.cmhTest(j, Nil, col("c_mktsegment"),
+        col("o_orderstatus") === "O",
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("n_strata"), Rounding.mirrorRound(col("cmh"), 6).as("cmh"),
+        Rounding.mirrorRound(col("p"), 8).as("p"))
+  }
+
+  /** q118: delta-method SE of revenue-per-quantity-unit per return flag
+    * ([[graft.operators.Relational.ratioSE]]) — the honest error bar for
+    * a RATIO metric (Cochran's ratio estimator): six moment sums in one
+    * pass (squares in decimal(38,0) against DuckDB's int128 — the q61
+    * discipline), then ratio/SE/CI as one fixed double tree.
+    */
+  val q118 = QueryDef(
+    "q118_ratio_se", {
+      val ss = "greatest(syy - 2.0 * (sy / sw) * syw + " +
+        "(sy / sw) * (sy / sw) * sww, 0.0)"
+      val se = s"sqrt(CAST(n AS DOUBLE) / (sw * sw) * ($ss / (CAST(n AS DOUBLE) - 1.0)))"
+      s"""WITH p AS (SELECT l_returnflag AS g,
+         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+         |    CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS w
+         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+         |    AND l_quantity IS NOT NULL),
+         |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS DOUBLE) AS sy, CAST(sum(w) AS DOUBLE) AS sw,
+         |    CAST(sum(y * y) AS DOUBLE) AS syy,
+         |    CAST(sum(w * w) AS DOUBLE) AS sww,
+         |    CAST(sum(y * w) AS DOUBLE) AS syw
+         |  FROM p GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT g AS l_returnflag, n, ${mr("sy / sw", 6)} AS ratio,
+         |  ${mr(se, 8)} AS se,
+         |  ${mr(s"sy / sw - 1.96 * $se", 6)} AS ci_lo,
+         |  ${mr(s"sy / sw + 1.96 * $se", 6)} AS ci_hi
+         |FROM s WHERE sw <> 0.0 ORDER BY g""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.ratioSE(
+        Tables(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull && col("l_quantity").isNotNull),
+        Seq("l_returnflag"), col("l_extendedprice"), col("l_quantity"),
+        scaleY = 100L, scaleW = 1L)
+      .select(col("l_returnflag"), col("n"),
+        Rounding.mirrorRound(col("ratio"), 6).as("ratio"),
+        Rounding.mirrorRound(col("se"), 8).as("se"),
+        Rounding.mirrorRound(col("ci_lo"), 6).as("ci_lo"),
+        Rounding.mirrorRound(col("ci_hi"), 6).as("ci_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q119: PSI drift per event type, first half vs second half of the
+    * stream's time range ([[graft.operators.Relational.psiDrift]]) — the
+    * model-monitoring drift standard: reference-decile bins from the
+    * exact cent histogram (integer crossing cum·10 ≥ k·n), +1-smoothed
+    * shares, Σ(p−q)ln(p/q) folded on an ordered window (terms ≥ 0 ⇒ the
+    * running max is the deterministic total). The midpoint is exact
+    * integer millis, a driver scalar mirrored by a scalar subquery.
+    */
+  val q119 = QueryDef(
+    "q119_psi", {
+      val p = "CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)"
+      val q = "CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)"
+      s"""WITH b AS (SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid
+         |  FROM events WHERE ts IS NOT NULL),
+         |pts AS (SELECT event_type AS g,
+         |    epoch_ms(ts) < (SELECT mid FROM b) AS ref,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |hist AS (SELECT g, ref, v, CAST(count(*) AS BIGINT) AS c
+         |         FROM pts GROUP BY 1, 2, 3),
+         |rc AS (SELECT g, v,
+         |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+         |  FROM hist WHERE ref),
+         |cuts AS (SELECT g, k, min(v) AS cut
+         |  FROM rc CROSS JOIN (SELECT unnest(range(1, 10)) AS k) ks
+         |  WHERE cum * 10 >= k * n GROUP BY 1, 2),
+         |bn AS (SELECT hist.g, hist.ref, hist.v, hist.c,
+         |    CAST(sum(CASE WHEN hist.v > cuts.cut THEN 1 ELSE 0 END) AS BIGINT) AS bin
+         |  FROM hist JOIN cuts ON hist.g = cuts.g GROUP BY 1, 2, 3, 4),
+         |bc AS (SELECT g, ref, bin, CAST(sum(c) AS BIGINT) AS bc
+         |       FROM bn GROUP BY 1, 2, 3),
+         |grid AS (SELECT g, unnest(range(0, 10)) AS bin
+         |         FROM (SELECT DISTINCT g FROM bc)),
+         |wide AS (SELECT grid.g, grid.bin,
+         |    CAST(coalesce(r.bc, 0) AS BIGINT) AS cr,
+         |    CAST(coalesce(c2.bc, 0) AS BIGINT) AS cc
+         |  FROM grid
+         |  LEFT JOIN (SELECT * FROM bc WHERE ref) r
+         |    ON grid.g = r.g AND grid.bin = r.bin
+         |  LEFT JOIN (SELECT * FROM bc WHERE NOT ref) c2
+         |    ON grid.g = c2.g AND grid.bin = c2.bin),
+         |tot AS (SELECT wide.*,
+         |    CAST(sum(cr) OVER (PARTITION BY g) AS BIGINT) AS nr,
+         |    CAST(sum(cc) OVER (PARTITION BY g) AS BIGINT) AS nc FROM wide),
+         |terms AS (SELECT g, bin, nr, nc,
+         |    ($p - $q) * ln(($p) / ($q)) AS term FROM tot WHERE nr > 0),
+         |runs AS (SELECT g, nr, nc, sum(term) OVER (PARTITION BY g ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM terms)
+         |SELECT g AS event_type, max(nr) AS n_ref, max(nc) AS n_cur,
+         |  ${mr("max(run)", 6)} AS psi
+         |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+    // midpoint over the SAME population as the oracle's scalar subquery:
+    // ts-notNull only (value/type filters do not shrink the time range)
+    val Array(mn, mx) = Tables.events(s, dir).filter(col("ts").isNotNull)
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).head() match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val mid = (mn + mx) / 2
+    graft.operators.Relational.psiDrift(ev, Seq("event_type"), col("value"),
+        unix_millis(col("ts")) < lit(mid), bins = 10, scale = 100L)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        Rounding.mirrorRound(col("psi"), 6).as("psi"))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119)
 }

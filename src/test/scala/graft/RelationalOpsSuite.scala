@@ -1924,6 +1924,72 @@ class RelationalOpsSuite extends SparkSpec {
     assert(Relational.agreementKappa(constant, col("a"), col("b")).isEmpty)
   }
 
+  test("cmhTest: hand-computed two-stratum statistic; degenerate strata handled") {
+    import spark.implicits._
+    // s1: arm 3/5 vs non-arm 1/5 -> a=3,n1=5,m1=4,n=10:
+    //   num = 3 − 2 = 1, den = 5·5·4·6/900 = 2/3
+    // s2: arm 2/4 vs non-arm 2/4 -> num = 0, den = 256/448 = 4/7
+    // CMH = 1² / (2/3 + 4/7) = 21/26
+    val s1 = (1 to 5).map(i => ("s1", true, i <= 3)) ++
+      (1 to 5).map(i => ("s1", false, i <= 1))
+    val s2 = (1 to 4).map(i => ("s2", true, i <= 2)) ++
+      (1 to 4).map(i => ("s2", false, i <= 2))
+    val got = Relational.cmhTest((s1 ++ s2).toDF("s", "arm", "succ"), Nil,
+        col("s"), col("arm"), col("succ"))
+      .as[(Long, Double, Double)].head()
+    assert(got._1 == 2L)
+    assert(math.abs(got._2 - 21.0 / 26.0) < 1e-12, s"${got._2}")
+    assert(got._3 > 0.3 && got._3 < 1.0, s"p plausible for cmh<1: ${got._3}")
+    // a zero-margin stratum (no successes) contributes 0 to both sums —
+    // adding it must not move the statistic
+    val s3 = Seq(("s3", true, false), ("s3", false, false), ("s3", true, false))
+    val withZero = Relational.cmhTest((s1 ++ s2 ++ s3).toDF("s", "arm", "succ"),
+        Nil, col("s"), col("arm"), col("succ"))
+      .as[(Long, Double, Double)].head()
+    assert(withZero._1 == 3L && math.abs(withZero._2 - got._2) < 1e-12)
+    // single-row strata drop (den undefined at n=1); all-degenerate -> empty
+    val tiny = Seq(("a", true, true), ("b", false, false)).toDF("s", "arm", "succ")
+    assert(Relational.cmhTest(tiny, Nil, col("s"), col("arm"), col("succ")).isEmpty)
+  }
+
+  test("ratioSE: hand-computed delta-method SE; exact-ratio groups get se 0") {
+    import spark.implicits._
+    // g: y=(1,3), w=(1,1) -> R=2, Σe²=2, se = √(2/4 · 2) = 1
+    val g = Seq(("g", 1.0, 1.0), ("g", 3.0, 1.0))
+    // h: y exactly proportional to w -> residuals 0 -> se = 0
+    val h = Seq(("h", 2.0, 1.0), ("h", 4.0, 2.0), ("h", 6.0, 3.0))
+    val got = Relational.ratioSE((g ++ h).toDF("grp", "y", "w"), Seq("grp"),
+        col("y"), col("w"), scaleY = 1L, scaleW = 1L)
+      .as[(String, Long, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val Seq((_, ng, rg, seg, log, hig), (_, nh, rh, seh, _, _)) = got
+    assert((ng, rg) == ((2L, 2.0)) && math.abs(seg - 1.0) < 1e-12, s"$got")
+    assert(math.abs(log - (2.0 - 1.96)) < 1e-12 && math.abs(hig - 3.96) < 1e-12)
+    assert((nh, rh) == ((3L, 2.0)) && seh == 0.0, s"se must be exactly 0: $seh")
+    // n = 1 drops (no variance estimate from one row)
+    assert(Relational.ratioSE(Seq(("x", 1.0, 1.0)).toDF("grp", "y", "w"),
+      Seq("grp"), col("y"), col("w"), 1L, 1L).isEmpty)
+  }
+
+  test("psiDrift: identical halves -> 0, shifted half -> large, no-ref drops") {
+    import spark.implicits._
+    val base = (1 to 100).map(_.toDouble)
+    // g: identical ref/cur distributions -> every bin has p = q -> PSI = 0
+    val g = base.map(v => ("g", true, v)) ++ base.map(v => ("g", false, v))
+    // h: current shifted far above every reference decile -> mass piles
+    // into the top bin -> PSI far beyond the 0.25 action threshold
+    val h = base.map(v => ("h", true, v)) ++ base.map(v => ("h", false, v + 1000.0))
+    // x: no reference rows -> no bins -> group drops
+    val x = base.map(v => ("x", false, v))
+    val got = Relational.psiDrift((g ++ h ++ x).toDF("grp", "ref", "v"),
+        Seq("grp"), col("v"), col("ref"), bins = 10, scale = 1L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, nrg, ncg, psig), (_, nrh, nch, psih)) = got
+    assert((nrg, ncg) == ((100L, 100L)) && psig == 0.0, s"identical -> 0: $psig")
+    assert((nrh, nch) == ((100L, 100L)) && psih > 0.25, s"shifted -> large: $psih")
+  }
+
   test("NormalDist.twoSidedP: anchors, cap, symmetry, monotone tail") {
     import spark.implicits._
     import graft.functions.NormalDist
