@@ -77,6 +77,10 @@ object ScaleProbe {
     time("d03 minhash-lsh")(graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5).count())
     time("d04 simhash")(graft.operators.Dedup.simhashPairs(d, "doc_id", "text").count())
     time("d02 ngram-jaccard")(graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 0.5, 20).count())
+    // d16's worst case mirrors d02's: cross-replica docs share their full
+    // char-window signature except where the replica marker lands
+    time("d16 containment")(graft.operators.Dedup.containmentPairs(
+      d, "doc_id", "text", thr = 0.5, maxDf = 50).count())
     time("d06 clusters")(graft.operators.Dedup.clusters(d, "doc_id",
       graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text", 0.5),
       checkIds = false).filter(col("keep")).count()) // the shipped d06 path
@@ -1241,6 +1245,37 @@ object ScaleProbe {
       Sampling.poissonBootstrapMeanCI(
         d.select(col("prio"), col("cust"), col("price")),
         Seq("prio"), "cust", col("price"), b = 200).count()
+    }
+    // Round-10 second wave. Scale claims: mannKendall's quadratic pair
+    // join runs on the DAILY pre-agg (replication multiplies per-day tie
+    // mass, never the pair count); kruskalWallis/brownForsythe window
+    // over |distinct cents| per group like mannWhitney; psiDrift's bins
+    // come from the histogram; cmh/ratioSE are pure partial-agg reduces.
+    timed(factor, "q113 mann-kendall (daily pre-agg)") {
+      val daily = d.groupBy(col("prio"),
+          datediff(to_date(col("odate")), lit("1995-01-01").cast("date")).as("x"))
+        .agg(sum(floor(col("price") * 100.0 + 0.5).cast("long")).as("y"))
+      Relational.mannKendall(daily, Seq("prio"), col("x"), col("y")).count()
+    }
+    timed(factor, "q114 kruskal-wallis") {
+      Relational.kruskalWallis(d, Seq("prio"),
+        (dayofweek(col("odate")) - 1).cast("long"), col("price")).count()
+    }
+    timed(factor, "q120 brown-forsythe") {
+      Relational.brownForsythe(d, Seq("prio"),
+        (dayofweek(col("odate")) - 1).cast("long"), col("price")).count()
+    }
+    timed(factor, "q117 cmh") {
+      Relational.cmhTest(d.filter(col("status").isin("O", "F")), Nil,
+        col("prio"), col("status") === "O", col("price") > 150000.0).count()
+    }
+    timed(factor, "q118 ratio-se") {
+      Relational.ratioSE(d, Seq("prio"), col("price"),
+        pmod(col("cust"), lit(10L)) + 1L, scaleY = 100L, scaleW = 1L).count()
+    }
+    timed(factor, "q119 psi") {
+      Relational.psiDrift(d, Seq("prio"), col("price"),
+        pmod(col("cust"), lit(2L)) === 0L).count()
     }
   }
 

@@ -1023,4 +1023,62 @@ object Dedup {
         Rounding.mirrorRound(col("n_dup") * 1.0 / col("n_windows"), 4))
       .withColumn("is_dup", col("dup_frac") >= thr)
   }
+
+  /** Character-window CONTAINMENT pairs — the dedup mode Jaccard misses
+    * by construction: a short document pasted whole into a long one
+    * (quote farms, aggregator pages, doc+boilerplate wrappers) shares
+    * only a small fraction of the long document's shingles, so d02/d03's
+    * symmetric Jaccard never fires; containment |A∩B| / min(|A|,|B|)
+    * does (Broder 1997's second resemblance measure; the Lee et al. 2022
+    * substring-dedup motivation at window granularity).
+    *
+    * Signature: every `window`-char sliding window's polynomial hash
+    * (the t04/PolyHash codegen expression per window — O(len·window)
+    * narrow work, zero shuffle), WINNOWED deterministically to hashes
+    * ≡ 0 (mod sampleMod) — content-defined sampling, so two documents
+    * sample the SAME positions of shared text regardless of alignment
+    * (a fixed-stride sample would alias on offset). Then exactly d02's
+    * scale shape: distinct-hash explode, hot-hash df cap as PARTIAL AGG
+    * + SEMI-JOIN (never a window over the exploded stream), candidate
+    * pairs meet in a hash equi-join, and the containment denominator is
+    * the SMALLER kept-signature size. Documents shorter than `window`
+    * or with no sampled windows drop (no signature, no claim). Output:
+    * id_a, id_b, n_a, n_b, inter, containment (>= thr).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      thr: Double, window: Int = 20, sampleMod: Int = 8,
+      maxDf: Int = 50): DataFrame = {
+    require(window >= 4 && window <= 1000, s"window in [4,1000], got $window")
+    require(sampleMod >= 1, "sampleMod must be >= 1")
+    require(thr > 0 && thr <= 1.0, "thr in (0,1]")
+    GraftExpressions.register(df.sparkSession)
+    val text = col(textCol)
+    val hashes = transform(
+      sequence(lit(1), length(text) - lit(window - 1)),
+      i => GraftExpressions.polyHash(text.substr(i, lit(window))))
+    val fps = df.filter(length(text) >= window)
+      .select(col(idCol).as("_gid"),
+        array_distinct(filter(hashes, h => h % lit(sampleMod.toLong) === 0L))
+          .as("_fp"))
+      .filter(size(col("_fp")) > 0)
+    val ex = fps.select(col("_gid"), explode(col("_fp")).as("h"))
+      .localCheckpoint(true) // read by the df table AND the pair join
+    val lowDf = ex.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val kept = ex.join(lowDf, Seq("h"), "left_semi")
+    val n = kept.groupBy("_gid").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.h") === col("b.h") && col("a._gid") < col("b._gid"))
+      .groupBy(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(n.as("na"), col("id_a") === col("na._gid"))
+      .join(n.as("nb"), col("id_b") === col("nb._gid"))
+      .select(col("id_a"), col("id_b"),
+        col("na.n").as("n_a"), col("nb.n").as("n_b"), col("inter"),
+        Rounding.mirrorRound(
+          col("inter") * 1.0 / least(col("na.n"), col("nb.n")), 4)
+          .as("containment"))
+      .filter(col("containment") >= thr)
+  }
 }

@@ -3086,6 +3086,80 @@ object Relational {
         max(col("_run")).as("psi"))
   }
 
+  /** Brown–Forsythe test for equal variances per group (Levene 1960 with
+    * Brown & Forsythe 1974's median centering — the robust standard) —
+    * "do the k treatment levels have equal SPREAD?", the prerequisite
+    * check behind every pooled-variance test (q61's t assumes it) and a
+    * drift signal in its own right (a metric whose variance explodes by
+    * weekday is broken even when its means agree). Median-centered, so
+    * heavy tails don't masquerade as variance differences.
+    *
+    * The whole statistic reduces to exact arithmetic on the VALUE
+    * HISTOGRAM (never the corpus): per-treatment medians come from the
+    * cent histogram by the q60 rank rule, carried doubled (2·median =
+    * lower + upper order stat — an exact long, no .5 float), absolute
+    * deviations z₂ = |2v − 2·med| are exact longs weighted by the
+    * histogram counts, Σc·z₂ stays long, Σc·z₂² accumulates in
+    * decimal(38,0) (the q61 discipline), and the k-term Σsᵢ²/nᵢ folds
+    * on an ORDERED window over treatments (the q114 shape). W is scale-
+    * invariant, so the doubling cancels:
+    *   W = (N−k)/(k−1) · (Σsᵢ²/nᵢ − S²/N) / (Σc·z₂² − Σsᵢ²/nᵢ).
+    * Groups need k ≥ 2, N > k, and a positive within-treatment spread
+    * (B > 0). Output: groupCols, k, n, w.
+    */
+  def brownForsythe(df: DataFrame, groupCols: Seq[String], treatCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val hist = df.select(parts :+ treatCol.as("_k") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+      .groupBy(parts :+ col("_k") :+ col("_v"): _*)
+      .agg(count(lit(1)).as("_c")).localCheckpoint(true)
+    val wv = Window.partitionBy(parts :+ col("_k"): _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(wv))
+      .withColumn("_n", sum(col("_c")).over(
+        Window.partitionBy(parts :+ col("_k"): _*)))
+    // 2·median = lower + upper order statistic (exact long; q60 rank rule)
+    val med2 = cum.groupBy(parts :+ col("_k"): _*)
+      .agg((min(when(col("_cum") >= ((col("_n") + 1L) / lit(2.0)).cast("long"),
+          col("_v"))) +
+        min(when(col("_cum") >= (col("_n") / lit(2.0)).cast("long") + 1L,
+          col("_v")))).as("_med2"))
+    val z = hist.join(broadcast(med2), groupCols :+ "_k")
+      .withColumn("_z2", abs(lit(2L) * col("_v") - col("_med2")))
+    val zd = col("_z2").cast("decimal(19,0)")
+    val perTreat = z.groupBy(parts :+ col("_k"): _*)
+      .agg(sum(col("_c")).as("_ni"),
+        sum(col("_c") * col("_z2")).as("_si"),
+        // stays DECIMAL here: a per-treatment double would make the
+        // k-term group sum below an unordered float sum
+        sum(col("_c").cast("decimal(19,0)") * zd * zd)
+          .cast("decimal(38,0)").as("_szzi"))
+    val wk = Window.partitionBy(parts: _*).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = perTreat
+      .withColumn("_term", col("_si").cast("double") * col("_si").cast("double")
+        / col("_ni").cast("double"))
+      .withColumn("_run", sum(col("_term")).over(wk))
+      .groupBy(parts: _*)
+      .agg(count(lit(1)).as("k"), sum(col("_ni")).as("n"),
+        sum(col("_si")).as("_s"),
+        sum(col("_szzi")).cast("decimal(38,0)").cast("double").as("_szz"),
+        max(col("_run")).as("_a4")) // terms >= 0: running max = ordered total
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val a = col("_a4") - col("_s").cast("double") * col("_s").cast("double") / nD
+    val b = col("_szz") - col("_a4")
+    folded.filter(col("k") >= 2 && col("n") > col("k"))
+      .withColumn("_b", b)
+      .filter(col("_b") > 0.0)
+      .withColumn("w", (nD - kD) / (kD - lit(1.0)) * (a / col("_b")))
+      .select(parts ++ Seq(col("k"), col("n"), col("w")): _*)
+  }
+
   /** Cohen's kappa inter-rater agreement (Cohen 1960) — do two binary
     * labelers agree BEYOND CHANCE? The evaluation a curation pipeline
     * owes every pair of quality gates (t03's stopword gate vs a length

@@ -182,6 +182,65 @@ object TextAnalysis {
       .orderBy(desc("freq"), col("token"))
       .limit(k)
 
+  /** Zipf-law fit over the corpus frequency spectrum — log-log least
+    * squares of frequency against rank, whose negative slope is the Zipf
+    * exponent α (≈ 1 for natural language; Piantadosi 2014 review). The
+    * corpus-level health check of a training mix: synthetic/templated
+    * corpora flatten the curve (α → 0), boilerplate-dominated ones
+    * steepen the head — a one-row fingerprint that moves before
+    * downstream evals do, and the diagnostic companion to t07's raw
+    * top-k table.
+    *
+    * Scale shape: the corpus reduces to the (token, count) table by ONE
+    * partial-agg pass; ranking and the regression run on the top
+    * `maxRanks` of the VOCABULARY (the q53 contract — statistic tables
+    * sort, corpora never do). Counts are exact longs; rank is total
+    * (count desc, token asc tie-break — reproducible cross-engine); the
+    * five regression sums over (ln rank, ln count) are doubles, so they
+    * fold on an ORDERED window by rank (the q110 sequential-fold
+    * discipline) and the closed forms are fixed double trees. Degenerate
+    * spectra (all counts equal → zero y-variance) emit no row. Output
+    * one row: n_vocab, n_fit, alpha, r2.
+    */
+  def zipfFit(df: DataFrame, textCol: String, maxRanks: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxRanks >= 3, s"need >= 3 ranks to fit, got $maxRanks")
+    val freq = df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ranked = freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("freq"), col("token"))))
+      .withColumn("n_vocab", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .filter(col("rank") <= maxRanks)
+      .withColumn("_x", log(col("rank").cast("double")))
+      .withColumn("_y", log(col("freq").cast("double")))
+    val wr = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = ranked
+      .withColumn("_m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("_sx", sum(col("_x")).over(wr))
+      .withColumn("_sy", sum(col("_y")).over(wr))
+      .withColumn("_sxx", sum(col("_x") * col("_x")).over(wr))
+      .withColumn("_syy", sum(col("_y") * col("_y")).over(wr))
+      .withColumn("_sxy", sum(col("_x") * col("_y")).over(wr))
+      .filter(col("rank") === col("_m")) // the completed ordered fold
+    val m = col("_m").cast("double")
+    val dx = m * col("_sxx") - col("_sx") * col("_sx")
+    val dy = m * col("_syy") - col("_sy") * col("_sy")
+    val cov = m * col("_sxy") - col("_sx") * col("_sy")
+    folded.filter(col("_m") >= 3)
+      .withColumn("_dx", dx).withColumn("_dy", dy)
+      .filter(col("_dx") > 0.0 && col("_dy") > 0.0)
+      .select(col("n_vocab"), col("_m").as("n_fit"),
+        (lit(0.0) - cov / col("_dx")).as("alpha"),
+        (cov * cov / (col("_dx") * col("_dy"))).as("r2"))
+  }
+
   /** Gopher-style repetition quality signals (the standard "is this doc
     * degenerate boilerplate?" filters of a training-data pipeline):
     * duplicate-word fraction, duplicate-bigram fraction, and

@@ -609,7 +609,54 @@ object Dedup {
     clean.select("doc_id", "domain").orderBy("doc_id")
   }
 
+  private val ContainThr = 0.5    // containment-pair threshold (d16)
+  private val ContainMaxDf = 50   // hot char-window df cap (d16)
+
+  /** d16: character-window CONTAINMENT pairs
+    * ([[graft.operators.Dedup.containmentPairs]]) — the asymmetric dedup
+    * mode Jaccard misses: a short document pasted whole into a long one
+    * shares few of the long document's shingles (d02/d03 never fire) but
+    * nearly all of its own. Signatures are winnowed 20-char window
+    * polynomial hashes (content-defined sampling: h ≡ 0 mod 8, so shared
+    * text samples the same positions in both documents regardless of
+    * alignment), then exactly d02's scale shape: df-capped hash
+    * equi-join, containment = |∩| / min(|A|,|B|). The oracle rebuilds
+    * every window hash with the inner char fold on a DIFFERENT lambda
+    * variable (j) so the outer window index i stays in scope.
+    */
+  val d16 = QueryDef(
+    "d16_containment", {
+      val containSql = "inter * 1.0 / least(na.n, nb.n)"
+      s"""WITH w AS (SELECT doc_id,
+         |    list_transform(range(1, length(text) - 18), i ->
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(i, i + 20), j -> CAST(ascii(text[j]) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007)) AS hs
+         |  FROM documents WHERE length(text) >= 20),
+         |fp AS (SELECT doc_id, list_distinct(list_filter(hs, h -> h % 8 = 0)) AS fp
+         |       FROM w),
+         |f AS (SELECT doc_id, fp FROM fp WHERE len(fp) > 0),
+         |ex AS (SELECT doc_id, unnest(fp) AS h FROM f),
+         |kept AS (SELECT doc_id, h FROM (
+         |  SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM ex)
+         |  WHERE df <= $ContainMaxDf),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |        CAST(count(*) AS BIGINT) AS inter
+         |      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b, na.n AS n_a, nb.n AS n_b, inter,
+         |  ${mr(containSql, 4)} AS containment
+         |FROM p JOIN n na ON p.id_a = na.doc_id JOIN n nb ON p.id_b = nb.doc_id
+         |WHERE ${mr(containSql, 4)} >= $ContainThr
+         |ORDER BY id_a, id_b""".stripMargin
+    }) { (s, dir) =>
+    Ops.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        thr = ContainThr, window = 20, sampleMod = 8, maxDf = ContainMaxDf)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13,
-      d14, d15, p16)
+      d14, d15, p16, d16)
 }

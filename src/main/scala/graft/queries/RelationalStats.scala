@@ -1599,5 +1599,63 @@ object RelationalStats {
       .orderBy("event_type")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119)
+  /** q120: Brown–Forsythe equal-variance test per event type across
+    * day-of-week treatments ([[graft.operators.Relational.brownForsythe]])
+    * — the variance-homogeneity companion to q114's location test (and
+    * the assumption check behind q61's pooled t): medians from the exact
+    * cent histogram carried DOUBLED (2·med = lower+upper order stat, an
+    * exact long), |2v − 2med| deviations exact longs, Σc·z² in decimal
+    * vs DuckDB's int128, the k-term Σsᵢ²/nᵢ folded on an ordered window.
+    * W is scale-invariant so the doubling cancels exactly.
+    */
+  val q120 = QueryDef(
+    "q120_brown_forsythe", {
+      val w = "(CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)" +
+        " * ((a4 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " / (szz - a4))"
+      s"""WITH p AS (SELECT event_type AS g,
+         |    CAST(date_part('dow', ts) AS BIGINT) AS k,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |hist AS (SELECT g, k, v, CAST(count(*) AS BIGINT) AS c
+         |         FROM p GROUP BY 1, 2, 3),
+         |cum AS (SELECT hist.*,
+         |    CAST(sum(c) OVER (PARTITION BY g, k ORDER BY v) AS BIGINT) AS cum,
+         |    CAST(sum(c) OVER (PARTITION BY g, k) AS BIGINT) AS n FROM hist),
+         |med AS (SELECT g, k,
+         |    min(CASE WHEN cum >= CAST(floor((n + 1) / 2.0) AS BIGINT)
+         |        THEN v END)
+         |      + min(CASE WHEN cum >= CAST(floor(n / 2.0) AS BIGINT) + 1
+         |        THEN v END) AS med2
+         |  FROM cum GROUP BY 1, 2),
+         |z AS (SELECT hist.g, hist.k, c, abs(2 * v - med2) AS z2
+         |      FROM hist JOIN med ON hist.g = med.g AND hist.k = med.k),
+         |pt AS (SELECT g, k, CAST(sum(c) AS BIGINT) AS ni,
+         |    CAST(sum(c * z2) AS BIGINT) AS si, sum(c * z2 * z2) AS szzi
+         |  FROM z GROUP BY 1, 2),
+         |fold AS (SELECT g, ni, si, szzi,
+         |    sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+         |      OVER (PARTITION BY g ORDER BY k
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM pt),
+         |fg AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(ni) AS BIGINT) AS n, CAST(sum(si) AS BIGINT) AS s,
+         |    CAST(sum(szzi) AS DOUBLE) AS szz, max(run) AS a4
+         |  FROM fold GROUP BY 1)
+         |SELECT g AS event_type, k, n, ${mr(w, 6)} AS w
+         |FROM fg WHERE k >= 2 AND n > k AND (szz - a4) > 0.0
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.brownForsythe(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long"), col("value"), scale = 100L)
+      .withColumn("w", Rounding.mirrorRound(col("w"), 6))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 }

@@ -740,7 +740,46 @@ object Text {
         Rounding.mirrorRound(col("kappa"), 6).as("kappa"))
   }
 
+  /** t28: Zipf-law exponent of the corpus frequency spectrum
+    * ([[TextAnalysis.zipfFit]]) — the one-row corpus-health fingerprint
+    * next to t07's raw top-k: α ≈ 1 for natural language, flattened by
+    * templated/synthetic corpora. Counts exact, rank total (freq desc,
+    * token tie-break), the five log-log regression sums folded on an
+    * ordered window by rank (the q110 discipline over the vocabulary
+    * table — the corpus itself never sorts).
+    */
+  val t28 = QueryDef(
+    "t28_zipf", {
+      val dx = "(CAST(m AS DOUBLE) * sxx - sx * sx)"
+      val dy = "(CAST(m AS DOUBLE) * syy - sy * sy)"
+      val cov = "(CAST(m AS DOUBLE) * sxy - sx * sy)"
+      s"""WITH f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest($duckToks) AS token FROM documents)
+         |  WHERE length(token) > 0 GROUP BY 1),
+         |r AS (SELECT freq,
+         |    CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS n_vocab FROM f),
+         |fit AS (SELECT rank, n_vocab, ln(CAST(rank AS DOUBLE)) AS x,
+         |        ln(CAST(freq AS DOUBLE)) AS y
+         |  FROM r WHERE rank <= 1000),
+         |fold AS (SELECT rank, n_vocab, CAST(count(*) OVER () AS BIGINT) AS m,
+         |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         |    sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         |    sum(x * y) OVER w AS sxy
+         |  FROM fit WINDOW w AS (ORDER BY rank
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT n_vocab, m AS n_fit,
+         |  ${mr(s"(0.0 - $cov / $dx)", 6)} AS alpha,
+         |  ${mr(s"($cov * $cov / ($dx * $dy))", 6)} AS r2
+         |FROM fold WHERE rank = m AND m >= 3 AND $dx > 0.0 AND $dy > 0.0""".stripMargin
+    }) { (s, dir) =>
+    TextAnalysis.zipfFit(Tables(s, dir, "documents"), "text", maxRanks = 1000)
+      .select(col("n_vocab"), col("n_fit"),
+        Rounding.mirrorRound(col("alpha"), 6).as("alpha"),
+        Rounding.mirrorRound(col("r2"), 6).as("r2"))
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 }

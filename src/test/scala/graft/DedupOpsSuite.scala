@@ -936,4 +936,50 @@ class DedupOpsSuite extends SparkSpec {
     assert(top.map(r => (r._1, r._2)) == replay, s"$top vs $replay")
     assert(top.map(_._3) == (1L to 6L), "rk must be 1-based dense")
   }
+
+  test("containmentPairs: pasted-inclusion fires at ~1 where Jaccard stays low") {
+    import spark.implicits._
+    import graft.operators.{Dedup => Ops}
+    import org.apache.spark.sql.functions.col
+    // a 120-char "short" document pasted whole at the head of a much
+    // longer one: every interior window of the short text exists in the
+    // long text, so containment -> 1.0, while symmetric Jaccard is
+    // diluted by the long document's extra windows
+    // block-shifted patterns: aperiodic at window scale, so the distinct
+    // window-hash pools are large and the mod-8 sample is never empty
+    def pat(n: Int, a: Int, b: Int) =
+      (0 until n).map(i => ('a' + ((i * a + (i / 26) * b) % 26)).toChar).mkString
+    val short = pat(120, 7, 11)
+    val tail = pat(480, 11, 7)
+    val unrelated = pat(300, 13, 17)
+    val docs = Seq((1L, short), (2L, short + tail), (3L, unrelated),
+      (4L, "tiny")).toDF("doc_id", "text")
+    val got = Ops.containmentPairs(docs, "doc_id", "text", thr = 0.5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(g => (g._1, g._2)) == Seq((1L, 2L)), s"$got")
+    val (_, _, na, nb, inter, c) = got.head
+    assert(c >= 0.99, s"pasted inclusion must be ~fully contained: $c")
+    assert(inter == math.min(na, nb), "the short doc's kept signature is the intersection")
+    // sub-window documents carry no signature and never pair
+    assert(!got.exists(g => g._1 == 4L || g._2 == 4L))
+    // symmetric-Jaccard contrast: the same pair under d02-style union
+    // denominator is well below the containment threshold
+    assert(inter * 1.0 / (na + nb - inter) < 0.5, "Jaccard would have missed this pair")
+  }
+
+  test("containmentPairs: df cap kills boilerplate-only pairs; identical docs hit 1") {
+    import spark.implicits._
+    import graft.operators.{Dedup => Ops}
+    val boiler = (0 until 200).map(i =>
+      ('a' + ((i * 7 + (i / 26) * 11) % 26)).toChar).mkString
+    // 60 documents all equal -> every window hash has df 60 > maxDf 50 ->
+    // every signature empties after the cap -> no pairs at all
+    val many = (1L to 60L).map(i => (i, boiler)).toDF("doc_id", "text")
+    assert(Ops.containmentPairs(many, "doc_id", "text", thr = 0.1).isEmpty)
+    // two identical docs under the cap -> containment exactly 1.0
+    val two = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val c = Ops.containmentPairs(two, "doc_id", "text", thr = 0.9)
+      .select("containment").as[Double].head()
+    assert(c == 1.0, s"$c")
+  }
 }

@@ -1990,6 +1990,55 @@ class RelationalOpsSuite extends SparkSpec {
     assert((nrh, nch) == ((100L, 100L)) && psih > 0.25, s"shifted -> large: $psih")
   }
 
+  test("brownForsythe: hand-computed W incl. half-integer medians; degenerates drop") {
+    import spark.implicits._
+    // g: a={1,2,3} (med 2, z=1,0,1), b={10,20,30} (med 20, z=10,0,10)
+    // A = 404/3 − 484/6 = 54, B = 202 − 404/3 = 202/3,
+    // W = (6−2)/(2−1) · 54/(202/3) = 324/101
+    val g = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 10.0), ("g", "b", 20.0), ("g", "b", 30.0))
+    // h: even counts exercise the doubled half-integer median (med 2.5):
+    // a={1,2,3,4} z=1.5,.5,.5,1.5; b={5,5,5,5} all tied -> W = 12
+    val h = Seq(("h", "a", 1.0), ("h", "a", 2.0), ("h", "a", 3.0), ("h", "a", 4.0),
+      ("h", "b", 5.0), ("h", "b", 5.0), ("h", "b", 5.0), ("h", "b", 5.0))
+    // s: single treatment (k < 2) drops; t: zero spread everywhere (B=0) drops
+    val s = Seq(("s", "a", 1.0), ("s", "a", 2.0), ("s", "a", 3.0))
+    val t = Seq(("t", "a", 4.0), ("t", "a", 4.0), ("t", "b", 9.0), ("t", "b", 9.0))
+    val got = Relational.brownForsythe((g ++ h ++ s ++ t).toDF("grp", "k", "v"),
+        Seq("grp"), col("k"), col("v"), scale = 1L)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, kg, ng, wg), (_, kh, nh, wh)) = got
+    assert((kg, ng) == ((2L, 6L)) && math.abs(wg - 324.0 / 101.0) < 1e-12, s"$wg")
+    assert((kh, nh) == ((2L, 8L)) && math.abs(wh - 12.0) < 1e-12, s"$wh")
+  }
+
+  test("zipfFit: exact fit on constructed counts; uniform spectrum drops") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // counts a=4, b=2, c=1 -> ranks 1,2,3; expected alpha/r2 from the
+    // same closed forms on (ln r, ln f)
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfFit(docs, "text")
+      .as[(Long, Long, Double, Double)].head()
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val m = 3.0
+    val (sx, sy) = (xs.sum, ys.sum)
+    val (sxx, syy) = (xs.map(x => x * x).sum, ys.map(y => y * y).sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val cov = m * sxy - sx * sy
+    val expAlpha = -(cov / (m * sxx - sx * sx))
+    val expR2 = cov * cov / ((m * sxx - sx * sx) * (m * syy - sy * sy))
+    assert(got._1 == 3L && got._2 == 3L)
+    assert(math.abs(got._3 - expAlpha) < 1e-9, s"${got._3} vs $expAlpha")
+    assert(math.abs(got._4 - expR2) < 1e-9 && got._4 > 0.9, s"${got._4}")
+    assert(got._3 > 0.8 && got._3 < 1.5, "near-Zipfian alpha for a 4/2/1 spectrum")
+    // uniform counts: zero y-variance -> no fit row
+    val flat = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    assert(TextAnalysis.zipfFit(flat, "text").isEmpty)
+  }
+
   test("NormalDist.twoSidedP: anchors, cap, symmetry, monotone tail") {
     import spark.implicits._
     import graft.functions.NormalDist
