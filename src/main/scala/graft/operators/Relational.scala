@@ -3160,6 +3160,123 @@ object Relational {
       .select(parts ++ Seq(col("k"), col("n"), col("w")): _*)
   }
 
+  /** One-way ANOVA F test (Fisher) — "do the k treatment MEANS differ?",
+    * the parametric member completing the k-sample family: q61 compares
+    * two means, q112 two rates, q114 (Kruskal–Wallis) compares k
+    * distributions rank-free, q120 (Brown–Forsythe) compares k spreads;
+    * this is the classical k-mean test an experiment report leads with
+    * when the values are roughly normal. Values snap to exact long
+    * units; per treatment ONE partial-agg pass yields n_i (long),
+    * s_i = Σv (long) and ss_i = Σv² in decimal(38,0) (the q61
+    * discipline — DuckDB sums the same integers in int128). The k-term
+    * Σ sᵢ²/nᵢ folds on an ORDERED window (terms ≥ 0 ⇒ the running max
+    * IS the deterministic total — the q114/q120 discipline); the rest is
+    * a fixed double tree:
+    *   SSB = Σ sᵢ²/nᵢ − S²/N,  SSW = Σ ssᵢ − Σ sᵢ²/nᵢ,
+    *   F = (SSB/(k−1)) / (SSW/(N−k)).
+    * F is scale-invariant (SSB and SSW both carry scale², which
+    * cancels), so the snap never moves it. Degenerate groups drop:
+    * k < 2, N ≤ k, or SSW ≤ 0 (every treatment internally constant — F
+    * undefined). Output per group: k, n, ssb, ssw, f (ssb/ssw in
+    * snapped-unit² — divide by scale² for value units).
+    */
+  def anovaF(df: DataFrame, groupCols: Seq[String], treatCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val vd = col("_v").cast("decimal(19,0)")
+    val perTreat = df.select(parts :+ treatCol.as("_k") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+      .groupBy(parts :+ col("_k"): _*)
+      .agg(count(lit(1)).as("_ni"), sum(col("_v")).as("_si"),
+        sum(vd * vd).cast("decimal(38,0)").as("_ssi"))
+    val wk = Window.partitionBy(parts: _*).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = perTreat
+      .withColumn("_term", col("_si").cast("double") * col("_si").cast("double")
+        / col("_ni").cast("double"))
+      .withColumn("_run", sum(col("_term")).over(wk))
+      .groupBy(parts: _*)
+      .agg(count(lit(1)).as("k"), sum(col("_ni")).as("n"),
+        sum(col("_si")).as("_s"),
+        sum(col("_ssi")).cast("decimal(38,0)").cast("double").as("_ss"),
+        max(col("_run")).as("_a")) // terms >= 0: running max = ordered total
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    folded.filter(col("k") >= 2 && col("n") > col("k"))
+      .withColumn("ssb",
+        col("_a") - col("_s").cast("double") * col("_s").cast("double") / nD)
+      .withColumn("ssw", col("_ss") - col("_a"))
+      .filter(col("ssw") > 0.0)
+      .withColumn("f", (col("ssb") / (kD - lit(1.0))) / (col("ssw") / (nD - kD)))
+      .select(parts ++ Seq(col("k"), col("n"), col("ssb"), col("ssw"),
+        col("f")): _*)
+  }
+
+  /** Single change-point locator (the CUSUM contrast of Page 1954 /
+    * binary segmentation's first split) — WHERE did the daily metric
+    * level-shift? q113 (Mann–Kendall) answers "is there a monotone
+    * drift?"; q119 (PSI) and E22 (JS) answer "did the distribution
+    * move?"; this names the DAY the level jumped — the triage step
+    * after any of those gates fires. The corpus pre-aggregates to the
+    * per-group DAILY TOTAL series (|groups|·|days| rows — a statistic
+    * table, never a corpus sort); for each interior split after day
+    * index t the CUSUM contrast C_t = S_t − (t/T)·S_T is scaled by T
+    * into the EXACT integer D_t = T·S_t − t·S_T, computed in
+    * decimal(38,0) (at 100 TB, T·S_t passes 2⁶³), so the argmax is
+    * decided on exact integer comparisons with a deterministic
+    * earliest-day tie-break — no float enters the RANKING anywhere.
+    * |D_t| also IS the mean gap: mean_right − mean_left =
+    * −D_t/(t·(T−t)), so the reported shift = |D_t|/(t·(T−t))/scale is
+    * the absolute between-segment mean difference in value units, and
+    * mean_left/mean_right are each ONE division of exact integers.
+    * Groups with < 2 distinct days drop (no interior split exists).
+    * Output per group: day (last day of the left segment), t (days
+    * left), t_days (T), mean_left, mean_right, shift.
+    */
+  def changePoint(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val daily = df.select(parts :+ dayCol.as("_day") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_day").isNotNull && col("_v").isNotNull)
+      .groupBy(parts :+ col("_day"): _*)
+      .agg(sum(col("_v")).as("_sv"))
+    val wd = Window.partitionBy(parts: _*).orderBy(col("_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(parts: _*)
+    val cum = daily
+      .withColumn("_t", count(lit(1)).over(wd))
+      .withColumn("_st", sum(col("_sv")).over(wd))
+      .withColumn("_tt", count(lit(1)).over(wg))
+      .withColumn("_stot", sum(col("_sv")).over(wg))
+      .filter(col("_t") < col("_tt")) // interior splits only
+      .withColumn("_d",
+        col("_tt").cast("decimal(38,0)") * col("_st").cast("decimal(38,0)") -
+          col("_t").cast("decimal(38,0)") * col("_stot").cast("decimal(38,0)"))
+      .withColumn("_absd", abs(col("_d")))
+    // argmax on the exact |D_t|, earliest day on ties: a rank window over
+    // the |groups|·|days| statistic table (never the corpus)
+    val wr = Window.partitionBy(parts: _*)
+      .orderBy(col("_absd").desc, col("_day").asc)
+    val top = cum.withColumn("_rk", row_number().over(wr))
+      .filter(col("_rk") === 1)
+    val sD = lit(scale.toDouble)
+    top
+      .withColumn("mean_left",
+        col("_st").cast("double") / col("_t").cast("double") / sD)
+      .withColumn("mean_right",
+        (col("_stot") - col("_st")).cast("double") /
+          (col("_tt") - col("_t")).cast("double") / sD)
+      .withColumn("shift", col("_absd").cast("double") /
+        (col("_t").cast("double") * (col("_tt") - col("_t")).cast("double")) / sD)
+      .select(parts ++ Seq(col("_day").as("day"), col("_t").as("t"),
+        col("_tt").as("t_days"), col("mean_left"), col("mean_right"),
+        col("shift")): _*)
+  }
+
   /** Cohen's kappa inter-rater agreement (Cohen 1960) — do two binary
     * labelers agree BEYOND CHANCE? The evaluation a curation pipeline
     * owes every pair of quality gates (t03's stopword gate vs a length

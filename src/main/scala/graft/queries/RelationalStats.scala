@@ -1657,5 +1657,103 @@ object RelationalStats {
       .orderBy("event_type")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+  /** q121: single change-point locator per event type on the daily value
+    * series ([[graft.operators.Relational.changePoint]]) — the day the
+    * daily total LEVEL-SHIFTED, located by the maximal CUSUM contrast
+    * |T·S_t − t·S_T| decided on EXACT integers (decimal(38,0) vs DuckDB
+    * int128 — the ranking never touches a float), earliest day breaking
+    * ties; the reported shift is the exact between-segment mean gap
+    * |D_t|/(t·(T−t)) in value units.
+    */
+  val q121 = QueryDef(
+    "q121_changepoint", {
+      s"""WITH e AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |d AS (SELECT g, day, CAST(sum(v) AS BIGINT) AS sv
+         |      FROM e GROUP BY 1, 2),
+         |c AS (SELECT g, day,
+         |    CAST(count(*) OVER (PARTITION BY g ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS t,
+         |    CAST(sum(sv) OVER (PARTITION BY g ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS st,
+         |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS tt,
+         |    CAST(sum(sv) OVER (PARTITION BY g) AS BIGINT) AS stot
+         |  FROM d),
+         |i AS (SELECT *, abs(CAST(tt AS HUGEINT) * CAST(st AS HUGEINT)
+         |        - CAST(t AS HUGEINT) * CAST(stot AS HUGEINT)) AS absd
+         |      FROM c WHERE t < tt),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY g
+         |        ORDER BY absd DESC, day ASC) AS rk FROM i)
+         |SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day, t,
+         |  tt AS t_days,
+         |  ${mr("CAST(st AS DOUBLE) / CAST(t AS DOUBLE) / 100.0", 6)} AS mean_left,
+         |  ${mr("CAST(stot - st AS DOUBLE) / CAST(tt - t AS DOUBLE) / 100.0", 6)}
+         |    AS mean_right,
+         |  ${mr("CAST(absd AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(tt - t AS DOUBLE)) / 100.0", 6)}
+         |    AS shift
+         |FROM r WHERE rk = 1
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.changePoint(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"), to_date(col("ts")), col("value"), scale = 100L)
+      .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+      .withColumn("mean_left", Rounding.mirrorRound(col("mean_left"), 6))
+      .withColumn("mean_right", Rounding.mirrorRound(col("mean_right"), 6))
+      .withColumn("shift", Rounding.mirrorRound(col("shift"), 6))
+      .orderBy("event_type")
+  }
+
+  /** q122: one-way ANOVA F per event type across day-of-week treatments
+    * ([[graft.operators.Relational.anovaF]]) — the parametric k-mean
+    * companion to q114's rank test and q120's spread test on the
+    * identical question: per-treatment moment sums exact (longs +
+    * decimal vs int128), the k-term Σsᵢ²/nᵢ folded on an ordered
+    * window, SSB/SSW/F fixed double trees. F is scale-invariant so the
+    * cent snap cancels exactly.
+    */
+  val q122 = QueryDef(
+    "q122_anova", {
+      val ssb = "(a - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+      val ssw = "(ss - a)"
+      val f = s"($ssb / (CAST(k AS DOUBLE) - 1.0)) / ($ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))"
+      s"""WITH p AS (SELECT event_type AS g,
+         |    CAST(date_part('dow', ts) AS BIGINT) AS k,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |pt AS (SELECT g, k, CAST(count(*) AS BIGINT) AS ni,
+         |    CAST(sum(v) AS BIGINT) AS si, sum(v * v) AS ssi
+         |  FROM p GROUP BY 1, 2),
+         |fold AS (SELECT g, ni, si, ssi,
+         |    sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))
+         |      OVER (PARTITION BY g ORDER BY k
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM pt),
+         |fg AS (SELECT g, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(ni) AS BIGINT) AS n, CAST(sum(si) AS BIGINT) AS s,
+         |    CAST(sum(ssi) AS DOUBLE) AS ss, max(run) AS a
+         |  FROM fold GROUP BY 1)
+         |SELECT g AS event_type, k, n, ${mr(ssb, 6)} AS ssb,
+         |  ${mr(ssw, 6)} AS ssw, ${mr(f, 6)} AS f
+         |FROM fg WHERE k >= 2 AND n > k AND $ssw > 0.0
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.anovaF(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long"), col("value"), scale = 100L)
+      .withColumn("ssb", Rounding.mirrorRound(col("ssb"), 6))
+      .withColumn("ssw", Rounding.mirrorRound(col("ssw"), 6))
+      .withColumn("f", Rounding.mirrorRound(col("f"), 6))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 }

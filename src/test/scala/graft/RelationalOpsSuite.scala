@@ -2013,6 +2013,59 @@ class RelationalOpsSuite extends SparkSpec {
     assert((kh, nh) == ((2L, 8L)) && math.abs(wh - 12.0) < 1e-12, s"$wh")
   }
 
+  test("anovaF: hand-computed F, zero-SSB case, scale invariance; degenerates drop") {
+    import spark.implicits._
+    // g: a={1,2,3}, b={4,5,6} -> sum si^2/ni = 12+75 = 87, S=21, N=6,
+    // SSB = 87 - 73.5 = 13.5, SSW = 91 - 87 = 4, F = (13.5/1)/(4/4) = 13.5
+    val g = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 4.0), ("g", "b", 5.0), ("g", "b", 6.0))
+    // h: equal treatment means -> SSB = 0 exactly -> F = 0
+    val h = Seq(("h", "a", 1.0), ("h", "a", 3.0), ("h", "b", 2.0), ("h", "b", 2.0))
+    // s: single treatment (k < 2) drops; t: SSW = 0 (constant within) drops
+    val s = Seq(("s", "a", 1.0), ("s", "a", 2.0))
+    val t = Seq(("t", "a", 5.0), ("t", "a", 5.0), ("t", "b", 7.0), ("t", "b", 7.0))
+    val got = Relational.anovaF((g ++ h ++ s ++ t).toDF("grp", "k", "v"),
+        Seq("grp"), col("k"), col("v"), scale = 1L)
+      .as[(String, Long, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, kg, ng, ssbg, sswg, fg), (_, _, _, ssbh, _, fh)) = got
+    assert((kg, ng) == ((2L, 6L)))
+    assert(math.abs(ssbg - 13.5) < 1e-12 && math.abs(sswg - 4.0) < 1e-12)
+    assert(math.abs(fg - 13.5) < 1e-12, s"$fg")
+    assert(ssbh == 0.0 && fh == 0.0, s"equal means -> F = 0: $fh")
+    // scale invariance: the same g data divided by 100 with scale=100
+    // snaps to the identical cents -> identical F
+    val g100 = g.map { case (gr, k, v) => (gr, k, v / 100.0) }
+    val f100 = Relational.anovaF(g100.toDF("grp", "k", "v"),
+      Seq("grp"), col("k"), col("v"), scale = 100L)
+      .select("f").as[Double].head()
+    assert(math.abs(f100 - fg) < 1e-12, s"scale-invariant: $f100 vs $fg")
+  }
+
+  test("changePoint: hand-located split, earliest-day tie-break, degenerates drop") {
+    import spark.implicits._
+    // g: daily totals 1,1,1,5,5,5 over days 1..6 -> D_t = 6*S_t - 18t
+    // peaks at |D_3| = 36: split after day 3, means 1 vs 5, shift 4
+    val g = (1 to 3).map(d => ("g", d, 1.0)) ++ (4 to 6).map(d => ("g", d, 5.0))
+    // h: 0,4,4,0 -> |D| ties at t=1 and t=3 (both 8) -> earliest day wins
+    val h = Seq(("h", 1, 0.0), ("h", 2, 4.0), ("h", 3, 4.0), ("h", 4, 0.0))
+    // s: single day -> no interior split -> drops
+    val s = Seq(("s", 1, 9.0), ("s", 1, 1.0))
+    val got = Relational.changePoint((g ++ h ++ s).toDF("grp", "day", "v"),
+        Seq("grp"), col("day"), col("v"), scale = 1L)
+      .as[(String, Int, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, dayG, tG, ttG, mlG, mrG, shG), (_, dayH, tH, _, mlH, mrH, shH)) = got
+    assert((dayG, tG, ttG) == ((3, 3L, 6L)), s"$got")
+    assert(mlG == 1.0 && mrG == 5.0 && shG == 4.0)
+    assert((dayH, tH) == ((1, 1L)), "tie at |D|=8 broken to the earliest day")
+    assert(mlH == 0.0 && math.abs(mrH - 8.0 / 3.0) < 1e-12 &&
+      math.abs(shH - 8.0 / 3.0) < 1e-12)
+    // same-day rows pre-aggregate into one daily total (s would otherwise
+    // split 9 vs 1): asserted by s dropping above
+  }
+
   test("zipfFit: exact fit on constructed counts; uniform spectrum drops") {
     import spark.implicits._
     import graft.operators.TextAnalysis
