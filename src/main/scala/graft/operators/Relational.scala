@@ -2291,6 +2291,75 @@ object Relational {
       .withColumnRenamed("corr", "rho")
   }
 
+  /** Per-group Kendall tau-b rank correlation (Kendall 1938; tau-b per
+    * Kendall 1945 handles ties on BOTH axes) — the third member of the
+    * correlation family: [[pearsonCorr]] measures linearity,
+    * [[spearmanCorr]] monotonicity via ranks, tau-b the PROBABILITY
+    * SCALE of concordance (P[concordant] − P[discordant]) — directly
+    * interpretable and still meaningful when either axis is coarsely
+    * binned (quality buckets, star ratings) where Spearman's rank
+    * variance deflates. Scale path: the corpus reduces to the 2D VALUE
+    * HISTOGRAM first (one partial-agg pass, hot cells combine
+    * map-side), and the quadratic concordance enumeration runs over
+    * HISTOGRAM CELLS (pairs weighted by cᵃ·cᵇ), guarded at maxN
+    * DISTINCT cells per group — fail-loud, woven into a used column
+    * (the mannKendall discipline). Everything before the final divide
+    * is exact integer arithmetic in decimal(38,0) (DuckDB int128):
+    * working DOUBLED to avoid /2 —
+    *   C−D folded as Σ sign·cᵃ·cᵇ over cell pairs with xa<xb (each
+    *   unordered pair enumerated exactly once),
+    *   d1 = n(n−1) − Σtₓ(tₓ−1) = 2(n0−n1),  d2 likewise for y,
+    *   tau = 2(C−D) / √(d1·d2)   (the 2 cancels d1·d2's doubling).
+    * Groups with either axis constant (d ≤ 0) drop. Output: groupCols,
+    * n, tau.
+    */
+  def kendallTau(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, maxN: Int = 5000, scaleX: Long = 100L,
+      scaleY: Long = 100L): DataFrame = {
+    require(maxN >= 2, s"maxN must be >= 2, got $maxN")
+    require(scaleX >= 1 && scaleY >= 1, "scales must be >= 1")
+    val gcols = groupCols.map(col)
+    val hist = df.select(gcols :+ snap(xCol, scaleX).as("_x")
+        :+ snap(yCol, scaleY).as("_y"): _*)
+      .filter(col("_x").isNotNull && col("_y").isNotNull)
+      .groupBy(gcols :+ col("_x") :+ col("_y"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cells", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      .withColumn("_c",
+        when(col("_cells") > maxN, raise_error(lit(
+          s"kendallTau: group exceeds maxN=$maxN distinct (x,y) cells — " +
+            "the cell-pair join is quadratic; coarsen the value scales"))
+          .cast("long"))
+          .otherwise(col("_c")))
+      .drop("_cells").localCheckpoint(true)
+    val dec = "decimal(38,0)"
+    val a = hist.select(gcols :+ col("_x").as("_xa") :+ col("_y").as("_ya")
+      :+ col("_c").as("_ca"): _*)
+    val b = hist.select(gcols :+ col("_x").as("_xb") :+ col("_y").as("_yb")
+      :+ col("_c").as("_cb"): _*)
+    val cd = a.join(b, groupCols).filter(col("_xa") < col("_xb"))
+      .groupBy(gcols: _*)
+      .agg(sum(when(col("_yb") > col("_ya"), 1L)
+          .when(col("_yb") < col("_ya"), -1L).otherwise(0L).cast(dec) *
+          col("_ca").cast(dec) * col("_cb").cast(dec))
+        .cast(dec).as("_cd2"))
+    def margin(vc: String, out: String): DataFrame =
+      hist.groupBy(gcols :+ col(vc): _*).agg(sum(col("_c")).as("_t"))
+        .groupBy(gcols: _*)
+        .agg(sum(col("_t").cast(dec) * (col("_t") - 1L).cast(dec))
+          .cast(dec).as(out), sum(col("_t")).as(s"${out}_n"))
+    val xm = margin("_x", "_tx")
+    val ym = margin("_y", "_ty").withColumnRenamed("_ty_n", "_n2drop")
+    val n0 = col("_tx_n").cast(dec) * (col("_tx_n") - 1L).cast(dec)
+    xm.join(ym, groupCols).join(cd, groupCols)
+      .withColumn("_d1", (n0 - col("_tx")).cast("double"))
+      .withColumn("_d2", (n0 - col("_ty")).cast("double"))
+      .filter(col("_d1") > 0.0 && col("_d2") > 0.0)
+      .withColumn("tau", lit(2.0) * col("_cd2").cast("double") /
+        sqrt(col("_d1") * col("_d2")))
+      .select(gcols ++ Seq(col("_tx_n").as("n"), col("tau")): _*)
+  }
+
   /** Benford first-significant-digit scan — the fabricated-data /
     * corrupted-feed detector of financial and metric auditing (Benford
     * 1938; Nigrini's forensic-accounting standard): for each group, the

@@ -1755,5 +1755,57 @@ object RelationalStats {
       .orderBy("event_type")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+  /** q123: Kendall tau-b per event type between the DAILY event count
+    * and the DAILY value total ([[graft.operators.Relational.kendallTau]])
+    * — "are busier days also higher-value days?" on the probability
+    * scale of concordance: the corpus reduces to the daily series, the
+    * concordance enumeration runs over 2D histogram CELLS (guarded at
+    * maxN), C−D and both tie margins exact in decimal(38,0) vs DuckDB
+    * int128, tau ONE fixed double tree.
+    */
+  val q123 = QueryDef(
+    "q123_kendall_tau", {
+      s"""WITH e AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |d AS (SELECT g, day, CAST(count(*) AS BIGINT) AS x,
+         |      CAST(sum(v) AS BIGINT) AS y FROM e GROUP BY 1, 2),
+         |h AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS c
+         |      FROM d GROUP BY 1, 2, 3),
+         |cd AS (SELECT a.g, CAST(sum((CASE WHEN b.y > a.y THEN 1
+         |        WHEN b.y < a.y THEN -1 ELSE 0 END)
+         |        * CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS HUGEINT) AS cd2
+         |  FROM h a JOIN h b ON a.g = b.g AND a.x < b.x GROUP BY 1),
+         |xm AS (SELECT g, CAST(sum(t * (t - 1)) AS HUGEINT) AS tx,
+         |    CAST(sum(t) AS BIGINT) AS n
+         |  FROM (SELECT g, x, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |ym AS (SELECT g, CAST(sum(t * (t - 1)) AS HUGEINT) AS ty
+         |  FROM (SELECT g, y, CAST(sum(c) AS BIGINT) AS t FROM h GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |f AS (SELECT xm.g, n,
+         |    CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) - tx AS DOUBLE) AS d1,
+         |    CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT) - ty AS DOUBLE) AS d2,
+         |    CAST(cd2 AS DOUBLE) AS cdd
+         |  FROM xm JOIN ym ON xm.g = ym.g JOIN cd ON xm.g = cd.g)
+         |SELECT g AS event_type, n,
+         |  ${mr("2.0 * cdd / sqrt(d1 * d2)", 6)} AS tau
+         |FROM f WHERE d1 > 0.0 AND d2 > 0.0
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    val daily = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("y"))
+    graft.operators.Relational.kendallTau(daily, Seq("event_type"),
+        col("x"), col("y"), maxN = 5000, scaleX = 1L, scaleY = 1L)
+      .withColumn("tau", Rounding.mirrorRound(col("tau"), 6))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

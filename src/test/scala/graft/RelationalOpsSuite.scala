@@ -2013,6 +2013,38 @@ class RelationalOpsSuite extends SparkSpec {
     assert((kh, nh) == ((2L, 8L)) && math.abs(wh - 12.0) < 1e-12, s"$wh")
   }
 
+  test("kendallTau: hand-computed tau-b with ties and weights; guards and drops") {
+    import spark.implicits._
+    // g: one discordant pair among 10 -> tau = (9-1)/10 = 0.8
+    val g = Seq(1 -> 1, 2 -> 3, 3 -> 2, 4 -> 4, 5 -> 5).map { case (x, y) =>
+      ("g", x.toDouble, y.toDouble) }
+    // r: perfectly reversed -> tau = -1
+    val r = Seq(("r", 1.0, 4.0), ("r", 2.0, 3.0), ("r", 3.0, 2.0), ("r", 4.0, 1.0))
+    // t: balanced ties both axes -> C = D -> tau = 0 (d1 = d2 = 8 > 0)
+    val t = Seq(("t", 1.0, 1.0), ("t", 1.0, 2.0), ("t", 2.0, 1.0), ("t", 2.0, 2.0))
+    // w: a weighted cell ((1,1) twice) stays perfectly concordant:
+    // C-D = 2, d1 = d2 = 3*2 - 2 = 4 -> tau = 2*2/4 = 1
+    val w = Seq(("w", 1.0, 1.0), ("w", 1.0, 1.0), ("w", 2.0, 2.0))
+    // c: constant y -> d2 = 0 -> drops; s: single point -> drops
+    val c = Seq(("c", 1.0, 7.0), ("c", 2.0, 7.0))
+    val s = Seq(("s", 1.0, 1.0))
+    val got = Relational.kendallTau((g ++ r ++ t ++ w ++ c ++ s)
+        .toDF("grp", "x", "y"), Seq("grp"), col("x"), col("y"),
+        maxN = 100, scaleX = 1L, scaleY = 1L)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "r", "t", "w"), s"$got")
+    val Seq((_, ng, tg), (_, _, tr), (_, _, tt), (_, nw, tw)) = got
+    assert(ng == 5L && math.abs(tg - 0.8) < 1e-12, s"$tg")
+    assert(tr == -1.0 && tt == 0.0)
+    assert(nw == 3L && math.abs(tw - 1.0) < 1e-12, s"weighted cells: $tw")
+    // maxN guard fails loud on too many distinct cells
+    val ex = intercept[Exception] {
+      Relational.kendallTau(g.toDF("grp", "x", "y"), Seq("grp"),
+        col("x"), col("y"), maxN = 3, scaleX = 1L, scaleY = 1L).collect()
+    }
+    assert(ex.getMessage.contains("maxN"), ex.getMessage)
+  }
+
   test("anovaF: hand-computed F, zero-SSB case, scale invariance; degenerates drop") {
     import spark.implicits._
     // g: a={1,2,3}, b={4,5,6} -> sum si^2/ni = 12+75 = 87, S=21, N=6,

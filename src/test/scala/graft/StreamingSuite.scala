@@ -517,6 +517,55 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("E23: streaming CUSUM — integer fold, alarm restart, late rows, batch equality") {
+    import spark.implicits._
+    import graft.streaming.StreamingCusum
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Long, Long, Double)]
+    // target 10, allowance 1, threshold 5: +3 per 14-unit step
+    val out = StreamingCusum.cusum(source.toDS(), targetUnits = 10L,
+      kUnits = 1L, hUnits = 5L, scale = 1L)
+    val query = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("cusum_out").as[StreamingCusum.CusumRow].collect()
+      // batch 1 arrives OUT of order; on-target row holds 0, two +3 steps
+      // cross h=5 on the second -> alarm +1, then restart
+      source.addData(("1", 3L, 0L, 14.0), ("1", 1L, 0L, 10.0), ("1", 2L, 0L, 14.0))
+      query.processAllAvailable()
+      val r1 = rows().sortBy(_.ord)
+      assert(r1.map(r => (r.ord, r.sPlus, r.flag)).toSeq ==
+        Seq((1L, 0L, 0), (2L, 3L, 0), (3L, 6L, 1)), r1.mkString(","))
+      // batch 2: the late row (ord 2 <= high-water 3) reports the POST-RESET
+      // state and does not fold; the downward shift then alarms -1
+      source.addData(("1", 2L, 0L, 100.0), ("1", 4L, 0L, 4.0), ("1", 5L, 0L, 4.0))
+      query.processAllAvailable()
+      val r2 = rows().sortBy(r => (r.ord, !r.late))
+      val late = r2.filter(_.late)
+      assert(late.map(r => (r.ord, r.sPlus, r.sMinus, r.flag)).toSeq ==
+        Seq((2L, 0L, 0L, 0)), r2.mkString(","))
+      assert(r2.filter(r => !r.late && r.ord >= 4L)
+        .map(r => (r.ord, r.sMinus, r.flag)).toSeq ==
+        Seq((4L, 5L, 0), (5L, 10L, -1)), r2.mkString(","))
+      // in-order streaming readout equals the batch operator on the
+      // concatenated accepted rows — the all-integer fold is bit-exact
+      val batch = graft.operators.Relational.cusum(
+        Seq((1L, 1L, 0L, 10.0), (1L, 2L, 0L, 14.0), (1L, 3L, 0L, 14.0),
+          (1L, 4L, 0L, 4.0), (1L, 5L, 0L, 4.0)).toDF("e", "o", "t", "v"),
+        col("e"), col("o"), col("t"), col("v"),
+        targetUnits = 10L, kUnits = 1L, hUnits = 5L, scale = 1L)
+        .select("ord", "s_plus", "s_minus", "flag")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val stream = rows().filterNot(_.late)
+        .map(r => (r.ord, r.sPlus, r.sMinus, r.flag)).toSet
+      assert(stream == batch, s"$stream vs $batch")
+    } finally query.stop()
+    intercept[IllegalArgumentException] {
+      StreamingCusum.cusum(source.toDS(), targetUnits = 0L, kUnits = 0L,
+        hUnits = 0L)
+    }
+  }
+
   test("streaming anomaly: batch-grained prequential baseline, warm-up, isolation") {
     import spark.implicits._
     import graft.streaming.StreamingAnomaly
