@@ -241,6 +241,47 @@ object TextAnalysis {
         (cov * cov / (col("_dx") * col("_dy"))).as("r2"))
   }
 
+  /** Flesch reading-ease per group (Flesch 1948) — the classical
+    * readability score quality filters bin web text by (a corpus whose
+    * FRE collapses is shifting toward legalese/boilerplate; one whose
+    * FRE inflates toward telegraphic spam). EVERY count is an exact
+    * integer per document — words = the shared space-token contract,
+    * sentences = maximal [.!?]+ runs (min 1), syllables = maximal
+    * [aeiouy]+ runs in the lowercased text PLUS one per vowel-less word
+    * (runs count via the two-replace length trick: replacing each run
+    * with '#' then with '' differs by exactly the run count — pure
+    * codegen'd Columns, no explode, no UDF, zero shuffle before the
+    * group agg) — summed per group as longs in ONE partial-agg pass;
+    * only the macro formula
+    *   fre = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    * touches doubles, ONE fixed tree replayed verbatim by the oracle.
+    * Zero-word documents drop. Output: groupCol, n_docs, n_words,
+    * n_sentences, n_syllables, fre.
+    */
+  def readability(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val low = lower(t)
+    def runs(c: Column, pat: String): Column =
+      (length(regexp_replace(c, pat, "#")) -
+        length(regexp_replace(c, pat, ""))).cast("long")
+    val words = size(tokens(t)).cast("long")
+    val novowel = size(filter(tokens(low),
+      w => !w.rlike("[aeiouy]"))).cast("long")
+    val sentences = greatest(lit(1L), runs(t, "[.!?]+"))
+    val agg = df.select(col(groupCol), words.as("_w"), sentences.as("_s"),
+        (runs(low, "[aeiouy]+") + novowel).as("_y"))
+      .filter(col("_w") > 0L)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_w")).as("n_words"),
+        sum(col("_s")).as("n_sentences"), sum(col("_y")).as("n_syllables"))
+    agg.withColumn("fre",
+      lit(206.835) -
+        lit(1.015) * (col("n_words").cast("double") /
+          col("n_sentences").cast("double")) -
+        lit(84.6) * (col("n_syllables").cast("double") /
+          col("n_words").cast("double")))
+  }
+
   /** Gopher-style repetition quality signals (the standard "is this doc
     * degenerate boilerplate?" filters of a training-data pipeline):
     * duplicate-word fraction, duplicate-bigram fraction, and

@@ -779,7 +779,45 @@ object Text {
         Rounding.mirrorRound(col("r2"), 6).as("r2"))
   }
 
+  /** t29: Flesch reading-ease per source
+    * ([[graft.operators.TextAnalysis.readability]]) — per-document
+    * exact integer counts (space-token words; [.!?]+ sentence runs min
+    * 1; [aeiouy]+ syllable runs + one per vowel-less word, all via the
+    * two-replace length trick — codegen'd Columns, zero shuffle before
+    * the agg), long sums per source, the macro Flesch formula ONE fixed
+    * double tree.
+    */
+  val t29 = QueryDef(
+    "t29_readability", {
+      val w = "CAST(n_words AS DOUBLE)"
+      val fre = s"206.835 - 1.015 * ($w / CAST(n_sentences AS DOUBLE))" +
+        s" - 84.6 * (CAST(n_syllables AS DOUBLE) / $w)"
+      s"""WITH p AS (SELECT source,
+         |    CAST(len($duckToks) AS BIGINT) AS w,
+         |    greatest(CAST(1 AS BIGINT),
+         |      CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
+         |        - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT)) AS s,
+         |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+         |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)
+         |      + CAST(len(list_filter(string_split(lower(text), ' '),
+         |          t -> NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT) AS y
+         |  FROM documents),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS n_words,
+         |    CAST(sum(s) AS BIGINT) AS n_sentences,
+         |    CAST(sum(y) AS BIGINT) AS n_syllables
+         |  FROM p WHERE w > 0 GROUP BY 1)
+         |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+         |  ${mr(fre, 6)} AS fre
+         |FROM g ORDER BY source""".stripMargin
+    }) { (s, dir) =>
+    TextAnalysis.readability(Tables(s, dir, "documents"), "source", "text")
+      .withColumn("fre", Rounding.mirrorRound(col("fre"), 6))
+      .orderBy("source")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13,
-      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
+      t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27,
+      t28, t29)
 }

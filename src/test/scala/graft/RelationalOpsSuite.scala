@@ -2124,6 +2124,22 @@ class RelationalOpsSuite extends SparkSpec {
     assert(TextAnalysis.zipfFit(flat, "text").isEmpty)
   }
 
+  test("readability: hand counts incl. vowel-less word and sentence-less doc") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // a: 7 words, 3 sentence runs, 6 vowel runs + 1 vowel-less word = 7
+    val a = ("a", "The cat sat. It ran! Dry pfft?")
+    // b: no punctuation -> sentences floor at 1; syllables 1+2+1 = 4
+    val b = ("b", "spark merge join")
+    val got = TextAnalysis.readability(Seq(a, b).toDF("source", "text"),
+        "source", "text")
+      .as[(String, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def fre(w: Long, s: Long, y: Long): Double =
+      206.835 - 1.015 * (w.toDouble / s.toDouble) - 84.6 * (y.toDouble / w.toDouble)
+    assert(got == Seq(("a", 1L, 7L, 3L, 7L, fre(7, 3, 7)),
+      ("b", 1L, 3L, 1L, 4L, fre(3, 1, 4))), s"$got")
+  }
+
   test("NormalDist.twoSidedP: anchors, cap, symmetry, monotone tail") {
     import spark.implicits._
     import graft.functions.NormalDist
