@@ -1277,6 +1277,26 @@ object ScaleProbe {
       Relational.psiDrift(d, Seq("prio"), col("price"),
         pmod(col("cust"), lit(2L)) === 0L).count()
     }
+    // Round-10 third wave. Scale claims: anovaF is a windowless
+    // partial-agg reduce + a k-row fold (pure scan cost); changePoint's
+    // windows run over |days| rows after the daily pre-agg; kendallTau's
+    // quadratic join runs over distinct (x,y) CELLS — the daily pre-agg
+    // bounds cells at |days|, replication adds only tie mass.
+    timed(factor, "q122 anova") {
+      Relational.anovaF(d, Seq("prio"),
+        (dayofweek(col("odate")) - 1).cast("long"), col("price")).count()
+    }
+    timed(factor, "q121 changepoint (daily pre-agg)") {
+      Relational.changePoint(d, Seq("prio"), to_date(col("odate")),
+        col("price")).count()
+    }
+    timed(factor, "q123 kendall-tau (daily pre-agg)") {
+      val daily = d.groupBy(col("prio"), to_date(col("odate")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(floor(col("price") * 100.0 + 0.5).cast("long")).as("y"))
+      Relational.kendallTau(daily, Seq("prio"), col("x"), col("y"),
+        maxN = 5000, scaleX = 1L, scaleY = 1L).count()
+    }
   }
 
   private def frontier(spark: SparkSession, factor: Int): Unit = {
