@@ -3303,6 +3303,12 @@ object Relational {
     * Groups with < 2 distinct days drop (no interior split exists).
     * Output per group: day (last day of the left segment), t (days
     * left), t_days (T), mean_left, mean_right, shift.
+    *
+    * Sizing bound: the daily totals and their prefix sums are LONGS —
+    * Σ|v|·scale per group must stay under 2⁶³ (≈9.2·10¹⁸; at cent
+    * scale that is ~10¹⁷ dollars of group total, far past any real
+    * corpus). Only the T·S_t products, which DO pass 2⁶³ earlier, are
+    * lifted to decimal(38,0).
     */
   def changePoint(df: DataFrame, groupCols: Seq[String], dayCol: Column,
       valueCol: Column, scale: Long = 100L): DataFrame = {
