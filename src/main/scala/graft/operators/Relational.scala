@@ -3352,6 +3352,60 @@ object Relational {
         col("shift")): _*)
   }
 
+  /** Seasonal-naive forecast evaluation (the MASE scaling of Hyndman &
+    * Koehler 2006, applied to the period-m naive forecaster) — "does
+    * weekly structure explain this series?" as ONE number per group:
+    * the period-m naive forecast (ŷ_t = y_{t−m}) is evaluated against
+    * the one-step naive baseline (ŷ_t = y_{t−1}),
+    *   mase = MAE_seasonal / MAE_naive,
+    * < 1 ⇒ the seasonal lag predicts better than persistence — the
+    * cheap pre-check before fitting anything like [[holtWinters]], and
+    * the standard scale-free way to compare forecast error across
+    * groups of different magnitude. The corpus pre-aggregates to the
+    * per-group DAILY TOTAL series (|groups|·|days| rows); lags are m
+    * STEPS of the observed series (gaps are not imputed — run
+    * [[gapFill]] first if calendar-true lags matter; the step contract
+    * is documented, not hidden). Every error is an exact long
+    * |y_t − y_lag|; the two sums and counts are exact longs; the two
+    * MAEs are one division each, and mase cross-multiplies in
+    * decimal(38,0) (sum_s·cnt_n can pass 2⁶³) before its single double
+    * division, so no intermediate float ever feeds another. Groups
+    * need > period observed days and a non-constant series
+    * (MAE_naive > 0) — else no row. Output: groupCols, n_days,
+    * mae_seasonal, mae_naive, mase (MAEs in value units).
+    */
+  def seasonalNaiveEval(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, period: Int = 7, scale: Long = 100L): DataFrame = {
+    require(period >= 2, s"seasonal period must be >= 2, got $period")
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val daily = df.select(parts :+ dayCol.as("_day") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_day").isNotNull && col("_v").isNotNull)
+      .groupBy(parts :+ col("_day"): _*)
+      .agg(sum(col("_v")).as("_sv"))
+    val w = Window.partitionBy(parts: _*).orderBy(col("_day"))
+    val lagged = daily
+      .withColumn("_e1", abs(col("_sv") - lag(col("_sv"), 1).over(w)))
+      .withColumn("_em", abs(col("_sv") - lag(col("_sv"), period).over(w)))
+    val dec = "decimal(38,0)"
+    val g = lagged.groupBy(parts: _*)
+      .agg(count(lit(1)).as("n_days"),
+        count(col("_em")).as("_cs"), sum(col("_em")).as("_ss"),
+        count(col("_e1")).as("_cn"), sum(col("_e1")).as("_sn"))
+    val sD = lit(scale.toDouble)
+    g.filter(col("_cs") > 0L && col("_sn") > 0L)
+      .withColumn("mae_seasonal",
+        col("_ss").cast("double") / col("_cs").cast("double") / sD)
+      .withColumn("mae_naive",
+        col("_sn").cast("double") / col("_cn").cast("double") / sD)
+      .withColumn("mase",
+        (col("_ss").cast(dec) * col("_cn").cast(dec)).cast("double") /
+          (col("_sn").cast(dec) * col("_cs").cast(dec)).cast("double"))
+      .select(parts ++ Seq(col("n_days"), col("mae_seasonal"),
+        col("mae_naive"), col("mase")): _*)
+  }
+
   /** Cohen's kappa inter-rater agreement (Cohen 1960) — do two binary
     * labelers agree BEYOND CHANCE? The evaluation a curation pipeline
     * owes every pair of quality gates (t03's stopword gate vs a length

@@ -1807,5 +1807,50 @@ object RelationalStats {
       .orderBy("event_type")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+  /** q124: seasonal-naive forecast evaluation per event type on the
+    * daily value series
+    * ([[graft.operators.Relational.seasonalNaiveEval]]) — MASE of the
+    * lag-7 forecaster scaled by one-step persistence: every error an
+    * exact long, the two MAEs one division each, mase cross-multiplied
+    * in decimal(38,0) vs DuckDB int128 before its single double
+    * division.
+    */
+  val q124 = QueryDef(
+    "q124_seasonal_naive", {
+      val mase = "CAST(CAST(ss AS HUGEINT) * CAST(cn AS HUGEINT) AS DOUBLE)" +
+        " / CAST(CAST(sn AS HUGEINT) * CAST(cs AS HUGEINT) AS DOUBLE)"
+      s"""WITH e AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |d AS (SELECT g, day, CAST(sum(v) AS BIGINT) AS sv
+         |      FROM e GROUP BY 1, 2),
+         |l AS (SELECT g,
+         |    abs(sv - lag(sv, 1) OVER (PARTITION BY g ORDER BY day)) AS e1,
+         |    abs(sv - lag(sv, 7) OVER (PARTITION BY g ORDER BY day)) AS em
+         |  FROM d),
+         |gg AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(count(em) AS BIGINT) AS cs, CAST(sum(em) AS BIGINT) AS ss,
+         |    CAST(count(e1) AS BIGINT) AS cn, CAST(sum(e1) AS BIGINT) AS sn
+         |  FROM l GROUP BY 1)
+         |SELECT g AS event_type, n_days,
+         |  ${mr("CAST(ss AS DOUBLE) / CAST(cs AS DOUBLE) / 100.0", 6)} AS mae_seasonal,
+         |  ${mr("CAST(sn AS DOUBLE) / CAST(cn AS DOUBLE) / 100.0", 6)} AS mae_naive,
+         |  ${mr(mase, 6)} AS mase
+         |FROM gg WHERE cs > 0 AND sn > 0
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.seasonalNaiveEval(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"), to_date(col("ts")), col("value"),
+        period = 7, scale = 100L)
+      .withColumn("mae_seasonal", Rounding.mirrorRound(col("mae_seasonal"), 6))
+      .withColumn("mae_naive", Rounding.mirrorRound(col("mae_naive"), 6))
+      .withColumn("mase", Rounding.mirrorRound(col("mase"), 6))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

@@ -2124,6 +2124,30 @@ class RelationalOpsSuite extends SparkSpec {
     assert(TextAnalysis.zipfFit(flat, "text").isEmpty)
   }
 
+  test("seasonalNaiveEval: hand MASE, periodic series scores 0, degenerates drop") {
+    import spark.implicits._
+    // g: 1..10 linear -> e1 all 1 (mae_naive 1), em = 7,7,7 -> mase 7
+    val g = (1 to 10).map(d => ("g", d, d.toDouble))
+    // p: period-7 repeating -> em all 0 -> mase exactly 0
+    val pat = Seq(5.0, 1.0, 2.0, 1.0, 1.0, 3.0, 5.0)
+    val p = (0 until 14).map(d => ("p", d, pat(d % 7)))
+    // c: constant (mae_naive 0) drops; s: too short for lag-7 drops
+    val c = (1 to 10).map(d => ("c", d, 4.0))
+    val s = (1 to 6).map(d => ("s", d, d.toDouble))
+    val got = Relational.seasonalNaiveEval((g ++ p ++ c ++ s)
+        .toDF("grp", "day", "v"), Seq("grp"), col("day"), col("v"),
+        period = 7, scale = 1L)
+      .as[(String, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "p"), s"$got")
+    val Seq((_, ng, msG, mnG, maseG), (_, np, msP, _, maseP)) = got
+    assert(ng == 10L && msG == 7.0 && mnG == 1.0 && maseG == 7.0, s"$got")
+    assert(np == 14L && msP == 0.0 && maseP == 0.0, s"$got")
+    intercept[IllegalArgumentException] {
+      Relational.seasonalNaiveEval(g.toDF("grp", "day", "v"), Seq("grp"),
+        col("day"), col("v"), period = 1)
+    }
+  }
+
   test("readability: hand counts incl. vowel-less word and sentence-less doc") {
     import spark.implicits._
     import graft.operators.TextAnalysis
