@@ -2349,7 +2349,7 @@ object Relational {
         .agg(sum(col("_t").cast(dec) * (col("_t") - 1L).cast(dec))
           .cast(dec).as(out), sum(col("_t")).as(s"${out}_n"))
     val xm = margin("_x", "_tx")
-    val ym = margin("_y", "_ty").withColumnRenamed("_ty_n", "_n2drop")
+    val ym = margin("_y", "_ty")
     val n0 = col("_tx_n").cast(dec) * (col("_tx_n") - 1L).cast(dec)
     xm.join(ym, groupCols).join(cd, groupCols)
       .withColumn("_d1", (n0 - col("_tx")).cast("double"))
@@ -3310,15 +3310,24 @@ object Relational {
     * corpus). Only the T·S_t products, which DO pass 2⁶³ earlier, are
     * lifted to decimal(38,0).
     */
-  def changePoint(df: DataFrame, groupCols: Seq[String], dayCol: Column,
-      valueCol: Column, scale: Long = 100L): DataFrame = {
-    require(scale >= 1, "scale must be >= 1")
-    val parts = groupCols.map(col)
-    val daily = df.select(parts :+ dayCol.as("_day") :+
+  /** Shared daily pre-agg of [[changePoint]] / [[seasonalNaiveEval]]:
+    * (groupCols..., _day, _sv) — the per-group daily TOTAL of the
+    * snapped value, null day/value rows dropped whole. The contract
+    * both operators' oracles replay; change it here or nowhere.
+    */
+  private def dailyTotals(df: DataFrame, parts: Seq[Column], dayCol: Column,
+      valueCol: Column, scale: Long): DataFrame =
+    df.select(parts :+ dayCol.as("_day") :+
         snap(valueCol, scale).as("_v"): _*)
       .filter(col("_day").isNotNull && col("_v").isNotNull)
       .groupBy(parts :+ col("_day"): _*)
       .agg(sum(col("_v")).as("_sv"))
+
+  def changePoint(df: DataFrame, groupCols: Seq[String], dayCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val daily = dailyTotals(df, parts, dayCol, valueCol, scale)
     val wd = Window.partitionBy(parts: _*).orderBy(col("_day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wg = Window.partitionBy(parts: _*)
@@ -3379,11 +3388,7 @@ object Relational {
     require(period >= 2, s"seasonal period must be >= 2, got $period")
     require(scale >= 1, "scale must be >= 1")
     val parts = groupCols.map(col)
-    val daily = df.select(parts :+ dayCol.as("_day") :+
-        snap(valueCol, scale).as("_v"): _*)
-      .filter(col("_day").isNotNull && col("_v").isNotNull)
-      .groupBy(parts :+ col("_day"): _*)
-      .agg(sum(col("_v")).as("_sv"))
+    val daily = dailyTotals(df, parts, dayCol, valueCol, scale)
     val w = Window.partitionBy(parts: _*).orderBy(col("_day"))
     val lagged = daily
       .withColumn("_e1", abs(col("_sv") - lag(col("_sv"), 1).over(w)))

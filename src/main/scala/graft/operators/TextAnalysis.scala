@@ -255,8 +255,12 @@ object TextAnalysis {
     * only the macro formula
     *   fre = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
     * touches doubles, ONE fixed tree replayed verbatim by the oracle.
-    * Zero-word documents drop. Output: groupCol, n_docs, n_words,
-    * n_sentences, n_syllables, fre.
+    * EMPTY tokens are not words (this deliberately diverges from the
+    * raw `len(string_split)` token contract: a run of spaces must not
+    * inflate the word count, and a vowel-less "word" of length 0 must
+    * not add a syllable), so empty and whitespace-only documents
+    * genuinely drop through the zero-word filter. Output: groupCol,
+    * n_docs, n_words, n_sentences, n_syllables, fre.
     */
   def readability(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
@@ -264,9 +268,9 @@ object TextAnalysis {
     def runs(c: Column, pat: String): Column =
       (length(regexp_replace(c, pat, "#")) -
         length(regexp_replace(c, pat, ""))).cast("long")
-    val words = size(tokens(t)).cast("long")
+    val words = size(filter(tokens(t), w => length(w) > 0)).cast("long")
     val novowel = size(filter(tokens(low),
-      w => !w.rlike("[aeiouy]"))).cast("long")
+      w => length(w) > 0 && !w.rlike("[aeiouy]"))).cast("long")
     val sentences = greatest(lit(1L), runs(t, "[.!?]+"))
     val agg = df.select(col(groupCol), words.as("_w"), sentences.as("_s"),
         (runs(low, "[aeiouy]+") + novowel).as("_y"))

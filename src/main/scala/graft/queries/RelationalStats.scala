@@ -1727,7 +1727,8 @@ object RelationalStats {
          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
          |    AND event_type IS NOT NULL),
          |pt AS (SELECT g, k, CAST(count(*) AS BIGINT) AS ni,
-         |    CAST(sum(v) AS BIGINT) AS si, sum(v * v) AS ssi
+         |    CAST(sum(v) AS BIGINT) AS si,
+         |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ssi
          |  FROM p GROUP BY 1, 2),
          |fold AS (SELECT g, ni, si, ssi,
          |    sum(CAST(si AS DOUBLE) * CAST(si AS DOUBLE) / CAST(ni AS DOUBLE))

@@ -793,14 +793,15 @@ object Text {
       val fre = s"206.835 - 1.015 * ($w / CAST(n_sentences AS DOUBLE))" +
         s" - 84.6 * (CAST(n_syllables AS DOUBLE) / $w)"
       s"""WITH p AS (SELECT source,
-         |    CAST(len($duckToks) AS BIGINT) AS w,
+         |    CAST(len(list_filter($duckToks, t -> length(t) > 0)) AS BIGINT) AS w,
          |    greatest(CAST(1 AS BIGINT),
          |      CAST(length(regexp_replace(text, '[.!?]+', '#', 'g'))
          |        - length(regexp_replace(text, '[.!?]+', '', 'g')) AS BIGINT)) AS s,
          |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
          |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT)
          |      + CAST(len(list_filter(string_split(lower(text), ' '),
-         |          t -> NOT regexp_matches(t, '[aeiouy]'))) AS BIGINT) AS y
+         |          t -> length(t) > 0 AND NOT regexp_matches(t, '[aeiouy]')))
+         |        AS BIGINT) AS y
          |  FROM documents),
          |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |    CAST(sum(w) AS BIGINT) AS n_words,

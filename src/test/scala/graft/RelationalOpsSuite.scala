@@ -2153,9 +2153,14 @@ class RelationalOpsSuite extends SparkSpec {
     import graft.operators.TextAnalysis
     // a: 7 words, 3 sentence runs, 6 vowel runs + 1 vowel-less word = 7
     val a = ("a", "The cat sat. It ran! Dry pfft?")
-    // b: no punctuation -> sentences floor at 1; syllables 1+2+1 = 4
-    val b = ("b", "spark merge join")
-    val got = TextAnalysis.readability(Seq(a, b).toDF("source", "text"),
+    // b: no punctuation -> sentences floor at 1; syllables 1+2+1 = 4;
+    // the double space adds an empty token that must NOT count as a
+    // word or a vowel-less syllable
+    val b = ("b", "spark merge  join")
+    // w: whitespace-only and empty docs have zero words -> drop whole
+    val w1 = ("w", "   ")
+    val w2 = ("w", "")
+    val got = TextAnalysis.readability(Seq(a, b, w1, w2).toDF("source", "text"),
         "source", "text")
       .as[(String, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     def fre(w: Long, s: Long, y: Long): Double =
