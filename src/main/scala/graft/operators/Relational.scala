@@ -3283,6 +3283,87 @@ object Relational {
         col("f")): _*)
   }
 
+  /** Welch's heteroscedastic one-way ANOVA (Welch 1951) — [[anovaF]]
+    * WITHOUT the equal-variance assumption that [[brownForsythe]]
+    * exists to test: when spreads differ across treatments (they
+    * usually do in metric data), classical F's size is wrong and Welch
+    * is the standard repair; at k = 2 the statistic reduces exactly to
+    * Welch's t² (q61's test — spec-asserted). Per treatment the exact
+    * integer moments (n_i, Σv longs, Σv² decimal(38,0) vs int128) give
+    *   s²_i = (n_i·Σv² − (Σv)²) / (n_i(n_i−1))   (numerator exact in
+    *   decimal, ONE double division),  w_i = n_i/s²_i,
+    * then TWO ordered k-row window folds (the q117 signed-safe
+    * take-at-last-row discipline — Σw_i·x̄_i carries sign, so no
+    * running-max shortcut): fold 1 accumulates W = Σw and M = Σw·x̄ to
+    * get x̄_w = M/W; the group scalars broadcast-join back and fold 2
+    * accumulates A = Σw(x̄ − x̄_w)² and Λ4 = Σ(1 − w/W)²/(n_i − 1);
+    *   F_w = (A/(k−1)) / (1 + 2(k−2)/(k²−1)·Λ4),
+    *   df2 = (k²−1)/(3·Λ4).
+    * Both engines add the same doubles in the same treatment order, so
+    * the result is bit-stable. A group containing ANY unusable
+    * treatment (n_i < 2, or zero within-treatment variance ⇒ w = ∞)
+    * emits no row — conservative and explicit, never a silent
+    * reshaping of k. Output: groupCols, k, n, f_w, df2.
+    */
+  def welchAnova(df: DataFrame, groupCols: Seq[String], treatCol: Column,
+      valueCol: Column, scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    val parts = groupCols.map(col)
+    val dec = "decimal(38,0)"
+    val vd = col("_v").cast("decimal(19,0)")
+    val perTreat = df.select(parts :+ treatCol.as("_k") :+
+        snap(valueCol, scale).as("_v"): _*)
+      .filter(col("_k").isNotNull && col("_v").isNotNull)
+      .groupBy(parts :+ col("_k"): _*)
+      .agg(count(lit(1)).as("_ni"), sum(col("_v")).as("_si"),
+        sum(vd * vd).cast(dec).as("_ssi"))
+      .withColumn("_s2num", col("_ni").cast(dec) * col("_ssi") -
+        col("_si").cast(dec) * col("_si").cast(dec))
+      .withColumn("_bad",
+        when(col("_ni") < 2L || col("_s2num") <= lit(0L).cast(dec), 1L)
+          .otherwise(0L))
+      // placeholder on bad treatments: the whole group dies via _rbad,
+      // but ANSI division must not fire before the filter can act
+      .withColumn("_s2", when(col("_bad") === 1L, lit(1.0))
+        .otherwise(col("_s2num").cast("double") /
+          (col("_ni") * (col("_ni") - 1L)).cast("double")))
+      .withColumn("_w", col("_ni").cast("double") / col("_s2"))
+      .withColumn("_xb", col("_si").cast("double") / col("_ni").cast("double"))
+    val wk = Window.partitionBy(parts: _*).orderBy(col("_k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(parts: _*).orderBy(col("_k"))
+    // fold 1: W and M, signed-safe (take the completed fold's last row)
+    val f1 = perTreat
+      .withColumn("_rw", sum(col("_w")).over(wk))
+      .withColumn("_rm", sum(col("_w") * col("_xb")).over(wk))
+      .withColumn("_rbad", sum(col("_bad")).over(
+        Window.partitionBy(parts: _*)))
+      .withColumn("_rk", row_number().over(wg))
+      .withColumn("_cnt", count(lit(1)).over(Window.partitionBy(parts: _*)))
+      .filter(col("_rk") === col("_cnt") && col("_rbad") === 0L &&
+        col("_cnt") >= 2L)
+      .select(parts ++ Seq(col("_rw").as("_bw"), (col("_rm") / col("_rw"))
+        .as("_xw"), col("_cnt").as("k")): _*)
+    // fold 2: A and Λ4 against the broadcast group scalars
+    val f2 = perTreat.join(broadcast(f1), groupCols)
+      .withColumn("_ra", sum(col("_w") * (col("_xb") - col("_xw")) *
+        (col("_xb") - col("_xw"))).over(wk))
+      .withColumn("_rl", sum((lit(1.0) - col("_w") / col("_bw")) *
+        (lit(1.0) - col("_w") / col("_bw")) /
+        (col("_ni") - 1L).cast("double")).over(wk))
+      .withColumn("_rn", sum(col("_ni")).over(wk))
+      .withColumn("_rk", row_number().over(wg))
+      .filter(col("_rk") === col("k"))
+    val kD = col("k").cast("double")
+    f2.filter(col("_rl") > 0.0)
+      .withColumn("f_w", (col("_ra") / (kD - lit(1.0))) /
+        (lit(1.0) + lit(2.0) * (kD - lit(2.0)) / (kD * kD - lit(1.0)) *
+          col("_rl")))
+      .withColumn("df2", (kD * kD - lit(1.0)) / (lit(3.0) * col("_rl")))
+      .select(parts ++ Seq(col("k"), col("_rn").as("n"), col("f_w"),
+        col("df2")): _*)
+  }
+
   /** Single change-point locator (the CUSUM contrast of Page 1954 /
     * binary segmentation's first split) — WHERE did the daily metric
     * level-shift? q113 (Mann–Kendall) answers "is there a monotone

@@ -1853,5 +1853,71 @@ object RelationalStats {
       .orderBy("event_type")
   }
 
-  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+  /** q125: Welch's heteroscedastic ANOVA per event type across
+    * day-of-week treatments
+    * ([[graft.operators.Relational.welchAnova]]) — q122's classical F
+    * without the equal-variance assumption q120 tests: exact integer
+    * moments per treatment, s² one double division of exact ints, TWO
+    * ordered k-row folds (signed-safe take-at-last-row — Σw·x̄ carries
+    * sign), F_w and df2 fixed double trees replayed term for term.
+    */
+  val q125 = QueryDef(
+    "q125_welch_anova", {
+      val kD = "CAST(k AS DOUBLE)"
+      val f = s"(ra / ($kD - 1.0)) / (1.0 + 2.0 * ($kD - 2.0) / ($kD * $kD - 1.0) * rl)"
+      s"""WITH p AS (SELECT event_type AS g,
+         |    CAST(date_part('dow', ts) AS BIGINT) AS k,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |pt AS (SELECT g, k, CAST(count(*) AS BIGINT) AS ni,
+         |    CAST(sum(v) AS BIGINT) AS si,
+         |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ssi
+         |  FROM p GROUP BY 1, 2),
+         |m AS (SELECT g, k, ni,
+         |    CASE WHEN ni < 2 OR CAST(ni AS HUGEINT) * ssi
+         |        - CAST(si AS HUGEINT) * CAST(si AS HUGEINT) <= 0
+         |      THEN 1 ELSE 0 END AS bad,
+         |    CASE WHEN ni < 2 OR CAST(ni AS HUGEINT) * ssi
+         |        - CAST(si AS HUGEINT) * CAST(si AS HUGEINT) <= 0 THEN 1.0
+         |      ELSE CAST(CAST(ni AS HUGEINT) * ssi
+         |          - CAST(si AS HUGEINT) * CAST(si AS HUGEINT) AS DOUBLE)
+         |        / CAST(ni * (ni - 1) AS DOUBLE) END AS s2,
+         |    CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) AS xb
+         |  FROM pt),
+         |mm AS (SELECT m.*, CAST(ni AS DOUBLE) / s2 AS w FROM m),
+         |r1 AS (SELECT g, sum(w) OVER wkk AS rw, sum(w * xb) OVER wkk AS rm,
+         |    sum(bad) OVER (PARTITION BY g) AS rbad,
+         |    row_number() OVER (PARTITION BY g ORDER BY k) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS cnt
+         |  FROM mm WINDOW wkk AS (PARTITION BY g ORDER BY k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |f1 AS (SELECT g, rw AS bw, rm / rw AS xw, cnt AS k FROM r1
+         |  WHERE rk = cnt AND rbad = 0 AND cnt >= 2),
+         |f2 AS (SELECT mm.g, f1.k,
+         |    sum(w * (xb - xw) * (xb - xw)) OVER wkk AS ra,
+         |    sum((1.0 - w / bw) * (1.0 - w / bw)
+         |      / CAST(ni - 1 AS DOUBLE)) OVER wkk AS rl,
+         |    CAST(sum(ni) OVER wkk AS BIGINT) AS rn,
+         |    row_number() OVER (PARTITION BY mm.g ORDER BY mm.k) AS rk
+         |  FROM mm JOIN f1 ON mm.g = f1.g
+         |  WINDOW wkk AS (PARTITION BY mm.g ORDER BY mm.k
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT g AS event_type, k, rn AS n, ${mr(f, 6)} AS f_w,
+         |  ${mr(s"($kD * $kD - 1.0) / (3.0 * rl)", 6)} AS df2
+         |FROM f2 WHERE rk = k AND rl > 0.0
+         |ORDER BY event_type""".stripMargin
+    }) { (s, dir) =>
+    import graft.functions.Rounding
+    graft.operators.Relational.welchAnova(
+        Tables.events(s, dir)
+          .filter(col("ts").isNotNull && col("event_type").isNotNull),
+        Seq("event_type"),
+        (dayofweek(col("ts")) - 1).cast("long"), col("value"), scale = 100L)
+      .withColumn("f_w", Rounding.mirrorRound(col("f_w"), 6))
+      .withColumn("df2", Rounding.mirrorRound(col("df2"), 6))
+      .orderBy("event_type")
+  }
+
+  val queries: Seq[QueryDef] = Seq(q44, q52, q53, q55, q56, q57, q58, q60, q61, q62, q63, q64, q65, q66, q67, q72, q74, q75, q78, q82, q83, q85, q86, q91, q94, q105, q108, q109, q110, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124, q125)
 }

@@ -2124,6 +2124,42 @@ class RelationalOpsSuite extends SparkSpec {
     assert(TextAnalysis.zipfFit(flat, "text").isEmpty)
   }
 
+  test("welchAnova: k=2 equals Welch t-squared, 3-treatment replay, degenerates drop") {
+    import spark.implicits._
+    // g: a={1,2,3} (s2=1, w=3), b={10,12,14} (s2=4, w=.75) ->
+    // F_w = t_welch^2 = 100 / (1/3 + 4/3) = 60 exactly; df2 = 3/(3*.34)
+    val g = Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "a", 3.0),
+      ("g", "b", 10.0), ("g", "b", 12.0), ("g", "b", 14.0))
+    // h: adds c={5,6,7,8} -> replay the whole formula in key order
+    val h = g.map { case (_, k, v) => ("h", k, v) } ++
+      Seq(("h", "c", 5.0), ("h", "c", 6.0), ("h", "c", 7.0), ("h", "c", 8.0))
+    // d1: a treatment with n=1 -> group drops; d2: constant treatment drops
+    val d1 = Seq(("d1", "a", 1.0), ("d1", "a", 2.0), ("d1", "b", 5.0))
+    val d2 = Seq(("d2", "a", 1.0), ("d2", "a", 2.0), ("d2", "b", 7.0), ("d2", "b", 7.0))
+    val got = Relational.welchAnova((g ++ h ++ d1 ++ d2).toDF("grp", "k", "v"),
+        Seq("grp"), col("k"), col("v"), scale = 1L)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("g", "h"), s"$got")
+    val Seq((_, kg, ng, fg, dfg), (_, kh, nh, fh, dfh)) = got
+    assert((kg, ng) == ((2L, 6L)))
+    assert(math.abs(fg - 60.0) < 1e-9, s"$fg")
+    assert(math.abs(dfg - 3.0 / (3.0 * 0.34)) < 1e-9, s"$dfg")
+    // replay h with the operator's own fold order (treatments ascending)
+    val stats = Seq(("a", 3L, 2.0, 1.0), ("b", 3L, 12.0, 4.0),
+      ("c", 4L, 6.5, 5.0 / 3.0))
+    val ws = stats.map { case (_, n, _, s2) => n.toDouble / s2 }
+    val bw = ws.sum
+    val xw = stats.zip(ws).map { case ((_, _, xb, _), w) => w * xb }.sum / bw
+    val a = stats.zip(ws).map { case ((_, _, xb, _), w) => w * (xb - xw) * (xb - xw) }.sum
+    val l = stats.zip(ws).map { case ((_, n, _, _), w) =>
+      (1.0 - w / bw) * (1.0 - w / bw) / (n - 1).toDouble }.sum
+    val k3 = 3.0
+    val expF = (a / (k3 - 1.0)) / (1.0 + 2.0 * (k3 - 2.0) / (k3 * k3 - 1.0) * l)
+    assert((kh, nh) == ((3L, 10L)))
+    assert(math.abs(fh - expF) < 1e-9, s"$fh vs $expF")
+    assert(math.abs(dfh - (k3 * k3 - 1.0) / (3.0 * l)) < 1e-9, s"$dfh")
+  }
+
   test("seasonalNaiveEval: hand MASE, periodic series scores 0, degenerates drop") {
     import spark.implicits._
     // g: 1..10 linear -> e1 all 1 (mae_naive 1), em = 7,7,7 -> mase 7
