@@ -2013,6 +2013,43 @@ class RelationalOpsSuite extends SparkSpec {
     assert((kh, nh) == ((2L, 8L)) && math.abs(wh - 12.0) < 1e-12, s"$wh")
   }
 
+  test("round-10 stats plan shapes: no pair joins, windows only above aggregates") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val data = (1 to 40).map(i => ("g", i % 7, i, i.toDouble * 3 % 11))
+      .toDF("grp", "k", "day", "v")
+    val plans = Map(
+      "anovaF" -> Relational.anovaF(data, Seq("grp"), col("k"), col("v"),
+        scale = 1L),
+      "welchAnova" -> Relational.welchAnova(data, Seq("grp"), col("k"),
+        col("v"), scale = 1L),
+      "changePoint" -> Relational.changePoint(data, Seq("grp"), col("day"),
+        col("v"), scale = 1L),
+      "seasonalNaiveEval" -> Relational.seasonalNaiveEval(data, Seq("grp"),
+        col("day"), col("v"), scale = 1L),
+      "kendallTau" -> Relational.kendallTau(data, Seq("grp"), col("k"),
+        col("v"), maxN = 1000, scaleX = 1L, scaleY = 1L))
+    plans.foreach { case (name, df) =>
+      // pre-execution plan: the full tree is visible (post-AQE it hides
+      // behind query-stage nodes whose children are detached)
+      val nodes = collectAll(df.queryExecution.executedPlan)
+      // the quadratic surfaces must be equi-joins, never a pair scan
+      assert(!nodes.exists(n => n.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+        n.isInstanceOf[CartesianProductExec]), s"$name plans a pair join")
+      // every window runs over a statistic table (an aggregate sits
+      // below it), never the raw corpus
+      nodes.collect { case w: WindowExec => w }.foreach { w =>
+        assert(collectAll(w).exists(_.isInstanceOf[BaseAggregateExec]),
+          s"$name has a Window over the un-aggregated input")
+      }
+    }
+  }
+
   test("kendallTau: hand-computed tau-b with ties and weights; guards and drops") {
     import spark.implicits._
     // g: one discordant pair among 10 -> tau = (9-1)/10 = 0.8
