@@ -1297,6 +1297,14 @@ object ScaleProbe {
       Relational.kendallTau(daily, Seq("prio"), col("x"), col("y"),
         maxN = 5000, scaleX = 1L, scaleY = 1L).count()
     }
+    timed(factor, "q124 seasonal-naive") {
+      Relational.seasonalNaiveEval(d, Seq("prio"), to_date(col("odate")),
+        col("price")).count()
+    }
+    timed(factor, "q125 welch-anova") {
+      Relational.welchAnova(d, Seq("prio"),
+        (dayofweek(col("odate")) - 1).cast("long"), col("price")).count()
+    }
   }
 
   private def frontier(spark: SparkSession, factor: Int): Unit = {
