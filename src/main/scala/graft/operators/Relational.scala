@@ -3319,14 +3319,23 @@ object Relational {
         sum(vd * vd).cast(dec).as("_ssi"))
       .withColumn("_s2num", col("_ni").cast(dec) * col("_ssi") -
         col("_si").cast(dec) * col("_si").cast(dec))
+      // a null here means Σv² overflowed decimal(38,0): fail LOUD (the
+      // mannKendall discipline) — a null would otherwise slip past the
+      // _bad gate and silently drop one treatment from the folds while
+      // k still counts it, emitting a wrong-but-plausible F_w
+      .withColumn("_s2num", when(col("_s2num").isNull, raise_error(lit(
+        "welchAnova: sum of squares overflowed decimal(38,0) — rescale " +
+          "the value units")).cast(dec)).otherwise(col("_s2num")))
       .withColumn("_bad",
         when(col("_ni") < 2L || col("_s2num") <= lit(0L).cast(dec), 1L)
           .otherwise(0L))
       // placeholder on bad treatments: the whole group dies via _rbad,
-      // but ANSI division must not fire before the filter can act
+      // but ANSI division must not fire before the filter can act.
+      // The denominator multiplies in the DOUBLE domain: n(n−1) passes
+      // 2^63 at ~3e9 rows per treatment, inside the design envelope
       .withColumn("_s2", when(col("_bad") === 1L, lit(1.0))
         .otherwise(col("_s2num").cast("double") /
-          (col("_ni") * (col("_ni") - 1L)).cast("double")))
+          (col("_ni").cast("double") * (col("_ni") - 1L).cast("double"))))
       .withColumn("_w", col("_ni").cast("double") / col("_s2"))
       .withColumn("_xb", col("_si").cast("double") / col("_ni").cast("double"))
     val wk = Window.partitionBy(parts: _*).orderBy(col("_k"))

@@ -1882,7 +1882,7 @@ object RelationalStats {
          |        - CAST(si AS HUGEINT) * CAST(si AS HUGEINT) <= 0 THEN 1.0
          |      ELSE CAST(CAST(ni AS HUGEINT) * ssi
          |          - CAST(si AS HUGEINT) * CAST(si AS HUGEINT) AS DOUBLE)
-         |        / CAST(ni * (ni - 1) AS DOUBLE) END AS s2,
+         |        / (CAST(ni AS DOUBLE) * CAST(ni - 1 AS DOUBLE)) END AS s2,
          |    CAST(si AS DOUBLE) / CAST(ni AS DOUBLE) AS xb
          |  FROM pt),
          |mm AS (SELECT m.*, CAST(ni AS DOUBLE) / s2 AS w FROM m),
