@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to stdout/stderr instead of
+// being re-logged with an "[info] " prefix — the driver tail-parses the
+// last stdout line of `runMain graft.Bench` as bare JSON.
+run / outputStrategy := Some(StdoutOutput)
+// The driver tail-parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as compact JSON; sbt's own "[success] Total time"
+// trailer printed after the program exits broke that parse in rounds
+// 9/10 ("parsed": null). Suppress the trailer so the program's final
+// println IS the final stdout line.
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by another setting —
+// exclude it from the unused-key lint so builds stay warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -114,7 +114,18 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"failed":$failed,"runs":$Runs,"n_queries":${results.size},"detail":"BENCH_full.json","sf":"$sfDir"}""")
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"failed":$failed,"runs":$Runs,"n_queries":${results.size},"detail":"BENCH_full.json","sf":"$sfDir"}"""
+    // Persist the compact line too (scripts/bench.sh re-echoes it after
+    // sbt exits, so tail-parsing survives ANY future sbt trailer).
+    if (!filteredRun) {
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_last.json"),
+        (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
+    // Stop Spark BEFORE the final println: shutdown logging must not land
+    // after the line the driver tail-parses.
     spark.stop()
+    println(compact)
   }
 }

@@ -74,12 +74,118 @@ object Artifacts {
     else if (r.recursive) distributeDirectory(spark, r.uri)
     else distributeFile(spark, r.uri)
 
+  /** [[resolve]], once per (session, request): a request already resolved
+    * this session — by [[downloadAll]]'s prefetch, by an earlier stage of
+    * the same pipeline, or by a pipeline re-compile — is a no-op instead
+    * of a repeat `addFile` (which WARNs on a same-content re-add and
+    * THROWS on a changed-content one mid-pipeline). This is what makes
+    * prefetch + per-stage resolution compose: the pipeline compiler calls
+    * this for every stage, and stages whose artifacts were prefetched
+    * cost nothing.
+    */
+  def resolveOnce(spark: SparkSession, r: DownloadRequest): Unit =
+    graft.functions.Registration.once(spark,
+      s"artifact:${r.unpack}:${r.recursive}:${r.uri}") {
+      resolve(spark, r)
+    }
+
+  /** Collect `downloadRequests` across stages and deduplicate them,
+    * order-preserving (reference: `download_artifacts`'s collection +
+    * `_deduplicate_download_requests`, pipelines/private/pipelines.py:228
+    * and :157 — uniqueness there is (uri, destination, unpack
+    * destination); Spark owns the destination, so the key here is the
+    * full request: (uri, unpack, recursive)).
+    */
+  def collectRequests(stages: Seq[Stage[_, _]]): Seq[DownloadRequest] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[DownloadRequest]
+    stages.foreach(st => st.downloadRequests.foreach(seen.add))
+    seen.toSeq
+  }
+
+  /** Cross-stage artifact prefetch (reference: `download_artifacts(stages,
+    * config)`, pipelines/private/pipelines.py:228): collect every stage's
+    * `downloadRequests`, dedup, and resolve them ALL before the first
+    * stage compiles — so a pipeline whose stages share model weights
+    * distributes them once, up front, instead of serializing a 50 GB
+    * fetch into each stage's compile. The reference's
+    * DistributedDownloadConfig (chunking, node parallelism, P2P) maps to
+    * Spark's own fetch layer — torrent-style, once per node — so there is
+    * no config to carry; `quota` is the optional admission policy
+    * ([[ArtifactManager]] — its ledger dedups by uri too, so prefetch and
+    * later per-stage `distribute` calls stay idempotent under one quota).
+    * Returns the number of distinct requests resolved.
+    */
+  def downloadAll(spark: SparkSession, stages: Seq[Stage[_, _]],
+      quota: Option[ArtifactManager] = None): Int = {
+    val reqs = collectRequests(stages)
+    reqs.foreach { r =>
+      quota match {
+        // the manager enforces quota + ledger-dedups; still mark the
+        // request resolved session-wide so pipeline compile skips it
+        case Some(m) => graft.functions.Registration.once(spark,
+          s"artifact:${r.unpack}:${r.recursive}:${r.uri}") { m.distribute(r); () }
+        case None => resolveOnce(spark, r)
+      }
+    }
+    reqs.size
+  }
+
   /** Executor-side: absolute local path of a distributed file. */
   def localPath(fileName: String): String = SparkFiles.get(fileName)
 
   /** Torrent-broadcast an object (e.g. a small model, a plane matrix). */
   def broadcastObject[T: scala.reflect.ClassTag](spark: SparkSession, value: T): Broadcast[T] =
     spark.sparkContext.broadcast(value)
+}
+
+/** Background cross-stage artifact prefetch (reference:
+  * `BackgroundArtifactDownloader`, pipelines/private/pipelines.py:294):
+  * start [[Artifacts.downloadAll]] on a daemon thread at construction and
+  * keep doing other driver work — cluster warmup, input listing, plan
+  * validation — while the artifacts distribute; call [[await]] (or
+  * [[close]], e.g. via `scala.util.Using`) before running the pipeline.
+  * Failure surfaces AT THE WAIT, never silently: an exception from the
+  * download thread is unwrapped and rethrown by `await`/`close`, exactly
+  * the reference's future-result contract.
+  *
+  * The pipeline compiler's own per-stage [[Artifacts.resolveOnce]] makes
+  * racing it technically safe (each request resolves once per session),
+  * but waiting first is the contract — it is what guarantees "downloads
+  * have landed before setup()".
+  */
+final class BackgroundArtifactDownloader(
+    spark: SparkSession, stages: Seq[Stage[_, _]],
+    quota: Option[ArtifactManager] = None) extends AutoCloseable {
+
+  private val exec = java.util.concurrent.Executors.newSingleThreadExecutor { r =>
+    val t = new Thread(r, "graft-artifact-downloader")
+    t.setDaemon(true)
+    t
+  }
+  private val fut: java.util.concurrent.Future[Int] =
+    exec.submit(new java.util.concurrent.Callable[Int] {
+      override def call(): Int = Artifacts.downloadAll(spark, stages, quota)
+    })
+
+  /** True once the download finished — successfully or with an error
+    * (which [[await]] will rethrow).
+    */
+  def isComplete: Boolean = fut.isDone
+
+  /** Block until every artifact is distributed; returns the number of
+    * distinct requests resolved. Rethrows the download thread's failure
+    * unwrapped. Idempotent — a second await returns the same result.
+    */
+  def await(): Int =
+    try fut.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
+
+  /** [[await]] + thread cleanup (the context-manager exit). */
+  override def close(): Unit =
+    try { await(); () } finally exec.shutdown()
 }
 
 /** Quota/cache-managed artifact distribution (reference:

@@ -332,8 +332,11 @@ object Pipeline {
     }
     val stats = monitor.map(_.forStage(stageName))
     // Resolve declarative artifacts on the driver, before the stage can
-    // run anywhere (reference: download_requests, specs.py:186).
-    st.downloadRequests.foreach(r => Artifacts.resolve(ds.sparkSession, r))
+    // run anywhere (reference: download_requests, specs.py:186). Once per
+    // (session, request): artifacts prefetched by Artifacts.downloadAll /
+    // BackgroundArtifactDownloader — or by an earlier stage sharing the
+    // same weights — are not re-added here.
+    st.downloadRequests.foreach(r => Artifacts.resolveOnce(ds.sparkSession, r))
     val body: (Iterator[I], WorkerContext) => Iterator[O] =
       partitionBody(st, ignore, nones, attempts, setupAttempts, reset,
         nonePad, nodeKey, stats)

@@ -169,15 +169,16 @@ object GraftExpressions {
   /** Idempotently register the expressions in the session's function
     * registry; callers then use the `Column` helpers below.
     */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_poly_hash",
-      { es: Seq[Expression] => PolyHash(es.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      { es: Seq[Expression] => CosineSim(es(0), es(1)) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_hyperplane_bands",
-      { es: Seq[Expression] => HyperplaneBandKeys(es(0), es(1), es(2)) }, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.once(spark, "graft-expressions") {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_poly_hash",
+        { es: Seq[Expression] => PolyHash(es.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_cosine",
+        { es: Seq[Expression] => CosineSim(es(0), es(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_hyperplane_bands",
+        { es: Seq[Expression] => HyperplaneBandKeys(es(0), es(1), es(2)) }, "built-in")
+    }
 
   def polyHash(text: Column): Column = call_function("graft_poly_hash", text)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)

@@ -172,17 +172,18 @@ object SignatureExpressions {
     override protected def withNewChildInternal(c: Expression): DistinctShingleCount = copy(child = c)
   }
 
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_shingle_hash",
-      { es: Seq[Expression] => ShingleHash(es.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_minhash_bands",
-      { es: Seq[Expression] => MinhashBandKeys(es.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      { es: Seq[Expression] => Simhash(es.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_shingle_count",
-      { es: Seq[Expression] => DistinctShingleCount(es.head) }, "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.once(spark, "graft-signatures") {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_shingle_hash",
+        { es: Seq[Expression] => ShingleHash(es.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_minhash_bands",
+        { es: Seq[Expression] => MinhashBandKeys(es.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash",
+        { es: Seq[Expression] => Simhash(es.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_shingle_count",
+        { es: Seq[Expression] => DistinctShingleCount(es.head) }, "built-in")
+    }
 
   def shingleHash(toks: Column): Column = call_function("graft_shingle_hash", toks)
   def minhashBandKeys(sh: Column): Column = call_function("graft_minhash_bands", sh)

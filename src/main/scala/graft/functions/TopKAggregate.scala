@@ -147,11 +147,13 @@ object TopKAggregate {
     * AggregateFunction into an AggregateExpression at resolution.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_topk",
-      { es: Seq[Expression] =>
-        require(es.length == 3, "graft_topk(score, id, k)")
-        TopKByScore(es(0), es(1), es(2))
-      }, "built-in")
+    Registration.once(spark, "graft-topk") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction("graft_topk",
+        { es: Seq[Expression] =>
+          require(es.length == 3, "graft_topk(score, id, k)")
+          TopKByScore(es(0), es(1), es(2))
+        }, "built-in")
+    }
 
   def topK(score: Column, id: Column, k: Column): Column =
     call_function("graft_topk", score, id, k)

@@ -1,0 +1,165 @@
+package graft.operators
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Node-level orphan-subprocess reaping for [[ExternalDecoderStage]]
+  * (reference: ray_utils/actor_pool.py pid bookkeeping, pinned by
+  * ray_utils/reap_pids_test.py — the node layer records worker-spawned
+  * pids and kills the ones whose owner died).
+  *
+  * Decoders spawn in their OWN process group (`setsid`), and every live
+  * group is recorded in a node-local ledger keyed by the owning JVM's
+  * pid. Three layers close the orphan window:
+  *
+  *  1. **in-JVM** — `destroy()`/the run loop kill the group directly
+  *     (task cancel, timeout, output cap). The group kill also catches
+  *     double-forked grandchildren that `ProcessHandle.descendants`
+  *     can no longer see (reparented to init, but pgid preserved).
+  *  2. **JVM exit** — a shutdown hook kills every group this JVM still
+  *     has in flight (graceful executor shutdown mid-decode) and
+  *     removes the ledger file.
+  *  3. **hard JVM death** (SIGKILL, OOM-kill — nothing in-JVM can run)
+  *     — the next decoder `setup()` on the node calls [[reapOrphans]]:
+  *     any ledger file whose owner pid is dead names groups to kill.
+  *
+  * Pid-recycling safety (the classic reaping hazard): each entry
+  * carries the group LEADER's start-epoch-millis; a group is killed
+  * only if the leader is alive AND its start time matches the recorded
+  * one. A recycled pid never matches, so an innocent process is never
+  * killed — at worst a stale entry is dropped without action (and the
+  * kernel has already torn the real group down).
+  *
+  * The ledger lives under `java.io.tmpdir/graft-decoder-reap/` —
+  * node-local by construction, exactly the scope the orphan problem
+  * has. File writes are per-owner-JVM (no cross-process contention);
+  * in-process access synchronizes on the object.
+  */
+object DecoderReaper {
+
+  private[graft] def ledgerDir: File =
+    new File(System.getProperty("java.io.tmpdir"), "graft-decoder-reap")
+
+  private def myPid: Long = ProcessHandle.current().pid()
+  private def myFile: Path = ledgerDir.toPath.resolve(s"$myPid.pids")
+
+  /** pgid -> leader start-epoch-millis, this JVM's in-flight groups. */
+  private val live = mutable.LinkedHashMap.empty[Long, Long]
+  private var hookInstalled = false
+
+  /** Leader start time in epoch millis; 0 when the platform hides it
+    * (entries recorded as 0 are reaped conservatively: never killed,
+    * only dropped once the leader is gone).
+    */
+  private def startMillisOf(pid: Long): Long =
+    ProcessHandle.of(pid).toScala
+      .flatMap(_.info().startInstant().toScala)
+      .map(_.toEpochMilli).getOrElse(0L)
+
+  /** Record a spawned group (leader pid == pgid under setsid). */
+  def record(pgid: Long): Unit = synchronized {
+    live.put(pgid, startMillisOf(pgid))
+    if (!hookInstalled) {
+      hookInstalled = true
+      Runtime.getRuntime.addShutdownHook(new Thread(() => shutdownSweep(),
+        "graft-decoder-reaper-hook"))
+    }
+    flush()
+  }
+
+  /** Drop a finished group from the ledger. */
+  def unrecord(pgid: Long): Unit = synchronized {
+    if (live.remove(pgid).isDefined) flush()
+  }
+
+  /** Kill an entire process group if (and only if) its leader is alive
+    * and started at `startMillis` (0 = recorded blind: skip the kill).
+    * SIGKILL — the callers already tried graceful teardown or the owner
+    * is gone.
+    */
+  def killGroup(pgid: Long, startMillis: Long): Boolean = {
+    val leaderMatches = startMillis > 0 && startMillisOf(pgid) == startMillis
+    if (leaderMatches) {
+      // negative pid = the whole group; -- guards the leading dash
+      val p = new ProcessBuilder("kill", "-9", "--", s"-$pgid").start()
+      p.waitFor()
+      true
+    } else false
+  }
+
+  /** Unguarded group kill for the in-JVM path, where the caller OWNS
+    * the pgid (it holds the Process object): while any group member
+    * lives the kernel cannot recycle the pgid, and with no members the
+    * kill is an ESRCH no-op — so no start-time guard is needed or
+    * wanted here (the leader may already be dead while a double-forked
+    * grandchild still holds the stdout pipe).
+    */
+  def killGroupOwned(pgid: Long): Unit = {
+    val p = new ProcessBuilder("kill", "-9", "--", s"-$pgid").start()
+    p.waitFor()
+    ()
+  }
+
+  /** Kill every group whose owner JVM is dead (ledger files named by a
+    * pid that no longer runs); returns the number of groups killed.
+    * Runs once per JVM from [[ExternalDecoderStage]] setup via
+    * [[reapOnStart]]; safe to call repeatedly (idempotent — reaped
+    * files are deleted).
+    */
+  def reapOrphans(): Int = synchronized {
+    val dir = ledgerDir
+    if (!dir.isDirectory) return 0
+    var killed = 0
+    dir.listFiles((_, n) => n.endsWith(".pids")).foreach { f =>
+      val owner = f.getName.stripSuffix(".pids").toLongOption
+      val ownerAlive = owner.exists(pid =>
+        pid == myPid || ProcessHandle.of(pid).toScala.exists(_.isAlive))
+      if (owner.isDefined && !ownerAlive) {
+        Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.foreach { line =>
+          line.trim.split("\\s+") match {
+            case Array(pg, st) =>
+              for (pgid <- pg.toLongOption; start <- st.toLongOption)
+                if (killGroup(pgid, start)) killed += 1
+            case _ => ()
+          }
+        }
+        Files.deleteIfExists(f.toPath)
+        ()
+      }
+    }
+    killed
+  }
+
+  /** Once-per-JVM node reap, triggered from decoder setup. */
+  lazy val reapOnStart: Int = reapOrphans()
+
+  /** Shutdown-hook sweep: kill this JVM's in-flight groups, clear the
+    * ledger (a clean exit leaves nothing for the next reaper).
+    */
+  private def shutdownSweep(): Unit = synchronized {
+    // owned groups: unguarded kill (see killGroupOwned)
+    live.foreach { case (pgid, _) => killGroupOwned(pgid) }
+    live.clear()
+    Files.deleteIfExists(myFile)
+    ()
+  }
+
+  private def flush(): Unit = {
+    Files.createDirectories(ledgerDir.toPath)
+    if (live.isEmpty) { Files.deleteIfExists(myFile); () }
+    else {
+      val body = live.iterator.map { case (pg, st) => s"$pg $st" }
+        .mkString("", "\n", "\n")
+      Files.write(myFile, body.getBytes(StandardCharsets.UTF_8))
+      ()
+    }
+  }
+
+  implicit private final class OptionalOps[T](private val o: java.util.Optional[T]) {
+    def toScala: Option[T] = if (o.isPresent) Some(o.get) else None
+  }
+}

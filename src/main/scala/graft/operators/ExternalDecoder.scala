@@ -45,6 +45,19 @@ import graft.api.{DownloadRequest, Stage, WorkerContext}
   * pipelines/v1 stages that shell out per batch, with
   * file_distribution supplying the binary.
   */
+object ExternalDecoderStage {
+  /** Absolute path of `setsid` if the node has it (util-linux —
+    * effectively always on Linux; absent on e.g. macOS dev laptops,
+    * where decoders fall back to plain spawn + descendants() kill and
+    * the reap layer is inert). Resolved once per JVM from PATH.
+    */
+  private[operators] lazy val setsidPath: Option[String] =
+    sys.env.getOrElse("PATH", "/usr/bin:/bin").split(java.io.File.pathSeparatorChar)
+      .iterator
+      .map(d => new java.io.File(d, "setsid"))
+      .collectFirst { case f if f.isFile && f.canExecute => f.getAbsolutePath }
+}
+
 class ExternalDecoderStage(
     decoder: DownloadRequest,
     decodeArgs: Seq[String] = Seq.empty,
@@ -62,6 +75,10 @@ class ExternalDecoderStage(
   @transient private lazy val inFlight = new AtomicReference[Process](null)
 
   override def setup(ctx: WorkerContext): Unit = {
+    // Node-level orphan reap (reference: ray_utils reap machinery): the
+    // first decoder setup on this JVM kills any process group left by a
+    // HARD-killed previous executor JVM on the node (lazy val = once).
+    DecoderReaper.reapOnStart
     val f = new java.io.File(decoder.localPath)
     require(f.isFile, s"decoder binary not distributed: ${decoder.uri}")
     f.setExecutable(true, false)
@@ -93,9 +110,14 @@ class ExternalDecoderStage(
   /** Kill the decoder AND its descendants: a decoder that shells out
     * (ffmpeg via a wrapper script) leaves grandchildren holding the
     * stdout pipe open — killing only the direct child would leave the
-    * reader blocked until the grandchild exits on its own.
+    * reader blocked until the grandchild exits on its own. Under group
+    * spawn (setsid, the default where available) the kill is a process-
+    * GROUP kill, which also reaches double-forked grandchildren that
+    * reparented to init and fell out of the descendants() tree.
     */
   private def kill(p: Process): Unit = {
+    if (ExternalDecoderStage.setsidPath.isDefined)
+      DecoderReaper.killGroupOwned(p.pid())
     p.descendants().forEach(h => { h.destroyForcibly(); () })
     p.destroyForcibly()
     ()
@@ -113,8 +135,15 @@ class ExternalDecoderStage(
     */
   private def run(args: Seq[String], stdin: Array[Byte],
       outCap: Long, truncateOk: Boolean = false): (Int, Array[Byte], String) = {
-    val pb = new ProcessBuilder((binPath +: args): _*)
+    // Own process group (setsid keeps the pid: the spawned child is not
+    // a group leader, so util-linux setsid exec's in place): group kills
+    // reach every descendant, and the group is RECORDED so a node-level
+    // reap can kill it if this JVM dies hard mid-decode.
+    val grouped = ExternalDecoderStage.setsidPath
+    val cmd = grouped.toSeq ++ (binPath +: args)
+    val pb = new ProcessBuilder(cmd: _*)
     val p = pb.start()
+    if (grouped.isDefined) DecoderReaper.record(p.pid())
     inFlight.set(p)
     val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
     val watchdog = new Thread(() => {
@@ -162,6 +191,7 @@ class ExternalDecoderStage(
     } finally {
       inFlight.compareAndSet(p, null)
       if (p.isAlive) kill(p)
+      if (grouped.isDefined) DecoderReaper.unrecord(p.pid())
     }
   }
 

@@ -2488,12 +2488,16 @@ object Relational {
           element_at(col("_items"), j + 1).as("b")))))
     // the pair table is the expensive subtree (narrow expansion + one
     // shuffle) and the directed union below reads it TWICE — materialize
-    // the small post-threshold set or the whole expansion re-runs per arm
+    // the small post-threshold set or the whole expansion re-runs per arm.
+    // persist, not localCheckpoint: measured identical at sf0.1 (r11
+    // drift profile, BASELINE.md), and persist keeps lineage — an
+    // executor loss recomputes the partition instead of failing the job
+    // the way a truncated local checkpoint must
     val pairs = baskets.select(explode(pairExpr).as("_p"))
       .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val directed = pairs.select(col("a").as("item"), col("b").as("neighbor"), col("n_both"))
       .union(pairs.select(col("b").as("item"), col("a").as("neighbor"), col("n_both")))
     val enriched = directed
@@ -3254,12 +3258,22 @@ object Relational {
     require(scale >= 1, "scale must be >= 1")
     val parts = groupCols.map(col)
     val vd = col("_v").cast("decimal(19,0)")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val perTreat = df.select(parts :+ treatCol.as("_k") :+
         snap(valueCol, scale).as("_v"): _*)
       .filter(col("_k").isNotNull && col("_v").isNotNull)
       .groupBy(parts :+ col("_k"): _*)
       .agg(count(lit(1)).as("_ni"), sum(col("_v")).as("_si"),
         sum(vd * vd).cast("decimal(38,0)").as("_ssi"))
+      // a null here means Σv² overflowed decimal(38,0): fail LOUD (the
+      // welchAnova discipline) — sum() skips nulls, so a null _ssi would
+      // silently drop one treatment's squares from _ss below while k/n
+      // still count it, emitting a wrong-but-plausible F (or, all-null,
+      // silently dropping the whole group while the DuckDB oracle's
+      // int128 still emits a row)
+      .withColumn("_ssi", when(col("_ssi").isNull, raise_error(lit(
+        "anovaF: sum of squares overflowed decimal(38,0) — rescale " +
+          "the value units")).cast(dec38)).otherwise(col("_ssi")))
     val wk = Window.partitionBy(parts: _*).orderBy(col("_k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val folded = perTreat
@@ -3269,8 +3283,13 @@ object Relational {
       .groupBy(parts: _*)
       .agg(count(lit(1)).as("k"), sum(col("_ni")).as("n"),
         sum(col("_si")).as("_s"),
-        sum(col("_ssi")).cast("decimal(38,0)").cast("double").as("_ss"),
+        sum(col("_ssi")).cast("decimal(38,0)").as("_ssd"),
         max(col("_run")).as("_a")) // terms >= 0: running max = ordered total
+      // the k-treatment fold can overflow too; same fail-loud contract
+      .withColumn("_ss", when(col("_ssd").isNull, raise_error(lit(
+        "anovaF: group sum of squares overflowed decimal(38,0) — " +
+          "rescale the value units")).cast(dec38))
+        .otherwise(col("_ssd")).cast("double"))
     val nD = col("n").cast("double")
     val kD = col("k").cast("double")
     folded.filter(col("k") >= 2 && col("n") > col("k"))

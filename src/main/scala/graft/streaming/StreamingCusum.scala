@@ -52,6 +52,13 @@ object StreamingCusum {
           var started = state.exists
           val out = Seq.newBuilder[CusumRow]
           sorted.foreach { case (_, o, t, v) =>
+            // non-finite values NEVER fold: math.floor(NaN*scale+0.5)
+            // .toLong is 0, which would silently feed c=0 into s+/s-.
+            // The batch twin drops such rows entirely (the snap cast
+            // yields null, filtered before the fold) — match it: no
+            // output row, no state advance, no high-water-mark move.
+            if (v.isNaN || v.isInfinite) ()
+            else {
             val c = math.floor(v * scale + 0.5).toLong
             val isLate = started &&
               (o < lastOrd || (o == lastOrd && t <= lastTie))
@@ -65,6 +72,7 @@ object StreamingCusum {
               lastOrd = o; lastTie = t
               out += CusumRow(key, o, t, c, sp, sn, flag, late = false)
               if (flag != 0) { sp = 0L; sn = 0L } // restart after alarm
+            }
             }
           }
           if (started) state.update((lastOrd, lastTie, sp, sn))

@@ -90,4 +90,25 @@ class ExpressionsSuite extends SparkSpec {
     // the "*(n)" prefix marks a WholeStageCodegen span in the plan string
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("registration is once-per-session: no registry churn on repeated calls") {
+    import graft.functions.Registration
+    // the guard runs the body exactly once per (session, key) — this is
+    // what silences the per-query "replaced a previously registered
+    // function" WARN spam across a 197-query benchmark session
+    var runs = 0
+    Registration.once(spark, "spec-probe") { runs += 1 }
+    Registration.once(spark, "spec-probe") { runs += 1 }
+    assert(runs == 1, s"body ran $runs times for one (session, key)")
+    // a different key on the same session runs; a cloned session (own
+    // SessionState, own registry) re-runs the same key
+    Registration.once(spark, "spec-probe-2") { runs += 1 }
+    assert(runs == 2)
+    Registration.once(spark.newSession(), "spec-probe") { runs += 1 }
+    assert(runs == 3)
+    // and the guarded real registration still resolves after many calls
+    (1 to 3).foreach(_ => GraftExpressions.register(spark))
+    val one = spark.sql("SELECT graft_poly_hash('x') AS h").collect()
+    assert(one.length == 1)
+  }
 }

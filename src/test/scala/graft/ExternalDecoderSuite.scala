@@ -120,6 +120,69 @@ class ExternalDecoderSuite extends SparkSpec {
       "the watchdog must fire; stdout EOF alone would wait out the sleep")
   }
 
+  test("group kill reaches a double-forked grandchild (out of the descendants() tree)") {
+    import graft.operators.DecoderReaper
+    // the grandchild double-forks: its subshell parent exits immediately,
+    // so it reparents to init and ProcessHandle.descendants() can no
+    // longer see it — only the process-GROUP kill (setsid spawn) reaches
+    // it. It also inherits the stdout pipe, so an unkilled grandchild
+    // would hold the reader open long past the decoder's own death.
+    val pidFile = Files.createTempFile("graft-grandchild", ".pid")
+    val script = writeScript("forkdec.sh",
+      "#!/bin/sh\nif [ \"$1\" = \"--version\" ]; then exit 0; fi\n" +
+        s"( sleep 300 & echo $$! > $pidFile )\n" +
+        "cat > /dev/null\nsleep 300\n")
+    val ds = Seq(("k", "x".getBytes("UTF-8"))).toDS()
+    val e = intercept[Exception](
+      Pipeline.from(ds)
+        .stage(new ExternalDecoderStage(DownloadRequest(script),
+          timeoutMs = 1500))
+        .run().collect())
+    assert(msgs(e).mkString(" | ").contains("timed out"))
+    val gpid = new String(Files.readAllBytes(pidFile), "UTF-8").trim.toLong
+    // give the SIGKILL a moment to land, then require the grandchild dead
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    def alive = ProcessHandle.of(gpid).map[Boolean](_.isAlive).orElse(false)
+    while (alive && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!alive, s"double-forked grandchild $gpid survived the group kill")
+    // the decode completed (finally-block): nothing left in this JVM's ledger
+    assert(DecoderReaper.reapOrphans() == 0)
+  }
+
+  test("node reap: dead-owner ledger groups die; start-time guard spares recycled pids") {
+    import graft.operators.DecoderReaper
+    // simulate a hard-killed executor JVM: a ledger file named by a DEAD
+    // owner pid, listing a still-running setsid'd process group
+    val deadOwner = {
+      val p = new ProcessBuilder("/bin/true").start()
+      p.waitFor(); p.pid()
+    }
+    val victim = new ProcessBuilder("setsid", "sleep", "300").start()
+    val survivor = new ProcessBuilder("setsid", "sleep", "300").start()
+    try {
+      val vStart = victim.info().startInstant().get().toEpochMilli
+      Files.createDirectories(DecoderReaper.ledgerDir.toPath)
+      val ledger = DecoderReaper.ledgerDir.toPath.resolve(s"$deadOwner.pids")
+      // victim: correct start time -> reaped. survivor: WRONG start time
+      // (the recorded leader pid was recycled by an innocent process) ->
+      // the guard must spare it, and the stale entry just drops.
+      Files.write(ledger,
+        (s"${victim.pid()} $vStart\n" +
+          s"${survivor.pid()} ${vStart + 999999}\n").getBytes("UTF-8"))
+      assert(DecoderReaper.reapOrphans() == 1)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (victim.isAlive && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!victim.isAlive, "dead-owner group must be reaped")
+      assert(survivor.isAlive, "start-time mismatch (recycled pid) must not kill")
+      assert(!Files.exists(ledger), "reaped ledger file must be deleted")
+      // idempotent: nothing left to reap
+      assert(DecoderReaper.reapOrphans() == 0)
+    } finally {
+      DecoderReaper.killGroupOwned(victim.pid())
+      DecoderReaper.killGroupOwned(survivor.pid())
+    }
+  }
+
   test("stderr past the keep-cap drains instead of deadlocking the decoder") {
     val script = writeScript("chattydec.sh",
       "#!/bin/sh\nif [ \"$1\" = \"--version\" ]; then exit 0; fi\n" +

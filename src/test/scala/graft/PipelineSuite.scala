@@ -151,6 +151,15 @@ object PipelineSuite {
     override def process(batch: Seq[Int]): Seq[Int] = batch.map(_ * factor)
   }
 
+  /** Declares requests without using them — the downloadAll specs only
+    * exercise collection/dedup/resolution, not worker-side reads.
+    */
+  final class MultiDeclStage(paths: Seq[String]) extends Stage[Int, Int] {
+    override def downloadRequests: Seq[DownloadRequest] =
+      paths.map(p => DownloadRequest(p))
+    override def process(batch: Seq[Int]): Seq[Int] = batch
+  }
+
   final class ArchiveArtifactStage(req: DownloadRequest, inner: String) extends Stage[Int, Int] {
     override def downloadRequests: Seq[DownloadRequest] = Seq(req)
     @transient private var factor: Int = _
@@ -531,6 +540,68 @@ class PipelineSuite extends SparkSpec {
     // fully-checkpointed rerun: no stage executes at all
     assert(build().run().collect().sorted.toSeq == (2 to 21))
     assert(PipelineSuite.ckptCalls.get == afterFirst)
+  }
+
+  test("F-downloads-e: downloadAll — cross-stage dedup, quota accounting, idempotent reuse") {
+    import PipelineSuite.MultiDeclStage
+    val dir = java.nio.file.Files.createTempDirectory("graft_dlall").toFile
+    def mk(name: String, bytes: Int): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.FileOutputStream(f)
+      w.write(new Array[Byte](bytes)); w.close(); f
+    }
+    val a = mk("dlall_a.bin", 100)
+    val b = mk("dlall_b.bin", 200)
+    // two stages share artifact a: the collected set dedups to 2 requests
+    val stages: Seq[Stage[_, _]] = Seq(
+      new MultiDeclStage(Seq(a.getAbsolutePath)),
+      new MultiDeclStage(Seq(a.getAbsolutePath, b.getAbsolutePath)))
+    assert(Artifacts.collectRequests(stages).map(_.fileName) ==
+      Seq("dlall_a.bin", "dlall_b.bin"))
+    val mgr = new ArtifactManager(spark, quotaBytes = 1000)
+    assert(Artifacts.downloadAll(spark, stages, Some(mgr)) == 2)
+    assert(mgr.usedBytes == 300 && mgr.registeredUris.size == 2)
+    // reuse is idempotent under the same quota ledger: a re-prefetch (or
+    // a pipeline compile re-resolving the same requests) double-counts
+    // nothing and re-adds nothing
+    assert(Artifacts.downloadAll(spark, stages, Some(mgr)) == 2)
+    assert(mgr.usedBytes == 300 && mgr.registeredUris.size == 2)
+    // the artifacts really distributed (readable where workers read them)
+    assert(new java.io.File(Artifacts.localPath("dlall_a.bin")).length() == 100)
+    // and the pipeline itself compiles + runs over the prefetched stages
+    import spark.implicits._
+    val out = Pipeline.from(ints(4, parts = 2))
+      .stage(new MultiDeclStage(Seq(a.getAbsolutePath, b.getAbsolutePath)))
+      .run().collect().sorted
+    assert(out.toSeq == (1 to 4))
+  }
+
+  test("F-downloads-d: BackgroundArtifactDownloader — overlap, failure surfaces at wait") {
+    import PipelineSuite.MultiDeclStage
+    val dir = java.nio.file.Files.createTempDirectory("graft_bgdl").toFile
+    val f = new java.io.File(dir, "bg_model.bin")
+    java.nio.file.Files.writeString(f.toPath, "weights")
+    val dl = new BackgroundArtifactDownloader(spark,
+      Seq(new MultiDeclStage(Seq(f.getAbsolutePath))))
+    // other driver work proceeds while the download thread runs
+    import spark.implicits._
+    assert(spark.range(100).as[Long].reduce(_ + _) == 4950L)
+    assert(dl.await() == 1)
+    assert(dl.isComplete)
+    assert(dl.await() == 1, "await is idempotent")
+    dl.close()
+    assert(new java.io.File(Artifacts.localPath("bg_model.bin")).exists())
+    // a missing artifact fails AT THE WAIT, not silently
+    val missing = new java.io.File(dir, "nope.bin").getAbsolutePath
+    val bad = new BackgroundArtifactDownloader(spark,
+      Seq(new MultiDeclStage(Seq(missing))))
+    intercept[java.io.FileNotFoundException] { bad.await() }
+    // the failed request was NOT marked resolved: creating the file and
+    // retrying succeeds (Registration rolls back on failure)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(missing), "late")
+    assert(Artifacts.downloadAll(spark,
+      Seq(new MultiDeclStage(Seq(missing)))) == 1)
+    assert(new java.io.File(Artifacts.localPath("nope.bin")).exists())
   }
 
   test("F14: Artifacts distributes files to workers") {

@@ -2109,6 +2109,25 @@ class RelationalOpsSuite extends SparkSpec {
       Seq("grp"), col("k"), col("v"), scale = 100L)
       .select("f").as[Double].head()
     assert(math.abs(f100 - fg) < 1e-12, s"scale-invariant: $f100 vs $fg")
+    // Σv² past decimal(38,0) fails LOUD (the welchAnova discipline) —
+    // under ANSI (the default) the long Σv overflow already throws, but
+    // a non-ANSI session turns the decimal overflow into a silent null
+    // that sum() skips, dropping the treatment's squares while k/n
+    // still count it. Two values at 9e18 square-sum to 1.62e38 >
+    // 10^38 − 1; the guard must raise, not drop.
+    val big = Seq(("o", "a", 9.0e18), ("o", "a", 9.0e18),
+      ("o", "b", 1.0), ("o", "b", 2.0))
+    val ansiWas = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      val ex = intercept[Throwable] {
+        Relational.anovaF(big.toDF("grp", "k", "v"), Seq("grp"), col("k"),
+          col("v"), scale = 1L).collect()
+      }
+      val msgs = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("anovaF: sum of squares overflowed"), msgs)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiWas)
   }
 
   test("changePoint: hand-located split, earliest-day tie-break, degenerates drop") {

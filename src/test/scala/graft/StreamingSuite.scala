@@ -566,6 +566,36 @@ class StreamingSuite extends SparkSpec {
     }
   }
 
+  test("E23: streaming CUSUM drops non-finite values (batch null-drop parity)") {
+    import spark.implicits._
+    import graft.streaming.StreamingCusum
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(String, Long, Long, Double)]
+    val out = StreamingCusum.cusum(source.toDS(), targetUnits = 10L,
+      kUnits = 1L, hUnits = 5L, scale = 1L)
+    val query = out.writeStream.format("memory").queryName("cusum_nan_out")
+      .outputMode("append").start()
+    try {
+      def rows() = spark.table("cusum_nan_out").as[StreamingCusum.CusumRow].collect()
+      // NaN/Inf rows emit nothing, fold nothing (math.floor(NaN*s+0.5)
+      // .toLong would feed c=0 into the state) and do NOT advance the
+      // high-water mark — exactly the batch twin's null-drop contract
+      source.addData(("1", 1L, 0L, 14.0), ("1", 2L, 0L, Double.NaN),
+        ("1", 3L, 0L, Double.PositiveInfinity))
+      query.processAllAvailable()
+      val r1 = rows()
+      assert(r1.map(r => (r.ord, r.sPlus, r.flag)).toSeq == Seq((1L, 3L, 0)),
+        r1.mkString(","))
+      // because the non-finite rows never moved the high-water mark, a
+      // finite re-send of ord 2 is IN ORDER (not late) and folds normally
+      source.addData(("1", 2L, 0L, 14.0))
+      query.processAllAvailable()
+      val r2 = rows().sortBy(_.ord)
+      assert(r2.map(r => (r.ord, r.sPlus, r.flag, r.late)).toSeq ==
+        Seq((1L, 3L, 0, false), (2L, 6L, 1, false)), r2.mkString(","))
+    } finally query.stop()
+  }
+
   test("streaming anomaly: batch-grained prequential baseline, warm-up, isolation") {
     import spark.implicits._
     import graft.streaming.StreamingAnomaly
