@@ -89,14 +89,23 @@ case class GraftAsofJoin(
   * to Spark's built-in strategies.
   */
 class GraftStrategy extends SparkStrategy {
+  private def broadcastable(r: LogicalPlan, hint: Option[Boolean]): Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    hint.getOrElse(
+      threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold)
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GraftAsofJoin(l, r, lk, rk, lts, rts, tie, outer, hint) =>
-      val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      val small = threshold > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= threshold
-      if (hint.getOrElse(small))
+      if (broadcastable(r, hint))
         BroadcastAsofJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
       else
         AsofMergeJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
+    case GraftBandJoin(l, r, lk, rk, lts, rts, lo, hi, outer, hint) =>
+      if (broadcastable(r, hint))
+        BroadcastBandJoinExec(lk, rk, lts, rts, lo, hi, outer, planLater(l), planLater(r)) :: Nil
+      else
+        BandMergeJoinExec(lk, rk, lts, rts, lo, hi, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

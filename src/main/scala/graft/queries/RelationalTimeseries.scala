@@ -494,6 +494,43 @@ object RelationalTimeseries {
       .orderBy("p_event_id")
   }
 
+  /** q126: the keyed time-correlation join through the NATIVE band
+    * operator ([[graft.plans.GraftBandJoin]] →
+    * BandMergeJoinExec/BroadcastBandJoinExec): every error within ±1 h
+    * of a purchase BY THE SAME USER. q25 is the keyless version
+    * (binned equi-join composition, the right shape when no key
+    * exists); with a key the native exec does strictly better — one
+    * hash exchange per side on the key, no ≤2× bin explode, a
+    * ring-buffer merge whose state is the band occupancy. The oracle
+    * states the same semantics as a raw inequality join (fine for
+    * DuckDB at sf0.01; the merge is the scale-safe side).
+    */
+  val q126 = QueryDef(
+    "q126_band_native",
+    """WITH p AS (SELECT event_id AS p_event_id, user_id, epoch_ms(ts) AS p_ms
+      |           FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT event_id AS e_event_id, user_id, epoch_ms(ts) AS e_ms
+      |      FROM events WHERE event_type = 'error')
+      |SELECT p_event_id, e_event_id, CAST(e_ms - p_ms AS BIGINT) AS delta_ms
+      |FROM p JOIN e ON p.user_id = e.user_id
+      |  AND e_ms BETWEEN p_ms - 3600000 AND p_ms + 3600000
+      |ORDER BY p_event_id, e_event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        unix_millis(col("ts")).as("p_ms"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_event_id"), col("user_id").as("e_user"),
+        unix_millis(col("ts")).as("e_ms"))
+    graft.plans.GraftBandJoin.bandJoinMerge(p, e,
+        leftKeys = Seq("p_user"), rightKeys = Seq("e_user"),
+        leftTs = "p_ms", rightTs = "e_ms",
+        lower = -3600000L, upper = 3600000L)
+      .select(col("p_event_id"), col("e_event_id"),
+        (col("e_ms") - col("p_ms")).as("delta_ms"))
+      .orderBy("p_event_id", "e_event_id")
+  }
+
   /** q97: interval-overlap join between each user's CLICK sessions and
     * VIEW sessions ("was the user browsing while clicking") through
     * [[graft.operators.Relational.intervalOverlapJoin]] — grid-cell
@@ -704,5 +741,5 @@ object RelationalTimeseries {
   }
 
 
-  val queries: Seq[QueryDef] = Seq(q36, q59, q69, q70, q71, q76, q77, q79, q87, q88, q90, q93, q95, q97, q98, q99, q100, q101)
+  val queries: Seq[QueryDef] = Seq(q36, q59, q69, q70, q71, q76, q77, q79, q87, q88, q90, q93, q95, q97, q98, q99, q100, q101, q126)
 }
