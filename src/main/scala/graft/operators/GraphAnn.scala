@@ -1,0 +1,297 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph ANN — HNSW (Malkov & Yashunin 2016, arXiv:1603.09320) sharded
+  * for Spark, the graph-index alternative next to the IVFADC path
+  * (s10): where IVF prunes by coarse cells, HNSW walks a navigable
+  * small-world graph and wins on recall-at-fixed-probes for corpora
+  * whose cluster structure is weak.
+  *
+  * The Spark shape is DISJOINT SHARDS (how every production deployment
+  * distributes graph ANN — the graph is a pointer structure that cannot
+  * shuffle, so the corpus shards and each shard owns a whole graph):
+  *
+  *  - **build** ([[hnswIndex]]): the corpus hash-partitions by id into
+  *    `shards`; each partition builds an in-JVM HNSW over its vectors
+  *    and emits it as plain index ROWS (shard, id, vec, per-level
+  *    adjacency as array<array<bigint>>) — a DataFrame, so the index
+  *    persists to parquet, partitions evenly, and rebuilds
+  *    incrementally per shard. Build is deterministic: insertion order
+  *    is id-ascending within a shard, node levels derive from a
+  *    splitmix hash of the id (not an RNG), candidate ties break by id.
+  *  - **search** ([[hnswSearch]]): queries BROADCAST (the small side);
+  *    each shard re-materializes its adjacency once per partition and
+  *    beam-searches every query (efSearch), emitting per-shard top-k;
+  *    a global top-k window over |queries| × shards × k rows merges.
+  *    The corpus vectors stream exactly once per search pass and never
+  *    shuffle.
+  *
+  * Scale contract: ONE SHARD's graph must fit a task's memory (the RAM
+  * contract every HNSW deployment makes); capacity scales horizontally
+  * with shards, at search cost LINEAR in shards (each shard answers
+  * every query — the standard sharded-graph trade; use IVFPQ when probe
+  * pruning matters more than recall). Search within a shard is the
+  * HNSW O(ef · log n) walk.
+  *
+  * Similarity = cosine (the s01 convention), maximized; all ranking is
+  * (cos desc, id asc) — a total order, so results are deterministic and
+  * the recall spec against [[Similarity.knnBruteForce]] is stable.
+  */
+object GraphAnn {
+
+  /** splitmix64 — the id→level hash (deterministic "randomness"). */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Geometric level from the id hash: P(level ≥ l) = (1/m)^l — the
+    * HNSW level distribution with mL = 1/ln(m), derived from the id so
+    * rebuilds of the same shard are bit-identical.
+    */
+  private def levelOf(id: Long, m: Int): Int = {
+    val u = ((mix(id) >>> 11).toDouble + 0.5) / (1L << 53).toDouble // (0,1)
+    math.min(32, (-math.log(u) / math.log(m.toDouble)).toInt)
+  }
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  /** In-JVM HNSW over one shard's vectors. Levels above 0 keep ≤ m
+    * neighbors, level 0 keeps ≤ 2m (the paper's Mmax0 rule).
+    */
+  private final class Hnsw(m: Int, efC: Int) {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    val norms = mutable.ArrayBuffer.empty[Double]
+    val levels = mutable.ArrayBuffer.empty[Int]
+    // adj(node)(level) = neighbor node indices
+    val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    var topLevel: Int = -1
+
+    private def sim(v: Array[Float], nv: Double, node: Int): Double = {
+      val d = dot(v, vecs(node))
+      val den = nv * norms(node)
+      if (den == 0.0) 0.0 else d / den
+    }
+
+    /** Beam search at one level: returns up to `ef` best (sim, node),
+      * highest sim first, ties by id ascending.
+      */
+    private def searchLevel(v: Array[Float], nv: Double, entryPoints: Seq[(Double, Int)],
+        level: Int, ef: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      // better(a, b): a ranks above b — (sim desc, id asc)
+      def better(a: (Double, Int), b: (Double, Int)): Boolean =
+        a._1 > b._1 || (a._1 == b._1 && ids(a._2) < ids(b._2))
+      val visited = new java.util.HashSet[Integer]()
+      val candidates = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.fromLessThan[(Double, Int)]((x, y) => better(y, x))) // best first
+      val results = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.fromLessThan[(Double, Int)](better)) // worst first
+      entryPoints.foreach { ep =>
+        if (visited.add(ep._2)) { candidates.enqueue(ep); results.enqueue(ep) }
+      }
+      while (results.size > ef) results.dequeue()
+      while (candidates.nonEmpty) {
+        val c = candidates.dequeue()
+        val worst = results.head
+        if (results.size >= ef && better(worst, c)) candidates.clear()
+        else {
+          adj(c._2)(level).foreach { nb =>
+            if (visited.add(nb)) {
+              val s = (sim(v, nv, nb), nb)
+              if (results.size < ef || better(s, results.head)) {
+                candidates.enqueue(s)
+                results.enqueue(s)
+                if (results.size > ef) { results.dequeue(); () }
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      while (results.nonEmpty) out.prepend(results.dequeue())
+      out
+    }
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val node = ids.length
+      val lvl = levelOf(id, m)
+      ids += id; vecs += v; norms += norm(v); levels += lvl
+      adj += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; topLevel = lvl; return }
+      val nv = norms(node)
+      var eps = Seq((simOf(node, entry), entry))
+      // greedy descent through the levels above the node's
+      var l = topLevel
+      while (l > lvl) {
+        eps = Seq(searchLevel(v, nv, eps, l, 1).head)
+        l -= 1
+      }
+      // connect at each shared level
+      l = math.min(lvl, topLevel)
+      while (l >= 0) {
+        val found = searchLevel(v, nv, eps, l, efC)
+        val cap = if (l == 0) 2 * m else m
+        val neigh = found.take(cap)
+        neigh.foreach { case (_, nb) =>
+          adj(node)(l) += nb
+          val back = adj(nb)(l)
+          back += node
+          if (back.length > cap) {
+            // prune the neighbor's list back to its best `cap`
+            val pruned = back.map(x => (simOf(nb, x), x))
+              .sortBy { case (s, x) => (-s, ids(x)) }.take(cap).map(_._2)
+            adj(nb)(l) = mutable.ArrayBuffer(pruned.toSeq: _*)
+          }
+        }
+        eps = found.toSeq
+        l -= 1
+      }
+      if (lvl > topLevel) { topLevel = lvl; entry = node }
+    }
+
+    private def simOf(a: Int, b: Int): Double = {
+      val den = norms(a) * norms(b)
+      if (den == 0.0) 0.0 else dot(vecs(a), vecs(b)) / den
+    }
+
+    def search(v: Array[Float], k: Int, efS: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Nil
+      val nv = norm(v)
+      var eps = Seq(((if (nv * norms(entry) == 0.0) 0.0
+        else dot(v, vecs(entry)) / (nv * norms(entry))), entry))
+      var l = topLevel
+      while (l > 0) {
+        eps = Seq(searchLevel(v, nv, eps, l, 1).head)
+        l -= 1
+      }
+      searchLevel(v, nv, eps, 0, math.max(k, efS)).take(k)
+        .map { case (s, node) => (ids(node), s) }.toSeq
+    }
+  }
+
+  /** Build the sharded HNSW index: one graph per shard, emitted as rows
+    * (shard, id, vec, layers) — `layers(l)` = neighbor IDS at level l.
+    * Deterministic for a given (corpus, shards, m, efConstruction).
+    */
+  def hnswIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      shards: Int, m: Int = 8, efConstruction: Int = 64): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    require(m >= 2, "m must be >= 2")
+    require(efConstruction >= m, "efConstruction must be >= m")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .filter(col("id").isNotNull && col("vec").isNotNull)
+      .repartition(shards, pmod(hash(col("id")), lit(shards)))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // id-ascending insertion: the build is independent of upstream
+        // row order, so rebuilds are bit-identical
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new Hnsw(m, efConstruction)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          val tp = org.apache.spark.TaskContext.getPartitionId().toLong
+          (0 until g.ids.length).iterator.map { node =>
+            (tp, g.ids(node), g.vecs(node),
+              g.adj(node).map(_.map(nb => g.ids(nb)).toArray).toArray)
+          }
+        }
+      }
+      .toDF("shard", "id", "vec", "layers")
+  }
+
+  /** Search a prebuilt [[hnswIndex]]: queries broadcast, each shard
+    * re-materializes its graph once per partition and beam-searches all
+    * queries, per-shard top-k merge globally. Output: query_id, rank,
+    * neighbor_id, cos (6 dp, the s01 schema). Self-matches
+    * (neighbor_id == query_id) are excluded, mirroring knnBruteForce.
+    */
+  def hnswSearch(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, efSearch: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .as[(Long, Array[Float])].collect()
+    require(qRows.nonEmpty, "no queries")
+    val qB = spark.sparkContext.broadcast(qRows)
+    // over-fetch one per shard: the global merge drops self-matches, so a
+    // shard must contribute k true neighbors even if it also holds the
+    // query vector itself
+    val perShard = index
+      .select(col("shard"), col("id"), col("vec"), col("layers"))
+      .repartition(col("shard"))
+      .as[(Long, Long, Array[Float], Array[Array[Long]])]
+      .mapPartitions { it =>
+        val byShard = it.toArray.groupBy(_._1)
+        val qs = qB.value
+        byShard.iterator.flatMap { case (_, rows) =>
+          // re-materialize: node order = id ascending (the build order)
+          val sorted = rows.sortBy(_._2)
+          val idToNode = mutable.LongMap.empty[Int]
+          sorted.iterator.zipWithIndex.foreach { case (r, i) => idToNode.put(r._2, i) }
+          val g = new Hnsw(2, 2) // parameters irrelevant for a loaded graph
+          sorted.foreach { case (_, id, v, _) =>
+            g.ids += id; g.vecs += v; g.norms += norm(v)
+          }
+          sorted.zipWithIndex.foreach { case ((_, _, _, layers), _) =>
+            g.levels += layers.length - 1
+            g.adj += layers.map(l => mutable.ArrayBuffer(l.iterator.map(nb =>
+              // a neighbor outside the shard means a corrupted index —
+              // fail loud, never bind to an arbitrary node
+              idToNode.getOrElse(nb, throw new IllegalStateException(
+                s"hnswSearch: dangling neighbor id $nb not in its shard — rebuilt or corrupted index"))).toSeq: _*))
+          }
+          // entry point = the max-level node; ties by id ascending (build
+          // sets the entry to the FIRST node reaching the top level, which
+          // under id-ascending insertion is the min-id top-level node)
+          var e = 0
+          (1 until g.ids.length).foreach { n =>
+            if (g.levels(n) > g.levels(e)) e = n
+          }
+          g.entry = e
+          g.topLevel = g.levels(e)
+          qs.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k + 1, efSearch).iterator
+              .filter(_._1 != qid).take(k)
+              .map { case (nid, s) => (qid, nid, s) }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "_cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    perShard
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("_cos"), 6).as("cos"))
+  }
+
+  /** One-shot build + search. */
+  def hnswKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shards: Int, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 64): DataFrame =
+    hnswSearch(hnswIndex(corpus, idCol, vecCol, shards, m, efConstruction),
+      queries, idCol, vecCol, k, efSearch)
+}
