@@ -55,6 +55,7 @@ object ScaleProbe {
     if (mode == "retrieval") { retrieval(spark, src, out, factor); spark.stop(); return }
     if (mode == "ivfpq") { ivfpq(spark, src, out, factor); spark.stop(); return }
     if (mode == "stats") { stats(spark, src, out, factor); spark.stop(); return }
+    if (mode == "bandann") { bandann(spark, src, out, factor); spark.stop(); return }
     if (mode == "relational" || mode == "embeddings") { spark.stop(); return }
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -1304,6 +1305,68 @@ object ScaleProbe {
     timed(factor, "q125 welch-anova") {
       Relational.welchAnova(d, Seq("prio"),
         (dayofweek(col("odate")) - 1).cast("long"), col("price")).count()
+    }
+  }
+
+  /** Round-11 operators at scale: the native band merge join vs the
+    * binned equi-join composition it upgrades (events ×factor with user
+    * ids SHIFTED per replica — keys multiply, so per-key band occupancy
+    * stays constant while rows grow: the design contract), and sharded
+    * HNSW build/search vs exact brute force on embeddings ×factor.
+    */
+  private def bandann(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    def time(name: String)(f: => Long): Unit = timed(factor, name)(f)
+    // events ×factor, keys shifted per replica
+    val ev0 = eventsNanos(spark, src)
+    val maxEv = ev0.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUser = ev0.agg(max(col("user_id"))).head().getLong(0) + 1
+    val reps = spark.range(factor.toLong).select(col("id").as("rep"))
+    ev0.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * maxEv)
+      .withColumn("user_id", col("user_id") + col("rep") * maxUser)
+      .drop("rep").repartition(64)
+      .write.mode("overwrite").parquet(s"$out/events_band.parquet")
+    val ev = spark.read.parquet(s"$out/events_band.parquet")
+      .withColumn("tms", (col("ts") / 1000000L).cast("long"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("tms").as("p_ms"))
+    val e2 = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("tms").as("e_ms"))
+    val band = 3600000L
+    time("q126 band merge") {
+      graft.plans.GraftBandJoin.bandJoinMerge(p, e2, Seq("p_user"), Seq("e_user"),
+        "p_ms", "e_ms", -band, band, broadcast = Some(false)).count()
+    }
+    time("binned composition") {
+      // the q25-style bin equi-join WITH the key folded into the bin join
+      val w = 2 * band + 1
+      def binOf(x: org.apache.spark.sql.Column) =
+        ((x - pmod(x, lit(w))) / w).cast("long")
+      val l = p.withColumn("_bin", explode(sequence(binOf(col("p_ms") - band), binOf(col("p_ms") + band))))
+      val r = e2.withColumn("_rbin", binOf(col("e_ms")))
+      l.join(r, col("_bin") === col("_rbin") && col("p_user") === col("e_user") &&
+          col("e_ms") >= col("p_ms") - band && col("e_ms") <= col("p_ms") + band)
+        .count()
+    }
+    // embeddings ×factor (writeEmbeddings' perturbed replicas)
+    writeEmbeddings(spark, src, out, factor)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val n = emb.count()
+    val q = emb.orderBy("vec_id").limit(50)
+    println(s"[scale x$factor] band events=${factor * 100000} embeddings=$n")
+    time("s01 brute force") {
+      graft.operators.Similarity.knnBruteForce(emb, q, "vec_id", "embedding", 10).count()
+    }
+    val shards = math.max(4, factor)
+    var idx: DataFrame = null
+    time(s"hnsw build x$shards") {
+      idx = graft.operators.GraphAnn.hnswIndex(emb, "vec_id", "embedding", shards)
+        .localCheckpoint(true)
+      idx.count()
+    }
+    time("hnsw search") {
+      graft.operators.GraphAnn.hnswSearch(idx, q, "vec_id", "embedding", 10).count()
     }
   }
 
