@@ -148,10 +148,13 @@ object Artifacts {
   * download thread is unwrapped and rethrown by `await`/`close`, exactly
   * the reference's future-result contract.
   *
-  * The pipeline compiler's own per-stage [[Artifacts.resolveOnce]] makes
-  * racing it technically safe (each request resolves once per session),
-  * but waiting first is the contract — it is what guarantees "downloads
-  * have landed before setup()".
+  * Racing the pipeline compiler is safe: the per-stage
+  * [[Artifacts.resolveOnce]] BLOCKS on a key whose resolution is still
+  * in flight on this thread's behalf (Registration.once completes-before
+  * semantics), so a compile never submits a stage whose artifact is only
+  * half-resolved. Waiting first is still the contract — it is what
+  * guarantees "downloads have landed before setup()" and surfaces
+  * download failures at a predictable point.
   */
 final class BackgroundArtifactDownloader(
     spark: SparkSession, stages: Seq[Stage[_, _]],

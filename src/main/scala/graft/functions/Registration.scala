@@ -1,12 +1,12 @@
 package graft.functions
 
 import java.util.{Collections, WeakHashMap}
-
-import scala.collection.mutable
+import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 
-/** Once-per-session guard for temp-function registration.
+/** Once-per-session guard for temp-function registration and artifact
+  * resolution.
   *
   * Every operator entry point calls its family's `register(spark)` so a
   * bare `import graft.operators._` user never sees an unresolved
@@ -15,8 +15,16 @@ import org.apache.spark.sql.SparkSession
   * previously registered function` WARN and re-does registry work on
   * every call. Across a 197-query benchmark session that is hundreds of
   * WARN lines and measurable catalog churn (VERDICT r10 flagged both).
-  * This guard makes re-registration a lock-free no-op after the first
-  * call per (session, family).
+  * This guard makes re-registration a no-op after the first call per
+  * (session, key).
+  *
+  * Semantics: "once returned" MEANS "body completed". A concurrent
+  * caller of the same (session, key) BLOCKS until the first caller's
+  * body finishes — so `Artifacts.resolveOnce` returning implies the
+  * artifact has landed, which is what lets a pipeline compile race
+  * `BackgroundArtifactDownloader` safely. A FAILED body un-marks the key
+  * so the next call retries instead of silently skipping forever (an
+  * artifact rejected by quota, a transient FS error).
   *
   * Keyed by SparkSession IDENTITY in a WeakHashMap: a stopped session's
   * entry is collectable, and a cloned session (`spark.newSession()`) gets
@@ -26,29 +34,27 @@ import org.apache.spark.sql.SparkSession
   * replace of an identical builder).
   */
 private[graft] object Registration {
-  private val done =
-    Collections.synchronizedMap(new WeakHashMap[SparkSession, mutable.Set[String]]())
 
-  /** Run `body` exactly once per (session, key); later calls no-op. A
-    * FAILED body un-marks the key so the next call retries instead of
-    * silently skipping forever (an artifact rejected by quota, a
-    * transient FS error). Concurrent callers of the same key may race a
-    * failing body into one extra no-op — callers here are driver-side
-    * compile/registration paths where that window is acceptable.
+  private final class KeyState { @volatile var completed = false }
+
+  private val done =
+    Collections.synchronizedMap(new WeakHashMap[SparkSession, ConcurrentHashMap[String, KeyState]]())
+
+  /** Run `body` exactly once per (session, key); later calls no-op, and
+    * concurrent calls block until the winning body has COMPLETED (never
+    * a fire-and-assume). A failed body releases the key for retry.
     */
   def once(spark: SparkSession, key: String)(body: => Unit): Unit = {
-    val keys = done.synchronized {
-      var s = done.get(spark)
-      if (s == null) { s = mutable.Set.empty[String]; done.put(spark, s) }
-      s
+    val states = done.synchronized {
+      var m = done.get(spark)
+      if (m == null) { m = new ConcurrentHashMap[String, KeyState](); done.put(spark, m) }
+      m
     }
-    val first = keys.synchronized { keys.add(key) }
-    if (first) {
-      try body
-      catch {
-        case t: Throwable =>
-          keys.synchronized { keys.remove(key) }
-          throw t
+    val st = states.computeIfAbsent(key, _ => new KeyState)
+    if (!st.completed) st.synchronized {
+      if (!st.completed) {
+        body
+        st.completed = true
       }
     }
   }

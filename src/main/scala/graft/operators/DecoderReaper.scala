@@ -45,7 +45,13 @@ object DecoderReaper {
     new File(System.getProperty("java.io.tmpdir"), "graft-decoder-reap")
 
   private def myPid: Long = ProcessHandle.current().pid()
-  private def myFile: Path = ledgerDir.toPath.resolve(s"$myPid.pids")
+  // the file NAME carries the owner JVM's start time: a later process
+  // that recycles this pid will not match it, so a recycled owner pid
+  // can never make an orphaned ledger look alive forever
+  private def myFile: Path = {
+    val start = startMillisOf(myPid)
+    ledgerDir.toPath.resolve(s"$myPid-$start.pids")
+  }
 
   /** pgid -> leader start-epoch-millis, this JVM's in-flight groups. */
   private val live = mutable.LinkedHashMap.empty[Long, Long]
@@ -76,14 +82,25 @@ object DecoderReaper {
     if (live.remove(pgid).isDefined) flush()
   }
 
-  /** Kill an entire process group if (and only if) its leader is alive
-    * and started at `startMillis` (0 = recorded blind: skip the kill).
-    * SIGKILL — the callers already tried graceful teardown or the owner
-    * is gone.
+  /** Kill an entire process group, SIGKILL, with the pid-recycling
+    * guard: kill when the leader is alive with the RECORDED start time
+    * (our group, still led), or when the leader pid no longer exists at
+    * all — a live group keeps its pgid reserved (POSIX: a pid in use as
+    * a pgid is not reassignable), so a leaderless kill can only reach
+    * OUR surviving members (the double-forked ffmpeg case), and an
+    * empty group is an ESRCH no-op. The one skip case is a leader pid
+    * that exists with a DIFFERENT start time: the whole group died and
+    * the pid was recycled by an innocent process — never kill that.
+    * (The residual hazard — full group death, pid recycled as a NEW
+    * group leader who then also dies leaving members — requires double
+    * recycling inside one reap window; accepted, as in any
+    * pid-bookkeeping reaper.)
     */
   def killGroup(pgid: Long, startMillis: Long): Boolean = {
-    val leaderMatches = startMillis > 0 && startMillisOf(pgid) == startMillis
-    if (leaderMatches) {
+    val cur = startMillisOf(pgid)
+    val ours = if (cur == 0L) true // leader gone: group is ours-or-empty
+      else startMillis > 0 && cur == startMillis
+    if (ours) {
       // negative pid = the whole group; -- guards the leading dash
       val p = new ProcessBuilder("kill", "-9", "--", s"-$pgid").start()
       p.waitFor()
@@ -115,9 +132,18 @@ object DecoderReaper {
     if (!dir.isDirectory) return 0
     var killed = 0
     dir.listFiles((_, n) => n.endsWith(".pids")).foreach { f =>
-      val owner = f.getName.stripSuffix(".pids").toLongOption
-      val ownerAlive = owner.exists(pid =>
-        pid == myPid || ProcessHandle.of(pid).toScala.exists(_.isAlive))
+      // name formats: "<pid>-<startMillis>.pids" (current) or
+      // "<pid>.pids" (no start available — alive check is pid-only)
+      val parts = f.getName.stripSuffix(".pids").split('-')
+      val owner = parts.headOption.flatMap(_.toLongOption)
+      val ownerStart = parts.lift(1).flatMap(_.toLongOption).filter(_ > 0)
+      val ownerAlive = owner.exists { pid =>
+        pid == myPid ||
+          (ProcessHandle.of(pid).toScala.exists(_.isAlive) &&
+            // a live process on a RECYCLED owner pid (start mismatch) is
+            // not the owner: the real owner died hard — reap its groups
+            ownerStart.forall(s => startMillisOf(pid) == s))
+      }
       if (owner.isDefined && !ownerAlive) {
         Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala.foreach { line =>
           line.trim.split("\\s+") match {

@@ -58,6 +58,15 @@ case class GraftBandJoin(
   require(leftTs.dataType == LongType && rightTs.dataType == LongType,
     s"band join timestamps must be LongType epoch units; got left ${leftTs.dataType.simpleString}, " +
       s"right ${rightTs.dataType.simpleString} — cast both sides (unix_millis for timestamps)")
+  // Float/double keys would need Spark's NormalizeFloatingNumbers pass:
+  // without it -0.0 vs 0.0 diverges from equi-join semantics (ordering
+  // says unequal, byte-equality hashing misses) and the two physical
+  // plans can even disagree on NaN. Equality keys should be discrete
+  // anyway — fail loud, the same discipline as the ts type guard.
+  require(!leftKeys.exists(k => k.dataType == org.apache.spark.sql.types.DoubleType ||
+      k.dataType == org.apache.spark.sql.types.FloatType),
+    "band join equality keys must not be float/double (−0.0/NaN equality diverges " +
+      "from equi-join semantics) — cast to a discrete type or quantize first")
 
   override def output: Seq[Attribute] =
     left.output ++ (if (outer) right.output.map(_.withNullability(true)) else right.output)
@@ -130,6 +139,9 @@ case class BandMergeJoinExec(
     rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
+  // emission order IS the left child's (keys, ts) order — declare it so a
+  // downstream merge-join/sort-agg on the same keys skips its SortExec
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BandMergeJoinExec =

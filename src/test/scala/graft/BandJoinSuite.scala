@@ -125,6 +125,11 @@ class BandJoinSuite extends SparkSpec {
       GraftBandJoin.bandJoinMerge(l.withColumn("l_k2", lit(1)), r.withColumn("r_k2", lit(1L)),
         Seq("l_k2"), Seq("r_k2"), "l_ts", "r_ts", -1L, 1L)
     }
+    intercept[IllegalArgumentException] { // float keys: -0.0/NaN equality hazard
+      GraftBandJoin.bandJoinMerge(
+        l.withColumn("l_k2", lit(0.0)), r.withColumn("r_k2", lit(-0.0)),
+        Seq("l_k2"), Seq("r_k2"), "l_ts", "r_ts", -1L, 1L)
+    }
     intercept[IllegalArgumentException] { // shared attributes (unaliased self-join)
       GraftBandJoin.bandJoinMerge(l, l, Seq("l_key"), Seq("l_key"), "l_ts", "l_ts", -1L, 1L)
     }
