@@ -95,6 +95,17 @@ class BandJoinSuite extends SparkSpec {
     // exactly one exchange — the broadcast of the right; the left is narrow
     assert(!bcastPlan.contains("Exchange hashpartitioning"),
       "broadcast variant must not shuffle the left:\n" + bcastPlan)
+    // the merge exec DECLARES its (keys, ts) output order + key
+    // partitioning, so a window over the same (key, ts) plans with only
+    // the two child sorts — no redundant SortExec above the join
+    import org.apache.spark.sql.expressions.Window
+    val windowed = GraftBandJoin.bandJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", -20L, 20L, broadcast = Some(false))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("l_key").orderBy("l_ts")))
+      .queryExecution.executedPlan.toString
+    assert(windowed.split("\\bSort \\[").length - 1 == 2,
+      "window over the join's own order must reuse it (2 child sorts only):\n" + windowed)
   }
 
   test("B5: band buffer — rows shared across overlapping left bands, eviction on advance") {
