@@ -82,8 +82,8 @@ object ClusterSmoke {
       // IVF ANN, gap-fill grid, k-core iteration with localCheckpoints
       val slice = Seq(
         "q01_pricing_summary", "q05_local_supplier", "q95_asof_native",
-        "q46_salted_join", "d03_minhash_lsh", "t16_tfidf",
-        "s04_ivf_knn", "q36_gapfill", "q49_kcore")
+        "q126_band_native", "q46_salted_join", "d03_minhash_lsh",
+        "t16_tfidf", "s04_ivf_knn", "q36_gapfill", "q49_kcore")
       val timings = slice.map { name =>
         val fn = SparkEntry.queries.getOrElse(name,
           throw new IllegalStateException(s"unknown query $name"))
@@ -100,6 +100,27 @@ object ClusterSmoke {
       val window = SparkEntry.queries("q12_asof_join")(spark, sfDir).count()
       require(native == window,
         s"as-of semantics diverge off local mode: native=$native window=$window")
+      // same discipline for the band exec: the ring-buffer merge (real
+      // serialization boundaries, real exchanges) must agree with the
+      // raw inequality join row-for-row count
+      locally {
+        import org.apache.spark.sql.functions.{col, unix_millis}
+        val ev = graft.sources.Tables.events(spark, sfDir)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            unix_millis(col("ts")).as("p_ms"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+            unix_millis(col("ts")).as("e_ms"))
+        val band = graft.plans.GraftBandJoin.bandJoinMerge(p, e,
+          Seq("p_user"), Seq("e_user"), "p_ms", "e_ms",
+          -3600000L, 3600000L, broadcast = Some(false)).count()
+        val raw = p.join(e, col("p_user") === col("e_user") &&
+          col("e_ms") >= col("p_ms") - 3600000L &&
+          col("e_ms") <= col("p_ms") + 3600000L).count()
+        require(band == raw,
+          s"band-join semantics diverge off local mode: native=$band raw=$raw")
+      }
 
       // Stage pipeline across executor JVMs, with monitor + gauges
       import spark.implicits._
