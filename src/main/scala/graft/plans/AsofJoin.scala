@@ -101,11 +101,12 @@ class GraftStrategy extends SparkStrategy {
         BroadcastAsofJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
       else
         AsofMergeJoinExec(lk, rk, lts, rts, tie, outer, planLater(l), planLater(r)) :: Nil
-    case GraftBandJoin(l, r, lk, rk, lts, rts, lo, hi, outer, hint) =>
+    case GraftBandJoin(l, r, lk, rk, lts, rts, lo, hi, outer, hint, maxBand) =>
       if (broadcastable(r, hint))
         BroadcastBandJoinExec(lk, rk, lts, rts, lo, hi, outer, planLater(l), planLater(r)) :: Nil
       else
-        BandMergeJoinExec(lk, rk, lts, rts, lo, hi, outer, planLater(l), planLater(r)) :: Nil
+        BandMergeJoinExec(lk, rk, lts, rts, lo, hi, outer, maxBand,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

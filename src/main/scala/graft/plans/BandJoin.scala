@@ -46,9 +46,11 @@ case class GraftBandJoin(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
     lower: Long, upper: Long, outer: Boolean,
-    broadcastHint: Option[Boolean] = None) extends BinaryNode {
+    broadcastHint: Option[Boolean] = None,
+    maxBandRows: Int = GraftBandJoin.DefaultMaxBandRows) extends BinaryNode {
 
   require(lower <= upper, s"empty band [$lower, $upper]")
+  require(maxBandRows >= 1, "maxBandRows must be >= 1")
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "band join needs one or more equality key pairs (keyless bands: bin first — Relational.rangeJoin)")
   require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
@@ -77,6 +79,15 @@ case class GraftBandJoin(
 }
 
 object GraftBandJoin {
+  /** Ring-buffer occupancy cap (the maxBasket discipline): a band join
+    * whose per-key right-row density × band width reaches millions of
+    * buffered rows is a disguised cross join — per-task memory AND the
+    * |L|·occupancy output both explode. Fail loud with the knobs named
+    * rather than OOM an executor. 4M rows ≈ hundreds of MB of buffered
+    * UnsafeRows — beyond any intentional time-correlation workload.
+    */
+  val DefaultMaxBandRows: Int = 4 << 20
+
   /** DataFrame-level entry: `bandJoinMerge(purchases, errors,
     * Seq("session"), Seq("session"), "pt", "et", -5000, 5000)` pairs
     * each purchase with every same-session error inside ±5 s.
@@ -89,7 +100,8 @@ object GraftBandJoin {
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTs: String, rightTs: String,
       lower: Long, upper: Long, outer: Boolean = false,
-      broadcast: Option[Boolean] = None): DataFrame = {
+      broadcast: Option[Boolean] = None,
+      maxBandRows: Int = DefaultMaxBandRows): DataFrame = {
     val spark = left.sparkSession
     val exp = spark.experimental
     if (!exp.extraStrategies.exists(_.isInstanceOf[GraftStrategy]))
@@ -109,7 +121,7 @@ object GraftBandJoin {
     Bridge.ofRows(spark, GraftBandJoin(lp, rp,
       leftKeys.map(attr(lp, _, "left")), rightKeys.map(attr(rp, _, "right")),
       attr(lp, leftTs, "left"), attr(rp, rightTs, "right"),
-      lower, upper, outer, broadcast))
+      lower, upper, outer, broadcast, maxBandRows))
   }
 }
 
@@ -125,7 +137,7 @@ object GraftBandJoin {
 case class BandMergeJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTs: Expression, rightTs: Expression,
-    lower: Long, upper: Long, outer: Boolean,
+    lower: Long, upper: Long, outer: Boolean, maxBandRows: Int,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -153,6 +165,7 @@ case class BandMergeJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val (lo, hi) = (lower, upper)
     val (isOuter, outAttrs) = (outer, output)
+    val maxBand = maxBandRows
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIterRaw) =>
       def ordFor(types: Seq[DataType]) = {
@@ -214,7 +227,17 @@ case class BandMergeJoinExec(
                     if (rts > lts + hi) scanning = false // beyond the band: keep for later lefts
                     else {
                       val row = rIter.next()
-                      if (rts >= lts + lo) band.addLast(row.copy())
+                      if (rts >= lts + lo) {
+                        band.addLast(row.copy())
+                        // a band holding millions of rows is a disguised
+                        // cross join (hot key × wide band): fail loud with
+                        // the knobs, never OOM the executor
+                        if (band.size() > maxBand)
+                          throw new IllegalStateException(
+                            s"band join buffer exceeded maxBandRows=$maxBand for one key — " +
+                              "per-key density × band width is cross-join-shaped; shrink the " +
+                              "band, add a key column, or raise maxBandRows deliberately")
+                      }
                       // else: below every future band — drop
                     }
                   }

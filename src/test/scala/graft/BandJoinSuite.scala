@@ -145,4 +145,23 @@ class BandJoinSuite extends SparkSpec {
       GraftBandJoin.bandJoinMerge(l, l, Seq("l_key"), Seq("l_key"), "l_ts", "l_ts", -1L, 1L)
     }
   }
+
+  test("B7: band occupancy cap fails loud on a cross-join-shaped key, never OOMs") {
+    // one key, 100 right rows all inside every left band: occupancy 100
+    // exceeds maxBandRows=10 -> the buffer guard must throw with the knobs
+    val l = leftDf(Seq((1L, "k", 100L)))
+    val r = rightDf((1L to 100L).map(i => (i, "k", 100L + i % 3)))
+    val e = intercept[Exception] {
+      GraftBandJoin.bandJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+        "l_ts", "r_ts", -50L, 50L, broadcast = Some(false), maxBandRows = 10)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).mkString(" | ").contains("maxBandRows"), msgs(e).mkString(" | "))
+    // and the same data passes under the default cap
+    val n = GraftBandJoin.bandJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+      "l_ts", "r_ts", -50L, 50L, broadcast = Some(false)).count()
+    assert(n == 100L)
+  }
 }
