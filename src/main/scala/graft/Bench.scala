@@ -118,10 +118,17 @@ object Bench {
     // Persist the compact line too (scripts/bench.sh re-echoes it after
     // sbt exits, so tail-parsing survives ANY future sbt trailer).
     if (!filteredRun) {
+      // NonFatal only: an OOM/interrupt here must propagate, and a plain
+      // IO failure must say so — bench.sh's re-echo silently disappears
+      // when this file is missing, which otherwise leaves the driver's
+      // tail-parse failing with no clue.
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_last.json"),
         (compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not persist BENCH_last.json: $e")
+      }
     }
     // Stop Spark BEFORE the final println: shutdown logging must not land
     // after the line the driver tail-parses.

@@ -120,10 +120,13 @@ object Artifacts {
     val reqs = collectRequests(stages)
     reqs.foreach { r =>
       quota match {
-        // the manager enforces quota + ledger-dedups; still mark the
-        // request resolved session-wide so pipeline compile skips it
-        case Some(m) => graft.functions.Registration.once(spark,
-          s"artifact:${r.unpack}:${r.recursive}:${r.uri}") { m.distribute(r); () }
+        // ALWAYS route through the manager — its ledger dedups by uri, and
+        // its resolve goes through resolveOnce, so the session-wide once
+        // mark is set as a side effect. Guarding this call with the same
+        // once key would let a request already resolved by a PLAIN
+        // resolveOnce (an earlier pipeline compile) skip the ledger
+        // entirely, under-counting admission for every later distribute.
+        case Some(m) => m.distribute(r); ()
         case None => resolveOnce(spark, r)
       }
     }
@@ -228,7 +231,11 @@ final class ArtifactManager(spark: SparkSession, quotaBytes: Long) {
 
   /** Distribute unless already registered (cache reuse); enforce the
     * quota before Spark starts shipping anything. Returns the request so
-    * stages can chain `.localPath`.
+    * stages can chain `.localPath`. The resolve goes through
+    * [[Artifacts.resolveOnce]]: an artifact a plain (unmanaged) resolve
+    * already shipped this session is not re-added — but it still enters
+    * THIS ledger, so admission accounting reflects every distributed
+    * byte even when the manager is introduced after a first compile.
     */
   def distribute(r: DownloadRequest): DownloadRequest = synchronized {
     if (!registered.contains(r.uri)) {
@@ -241,7 +248,7 @@ final class ArtifactManager(spark: SparkSession, quotaBytes: Long) {
           s"artifact quota exceeded: ${r.uri} needs $size bytes but only " +
             s"${quotaBytes - used} of $quotaBytes remain.\nRegistered:\n$breakdown")
       }
-      Artifacts.resolve(spark, r)
+      Artifacts.resolveOnce(spark, r)
       registered.put(r.uri, size)
     }
     r

@@ -66,6 +66,17 @@ object DecoderReaper {
       .flatMap(_.info().startInstant().toScala)
       .map(_.toEpochMilli).getOrElse(0L)
 
+  /** Three-way leader probe — None: pid absent; Some(0): alive but the
+    * platform hides its start time; Some(t): alive, started at t. The
+    * kill guard must NOT collapse the first two (startMillisOf does, for
+    * recording): an absent leader means the group is ours-or-empty and
+    * safe to kill, while an alive-but-unattributable leader could be a
+    * recycled pid and must never be killed.
+    */
+  private def leaderStart(pid: Long): Option[Long] =
+    ProcessHandle.of(pid).toScala.map(h =>
+      h.info().startInstant().toScala.map(_.toEpochMilli).getOrElse(0L))
+
   /** Record a spawned group (leader pid == pgid under setsid). */
   def record(pgid: Long): Unit = synchronized {
     live.put(pgid, startMillisOf(pgid))
@@ -91,15 +102,23 @@ object DecoderReaper {
     * empty group is an ESRCH no-op. The one skip case is a leader pid
     * that exists with a DIFFERENT start time: the whole group died and
     * the pid was recycled by an innocent process — never kill that.
+    * A leader that is ALIVE but whose start time the platform hides is
+    * also skipped — it cannot be told apart from a recycled pid.
     * (The residual hazard — full group death, pid recycled as a NEW
     * group leader who then also dies leaving members — requires double
     * recycling inside one reap window; accepted, as in any
     * pid-bookkeeping reaper.)
     */
   def killGroup(pgid: Long, startMillis: Long): Boolean = {
-    val cur = startMillisOf(pgid)
-    val ours = if (cur == 0L) true // leader gone: group is ours-or-empty
-      else startMillis > 0 && cur == startMillis
+    val ours = leaderStart(pgid) match {
+      case None => true // leader pid absent: group is ours-or-empty
+      // alive but the platform hides start times: identity unprovable —
+      // honor the "recorded as 0 are never killed" contract and skip
+      // (the caller drops the entry; a stray group here is the accepted
+      // residual on start-time-less platforms)
+      case Some(0L) => false
+      case Some(cur) => startMillis > 0 && cur == startMillis
+    }
     if (ours) {
       // negative pid = the whole group; -- guards the leading dash
       val p = new ProcessBuilder("kill", "-9", "--", s"-$pgid").start()

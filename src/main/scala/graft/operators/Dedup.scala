@@ -126,10 +126,18 @@ object Dedup {
       maxHamming: Int = 3, maxChunkDf: Int = 100): DataFrame = {
     SigX.register(df.sparkSession)
     val sims = df.select(col(idCol).as("_gid"), SigX.simhash(tokens(col(textCol))).as("sim"))
-    val chunks = sims
+    val ex = sims
       .select(col("_gid"), col("sim"), explode(Sig.simChunkKeys(col("sim"))).as("ck"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("ck")))
+    // chunk-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline, see
+    // ngramJaccardPairs): a count window would ship every copy of a
+    // degenerate chunk key (e.g. the all-zero signature of empty docs)
+    // to one task and buffer the whole group before filtering. The
+    // partial-agg count collapses hot keys map-side; the semi-join's
+    // build side contains no hot key, so its copies never co-locate.
+    val lowCk = ex.groupBy("ck").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxChunkDf)
+      .select("ck")
+    val chunks = ex.join(lowCk, Seq("ck"), "left_semi")
       .select("_gid", "sim", "ck")
     chunks.as("a")
       .join(chunks.as("b"), col("a.ck") === col("b.ck") && col("a._gid") < col("b._gid"))
@@ -206,11 +214,15 @@ object Dedup {
     */
   def contaminationPairs(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, minOverlap: Int, maxDf: Int = 100): DataFrame = {
-    val tr = shingled(train, idCol, textCol)
+    val trEx = shingled(train, idCol, textCol)
       .select(col("_gid").as("train_id"), explode(col("sh")).as("shingle"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+    // train-side df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline):
+    // a boilerplate shingle appearing in millions of training docs must
+    // collapse map-side in the count, never co-locate in one window task.
+    val lowDf = trEx.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .drop("df")
+      .select("shingle")
+    val tr = trEx.join(lowDf, Seq("shingle"), "left_semi")
     val te = shingled(test, idCol, textCol)
       .select(col("_gid").as("test_id"), explode(col("sh")).as("shingle"))
     // the test corpus is a benchmark — tiny by contract — so its shingle
@@ -605,9 +617,15 @@ object Dedup {
       thr: Double, maxBandDf: Int = 1000): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
-    val keys = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("bk")))
+    val ex = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
+    // band-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline): a hot
+    // bucket (a corpus of near-identical vectors collapsing into one band
+    // key) must be counted map-side, never buffered whole in one window
+    // task before the cap can drop it.
+    val lowBk = ex.groupBy("bk").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxBandDf)
+      .select("bk")
+    val keys = ex.join(lowBk, Seq("bk"), "left_semi")
       .select("_gid", "bk")
     val cand = keys.as("a")
       .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))

@@ -224,12 +224,26 @@ object GraphAnn {
     * queries, per-shard top-k merge globally. Output: query_id, rank,
     * neighbor_id, cos (6 dp, the s01 schema). Self-matches
     * (neighbor_id == query_id) are excluded, mirroring knnBruteForce.
+    *
+    * The query side is COLLECTED to the driver and broadcast — the right
+    * design for a query set, a driver OOM for a corpus. `maxQueries`
+    * refuses loud past the default 100k (the d07 maxRows discipline):
+    * corpus-×-corpus similarity belongs to [[Similarity.ivfPqKnn]] /
+    * [[Dedup.embeddingPairsLsh]], which never collect a side.
     */
   def hnswSearch(index: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, efSearch: Int = 64): DataFrame = {
+      idCol: String, vecCol: String, k: Int, efSearch: Int = 64,
+      maxQueries: Int = 100000): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = index.sparkSession
     import spark.implicits._
+    val qCount = queries.limit(maxQueries + 1).count()
+    require(qCount <= maxQueries,
+      s"hnswSearch: query side exceeds maxQueries=$maxQueries — it is collected " +
+        "to the driver and broadcast, so a corpus-sized query set would OOM the " +
+        "driver. For corpus-x-corpus neighbors use Similarity.ivfPqKnn or " +
+        "Dedup.embeddingPairsLsh (distributed, never collect a side), or raise " +
+        "maxQueries deliberately.")
     val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
       .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .as[(Long, Array[Float])].collect()
@@ -291,7 +305,8 @@ object GraphAnn {
   /** One-shot build + search. */
   def hnswKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, shards: Int, m: Int = 8,
-      efConstruction: Int = 64, efSearch: Int = 64): DataFrame =
+      efConstruction: Int = 64, efSearch: Int = 64,
+      maxQueries: Int = 100000): DataFrame =
     hnswSearch(hnswIndex(corpus, idCol, vecCol, shards, m, efConstruction),
-      queries, idCol, vecCol, k, efSearch)
+      queries, idCol, vecCol, k, efSearch, maxQueries)
 }

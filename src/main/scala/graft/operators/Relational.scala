@@ -2498,6 +2498,12 @@ object Relational {
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // force-populate the cache before the union reads it twice: inside one
+    // job, concurrent tasks of the two arms can race a LAZY cache and each
+    // recompute the expansion subtree. One count() over the small
+    // post-threshold pair set pins the compute-once guarantee while
+    // keeping lineage for executor-loss recovery.
+    pairs.count()
     val directed = pairs.select(col("a").as("item"), col("b").as("neighbor"), col("n_both"))
       .union(pairs.select(col("b").as("item"), col("a").as("neighbor"), col("n_both")))
     val enriched = directed

@@ -82,11 +82,21 @@ object Similarity {
     GraftExpressions.register(df.sparkSession)
     val b0 = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"),
       lshBucket(col(vecCol), planes).as("bucket"))
+    // bucket-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline from
+    // operators/Dedup.ngramJaccardPairs): a count window over the bucket
+    // key would ship every member of a degenerate bucket (e.g. the
+    // all-negative-dot origin bucket) to one task and buffer the whole
+    // group before the cap could drop it. The partial-agg count collapses
+    // hot buckets map-side; the semi-join build side holds only low-df
+    // bucket ids, so hot-bucket rows stream through the probe and drop.
     val b =
       if (maxBucketDf == Int.MaxValue) b0
-      else b0.withColumn("df", count(lit(1)).over(Window.partitionBy("bucket")))
-        .filter(col("df") <= maxBucketDf)
-        .select("vec_id", "_v", "bucket")
+      else {
+        val lowB = b0.groupBy("bucket").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxBucketDf)
+          .select("bucket")
+        b0.join(lowB, Seq("bucket"), "left_semi")
+      }
     val p = b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),

@@ -88,6 +88,18 @@ object GraftBandJoin {
     */
   val DefaultMaxBandRows: Int = 4 << 20
 
+  /** Saturating band-edge addition: an extreme band (|lower|/|upper|
+    * near Long.MaxValue) or an extreme timestamp must CLAMP, never wrap —
+    * a wrapped edge silently corrupts band membership in both physical
+    * plans. Clamping is exact for membership: an edge past the Long
+    * range admits/excludes exactly the rows a true ±∞ edge would.
+    */
+  def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    // overflow iff both operands share a sign that differs from the sum's
+    if (((a ^ s) & (b ^ s)) < 0) { if (a > 0) Long.MaxValue else Long.MinValue } else s
+  }
+
   /** DataFrame-level entry: `bandJoinMerge(purchases, errors,
     * Seq("session"), Seq("session"), "pt", "et", -5000, 5000)` pairs
     * each purchase with every same-session error inside ±5 s.
@@ -206,6 +218,8 @@ case class BandMergeJoinExec(
               if (isOuter) pendingNull = resultProj(joined(l, nullRight)).copy()
             } else {
               val lts = lTsRow.getLong(0)
+              val loEdge = GraftBandJoin.satAdd(lts, lo)
+              val hiEdge = GraftBandJoin.satAdd(lts, hi)
               // key change: the buffered band belongs to an earlier key
               if (!band.isEmpty &&
                   keyOrd.compare(bufKeyProj(band.peekFirst()), lKeyRow) != 0)
@@ -224,10 +238,10 @@ case class BandMergeJoinExec(
                   if (rTsRow.isNullAt(0)) rIter.next() // null ts never matches
                   else {
                     val rts = rTsRow.getLong(0)
-                    if (rts > lts + hi) scanning = false // beyond the band: keep for later lefts
+                    if (rts > hiEdge) scanning = false // beyond the band: keep for later lefts
                     else {
                       val row = rIter.next()
-                      if (rts >= lts + lo) {
+                      if (rts >= loEdge) {
                         band.addLast(row.copy())
                         // a band holding millions of rows is a disguised
                         // cross join (hot key × wide band): fail loud with
@@ -244,7 +258,7 @@ case class BandMergeJoinExec(
                 }
               }
               // evict fronts that fell out of the (advanced) lower edge
-              while (!band.isEmpty && rTsProj(band.peekFirst()).getLong(0) < lts + lo)
+              while (!band.isEmpty && rTsProj(band.peekFirst()).getLong(0) < loEdge)
                 band.pollFirst()
               if (!band.isEmpty) {
                 emitting = band.toArray(new Array[InternalRow](band.size()))
@@ -352,13 +366,15 @@ case class BroadcastBandJoinExec(
           if (bucket != null) {
             val ts = bucket._1
             val lts = lTsRow.getLong(0)
+            val loEdge = GraftBandJoin.satAdd(lts, lo)
+            val hiEdge = GraftBandJoin.satAdd(lts, hi)
             // first index with ts >= lts + lo
             var a = 0; var b = ts.length
-            while (a < b) { val m = (a + b) >>> 1; if (ts(m) < lts + lo) a = m + 1 else b = m }
+            while (a < b) { val m = (a + b) >>> 1; if (ts(m) < loEdge) a = m + 1 else b = m }
             from = a
             // first index with ts > lts + hi
             a = from; b = ts.length
-            while (a < b) { val m = (a + b) >>> 1; if (ts(m) <= lts + hi) a = m + 1 else b = m }
+            while (a < b) { val m = (a + b) >>> 1; if (ts(m) <= hiEdge) a = m + 1 else b = m }
             until = a
           }
         }

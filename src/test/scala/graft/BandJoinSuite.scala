@@ -164,4 +164,29 @@ class BandJoinSuite extends SparkSpec {
       "l_ts", "r_ts", -50L, 50L, broadcast = Some(false)).count()
     assert(n == 100L)
   }
+
+  test("B8: extreme band edges saturate, never wrap — both physical plans") {
+    // satAdd unit behavior first
+    assert(GraftBandJoin.satAdd(Long.MaxValue - 1, 10L) == Long.MaxValue)
+    assert(GraftBandJoin.satAdd(Long.MinValue + 1, -10L) == Long.MinValue)
+    assert(GraftBandJoin.satAdd(5L, 7L) == 12L)
+    assert(GraftBandJoin.satAdd(-5L, 3L) == -2L)
+    // upper near Long.MaxValue: lts+hi would wrap NEGATIVE under raw
+    // addition, excluding everything; saturation means "band open above"
+    // and every same-key right row at ts >= lts+lower matches
+    val l = leftDf(Seq((1L, "k", 100L)))
+    val r = rightDf(Seq((10L, "k", 50L), (11L, "k", 100L), (12L, "k", Long.MaxValue - 1)))
+    for (bc <- Seq(Some(false), Some(true))) {
+      val out = GraftBandJoin.bandJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+          "l_ts", "r_ts", lower = 0L, upper = Long.MaxValue - 10, broadcast = bc)
+        .select("r_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(11L, 12L), s"broadcast=$bc: $out")
+      // and a lower edge past Long.MinValue saturates to an open-below band
+      val all = GraftBandJoin.bandJoinMerge(l, r, Seq("l_key"), Seq("r_key"),
+          "l_ts", "r_ts", lower = Long.MinValue + 10, upper = Long.MaxValue - 10,
+          broadcast = bc)
+        .select("r_id").collect().map(_.getLong(0)).toSet
+      assert(all == Set(10L, 11L, 12L), s"broadcast=$bc: $all")
+    }
+  }
 }

@@ -107,6 +107,28 @@ class DedupOpsSuite extends SparkSpec {
     assert(pair.length == 1 && pair.head._1 == 1L && pair.head._2 == 2L)
   }
 
+  test("simhash/contamination/embedding df caps: partial-agg + semi-join, never a count window") {
+    import spark.implicits._
+    // the r11 verdict's four count-window sites, minus annLsh (its spec
+    // lives in SimilarityOpsSuite): each capped plan must contain ZERO
+    // WindowExec — a count window over the capped key buffers the whole
+    // hot group in one task before the filter can drop it.
+    def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    def assertNoWindow(df: org.apache.spark.sql.DataFrame, site: String): Unit =
+      assert(!collectAll(df.queryExecution.executedPlan)
+          .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$site: df cap must be a partial-agg count + semi-join (d02 discipline)")
+    val docs = (0 until 20).map(i => (i.toLong, s"alpha beta gamma delta shared tail $i")).toDF("id", "text")
+    val vecs = (0 until 20).map(i => (i.toLong, Seq.tabulate(8)(d => (i * 8 + d).toFloat / 160f))).toDF("id", "vec")
+    assertNoWindow(Dedup.simhashPairs(docs, "id", "text", maxChunkDf = 5), "simhashPairs")
+    assertNoWindow(Dedup.contaminationPairs(docs, docs.limit(2), "id", "text",
+      minOverlap = 1, maxDf = 5), "contaminationPairs")
+    assertNoWindow(Dedup.embeddingPairsLsh(vecs, "id", "vec", 0.9, maxBandDf = 5), "embeddingPairsLsh")
+  }
+
   test("contaminationPairs flags train docs overlapping test docs; cap drops boilerplate") {
     import spark.implicits._
     // tokens are 3-gram shingled, so overlap = shared distinct 3-grams

@@ -87,4 +87,18 @@ class GraphAnnSuite extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).mkString(" | ").contains("dangling neighbor"), msgs(e).mkString(" | "))
   }
+
+  test("G5: a corpus-sized query side refuses loud at maxQueries; the boundary passes") {
+    val idx = GraphAnn.hnswIndex(emb, "vec_id", "embedding", shards = 2)
+    // over the cap: loud refusal naming the distributed alternatives
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.hnswSearch(idx, emb, "vec_id", "embedding", k = 3, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("maxQueries") && e.getMessage.contains("ivfPqKnn"),
+      e.getMessage)
+    // exactly at the cap: allowed
+    val ok = GraphAnn.hnswSearch(idx, emb.orderBy("vec_id").limit(10),
+      "vec_id", "embedding", k = 3, maxQueries = 10)
+    assert(ok.select("query_id").distinct().count() == 10)
+  }
 }

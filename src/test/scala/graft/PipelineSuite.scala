@@ -568,6 +568,16 @@ class PipelineSuite extends SparkSpec {
     assert(mgr.usedBytes == 300 && mgr.registeredUris.size == 2)
     // the artifacts really distributed (readable where workers read them)
     assert(new java.io.File(Artifacts.localPath("dlall_a.bin")).length() == 100)
+    // a request already resolved by a PLAIN resolveOnce (no manager) must
+    // still enter a later manager's ledger — quota accounting counts every
+    // distributed byte, even when the manager arrives after a first compile
+    val c = mk("dlall_c.bin", 50)
+    Artifacts.resolveOnce(spark, DownloadRequest(c.getAbsolutePath))
+    val mgr2 = new ArtifactManager(spark, quotaBytes = 1000)
+    assert(Artifacts.downloadAll(spark,
+      Seq[Stage[_, _]](new MultiDeclStage(Seq(c.getAbsolutePath))), Some(mgr2)) == 1)
+    assert(mgr2.usedBytes == 50 && mgr2.registeredUris.size == 1,
+      "pre-resolved artifacts must still be admission-counted by a later quota manager")
     // and the pipeline itself compiles + runs over the prefetched stages
     import spark.implicits._
     val out = Pipeline.from(ints(4, parts = 2))

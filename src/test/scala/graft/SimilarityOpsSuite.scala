@@ -84,6 +84,25 @@ class SimilarityOpsSuite extends SparkSpec {
       maxBucketDf = 10).count() == 0)
   }
 
+  test("annLsh plan: bucket cap is partial-agg + semi-join; only the rank window remains") {
+    import spark.implicits._
+    // the cap must NOT be a count window over the bucket key (it would
+    // buffer a degenerate bucket whole in one task); the only WindowExec
+    // allowed is the final per-vector top-1 rank, whose partition size is
+    // bounded by maxBucketDf by construction.
+    val corpus = corpusOf((0L until 32L).map(i => i -> Seq(i.toFloat / 32f, 1f - i.toFloat / 32f)))
+    val df = Similarity.annLsh(corpus, "vec_id", "embedding",
+      graft.queries.Similarity.planes, maxBucketDf = 10)
+    def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case other => other +: other.children.flatMap(collectAll)
+    }
+    val nodes = collectAll(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 1,
+      "bucket-df cap must be partial-agg + semi-join (d02 discipline); " +
+        "only the bounded per-vector rank window may remain")
+  }
+
   test("ivfKnn plan: assignment is aggregation, not a window; one window total") {
     import spark.implicits._
     val corpus = corpusOf((0L until 64L).map(i =>
