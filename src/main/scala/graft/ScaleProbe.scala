@@ -1081,6 +1081,13 @@ object ScaleProbe {
         col("a_user"), col("b_user"),
         col("a_s"), col("a_e"), col("b_s"), col("b_e"),
         cellWidth = 86400000L).count())
+    // the native merge exec on the same inputs (round 12, Q114): no cell
+    // explode on either side, state = concurrent intervals per key
+    time("interval native xf")(
+      graft.plans.GraftIntervalJoin.intervalJoinMerge(
+        sessions("click", "a"), sessions("view", "b"),
+        Seq("a_user"), Seq("b_user"), "a_s", "a_e", "b_s", "b_e",
+        broadcast = Some(false)).count())
   }
 
   /** SERVING-mode soak (`ScaleProbe <f> serving`): M concurrent hub

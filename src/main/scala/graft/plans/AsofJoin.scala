@@ -107,6 +107,13 @@ class GraftStrategy extends SparkStrategy {
       else
         BandMergeJoinExec(lk, rk, lts, rts, lo, hi, outer, maxBand,
           planLater(l), planLater(r)) :: Nil
+    case GraftIntervalJoin(l, r, lk, rk, ls, le, rs, re, outer, hint, maxActive) =>
+      if (broadcastable(r, hint))
+        BroadcastIntervalJoinExec(lk, rk, ls, le, rs, re, outer,
+          planLater(l), planLater(r)) :: Nil
+      else
+        IntervalMergeJoinExec(lk, rk, ls, le, rs, re, outer, maxActive,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

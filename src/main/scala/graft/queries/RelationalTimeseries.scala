@@ -532,11 +532,15 @@ object RelationalTimeseries {
   }
 
   /** q97: interval-overlap join between each user's CLICK sessions and
-    * VIEW sessions ("was the user browsing while clicking") through
-    * [[graft.operators.Relational.intervalOverlapJoin]] — grid-cell
-    * equi-join + exactly-once reporting-cell emission, no nested loop,
-    * no post-join distinct. The oracle states the same semantics as a
-    * raw inequality join (fine for DuckDB at sf0.01; the cell plan is
+    * VIEW sessions ("was the user browsing while clicking") through the
+    * NATIVE [[graft.plans.GraftIntervalJoin]] exec (round 12, the third
+    * Catalyst rung): one hash exchange per side on the user key, sorted
+    * merge with an active-interval set, each pair emitted exactly once —
+    * no grid-cell explode, no post-join distinct, and the broadcast
+    * variant picks itself when one side is dimension-sized. The grid
+    * composition ([[graft.operators.Relational.intervalOverlapJoin]])
+    * remains for the keyless case. The oracle states the same semantics
+    * as a raw inequality join (fine for DuckDB at sf0.01; the merge is
     * the scale-safe side).
     */
   val q97 = QueryDef(
@@ -576,11 +580,9 @@ object RelationalTimeseries {
         .agg(min("tms").as(s"${p}_s"), max("tms").as(s"${p}_e"))
         .select(col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sid"),
           col(s"${p}_s"), col(s"${p}_e"))
-    graft.operators.Relational.intervalOverlapJoin(
+    graft.plans.GraftIntervalJoin.intervalJoinMerge(
         sessions("click", "a"), sessions("view", "b"),
-        col("a_user"), col("b_user"),
-        col("a_s"), col("a_e"), col("b_s"), col("b_e"),
-        cellWidth = 86400000L)
+        Seq("a_user"), Seq("b_user"), "a_s", "a_e", "b_s", "b_e")
       .select(col("a_user").as("user_id"), col("a_sid").as("a_sid"),
         col("b_sid").as("b_sid"),
         (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
