@@ -78,12 +78,14 @@ object ClusterSmoke {
       val mon = new PipelineMonitor(spark)
 
       // a slice spanning the operator families: agg, multi-join, native
-      // as-of (custom exec), salted join, MinHash LSH dedup, TF-IDF,
-      // IVF ANN, gap-fill grid, k-core iteration with localCheckpoints
+      // as-of/band/interval (custom execs), salted join, MinHash LSH
+      // dedup, TF-IDF, IVF ANN, gap-fill grid, k-core iteration with
+      // localCheckpoints
       val slice = Seq(
         "q01_pricing_summary", "q05_local_supplier", "q95_asof_native",
-        "q126_band_native", "q46_salted_join", "d03_minhash_lsh",
-        "t16_tfidf", "s04_ivf_knn", "q36_gapfill", "q49_kcore")
+        "q126_band_native", "q97_interval_overlap", "q46_salted_join",
+        "d03_minhash_lsh", "t16_tfidf", "s04_ivf_knn", "q36_gapfill",
+        "q49_kcore")
       val timings = slice.map { name =>
         val fn = SparkEntry.queries.getOrElse(name,
           throw new IllegalStateException(s"unknown query $name"))
@@ -120,6 +122,57 @@ object ClusterSmoke {
           col("e_ms") <= col("p_ms") + 3600000L).count()
         require(band == raw,
           s"band-join semantics diverge off local mode: native=$band raw=$raw")
+      }
+
+      // sharded HNSW (S13): the one operator whose CORRECTNESS depends on
+      // a partitioning guarantee local[*] can mask — hnswSearch rebuilds
+      // each shard's graph inside mapPartitions and requires
+      // repartition(col("shard")) to co-locate whole shards (a split
+      // shard = dangling neighbors = loud failure; a silently-wrong
+      // partitioner would tank recall instead). Assert recall vs exact
+      // brute force ON THIS cluster, real exchanges included.
+      locally {
+        import org.apache.spark.sql.functions.col
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val queries = emb.orderBy("vec_id").limit(20)
+        def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+          df.select("query_id", "neighbor_id").collect()
+            .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+        val exact = top(graft.operators.Similarity.knnBruteForce(
+          emb, queries, "vec_id", "embedding", 10))
+        val hnsw = top(graft.operators.GraphAnn.hnswKnn(
+          emb, queries, "vec_id", "embedding", k = 10, shards = 4))
+        val recall = exact.keys.toSeq.map(q =>
+          hnsw.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 10).sum / exact.size
+        require(recall >= 0.9,
+          s"HNSW recall@10 off local mode = $recall (< 0.9): shard co-location broken")
+      }
+
+      // native interval-overlap exec (Q114): like the as-of/band checks,
+      // the merge must agree with the raw inequality join row-for-row
+      // count under real serialization boundaries
+      locally {
+        import org.apache.spark.sql.functions.{col, unix_millis, min => smin, max => smax}
+        val ev = graft.sources.Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("tms"))
+        def sessions(tpe: String, p: String) =
+          graft.operators.Relational.sessionize(
+              ev.filter(col("event_type") === tpe), "user_id", col("tms"),
+              col("event_id"), gapMillis = 86400000L)
+            .groupBy(col("user_id"), col("session_id"))
+            .agg(smin("tms").as(s"${p}_s"), smax("tms").as(s"${p}_e"))
+            .select(col("user_id").as(s"${p}_user"), col("session_id").as(s"${p}_sid"),
+              col(s"${p}_s"), col(s"${p}_e"))
+        val a = sessions("click", "a")
+        val b = sessions("view", "b")
+        val native = graft.plans.GraftIntervalJoin.intervalJoinMerge(a, b,
+          Seq("a_user"), Seq("b_user"), "a_s", "a_e", "b_s", "b_e",
+          broadcast = Some(false)).count()
+        val raw = a.join(b, col("a_user") === col("b_user") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e")).count()
+        require(native == raw,
+          s"interval-join semantics diverge off local mode: native=$native raw=$raw")
       }
 
       // Stage pipeline across executor JVMs, with monitor + gauges

@@ -199,7 +199,21 @@ final case class PipelineConfig(
     failuresReturnNones: Boolean = false,
     resetWorkersOnFailure: Boolean = false,
     batchStorageLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
-    checkpointDir: Option[String] = None)
+    checkpointDir: Option[String] = None,
+    jobInfo: Option[JobInfo] = None)
+
+/** Pipeline-identity record for tagging reported metrics (reference:
+  * JobInfo, specs.py:500-508 — "info about the pipeline job ... used to
+  * tag reported pipeline metrics"). Attach via
+  * `PipelineConfig(jobInfo = Some(...))`: [[Pipeline.from]] hands it to
+  * the monitor, whose [[PipelineMonitor.tags]]/render carry it on every
+  * rollup — so metrics aggregated ACROSS pipelines (the reference's use
+  * case) stay attributable to (type, version, mode).
+  */
+final case class JobInfo(
+    pipelineType: String,
+    pipelineVersion: String,
+    pipelineMode: String)
 
 /** Typed pipeline builder/compiler: each added stage extends a lazy
   * `Dataset` chain. The chain IS the pipeline — Catalyst sees one plan, so
@@ -269,6 +283,9 @@ object Pipeline {
       monitor: Option[PipelineMonitor] = None): Pipeline[I] = {
     require(!(ds.isStreaming && config.mode == ExecutionMode.Batch),
       "Batch mode requires a bounded input; use Streaming/Serving for streams")
+    // the config's job identity rides the monitor so its rollups are
+    // tagged (reference: PipelineSpec.job_info → reported metric tags)
+    config.jobInfo.foreach(ji => monitor.foreach(_.adoptJobInfo(ji)))
     new Pipeline(ds, config, monitor, 0)
   }
 

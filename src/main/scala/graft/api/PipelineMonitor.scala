@@ -93,9 +93,34 @@ final class StageStats private[api] (
   * Queue depths have no analogue by design: Spark tasks PULL — there are
   * no inter-stage queues to measure (see the F12 mapping in Pipeline).
   */
-final class PipelineMonitor(spark: SparkSession) {
+final class PipelineMonitor(spark: SparkSession,
+    jobInfo: Option[JobInfo] = None) {
 
   private val stages = TrieMap.empty[String, StageStats]
+
+  // the pipeline identity this monitor's rollups are tagged with
+  // (reference: JobInfo, specs.py:500 — metrics-tagging record); settable
+  // after construction because PipelineConfig carries it and Pipeline.from
+  // runs later than monitor construction
+  @volatile private var jobInfoOpt: Option[JobInfo] = jobInfo
+
+  /** Attach/replace the job identity (called by [[Pipeline.from]] when
+    * `PipelineConfig.jobInfo` is set; latest pipeline wins, matching a
+    * monitor reused across sequential runs).
+    */
+  def adoptJobInfo(ji: JobInfo): Unit = jobInfoOpt = Some(ji)
+
+  /** Metric tags from the attached [[JobInfo]] — empty when none. Join
+    * these onto [[snapshot]]/[[resourceSnapshot]] rows when exporting to
+    * a metrics backend; [[render]] prefixes them for the console.
+    */
+  def tags: Map[String, String] = jobInfoOpt match {
+    case Some(ji) => Map(
+      "pipeline_type" -> ji.pipelineType,
+      "pipeline_version" -> ji.pipelineVersion,
+      "pipeline_mode" -> ji.pipelineMode)
+    case None => Map.empty
+  }
 
   // Executor resource gauges (resource_monitor.py parity): a driver-side
   // listener rolls each finished task's TaskMetrics into a per-executor
@@ -195,7 +220,7 @@ final class PipelineMonitor(spark: SparkSession) {
     */
   def render(verbosity: Verbosity): String = verbosity match {
     case Verbosity.None => ""
-    case Verbosity.Info => renderStageTable
+    case Verbosity.Info => (renderJobLine :+ renderStageTable).mkString("\n")
     case Verbosity.Debug =>
       val workers = workerSnapshot.toSeq.sortBy(_._1).map { case (stage, ws) =>
         val rows = ws.toSeq.sortBy(_._1).map { case (wid, s) =>
@@ -204,8 +229,12 @@ final class PipelineMonitor(spark: SparkSession) {
         }
         s"  $stage workers:\n${rows.mkString("\n")}"
       }
-      ((renderStageTable +: workers) ++ renderGauges).mkString("\n")
+      ((renderJobLine :+ renderStageTable) ++ workers ++ renderGauges).mkString("\n")
   }
+
+  // the JobInfo tag line every rendered rollup leads with (when attached)
+  private def renderJobLine: Seq[String] = jobInfoOpt.toSeq.map(ji =>
+    s"job: type=${ji.pipelineType} version=${ji.pipelineVersion} mode=${ji.pipelineMode}")
 
   private def renderGauges: Seq[String] = {
     val gs = resourceSnapshot

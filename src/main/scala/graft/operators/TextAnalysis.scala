@@ -616,9 +616,34 @@ object TextAnalysis {
     * Returns the ordered merge list (driver-sized by construction:
     * `numMerges` entries IS the model). Encode with [[bpeEncode]] /
     * [[bpeSegment]]. Training stops early if no pair repeats.
+    *
+    * MERGE BATCHING (round 12): one driver round-trip and one
+    * `localCheckpoint` per merge is 32k Spark jobs for a GPT-2-sized
+    * vocabulary. Each pass instead takes the top `batchSize` pairs and
+    * applies, in rank order, the ranked PREFIX-greedy subset whose
+    * symbols are mutually disjoint — a pair is skipped for this pass
+    * (not discarded; it re-ranks next pass) if either symbol, or the
+    * concatenation of an already-accepted pair, collides with it.
+    * Symbol-disjoint merges cannot change each other's occurrence
+    * counts (fusing a,b elsewhere can neither create nor break a c,d
+    * adjacency), so within a batch every accepted pair's count is
+    * exactly what the sequential trainer would have seen — the greedy
+    * order is preserved for non-overlapping pairs. WHERE IT CAN
+    * DIVERGE from one-merge-at-a-time: a brand-new pair CONTAINING a
+    * just-merged symbol (count ≤ the merged pair's) is only visible
+    * from the NEXT pass, so if it would have outranked a later batch
+    * member, the sequential trainer emits it earlier than the batched
+    * one — the merge SET converges, the order near such chains can
+    * differ (the standard fast-BPE trade). The DEFAULT batchSize = 1 is
+    * exact sequential semantics — character-level BPE chains constantly
+    * (l,o → lo,w → low,e), so batching is the deliberate scale knob for
+    * large vocabularies, not the silent default: at batchSize = B a
+    * GPT-2-sized run pays ~32k/B jobs instead of 32k.
     */
-  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+      batchSize: Int = 1): Seq[(String, String)] = {
     require(numMerges > 0, "numMerges must be positive")
+    require(batchSize >= 1, "batchSize must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
@@ -630,19 +655,35 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var done = false
     while (!done && merges.length < numMerges) {
+      val want = math.min(batchSize, numMerges - merges.length)
       val top = vocab.flatMap { case (s, f) =>
           if (s.length < 2) Iterator.empty
           else s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, f))
         }
         .toDF("a", "b", "f").groupBy("a", "b").agg(sum("f").as("cnt"))
         .filter(col("cnt") >= 2) // a pair seen once carries no signal
-        .orderBy(desc("cnt"), col("a"), col("b")).limit(1)
+        .orderBy(desc("cnt"), col("a"), col("b")).limit(want)
         .as[(String, String, Long)].collect()
       if (top.isEmpty) done = true
       else {
-        val (a, b, _) = top.head
-        merges += ((a, b))
-        val next = vocab.map { case (s, f) => (applyMerge(s, a, b), f) }
+        // ranked prefix-greedy non-overlapping selection: a pair whose
+        // symbols touch an accepted pair's symbols — or equal an accepted
+        // pair's concatenation (a pre-existing symbol spelled like the new
+        // one would gain occurrences the stale count missed) — waits for
+        // the next pass, where it re-ranks against fresh counts
+        val used = scala.collection.mutable.Set[String]()
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        top.foreach { case (a, b, _) =>
+          if (!used(a) && !used(b) && !used(a + b)) {
+            batch += ((a, b))
+            used += a; used += b; used += (a + b)
+          }
+        }
+        merges ++= batch
+        val bList = batch.toList
+        val next = vocab.map { case (s, f) =>
+            (bList.foldLeft(s) { case (acc, (a, b)) => applyMerge(acc, a, b) }, f)
+          }
           .localCheckpoint(true)
         vocab = next
       }

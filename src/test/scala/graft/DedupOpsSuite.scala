@@ -422,6 +422,37 @@ class DedupOpsSuite extends SparkSpec {
     assert(enc == Seq((1L, 4L, 5L), (2L, 1L, 3L)))
   }
 
+  test("bpeTrain merge batching: equivalent on overlap-free batches; chained divergence documented") {
+    import spark.implicits._
+    // OVERLAP-FREE corpus: words over pairwise-disjoint alphabets, so no
+    // batch pair shares a symbol with another and no merged symbol chains
+    // into a new competitive pair — batched must equal sequential exactly
+    val free = Seq((1L, "ab ab ab ab ab cd cd cd cd ef ef ef gh gh")).toDF("id", "text")
+    val seq1 = TextAnalysis.bpeTrain(free, "text", numMerges = 4) // batchSize = 1
+    val seq4 = TextAnalysis.bpeTrain(free, "text", numMerges = 4, batchSize = 4)
+    assert(seq1 == Seq(("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")))
+    assert(seq4 == seq1, "symbol-disjoint batches must preserve the greedy order exactly")
+    // CHAINED corpus (the documented divergence): sequentially, merging
+    // (l,o) creates (lo,w)=5 which outranks (w,e)=2; a batched pass
+    // cannot see the new pair until the next round, so it accepts the
+    // symbol-disjoint (w,e) in pass 1 and the orders diverge. This pins
+    // the scaladoc's divergence statement — batchSize=1 is the default
+    // precisely because character BPE chains like this.
+    val chained = Seq((1L, "low low low lower"), (2L, "lowest")).toDF("id", "text")
+    val exact = TextAnalysis.bpeTrain(chained, "text", numMerges = 10)
+    val batched = TextAnalysis.bpeTrain(chained, "text", numMerges = 10, batchSize = 8)
+    assert(exact == Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    assert(batched.take(2) == Seq(("l", "o"), ("w", "e")),
+      s"pass 1 accepts the disjoint runner-up before the chained pair exists: $batched")
+    assert(batched != exact, "chained merges are WHERE batching diverges — by design")
+    // overlap rule guards the concatenation too: two splits of one target
+    // symbol never enter the same batch (second would double-create it)
+    val conc = TextAnalysis.bpeTrain(
+      Seq((1L, "xy xy xy zw zw")).toDF("id", "text"), "text",
+      numMerges = 2, batchSize = 4)
+    assert(conc == Seq(("x", "y"), ("z", "w")))
+  }
+
   test("spanScrub removes exactly the tokens covered by duplicated windows") {
     import spark.implicits._
     // Docs 1 and 2 share the 4-token run "a b c d" (positions 1-4 in doc 1,

@@ -684,6 +684,37 @@ class PipelineSuite extends SparkSpec {
     assert(mon.report.nonEmpty)
   }
 
+  test("F15e: JobInfo tags monitor rollups (reference specs.py JobInfo parity)") {
+    import spark.implicits._
+    // untagged monitor: no tags, no job line
+    val bare = new PipelineMonitor(spark)
+    assert(bare.tags.isEmpty)
+    assert(!bare.render(Verbosity.Info).contains("job:"))
+    bare.detach()
+    // tagged via PipelineConfig: Pipeline.from hands the identity to the
+    // monitor, so rollups are attributable across pipelines
+    val mon = new PipelineMonitor(spark)
+    val ji = JobInfo("curation", "v12", "batch")
+    Pipeline.from(ints(10), config = PipelineConfig(jobInfo = Some(ji)),
+        monitor = Some(mon))
+      .stage(new AddStage(1))
+      .run().count()
+    assert(mon.tags == Map("pipeline_type" -> "curation",
+      "pipeline_version" -> "v12", "pipeline_mode" -> "batch"))
+    val rendered = mon.render(Verbosity.Info)
+    assert(rendered.startsWith("job: type=curation version=v12 mode=batch"),
+      rendered.linesIterator.take(1).mkString)
+    assert(mon.render(Verbosity.Debug).contains("job: type=curation"))
+    // constructor attachment works too; a later pipeline's identity wins
+    val mon2 = new PipelineMonitor(spark, Some(JobInfo("a", "1", "m")))
+    assert(mon2.tags("pipeline_type") == "a")
+    Pipeline.from(ints(5), config = PipelineConfig(
+        jobInfo = Some(JobInfo("b", "2", "m"))), monitor = Some(mon2))
+      .stage(new AddStage(1)).run().count()
+    assert(mon2.tags("pipeline_type") == "b", "latest pipeline identity wins")
+    mon.detach(); mon2.detach()
+  }
+
   test("F15b: monitor exposes per-worker stats and utilization") {
     import spark.implicits._
     val mon = new PipelineMonitor(spark)
