@@ -125,7 +125,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxChunkDf: Int = 100): DataFrame = {
     SigX.register(df.sparkSession)
+    // the SIGNATURE TABLE (one fixed-width row per doc) materializes once:
+    // the cap's count pass, its probe pass, and both self-join sides all
+    // read it, and unlike the old count-window plan (whose single
+    // exchange ReuseExchange shared) the semi-join shape has no common
+    // exchange to reuse — without this, the text-hashing simhash subtree
+    // recomputes once per path (measured 6x at sf1, r12)
     val sims = df.select(col(idCol).as("_gid"), SigX.simhash(tokens(col(textCol))).as("sim"))
+      .localCheckpoint(true)
     val ex = sims
       .select(col("_gid"), col("sim"), explode(Sig.simChunkKeys(col("sim"))).as("ck"))
     // chunk-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline, see
@@ -617,7 +624,13 @@ object Dedup {
       thr: Double, maxBandDf: Int = 1000): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
+    // the BAND-KEY table ((id, bk), Bands rows per doc) materializes once:
+    // count pass + probe pass + both self-join sides read it, and the
+    // hyperplane-dot bandKeys subtree must not recompute per path (the
+    // d04 lesson, r12 — the semi-join shape has no shared exchange for
+    // ReuseExchange to dedup)
     val ex = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
+      .localCheckpoint(true)
     // band-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline): a hot
     // bucket (a corpus of near-identical vectors collapsing into one band
     // key) must be counted map-side, never buffered whole in one window

@@ -92,10 +92,15 @@ object Similarity {
     val b =
       if (maxBucketDf == Int.MaxValue) b0
       else {
-        val lowB = b0.groupBy("bucket").agg(count(lit(1)).as("df"))
+        // materialize the bucketed table once (one row per vector): the
+        // count pass, the probe, and both self-join sides read it — the
+        // plane-dot bucket subtree must not recompute per path (the d04
+        // lesson, r12; no shared exchange for ReuseExchange here)
+        val bm = b0.localCheckpoint(true)
+        val lowB = bm.groupBy("bucket").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxBucketDf)
           .select("bucket")
-        b0.join(lowB, Seq("bucket"), "left_semi")
+        bm.join(lowB, Seq("bucket"), "left_semi")
       }
     val p = b.as("a")
       .join(b.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
