@@ -125,31 +125,34 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxChunkDf: Int = 100): DataFrame = {
     SigX.register(df.sparkSession)
-    // the SIGNATURE TABLE (one fixed-width row per doc) materializes once:
-    // the cap's count pass, its probe pass, and both self-join sides all
-    // read it, and unlike the old count-window plan (whose single
-    // exchange ReuseExchange shared) the semi-join shape has no common
-    // exchange to reuse — without this, the text-hashing simhash subtree
-    // recomputes once per path (measured 6x at sf1, r12)
+    graft.functions.BoundedCollect.register(df.sparkSession)
+    require(maxChunkDf >= 1 && maxChunkDf < Int.MaxValue,
+      s"maxChunkDf out of range: $maxChunkDf")
     val sims = df.select(col(idCol).as("_gid"), SigX.simhash(tokens(col(textCol))).as("sim"))
-      .localCheckpoint(true)
-    val ex = sims
-      .select(col("_gid"), col("sim"), explode(Sig.simChunkKeys(col("sim"))).as("ck"))
-    // chunk-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline, see
-    // ngramJaccardPairs): a count window would ship every copy of a
-    // degenerate chunk key (e.g. the all-zero signature of empty docs)
-    // to one task and buffer the whole group before filtering. The
-    // partial-agg count collapses hot keys map-side; the semi-join's
-    // build side contains no hot key, so its copies never co-locate.
-    val lowCk = ex.groupBy("ck").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxChunkDf)
-      .select("ck")
-    val chunks = ex.join(lowCk, Seq("ck"), "left_semi")
-      .select("_gid", "sim", "ck")
-    chunks.as("a")
-      .join(chunks.as("b"), col("a.ck") === col("b.ck") && col("a._gid") < col("b._gid"))
-      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+    val ex = sims.select(explode(Sig.simChunkKeys(col("sim"))).as("ck"),
+      struct(col("_gid"), col("sim")).as("m"))
+    // chunk-df cap via the BOUNDED COLLECT (one exchange, r12): each map
+    // task retains <= maxChunkDf+1 members per chunk key (a degenerate
+    // all-zero-signature key collapses map-side, never buffering its
+    // group), groups at the cap are refused exactly, and the signature
+    // subtree is computed ONCE — the count+semi-join shape paid a second
+    // full pass over it, and a count window would buffer the hot group
+    // whole in one task.
+    val buckets = ex.groupBy("ck")
+      .agg(graft.functions.BoundedCollect.boundedCollect(
+        col("m"), lit(maxChunkDf + 1)).as("ms"))
+      .select(array_sort(col("ms")).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxChunkDf)
+    // in-place pair enumeration over the (sorted, <= cap) bucket members:
+    // ids are distinct per chunk key, so i < j gives id_a < id_b
+    val sz = size(col("ms"))
+    buckets
+      .select(explode(flatten(transform(sequence(lit(0), sz - 2), i =>
+        transform(sequence(i + 1, sz - 1), j =>
+          struct(element_at(col("ms"), i + 1).as("a"),
+            element_at(col("ms"), j + 1).as("b")))))).as("_p"))
+      .select(col("_p.a._gid").as("id_a"), col("_p.b._gid").as("id_b"),
+        col("_p.a.sim").as("sim_a"), col("_p.b.sim").as("sim_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
@@ -623,26 +626,32 @@ object Dedup {
   def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
       thr: Double, maxBandDf: Int = 1000): DataFrame = {
     GraftExpressions.register(df.sparkSession)
+    graft.functions.BoundedCollect.register(df.sparkSession)
+    require(maxBandDf >= 1 && maxBandDf < Int.MaxValue,
+      s"maxBandDf out of range: $maxBandDf")
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
-    // the BAND-KEY table ((id, bk), Bands rows per doc) materializes once:
-    // count pass + probe pass + both self-join sides read it, and the
-    // hyperplane-dot bandKeys subtree must not recompute per path (the
-    // d04 lesson, r12 — the semi-join shape has no shared exchange for
-    // ReuseExchange to dedup)
     val ex = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
-      .localCheckpoint(true)
-    // band-df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline): a hot
-    // bucket (a corpus of near-identical vectors collapsing into one band
-    // key) must be counted map-side, never buffered whole in one window
-    // task before the cap can drop it.
-    val lowBk = ex.groupBy("bk").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxBandDf)
-      .select("bk")
-    val keys = ex.join(lowBk, Seq("bk"), "left_semi")
-      .select("_gid", "bk")
-    val cand = keys.as("a")
-      .join(keys.as("b"), col("a.bk") === col("b.bk") && col("a._gid") < col("b._gid"))
-      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"))
+    // band-df cap via the BOUNDED COLLECT (one exchange, r12): each map
+    // task retains <= maxBandDf+1 members per band key (a corpus of
+    // near-identical vectors collapsing into one bucket collapses
+    // map-side, never buffering its group), groups at the cap are
+    // refused exactly, and the hyperplane bandKeys subtree is computed
+    // ONCE — the count+semi-join shape paid a second full pass, a count
+    // window would buffer the hot group whole in one task, and the
+    // bucket-member pairs enumerate in place, so no self-join exchange
+    // either.
+    val buckets = ex.groupBy("bk")
+      .agg(graft.functions.BoundedCollect.boundedCollect(
+        col("_gid"), lit(maxBandDf + 1)).as("ids"))
+      .select(array_sort(col("ids")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBandDf)
+    val sz = size(col("ids"))
+    val cand = buckets
+      .select(explode(flatten(transform(sequence(lit(0), sz - 2), i =>
+        transform(sequence(i + 1, sz - 1), j =>
+          struct(element_at(col("ids"), i + 1).as("a"),
+            element_at(col("ids"), j + 1).as("b")))))).as("_p"))
+      .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
       .distinct()
     cand
       .join(e.as("sa"), col("id_a") === col("sa._gid"))
