@@ -107,12 +107,15 @@ class DedupOpsSuite extends SparkSpec {
     assert(pair.length == 1 && pair.head._1 == 1L && pair.head._2 == 2L)
   }
 
-  test("simhash/contamination/embedding df caps: partial-agg + semi-join, never a count window") {
+  test("simhash/contamination/embedding df caps: bounded map-side, never a count window") {
     import spark.implicits._
     // the r11 verdict's four count-window sites, minus annLsh (its spec
     // lives in SimilarityOpsSuite): each capped plan must contain ZERO
     // WindowExec — a count window over the capped key buffers the whole
-    // hot group in one task before the filter can drop it.
+    // hot group in one task before the filter can drop it. The caps are
+    // the bounded-collect aggregate (d04/d05 — hot keys collapse
+    // map-side at <= cap+1 members per task) or the d02 partial-agg +
+    // semi-join (contamination's shingle stream is too wide to collect).
     def collectAll(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => collectAll(a.executedPlan)
       case other => other +: other.children.flatMap(collectAll)

@@ -96,6 +96,17 @@ class IntervalJoinSuite extends SparkSpec {
     // multiplicities too: each overlapping pair exactly once, no dedup pass
     assert(merge.sorted.toSeq == bcast.sorted.toSeq)
     assert(merge.length == brute.size, "native must not duplicate pairs")
+    // outer parity: matched pairs identical, plus exactly the unmatched lefts
+    val lIds = l.select("l_id").collect().map(_.getLong(0)).toSet
+    val unmatched = lIds -- brute.map(_._1)
+    for (bc <- Seq(false, true)) {
+      val outer = native(l, r, bc, outer = true)
+        .select("l_id", "r_id").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      assert(outer.filter(_._2 >= 0).toSet == brute, s"broadcast=$bc")
+      assert(outer.filter(_._2 < 0).map(_._1).toSet == unmatched, s"broadcast=$bc")
+      assert(outer.length == brute.size + unmatched.size, s"broadcast=$bc")
+    }
   }
 
   test("I4: plan shape — merge exec co-partitioned, NO grid explode; broadcast keeps left narrow") {
