@@ -109,7 +109,94 @@ object BoundedCollect {
       copy(child = cs(0), capExpr = cs(1))
   }
 
-  /** Idempotently register `graft_bounded_collect(value, cap)`. */
+  /** Size-capped `collect_set`: retains at most `cap` DISTINCT non-null
+    * values per group — the skew-safe basket builder. `collect_set` +
+    * size filter buffers a hot entity's whole distinct-item set in one
+    * reduce task before the filter can drop it; here every buffer
+    * (map-side partial included) holds ≤ cap values, duplicates of a
+    * hot item collapse at first touch, and a group whose distinct count
+    * reaches the cap is thereby marked. Call with cap = maxBasket + 1
+    * and keep `size(out) <= maxBasket`: complete distinct set below the
+    * cap, exact refusal at it. Atomic element types only (set equality
+    * of struct InternalRows is not defined).
+    */
+  case class BoundedCollectSetAgg(child: Expression, capExpr: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[mutable.LinkedHashSet[Any]] {
+
+    @transient private lazy val cap: Int = {
+      val v = capExpr.eval(null)
+      require(v != null && v.asInstanceOf[Number].intValue() > 0,
+        "graft_bounded_collect_set: cap must be a positive literal")
+      v.asInstanceOf[Number].intValue()
+    }
+
+    override def children: Seq[Expression] = Seq(child, capExpr)
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (!capExpr.foldable ||
+          !Seq[DataType](IntegerType, LongType, ShortType, ByteType).contains(capExpr.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_bounded_collect_set: cap must be a foldable integral literal")
+      else if (child.dataType.isInstanceOf[StructType] ||
+          child.dataType.isInstanceOf[ArrayType] || child.dataType.isInstanceOf[MapType])
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "graft_bounded_collect_set: element type must be atomic (set equality " +
+            "of nested Catalyst values is not defined)")
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+    override def prettyName: String = "graft_bounded_collect_set"
+
+    override def createAggregationBuffer(): mutable.LinkedHashSet[Any] =
+      mutable.LinkedHashSet.empty[Any]
+
+    override def update(b: mutable.LinkedHashSet[Any], input: InternalRow): mutable.LinkedHashSet[Any] = {
+      if (b.size < cap) {
+        val v = child.eval(input)
+        if (v != null) b += InternalRow.copyValue(v)
+      }
+      b
+    }
+
+    override def merge(b: mutable.LinkedHashSet[Any],
+        other: mutable.LinkedHashSet[Any]): mutable.LinkedHashSet[Any] = {
+      val it = other.iterator
+      while (b.size < cap && it.hasNext) b += it.next()
+      b
+    }
+
+    override def eval(b: mutable.LinkedHashSet[Any]): Any =
+      new GenericArrayData(b.toArray)
+
+    @transient private lazy val ser =
+      UnsafeProjection.create(Array[DataType](dataType))
+    override def serialize(b: mutable.LinkedHashSet[Any]): Array[Byte] = {
+      val row = new GenericInternalRow(1)
+      row.update(0, new GenericArrayData(b.toArray))
+      ser(row).getBytes
+    }
+    override def deserialize(bytes: Array[Byte]): mutable.LinkedHashSet[Any] = {
+      val row = new UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      val out = mutable.LinkedHashSet.empty[Any]
+      row.getArray(0).foreach(child.dataType, (_, v) =>
+        if (v != null) out += InternalRow.copyValue(v))
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): BoundedCollectSetAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BoundedCollectSetAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        cs: IndexedSeq[Expression]): BoundedCollectSetAgg =
+      copy(child = cs(0), capExpr = cs(1))
+  }
+
+  /** Idempotently register `graft_bounded_collect(value, cap)` and
+    * `graft_bounded_collect_set(value, cap)`.
+    */
   def register(spark: SparkSession): Unit =
     Registration.once(spark, "graft-bounded-collect") {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -118,8 +205,17 @@ object BoundedCollect {
           require(es.length == 2, "graft_bounded_collect(value, cap)")
           BoundedCollectAgg(es(0), es(1))
         }, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bounded_collect_set",
+        { es: Seq[Expression] =>
+          require(es.length == 2, "graft_bounded_collect_set(value, cap)")
+          BoundedCollectSetAgg(es(0), es(1))
+        }, "built-in")
     }
 
   def boundedCollect(value: Column, cap: Column): Column =
     call_function("graft_bounded_collect", value, cap)
+
+  def boundedCollectSet(value: Column, cap: Column): Column =
+    call_function("graft_bounded_collect_set", value, cap)
 }

@@ -484,9 +484,17 @@ object Graph {
     // list, so deg z = size of the list and wedge pairs explode NARROWLY
     // from it (the cooccurrence basket pattern) — no degree join, no
     // edge self-join shuffle. The cap drops hot centers WHOLE (never a
-    // truncated neighbor list, which would silently change scores).
+    // truncated neighbor list, which would silently change scores) and
+    // is the BOUNDED collect (r12): a celebrity center's neighbor list
+    // collapses map-side at <= cap+1 entries per task instead of
+    // buffering its whole degree in one reduce task before the filter;
+    // (z, n) rows are distinct by construction (canon is distinct), so
+    // the capped list below the cap is the complete neighbor set.
+    graft.functions.BoundedCollect.register(edges.sparkSession)
+    require(maxCenterDeg < Int.MaxValue, s"maxCenterDeg out of range: $maxCenterDeg")
     val baskets = Relational.fanoutRepartition(und.groupBy("z")
-      .agg(sort_array(collect_list(col("n"))).as("_ns"))
+      .agg(sort_array(graft.functions.BoundedCollect.boundedCollect(
+        col("n"), lit(maxCenterDeg + 1))).as("_ns"))
       .filter(size(col("_ns")) >= 2 && size(col("_ns")) <= maxCenterDeg))
     val nn = size(col("_ns"))
     val wedgePairs = flatten(transform(sequence(lit(0), nn - 2), i =>

@@ -564,11 +564,32 @@ object Relational {
   private[operators] def fanoutRepartition(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** The shared skew-safe basket builder of the whole basket family
+    * (cooccurrence / associationRules / itemSimilarity / setOverlap):
+    * per-entity SORTED distinct-item arrays, hot entities refused at
+    * `maxBasket` via the bounded collect-set aggregate — `collect_set`
+    * + size filter would buffer a degenerate entity's whole item set in
+    * one reduce task before the filter could drop it (the count-window
+    * hazard in aggregate form); here every buffer holds ≤ maxBasket+1
+    * distinct items, duplicates collapse map-side at first touch, and a
+    * basket that reached the cap is dropped exactly. Output: (_e,
+    * _items) with size(_items) ≤ maxBasket, complete and sorted.
+    */
+  private def cappedBaskets(df: DataFrame, entityCol: String, itemCol: String,
+      maxBasket: Int): DataFrame = {
+    require(maxBasket >= 1 && maxBasket < Int.MaxValue,
+      s"maxBasket out of range: $maxBasket")
+    graft.functions.BoundedCollect.register(df.sparkSession)
+    df.groupBy(col(entityCol).as("_e"))
+      .agg(sort_array(graft.functions.BoundedCollect.boundedCollectSet(
+        col(itemCol), lit(maxBasket + 1))).as("_items"))
+      .filter(size(col("_items")) <= maxBasket)
+  }
+
   def cooccurrence(df: DataFrame, entityCol: String, itemCol: String,
       maxBasket: Int = 1000): DataFrame = {
-    val baskets = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
-      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket))
+    val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
+      .filter(size(col("_items")) >= 2))
     val n = size(col("_items"))
     val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
       transform(sequence(i + 1, n - 1), j =>
@@ -601,9 +622,8 @@ object Relational {
       minBoth: Long, minConf: Double, maxBasket: Int = 1000): DataFrame = {
     require(minBoth >= 1, "minBoth must be at least 1")
     require(minConf >= 0.0 && minConf <= 1.0, "minConf must be in [0, 1]")
-    val baskets = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
-      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket))
+    val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
+      .filter(size(col("_items")) >= 2))
       .localCheckpoint(true)
     val nBaskets = baskets.count()
     val items = baskets.select(explode(col("_items")).as("item"))
@@ -2475,9 +2495,8 @@ object Relational {
       topK: Int, minBoth: Long = 2L, maxBasket: Int = 1000): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     require(minBoth >= 1, "minBoth must be >= 1")
-    val baskets = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
-      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) >= 2 && size(col("_items")) <= maxBasket))
+    val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
+      .filter(size(col("_items")) >= 2))
       .localCheckpoint(true)
     val items = baskets.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
@@ -2652,9 +2671,7 @@ object Relational {
     // the candidate bound requires it), but single-item entities only
     // skip pair GENERATION: they still count toward their item's
     // audience size, or every denominator would understate reach
-    val all = fanoutRepartition(df.groupBy(col(entityCol).as("_e"))
-      .agg(sort_array(collect_set(col(itemCol))).as("_items"))
-      .filter(size(col("_items")) <= maxBasket))
+    val all = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket))
       .localCheckpoint(true)
     val items = all.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
