@@ -143,14 +143,20 @@ object Dedup {
         col("m"), lit(maxChunkDf + 1)).as("ms"))
       .select(array_sort(col("ms")).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxChunkDf)
-    // in-place pair enumeration over the (sorted, <= cap) bucket members:
-    // ids are distinct per chunk key, so i < j gives id_a < id_b
-    val sz = size(col("ms"))
+    // in-place pair enumeration over the (sorted, <= cap) bucket members,
+    // TWO-STAGE explode (outer index first, then the inner slice): a
+    // single flatten would materialize all O(cap²) pairs as one array
+    // value in one task — per-row state here stays O(cap) no matter the
+    // knob. Duplicate-id inputs (a batch re-ingested before exact dedup)
+    // make i < j insufficient for id_a < id_b, so self-pairs filter out
+    // explicitly — the old self-join's a._gid < b._gid contract.
     buckets
-      .select(explode(flatten(transform(sequence(lit(0), sz - 2), i =>
-        transform(sequence(i + 1, sz - 1), j =>
-          struct(element_at(col("ms"), i + 1).as("a"),
-            element_at(col("ms"), j + 1).as("b")))))).as("_p"))
+      .select(col("ms"), explode(sequence(lit(0), size(col("ms")) - 2)).as("i"))
+      .select(explode(transform(
+        sequence(col("i") + 1, size(col("ms")) - 1), j =>
+          struct(element_at(col("ms"), col("i") + 1).as("a"),
+            element_at(col("ms"), j + 1).as("b")))).as("_p"))
+      .filter(col("_p.a._gid") =!= col("_p.b._gid"))
       .select(col("_p.a._gid").as("id_a"), col("_p.b._gid").as("id_b"),
         col("_p.a.sim").as("sim_a"), col("_p.b.sim").as("sim_b"))
       .distinct()
@@ -645,13 +651,17 @@ object Dedup {
         col("_gid"), lit(maxBandDf + 1)).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBandDf)
-    val sz = size(col("ids"))
+    // two-stage explode (see simhashPairs): per-row state O(cap), never
+    // the O(cap²) pair array in one value; duplicate-id inputs filter
+    // their self-pairs explicitly (the old self-join's a < b contract)
     val cand = buckets
-      .select(explode(flatten(transform(sequence(lit(0), sz - 2), i =>
-        transform(sequence(i + 1, sz - 1), j =>
-          struct(element_at(col("ids"), i + 1).as("a"),
-            element_at(col("ids"), j + 1).as("b")))))).as("_p"))
+      .select(col("ids"), explode(sequence(lit(0), size(col("ids")) - 2)).as("i"))
+      .select(explode(transform(
+        sequence(col("i") + 1, size(col("ids")) - 1), j =>
+          struct(element_at(col("ids"), col("i") + 1).as("a"),
+            element_at(col("ids"), j + 1).as("b")))).as("_p"))
       .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
       .distinct()
     cand
       .join(e.as("sa"), col("id_a") === col("sa._gid"))

@@ -235,18 +235,24 @@ object GraphAnn {
       idCol: String, vecCol: String, k: Int, efSearch: Int = 64,
       maxQueries: Int = 100000): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(maxQueries >= 1, "maxQueries must be >= 1")
     val spark = index.sparkSession
     import spark.implicits._
-    val qCount = queries.limit(maxQueries + 1).count()
-    require(qCount <= maxQueries,
+    // the guard rides the collect itself (one job, counts only usable
+    // rows): fetch cap+1 and refuse on overflow. maxQueries ==
+    // Int.MaxValue is the documented disable sentinel (the annLsh
+    // maxBucketDf convention) — +1 would wrap the limit negative.
+    val fetch = if (maxQueries == Int.MaxValue) maxQueries else maxQueries + 1
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .limit(fetch)
+      .as[(Long, Array[Float])].collect()
+    require(qRows.length <= maxQueries,
       s"hnswSearch: query side exceeds maxQueries=$maxQueries — it is collected " +
         "to the driver and broadcast, so a corpus-sized query set would OOM the " +
         "driver. For corpus-x-corpus neighbors use Similarity.ivfPqKnn or " +
         "Dedup.embeddingPairsLsh (distributed, never collect a side), or raise " +
         "maxQueries deliberately.")
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol))
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
-      .as[(Long, Array[Float])].collect()
     require(qRows.nonEmpty, "no queries")
     val qB = spark.sparkContext.broadcast(qRows)
     // over-fetch one per shard: the global merge drops self-matches, so a

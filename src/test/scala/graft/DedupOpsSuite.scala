@@ -132,6 +132,32 @@ class DedupOpsSuite extends SparkSpec {
     assertNoWindow(Dedup.embeddingPairsLsh(vecs, "id", "vec", 0.9, maxBandDf = 5), "embeddingPairsLsh")
   }
 
+  test("duplicate-id inputs never self-pair (simhash + embedding LSH)") {
+    import spark.implicits._
+    // a batch re-ingested before exact dedup: id 7 appears twice. The
+    // positional i<j enumeration over a collected bucket would pair the
+    // two copies — the explicit id_a != id_b filter must drop that, the
+    // old self-join's a < b contract.
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon shared tail words"),
+      (7L, "alpha beta gamma delta epsilon shared tail words"),
+      (9L, "alpha beta gamma delta epsilon shared tail words")
+    ).toDF("id", "text")
+    val sp = Dedup.simhashPairs(docs, "id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(!sp.contains((7L, 7L)), sp.toString)
+    assert(sp.toSet == Set((7L, 9L)), sp.toString)
+    val vecs = Seq(
+      (7L, Seq.tabulate(8)(_.toFloat / 8f)),
+      (7L, Seq.tabulate(8)(_.toFloat / 8f)),
+      (9L, Seq.tabulate(8)(_.toFloat / 8f))
+    ).toDF("id", "vec")
+    val ep = Dedup.embeddingPairsLsh(vecs, "id", "vec", thr = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(!ep.contains((7L, 7L)), ep.toString)
+    assert(ep.toSet == Set((7L, 9L)), ep.toString)
+  }
+
   test("contaminationPairs flags train docs overlapping test docs; cap drops boilerplate") {
     import spark.implicits._
     // tokens are 3-gram shingled, so overlap = shared distinct 3-grams

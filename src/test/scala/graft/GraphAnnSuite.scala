@@ -100,5 +100,20 @@ class GraphAnnSuite extends SparkSpec {
     val ok = GraphAnn.hnswSearch(idx, emb.orderBy("vec_id").limit(10),
       "vec_id", "embedding", k = 3, maxQueries = 10)
     assert(ok.select("query_id").distinct().count() == 10)
+    // Int.MaxValue is the disable sentinel (annLsh's maxBucketDf
+    // convention): must not wrap the fetch limit negative
+    val all = GraphAnn.hnswSearch(idx, emb.orderBy("vec_id").limit(5),
+      "vec_id", "embedding", k = 3, maxQueries = Int.MaxValue)
+    assert(all.select("query_id").distinct().count() == 5)
+    // null-id rows never count toward the cap (the guard rides the
+    // filtered collect, not a raw count)
+    import org.apache.spark.sql.functions.lit
+    val withNull = emb.orderBy("vec_id").limit(10)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(emb.limit(1).select(lit(null).cast("long").as("vec_id"),
+        col("embedding")))
+    val atCap = GraphAnn.hnswSearch(idx, withNull, "vec_id", "embedding",
+      k = 3, maxQueries = 10)
+    assert(atCap.select("query_id").distinct().count() == 10)
   }
 }
