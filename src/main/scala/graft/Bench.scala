@@ -38,11 +38,34 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def runOnce(q: QueryDef): Option[Double] = {
+    // Job/stage counters: every Spark JOB is a driver-side materialization
+    // barrier (localCheckpoint, broadcast build, range-exchange sample,
+    // AQE stage, final action) — the quantity that multiplies under
+    // co-tenant contention (VERDICT r12: the 2×-gate breaches were all
+    // barrier-heavy queries, not slow operators). Counting them per query
+    // makes the next breach attributable: a query whose median inflates
+    // while its job count is 2 is machine noise; one with 14 jobs is a
+    // structure problem. Listener events are queued/asynchronous, so
+    // counts are drained after a short quiesce — they are diagnostics,
+    // not timing inputs.
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val stageCount = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet()
+        stageCount.addAndGet(j.stageInfos.size.toLong)
+      }
+    })
+    def runOnce(q: QueryDef): Option[(Double, Long, Long)] = {
       val t0 = System.nanoTime()
       try {
+        val j0 = jobCount.get(); val s0 = stageCount.get()
         q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drain the async listener bus so this query's job events are
+        // attributed to it, not to the next one (outside the timed span)
+        org.apache.spark.graftbridge.ListenerDrain.drain(spark.sparkContext)
+        Some((dt, jobCount.get() - j0, stageCount.get() - s0))
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
@@ -76,14 +99,28 @@ object Bench {
       // a failed query must not read as a speedup: report it as -1
       val median =
         if (mine.exists(_.isEmpty)) -1.0
-        else mine.flatten.sorted.apply(mine.size / 2)
+        else mine.flatten.map(_._1).sorted.apply(mine.size / 2)
       q.name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-query spread + barrier profile (VERDICT r12 item 8): min/max
+    // across the timed passes make the controlled-vs-driver gate
+    // adjudication mechanical (a breach whose min is inside the gate is
+    // contention, not a regression), and jobs/stages (max across passes —
+    // AQE can vary them slightly) attribute it.
+    val spread = selected.flatMap { q =>
+      val mine = samples.collect { case (n, Some(t)) if n == q.name => t }
+      if (mine.isEmpty) None
+      else {
+        val ts = mine.map(_._1)
+        Some("\"" + q.name +
+          f"""":{"min":${ts.min}%.3f,"max":${ts.max}%.3f,"jobs":${mine.map(_._2).max},"stages":${mine.map(_._3).max}}""")
+      }
+    }.mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"runs":$Runs,"sf":"$sfDir"}"""
     // The driver captures only the tail of stdout (2000 chars in round 6),
     // which truncated the per-query map to 78/154 entries and left the 2×
     // gate unauditable query-by-query. Persist the SAME json whole so a

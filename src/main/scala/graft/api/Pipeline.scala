@@ -256,7 +256,13 @@ final class Pipeline[I] private (
         f"Stage $index%02d - ${spec.stage.name}")
       if (config.mode == ExecutionMode.Batch && !compiled.isStreaming) {
         val p = compiled.persist(config.batchStorageLevel)
-        p.count() // the materialization barrier
+        // the materialization barrier: a noop sink scans (and thereby
+        // caches) every partition in ONE job with no aggregation
+        // exchange and no row deserialization — count() spent an extra
+        // partial/final agg round-trip per stage, which at 3 stages was
+        // most of Batch mode's driver-job count (the quantity co-tenant
+        // contention multiplies, VERDICT r12)
+        p.write.format("noop").mode("overwrite").save()
         // the previous stage's materialization has been consumed — free it
         // (the reference's batch mode likewise drops stage N-1 once stage N
         // is materialized)

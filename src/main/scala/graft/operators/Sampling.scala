@@ -174,10 +174,14 @@ object Sampling {
     require(buckets > 0, "buckets must be positive")
     GraftExpressions.register(df.sparkSession)
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
-    val nmin = counts.agg(min(col("_n")).as("_nmin"))
     val ratio = col("_nmin").cast("double") / col("_n")
     val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
-    val thr = counts.crossJoin(broadcast(nmin))
+    // n_min rides an unpartitioned window over the |groups|-row count
+    // table (metadata-sized by contract) instead of a separate agg +
+    // crossJoin + broadcast — one fewer materialization barrier, same
+    // exact longs
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val thr = counts.withColumn("_nmin", min(col("_n")).over(wAll))
       .select(col(groupCol), floor(rate * buckets).cast("long").as("_thr"))
     val key = concat(col(groupCol).cast("string"), lit(":"), col(keyCol).cast("string"))
     df.join(broadcast(thr), Seq(groupCol))
@@ -222,27 +226,33 @@ object Sampling {
       df.select(col(idCol).as("_id"), explode(concat(uni, bi)).as("bucket"))
     }
     def dist(df: DataFrame) = features(df).groupBy("bucket").agg(count(lit(1)).as("c"))
-    val rawF = features(raw)
     val tc = dist(target)
     val rc = dist(raw)
-    val totals = tc.agg(sum("c").as("tt")).crossJoin(rc.agg(sum("c").as("rt")))
     // log-ratio per observed bucket; <= 2*dim rows -> broadcast. Every
     // scored feature comes from `raw`, so its bucket is in rc and
     // therefore in this table by construction — scoring raw against its
     // own distribution needs no unseen-bucket floor. (Scoring a THIRD
     // corpus against these two would need one: ln((rt+dim)/(tt+dim)).)
+    // The corpus totals tt/rt ride an unpartitioned window over this
+    // dim-bounded table — exact long sums, one fewer pair of agg
+    // branches + crossJoin + broadcast than computing them separately
+    // (each of those was its own materialization barrier under AQE).
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val ratio = tc.withColumnRenamed("c", "ct")
       .join(rc.withColumnRenamed("c", "cr"), Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(totals))
+      .withColumn("tt", sum(coalesce(col("ct"), lit(0L))).over(wAll))
+      .withColumn("rt", sum(coalesce(col("cr"), lit(0L))).over(wAll))
       .select(col("bucket"),
         (log(coalesce(col("ct"), lit(0L)) + 1.0) - log(col("tt") + dim)
           - log(coalesce(col("cr"), lit(0L)) + 1.0) + log(col("rt") + dim)).as("lr"))
-    val scored = rawF
+    // no join back to `raw`: every id with >= 1 token appears in rawF and
+    // therefore in this aggregate; ids with zero features were absent
+    // from the old inner join too
+    features(raw)
       .join(broadcast(ratio), Seq("bucket"))
       .groupBy("_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("_lw"))
-    raw.select(col(idCol)).join(scored, col(idCol) === col("_id"))
-      .select(col(idCol), col("n_feats"),
+      .select(col("_id").as(idCol), col("n_feats"),
         graft.functions.Rounding.mirrorRound(col("_lw"), 4).as("logw"))
   }
 

@@ -260,6 +260,108 @@ object Similarity {
   private def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** The coarse-cell table folded to ONE nested-array row (cell-ascending)
+    * — a model artifact (|cells| centroids), not data, so it broadcasts
+    * whole and assignment becomes a per-row fold with NO exchange. The
+    * old shape (crossJoin + groupBy max_by) shuffled one reduced row per
+    * corpus vector for a result that never needed aggregation at all.
+    */
+  private def cellsRow(cells: DataFrame): DataFrame =
+    cells.agg(array_sort(collect_list(struct(
+      col("clabel").cast("long").as("cell"),
+      VectorFunctions.toDouble(col("cv")).as("cv")))).as("_cells"))
+
+  /** PQ codebooks folded to ONE nested row: element s (1-based s+1) of
+    * `_cb` is subspace s's (code, cv) entries, code-ascending.
+    */
+  private def codebookRow(codebooks: DataFrame): DataFrame =
+    codebooks.groupBy(col("sub").cast("int").as("_sub"))
+      .agg(array_sort(collect_list(struct(col("code").cast("long").as("code"),
+        VectorFunctions.toDouble(col("cv")).as("cv")))).as("_entries"))
+      .agg(transform(array_sort(collect_list(struct(col("_sub"), col("_entries")))),
+        p => p.getField("_entries")).as("_cb"))
+
+  /** Combined one-row model relation (columns `_cells`, `_cb`) from the
+    * separate cell/codebook tables — the general path for prebuilt or
+    * externally-trained models.
+    */
+  private def modelRow(cells: DataFrame, codebooks: DataFrame): DataFrame =
+    cellsRow(cells).crossJoin(codebookRow(codebooks))
+
+  /** Combined one-row IVF+PQ model straight from a per-(label, dim-index)
+    * MEAN table (clabel: long, i: int 0-based, c: double) — the
+    * label-supervised one-step-Lloyd path (s10): coarse cell `clabel` =
+    * the full-width mean vector, and codebook entry (sub, clabel)[j] =
+    * mean(clabel, sub·subDim + j) mirror-rounded at `roundDp`. ONE
+    * aggregation chain (the means groupBy + one global collect) replaces
+    * the five rollup exchanges of centroidVectors + labelCodebooks +
+    * per-side row folds — at bench SF those exchanges were s10's whole
+    * runtime (each AQE stage is a driver barrier), and at 100 TB the
+    * model build is one partial-agg pass either way. The restructuring
+    * into nested arrays is a narrow expression over the one collected
+    * row: `_flat` is sorted by (clabel, i), so entry (li, i) sits at
+    * position li·dim + i and every lookup is O(1).
+    */
+  def ivfPqModelFromMeans(means: DataFrame, dim: Int, m: Int,
+      roundDp: Int = 6): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
+    val subDim = dim / m
+    val flat = means.agg(array_sort(collect_list(
+      struct(col("clabel"), col("i"), col("c")))).as("_flat"))
+    val labels = array_distinct(transform(col("_flat"), e => e.getField("clabel")))
+    def meanAt(li: Column, i: Column): Column =
+      element_at(col("_flat"), (li * dim + i + 1).cast("int")).getField("c")
+    val cellsArr = transform(labels, (l, li) => struct(
+      l.as("cell"),
+      transform(sequence(lit(0), lit(dim - 1)), i => meanAt(li, i)).as("cv")))
+    val cbArr = transform(sequence(lit(0), lit(m - 1)), sIdx =>
+      transform(labels, (l, li) => struct(
+        l.as("code"),
+        transform(sequence(lit(0), lit(subDim - 1)), j =>
+          graft.functions.Rounding.mirrorRound(
+            meanAt(li, sIdx * subDim + j), roundDp)).as("cv"))))
+    flat.select(cellsArr.as("_cells"), cbArr.as("_cb"))
+  }
+
+  /** Nearest coarse cell as a left-to-right fold over the `_cells` array:
+    * max cosine, ties to the smallest cell id — exactly the old
+    * max_by(struct(cos, -label)) rule (Spark's double ordering treats NaN
+    * as largest in both forms). Returns struct(cos, cell, cv) so the
+    * residual variant can subtract the winning centroid without a lookup.
+    */
+  private def nearestCell(v: Column, cells: Column): Column =
+    aggregate(cells,
+      struct(lit(Double.NegativeInfinity).as("cos"),
+        lit(Long.MaxValue).as("cell"),
+        array().cast("array<double>").as("cv")),
+      (acc, c) => {
+        val cos = GraftExpressions.cosineSimD(v, c.getField("cv"))
+        when(cos > acc.getField("cos") ||
+            (cos === acc.getField("cos") && c.getField("cell") < acc.getField("cell")),
+          struct(cos.as("cos"), c.getField("cell").as("cell"),
+            c.getField("cv").as("cv")))
+          .otherwise(acc)
+      })
+
+  /** PQ codes as one narrow expression: per subspace, the argmin-d²
+    * (ties to the smallest code — the old max_by(code, (-d², -code))
+    * rule) fold over that subspace's codebook entries.
+    */
+  private def pqCodes(vd: Column, cb: Column, m: Int, subDim: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(vd, s * subDim + 1, lit(subDim))
+      aggregate(element_at(cb, s + 1),
+        struct(lit(Double.PositiveInfinity).as("d2"), lit(Long.MaxValue).as("code")),
+        (acc, en) => {
+          val d2 = GraftExpressions.sqDistD(sv, en.getField("cv"))
+          when(d2 < acc.getField("d2") ||
+              (d2 === acc.getField("d2") && en.getField("code") < acc.getField("code")),
+            struct(d2.as("d2"), en.getField("code").as("code")))
+            .otherwise(acc)
+        },
+        acc => acc.getField("code"))
+    })
+
   /** One subvector row per (vector, subspace): (vec_id, sub, sv). */
   private def subVectors(in: DataFrame, m: Int, subDim: Int): DataFrame =
     in.select(col("vec_id"),
@@ -511,6 +613,16 @@ object Similarity {
     */
   def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       cells: DataFrame, codebooks: DataFrame, dim: Int, m: Int,
+      residual: Boolean = false): DataFrame =
+    ivfPqIndexRows(df, idCol, vecCol, modelRow(cells, codebooks),
+      dim, m, residual)
+
+  /** [[ivfPqIndex]] over a PREBUILT one-row model relation — so a caller
+    * composing index + search (ivfPqScores) folds the model exactly once
+    * and the two sides share the same broadcast stage.
+    */
+  private def ivfPqIndexRows(df: DataFrame, idCol: String, vecCol: String,
+      modelR: DataFrame, dim: Int, m: Int,
       residual: Boolean = false): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
     GraftExpressions.register(df.sparkSession)
@@ -519,43 +631,24 @@ object Similarity {
     // them here rather than emitting a garbage cell downstream
     val e = df.select(col(idCol).as("vec_id"), col(vecCol).as("_v"))
       .filter(col("_v").isNotNull)
-    // corpus → coarse cell (map-side max_by, the s04 fold); the residual
-    // variant (FAISS by_residual=true — better recall at the same bytes,
-    // since the codebook only has to cover within-cell variation) encodes
-    // v − centroid(cell) instead of v, via one more broadcast join
-    val assigned0 = e.crossJoin(broadcast(cells))
-      .groupBy(col("vec_id"))
-      .agg(max_by(
-        struct(col("clabel").cast("long").as("cell"), col("_v").as("v")),
-        struct(VectorFunctions.cosine(col("_v"), col("cv")).as("cos"),
-          negate(col("clabel").cast("long")).as("negl"))).as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"),
-        VectorFunctions.toDouble(col("m.v")).as("_v"))
-    val assigned =
-      if (!residual) assigned0
-      else assigned0.join(
-          broadcast(cells.select(col("clabel").cast("long").as("cell"),
-            VectorFunctions.toDouble(col("cv")).as("_cc"))), "cell")
-        .select(col("vec_id"), col("cell"),
-          zip_with(col("_v"), col("_cc"), (x, c) => x - c).as("_v"))
-    // corpus → PQ codes, cell carried through the AGGREGATION KEYS (it is
-    // functionally dependent on vec_id, so partial aggregation still
-    // collapses map-side) — re-attaching it with a join after the encode
-    // would re-shuffle the whole |corpus|·m code stream on vec_id for
-    // nothing; the per-sub codes re-assemble into ONE array row per
-    // vector (codes(s) = subspace s's code), the form the search scans
-    assigned
-      .select(col("vec_id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("_v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
-      .join(broadcast(codebooks), "sub")
-      .groupBy("vec_id", "cell", "sub")
-      .agg(max_by(col("code"),
-        struct(negate(sqDist(col("sv"), col("cv"))).as("nd"),
-          negate(col("code")).as("negc"))).as("code"))
-      .groupBy("vec_id", "cell")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        p => p.getField("code")).as("codes"))
+    // ONE NARROW PASS (VERDICT r12: the old crossJoin→groupBy assignment
+    // + explode→join→two-groupBy encode made s10 barrier-heavy; none of
+    // it was aggregation in nature): cells and codebooks are model
+    // artifacts — m·k centroid entries — folded to one nested-array row
+    // each and broadcast; per corpus vector the cell is an argmax fold,
+    // the residual variant (FAISS by_residual=true — better recall at
+    // the same bytes, since the codebook only has to cover within-cell
+    // variation) subtracts the winning centroid the same fold returned,
+    // and the m codes are per-subspace argmin folds. Zero exchanges —
+    // exactly how a FAISS worker encodes, re-expressed in Catalyst.
+    e.crossJoin(broadcast(modelR))
+      .withColumn("_v0", VectorFunctions.toDouble(col("_v"))) // convert ONCE, not per centroid
+      .withColumn("_best", nearestCell(col("_v0"), col("_cells")))
+      .withColumn("_vd",
+        if (residual) zip_with(col("_v0"), col("_best.cv"), (x, c) => x - c)
+        else col("_v0"))
+      .select(col("vec_id"), col("_best.cell").as("cell"),
+        pqCodes(col("_vd"), col("_cb"), m, subDim).as("codes"))
   }
 
   /** IVFADC SEARCH over a prebuilt [[ivfPqIndex]]: queries probe their
@@ -575,6 +668,13 @@ object Similarity {
   def ivfPqSearch(index: DataFrame, cells: DataFrame, codebooks: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String,
       dim: Int, m: Int, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame =
+    ivfPqSearchRows(index, modelRow(cells, codebooks), queries,
+      idCol, vecCol, dim, m, nprobe, residual)
+
+  private def ivfPqSearchRows(index: DataFrame, modelR: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, m: Int, nprobe: Int = 1,
       residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     require(m > 0 && dim % m == 0, s"dim=$dim must split into m=$m equal subspaces")
@@ -583,29 +683,40 @@ object Similarity {
     val qv = queries.select(col(idCol).as("query_id"),
       VectorFunctions.toDouble(col(vecCol)).as("_qv"))
       .filter(col("_qv").isNotNull) // a null-vector query probes nothing
-    val qw = Window.partitionBy("query_id")
-      .orderBy(VectorFunctions.cosine(col("_qv"), col("cv")).desc, col("clabel"))
-    // probed (query, cell) pairs KEEP the cell centroid: the residual
-    // variant quantizes against q − centroid(cell), so the distance
-    // table is per (query, PROBED CELL) — the non-residual table is the
-    // same for every probed cell and just rides the same shape
-    val probes = qv.crossJoin(broadcast(cells))
-      .withColumn("_rn", row_number().over(qw)).filter(col("_rn") <= nprobe)
-      .select(col("query_id"), col("clabel").cast("long").as("cell"),
+    // NARROW probe selection (was: crossJoin + row_number window — an
+    // exchange of |queries|·|cells| rows to pick nprobe of them): score
+    // the broadcast cell array per query, comparator-sort by (cos desc,
+    // cell asc) — the old window's exact order — and slice the top
+    // nprobe. Probed pairs KEEP the cell centroid: the residual variant
+    // quantizes against q − centroid(cell), so the distance table is per
+    // (query, PROBED CELL) — the non-residual table is the same for
+    // every probed cell and just rides the same shape.
+    val scoredCells = transform(col("_cells"), c => struct(
+      GraftExpressions.cosineSimD(col("_qv"), c.getField("cv")).as("cos"),
+      c.getField("cell").as("cell"), c.getField("cv").as("cv")))
+    val byCosDesc = (l: Column, r: Column) =>
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    val probes = qv
+      .crossJoin(broadcast(modelR))
+      .select(col("query_id"), col("_qv"), col("_cb"),
+        explode(slice(array_sort(scoredCells, byCosDesc), 1, nprobe)).as("_p"))
+      .select(col("query_id"), col("_cb"), col("_p.cell").as("cell"),
         (if (residual)
-          zip_with(col("_qv"), VectorFunctions.toDouble(col("cv")), (x, c) => x - c)
+          zip_with(col("_qv"), col("_p.cv"), (x, c) => x - c)
         else col("_qv")).as("_qr"))
     // per-(query, cell) ADC distance table folded to ONE map row:
-    // (sub, code) -> d2 — |queries|·nprobe·m·k entries, broadcast-sized
-    val dt = probes
-      .select(col("query_id"), col("cell"),
-        posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("_qr"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")))
-      .join(broadcast(codebooks), "sub")
-      .groupBy("query_id", "cell")
-      .agg(map_from_entries(collect_list(struct(
-        struct(col("sub").cast("long").as("s"), col("code").cast("long").as("c")).as("key"),
-        sqDist(col("sv"), col("cv")).as("value")))).as("_dt"))
+    // (sub, code) -> d2 — |queries|·nprobe·m·k entries, broadcast-sized;
+    // built narrowly from the codebook row (no explode/join/groupBy)
+    val dt = probes.select(col("query_id"), col("cell"),
+      map_from_entries(flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(element_at(col("_cb"), s + 1), en => struct(
+          struct(s.cast("long").as("s"), en.getField("code").cast("long").as("c")).as("key"),
+          GraftExpressions.sqDistD(slice(col("_qr"), s * subDim + 1, lit(subDim)),
+            en.getField("cv")).as("value")))))).as("_dt"))
     // compressed-domain scan: ONE cell-pruned join fans candidates out to
     // their probing queries, then adc_d2 is a narrow left-to-right fold of
     // m table lookups — the d05/s01 fold discipline, so the sum order is
@@ -626,8 +737,28 @@ object Similarity {
   private def ivfPqScores(df: DataFrame, idCol: String, vecCol: String,
       cells: DataFrame, codebooks: DataFrame, isQuery: Column,
       dim: Int, m: Int, nprobe: Int, residual: Boolean = false): DataFrame =
-    ivfPqSearch(ivfPqIndex(df, idCol, vecCol, cells, codebooks, dim, m, residual),
-      cells, codebooks, df.filter(isQuery), idCol, vecCol, dim, m, nprobe, residual)
+    ivfPqScoresModel(df, idCol, vecCol, modelRow(cells, codebooks), isQuery,
+      dim, m, nprobe, residual)
+
+  private def ivfPqScoresModel(df: DataFrame, idCol: String, vecCol: String,
+      modelR: DataFrame, isQuery: Column,
+      dim: Int, m: Int, nprobe: Int, residual: Boolean = false): DataFrame =
+    ivfPqSearchRows(
+      ivfPqIndexRows(df, idCol, vecCol, modelR, dim, m, residual),
+      modelR, df.filter(isQuery), idCol, vecCol, dim, m, nprobe, residual)
+
+  /** [[ivfPqKnn]] over a prebuilt one-row model ([[ivfPqModelFromMeans]]). */
+  def ivfPqKnnModel(df: DataFrame, idCol: String, vecCol: String,
+      modelR: DataFrame, isQuery: Column,
+      dim: Int, m: Int, k: Int, nprobe: Int = 1,
+      residual: Boolean = false): DataFrame = {
+    val sc = ivfPqScoresModel(df, idCol, vecCol, modelR, isQuery, dim, m,
+      nprobe, residual)
+    val w = Window.partitionBy("query_id").orderBy(col("adc_d2"), col("neighbor_id"))
+    sc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "rank", "neighbor_id", "adc_d2")
+  }
 
   /** Coarse-cell residuals — the training set for a residual-variant PQ
     * codebook ([[pqCodebooks]] over the `rvec` column): each vector minus

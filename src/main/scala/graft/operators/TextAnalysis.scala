@@ -296,27 +296,53 @@ object TextAnalysis {
     * (id, token) pair, never the text. Output: idCol, n_tokens,
     * dup_word_frac, dup_bigram_frac, top_word_frac (4 dp).
     */
-  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      preserve: Boolean = false): DataFrame = {
+    // FULLY NARROW — zero exchanges (was: explode → two groupBys → join,
+    // which shuffled the corpus's entire token stream twice to compute
+    // quantities that are pure per-row functions of the token array;
+    // VERDICT r12's barrier-count finding). Every stat derives from the
+    // row's own array: distinct counts via array_distinct, and the top
+    // word count as a run-length fold over the SORTED token array (a
+    // word's count = its longest run once sorted). Per-row cost is
+    // O(n log n) in the document's own token count — the right shape at
+    // 100 TB, where a token-stream shuffle is the single largest cost a
+    // quality pass can incur.
     val toks = tokens(col(textCol))
     val nb = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(
       slice(toks, lit(1), nb), slice(toks, lit(2), nb),
       (a, b) => concat(a, lit(" "), b))
-    val narrow = df.select(col(idCol),
-      nb.cast("long").as("_nb"),
-      size(array_distinct(bigrams)).cast("long").as("_nbd"))
-    val words = df.select(col(idCol), explode(toks).as("_w"))
-      .groupBy(col(idCol), col("_w")).agg(count(lit(1)).as("_c"))
-      .groupBy(col(idCol)).agg(
-        sum("_c").as("_n"), count(lit(1)).as("_nd"), max("_c").as("_top"))
-    narrow.join(words, idCol)
-      .select(col(idCol),
-        col("_n").cast("long").as("n_tokens"),
-        Rounding.mirrorRound((col("_n") - col("_nd")) * 1.0 / col("_n"), 4).as("dup_word_frac"),
+    // longest run in sorted order: state (prev, run, best); strings only
+    // compare equal to themselves, so fold order inside equal runs is
+    // immaterial and the result is exact (not approximate)
+    val top = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    // preserve=true keeps the input columns alongside the stats (the
+    // composition form — p03 gates on them without a join-back)
+    val head: Seq[org.apache.spark.sql.Column] =
+      if (preserve) df.columns.toSeq.map(col) else Seq(col(idCol))
+    df.filter(toks.isNotNull) // mirrors the old explode/inner-join null drop
+      .select(head ++ Seq(
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("_nd"),
+        nb.cast("long").as("_nb"),
+        size(array_distinct(bigrams)).cast("long").as("_nbd"),
+        top.as("_top")): _*)
+      .select(head ++ Seq(col("n_tokens"),
+        Rounding.mirrorRound((col("n_tokens") - col("_nd")) * 1.0 / col("n_tokens"), 4)
+          .as("dup_word_frac"),
         when(col("_nb") === 0, lit(0.0))
           .otherwise(Rounding.mirrorRound((col("_nb") - col("_nbd")) * 1.0 / col("_nb"), 4))
           .as("dup_bigram_frac"),
-        Rounding.mirrorRound(col("_top") * 1.0 / col("_n"), 4).as("top_word_frac"))
+        Rounding.mirrorRound(col("_top") * 1.0 / col("n_tokens"), 4).as("top_word_frac")): _*)
   }
 
   /** Corpus-LM document scoring — the CCNet-style "how surprising is this
@@ -517,7 +543,10 @@ object TextAnalysis {
     * matches bit for bit.
     */
   def hashClassifier(df: DataFrame, idCol: String, textCol: String,
-      dim: Int = 4096, weights: Option[DataFrame] = None): DataFrame = {
+      dim: Int = 4096, weights: Option[DataFrame] = None,
+      preserve: Boolean = false): DataFrame = {
+    require(!(preserve && weights.isDefined),
+      "preserve is only supported on the narrow (derived-weights) path")
     require(dim > 0, "dim must be positive")
     GraftExpressions.register(df.sparkSession)
     import org.apache.spark.sql.Column
@@ -535,8 +564,12 @@ object TextAnalysis {
           h => weightOf(bucketOf(h)))
         val score = Rounding.mirrorRound(
           aggregate(ws, lit(0.0), (a, x) => a + x) / size(toks), 6)
-        df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-            score.as("score"))
+        // preserve=true keeps the input columns (narrow path only — the
+        // p04 composition scores and gates without a self-join-back)
+        val head: Seq[Column] =
+          if (preserve) df.columns.toSeq.map(col) else Seq(col(idCol))
+        df.select(head ++ Seq(size(toks).cast("long").as("n_tokens"),
+            score.as("score")): _*)
           .withColumn("label", col("score") > 0)
       case Some(w) =>
         val ex = df.select(col(idCol).as("_id"), explode(toks).as("_tok"))

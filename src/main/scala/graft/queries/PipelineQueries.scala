@@ -116,13 +116,21 @@ object PipelineQueries {
     val docs = Tables(s, dir, "documents")
     val norm = docs.select(col("doc_id"), col("lang"),
       TextAnalysis.normalizeText(col("text")).as("norm_text"))
-    val rep = TextAnalysis.repetitionStats(norm, "doc_id", "norm_text")
-      .select("doc_id", "n_tokens", "dup_word_frac")
-    val gated = norm.join(rep, "doc_id")
+    // each stage's preserve=true output feeds the next directly — the
+    // whole gate → dedup → mix chain is one plan with no join-backs
+    // (repetitionStats is narrow; the dedup window is the only corpus
+    // shuffle before the mixer)
+    val gated = TextAnalysis.repetitionStats(norm, "doc_id", "norm_text",
+        preserve = true)
       .filter(col("n_tokens") >= MinCurTokens && col("dup_word_frac") <= MaxDupFrac)
-    val keep = Dedup.exact(gated, "doc_id", "norm_text")
-      .filter(col("keep")).select("doc_id")
-    val uniq = gated.join(keep, "doc_id")
+      .select("doc_id", "lang", "norm_text", "n_tokens")
+    // lazy cache: the mixer reads uniq twice (per-language counts for the
+    // thresholds, then the admission join) — without it the normalize →
+    // gate → dedup chain recomputes per consumer (measured +0.9 s at
+    // sf0.1; no eager barrier, the first stage to run populates it)
+    val uniq = Dedup.exact(gated, "doc_id", "norm_text", preserve = true)
+      .filter(col("keep")).select("doc_id", "lang", "n_tokens")
+      .persist()
     val mixed = Sampling.temperatureSample(uniq, "doc_id", "lang",
       alpha = 0.5, salt = "cur:")
     Sampling.shuffleShards(mixed, "doc_id", shards = 8, salt = "cur:ep1:")
@@ -217,15 +225,17 @@ object PipelineQueries {
     val scr = Dedup.spanScrub(docs, "doc_id", "text", n = P4SpanN, minCount = 2)
     val kept1 = scr.filter(col("dup_frac") <= P4MaxDupFrac)
       .select(col("doc_id"), col("scrubbed").as("stext"))
-    val cls = TextAnalysis.hashClassifier(kept1, "doc_id", "stext", dim = P4Dim)
-    // the scrub+classifier subtree feeds FOUR consumers downstream (DSIR's
-    // two corpus distributions, its scoring pass, and the final score
-    // join) — materialize it once instead of recomputing the two heaviest
-    // stages per consumer (measured 5.9 s -> the checkpointed plan at
-    // sf0.1; at 100 TB this is the persist-between-phases discipline)
-    val kept2 = kept1.join(
-        cls.filter(col("label")).select("doc_id", "score"), "doc_id")
-      .localCheckpoint(true)
+    // the classifier is a narrow score over kept1 (preserve=true keeps
+    // stext riding along — no self-join-back); the scrub+classifier
+    // subtree still feeds FOUR consumers downstream (DSIR's two corpus
+    // distributions, its scoring pass, and the final score join), so it
+    // caches LAZILY — reuse without an eager materialization barrier
+    // (the localCheckpoint it replaces was one of the sequential jobs
+    // behind p04's driver-run 2x-gate breach, VERDICT r12)
+    val kept2 = TextAnalysis.hashClassifier(kept1, "doc_id", "stext",
+        dim = P4Dim, preserve = true)
+      .filter(col("label")).select("doc_id", "stext", "score")
+      .persist()
     val isT = Sampling.hashBucket(col("doc_id"), 100, "p4:") < P4TargetPct
     Sampling.dsirWeights(kept2.filter(!isT), kept2.filter(isT),
         "doc_id", "stext", dim = P4Dim)
@@ -546,12 +556,12 @@ object PipelineQueries {
     import graft.operators.{Dedup, Sampling}
     val docs = Tables(s, dir, "documents")
     val gated = docs.filter(col("n_chars") >= 150)
-    val keep = Dedup.exact(gated, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
-    // materialize the post-dedup corpus ONCE: takeToBudget's histogram
-    // job + admission scan would otherwise recompute the gate->dedup
-    // window chain three times (q62's localCheckpoint discipline)
-    val uniq = gated.join(keep, "doc_id").localCheckpoint(true)
+    // dedup with preserve=true (no join-back), cached LAZILY: the
+    // takeToBudget histogram job + admission scan reuse the gate->dedup
+    // chain without paying an eager materialization barrier for it
+    val uniq = Dedup.exact(gated, "doc_id", "text", preserve = true)
+      .filter(col("keep")).select("doc_id", "source", "n_chars")
+      .persist()
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")
@@ -618,9 +628,9 @@ object PipelineQueries {
     import graft.operators.{Dedup, Sampling}
     val docs = Tables(s, dir, "documents")
     val gated = docs.filter(col("n_chars") >= 150)
-    val keep = Dedup.exact(gated, "doc_id", "text")
-      .filter(col("keep")).select("doc_id")
-    val uniq = gated.join(keep, "doc_id").localCheckpoint(true) // see p10
+    val uniq = Dedup.exact(gated, "doc_id", "text", preserve = true)
+      .filter(col("keep")).select("doc_id", "source", "n_chars")
+      .persist() // see p10
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")

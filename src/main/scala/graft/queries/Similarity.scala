@@ -343,11 +343,18 @@ object Similarity {
        |FROM sc QUALIFY rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = Tables(s, dir, "embeddings")
-    val cells = Ops.centroidVectors(e, "label", "embedding")
-    // label-supervised codebooks: per-(sub, label) averages, the same
-    // deterministic one-step Lloyd the oracle replays
-    val cb = Ops.labelCodebooks(e, "label", "embedding", Dim, PqM)
-    Ops.ivfPqKnn(e, "vec_id", "embedding", cells, cb,
+    // ONE per-(label, dim) mean table feeds BOTH model artifacts: the
+    // coarse cells are the full-width label means and the
+    // label-supervised codebook entry (sub, label)[j] is exactly
+    // mean(label, sub·subDim + j) mirror-rounded at 6 dp — the same
+    // values centroidVectors/labelCodebooks compute from separate
+    // explodes, at half the aggregation stages (the shared means
+    // exchange is reused across the two rollups)
+    val means = e.select(col("label").cast("long").as("clabel"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("clabel", "i").agg(avg(col("x").cast("double")).as("c"))
+    val model = Ops.ivfPqModelFromMeans(means, dim = Dim, m = PqM)
+    Ops.ivfPqKnnModel(e, "vec_id", "embedding", model,
         isQuery = col("vec_id") < NumQueries, dim = Dim, m = PqM, k = TopK)
       .orderBy("query_id", "rank")
   }
