@@ -115,7 +115,12 @@ object DecoderReaper {
       // alive but the platform hides start times: identity unprovable —
       // honor the "recorded as 0 are never killed" contract and skip
       // (the caller drops the entry; a stray group here is the accepted
-      // residual on start-time-less platforms)
+      // residual on start-time-less platforms). CONFIRMED TRADE (ADVICE
+      // r12): the deployment target is Linux (/proc start times always
+      // present — the Spark-executor platform), where this branch is
+      // unreachable; on a hypothetical start-time-less platform we choose
+      // leaking an orphan decoder over killing an unrelated process group
+      // whose pgid was recycled — kills must be provably ours.
       case Some(0L) => false
       case Some(cur) => startMillis > 0 && cur == startMillis
     }

@@ -151,6 +151,10 @@ object Dedup {
     require(maxChunkDf >= 1 && maxChunkDf < Int.MaxValue,
       s"maxChunkDf out of range: $maxChunkDf")
     val sims = df.select(col(idCol).as("_gid"), SigX.simhash(tokens(col(textCol))).as("sim"))
+      .filter(col("_gid").isNotNull) // null ids can never pair; keeping them
+      // in the struct-wrapped collect would also count them toward the df
+      // cap while embeddingPairsLsh's bare collect skips nulls — filtering
+      // here makes the cap population identical across the pair family
     val ex = sims.select(explode(Sig.simChunkKeys(col("sim"))).as("ck"),
       struct(col("_gid"), col("sim")).as("m"))
     // chunk-df cap via the BOUNDED COLLECT (one exchange, r12): each map
@@ -252,15 +256,21 @@ object Dedup {
     */
   def contaminationPairs(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, minOverlap: Int, maxDf: Int = 100): DataFrame = {
+    graft.functions.BoundedCollect.register(train.sparkSession)
     val trEx = shingled(train, idCol, textCol)
+      .filter(col("_gid").isNotNull) // a null id can never appear in a pair
       .select(col("_gid").as("train_id"), explode(col("sh")).as("shingle"))
-    // train-side df cap as PARTIAL-AGG + SEMI-JOIN (the d02 discipline):
-    // a boilerplate shingle appearing in millions of training docs must
-    // collapse map-side in the count, never co-locate in one window task.
-    val lowDf = trEx.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("shingle")
-    val tr = trEx.join(lowDf, Seq("shingle"), "left_semi")
+    // train-side df cap via the BOUNDED COLLECT (the simhash/embedding-LSH
+    // shape, ADVICE r12): each map task retains <= maxDf+1 train ids per
+    // shingle (boilerplate shingles collapse map-side, never buffering a
+    // group), shingles at the cap are refused exactly, and the shingling
+    // explode runs ONCE — the old count + semi-join pair evaluated the
+    // whole shingled(train) subtree twice with no materialization.
+    val tr = trEx.groupBy("shingle")
+      .agg(graft.functions.BoundedCollect.boundedCollect(
+        col("train_id"), lit(maxDf + 1)).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .select(col("shingle"), explode(col("ids")).as("train_id"))
     val te = shingled(test, idCol, textCol)
       .select(col("_gid").as("test_id"), explode(col("sh")).as("shingle"))
     // the test corpus is a benchmark — tiny by contract — so its shingle
@@ -663,6 +673,7 @@ object Dedup {
     require(maxBandDf >= 1 && maxBandDf < Int.MaxValue,
       s"maxBandDf out of range: $maxBandDf")
     val e = df.select(col(idCol).as("_gid"), col(vecCol).as("_v"))
+      .filter(col("_gid").isNotNull) // see simhashPairs: uniform cap population
     val ex = e.select(col("_gid"), explode(EmbeddingLsh.bandKeys(col("_v"))).as("bk"))
     // band-df cap via the BOUNDED COLLECT (one exchange, r12): each map
     // task retains <= maxBandDf+1 members per band key (a corpus of

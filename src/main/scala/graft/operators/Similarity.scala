@@ -92,11 +92,13 @@ object Similarity {
     val b =
       if (maxBucketDf == Int.MaxValue) b0
       else {
-        // materialize the bucketed table once (one row per vector): the
-        // count pass, the probe, and both self-join sides read it — the
-        // plane-dot bucket subtree must not recompute per path (the d04
-        // lesson, r12; no shared exchange for ReuseExchange here)
-        val bm = b0.localCheckpoint(true)
+        // LAZY cache (ADVICE r12): the count pass, the probe, and both
+        // self-join sides read the bucketed table — a lazy persist shares
+        // the plane-dot subtree between them without the eager
+        // localCheckpoint's side effects (a Spark job at DataFrame
+        // construction time, and truncated lineage that an executor loss
+        // could no longer recompute)
+        val bm = b0.persist()
         val lowB = bm.groupBy("bucket").agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxBucketDf)
           .select("bucket")
