@@ -6,12 +6,9 @@
 #   2. dump every SparkEntry query once with graft.Verify (one sbt run)
 #   3. compare against DuckDB in PARALLEL chunks — the heavy oracles
 #      (list-lambda banding d05/d07, ~1-2 h each) must not serialize the
-#      other ~155, and the one known by-design-infeasible oracle is
-#      SKIPPED with a documented record instead of run:
-#        - q94_theil_sen: by design both sides (quadratic-fit guard on
-#          the operator; the oracle's pairwise-slope spill fills disk).
-#          The sf1-safe form of the same fit IS swept: q105 (median-of-
-#          buckets Theil-Sen, round 9).
+#      other ~155. Nothing is skipped (round 13): q94 now auto-buckets
+#      oversized groups (onOversize = Bucket(16), the q105 estimator),
+#      so both its operator and its oracle are sf1-safe.
 #      p07_chunk_pack is no longer skipped: its oracle's `d` CTE is now
 #      MATERIALIZED, so the recursion probes a computed table instead of
 #      re-evaluating the string_split chunking chain every iteration
@@ -33,12 +30,12 @@ JDIR=$(mktemp -d /tmp/sf1_sweep.XXXX)
 
 sbt -batch "runMain graft.Verify $SF_DIR $OUT"
 
-SKIP='q94_theil_sen'
+SKIP=''
 HEAVY='d05_embedding_dup d07_embedding_exact d09_semantic_dedup d13_sparse_cosine d14_lsh_rescored d02_ngram_jaccard d03_minhash_lsh q22_pack_sequences p09_golden_record p10_mixer_e2e p11_mixer_anneal_e2e'
 ALL=$(python3 -c "
 import json
 qs = sorted(json.load(open('$OUT/oracle_sql.json')))
-skip = set('$SKIP'.split()); heavy = set('$HEAVY'.split())
+skip = set('$SKIP'.split()) - {''}; heavy = set('$HEAVY'.split())
 rest = [q for q in qs if q not in skip | heavy]
 n = 4
 for i in range(n): print(','.join(rest[i::n]))
@@ -54,14 +51,5 @@ while IFS= read -r chunk; do
 done <<< "$ALL"
 for p in "${pids[@]}"; do wait "$p" || echo "chunk exited nonzero (see $JDIR)"; done
 
-# documented-infeasible record for the one skipped oracle
-cat > "$JDIR/skipped.json" <<'EOF'
-{"queries": {
- "q94_theil_sen": {"rows_match": false, "schema_match": false, "hash_match": false,
-   "spark_rows": null, "oracle_rows": null, "oracle_sec": null,
-   "err": "documented-infeasible at sf1 by design on both sides: operator quadratic-fit guard (6.9k-point groups > maxN=2000, the pre-bucket contract, demonstrated sf1-green by q105_theil_sen_bucketed); oracle pairwise-slope spill exceeds container disk"}
-}}
-EOF
-
-python3 scripts/merge_correctness.py CORRECTNESS_sf1.json "$JDIR"/chunk_*.json "$JDIR/skipped.json"
+python3 scripts/merge_correctness.py CORRECTNESS_sf1.json "$JDIR"/chunk_*.json
 echo "chunk logs in $JDIR"

@@ -1375,6 +1375,13 @@ object ScaleProbe {
     time("hnsw search") {
       graft.operators.GraphAnn.hnswSearch(idx, q, "vec_id", "embedding", 10).count()
     }
+    // CORPUS-sized query set — the ceiling the broadcast path refuses:
+    // every vector queries the index through the cogroup (|Q| = n, no
+    // driver collect; per-task memory stays one shard's graph)
+    time("hnsw search distributed (corpus as queries)") {
+      graft.operators.GraphAnn.hnswSearchDistributed(
+        idx, emb, "vec_id", "embedding", 10, shards).count()
+    }
   }
 
   private def frontier(spark: SparkSession, factor: Int): Unit = {

@@ -358,6 +358,69 @@ object Dedup {
           filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))).as("scrubbed"))
   }
 
+  /** VARIABLE-LENGTH duplicated-span detection — the suffix-array
+    * half of ExactSubstr (Lee et al. 2022, arXiv:2107.06499) that
+    * [[spanScrub]]'s fixed-n windows cannot express, re-expressed as
+    * PREFIX DOUBLING (Manber–Myers suffix-array construction): a span of
+    * length 2L at position s is duplicated iff the COMPOSITE key
+    * (key_L(s), key_L(s+L)) occurs >= minCount times corpus-wide, so each
+    * round doubles the witnessed span length with one key-composition
+    * join — `doublings` rounds reach n·2^doublings from the fixed-n base
+    * without ever materializing a suffix array.
+    *
+    * Lossless pruning makes the ladder cheap: a duplicated 2L-span's
+    * halves are themselves duplicated L-spans, so each round extends ONLY
+    * positions that survived the previous round's dup filter — work per
+    * round shrinks with the (typically exponential) decay of long
+    * duplicates. Per round: one count window over the span key (the q31
+    * discipline — hot keys co-locate exactly as the old semi-join probe
+    * co-located them) + one self-join on (doc, s+L), both declarative,
+    * no checkpoints. Fixed rounds, exact integer hashes (two independent
+    * polynomial bases, the q31 collision discipline) — an external SQL
+    * oracle replays every round as generated CTEs.
+    *
+    * Output: one row per (document, level) that still has a duplicated
+    * span — idCol, span_len (n·2^r), n_spans (duplicated-span STARTS at
+    * that level, overlaps counted individually), first_start. The max
+    * span_len per doc is the power-of-two lower-bound witness for its
+    * longest duplicated substring; docs/levels with no duplicate are
+    * absent.
+    */
+  def longestDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, doublings: Int = 3, minCount: Int = 2): DataFrame = {
+    require(n >= 2, "base span length must be >= 2")
+    require(doublings >= 0, "doublings must be >= 0")
+    require(minCount >= 2, "minCount must be >= 2")
+    GraftExpressions.register(df.sparkSession)
+    val wK = Window.partitionBy("h1", "h2")
+    def dupOnly(spans: DataFrame): DataFrame =
+      spans.withColumn("_c", count(lit(1)).over(wK))
+        .filter(col("_c") >= minCount).drop("_c")
+    def level(spans: DataFrame, len: Int): DataFrame =
+      spans.groupBy(col("_gid").as(idCol))
+        .agg(count(lit(1)).as("n_spans"), min(col("s")).cast("long").as("first_start"))
+        .select(col(idCol), lit(len.toLong).as("span_len"),
+          col("n_spans"), col("first_start"))
+    val base = df.select(col(idCol).as("_gid"),
+        posexplode(Sig.spanKeys(Sig.tokenHashes(tokens(col(textCol))), n))
+          .as(Seq("s", "g")))
+      .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
+    var cur = dupOnly(base)
+    var len = n
+    val out = scala.collection.mutable.ArrayBuffer(level(cur, len))
+    for (_ <- 1 to doublings) {
+      val nxt = cur.as("a").join(cur.as("b"),
+          col("a._gid") === col("b._gid") && col("b.s") === col("a.s") + len)
+        .select(col("a._gid").as("_gid"), col("a.s").as("s"),
+          ((col("a.h1") * Sig.B + col("b.h1")) % Sig.P).as("h1"),
+          ((col("a.h2") * Sig.B2 + col("b.h2")) % Sig.P).as("h2"))
+      cur = dupOnly(nxt)
+      len *= 2
+      out += level(cur, len)
+    }
+    out.reduce(_.unionByName(_))
+  }
+
   /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
     * remover: a line (paragraph) occurring in at least `minDf` DISTINCT
     * documents is navigation/footer/legal boilerplate and is removed

@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *    beam-searches every query (efSearch), emitting per-shard top-k;
   *    a global top-k window over |queries| × shards × k rows merges.
   *    The corpus vectors stream exactly once per search pass and never
-  *    shuffle.
+  *    shuffle. For QUERY SETS TOO BIG TO BROADCAST,
+  *    [[hnswSearchDistributed]] ships query shards to index shards by
+  *    cogroup instead — bit-identical results, no driver collect, no
+  *    per-query-set size ceiling.
   *
   * Scale contract: ONE SHARD's graph must fit a task's memory (the RAM
   * contract every HNSW deployment makes); capacity scales horizontally
@@ -231,6 +234,60 @@ object GraphAnn {
     * corpus-×-corpus similarity belongs to [[Similarity.ivfPqKnn]] /
     * [[Dedup.embeddingPairsLsh]], which never collect a side.
     */
+  /** Rebuild one shard's graph from its index rows and answer a stream
+    * of queries with per-shard top-k — the core both search paths share.
+    * Queries are consumed as an ITERATOR: the graph is the only per-task
+    * memory; a corpus-sized query stream never materializes.
+    */
+  private def searchShard(
+      rows: Array[(Long, Long, Array[Float], Array[Array[Long]])],
+      qs: Iterator[(Long, Array[Float])], k: Int,
+      efSearch: Int): Iterator[(Long, Long, Double)] = {
+    // re-materialize: node order = id ascending (the build order)
+    val sorted = rows.sortBy(_._2)
+    val idToNode = mutable.LongMap.empty[Int]
+    sorted.iterator.zipWithIndex.foreach { case (r, i) => idToNode.put(r._2, i) }
+    val g = new Hnsw(2, 2) // parameters irrelevant for a loaded graph
+    sorted.foreach { case (_, id, v, _) =>
+      g.ids += id; g.vecs += v; g.norms += norm(v)
+    }
+    sorted.foreach { case (_, _, _, layers) =>
+      g.levels += layers.length - 1
+      g.adj += layers.map(l => mutable.ArrayBuffer(l.iterator.map(nb =>
+        // a neighbor outside the shard means a corrupted index —
+        // fail loud, never bind to an arbitrary node
+        idToNode.getOrElse(nb, throw new IllegalStateException(
+          s"hnswSearch: dangling neighbor id $nb not in its shard — rebuilt or corrupted index"))).toSeq: _*))
+    }
+    // entry point = the max-level node; ties by id ascending (build
+    // sets the entry to the FIRST node reaching the top level, which
+    // under id-ascending insertion is the min-id top-level node)
+    var e = 0
+    (1 until g.ids.length).foreach { n =>
+      if (g.levels(n) > g.levels(e)) e = n
+    }
+    g.entry = e
+    g.topLevel = g.levels(e)
+    // over-fetch one: the merge drops self-matches, so a shard must
+    // contribute k true neighbors even if it also holds the query vector
+    qs.flatMap { case (qid, qv) =>
+      g.search(qv, k + 1, efSearch).iterator
+        .filter(_._1 != qid).take(k)
+        .map { case (nid, s) => (qid, nid, s) }
+    }
+  }
+
+  /** Global (cos desc, id asc) top-k merge over the per-shard results. */
+  private def mergeTopK(perShard: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("_cos").desc, col("neighbor_id"))
+    perShard
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("_cos"), 6).as("cos"))
+  }
+
   def hnswSearch(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, efSearch: Int = 64,
       maxQueries: Int = 100000): DataFrame = {
@@ -250,62 +307,65 @@ object GraphAnn {
     require(qRows.length <= maxQueries,
       s"hnswSearch: query side exceeds maxQueries=$maxQueries — it is collected " +
         "to the driver and broadcast, so a corpus-sized query set would OOM the " +
-        "driver. For corpus-x-corpus neighbors use Similarity.ivfPqKnn or " +
-        "Dedup.embeddingPairsLsh (distributed, never collect a side), or raise " +
+        "driver. Use hnswSearchDistributed (same results, query side shuffled " +
+        "instead of collected) for corpus-scale query sets, or raise " +
         "maxQueries deliberately.")
     require(qRows.nonEmpty, "no queries")
     val qB = spark.sparkContext.broadcast(qRows)
-    // over-fetch one per shard: the global merge drops self-matches, so a
-    // shard must contribute k true neighbors even if it also holds the
-    // query vector itself
     val perShard = index
       .select(col("shard"), col("id"), col("vec"), col("layers"))
       .repartition(col("shard"))
       .as[(Long, Long, Array[Float], Array[Array[Long]])]
       .mapPartitions { it =>
         val byShard = it.toArray.groupBy(_._1)
-        val qs = qB.value
         byShard.iterator.flatMap { case (_, rows) =>
-          // re-materialize: node order = id ascending (the build order)
-          val sorted = rows.sortBy(_._2)
-          val idToNode = mutable.LongMap.empty[Int]
-          sorted.iterator.zipWithIndex.foreach { case (r, i) => idToNode.put(r._2, i) }
-          val g = new Hnsw(2, 2) // parameters irrelevant for a loaded graph
-          sorted.foreach { case (_, id, v, _) =>
-            g.ids += id; g.vecs += v; g.norms += norm(v)
-          }
-          sorted.zipWithIndex.foreach { case ((_, _, _, layers), _) =>
-            g.levels += layers.length - 1
-            g.adj += layers.map(l => mutable.ArrayBuffer(l.iterator.map(nb =>
-              // a neighbor outside the shard means a corrupted index —
-              // fail loud, never bind to an arbitrary node
-              idToNode.getOrElse(nb, throw new IllegalStateException(
-                s"hnswSearch: dangling neighbor id $nb not in its shard — rebuilt or corrupted index"))).toSeq: _*))
-          }
-          // entry point = the max-level node; ties by id ascending (build
-          // sets the entry to the FIRST node reaching the top level, which
-          // under id-ascending insertion is the min-id top-level node)
-          var e = 0
-          (1 until g.ids.length).foreach { n =>
-            if (g.levels(n) > g.levels(e)) e = n
-          }
-          g.entry = e
-          g.topLevel = g.levels(e)
-          qs.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k + 1, efSearch).iterator
-              .filter(_._1 != qid).take(k)
-              .map { case (nid, s) => (qid, nid, s) }
-          }
+          searchShard(rows, qB.value.iterator, k, efSearch)
         }
       }
       .toDF("query_id", "neighbor_id", "_cos")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("_cos").desc, col("neighbor_id"))
-    perShard
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("_cos"), 6).as("cos"))
+    mergeTopK(perShard, k)
+  }
+
+  /** Distributed-query HNSW search — the corpus-scale path the broadcast
+    * form refuses above `maxQueries` (VERDICT r12 item 4): the query set
+    * never touches the driver. Queries replicate to every index shard by
+    * an `explode(0..shards-1)` + shuffle (|Q|·shards rows — the standard
+    * sharded-graph trade: every shard answers every query), a COGROUP
+    * co-locates each index shard with its copy of the query stream, the
+    * shard graph rebuilds once per task and the queries STREAM through it
+    * (per-task memory = one shard's graph, the same RAM contract as the
+    * build; a corpus-sized query set never materializes anywhere), and
+    * the per-shard top-k merge is the same global window. Results are
+    * bit-identical to [[hnswSearch]] (spec-asserted): same walk, same
+    * (cos desc, id asc) order, same self-match rule.
+    *
+    * `shards` must match the index build (the cogroup key domain); it is
+    * a parameter rather than a scan because counting the index's shards
+    * would cost a job the caller already paid at build time.
+    */
+  def hnswSearchDistributed(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, shards: Int,
+      efSearch: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(shards >= 1, "shards must be >= 1")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val idx = index.select(col("shard"), col("id"), col("vec"), col("layers"))
+      .as[(Long, Long, Array[Float], Array[Array[Long]])]
+    val qrep = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"))
+      .filter(col("qid").isNotNull && col("qv").isNotNull)
+      .select(explode(sequence(lit(0L), lit(shards - 1L))).as("shard"),
+        col("qid"), col("qv"))
+      .as[(Long, Long, Array[Float])]
+    val perShard = idx.groupByKey(_._1)
+      .cogroup(qrep.groupByKey(_._1)) { (_, irows, qrows) =>
+        val rows = irows.toArray
+        if (rows.isEmpty) Iterator.empty
+        else searchShard(rows, qrows.map(q => (q._2, q._3)), k, efSearch)
+      }
+      .toDF("query_id", "neighbor_id", "_cos")
+    mergeTopK(perShard, k)
   }
 
   /** One-shot build + search. */

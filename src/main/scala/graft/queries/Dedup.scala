@@ -656,7 +656,67 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  private val DupBase = 8      // base span length (q31's SpanN scale)
+  private val DupDoublings = 3 // witnessed lengths 8, 16, 32, 64
+
+  /** d17 (north-star, VERDICT r12 item 5): VARIABLE-LENGTH duplicated
+    * spans by prefix doubling ([[graft.operators.Dedup.longestDupSpans]])
+    * — the ExactSubstr longest-duplicate witness q31's fixed-n windows
+    * cannot express. The oracle replays every doubling round as
+    * generated CTEs (the q43/q49 fixed-round discipline): level-0 keys
+    * are q31's two polynomial folds, each round composes
+    * (h_L(s)·B + h_L(s+L)) mod P over the PRUNED survivor set (a
+    * duplicated 2L-span's halves are duplicated L-spans, so the filter
+    * is lossless), and each level contributes its per-doc summary. All
+    * integer arithmetic — a hash match certifies all four rounds.
+    */
+  val d17 = QueryDef(
+    "d17_longest_dup_span", {
+      val f1 = Sig.sqlSpanFold("th", "s", DupBase, Sig.B)
+      val f2 = Sig.sqlSpanFold("th", "s", DupBase, Sig.B2)
+      val sb = new StringBuilder
+      sb.append(
+        s"""WITH t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
+           |h AS (SELECT doc_id, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
+           |g0 AS (SELECT doc_id, unnest(range(0, len(th) - $DupBase + 1)) AS s, th FROM h),
+           |k0 AS (SELECT doc_id, s, $f1 AS h1, $f2 AS h2 FROM g0),
+           |s0 AS (SELECT k.doc_id, k.s, k.h1, k.h2 FROM k0 k
+           |       JOIN (SELECT h1, h2 FROM k0 GROUP BY 1, 2 HAVING count(*) >= 2) d
+           |       USING (h1, h2)),
+           |l0 AS (SELECT doc_id, CAST($DupBase AS BIGINT) AS span_len,
+           |         count(*) AS n_spans, CAST(min(s) AS BIGINT) AS first_start
+           |       FROM s0 GROUP BY 1),""".stripMargin)
+      for (r <- 1 to DupDoublings) {
+        val half = DupBase << (r - 1)
+        val full = DupBase << r
+        sb.append(
+          s"""
+             |k$r AS (SELECT a.doc_id, a.s,
+             |          (a.h1 * ${Sig.B} + b.h1) % ${Sig.P} AS h1,
+             |          (a.h2 * ${Sig.B2} + b.h2) % ${Sig.P} AS h2
+             |        FROM s${r - 1} a JOIN s${r - 1} b
+             |          ON a.doc_id = b.doc_id AND b.s = a.s + $half),
+             |s$r AS (SELECT k.doc_id, k.s, k.h1, k.h2 FROM k$r k
+             |        JOIN (SELECT h1, h2 FROM k$r GROUP BY 1, 2 HAVING count(*) >= 2) d
+             |        USING (h1, h2)),
+             |l$r AS (SELECT doc_id, CAST($full AS BIGINT) AS span_len,
+             |          count(*) AS n_spans, CAST(min(s) AS BIGINT) AS first_start
+             |        FROM s$r GROUP BY 1),""".stripMargin)
+      }
+      val union = (0 to DupDoublings).map(r => s"SELECT * FROM l$r")
+        .mkString(" UNION ALL ")
+      sb.append(s"""
+        |u AS ($union)
+        |SELECT doc_id, span_len, n_spans, first_start FROM u
+        |ORDER BY doc_id, span_len""".stripMargin)
+      sb.toString
+    }) { (s, dir) =>
+    Ops.longestDupSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        n = DupBase, doublings = DupDoublings)
+      .orderBy("doc_id", "span_len")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13,
-      d14, d15, p16, d16)
+      d14, d15, p16, d16, d17)
 }

@@ -892,41 +892,66 @@ object RelationalStats {
     */
   val q94 = QueryDef(
     "q94_theil_sen", {
+      // onOversize = Bucket(16) (VERDICT r12 item 7): groups inside the
+      // quadratic guard get the EXACT fit, bit for bit (their single
+      // bucket makes the outer rank medians an IEEE identity — (x+x)/2
+      // = x); groups past it auto-degrade to the q105 median-of-buckets
+      // estimator instead of failing, which is what makes this query
+      // sf1-GREEN on both sides: the operator no longer raises, and the
+      // oracle's pairwise self-join is bounded per (group, bucket)
+      // instead of quadratic in a 6.9k-point group.
       val lower = "CAST(floor((cnt + 1) / 2.0) AS BIGINT)"
       val upper = "CAST(floor(cnt / 2.0) AS BIGINT) + 1"
-      s"""WITH p AS (
+      val blower = "CAST(floor((bc + 1) / 2.0) AS BIGINT)"
+      val bupper = "CAST(floor(bc / 2.0) AS BIGINT) + 1"
+      s"""WITH p0 AS (
          |  SELECT event_type, CAST(ts AS DATE) AS day, epoch_ms(ts) AS cx,
          |         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cy
          |  FROM events
          |  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL),
-         |r AS (SELECT p.*, row_number() OVER (PARTITION BY event_type, day
+         |gs AS (SELECT event_type, day, count(*) AS gn FROM p0 GROUP BY 1, 2),
+         |p AS (SELECT p0.*, CASE WHEN gs.gn > 2000 THEN p0.cx % 16 ELSE 0 END AS bkt
+         |      FROM p0 JOIN gs USING (event_type, day)),
+         |r AS (SELECT p.*, row_number() OVER (PARTITION BY event_type, day, bkt
          |        ORDER BY cx, cy) AS prn FROM p),
-         |sl AS (SELECT a.event_type, a.day,
+         |sl AS (SELECT a.event_type, a.day, a.bkt,
          |         CAST(b.cy - a.cy AS DOUBLE) / CAST(b.cx - a.cx AS DOUBLE) AS s
          |       FROM r a JOIN r b ON a.event_type = b.event_type
-         |         AND a.day = b.day AND a.prn < b.prn
+         |         AND a.day = b.day AND a.bkt = b.bkt AND a.prn < b.prn
          |       WHERE a.cx <> b.cx),
-         |sr AS (SELECT sl.*, row_number() OVER (PARTITION BY event_type, day
+         |sr AS (SELECT sl.*, row_number() OVER (PARTITION BY event_type, day, bkt
          |         ORDER BY s) AS rn,
-         |         count(*) OVER (PARTITION BY event_type, day) AS cnt FROM sl),
-         |med AS (SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS n_slopes,
+         |         count(*) OVER (PARTITION BY event_type, day, bkt) AS cnt FROM sl),
+         |med AS (SELECT event_type, day, bkt, CAST(max(cnt) AS BIGINT) AS n_slopes,
          |          sum(CASE WHEN rn = $lower OR rn = $upper THEN s END)
          |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
          |                THEN 1 ELSE 0 END) AS DOUBLE) AS slope
-         |        FROM sr GROUP BY 1, 2),
-         |res AS (SELECT p.event_type, p.day, med.slope, med.n_slopes,
+         |        FROM sr GROUP BY 1, 2, 3),
+         |res AS (SELECT p.event_type, p.day, p.bkt, med.slope, med.n_slopes,
          |          CAST(p.cy AS DOUBLE) - med.slope * CAST(p.cx AS DOUBLE) AS rr
-         |        FROM p JOIN med USING (event_type, day)),
-         |rr2 AS (SELECT res.*, row_number() OVER (PARTITION BY event_type, day
+         |        FROM p JOIN med USING (event_type, day, bkt)),
+         |rr2 AS (SELECT res.*, row_number() OVER (PARTITION BY event_type, day, bkt
          |          ORDER BY rr) AS rn,
-         |          count(*) OVER (PARTITION BY event_type, day) AS cnt FROM res),
-         |fin AS (SELECT event_type, day, CAST(max(cnt) AS BIGINT) AS n_points,
+         |          count(*) OVER (PARTITION BY event_type, day, bkt) AS cnt FROM res),
+         |bfin AS (SELECT event_type, day, bkt, CAST(max(cnt) AS BIGINT) AS n_points,
          |          CAST(max(n_slopes) AS BIGINT) AS n_slopes,
          |          max(slope) AS slope,
          |          sum(CASE WHEN rn = $lower OR rn = $upper THEN rr END)
          |            / CAST(sum(CASE WHEN rn = $lower OR rn = $upper
          |                THEN 1 ELSE 0 END) AS DOUBLE) AS intercept
-         |        FROM rr2 GROUP BY 1, 2)
+         |        FROM rr2 GROUP BY 1, 2, 3),
+         |bs AS (SELECT bfin.*,
+         |         row_number() OVER (PARTITION BY event_type, day ORDER BY slope) AS srn,
+         |         row_number() OVER (PARTITION BY event_type, day ORDER BY intercept) AS irn,
+         |         count(*) OVER (PARTITION BY event_type, day) AS bc FROM bfin),
+         |fin AS (SELECT event_type, day,
+         |          CAST(sum(n_points) AS BIGINT) AS n_points,
+         |          CAST(sum(n_slopes) AS BIGINT) AS n_slopes,
+         |          (sum(CASE WHEN srn = $blower THEN slope END)
+         |            + sum(CASE WHEN srn = $bupper THEN slope END)) / 2.0 AS slope,
+         |          (sum(CASE WHEN irn = $blower THEN intercept END)
+         |            + sum(CASE WHEN irn = $bupper THEN intercept END)) / 2.0 AS intercept
+         |        FROM bs GROUP BY 1, 2)
          |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
          |  n_points, n_slopes, slope, intercept
          |FROM fin ORDER BY event_type, day""".stripMargin
@@ -937,7 +962,8 @@ object RelationalStats {
           .withColumn("day", to_date(col("ts"))),
         groupCols = Seq("event_type", "day"),
         xCol = unix_millis(col("ts")), yCol = col("value"),
-        maxN = 2000, scaleX = 1L, scaleY = 100L)
+        maxN = 2000, scaleX = 1L, scaleY = 100L,
+        onOversize = graft.operators.Relational.OversizeMode.Bucket(16))
       .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
       .orderBy("event_type", "day")
   }

@@ -237,6 +237,54 @@ class DedupOpsSuite extends SparkSpec {
       (3L, 1L, 0.0, 0.0, 1.0)))
   }
 
+  test("longestDupSpans: doubling ladder witnesses exact power-of-2 span lengths") {
+    import spark.implicits._
+    // docs 1 and 2 share an identical 16-token prefix, then diverge:
+    // duplicated 8-spans at starts 0..8 of the prefix, a duplicated
+    // 16-span at start 0, and NOTHING at 32 (the docs are 20 tokens).
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " p q r s"),
+      (2L, shared + " t u v w"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10") // no duplicates anywhere
+    ).toDF("id", "text")
+    val got = graft.operators.Dedup.longestDupSpans(df, "id", "text", n = 8, doublings = 2)
+      .orderBy("id", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // level 8: starts 0..8 of the shared prefix are pairwise-duplicated
+    // (9 starts per doc); level 16: exactly start 0; level 32: absent
+    assert(got == Seq(
+      (1L, 8L, 9L, 0L), (1L, 16L, 1L, 0L),
+      (2L, 8L, 9L, 0L), (2L, 16L, 1L, 0L)))
+  }
+
+  test("trainHashedPerceptron: trained weights beat t12's deterministic default on eval AUC") {
+    import graft.operators.{Relational, Sampling}
+    graft.functions.GraftExpressions.register(spark) // hashBucket analyzes eagerly
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < 80
+    val dim = 1024
+    val pos = TextAnalysis.qualityExpr(col("text")) >= 0.79
+    val w = TextAnalysis.trainHashedPerceptron(docs.filter(isTr), "doc_id", "text",
+      pos, dim = dim, rounds = 8)
+    def auc(df: org.apache.spark.sql.DataFrame, score: org.apache.spark.sql.Column,
+        scale: Long): Double =
+      Relational.aucScore(df.withColumn("_g", lit(1)), Seq("_g"), col("pos"),
+        score, scale).head.getAs[Double]("auc")
+    val trained = TextAnalysis.perceptronScores(docs.filter(!isTr), "doc_id", "text",
+      pos, w, dim = dim)
+    val aucTrained = auc(trained, col("score").cast("double"), 1L)
+    val dflt = TextAnalysis.hashClassifier(docs.filter(!isTr), "doc_id", "text", dim = dim)
+      .drop("n_tokens", "label")
+      .join(docs.select(col("doc_id"), pos.as("pos")), "doc_id")
+    val aucDefault = auc(dflt, col("score"), 1000000L)
+    // the training loop must LEARN: clear separation over the untrained
+    // hash table (whose weights are a deterministic pseudo-random draw)
+    assert(aucTrained >= 0.85, s"trained AUC $aucTrained")
+    assert(aucTrained > aucDefault + 0.2,
+      s"trained $aucTrained vs default $aucDefault")
+  }
+
   test("bigramLm: exact smoothed scores; short docs null; unseen floors") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -94,8 +94,8 @@ class GraphAnnSuite extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       GraphAnn.hnswSearch(idx, emb, "vec_id", "embedding", k = 3, maxQueries = 10)
     }
-    assert(e.getMessage.contains("maxQueries") && e.getMessage.contains("ivfPqKnn"),
-      e.getMessage)
+    assert(e.getMessage.contains("maxQueries") &&
+      e.getMessage.contains("hnswSearchDistributed"), e.getMessage)
     // exactly at the cap: allowed
     val ok = GraphAnn.hnswSearch(idx, emb.orderBy("vec_id").limit(10),
       "vec_id", "embedding", k = 3, maxQueries = 10)
@@ -115,5 +115,22 @@ class GraphAnnSuite extends SparkSpec {
     val atCap = GraphAnn.hnswSearch(idx, withNull, "vec_id", "embedding",
       k = 3, maxQueries = 10)
     assert(atCap.select("query_id").distinct().count() == 10)
+  }
+
+  test("G6: distributed-query search is bit-identical to the broadcast path " +
+      "and recalls vs brute force — no driver collect, no query ceiling") {
+    val idx = GraphAnn.hnswIndex(emb, "vec_id", "embedding", shards = 4)
+    val viaBroadcast = asMap(GraphAnn.hnswSearch(
+      idx, emb, "vec_id", "embedding", k = 10))
+    // the WHOLE corpus as the query side — over any reasonable broadcast
+    // cap, streamed through the cogroup instead
+    val viaCogroup = asMap(GraphAnn.hnswSearchDistributed(
+      idx, emb, "vec_id", "embedding", k = 10, shards = 4))
+    assert(viaCogroup == viaBroadcast)
+    // and the merged result still recalls against exact truth
+    val truth = asMap(Similarity.knnBruteForce(emb, queries, "vec_id", "embedding", 10))
+    val got = asMap(GraphAnn.hnswSearchDistributed(
+      idx, queries, "vec_id", "embedding", k = 10, shards = 4))
+    assert(recallAt(10, got, truth) >= 0.9)
   }
 }

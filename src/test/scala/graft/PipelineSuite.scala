@@ -1017,6 +1017,33 @@ class PipelineSuite extends SparkSpec {
     assert(cache.evictionCount > 0, "the sequence must have exercised eviction")
   }
 
+  test("F31 doc-test: every StreamingSpecificSpec knob has a named mapping " +
+      "in the README migration table and SURVEY F12/F13a") {
+    // the reference's streaming-mode spec (pipelines/private/specs.py:376,
+    // exported in v1/__init__.py) — its knobs map onto Spark scheduler
+    // conf, not library surface; this pins that the mapping is WRITTEN
+    // DOWN, knob by knob, so the claim "every v1 export is mapped" stays
+    // literally true
+    val knobs = Seq(
+      "autoscale_interval_s",
+      "autoscale_speed_estimation",
+      "max_queued_multiplier",
+      "max_queued_lower_bound",
+      "verbosity_level",
+      "enable_backlog_aware_scaledown",
+      "scale_down_grace_after_ready_s")
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")), "UTF-8")
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    knobs.foreach { k =>
+      assert(readme.contains(k), s"README migration table must name $k")
+      assert(survey.contains(k), s"SURVEY F12/F13a must name $k")
+    }
+    assert(readme.contains("StreamingSpecificSpec") &&
+      survey.contains("StreamingSpecificSpec"))
+  }
+
   test("F3: streaming-mode chain is narrow (no shuffle between stages)") {
     import spark.implicits._
     val ds = spark.createDataset(1 to 10) // no repartition: plan stays narrow
