@@ -260,21 +260,40 @@ object Dedup {
     val trEx = shingled(train, idCol, textCol)
       .filter(col("_gid").isNotNull) // a null id can never appear in a pair
       .select(col("_gid").as("train_id"), explode(col("sh")).as("shingle"))
-    // train-side df cap via the BOUNDED COLLECT (the simhash/embedding-LSH
-    // shape, ADVICE r12): each map task retains <= maxDf+1 train ids per
-    // shingle (boilerplate shingles collapse map-side, never buffering a
-    // group), shingles at the cap are refused exactly, and the shingling
-    // explode runs ONCE — the old count + semi-join pair evaluated the
-    // whole shingled(train) subtree twice with no materialization.
-    val tr = trEx.groupBy("shingle")
-      .agg(graft.functions.BoundedCollect.boundedCollect(
-        col("train_id"), lit(maxDf + 1)).as("ids"))
-      .filter(size(col("ids")) <= maxDf)
-      .select(col("shingle"), explode(col("ids")).as("train_id"))
+    // the test shingle stream feeds BOTH broadcast builds (membership
+    // set + pair probe); it is tiny by contract, so caching it costs
+    // nothing and saves the second shingling pass over the test corpus
     val te = shingled(test, idCol, textCol)
       .select(col("_gid").as("test_id"), explode(col("sh")).as("shingle"))
-    // the test corpus is a benchmark — tiny by contract — so its shingle
-    // set broadcasts and the check is map-side over the training shingles
+      .persist()
+    // Prune the train stream by TEST-SHINGLE MEMBERSHIP before anything
+    // shuffles: a shingle absent from the test side can never form a
+    // pair, and membership is by shingle VALUE, so every train
+    // occurrence of a retained shingle survives — df per surviving
+    // shingle is exactly its corpus-wide df. The test corpus is a
+    // benchmark, tiny by contract, so its shingle set broadcasts and
+    // the filter is map-side; without it the df-cap/probe exchanges
+    // below carry the WHOLE train shingle stream — the difference
+    // between shuffling the te-matched sliver and shuffling the corpus
+    // at 100 TB. A broadcast LEFT SEMI does the membership: the hash
+    // build collapses duplicate test shingles for free (an explicit
+    // distinct() cost its own exchange — measured +0.65 s on q21/p16).
+    val teSh = te.select("shingle").distinct()
+    // Train-side df cap as ONE COUNT WINDOW over the prefiltered stream
+    // (the q31 one-exchange discipline): the membership join is narrow,
+    // so the window's exchange is the only shuffle the train shingles
+    // ever make, and the shingling subtree evaluates ONCE. Skew profile
+    // matches the old partial-agg + semi-join pair — the semi-join
+    // probe already co-located every occurrence of a hot shingle in one
+    // task; the window counts them where they land instead of joining a
+    // flag back in (and the semi-join shape also re-evaluated the whole
+    // shingled(train) explode for the probe). The single-pass
+    // bounded-collect alternative was 4-6× slower here — an object-hash
+    // aggregate over every surviving shingle group (the r13 p16 breach).
+    val wDf = Window.partitionBy("shingle")
+    val tr = trEx.join(broadcast(teSh), "shingle")
+      .withColumn("_df", count(lit(1)).over(wDf))
+      .filter(col("_df") <= maxDf).drop("_df")
     tr.join(broadcast(te), "shingle")
       .groupBy("train_id", "test_id").agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)
@@ -401,11 +420,26 @@ object Dedup {
         .agg(count(lit(1)).as("n_spans"), min(col("s")).cast("long").as("first_start"))
         .select(col(idCol), lit(len.toLong).as("span_len"),
           col("n_spans"), col("first_start"))
-    val base = df.select(col(idCol).as("_gid"),
-        posexplode(Sig.spanKeys(Sig.tokenHashes(tokens(col(textCol))), n))
-          .as(Seq("s", "g")))
+    // Token hashes MUST materialize as a projected column below the
+    // generate (the q31 discipline): inlining tokenHashes into the
+    // spanKeys lambda re-evaluates the whole hash transform per
+    // element_at access — higher-order functions run interpreted, no
+    // CSE — turning the projection O(len²) per document (measured 35 s
+    // for a 0.24M-span corpus vs sub-second materialized).
+    val base = df
+      .select(col(idCol).as("_gid"),
+        Sig.tokenHashes(tokens(col(textCol))).as("_th"))
+      .select(col("_gid"), posexplode(Sig.spanKeys(col("_th"), n)).as(Seq("s", "g")))
       .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
-    var cur = dupOnly(base)
+    // Each level's survivor set feeds THREE consumers (its summary row,
+    // and both sides of the next round's extension self-join), and the
+    // final union would otherwise replay every earlier level's window +
+    // join lineage per consumer — level 0 evaluated 2^doublings times.
+    // An EAGER checkpoint per level caps that at one evaluation each;
+    // the checkpointed tables shrink with the long-duplicate tail, so
+    // the barrier cost decays with the rounds (measured 37.6 s → one
+    // evaluation per level at sf0.1).
+    var cur = dupOnly(base).localCheckpoint(true)
     var len = n
     val out = scala.collection.mutable.ArrayBuffer(level(cur, len))
     for (_ <- 1 to doublings) {
@@ -414,7 +448,7 @@ object Dedup {
         .select(col("a._gid").as("_gid"), col("a.s").as("s"),
           ((col("a.h1") * Sig.B + col("b.h1")) % Sig.P).as("h1"),
           ((col("a.h2") * Sig.B2 + col("b.h2")) % Sig.P).as("h2"))
-      cur = dupOnly(nxt)
+      cur = dupOnly(nxt).localCheckpoint(true)
       len *= 2
       out += level(cur, len)
     }

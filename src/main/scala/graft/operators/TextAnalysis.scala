@@ -321,7 +321,14 @@ object TextAnalysis {
     // O(n log n) in the document's own token count — the right shape at
     // 100 TB, where a token-stream shuffle is the single largest cost a
     // quality pass can incur.
-    val toks = tokens(col(textCol))
+    // The token array MUST materialize as its own projected column (the
+    // q31/d17 discipline): the stats below reference it ~6 times, and a
+    // higher-order function in the projection drops it out of codegen'd
+    // CSE — inlined, the split() re-runs per reference (measured 3.7× on
+    // t10 at sf0.1). As a non-cheap alias with multiple references the
+    // lower Project survives CollapseProject.
+    val toks0 = tokens(col(textCol))
+    val toks = col("_tk")
     val nb = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(
       slice(toks, lit(1), nb), slice(toks, lit(2), nb),
@@ -342,7 +349,8 @@ object TextAnalysis {
     // composition form — p03 gates on them without a join-back)
     val head: Seq[org.apache.spark.sql.Column] =
       if (preserve) df.columns.toSeq.map(col) else Seq(col(idCol))
-    df.filter(toks.isNotNull) // mirrors the old explode/inner-join null drop
+    df.filter(toks0.isNotNull) // mirrors the old explode/inner-join null drop
+      .select(head ++ Seq(toks0.as("_tk")): _*)
       .select(head ++ Seq(
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("_nd"),
@@ -651,13 +659,19 @@ object TextAnalysis {
         ((GraftExpressions.polyHash(col("_tok")) * Scramble) % P % dim).as("bucket"))
       .groupBy("_id", "_y", "bucket").agg(count(lit(1)).as("_c"))
       .persist() // read every round: margins + gradient
+    val session = df.sparkSession
+    import session.implicits._
     var w = Map.empty[Long, Long]
     var acc = Map.empty[Long, Long]
     for (_ <- 1 to rounds) {
-      val wLit = typedlit(w)
-      val mis = feats
+      // weights reach the margin scan as a BROADCAST hash join, not a
+      // literal map: GetMapValue on a dim-sized literal is a linear scan
+      // per row (O(dim) interpreted — measured ~2× on t30 at sf0.1),
+      // while the broadcast join probes a hash table
+      val wDf = w.toSeq.toDF("bucket", "_wt")
+      val mis = feats.join(broadcast(wDf), Seq("bucket"), "left")
         .groupBy("_id", "_y")
-        .agg(sum(col("_c") * coalesce(element_at(wLit, col("bucket")), lit(0L))).as("_m"))
+        .agg(sum(col("_c") * coalesce(col("_wt"), lit(0L))).as("_m"))
         .filter((when(col("_m") > 0, 1L).otherwise(-1L)) =!= col("_y"))
         .select("_id")
       val delta = feats.join(mis, "_id")
@@ -677,8 +691,6 @@ object TextAnalysis {
     // features (measured AUC swinging 0.38-0.73 by round parity); the
     // round-summed weights reached 0.92/0.86 eval AUC at sf0.001/0.01.
     val out = if (averaged) acc else w
-    val spark = df.sparkSession
-    import spark.implicits._
     out.toSeq.sortBy(_._1).toDF("bucket", "weight")
   }
 

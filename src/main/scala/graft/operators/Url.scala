@@ -43,18 +43,25 @@ object Url {
     * to the [[registeredDomain(c:org\.apache\.spark\.sql\.Column,suffixes:Iterable[String])*
     * PSL overload]] below.
     */
-  def registeredDomain(c: Column): Column = {
-    val h = host(c)
-    val parts = split(h, "\\.")
-    val n = size(parts)
-    val multi = n >= 3 &&
-      element_at(parts, -2).isin("co", "com", "net", "org", "gov", "edu", "ac", "mil") &&
-      length(element_at(parts, -1)) === 2
-    when(h.isNull, lit(null).cast("string"))
-      .when(n <= 2, h)
-      .when(multi, concat_ws(".", slice(parts, -3, 3)))
-      .otherwise(concat_ws(".", slice(parts, -2, 2)))
-  }
+  def registeredDomain(c: Column): Column =
+    // The host and its label array are BOUND ONCE as lambda variables:
+    // inlined directly, the when-chain references `parts` ~6 times and
+    // the host ~9 times, and each reference embeds its own copy of the
+    // try_parse_url regex parse — per-row cost ~9 URL parses wherever
+    // the surrounding tree falls out of codegen CSE (measured 6× on
+    // p16's domain-keyed shingling, where this column gates the corpus
+    // scan). One-element transform() binds each subtree's VALUE.
+    element_at(transform(array(host(c)), h =>
+      element_at(transform(array(split(h, "\\.")), parts => {
+        val n = size(parts)
+        val multi = n >= 3 &&
+          element_at(parts, -2).isin("co", "com", "net", "org", "gov", "edu", "ac", "mil") &&
+          length(element_at(parts, -1)) === 2
+        when(h.isNull, lit(null).cast("string"))
+          .when(n <= 2, h)
+          .when(multi, concat_ws(".", slice(parts, -3, 3)))
+          .otherwise(concat_ws(".", slice(parts, -2, 2)))
+      }), 1)), 1)
 
   /** Public-suffix-list registered domain: `suffixes` is the rule table
     * (publicsuffix.org format entries — `uk`, `co.uk`, `github.io`,

@@ -556,12 +556,14 @@ object PipelineQueries {
     import graft.operators.{Dedup, Sampling}
     val docs = Tables(s, dir, "documents")
     val gated = docs.filter(col("n_chars") >= 150)
-    // dedup with preserve=true (no join-back), cached LAZILY: the
-    // takeToBudget histogram job + admission scan reuse the gate->dedup
-    // chain without paying an eager materialization barrier for it
+    // dedup with preserve=true (no join-back), EAGERLY checkpointed: the
+    // takeToBudget histogram/admission/edge consumers re-read this narrow
+    // 3-column table; measured at sf0.1 the eager materialization beats a
+    // lazy .persist() 2x (the columnar cache build inside the histogram
+    // job costs more than a dedicated checkpoint job) - r13 p10 gate fix
     val uniq = Dedup.exact(gated, "doc_id", "text", preserve = true)
       .filter(col("keep")).select("doc_id", "source", "n_chars")
-      .persist()
+      .localCheckpoint(true)
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")
@@ -630,7 +632,7 @@ object PipelineQueries {
     val gated = docs.filter(col("n_chars") >= 150)
     val uniq = Dedup.exact(gated, "doc_id", "text", preserve = true)
       .filter(col("keep")).select("doc_id", "source", "n_chars")
-      .persist() // see p10
+      .localCheckpoint(true) // see p10
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")

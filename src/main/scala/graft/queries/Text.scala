@@ -880,6 +880,11 @@ object Text {
       sb.toString
     }) { (s, dir) =>
     import graft.operators.Sampling
+    // register BEFORE any DataFrame touches hashBucket: Datasets analyze
+    // eagerly at construction, so the split filter below resolves
+    // graft_poly_hash immediately (a fresh session running only this
+    // query would otherwise throw UNRESOLVED_ROUTINE)
+    graft.functions.GraftExpressions.register(s)
     val docs = Tables(s, dir, "documents")
     val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < T30TrainPct
     val pos = TextAnalysis.qualityExpr(col("text")) >= T30PosThr

@@ -127,9 +127,24 @@ class DedupOpsSuite extends SparkSpec {
     val docs = (0 until 20).map(i => (i.toLong, s"alpha beta gamma delta shared tail $i")).toDF("id", "text")
     val vecs = (0 until 20).map(i => (i.toLong, Seq.tabulate(8)(d => (i * 8 + d).toFloat / 160f))).toDF("id", "vec")
     assertNoWindow(Dedup.simhashPairs(docs, "id", "text", maxChunkDf = 5), "simhashPairs")
-    assertNoWindow(Dedup.contaminationPairs(docs, docs.limit(2), "id", "text",
-      minOverlap = 1, maxDf = 5), "contaminationPairs")
     assertNoWindow(Dedup.embeddingPairsLsh(vecs, "id", "vec", 0.9, maxBandDf = 5), "embeddingPairsLsh")
+    // contaminationPairs (r13) caps df with ONE count window ABOVE the
+    // broadcast test-membership prune — the q31 one-exchange trade: the
+    // windowed stream is the te-matched sliver, and a hot shingle's
+    // occurrences were already co-located by the old semi-join probe, so
+    // the skew profile is unchanged while the train shingling runs once.
+    // Pin the shape: the window's subtree must contain the broadcast
+    // membership join (window AFTER prune, never over the raw stream).
+    val contam = Dedup.contaminationPairs(docs, docs.limit(2), "id", "text",
+      minOverlap = 1, maxDf = 5)
+    val cNodes = collectAll(contam.queryExecution.executedPlan)
+    val win = cNodes.collectFirst {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(win.isDefined, "contaminationPairs: df cap must be the one-exchange count window")
+    assert(collectAll(win.get).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "contaminationPairs: the count window must sit above the broadcast " +
+        "test-membership prune, never over the raw train shingle stream")
   }
 
   test("duplicate-id inputs never self-pair (simhash + embedding LSH)") {
