@@ -949,9 +949,11 @@ object TextAnalysis {
     val n = stats.getLong(0)
     require(n > 0, "bm25 over an empty corpus")
     val avgdl = stats.getLong(1).toDouble / n.toDouble
-    val tf0 = df.select(col(idCol).as("_id"),
-        size(tokens(col(textCol))).cast("double").as("_dl"),
-        explode(tokens(col(textCol))).as("term"))
+    // token array bound once below the generate (the q31/d17 discipline:
+    // size() and the generator would each evaluate the split)
+    val tf0 = df.select(col(idCol).as("_id"), tokens(col(textCol)).as("_tk"))
+      .select(col("_id"), size(col("_tk")).cast("double").as("_dl"),
+        explode(col("_tk")).as("term"))
       .filter(col("term").isInCollection(queryTerms))
       .groupBy("_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"), first(col("_dl")).as("dl"))
