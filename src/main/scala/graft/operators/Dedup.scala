@@ -405,43 +405,27 @@ object Dedup {
     * longest duplicated substring; docs/levels with no duplicate are
     * absent.
     */
-  def longestDupSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, doublings: Int = 3, minCount: Int = 2): DataFrame = {
-    require(n >= 2, "base span length must be >= 2")
-    require(doublings >= 0, "doublings must be >= 0")
-    require(minCount >= 2, "minCount must be >= 2")
-    GraftExpressions.register(df.sparkSession)
+  /** The prefix-doubling ladder both variable-length operators share:
+    * per level the duplicated-span SURVIVORS (_gid, s, h1, h2), eagerly
+    * checkpointed — each level feeds three consumers (its summary /
+    * coverage rows and both sides of the next extension self-join), and
+    * a final union would otherwise replay level 0 2^doublings times.
+    * The checkpointed tables shrink with the long-duplicate tail, so
+    * the barrier cost decays with the rounds (measured 37.6 s → one
+    * evaluation per level at sf0.1). `withTh` must carry (_gid, _th).
+    */
+  private def spanLadder(withTh: DataFrame, n: Int, doublings: Int,
+      minCount: Int): Seq[(Int, DataFrame)] = {
     val wK = Window.partitionBy("h1", "h2")
     def dupOnly(spans: DataFrame): DataFrame =
       spans.withColumn("_c", count(lit(1)).over(wK))
         .filter(col("_c") >= minCount).drop("_c")
-    def level(spans: DataFrame, len: Int): DataFrame =
-      spans.groupBy(col("_gid").as(idCol))
-        .agg(count(lit(1)).as("n_spans"), min(col("s")).cast("long").as("first_start"))
-        .select(col(idCol), lit(len.toLong).as("span_len"),
-          col("n_spans"), col("first_start"))
-    // Token hashes MUST materialize as a projected column below the
-    // generate (the q31 discipline): inlining tokenHashes into the
-    // spanKeys lambda re-evaluates the whole hash transform per
-    // element_at access — higher-order functions run interpreted, no
-    // CSE — turning the projection O(len²) per document (measured 35 s
-    // for a 0.24M-span corpus vs sub-second materialized).
-    val base = df
-      .select(col(idCol).as("_gid"),
-        Sig.tokenHashes(tokens(col(textCol))).as("_th"))
+    val base = withTh
       .select(col("_gid"), posexplode(Sig.spanKeys(col("_th"), n)).as(Seq("s", "g")))
       .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
-    // Each level's survivor set feeds THREE consumers (its summary row,
-    // and both sides of the next round's extension self-join), and the
-    // final union would otherwise replay every earlier level's window +
-    // join lineage per consumer — level 0 evaluated 2^doublings times.
-    // An EAGER checkpoint per level caps that at one evaluation each;
-    // the checkpointed tables shrink with the long-duplicate tail, so
-    // the barrier cost decays with the rounds (measured 37.6 s → one
-    // evaluation per level at sf0.1).
     var cur = dupOnly(base).localCheckpoint(true)
     var len = n
-    val out = scala.collection.mutable.ArrayBuffer(level(cur, len))
+    val out = scala.collection.mutable.ArrayBuffer((len, cur))
     for (_ <- 1 to doublings) {
       val nxt = cur.as("a").join(cur.as("b"),
           col("a._gid") === col("b._gid") && col("b.s") === col("a.s") + len)
@@ -450,9 +434,86 @@ object Dedup {
           ((col("a.h2") * Sig.B2 + col("b.h2")) % Sig.P).as("h2"))
       cur = dupOnly(nxt).localCheckpoint(true)
       len *= 2
-      out += level(cur, len)
+      out += ((len, cur))
     }
-    out.reduce(_.unionByName(_))
+    out.toSeq
+  }
+
+  def longestDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, doublings: Int = 3, minCount: Int = 2): DataFrame = {
+    require(n >= 2, "base span length must be >= 2")
+    require(doublings >= 0, "doublings must be >= 0")
+    require(minCount >= 2, "minCount must be >= 2")
+    GraftExpressions.register(df.sparkSession)
+    // Token hashes MUST materialize as a projected column below the
+    // generate (the q31 discipline): inlining tokenHashes into the
+    // spanKeys lambda re-evaluates the whole hash transform per
+    // element_at access — higher-order functions run interpreted, no
+    // CSE — turning the projection O(len²) per document (measured 35 s
+    // for a 0.24M-span corpus vs sub-second materialized).
+    val withTh = df.select(col(idCol).as("_gid"),
+      Sig.tokenHashes(tokens(col(textCol))).as("_th"))
+    spanLadder(withTh, n, doublings, minCount).map { case (len, cur) =>
+      cur.groupBy(col("_gid").as(idCol))
+        .agg(count(lit(1)).as("n_spans"), min(col("s")).cast("long").as("first_start"))
+        .select(col(idCol), lit(len.toLong).as("span_len"),
+          col("n_spans"), col("first_start"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** VARIABLE-LENGTH duplicated-span SCRUB — the removal half of
+    * ExactSubstr (Lee et al. 2022) at power-of-two granularity, the
+    * companion [[longestDupSpans]]'s witness promises: each document
+    * drops the tokens covered by its DEEPEST-witnessed duplicated spans
+    * (the ladder's last surviving level for that document — the
+    * longest-duplicate lower bound), remaining tokens rejoin with single
+    * spaces (the [[spanScrub]] rebuild). Documents with no duplicated
+    * base span pass through unscrubbed (span_len 0).
+    *
+    * Scale shape: the shared checkpointed ladder + one window over the
+    * survivor union (|survivors| rows, not the corpus), coverage built
+    * narrowly per document from its collected starts (the q31
+    * collect_set discipline — starts per doc are bounded by its own
+    * token count), one join back to the token table.
+    *
+    * Output: idCol, n_tokens, span_len (deepest witnessed length, 0 if
+    * clean), dup_tokens (covered-token count), scrubbed.
+    */
+  def longestDupScrub(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, doublings: Int = 3, minCount: Int = 2): DataFrame = {
+    require(n >= 2, "base span length must be >= 2")
+    require(doublings >= 0, "doublings must be >= 0")
+    require(minCount >= 2, "minCount must be >= 2")
+    GraftExpressions.register(df.sparkSession)
+    // _th materialized below the generate (see longestDupSpans); _toks
+    // rides along for the rebuild — lazy persist shares the scan between
+    // the ladder build and the final join (the q31 withTh discipline)
+    val withTh = df.select(col(idCol).as("_gid"), tokens(col(textCol)).as("_toks"))
+      .select(col("_gid"), col("_toks"), Sig.tokenHashes(col("_toks")).as("_th"))
+      .persist()
+    val levels = spanLadder(withTh, n, doublings, minCount)
+    val u = levels.map { case (len, cur) =>
+      cur.select(col("_gid"), col("s"), lit(len).as("_len"))
+    }.reduce(_.unionByName(_))
+    val deepest = u
+      .withColumn("_mx", max(col("_len")).over(Window.partitionBy("_gid")))
+      .filter(col("_len") === col("_mx"))
+    val perDoc = deepest.groupBy("_gid")
+      .agg(collect_set(col("s")).as("_starts"), max(col("_len")).as("_slen"))
+    val covered = array_distinct(flatten(transform(col("_starts"), st =>
+      sequence(st, st + col("_slen") - 1))))
+    withTh.join(perDoc, Seq("_gid"), "left")
+      .select(col("_gid"), col("_toks"),
+        coalesce(col("_starts"), array().cast("array<int>")).as("_starts"),
+        coalesce(col("_slen"), lit(0)).as("_slen"))
+      .select(col("_gid").as(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        col("_slen").cast("long").as("span_len"),
+        covered.as("_cov"), col("_toks"))
+      .select(col(idCol), col("n_tokens"), col("span_len"),
+        size(col("_cov")).cast("long").as("dup_tokens"),
+        concat_ws(" ",
+          filter(col("_toks"), (t, i) => !array_contains(col("_cov"), i))).as("scrubbed"))
   }
 
   /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate

@@ -659,6 +659,39 @@ object Dedup {
   private val DupBase = 8      // base span length (q31's SpanN scale)
   private val DupDoublings = 3 // witnessed lengths 8, 16, 32, 64
 
+  /** The d17 prefix-doubling replay as generated CTEs, through the
+    * per-level survivor sets s0..s`DupDoublings` — shared by d17's
+    * witness and d18's scrub. Ends with a trailing comma; `t` carries
+    * toks for d18's rebuild.
+    */
+  private def dupLadderCtes: String = {
+    val f1 = Sig.sqlSpanFold("th", "s", DupBase, Sig.B)
+    val f2 = Sig.sqlSpanFold("th", "s", DupBase, Sig.B2)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
+         |h AS (SELECT doc_id, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
+         |g0 AS (SELECT doc_id, unnest(range(0, len(th) - $DupBase + 1)) AS s, th FROM h),
+         |k0 AS (SELECT doc_id, s, $f1 AS h1, $f2 AS h2 FROM g0),
+         |s0 AS (SELECT k.doc_id, k.s, k.h1, k.h2 FROM k0 k
+         |       JOIN (SELECT h1, h2 FROM k0 GROUP BY 1, 2 HAVING count(*) >= 2) d
+         |       USING (h1, h2)),""".stripMargin)
+    for (r <- 1 to DupDoublings) {
+      val half = DupBase << (r - 1)
+      sb.append(
+        s"""
+           |k$r AS (SELECT a.doc_id, a.s,
+           |          (a.h1 * ${Sig.B} + b.h1) % ${Sig.P} AS h1,
+           |          (a.h2 * ${Sig.B2} + b.h2) % ${Sig.P} AS h2
+           |        FROM s${r - 1} a JOIN s${r - 1} b
+           |          ON a.doc_id = b.doc_id AND b.s = a.s + $half),
+           |s$r AS (SELECT k.doc_id, k.s, k.h1, k.h2 FROM k$r k
+           |        JOIN (SELECT h1, h2 FROM k$r GROUP BY 1, 2 HAVING count(*) >= 2) d
+           |        USING (h1, h2)),""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** d17 (north-star, VERDICT r12 item 5): VARIABLE-LENGTH duplicated
     * spans by prefix doubling ([[graft.operators.Dedup.longestDupSpans]])
     * — the ExactSubstr longest-duplicate witness q31's fixed-n windows
@@ -672,51 +705,69 @@ object Dedup {
     */
   val d17 = QueryDef(
     "d17_longest_dup_span", {
-      val f1 = Sig.sqlSpanFold("th", "s", DupBase, Sig.B)
-      val f2 = Sig.sqlSpanFold("th", "s", DupBase, Sig.B2)
-      val sb = new StringBuilder
-      sb.append(
-        s"""WITH t AS (SELECT doc_id, ${Sig.sqlToks} AS toks FROM documents),
-           |h AS (SELECT doc_id, ${Sig.sqlTokenHashes("toks")} AS th FROM t),
-           |g0 AS (SELECT doc_id, unnest(range(0, len(th) - $DupBase + 1)) AS s, th FROM h),
-           |k0 AS (SELECT doc_id, s, $f1 AS h1, $f2 AS h2 FROM g0),
-           |s0 AS (SELECT k.doc_id, k.s, k.h1, k.h2 FROM k0 k
-           |       JOIN (SELECT h1, h2 FROM k0 GROUP BY 1, 2 HAVING count(*) >= 2) d
-           |       USING (h1, h2)),
-           |l0 AS (SELECT doc_id, CAST($DupBase AS BIGINT) AS span_len,
-           |         count(*) AS n_spans, CAST(min(s) AS BIGINT) AS first_start
-           |       FROM s0 GROUP BY 1),""".stripMargin)
-      for (r <- 1 to DupDoublings) {
-        val half = DupBase << (r - 1)
+      val levels = (0 to DupDoublings).map { r =>
         val full = DupBase << r
-        sb.append(
-          s"""
-             |k$r AS (SELECT a.doc_id, a.s,
-             |          (a.h1 * ${Sig.B} + b.h1) % ${Sig.P} AS h1,
-             |          (a.h2 * ${Sig.B2} + b.h2) % ${Sig.P} AS h2
-             |        FROM s${r - 1} a JOIN s${r - 1} b
-             |          ON a.doc_id = b.doc_id AND b.s = a.s + $half),
-             |s$r AS (SELECT k.doc_id, k.s, k.h1, k.h2 FROM k$r k
-             |        JOIN (SELECT h1, h2 FROM k$r GROUP BY 1, 2 HAVING count(*) >= 2) d
-             |        USING (h1, h2)),
-             |l$r AS (SELECT doc_id, CAST($full AS BIGINT) AS span_len,
-             |          count(*) AS n_spans, CAST(min(s) AS BIGINT) AS first_start
-             |        FROM s$r GROUP BY 1),""".stripMargin)
-      }
+        s"""l$r AS (SELECT doc_id, CAST($full AS BIGINT) AS span_len,
+           |          count(*) AS n_spans, CAST(min(s) AS BIGINT) AS first_start
+           |        FROM s$r GROUP BY 1),""".stripMargin
+      }.mkString("\n")
       val union = (0 to DupDoublings).map(r => s"SELECT * FROM l$r")
         .mkString(" UNION ALL ")
-      sb.append(s"""
+      dupLadderCtes + "\n" + levels + s"""
         |u AS ($union)
         |SELECT doc_id, span_len, n_spans, first_start FROM u
-        |ORDER BY doc_id, span_len""".stripMargin)
-      sb.toString
+        |ORDER BY doc_id, span_len""".stripMargin
     }) { (s, dir) =>
     Ops.longestDupSpans(Tables(s, dir, "documents"), "doc_id", "text",
         n = DupBase, doublings = DupDoublings)
       .orderBy("doc_id", "span_len")
   }
 
+  /** d18 (round 13): VARIABLE-LENGTH duplicated-span SCRUB
+    * ([[graft.operators.Dedup.longestDupScrub]]) — the removal half of
+    * the d17 witness: each document drops the tokens covered by its
+    * DEEPEST-witnessed duplicated spans (the ladder's last surviving
+    * level for that document), remaining tokens rejoin with single
+    * spaces (the q31 rebuild); clean documents pass through with
+    * span_len 0. The oracle chains d17's ladder CTEs with the per-doc
+    * deepest-level selection, the coverage unnest, and the q31
+    * position-filtered string_agg rebuild — all integer arithmetic plus
+    * exact strings.
+    */
+  val d18 = QueryDef(
+    "d18_longest_dup_scrub", {
+      val u = (0 to DupDoublings).map { r =>
+        val full = DupBase << r
+        s"SELECT doc_id, s, CAST($full AS BIGINT) AS len FROM s$r"
+      }.mkString(" UNION ALL ")
+      dupLadderCtes + s"""
+        |u AS ($u),
+        |mx AS (SELECT doc_id, max(len) AS mlen FROM u GROUP BY 1),
+        |ds AS (SELECT DISTINCT u.doc_id, u.s, u.len FROM u
+        |       JOIN mx ON u.doc_id = mx.doc_id AND u.len = mx.mlen),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(s, s + len)) AS p FROM ds),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM cov GROUP BY 1),
+        |tok0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks FROM t),
+        |tok AS (SELECT doc_id, p, toks[p + 1] AS tk FROM tok0),
+        |unc AS (SELECT k.doc_id, k.p, k.tk FROM tok k
+        |        WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                          WHERE c.doc_id = k.doc_id AND c.p = k.p)),
+        |sc AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY p) AS scrubbed
+        |       FROM unc GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(mx.mlen, 0) AS BIGINT) AS span_len,
+        |  CAST(coalesce(cnt.c, 0) AS BIGINT) AS dup_tokens,
+        |  coalesce(sc.scrubbed, '') AS scrubbed
+        |FROM t LEFT JOIN mx USING (doc_id) LEFT JOIN cnt USING (doc_id)
+        |LEFT JOIN sc USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin
+    }) { (s, dir) =>
+    Ops.longestDupScrub(Tables(s, dir, "documents"), "doc_id", "text",
+        n = DupBase, doublings = DupDoublings)
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, q21, q27, d09, q31, d10, d11, d12, d13,
-      d14, d15, p16, d16, d17)
+      d14, d15, p16, d16, d17, d18)
 }

@@ -1008,7 +1008,44 @@ object PipelineQueries {
       .orderBy("host", "wave", "loc")
   }
 
+  /** p18 (round 13): the trained-classifier curation loop END-TO-END —
+    * T37's training ([[graft.operators.TextAnalysis.trainHashedPerceptron]]
+    * on the t30 80% split) produces the weight artifact, and the EVAL
+    * split is gated through T12's SUPPLIED-WEIGHTS inference path
+    * (`hashClassifier(weights = ...)`) — the drop-in the T37 row promises,
+    * proven as one verified composition: train → model artifact →
+    * production inference, the full life of a quality classifier in a
+    * curation pipeline. The oracle chains ALL 8 training rounds (the
+    * shared t30 CTEs) with the t12 mean-weight scoring (Σ weight(bucket)
+    * per token / n_tokens, mirror-rounded 6 dp — weights are integer longs,
+    * so the double sums are order-free exact) and the final label gate.
+    * Scale shape: training per §2c T37; inference = one broadcast join +
+    * partial agg — nothing new shuffles.
+    */
+  val p18 = QueryDef(
+    "p18_trained_curation",
+    Text.t30TrainCtes +
+      s"""
+         |sc AS (SELECT f.doc_id, CAST(sum(f.c) AS BIGINT) AS n_tokens,
+         |         ${mr("sum(f.c * coalesce(CAST(w.wt AS DOUBLE), 0)) / CAST(sum(f.c) AS DOUBLE)", 6)} AS score
+         |       FROM f LEFT JOIN wa w USING (bucket)
+         |       WHERE NOT f.is_tr GROUP BY 1)
+         |SELECT doc_id, n_tokens, score FROM sc
+         |WHERE score > 0 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{Sampling, TextAnalysis}
+    graft.functions.GraftExpressions.register(s) // see t30: eager analysis
+    val docs = Tables(s, dir, "documents")
+    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < Text.T30TrainPct
+    val w = Text.t30TrainedWeights(s, dir)
+      .withColumn("weight", col("weight").cast("double"))
+    TextAnalysis.hashClassifier(docs.filter(!isTr), "doc_id", "text",
+        dim = Text.T30Dim, weights = Some(w))
+      .filter(col("label"))
+      .select("doc_id", "n_tokens", "score")
+      .orderBy("doc_id")
+  }
+
   val queries: Seq[QueryDef] =
     Seq(p01, p02, p03, p04, p05, p06, p07, p08, p09, p10, p11, p12, p13, p14,
-      p15, p17)
+      p15, p17, p18)
 }

@@ -817,10 +817,66 @@ object Text {
       .orderBy("source")
   }
 
-  private val T30Dim = 1024
-  private val T30Rounds = 8
-  private val T30TrainPct = 80
-  private val T30PosThr = 0.79 // the corpus quality median — a balanced gate
+  private[queries] val T30Dim = 1024
+  private[queries] val T30Rounds = 8
+  private[queries] val T30TrainPct = 80
+  private[queries] val T30PosThr = 0.79 // the corpus quality median — a balanced gate
+
+  /** The t30 training replay as generated CTEs, through the averaged
+    * weight table `wa` — shared by t30's own oracle and p18's
+    * train→artifact→inference chain. Ends with a trailing comma.
+    */
+  private[queries] def t30TrainCtes: String = {
+    val Sg = graft.functions.Signatures
+    val scram = (c: String) => s"((${Sg.sqlPolyHashStr(c)} * 2654435761) % 1000000007)"
+    val split = scram("('t30:' || CAST(doc_id AS VARCHAR))")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH base AS (SELECT doc_id, ${mr(qualitySqlRaw, 4)} >= $T30PosThr AS pos,
+         |    $split % 100 < $T30TrainPct AS is_tr, ${Sg.sqlToks} AS toks
+         |  FROM documents),
+         |h AS (SELECT doc_id, pos, is_tr, ${Sg.sqlTokenHashes("toks")} AS th FROM base),
+         |f AS (SELECT doc_id, pos, is_tr, bucket, CAST(count(*) AS BIGINT) AS c
+         |      FROM (SELECT doc_id, pos, is_tr,
+         |              unnest(list_transform(th,
+         |                x -> x * 2654435761 % 1000000007 % $T30Dim)) AS bucket
+         |            FROM h)
+         |      GROUP BY 1, 2, 3, 4),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS wt
+         |       WHERE 1 = 0),""".stripMargin)
+    for (r <- 1 to T30Rounds) {
+      sb.append(
+        s"""
+           |m$r AS (SELECT f.doc_id, CASE WHEN f.pos THEN 1 ELSE -1 END AS y,
+           |          sum(f.c * coalesce(w.wt, 0)) AS m
+           |        FROM f LEFT JOIN w${r - 1} w USING (bucket)
+           |        WHERE f.is_tr GROUP BY 1, 2),
+           |mis$r AS (SELECT doc_id, y FROM m$r
+           |          WHERE (CASE WHEN m > 0 THEN 1 ELSE -1 END) <> y),
+           |d$r AS (SELECT f.bucket, sum(x.y * f.c) AS d
+           |        FROM f JOIN mis$r x USING (doc_id) GROUP BY 1),
+           |w$r AS (SELECT coalesce(w.bucket, d.bucket) AS bucket,
+           |          coalesce(w.wt, 0) + coalesce(d.d, 0) AS wt
+           |        FROM w${r - 1} w FULL OUTER JOIN d$r d ON w.bucket = d.bucket),""".stripMargin)
+    }
+    val unionW = (1 to T30Rounds).map(r => s"SELECT * FROM w$r").mkString(" UNION ALL ")
+    sb.append(
+      s"""
+         |wa AS (SELECT bucket, sum(wt) AS wt FROM ($unionW) GROUP BY 1),""".stripMargin)
+    sb.toString
+  }
+
+  /** The t30 trained weight table (Scala side) — shared by t30 and p18. */
+  private[queries] def t30TrainedWeights(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Sampling
+    graft.functions.GraftExpressions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < T30TrainPct
+    val pos = TextAnalysis.qualityExpr(col("text")) >= T30PosThr
+    TextAnalysis.trainHashedPerceptron(docs.filter(isTr), "doc_id", "text",
+      pos, dim = T30Dim, rounds = T30Rounds)
+  }
 
   /** t30 (VERDICT r12 item 6): distributed quality-classifier TRAINING —
     * [[graft.operators.TextAnalysis.trainHashedPerceptron]] learns a
@@ -835,50 +891,14 @@ object Text {
     * default on eval AUC via the t24 machinery.
     */
   val t30 = QueryDef(
-    "t30_train_classifier", {
-      val Sg = graft.functions.Signatures
-      val scram = (c: String) => s"((${Sg.sqlPolyHashStr(c)} * 2654435761) % 1000000007)"
-      val split = scram("('t30:' || CAST(doc_id AS VARCHAR))")
-      val sb = new StringBuilder
-      sb.append(
-        s"""WITH base AS (SELECT doc_id, ${mr(qualitySqlRaw, 4)} >= $T30PosThr AS pos,
-           |    $split % 100 < $T30TrainPct AS is_tr, ${Sg.sqlToks} AS toks
-           |  FROM documents),
-           |h AS (SELECT doc_id, pos, is_tr, ${Sg.sqlTokenHashes("toks")} AS th FROM base),
-           |f AS (SELECT doc_id, pos, is_tr, bucket, CAST(count(*) AS BIGINT) AS c
-           |      FROM (SELECT doc_id, pos, is_tr,
-           |              unnest(list_transform(th,
-           |                x -> x * 2654435761 % 1000000007 % $T30Dim)) AS bucket
-           |            FROM h)
-           |      GROUP BY 1, 2, 3, 4),
-           |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS wt
-           |       WHERE 1 = 0),""".stripMargin)
-      for (r <- 1 to T30Rounds) {
-        sb.append(
-          s"""
-             |m$r AS (SELECT f.doc_id, CASE WHEN f.pos THEN 1 ELSE -1 END AS y,
-             |          sum(f.c * coalesce(w.wt, 0)) AS m
-             |        FROM f LEFT JOIN w${r - 1} w USING (bucket)
-             |        WHERE f.is_tr GROUP BY 1, 2),
-             |mis$r AS (SELECT doc_id, y FROM m$r
-             |          WHERE (CASE WHEN m > 0 THEN 1 ELSE -1 END) <> y),
-             |d$r AS (SELECT f.bucket, sum(x.y * f.c) AS d
-             |        FROM f JOIN mis$r x USING (doc_id) GROUP BY 1),
-             |w$r AS (SELECT coalesce(w.bucket, d.bucket) AS bucket,
-             |          coalesce(w.wt, 0) + coalesce(d.d, 0) AS wt
-             |        FROM w${r - 1} w FULL OUTER JOIN d$r d ON w.bucket = d.bucket),""".stripMargin)
-      }
-      val unionW = (1 to T30Rounds).map(r => s"SELECT * FROM w$r").mkString(" UNION ALL ")
-      sb.append(
-        s"""
-           |wa AS (SELECT bucket, sum(wt) AS wt FROM ($unionW) GROUP BY 1),
-           |sc AS (SELECT f.doc_id, f.pos,
-           |         CAST(sum(f.c * coalesce(w.wt, 0)) AS BIGINT) AS score
-           |       FROM f LEFT JOIN wa w USING (bucket)
-           |       WHERE NOT f.is_tr GROUP BY 1, 2)
-           |SELECT doc_id, pos, score FROM sc ORDER BY doc_id""".stripMargin)
-      sb.toString
-    }) { (s, dir) =>
+    "t30_train_classifier",
+    t30TrainCtes +
+      s"""
+         |sc AS (SELECT f.doc_id, f.pos,
+         |         CAST(sum(f.c * coalesce(w.wt, 0)) AS BIGINT) AS score
+         |       FROM f LEFT JOIN wa w USING (bucket)
+         |       WHERE NOT f.is_tr GROUP BY 1, 2)
+         |SELECT doc_id, pos, score FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import graft.operators.Sampling
     // register BEFORE any DataFrame touches hashBucket: Datasets analyze
     // eagerly at construction, so the split filter below resolves
@@ -886,12 +906,10 @@ object Text {
     // query would otherwise throw UNRESOLVED_ROUTINE)
     graft.functions.GraftExpressions.register(s)
     val docs = Tables(s, dir, "documents")
-    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < T30TrainPct
     val pos = TextAnalysis.qualityExpr(col("text")) >= T30PosThr
-    val w = TextAnalysis.trainHashedPerceptron(docs.filter(isTr), "doc_id", "text",
-      pos, dim = T30Dim, rounds = T30Rounds)
+    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < T30TrainPct
     TextAnalysis.perceptronScores(docs.filter(!isTr), "doc_id", "text",
-        pos, w, dim = T30Dim)
+        pos, t30TrainedWeights(s, dir), dim = T30Dim)
       .orderBy("doc_id")
   }
 

@@ -273,6 +273,49 @@ class DedupOpsSuite extends SparkSpec {
       (2L, 8L, 9L, 0L), (2L, 16L, 1L, 0L)))
   }
 
+  test("longestDupScrub: deepest-level coverage scrubs; clean docs pass through") {
+    import spark.implicits._
+    // same corpus as the witness spec: docs 1/2's deepest level is 16
+    // (one span at start 0), so exactly the 16 shared prefix tokens drop
+    // and the 4 unique tail tokens survive; doc 3 is untouched
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " p q r s"),
+      (2L, shared + " t u v w"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")
+    ).toDF("id", "text")
+    val got = graft.operators.Dedup.longestDupScrub(df, "id", "text", n = 8, doublings = 2)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 20L, 16L, 16L, "p q r s"),
+      (2L, 20L, 16L, 16L, "t u v w"),
+      (3L, 10L, 0L, 0L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10")))
+  }
+
+  test("p18 invariant: the trained-curation gate keeps exactly the positive-margin eval docs") {
+    import spark.implicits._
+    import graft.operators.{Sampling, TextAnalysis}
+    graft.functions.GraftExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < 80
+    val pos = TextAnalysis.qualityExpr(col("text")) >= 0.79
+    val w = TextAnalysis.trainHashedPerceptron(docs.filter(isTr), "doc_id", "text",
+      pos, dim = 1024, rounds = 8)
+    // hashClassifier's mean-weight score and perceptronScores' raw margin
+    // differ by the positive factor n_tokens, so the label gate must keep
+    // EXACTLY the positive-margin docs — the t12 drop-in promise
+    val viaT12 = TextAnalysis.hashClassifier(docs.filter(!isTr), "doc_id", "text",
+        dim = 1024, weights = Some(w.withColumn("weight", col("weight").cast("double"))))
+      .filter(col("label")).select("doc_id")
+      .as[Long].collect().toSet
+    val viaMargin = TextAnalysis.perceptronScores(docs.filter(!isTr), "doc_id", "text",
+        pos, w, dim = 1024)
+      .filter(col("score") > 0).select("doc_id")
+      .as[Long].collect().toSet
+    assert(viaT12 == viaMargin && viaT12.nonEmpty)
+  }
+
   test("trainHashedPerceptron: trained weights beat t12's deterministic default on eval AUC") {
     import graft.operators.{Relational, Sampling}
     graft.functions.GraftExpressions.register(spark) // hashBucket analyzes eagerly
