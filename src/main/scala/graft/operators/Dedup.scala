@@ -412,7 +412,13 @@ object Dedup {
     * a final union would otherwise replay level 0 2^doublings times.
     * The checkpointed tables shrink with the long-duplicate tail, so
     * the barrier cost decays with the rounds (measured 37.6 s → one
-    * evaluation per level at sf0.1). `withTh` must carry (_gid, _th).
+    * evaluation per level at sf0.1). EAGER on purpose (r13 A/B): a lazy
+    * persist here measured d17 2.4 → 3.4 s and RAISED the job count —
+    * the level self-join scans the same uncached plan from both sides
+    * inside one stage, so each side computes the subtree before the
+    * cache exists (the lazy-cache thundering herd); the eager barrier
+    * is what guarantees one evaluation per level.
+    * `withTh` must carry (_gid, _th).
     */
   private def spanLadder(withTh: DataFrame, n: Int, doublings: Int,
       minCount: Int): Seq[(Int, DataFrame)] = {
@@ -1299,13 +1305,12 @@ object Dedup {
     require(thr > 0 && thr <= 1.0, "thr in (0,1]")
     GraftExpressions.register(df.sparkSession)
     val text = col(textCol)
-    val hashes = transform(
-      sequence(lit(1), length(text) - lit(window - 1)),
-      i => GraftExpressions.polyHash(text.substr(i, lit(window))))
+    // one-pass rolling-hash native twin of the transform/filter/distinct
+    // HOF chain (identical values — see WindowHashes): O(len) per row
+    // instead of O(len·window) interpreted lambdas
     val fps = df.filter(length(text) >= window)
       .select(col(idCol).as("_gid"),
-        array_distinct(filter(hashes, h => h % lit(sampleMod.toLong) === 0L))
-          .as("_fp"))
+        GraftExpressions.windowHashes(text, window, sampleMod.toLong).as("_fp"))
       .filter(size(col("_fp")) > 0)
     val ex = fps.select(col("_gid"), explode(col("_fp")).as("h"))
       .localCheckpoint(true) // read by the df table AND the pair join

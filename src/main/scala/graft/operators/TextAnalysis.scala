@@ -664,14 +664,20 @@ object TextAnalysis {
     var w = Map.empty[Long, Long]
     var acc = Map.empty[Long, Long]
     for (_ <- 1 to rounds) {
-      // weights reach the margin scan as a BROADCAST hash join, not a
-      // literal map: GetMapValue on a dim-sized literal is a linear scan
-      // per row (O(dim) interpreted — measured ~2× on t30 at sf0.1),
-      // while the broadcast join probes a hash table
-      val wDf = w.toSeq.toDF("bucket", "_wt")
-      val mis = feats.join(broadcast(wDf), Seq("bucket"), "left")
+      // weights reach the margin scan as a DENSE dim-sized literal ARRAY
+      // (one ArrayData object, O(1) element_at by bucket index inside
+      // codegen) — not a literal MAP (GetMapValue is a linear scan per
+      // row, measured ~2× on t30 at sf0.1) and not a broadcast hash join
+      // (each round's broadcast build was its own Spark job + exchange:
+      // 48 driver jobs for 8 rounds, the barrier profile co-tenant
+      // contention multiplies). Untouched buckets hold 0, exactly the
+      // old left-join coalesce; margins are bit-identical integer sums.
+      val arr = new Array[Long](dim)
+      w.foreach { case (b, v) => arr(b.toInt) = v }
+      val wAt = element_at(typedlit(arr.toSeq), (col("bucket") + 1L).cast("int"))
+      val mis = feats
         .groupBy("_id", "_y")
-        .agg(sum(col("_c") * coalesce(col("_wt"), lit(0L))).as("_m"))
+        .agg(sum(col("_c") * wAt).as("_m"))
         .filter((when(col("_m") > 0, 1L).otherwise(-1L)) =!= col("_y"))
         .select("_id")
       val delta = feats.join(mis, "_id")

@@ -32,6 +32,30 @@ class ExpressionsSuite extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("WindowHashes (rolling, one-pass) == transform/filter/distinct HOF chain on real documents") {
+    GraftExpressions.register(spark)
+    for ((w, mod) <- Seq((20, 8L), (4, 1L), (7, 3L))) {
+      val text = col("text")
+      val hof = array_distinct(filter(
+        transform(sequence(lit(1), length(text) - lit(w - 1)),
+          i => GraftExpressions.polyHash(text.substr(i, lit(w)))),
+        h => h % lit(mod) === 0L))
+      val diff = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(length(text) >= w)
+        .select(GraftExpressions.windowHashes(text, w, mod).as("fast"), hof.as("slow"))
+        .filter(not(col("fast") <=> col("slow"))) // exact array equality incl. order
+        .count()
+      assert(diff == 0, s"window=$w mod=$mod diverged from the HOF chain")
+    }
+    // shorter than the window -> empty array (the HOF sequence would be
+    // descending there; callers filter first, but the native twin must
+    // stay total and harmless)
+    import spark.implicits._
+    val short = Seq("abc").toDF("t")
+      .select(size(GraftExpressions.windowHashes(col("t"), 4, 1L))).as[Int].head()
+    assert(short == 0)
+  }
+
   test("PolyHash hashes an unpaired high surrogate without swallowing the next char") {
     import spark.implicits._
     import graft.functions.{SignatureExpressions => SigX}
