@@ -169,22 +169,20 @@ object Dedup {
         col("m"), lit(maxChunkDf + 1)).as("ms"))
       .select(array_sort(col("ms")).as("ms"))
       .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxChunkDf)
-    // in-place pair enumeration over the (sorted, <= cap) bucket members,
-    // TWO-STAGE explode (outer index first, then the inner slice): a
-    // single flatten would materialize all O(cap²) pairs as one array
-    // value in one task — per-row state here stays O(cap) no matter the
-    // knob. Duplicate-id inputs (a batch re-ingested before exact dedup)
-    // make i < j insufficient for id_a < id_b, so self-pairs filter out
+    // in-place pair enumeration over the (sorted, <= cap) bucket members
+    // via the native PairExplode GENERATOR: pairs emit lazily with two
+    // integer cursors — per-row state O(cap) (the member array), never
+    // the O(cap²) pair array the old flatten materialized and never the
+    // two-stage explode's interpreted per-element lambdas. Duplicate-id
+    // inputs (a batch re-ingested before exact dedup) make i < j
+    // insufficient for id_a < id_b, so self-pairs filter out
     // explicitly — the old self-join's a._gid < b._gid contract.
+    graft.functions.PairExplode.register(df.sparkSession)
     buckets
-      .select(col("ms"), explode(sequence(lit(0), size(col("ms")) - 2)).as("i"))
-      .select(explode(transform(
-        sequence(col("i") + 1, size(col("ms")) - 1), j =>
-          struct(element_at(col("ms"), col("i") + 1).as("a"),
-            element_at(col("ms"), j + 1).as("b")))).as("_p"))
-      .filter(col("_p.a._gid") =!= col("_p.b._gid"))
-      .select(col("_p.a._gid").as("id_a"), col("_p.b._gid").as("id_b"),
-        col("_p.a.sim").as("sim_a"), col("_p.b.sim").as("sim_b"))
+      .select(graft.functions.PairExplode.pairExplode(col("ms")))
+      .filter(col("a._gid") =!= col("b._gid"))
+      .select(col("a._gid").as("id_a"), col("b._gid").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
       .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
@@ -853,16 +851,14 @@ object Dedup {
         col("_gid"), lit(maxBandDf + 1)).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBandDf)
-    // two-stage explode (see simhashPairs): per-row state O(cap), never
-    // the O(cap²) pair array in one value; duplicate-id inputs filter
-    // their self-pairs explicitly (the old self-join's a < b contract)
+    // native PairExplode generator (see simhashPairs): pairs emit lazily,
+    // per-row state O(cap), never the O(cap²) pair array in one value;
+    // duplicate-id inputs filter their self-pairs explicitly (the old
+    // self-join's a < b contract)
+    graft.functions.PairExplode.register(df.sparkSession)
     val cand = buckets
-      .select(col("ids"), explode(sequence(lit(0), size(col("ids")) - 2)).as("i"))
-      .select(explode(transform(
-        sequence(col("i") + 1, size(col("ids")) - 1), j =>
-          struct(element_at(col("ids"), col("i") + 1).as("a"),
-            element_at(col("ids"), j + 1).as("b")))).as("_p"))
-      .select(col("_p.a").as("id_a"), col("_p.b").as("id_b"))
+      .select(graft.functions.PairExplode.pairExplode(col("ids")))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
     cand

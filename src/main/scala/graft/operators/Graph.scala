@@ -506,15 +506,14 @@ object Graph {
       .agg(sort_array(graft.functions.BoundedCollect.boundedCollect(
         col("n"), lit(maxCenterDeg + 1))).as("_ns"))
       .filter(size(col("_ns")) >= 2 && size(col("_ns")) <= maxCenterDeg))
+    graft.functions.PairExplode.register(edges.sparkSession)
     val nn = size(col("_ns"))
-    val wedgePairs = flatten(transform(sequence(lit(0), nn - 2), i =>
-      transform(sequence(i + 1, nn - 1), j =>
-        struct(element_at(col("_ns"), i + 1).as("a"),
-          element_at(col("_ns"), j + 1).as("b")))))
+    // native one-pass wedge-pair generator (same (i < j) rows as the
+    // nested transform/flatten HOF chain it replaced — see PairExplode)
     baskets
       .select((lit(1.0) / log(nn.cast("double"))).as("_w"),
-        explode(wedgePairs).as("_p"))
-      .groupBy(col("_p.a").as("node_a"), col("_p.b").as("node_b"))
+        graft.functions.PairExplode.pairExplode(col("_ns")))
+      .groupBy(col("a").as("node_a"), col("b").as("node_b"))
       .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("aa_score"))
       .filter(col("n_common") >= minCommon)
       .join(canon,

@@ -588,15 +588,13 @@ object Relational {
 
   def cooccurrence(df: DataFrame, entityCol: String, itemCol: String,
       maxBasket: Int = 1000): DataFrame = {
+    graft.functions.PairExplode.register(df.sparkSession)
     val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
       .filter(size(col("_items")) >= 2))
-    val n = size(col("_items"))
-    val pairs = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(sequence(i + 1, n - 1), j =>
-        struct(element_at(col("_items"), i + 1).as("a"),
-          element_at(col("_items"), j + 1).as("b")))))
-    baskets.select(explode(pairs).as("_p"))
-      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
+    // native one-pass pair generator (same (i < j) rows as the nested
+    // transform/flatten HOF chain it replaced — see PairExplode)
+    baskets.select(graft.functions.PairExplode.pairExplode(col("_items")))
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
       .agg(count(lit(1)).cast("long").as("n_entities"))
   }
 
@@ -622,22 +620,19 @@ object Relational {
       minBoth: Long, minConf: Double, maxBasket: Int = 1000): DataFrame = {
     require(minBoth >= 1, "minBoth must be at least 1")
     require(minConf >= 0.0 && minConf <= 1.0, "minConf must be in [0, 1]")
+    graft.functions.PairExplode.register(df.sparkSession)
     val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
       .filter(size(col("_items")) >= 2))
       .localCheckpoint(true)
     val nBaskets = baskets.count()
     val items = baskets.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
-    val sz = size(col("_items"))
-    val pairExpr = flatten(transform(sequence(lit(0), sz - 2), i =>
-      transform(sequence(i + 1, sz - 1), j =>
-        struct(element_at(col("_items"), i + 1).as("a"),
-          element_at(col("_items"), j + 1).as("b")))))
-    // the pair table is the expensive subtree (narrow expansion + one
-    // shuffle) and the directed union below reads it TWICE — materialize
-    // the small post-threshold set or the whole expansion re-runs per arm
-    val pairs = baskets.select(explode(pairExpr).as("_p"))
-      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+    // the pair table is the expensive subtree (native one-pass pair
+    // generator — see PairExplode — + one shuffle) and the directed
+    // union below reads it TWICE — materialize the small post-threshold
+    // set or the whole expansion re-runs per arm
+    val pairs = baskets.select(graft.functions.PairExplode.pairExplode(col("_items")))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
       .localCheckpoint(true)
@@ -1125,6 +1120,54 @@ object Relational {
     }
     val agg = cum.agg(exprs.head, exprs.tail: _*).head()
     targets.indices.map(agg.getLong)
+  }
+
+  /** Multi-metric sibling of [[histogramCutpoints]]: the SAME exact
+    * rank-selection cutpoints (c_p = smallest snapped value with
+    * cumulative count ≥ max(1, ceil(p·n)), n = that metric's non-null
+    * count) for SEVERAL metrics of one table, computed from ONE
+    * unpivoted histogram pass — one materialization + two driver
+    * actions total, where per-metric [[quantileBins]] calls pay three
+    * driver jobs EACH (q62's three metrics measured 26 driver jobs per
+    * run; barrier count is what co-tenant contention multiplies). The
+    * cumulative window orders distinct (metric, value) rows only —
+    * |metrics| × |distinct units| rows, never the corpus. Returns
+    * metric name → cutpoints, to be applied with the same
+    * `#{cutpoints < v}` narrow pass quantileBins uses.
+    */
+  def multiQuantileCuts(df: DataFrame, metrics: Seq[(String, Column)],
+      probs: Seq[Double], scale: Long = 100L): Map[String, Seq[Long]] = {
+    require(metrics.nonEmpty && metrics.map(_._1).distinct.size == metrics.size,
+      "metrics must be non-empty with distinct names")
+    require(probs == probs.sorted && probs.distinct.size == probs.size &&
+      probs.forall(p => p > 0 && p < 1),
+      s"strictly increasing interior probabilities required: $probs")
+    require(scale >= 1, "scale must be >= 1")
+    val unpiv = df.select(explode(array(metrics.map { case (name, c) =>
+        struct(lit(name).as("_m"), snap(c, scale).as("_v")) }: _*)).as("_mv"))
+      .select(col("_mv._m").as("_m"), col("_mv._v").as("_v"))
+      .filter(col("_v").isNotNull)
+    val hist = unpiv.groupBy("_m", "_v").agg(count(lit(1)).cast("long").as("_c"))
+      .localCheckpoint(true)
+    val ns = hist.groupBy("_m").agg(sum("_c").as("_n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    metrics.foreach { case (name, _) =>
+      require(ns.getOrElse(name, 0L) > 0L, s"no non-null values for metric $name") }
+    val wc = Window.partitionBy("_m").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum("_c").over(wc))
+    val exprs = metrics.flatMap { case (name, _) =>
+      val n = ns(name)
+      probs.zipWithIndex.map { case (p, i) =>
+        val t = math.max(1L, math.ceil(p * n).toLong)
+        min(when(col("_m") === name && col("_cum") >= t, col("_v")))
+          .as(s"${name}_q$i")
+      }
+    }
+    val row = cum.agg(exprs.head, exprs.tail: _*).head()
+    metrics.zipWithIndex.map { case ((name, _), mi) =>
+      name -> probs.indices.map(i => row.getLong(mi * probs.size + i))
+    }.toMap
   }
 
   /** Percentile winsorization (outlier clipping — the robust-statistics
@@ -2495,25 +2538,22 @@ object Relational {
       topK: Int, minBoth: Long = 2L, maxBasket: Int = 1000): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
     require(minBoth >= 1, "minBoth must be >= 1")
+    graft.functions.PairExplode.register(df.sparkSession)
     val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
       .filter(size(col("_items")) >= 2))
       .localCheckpoint(true)
     val items = baskets.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
-    val sz = size(col("_items"))
-    val pairExpr = flatten(transform(sequence(lit(0), sz - 2), i =>
-      transform(sequence(i + 1, sz - 1), j =>
-        struct(element_at(col("_items"), i + 1).as("a"),
-          element_at(col("_items"), j + 1).as("b")))))
-    // the pair table is the expensive subtree (narrow expansion + one
-    // shuffle) and the directed union below reads it TWICE — materialize
-    // the small post-threshold set or the whole expansion re-runs per arm.
+    // the pair table is the expensive subtree (native one-pass pair
+    // generator — see PairExplode — + one shuffle) and the directed
+    // union below reads it TWICE — materialize the small post-threshold
+    // set or the whole expansion re-runs per arm.
     // persist, not localCheckpoint: measured identical at sf0.1 (r11
     // drift profile, BASELINE.md), and persist keeps lineage — an
     // executor loss recomputes the partition instead of failing the job
     // the way a truncated local checkpoint must
-    val pairs = baskets.select(explode(pairExpr).as("_p"))
-      .groupBy(col("_p.a").as("a"), col("_p.b").as("b"))
+    val pairs = baskets.select(graft.functions.PairExplode.pairExplode(col("_items")))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2676,13 +2716,9 @@ object Relational {
     val items = all.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
     val baskets = all.filter(size(col("_items")) >= 2)
-    val sz = size(col("_items"))
-    val pairExpr = flatten(transform(sequence(lit(0), sz - 2), i =>
-      transform(sequence(i + 1, sz - 1), j =>
-        struct(element_at(col("_items"), i + 1).as("a"),
-          element_at(col("_items"), j + 1).as("b")))))
-    val pairs = baskets.select(explode(pairExpr).as("_p"))
-      .groupBy(col("_p.a").as("item_a"), col("_p.b").as("item_b"))
+    graft.functions.PairExplode.register(df.sparkSession)
+    val pairs = baskets.select(graft.functions.PairExplode.pairExplode(col("_items")))
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
     pairs

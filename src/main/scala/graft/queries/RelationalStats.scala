@@ -373,10 +373,22 @@ object RelationalStats {
           .cast("long").as("m_cents"))
       .localCheckpoint()
     val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    // all three metrics' quintile cutpoints from ONE unpivoted histogram
+    // pass (multiQuantileCuts) instead of three sequential quantileBins
+    // calls — same exact cut values (same snap, same inclusive rank
+    // criterion), 3 driver actions instead of 9 (26 → ~13 driver jobs).
+    // The bin assignment below is quantileBins' own #{cutpoints < v}
+    // narrow pass, stated inline over the same snapped units.
+    val cuts = graft.operators.Relational.multiQuantileCuts(base,
+      Seq("r_days" -> col("r_days"), "f" -> col("f"), "m_cents" -> col("m_cents")),
+      ps, scale = 1L)
+    val units = (c: org.apache.spark.sql.Column) =>
+      floor(c * lit(1.0) + lit(0.5)).cast("long") // quantileBins' snap at scale 1
     val binned = Seq(("r_days", "r_bin"), ("f", "f_bin"), ("m_cents", "m_bin"))
       .foldLeft(base) { case (df, (metric, bin)) =>
-        graft.operators.Relational.quantileBins(df, col(metric), ps,
-          scale = 1L, binName = bin).drop("value_units")
+        val v = units(col(metric))
+        val b = cuts(metric).map(c => when(v > c, 1).otherwise(0)).reduce(_ + _)
+        df.withColumn(bin, when(v.isNotNull, b).cast("int"))
       }
     binned.select("o_custkey", "r_days", "f", "m_cents", "r_bin", "f_bin", "m_bin")
       .orderBy("o_custkey")

@@ -56,6 +56,36 @@ class ExpressionsSuite extends SparkSpec {
     assert(short == 0)
   }
 
+  test("PairExplode (generator) == nested transform/flatten HOF pair expansion on real baskets") {
+    graft.functions.PairExplode.register(spark)
+    // real sorted baskets from the lineitem co-purchase build (longs) ...
+    val baskets = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("_items"))
+      .filter(size(col("_items")) >= 2)
+    val n = size(col("_items"))
+    val hofPairs = baskets.select(explode(flatten(transform(sequence(lit(0), n - 2), i =>
+        transform(sequence(i + 1, n - 1), j =>
+          struct(element_at(col("_items"), i + 1).as("a"),
+            element_at(col("_items"), j + 1).as("b")))))).as("_p"))
+      .groupBy(col("_p.a").as("a"), col("_p.b").as("b")).agg(count(lit(1)).as("c"))
+    val genPairs = baskets
+      .select(graft.functions.PairExplode.pairExplode(col("_items")))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    assert(hofPairs.exceptAll(genPairs).isEmpty && genPairs.exceptAll(hofPairs).isEmpty)
+    // ... and struct elements (the simhashPairs member shape)
+    import spark.implicits._
+    val structArr = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "sim")
+      .agg(sort_array(collect_list(struct(col("id"), col("sim")))).as("ms"))
+    val got = structArr.select(graft.functions.PairExplode.pairExplode(col("ms")))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().sorted
+    assert(got.toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // null / short arrays emit nothing
+    val empty = Seq(Seq(1L)).toDF("xs")
+      .select(graft.functions.PairExplode.pairExplode(col("xs"))).count()
+    assert(empty == 0)
+  }
+
   test("PolyHash hashes an unpaired high surrogate without swallowing the next char") {
     import spark.implicits._
     import graft.functions.{SignatureExpressions => SigX}

@@ -821,6 +821,30 @@ class RelationalOpsSuite extends SparkSpec {
     }
   }
 
+  test("multiQuantileCuts: per-metric cuts equal sequential quantileBins cuts") {
+    import spark.implicits._
+    // three metrics with different distributions; the fused one-pass cuts
+    // must reproduce exactly what per-metric quantileBins assigns
+    val df = (1 to 97).map(i => (i.toLong, (i % 7).toLong, (i * i % 31).toLong))
+      .toDF("x", "y", "z")
+    val ps = Seq(0.2, 0.4, 0.6, 0.8)
+    val fused = Relational.multiQuantileCuts(df,
+      Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")), ps, scale = 1L)
+    for (m <- Seq("x", "y", "z")) {
+      // recover quantileBins' cut decisions from its bin assignment: the
+      // fused cuts applied with #{cuts < v} must give the same bins
+      val viaBins = Relational.quantileBins(df, col(m), ps, scale = 1L)
+        .select(col(m), col("bin")).as[(Long, Int)].collect().toMap
+      val cuts = fused(m)
+      val mine = df.select(col(m)).as[Long].collect()
+        .map(v => v -> cuts.count(_ < v)).toMap
+      assert(viaBins == mine, s"metric $m: fused cuts $cuts diverge from quantileBins")
+    }
+    intercept[IllegalArgumentException] {
+      Relational.multiQuantileCuts(df, Seq("x" -> col("x"), "x" -> col("y")), ps)
+    }
+  }
+
   test("abTest: hand t, zero-variance pair dropped, small arms dropped, arm filter") {
     import spark.implicits._
     // A: 10,12,14 (mean 12, var 4); B: 10,10,10 (var 0) -> se2=4/3,
