@@ -172,9 +172,73 @@ object SignatureExpressions {
     override protected def withNewChildInternal(c: Expression): DistinctShingleCount = copy(child = c)
   }
 
+  /** array<long> token hashes → array<struct<h1,h2>> of ALL n-token span
+    * keys — the native one-pass twin of [[Signatures.spanKeys]]'s HOF
+    * (identical values, ascending start order; size < n → EMPTY array,
+    * exactly the HOF's otherwise-branch): both polynomial folds roll
+    * incrementally (H′ = (H − th[s]·B^{n−1})·B + th[s+n] mod P, the same
+    * residue the per-window left fold reduces to), so the per-row work is
+    * O(len) with two multiplies per position instead of the HOF's
+    * O(len·n) interpreted element_at fold per window (the d16
+    * WindowHashes lesson applied to the q31/d15/d17/d18 span family).
+    * `nExpr` must be a foldable int ≥ 2.
+    */
+  case class SpanKeys(th: Expression, nExpr: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    override def left: Expression = th
+    override def right: Expression = nExpr
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("h1", LongType, nullable = false),
+      StructField("h2", LongType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_span_keys"
+
+    @transient private lazy val n: Int = nExpr.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+    }
+
+    private val emptyResult = new GenericArrayData(Array.empty[Any])
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = th.eval(input)
+      if (v == null) return emptyResult // HOF: null size fails `when` -> empty
+      val ad = v.asInstanceOf[ArrayData]
+      val m = ad.numElements()
+      if (m < n) return emptyResult
+      val hs = ad.toLongArray()
+      var pw1 = 1L; var pw2 = 1L
+      var k = 1
+      while (k < n) { pw1 = pw1 * B % P; pw2 = pw2 * B2 % P; k += 1 }
+      var h1 = 0L; var h2 = 0L
+      var j = 0
+      while (j < n) {
+        // first window: the HOF's left fold starts at th(s) unmultiplied
+        h1 = if (j == 0) hs(0) else (h1 * B + hs(j)) % P
+        h2 = if (j == 0) hs(0) else (h2 * B2 + hs(j)) % P
+        j += 1
+      }
+      val out = new Array[Any](m - n + 1)
+      out(0) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+      var s = 1
+      while (s <= m - n) {
+        h1 = ((h1 - hs(s - 1) * pw1 % P + P) % P * B + hs(s + n - 1)) % P
+        h2 = ((h2 - hs(s - 1) * pw2 % P + P) % P * B2 + hs(s + n - 1)) % P
+        out(s) = org.apache.spark.sql.catalyst.InternalRow(h1, h2)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): SpanKeys = copy(th = l, nExpr = r)
+  }
+
   def register(spark: SparkSession): Unit =
     Registration.once(spark, "graft-signatures") {
       val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_span_keys",
+        { es: Seq[Expression] => SpanKeys(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_shingle_hash",
         { es: Seq[Expression] => ShingleHash(es.head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_minhash_bands",
@@ -186,6 +250,8 @@ object SignatureExpressions {
     }
 
   def shingleHash(toks: Column): Column = call_function("graft_shingle_hash", toks)
+  def spanKeys(th: Column, n: Int): Column =
+    call_function("graft_span_keys", th, org.apache.spark.sql.functions.lit(n))
   def minhashBandKeys(sh: Column): Column = call_function("graft_minhash_bands", sh)
   def simhash(toks: Column): Column = call_function("graft_simhash", toks)
   def distinctShingleCount(toks: Column): Column = call_function("graft_shingle_count", toks)

@@ -339,6 +339,7 @@ object Dedup {
     require(n >= 2, "span length must be >= 2")
     require(minCount >= 2, "minCount must be >= 2 (1 would scrub everything)")
     GraftExpressions.register(df.sparkSession)
+    SigX.register(df.sparkSession) // native span keys
     val base = df.select(col(idCol).as("_gid"), tokens(col(textCol)).as("_toks"))
     // withTh feeds the gram explode AND the final rebuild join. A LAZY
     // persist shares it between the two consumers without spending a
@@ -348,7 +349,7 @@ object Dedup {
     val withTh0 = base.select(col("_gid"), col("_toks"), Sig.tokenHashes(col("_toks")).as("_th"))
     val withTh = if (checkpoint) withTh0.persist() else withTh0
     val grams =
-      withTh.select(col("_gid"), posexplode(Sig.spanKeys(col("_th"), n)).as(Seq("s", "g")))
+      withTh.select(col("_gid"), posexplode(SigX.spanKeys(col("_th"), n)).as(Seq("s", "g")))
         .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
     // Duplicated-span detection as ONE exchange: a count window over the
     // span key replaces the old partial-agg groupBy + left-semi join pair
@@ -425,7 +426,7 @@ object Dedup {
       spans.withColumn("_c", count(lit(1)).over(wK))
         .filter(col("_c") >= minCount).drop("_c")
     val base = withTh
-      .select(col("_gid"), posexplode(Sig.spanKeys(col("_th"), n)).as(Seq("s", "g")))
+      .select(col("_gid"), posexplode(SigX.spanKeys(col("_th"), n)).as(Seq("s", "g")))
       .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
     var cur = dupOnly(base).localCheckpoint(true)
     var len = n
@@ -449,6 +450,7 @@ object Dedup {
     require(doublings >= 0, "doublings must be >= 0")
     require(minCount >= 2, "minCount must be >= 2")
     GraftExpressions.register(df.sparkSession)
+    SigX.register(df.sparkSession) // native span keys
     // Token hashes MUST materialize as a projected column below the
     // generate (the q31 discipline): inlining tokenHashes into the
     // spanKeys lambda re-evaluates the whole hash transform per
@@ -489,6 +491,7 @@ object Dedup {
     require(doublings >= 0, "doublings must be >= 0")
     require(minCount >= 2, "minCount must be >= 2")
     GraftExpressions.register(df.sparkSession)
+    SigX.register(df.sparkSession) // native span keys
     // _th materialized below the generate (see longestDupSpans); _toks
     // rides along for the rebuild — lazy persist shares the scan between
     // the ladder build and the final join (the q31 withTh discipline)
@@ -644,26 +647,41 @@ object Dedup {
       .agg(min(col("src")).as("_m"))
       .select(col("dst").as("id"), least(col("dst"), col("_m")).as("comp"))
       .localCheckpoint(true)
+    // One shuffle-join + one aggregation per round: neighbor labels arrive
+    // as messages (src's comp addressed to dst), each node's own label
+    // rides along as a self-message, and min() over both is the update.
+    // The fixpoint witness rides the same aggregation — new < old, where
+    // old is the self-message — so convergence costs a narrow scan of the
+    // just-checkpointed blocks, not another join (the previous shape
+    // joined neighbor-mins back against labels every round: two joins).
+    def propagate(ls: DataFrame): DataFrame = {
+      val msgs = edges.join(ls, col("src") === col("id"))
+        .select(col("dst").as("_nid"), col("comp"), lit(false).as("_self"))
+        .unionByName(ls.select(col("id").as("_nid"), col("comp"), lit(true).as("_self")))
+      msgs.groupBy(col("_nid"))
+        .agg(min(col("comp")).as("comp"), min(when(col("_self"), col("comp"))).as("_old"))
+        .select(col("_nid").as("id"), col("comp"), (col("comp") < col("_old")).as("_changed"))
+    }
+    // Rounds run in PAIRS per materialization + witness where the round
+    // budget allows (r13): min-label propagation is monotone with a
+    // unique fixpoint, so a no-change round is followed only by no-change
+    // rounds — checking the SECOND round of a pair is exact (pair ends
+    // unchanged ⟺ fixpoint reached at or before it), labels are
+    // identical either way, and the checkpoint + isEmpty barrier pair is
+    // paid once per two hops instead of once per hop (the r12 lesson:
+    // driver jobs are what co-tenant contention multiplies). Total
+    // propagation rounds stay capped at maxRounds exactly, so the
+    // did-not-converge contract is unchanged.
     var converged = false
     var rounds = 1
     while (!converged && rounds < maxRounds) {
-      // One shuffle-join + one aggregation per round: neighbor labels arrive
-      // as messages (src's comp addressed to dst), each node's own label
-      // rides along as a self-message, and min() over both is the update.
-      // The fixpoint witness rides the same aggregation — new < old, where
-      // old is the self-message — so convergence costs a narrow scan of the
-      // just-checkpointed blocks, not another join (the previous shape
-      // joined neighbor-mins back against labels every round: two joins).
-      val msgs = edges.join(labels, col("src") === col("id"))
-        .select(col("dst").as("_nid"), col("comp"), lit(false).as("_self"))
-        .unionByName(labels.select(col("id").as("_nid"), col("comp"), lit(true).as("_self")))
-      val next = msgs.groupBy(col("_nid"))
-        .agg(min(col("comp")).as("comp"), min(when(col("_self"), col("comp"))).as("_old"))
-        .select(col("_nid").as("id"), col("comp"), (col("comp") < col("_old")).as("_changed"))
+      val step = if (rounds + 2 <= maxRounds) 2 else 1
+      val next = (if (step == 2) propagate(propagate(labels).select("id", "comp"))
+                  else propagate(labels))
         .localCheckpoint(true)
       converged = next.filter(col("_changed")).isEmpty
       labels = next.select("id", "comp")
-      rounds += 1
+      rounds += step
     }
     if (!converged)
       throw new IllegalStateException(
@@ -1251,6 +1269,7 @@ object Dedup {
     require(w >= 2, s"window must be >= 2 tokens, got $w")
     require(minDocs >= 2, s"minDocs must be >= 2 (cross-document), got $minDocs")
     GraftExpressions.register(df.sparkSession)
+    SigX.register(df.sparkSession) // native span keys
     // _th materializes behind its own projection: the span fold reads the
     // hashed array 2w× per window via element_at, and an inlined
     // tokenize+hash subtree there re-runs per REFERENCE (measured 62 s →
@@ -1258,7 +1277,7 @@ object Dedup {
     // checkpoints because BOTH the df count and the per-doc join read it.
     val withTh = df.select(col(idCol),
       Sig.tokenHashes(tokens(col(textCol))).as("_th"))
-    val wk = transform(Sig.spanKeys(col("_th"), w),
+    val wk = transform(SigX.spanKeys(col("_th"), w),
       k => concat_ws("_", k("h1"), k("h2")))
     val ex0 = withTh.select(col(idCol), explode(array_distinct(wk)).as("wk"))
     val ex = if (checkpoint) ex0.localCheckpoint(true) else ex0

@@ -56,6 +56,26 @@ class ExpressionsSuite extends SparkSpec {
     assert(short == 0)
   }
 
+  test("SpanKeys (rolling, one-pass) == Signatures.spanKeys HOF fold on real documents") {
+    import graft.functions.{Signatures, SignatureExpressions => SigX}
+    SigX.register(spark)
+    val th = Signatures.tokenHashes(split(col("text"), " ", -1))
+    for (n <- Seq(2, 5, 8)) {
+      val diff = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(th.as("_th"))
+        .select(SigX.spanKeys(col("_th"), n).as("fast"),
+          Signatures.spanKeys(col("_th"), n).as("slow"))
+        .filter(not(col("fast") <=> col("slow"))) // exact, incl. order and empties
+        .count()
+      assert(diff == 0, s"n=$n rolling span keys diverged from the HOF fold")
+    }
+    // shorter than the span -> empty array, both forms
+    import spark.implicits._
+    val short = Seq(Seq(1L, 2L)).toDF("th")
+      .select(size(SigX.spanKeys(col("th"), 3))).as[Int].head()
+    assert(short == 0)
+  }
+
   test("PairExplode (generator) == nested transform/flatten HOF pair expansion on real baskets") {
     graft.functions.PairExplode.register(spark)
     // real sorted baskets from the lineitem co-purchase build (longs) ...
