@@ -64,8 +64,14 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       thr: Double, maxDf: Int): DataFrame = {
+    // materialize the exploded shingle table ONCE (the d16/q31 discipline):
+    // it feeds the df-cap count AND the semi-join probe, and `kept` below
+    // feeds three more consumers — left lazy, the r13 plan audit counted
+    // 16 parquet scans in this query (the shingling subtree re-evaluated
+    // per reference); checkpointed it is 1
     val ex = shingled(df, idCol, textCol)
       .select(col("_gid"), explode(col("sh")).as("shingle"))
+      .localCheckpoint(true)
     // df cap as PARTIAL-AGG + SEMI-JOIN, not a window (the q31/d15
     // discipline): a count window over the exploded shingle stream ships
     // every copy of a boilerplate shingle to one task and BUFFERS the
@@ -77,8 +83,11 @@ object Dedup {
     val lowDf = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
+    // kept feeds the per-doc size agg and BOTH sides of the pair join —
+    // materialize it too (see the ex note above)
     val kept = ex.join(lowDf, Seq("shingle"), "left_semi")
       .select("_gid", "shingle")
+      .localCheckpoint(true)
     val n = kept.groupBy("_gid").agg(count(lit(1)).as("n"))
     val pairs = kept.as("a")
       .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a._gid") < col("b._gid"))
@@ -114,7 +123,11 @@ object Dedup {
 
   private def minhashCandidatesWithDocs(df: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
+    // materialize the shingle table ONCE: it feeds both sides of the
+    // band-key self-join AND both verifyJaccard sides (the r13 plan
+    // audit counted 8 parquet scans in d03 from the un-pinned subtree)
     val docs = shingled(df, idCol, textCol).filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val bands = docs
       .select(col("_gid"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
     val cand = bands.as("a")
