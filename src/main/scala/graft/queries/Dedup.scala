@@ -600,8 +600,14 @@ object Dedup {
         when(col("doc_id") % 2 === 0, ".com").otherwise(".co.uk"),
         lit("/p/"), col("doc_id").cast("string")))
       .withColumn("domain", graft.operators.Url.registeredDomain(col("url")))
+    // the split table feeds THREE consumers (the train filter — itself
+    // read by the shingle stream AND the final anti-join left side — and
+    // the test filter): materialize once or the url-build +
+    // registeredDomain parse + split hash re-evaluates per reference
+    // (the d02/d16 plan-audit discipline)
     val split = graft.operators.Sampling.split(docs, "domain",
       Seq("train" -> 90, "test" -> 10), salt = "dsplit:")
+      .localCheckpoint(true)
     val clean = Ops.decontaminate(
       split.filter(col("split") === "train"),
       split.filter(col("split") === "test"),
