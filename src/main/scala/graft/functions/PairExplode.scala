@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, SpecificInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
@@ -32,6 +32,9 @@ case class PairExplode(child: Expression)
   @transient private lazy val elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
 
+  @transient private lazy val elemNullable: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
@@ -42,22 +45,67 @@ case class PairExplode(child: Expression)
     StructField("a", elemType, nullable = true),
     StructField("b", elemType, nullable = true)))
 
+  // Per-pair cost is the whole game here (~13M pairs at sf0.1 on the
+  // q81/q92 stage): long/int baskets take a PRIMITIVE fast path —
+  // ArrayData.toLongArray/toIntArray (one bulk copy, no element boxing)
+  // plus a single REUSED SpecificInternalRow whose mutable fields are
+  // set without boxing. Reuse is safe for a non-codegen Generator:
+  // GenerateExec streams each emitted row straight through JoinedRow
+  // into an UnsafeProjection, which copies the values before next() is
+  // called — the same buffer-reuse contract UnsafeProjection itself
+  // relies on. The generic path keeps toObjectArray but reuses its
+  // output row the same way.
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val ad = v.asInstanceOf[ArrayData]
     val n = ad.numElements()
     if (n < 2) return Iterator.empty
-    val elems = ad.toObjectArray(elemType)
-    new Iterator[InternalRow] {
-      private var i = 0
-      private var j = 1
-      override def hasNext: Boolean = i < n - 1
-      override def next(): InternalRow = {
-        val r = new GenericInternalRow(Array[Any](elems(i), elems(j)))
-        j += 1
-        if (j == n) { i += 1; j = i + 1 }
-        r
+    if (!elemNullable && elemType == LongType) {
+      val elems = ad.toLongArray()
+      val row = new SpecificInternalRow(Seq(LongType, LongType))
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < n - 1
+        override def next(): InternalRow = {
+          row.setLong(0, elems(i))
+          row.setLong(1, elems(j))
+          j += 1
+          if (j == n) { i += 1; j = i + 1 }
+          row
+        }
+      }
+    } else if (!elemNullable && elemType == IntegerType) {
+      val elems = ad.toIntArray()
+      val row = new SpecificInternalRow(Seq(IntegerType, IntegerType))
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < n - 1
+        override def next(): InternalRow = {
+          row.setInt(0, elems(i))
+          row.setInt(1, elems(j))
+          j += 1
+          if (j == n) { i += 1; j = i + 1 }
+          row
+        }
+      }
+    } else {
+      val elems = ad.toObjectArray(elemType)
+      val values = new Array[Any](2)
+      val row = new GenericInternalRow(values)
+      new Iterator[InternalRow] {
+        private var i = 0
+        private var j = 1
+        override def hasNext: Boolean = i < n - 1
+        override def next(): InternalRow = {
+          values(0) = elems(i)
+          values(1) = elems(j)
+          j += 1
+          if (j == n) { i += 1; j = i + 1 }
+          row
+        }
       }
     }
   }

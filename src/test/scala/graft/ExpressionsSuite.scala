@@ -106,6 +106,30 @@ class ExpressionsSuite extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("PairExplode primitive fast paths: int arrays, nullable elements, reused-row isolation") {
+    import spark.implicits._
+    graft.functions.PairExplode.register(spark)
+    // IntegerType, containsNull=false -> int fast path; collect the raw
+    // generated rows (not an aggregate) so a leaked reused row buffer
+    // would corrupt earlier pairs and fail the exact-sequence assert
+    val gotI = Seq(Seq(1, 2, 3), Seq(7, 9)).toDF("xs")
+      .select(graft.functions.PairExplode.pairExplode(col("xs")))
+      .as[(Int, Int)].collect().toSeq
+    assert(gotI == Seq((1, 2), (1, 3), (2, 3), (7, 9)))
+    // LongType fast path, same direct-row check (enumeration order i < j)
+    val gotL = Seq(Seq(10L, 20L, 30L, 40L)).toDF("xs")
+      .select(graft.functions.PairExplode.pairExplode(col("xs")))
+      .as[(Long, Long)].collect().toSeq
+    assert(gotL == Seq((10L, 20L), (10L, 30L), (10L, 40L),
+      (20L, 30L), (20L, 40L), (30L, 40L)))
+    // containsNull=true routes through the generic path and keeps nulls
+    val gotN = Seq(Seq[java.lang.Long](1L, null, 5L)).toDF("xs")
+      .select(graft.functions.PairExplode.pairExplode(col("xs")))
+      .select(col("a"), col("b")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(gotN == Seq((Some(1L), None), (Some(1L), Some(5L)), (None, Some(5L))))
+  }
+
   test("PolyHash hashes an unpaired high surrogate without swallowing the next char") {
     import spark.implicits._
     import graft.functions.{SignatureExpressions => SigX}
