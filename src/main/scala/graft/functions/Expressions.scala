@@ -305,6 +305,31 @@ object GraftExpressions {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "graft_window_hashes"
 
+    // window/mod are evaluated ONCE via eval(null) below — misuse from
+    // SQL (a non-literal column, mod 0) must fail at ANALYSIS time, not
+    // as a runtime NPE/ArithmeticException mid-job (ADVICE r13)
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (text.dataType != StringType)
+        return TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string argument, got ${text.dataType.sql}")
+      (windowExpr.dataType, modExpr.dataType) match {
+        case (IntegerType | LongType, IntegerType | LongType) =>
+          if (!windowExpr.foldable || !modExpr.foldable)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires foldable (literal) window and mod arguments")
+          else if (windowExpr.eval(null) == null || modExpr.eval(null) == null)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires non-null window and mod arguments")
+          else if (w < 1)
+            TypeCheckResult.TypeCheckFailure(s"$prettyName requires window >= 1, got $w")
+          else if (m < 1L)
+            TypeCheckResult.TypeCheckFailure(s"$prettyName requires mod >= 1, got $m")
+          else TypeCheckResult.TypeCheckSuccess
+        case (wd, md) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires integral window and mod arguments, got ${wd.sql} and ${md.sql}")
+      }
+    }
+
     @transient private lazy val w: Int = windowExpr.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt
@@ -354,6 +379,58 @@ object GraftExpressions {
       copy(text = f, windowExpr = sE, modExpr = tE)
   }
 
+  /** Σ cᵢ · weights[bucketᵢ] over a per-document (bucket, count) profile
+    * array — the perceptron margin as ONE compiled pass per document row.
+    * The groupBy-sum margin re-shuffled the whole exploded feature table
+    * every training round; with per-doc profiles aggregated once, the
+    * margin is per-row arithmetic and a round's only exchange is the tiny
+    * per-bucket delta aggregation. `weights` must be a FOLDABLE
+    * array<long> (the dense dim-sized weight array rebuilt per round,
+    * evaluated once per query, not per row); buckets index it 0-based and
+    * must be < its length (the caller's `% dim`). Exact long sums —
+    * identical in any profile order, so collect_list order never matters.
+    */
+  case class BucketMargin(pairs: Expression, weightsExpr: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = pairs
+    override def right: Expression = weightsExpr
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_bucket_margin"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (pairs.dataType, weightsExpr.dataType) match {
+        case (ArrayType(st: StructType, _), ArrayType(LongType, _))
+            if st.fields.length == 2 &&
+              st.fields.forall(_.dataType == LongType) =>
+          if (weightsExpr.foldable) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a foldable (literal) weights array")
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<struct<long,long>>, array<long>), " +
+            s"got ${l.sql} and ${r.sql}")
+      }
+
+    @transient private lazy val weights: Array[Long] =
+      weightsExpr.eval(null).asInstanceOf[ArrayData].toLongArray()
+
+    protected override def nullSafeEval(p: Any, w: Any): Any = {
+      val ad = p.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val st = ad.getStruct(i, 2)
+        s += st.getLong(1) * weights(st.getLong(0).toInt)
+        i += 1
+      }
+      s
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BucketMargin =
+      copy(pairs = l, weightsExpr = r)
+  }
+
   /** Idempotently register the expressions in the session's function
     * registry; callers then use the `Column` helpers below.
     */
@@ -364,6 +441,8 @@ object GraftExpressions {
         { es: Seq[Expression] => PolyHash(es.head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_window_hashes",
         { es: Seq[Expression] => WindowHashes(es(0), es(1), es(2)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_bucket_margin",
+        { es: Seq[Expression] => BucketMargin(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_cosine",
         { es: Seq[Expression] => CosineSim(es(0), es(1)) }, "built-in")
       reg.createOrReplaceTempFunction("graft_cosine_d",
@@ -378,6 +457,8 @@ object GraftExpressions {
   def windowHashes(text: Column, window: Int, sampleMod: Long): Column =
     call_function("graft_window_hashes", text,
       org.apache.spark.sql.functions.lit(window), org.apache.spark.sql.functions.lit(sampleMod))
+  def bucketMargin(pairs: Column, weights: Column): Column =
+    call_function("graft_bucket_margin", pairs, weights)
   def cosineSim(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
   def cosineSimD(a: Column, b: Column): Column = call_function("graft_cosine_d", a, b)
   def sqDistD(a: Column, b: Column): Column = call_function("graft_sq_dist", a, b)

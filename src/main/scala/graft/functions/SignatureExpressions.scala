@@ -193,6 +193,28 @@ object SignatureExpressions {
       StructField("h2", LongType, nullable = false))), containsNull = false)
     override def prettyName: String = "graft_span_keys"
 
+    // n is evaluated ONCE via eval(null) below — misuse from SQL (a
+    // non-literal column, n < 2) must fail at ANALYSIS time, not as a
+    // runtime NPE mid-job (ADVICE r13)
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      (th.dataType, nExpr.dataType) match {
+        case (ArrayType(LongType, _), IntegerType | LongType) =>
+          if (!nExpr.foldable)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires a foldable (literal) span length")
+          else if (nExpr.eval(null) == null)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires a non-null span length")
+          else if (n < 2)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName requires span length >= 2, got $n")
+          else TypeCheckResult.TypeCheckSuccess
+        case (t, nd) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, integral literal), got ${t.sql} and ${nd.sql}")
+      }
+    }
+
     @transient private lazy val n: Int = nExpr.eval(null) match {
       case i: Int => i
       case l: Long => l.toInt

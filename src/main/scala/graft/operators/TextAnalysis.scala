@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -647,7 +648,8 @@ object TextAnalysis {
     */
   def trainHashedPerceptron(df: DataFrame, idCol: String, textCol: String,
       posCol: org.apache.spark.sql.Column, dim: Int = 1024,
-      rounds: Int = 8, averaged: Boolean = true): DataFrame = {
+      rounds: Int = 8, averaged: Boolean = true,
+      denseDimMax: Int = 1 << 16): DataFrame = {
     require(dim > 0, "dim must be positive")
     require(rounds >= 1, "rounds must be >= 1")
     GraftExpressions.register(df.sparkSession)
@@ -658,38 +660,78 @@ object TextAnalysis {
       .select(col("_id"), col("_y"),
         ((GraftExpressions.polyHash(col("_tok")) * Scramble) % P % dim).as("bucket"))
       .groupBy("_id", "_y", "bucket").agg(count(lit(1)).as("_c"))
-      .persist() // read every round: margins + gradient
     val session = df.sparkSession
     import session.implicits._
     var w = Map.empty[Long, Long]
     var acc = Map.empty[Long, Long]
-    for (_ <- 1 to rounds) {
-      // weights reach the margin scan as a DENSE dim-sized literal ARRAY
-      // (one ArrayData object, O(1) element_at by bucket index inside
-      // codegen) — not a literal MAP (GetMapValue is a linear scan per
-      // row, measured ~2× on t30 at sf0.1) and not a broadcast hash join
-      // (each round's broadcast build was its own Spark job + exchange:
-      // 48 driver jobs for 8 rounds, the barrier profile co-tenant
-      // contention multiplies). Untouched buckets hold 0, exactly the
-      // old left-join coalesce; margins are bit-identical integer sums.
-      val arr = new Array[Long](dim)
-      w.foreach { case (b, v) => arr(b.toInt) = v }
-      val wAt = element_at(typedlit(arr.toSeq), (col("bucket") + 1L).cast("int"))
-      val mis = feats
-        .groupBy("_id", "_y")
-        .agg(sum(col("_c") * wAt).as("_m"))
-        .filter((when(col("_m") > 0, 1L).otherwise(-1L)) =!= col("_y"))
-        .select("_id")
-      val delta = feats.join(mis, "_id")
-        .groupBy("bucket").agg(sum(col("_y") * col("_c")).as("_d"))
-        .collect()
+    def fold(delta: Array[org.apache.spark.sql.Row]): Unit = {
       w = delta.foldLeft(w) { (m, r) =>
         val b = r.getLong(0)
         m.updated(b, m.getOrElse(b, 0L) + r.getLong(1))
       }
       acc = w.foldLeft(acc) { case (m, (b, v)) => m.updated(b, m.getOrElse(b, 0L) + v) }
     }
-    feats.unpersist(blocking = false)
+    if (dim <= denseDimMax) {
+      // Dense-dim path (every declared binding: dim ≤ 64k). The feature
+      // table collapses ONCE to per-document (bucket, count) profile
+      // arrays, so each training round is per-row arithmetic over that
+      // persisted table: the margin is a compiled O(profile) pass
+      // (graft_bucket_margin — weights reach it as a DENSE dim-sized
+      // literal ARRAY, the r13 form; untouched buckets hold 0, exactly
+      // the old left-join coalesce), misclassified docs filter WITHOUT
+      // an exchange, and the per-bucket gradient is the round's ONLY
+      // shuffle (≤ dim rows per map task after partial agg). The r13
+      // shape re-shuffled the whole feature table per round — margin
+      // agg by (_id,_y), mis join back by _id, delta agg by bucket: 3
+      // exchanges and ~5 AQE stage-jobs a round; this is 1 exchange and
+      // ~2 jobs (VERDICT r13 item 2 — the t30/p18 barrier floor, which
+      // co-tenant contention multiplies). Margins and deltas are exact
+      // integer sums — identical in any profile order, so the
+      // collect_list order and the r13 grouping order agree bit-for-bit
+      // (the oracle replays every round as CTEs and certifies exactly
+      // that).
+      val docs = feats
+        .groupBy("_id", "_y")
+        .agg(collect_list(struct(col("bucket"), col("_c"))).as("_bc"))
+        .select(col("_y"), col("_bc"))
+        .persist() // read every round: margins + gradient
+      for (_ <- 1 to rounds) {
+        val arr = new Array[Long](dim)
+        w.foreach { case (b, v) => arr(b.toInt) = v }
+        val margin = GraftExpressions.bucketMargin(col("_bc"), typedlit(arr.toSeq))
+        val delta = docs
+          .filter((when(margin > 0, 1L).otherwise(-1L)) =!= col("_y"))
+          .select(col("_y"), explode(col("_bc")).as("_x"))
+          .groupBy(col("_x.bucket").as("bucket"))
+          .agg(sum(col("_y") * col("_x._c")).as("_d"))
+          .collect()
+        fold(delta)
+      }
+      docs.unpersist(blocking = false)
+    } else {
+      // Sparse fallback (ADVICE r13): above 64k dims a dense literal
+      // array bloats every round's serialized plan and codegen constants
+      // with mostly-zero entries, while the broadcast weight join scales
+      // with the NONZERO weight count — the r12-proven form, kept
+      // verbatim. Margins are the same exact integer sums (left join +
+      // coalesce 0 ≡ dense array with 0 holes), so both paths train
+      // identical weights.
+      val featsP = feats.persist() // read every round: margins + gradient
+      for (_ <- 1 to rounds) {
+        val wDf = w.toSeq.toDF("bucket", "_wt")
+        val mis = featsP
+          .join(broadcast(wDf), Seq("bucket"), "left")
+          .groupBy("_id", "_y")
+          .agg(sum(col("_c") * coalesce(col("_wt"), lit(0L))).as("_m"))
+          .filter((when(col("_m") > 0, 1L).otherwise(-1L)) =!= col("_y"))
+          .select("_id")
+        val delta = featsP.join(mis, "_id")
+          .groupBy("bucket").agg(sum(col("_y") * col("_c")).as("_d"))
+          .collect()
+        fold(delta)
+      }
+      featsP.unpersist(blocking = false)
+    }
     // AVERAGED weights (Freund & Schapire 1999's stability fix, kept
     // integer as the SUM over rounds — a positive scalar multiple of the
     // average, so the ranking is identical and the oracle replay stays
@@ -801,7 +843,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .map { case (w, f) => (w.map(_.toString).toSeq: Seq[String], f) }
-      .localCheckpoint(true)
+      .eagerPin()
     val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
     var done = false
     while (!done && merges.length < numMerges) {
@@ -834,7 +876,7 @@ object TextAnalysis {
         val next = vocab.map { case (s, f) =>
             (bList.foldLeft(s) { case (acc, (a, b)) => applyMerge(acc, a, b) }, f)
           }
-          .localCheckpoint(true)
+          .eagerPin()
         vocab = next
       }
     }
@@ -911,7 +953,7 @@ object TextAnalysis {
       .groupBy("_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     // tf feeds BOTH the df count and the join's left side — materialize
     // or the corpus explode+agg runs twice
-    val tf = if (checkpoint) tf0.localCheckpoint(true) else tf0
+    val tf = if (checkpoint) tf0.eagerPin() else tf0
     val docFreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val scored = tf.join(docFreq, "term")
       .withColumn("tfidf", col("tf") * log(lit(n.toDouble) / col("df")))
@@ -966,7 +1008,7 @@ object TextAnalysis {
     // tf feeds BOTH the df derivation and the scoring join — pin it
     // (|matching docs|·|Q| rows) or the corpus explode+agg runs twice
     // (the t16 tfIdfTopK lesson; PlanAudit showed 4 corpus scans)
-    val tf = if (checkpoint) tf0.localCheckpoint(true) else tf0
+    val tf = if (checkpoint) tf0.eagerPin() else tf0
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
@@ -1055,7 +1097,7 @@ object TextAnalysis {
       lit(0L).as("_inP"), lit(1L).as("_inQ"))
     val counts = tp.union(tq).groupBy("token")
       .agg(sum("_inP").as("n_p"), sum("_inQ").as("n_q"))
-      .localCheckpoint(true)
+      .eagerPin()
     val totals = counts.agg(count(lit(1)), sum("n_p"), sum("n_q")).head()
     val v = totals.getLong(0)
     if (v == 0) {
@@ -1108,7 +1150,7 @@ object TextAnalysis {
     * ticks (the streaming gate's round-10 lesson).
     */
   def jsFromCounts(countsIn: DataFrame): DataFrame = {
-    val counts = countsIn.localCheckpoint(true)
+    val counts = countsIn.eagerPin()
     val totals = counts.agg(count(lit(1)), sum("n_p"), sum("n_q")).head()
     val v = totals.getLong(0)
     if (v == 0) {
@@ -1167,7 +1209,7 @@ object TextAnalysis {
         explode(slice(col("_t"), col("_i") + 2, lit(window))).as("token_b"))
     val c = pairs.groupBy("token_a", "token_b")
       .agg(count(lit(1)).as("n_pair"))
-      .localCheckpoint(true)
+      .eagerPin()
     val nRow = c.agg(sum("n_pair")).head()
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0) // empty corpus: no pairs
     val ca = c.groupBy("token_a").agg(sum("n_pair").as("_ca"))

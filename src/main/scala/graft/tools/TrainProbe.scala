@@ -95,10 +95,43 @@ object TrainProbe {
       println(s"  [probe] dense weights nonzero: ${w.count(_._2 != 0)}")
     }
 
-    t("JOIN variant total")(runJoin())
+    // r14: the per-doc (bucket, count) profile shape — margin as one
+    // compiled pass (graft_bucket_margin), delta as the round's only
+    // exchange; must produce identical weights to the dense variant
+    var docsW = Map.empty[Long, Long]
+    def runDocs(): Unit = {
+      val docs = feats0
+        .groupBy("_id", "_y")
+        .agg(collect_list(struct(col("bucket"), col("_c"))).as("_bc"))
+        .select(col("_y"), col("_bc"))
+        .persist()
+      var w = Map.empty[Long, Long]
+      for (r <- 1 to rounds) t(s"docs round $r") {
+        val arr = new Array[Long](dim)
+        w.foreach { case (b, v) => arr(b.toInt) = v }
+        val margin = graft.functions.GraftExpressions.bucketMargin(
+          col("_bc"), typedlit(arr.toSeq))
+        val delta = docs
+          .filter((when(margin > 0, 1L).otherwise(-1L)) =!= col("_y"))
+          .select(col("_y"), explode(col("_bc")).as("_x"))
+          .groupBy(col("_x.bucket").as("bucket"))
+          .agg(sum(col("_y") * col("_x._c")).as("_d"))
+          .collect()
+        w = delta.foldLeft(w) { (m, row) =>
+          val b = row.getLong(0)
+          m.updated(b, m.getOrElse(b, 0L) + row.getLong(1))
+        }
+      }
+      docs.unpersist(blocking = false)
+      docsW = w
+      println(s"  [probe] docs weights nonzero: ${w.count(_._2 != 0)}")
+    }
+
     t("DENSE variant total")(runDense())
-    t("JOIN variant total 2")(runJoin())
+    t("DOCS variant total")(runDocs())
     t("DENSE variant total 2")(runDense())
+    t("DOCS variant total 2")(runDocs())
+    t("JOIN variant total")(runJoin())
     spark.stop()
   }
 }

@@ -316,6 +316,21 @@ class DedupOpsSuite extends SparkSpec {
     assert(viaT12 == viaMargin && viaT12.nonEmpty)
   }
 
+  test("trainHashedPerceptron: dense profile path == sparse broadcast-join fallback, bit-for-bit") {
+    import graft.operators.{Sampling, TextAnalysis}
+    graft.functions.GraftExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val isTr = Sampling.hashBucket(col("doc_id"), 100, "t30:") < 80
+    val pos = TextAnalysis.qualityExpr(col("text")) >= 0.79
+    def weights(denseDimMax: Int): Seq[(Long, Long)] =
+      TextAnalysis.trainHashedPerceptron(docs.filter(isTr), "doc_id", "text",
+          pos, dim = 256, rounds = 3, denseDimMax = denseDimMax)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dense = weights(denseDimMax = 1 << 16)
+    val sparse = weights(denseDimMax = 0) // forces the > denseDimMax branch
+    assert(dense == sparse && dense.nonEmpty)
+  }
+
   test("trainHashedPerceptron: trained weights beat t12's deterministic default on eval AUC") {
     import graft.operators.{Relational, Sampling}
     graft.functions.GraftExpressions.register(spark) // hashBucket analyzes eagerly
