@@ -803,13 +803,13 @@ object ScaleProbe {
         concat(lit("s"), col("l_suppkey").cast("string")).as("u"),
         concat(lit("p"), col("l_partkey").cast("string")).as("v"),
         floor(col("l_quantity") * lit(1.0) + lit(0.5)).cast("long").as("w"))
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
       val seeds = spark.read.parquet(s"$src/supplier.parquet")
         .crossJoin(reps)
         .withColumn("s_suppkey", col("s_suppkey") + col("rep") * maxSk)
         .filter(col("s_suppkey") % 20 === 0)
         .select(concat(lit("s"), col("s_suppkey").cast("string")).as("seed"))
-      Graph.shortestPaths(sym, "u", "v", "w", seeds, "seed", rounds = 3).count()
+      Graph.shortestPaths(e, "u", "v", "w", seeds, "seed", rounds = 3,
+        symmetrize = true).count()
     }
     // rows ×f over the fixed part-key universe: the counts table is
     // |keys|-sized regardless of f — expect ~flat

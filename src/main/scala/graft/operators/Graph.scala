@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -65,13 +66,13 @@ object Graph {
     // the node/degree prep; materialize once or the plan re-runs it
     // ~(iters + 3) times. Same for the per-round reuse of nodes/outdeg.
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val e = if (checkpoint) e0.localCheckpoint(true) else e0
+    val e = if (checkpoint) e0.eagerPin() else e0
     val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val nodes = if (checkpoint) nodes0.localCheckpoint(true) else nodes0
+    val nodes = if (checkpoint) nodes0.eagerPin() else nodes0
     val n = nodes.count() // one metadata scalar to the driver
     val outdeg0 = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val outdeg = if (checkpoint) outdeg0.localCheckpoint(true) else outdeg0
+    val outdeg = if (checkpoint) outdeg0.eagerPin() else outdeg0
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var pr = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
     for (_ <- 1 to iters) {
@@ -81,7 +82,7 @@ object Graph {
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (base + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-      pr = if (checkpoint) next.localCheckpoint(true) else next
+      pr = if (checkpoint) next.eagerPin() else next
     }
     pr
   }
@@ -238,21 +239,24 @@ object Graph {
     // checkpoints measured 6.0 → 4.2 s at sf0.1 for zero lineage
     // benefit — the plan is still shallow; at 50 rounds, unbounded
     // lineage would swamp the planner, so truncate every few rounds)
-    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val canon = if (checkpoint) canon0.eagerPin() else canon0
     val adj = canon.union(canon.select(col("v"), col("u")))
       .toDF("u", "v")
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
-    if (checkpoint) dist = dist.localCheckpoint(true)
+    if (checkpoint) dist = dist.eagerPin()
     for (r <- 1 to rounds) {
       val frontier = dist.filter(col("dist") === (r - 1).toLong).select("node")
+      // no distinct() on the candidates (r14): the min-merge below
+      // collapses duplicate discoveries map-side in its own partial
+      // aggregation, so the old distinct was a second full exchange of
+      // the same rows for zero dedup the merge wasn't already doing
       val cand = frontier.join(adj, col("node") === col("u"))
-        .select(col("v").as("node")).distinct()
-        .withColumn("dist", lit(r.toLong))
+        .select(col("v").as("node"), lit(r.toLong).as("dist"))
       val merged = dist.union(cand).groupBy("node")
         .agg(min("dist").as("dist"))
       dist = if (checkpoint && r % checkpointEvery == 0 && r < rounds)
-        merged.localCheckpoint(true)
+        merged.eagerPin()
       else merged
     }
     dist
@@ -268,13 +272,18 @@ object Graph {
     // canon feeds deg + orientation, oriented feeds e1/e2/closing —
     // materialize both or the upstream (possibly expensive) edge
     // subtree re-evaluates up to 5 times.
-    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
-    val deg0 = canon.select(col("u").as("node"))
+    val canon = if (checkpoint) canon0.eagerPin() else canon0
+    // deg stays LAZY (r14): its consumers (both orientation joins, and
+    // for the coefficient the final join) all sit in one physical plan
+    // over the CHECKPOINTED canon, so the degree aggregation's exchange
+    // canonicalizes identically under each reference and is built once
+    // (ReusedExchange; only the vocab-sized final agg re-runs per
+    // reference). The old eager checkpoint here was one more blocking
+    // driver job per query — the quantity co-tenant contention
+    // multiplies — for lineage the shallow plan never needed.
+    val deg = canon.select(col("u").as("node"))
       .union(canon.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // deg feeds the orientation joins and (for the coefficient) the
-    // final join — materialize it too.
-    val deg = if (checkpoint) deg0.localCheckpoint(true) else deg0
     // Orient each edge from the smaller (deg, id) endpoint.
     val uKey = struct(col("du").as("d"), col("u").as("n"))
     val vKey = struct(col("dv").as("d"), col("v").as("n"))
@@ -286,7 +295,7 @@ object Graph {
         when(uFirst, col("u")).otherwise(col("v")).as("lo"),
         when(uFirst, col("v")).otherwise(col("u")).as("hi"),
         when(uFirst, vKey).otherwise(uKey).as("hiKey"))
-    val oriented = if (checkpoint) oriented0.localCheckpoint(true) else oriented0
+    val oriented = if (checkpoint) oriented0.eagerPin() else oriented0
     val e1 = oriented.select(col("lo").as("a"), col("hi").as("b"), col("hiKey").as("bKey"))
     val e2 = oriented.select(col("lo").as("a2"), col("hi").as("c"), col("hiKey").as("cKey"))
     // Wedges at the anchor a, the pair (b, c) ordered by the SAME total
@@ -326,11 +335,17 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull).distinct()
-    val e = if (checkpoint) e0.localCheckpoint(true) else e0
-    val srcs = e.select("u").distinct()
+    val e = if (checkpoint) e0.eagerPin() else e0
+    // srcs materializes ONCE and serves both the metadata count and the
+    // initial state (r14): the old shape ran the distinct twice — once
+    // under count(), once re-evaluated under h's own eager checkpoint —
+    // three barrier jobs where one suffices. The initial h is a narrow
+    // projection over the checkpointed distinct, so iteration 1 reads it
+    // without any extra materialization.
+    val srcs = if (checkpoint) e.select("u").distinct().eagerPin()
+      else e.select("u").distinct()
     val nU = srcs.count() // one metadata scalar (q43's n)
     var h = srcs.withColumn("h", lit(1.0) / lit(nU.toDouble))
-    if (checkpoint) h = h.localCheckpoint(true)
     var a = e.sparkSession.emptyDataFrame
     for (_ <- 1 to iters) {
       val aRaw = e.join(h, "u").groupBy("v").agg(sum("h").as("_ar"))
@@ -344,7 +359,7 @@ object Graph {
       val hRaw = e.join(a, "v").groupBy("u").agg(sum("a").as("_hr"))
       val hN = hRaw.crossJoin(broadcast(hRaw.agg(sum("_hr").as("_hs"))))
         .select(col("u"), (col("_hr") / col("_hs")).as("h"))
-      h = if (checkpoint) hN.localCheckpoint(true) else hN
+      h = if (checkpoint) hN.eagerPin() else hN
     }
     h.select(lit("hub").as("side"), col("u").as("node"), col("h").as("score"))
       .unionByName(
@@ -377,7 +392,7 @@ object Graph {
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val canon = if (checkpoint) canon0.eagerPin() else canon0
     val adj0 = canon.union(canon.select(col("v"), col("u"))).toDF("u", "v")
     // pinned on u: with the (checkpointed, known-small) label state
     // broadcasting into the neighbor join, BOTH per-round aggregates —
@@ -386,7 +401,7 @@ object Graph {
     val adj = if (checkpoint) pinByKey(adj0, "u") else adj0
     var labels = adj.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
-    if (checkpoint) labels = labels.localCheckpoint(true)
+    if (checkpoint) labels = labels.eagerPin()
     for (_ <- 1 to rounds) {
       // neighbor label histogram, then argmax by (count desc, label asc):
       // min of struct(-count, label) — one aggregation, no window
@@ -397,7 +412,7 @@ object Graph {
         .groupBy(col("u").as("node"))
         .agg(min(struct((-col("_c")).as("_nc"), col("label").as("_l"))).as("_best"))
         .select(col("node"), col("_best._l").as("label"))
-      labels = if (checkpoint) next.localCheckpoint(true) else next
+      labels = if (checkpoint) next.eagerPin() else next
     }
     labels
   }
@@ -425,33 +440,64 @@ object Graph {
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true, symmetrize: Boolean = false): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val adj0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+    val dir = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(weightCol).cast("long").as("w"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("w").isNotNull)
       .groupBy("u", "v").agg(min("w").as("w"))
+    // Undirected graphs: symmetrize INSIDE, after the dedup aggregation
+    // (r14). The caller-side `e.union(e.swap)` form read the raw edge
+    // source twice (two corpus scans in q84's audited plan) and shuffled
+    // 2× the rows into the min-collapse; aggregating the DIRECTED input
+    // first and exploding both orientations of the collapsed edge table
+    // scans once and shuffles half. Where both directions exist in the
+    // raw input, the adjacency then carries one row per direction
+    // instead of one cross-direction min row — harmless under
+    // min-relaxation (cand takes min(dist + w) over ALL adjacency rows,
+    // so a dominated duplicate can never win), proven output-identical
+    // by the operator spec.
+    val adj0 =
+      if (!symmetrize) dir
+      else dir
+        .select(explode(array(
+            struct(col("u").as("a"), col("v").as("b")),
+            struct(col("v").as("a"), col("u").as("b")))).as("_e"), col("w"))
+        .select(col("_e.a").as("u"), col("_e.b").as("v"), col("w"))
     // pinned on v: the frontier broadcasts into the relaxation join, so
     // the per-round candidate min-aggregate (groupBy v) needs no Exchange
     val adj = if (checkpoint) pinByKey(adj0, "v") else adj0
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
-    if (checkpoint) dist = dist.localCheckpoint(true)
+    if (checkpoint) dist = dist.eagerPin()
     var frontier = dist
     for (r <- 1 to rounds) {
       val cand = frontier.join(adj, col("node") === col("u"))
         .groupBy(col("v").as("node"))
         .agg(min(col("dist") + col("w")).as("_cd"))
-      // one full-outer join merges the candidate mins into the state AND
-      // computes the next frontier (strictly-improved nodes) in the same
-      // pass — the d06 fixpoint-witness-rides-the-update discipline
-      val merged0 = dist.join(cand, Seq("node"), "full_outer")
+      // Merge candidate mins into the state AND compute the next frontier
+      // (strictly-improved nodes) in one pass — the d06 fixpoint-witness-
+      // rides-the-update discipline — via ONE tagged union + min
+      // aggregation (r14; the full-outer join this replaces planned two
+      // Exchanges plus sort-merge sorts per round: both state and
+      // candidates re-shuffled and sorted on node; the union form is a
+      // single exchange with map-side partial aggregation and no sort).
+      // State nodes are unique per round by construction, so
+      // min(when(_self, dist)) recovers exactly the old full-outer's
+      // state value, and the improvement witness is the same expression.
+      val merged0 = dist
+        .select(col("node"), col("dist"), lit(true).as("_self"))
+        .unionByName(cand.select(col("node"), col("_cd").as("dist"),
+          lit(false).as("_self")))
+        .groupBy("node")
+        .agg(min(when(col("_self"), col("dist"))).as("_old"),
+          min(when(!col("_self"), col("dist"))).as("_cd"))
         .select(col("node"),
-          least(coalesce(col("dist"), col("_cd")), coalesce(col("_cd"), col("dist")))
+          least(coalesce(col("_old"), col("_cd")), coalesce(col("_cd"), col("_old")))
             .as("dist"),
-          (col("_cd").isNotNull && (col("dist").isNull || col("_cd") < col("dist")))
+          (col("_cd").isNotNull && (col("_old").isNull || col("_cd") < col("_old")))
             .as("_improved"))
-      val merged = if (checkpoint) merged0.localCheckpoint(true) else merged0
+      val merged = if (checkpoint) merged0.eagerPin() else merged0
       frontier = merged.filter(col("_improved")).select("node", "dist")
       dist = merged.select("node", "dist")
     }
@@ -487,7 +533,7 @@ object Graph {
       .filter(col("u") =!= col("v")).distinct()
     // canon feeds the wedge baskets and the anti-join — materialize once
     // or the upstream edge subtree re-evaluates 3×
-    val canon = if (checkpoint) canon0.localCheckpoint(true) else canon0
+    val canon = if (checkpoint) canon0.eagerPin() else canon0
     val und = canon.select(col("u").as("z"), col("v").as("n"))
       .union(canon.select(col("v").as("z"), col("u").as("n")))
     // One groupBy collects each center's FULL (distinct, sorted) neighbor

@@ -462,12 +462,16 @@ object RelationalGraph {
       .select(concat(lit("s"), col("l_suppkey").cast("string")).as("u"),
         concat(lit("p"), col("l_partkey").cast("string")).as("v"),
         floor(col("l_quantity") * lit(1.0) + lit(0.5)).cast("long").as("w"))
-    val sym = li.union(li.select(col("v").as("u"), col("u").as("v"), col("w")))
     val seeds = Tables(s, dir, "supplier")
       .filter(col("s_suppkey") % SsspSeedMod === 0)
       .select(concat(lit("s"), col("s_suppkey").cast("string")).as("seed"))
-    graft.operators.Graph.shortestPaths(sym, "u", "v", "w",
-        seeds, "seed", rounds = SsspRounds)
+    // directed edges in, symmetrize = true: the operator collapses the
+    // parallel edges FIRST (one lineitem scan + partial agg) and only
+    // then emits both orientations — the caller-side union scanned the
+    // corpus twice (r14; the graph is bipartite, so the adjacency rows
+    // are exactly the oracle's `e` CTE either way)
+    graft.operators.Graph.shortestPaths(li, "u", "v", "w",
+        seeds, "seed", rounds = SsspRounds, symmetrize = true)
       .orderBy("node")
   }
 
