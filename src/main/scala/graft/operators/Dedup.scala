@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,7 +72,7 @@ object Dedup {
     // per reference); checkpointed it is 1
     val ex = shingled(df, idCol, textCol)
       .select(col("_gid"), explode(col("sh")).as("shingle"))
-      .localCheckpoint(true)
+      .eagerPin()
     // df cap as PARTIAL-AGG + SEMI-JOIN, not a window (the q31/d15
     // discipline): a count window over the exploded shingle stream ships
     // every copy of a boilerplate shingle to one task and BUFFERS the
@@ -87,7 +88,7 @@ object Dedup {
     // materialize it too (see the ex note above)
     val kept = ex.join(lowDf, Seq("shingle"), "left_semi")
       .select("_gid", "shingle")
-      .localCheckpoint(true)
+      .eagerPin()
     val n = kept.groupBy("_gid").agg(count(lit(1)).as("n"))
     val pairs = kept.as("a")
       .join(kept.as("b"), col("a.shingle") === col("b.shingle") && col("a._gid") < col("b._gid"))
@@ -127,7 +128,7 @@ object Dedup {
     // band-key self-join AND both verifyJaccard sides (the r13 plan
     // audit counted 8 parquet scans in d03 from the un-pinned subtree)
     val docs = shingled(df, idCol, textCol).filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
+      .eagerPin()
     val bands = docs
       .select(col("_gid"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
     val cand = bands.as("a")
@@ -232,8 +233,16 @@ object Dedup {
           "incremental dedup needs disjoint id spaces; re-ingested ids must be " +
           "renamed or removed from the existing side first")
     }
+    // Materialize both shingle tables ONCE (the d02/d03 discipline,
+    // VERDICT r13 item 9): nw feeds the band build twice (its own bands +
+    // the union's new arm) and BOTH verify probes, ex feeds the union arm
+    // and the verify corpus — without pinning, the audited q27 plan
+    // re-scanned and re-SHINGLED the corpus parquet 6 times (4× new side,
+    // 2× existing side); with it, each side shingles exactly once.
     val nw = shingled(newDf, idCol, textCol).filter(size(col("sh")) > 0)
+      .eagerPin()
     val ex = shingled(existingDf, idCol, textCol).filter(size(col("sh")) > 0)
+      .eagerPin()
     def bands(d: DataFrame) =
       d.select(col("_gid"), explode(SigX.minhashBandKeys(col("sh"))).as("bk"))
     val bandsNew = bands(nw)
@@ -441,7 +450,7 @@ object Dedup {
     val base = withTh
       .select(col("_gid"), posexplode(SigX.spanKeys(col("_th"), n)).as(Seq("s", "g")))
       .select(col("_gid"), col("s"), col("g.h1").as("h1"), col("g.h2").as("h2"))
-    var cur = dupOnly(base).localCheckpoint(true)
+    var cur = dupOnly(base).eagerPin()
     var len = n
     val out = scala.collection.mutable.ArrayBuffer((len, cur))
     for (_ <- 1 to doublings) {
@@ -450,7 +459,7 @@ object Dedup {
         .select(col("a._gid").as("_gid"), col("a.s").as("s"),
           ((col("a.h1") * Sig.B + col("b.h1")) % Sig.P).as("h1"),
           ((col("a.h2") * Sig.B2 + col("b.h2")) % Sig.P).as("h2"))
-      cur = dupOnly(nxt).localCheckpoint(true)
+      cur = dupOnly(nxt).eagerPin()
       len *= 2
       out += ((len, cur))
     }
@@ -587,7 +596,7 @@ object Dedup {
       .select(col("_gid"), posexplode(col("_lines")).as(Seq("p", "l")))
       .filter(length(trim(col("l"))) > 0)
       .select(col("_gid"), col("p"), md5(col("l").cast("binary")).as("f"))
-    val lines = if (checkpoint) lines0.localCheckpoint(true) else lines0
+    val lines = if (checkpoint) lines0.eagerPin() else lines0
     val boiler = lines.select(col("_gid"), col("f")).distinct()
       .groupBy("f").agg(count(lit(1)).as("_df"))
       .filter(col("_df") >= threshold)
@@ -616,6 +625,28 @@ object Dedup {
     * Ids may be any orderable type (numeric, string, ...).
     * Output: id, cluster (min id in the component), keep (id == cluster).
     */
+  /** One min-label propagation round over a materialized edge set: one
+    * shuffle-join + one aggregation. Neighbor labels arrive as messages
+    * (src's comp addressed to dst), each node's own label rides along as
+    * a self-message, and min() over both is the update. The fixpoint
+    * witness rides the same aggregation — new < old, where old is the
+    * self-message — so convergence costs a narrow scan of the
+    * just-checkpointed blocks, not another join (the previous shape
+    * joined neighbor-mins back against labels every round: two joins).
+    * Package-visible so the paired-round plan (`propagate(propagate(l))`
+    * references the inner round TWICE — join side + self-message arm)
+    * can be built lazily and its exchange reuse verified by spec/probe
+    * (VERDICT r13 item 4).
+    */
+  private[graft] def clusterPropagate(edges: DataFrame, ls: DataFrame): DataFrame = {
+    val msgs = edges.join(ls, col("src") === col("id"))
+      .select(col("dst").as("_nid"), col("comp"), lit(false).as("_self"))
+      .unionByName(ls.select(col("id").as("_nid"), col("comp"), lit(true).as("_self")))
+    msgs.groupBy(col("_nid"))
+      .agg(min(col("comp")).as("comp"), min(when(col("_self"), col("comp"))).as("_old"))
+      .select(col("_nid").as("id"), col("comp"), (col("comp") < col("_old")).as("_changed"))
+  }
+
   def clusters(all: DataFrame, idCol: String, pairs: DataFrame,
       maxRounds: Int = 20, checkIds: Boolean = true): DataFrame = {
     // Materialize the edge set ONCE (the pair generation upstream may be a
@@ -643,7 +674,7 @@ object Dedup {
       }
     val edges = inAll.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(inAll.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+      .eagerPin()
     // Propagate ONLY over nodes incident to an edge: a node with no pair can
     // never change label, and dup pairs are a sliver of the corpus — looping
     // over `all` would shuffle + checkpoint every corpus row every round
@@ -659,22 +690,8 @@ object Dedup {
     var labels = edges.groupBy(col("dst"))
       .agg(min(col("src")).as("_m"))
       .select(col("dst").as("id"), least(col("dst"), col("_m")).as("comp"))
-      .localCheckpoint(true)
-    // One shuffle-join + one aggregation per round: neighbor labels arrive
-    // as messages (src's comp addressed to dst), each node's own label
-    // rides along as a self-message, and min() over both is the update.
-    // The fixpoint witness rides the same aggregation — new < old, where
-    // old is the self-message — so convergence costs a narrow scan of the
-    // just-checkpointed blocks, not another join (the previous shape
-    // joined neighbor-mins back against labels every round: two joins).
-    def propagate(ls: DataFrame): DataFrame = {
-      val msgs = edges.join(ls, col("src") === col("id"))
-        .select(col("dst").as("_nid"), col("comp"), lit(false).as("_self"))
-        .unionByName(ls.select(col("id").as("_nid"), col("comp"), lit(true).as("_self")))
-      msgs.groupBy(col("_nid"))
-        .agg(min(col("comp")).as("comp"), min(when(col("_self"), col("comp"))).as("_old"))
-        .select(col("_nid").as("id"), col("comp"), (col("comp") < col("_old")).as("_changed"))
-    }
+      .eagerPin()
+    def propagate(ls: DataFrame): DataFrame = clusterPropagate(edges, ls)
     // Rounds run in PAIRS per materialization + witness where the round
     // budget allows (r13): min-label propagation is monotone with a
     // unique fixpoint, so a no-change round is followed only by no-change
@@ -691,7 +708,7 @@ object Dedup {
       val step = if (rounds + 2 <= maxRounds) 2 else 1
       val next = (if (step == 2) propagate(propagate(labels).select("id", "comp"))
                   else propagate(labels))
-        .localCheckpoint(true)
+        .eagerPin()
       converged = next.filter(col("_changed")).isEmpty
       labels = next.select("id", "comp")
       rounds += step
@@ -924,7 +941,7 @@ object Dedup {
       iters: Int, thr: Double, salt: String = ""): DataFrame = {
     GraftExpressions.register(df.sparkSession)
     val asg = Similarity.kmeansAssign(df, idCol, vecCol, k, iters, salt)
-      .localCheckpoint(true) // the assignment feeds both join sides + output
+      .eagerPin() // the assignment feeds both join sides + output
     val dups = asg.as("x")
       .join(asg.as("y"), col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
       .filter(round(GraftExpressions.cosineSim(col("x._v"), col("y._v")), 6) >= thr)
@@ -1013,7 +1030,7 @@ object Dedup {
       .withColumn("len", length(col("name")))
       .withColumn("grams", grams)
       .withColumn("ng", size(col("grams")))
-      .localCheckpoint(true)
+      .eagerPin()
 
     // Low-gram fallback: any pair touching this fringe, via length bands.
     val low = names.filter(col("ng") <= qk)
@@ -1200,7 +1217,7 @@ object Dedup {
       .select(col("_d"), col("_t"),
         (col("_tf").cast("double") *
           log(col("_n").cast("double") / col("_df").cast("double"))).as("_w"))
-    if (checkpoint) w0.localCheckpoint(true) else w0
+    if (checkpoint) w0.eagerPin() else w0
   }
 
   /** Shared closing: norms from the weight table, cosine, threshold. */
@@ -1293,7 +1310,7 @@ object Dedup {
     val wk = transform(SigX.spanKeys(col("_th"), w),
       k => concat_ws("_", k("h1"), k("h2")))
     val ex0 = withTh.select(col(idCol), explode(array_distinct(wk)).as("wk"))
-    val ex = if (checkpoint) ex0.localCheckpoint(true) else ex0
+    val ex = if (checkpoint) ex0.eagerPin() else ex0
     val dfc = ex.groupBy("wk").agg(count(lit(1)).as("wdf"))
     ex.join(dfc, "wk")
       .groupBy(col(idCol))
@@ -1341,7 +1358,7 @@ object Dedup {
         GraftExpressions.windowHashes(text, window, sampleMod.toLong).as("_fp"))
       .filter(size(col("_fp")) > 0)
     val ex = fps.select(col("_gid"), explode(col("_fp")).as("h"))
-      .localCheckpoint(true) // read by the df table AND the pair join
+      .eagerPin() // read by the df table AND the pair join
     val lowDf = ex.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("h")
     val kept = ex.join(lowDf, Seq("h"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Ckpt._
 import graft.QueryDef
 import graft.functions.EmbeddingLsh
 import graft.functions.Rounding.{sqlMirrorRound => mr}
@@ -393,11 +394,11 @@ object Dedup {
     // both or each branch re-scans + re-distincts orders
     val ref = orders.filter(col("o_orderdate") < cut)
       .select(col("o_custkey").cast("string").as("ck")).distinct()
-      .localCheckpoint(true)
+      .eagerPin()
     val inc = orders.filter(col("o_orderdate") >= cut)
       .select(col("o_custkey")).distinct()
       .withColumn("ck", col("o_custkey").cast("string"))
-      .localCheckpoint(true)
+      .eagerPin()
     val gated = Ops.bloomSeen(inc, ref, "o_custkey", "ck")
     val definiteNovel = gated.filter(!col("probably_seen")).select("o_custkey")
     val confirmedNovel = gated.filter(col("probably_seen"))
@@ -607,7 +608,7 @@ object Dedup {
     // (the d02/d16 plan-audit discipline)
     val split = graft.operators.Sampling.split(docs, "domain",
       Seq("train" -> 90, "test" -> 10), salt = "dsplit:")
-      .localCheckpoint(true)
+      .eagerPin()
     val clean = Ops.decontaminate(
       split.filter(col("split") === "train"),
       split.filter(col("split") === "test"),
