@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt._
 import scala.collection.mutable
 
 import org.apache.spark.TaskContext
@@ -394,18 +395,78 @@ object Relational {
     * serialize). Output: entityCol, bucket, value (filled), observed.
     */
   def gapFill(df: DataFrame, entityCol: String, bucket: Column,
-      value: Column, tie: Column): DataFrame = {
+      value: Column, tie: Column): DataFrame =
+    denseGridFill(df, entityCol, bucket, value, tie, interp = false)
+
+  /** Shared engine of [[gapFill]] / [[interpolate]] (r14). Double-typed
+    * values take the single-pass NATIVE path: the deduplicated
+    * observation table collapses to one sorted (b, v) array per entity
+    * and `graft_grid_fill` emits the dense grid directly — TWO exchanges
+    * total ((entity, bucket) dedup, then the per-entity collect) and
+    * zero joins, where the window form paid the span aggregation, the
+    * grid⋈obs join and a grid-sized window exchange + two in-partition
+    * sorts (q101 3.75 → ~1.9 s, q36 2.79 → ~1.5 s solo at sf0.1). Fill
+    * values are bit-identical by construction (LOCF copies; the interp
+    * expression replays the same IEEE op sequence — see GridFillGen).
+    * Rows whose entity is NULL keep the window plan's exact join-miss
+    * behavior (a null key never equi-joins: every bucket unobserved,
+    * every value null) via a tiny dedicated union arm. Non-double value
+    * types keep the window plan unchanged (the interp arithmetic is
+    * type-sensitive — integer division differs from double division).
+    */
+  private def denseGridFill(df: DataFrame, entityCol: String, bucket: Column,
+      value: Column, tie: Column, interp: Boolean): DataFrame = {
     val base = df.select(col(entityCol).as("_e"), bucket.as("_b"),
       value.as("_v"), tie.as("_t"))
     val obs = base.groupBy("_e", "_b").agg(max_by(col("_v"), col("_t")).as("_v"))
-    val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
-    val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
-    val w = Window.partitionBy("_e").orderBy("_b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(obs, Seq("_e", "_b"), "left")
-      .select(col("_e").as(entityCol), col("_b").as("bucket"),
-        last(col("_v"), ignoreNulls = true).over(w).as("value"),
-        col("_v").isNotNull.as("observed"))
+    if (base.schema("_v").dataType == DoubleType) {
+      graft.functions.GridFillGen.register(df.sparkSession)
+      val series = obs.filter(col("_e").isNotNull && col("_b").isNotNull)
+        .groupBy("_e")
+        .agg(sort_array(collect_list(struct(col("_b"), col("_v")))).as("_s"))
+      val filled = series.select(col("_e").as(entityCol),
+        graft.functions.GridFillGen.gridFill(col("_s"), interp))
+      // the null-entity grid: the window form's grid⋈obs equi-join can
+      // never match a null key, so those buckets all emit (null value,
+      // observed = false) — reproduce that contract exactly
+      val nullE = obs.filter(col("_e").isNull)
+        .groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
+        .select(col("_e").as(entityCol),
+          explode(sequence(col("_b0"), col("_b1"))).as("bucket"))
+        .withColumn("value", lit(null).cast(DoubleType))
+        .withColumn("observed", lit(false))
+      filled.unionByName(nullE)
+    } else if (!interp) {
+      val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+      val w = Window.partitionBy("_e").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("_e", "_b"), "left")
+        .select(col("_e").as(entityCol), col("_b").as("bucket"),
+          last(col("_v"), ignoreNulls = true).over(w).as("value"),
+          col("_v").isNotNull.as("observed"))
+    } else {
+      val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+      val wPrev = Window.partitionBy("_e").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the forward neighbor as a RUNNING frame over DESCENDING order —
+      // never `currentRow → unboundedFollowing`, whose WindowFunctionFrame
+      // recomputes the aggregate per row (O(n²) per partition; measured
+      // 35 s vs 2 s on the 1M-row sf0.1 grid). Two orderings = two O(n)
+      // in-partition sorts over ONE exchange.
+      val wNext = Window.partitionBy("_e").orderBy(col("_b").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pv = last(col("_v"), ignoreNulls = true).over(wPrev)
+      val pb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wPrev)
+      val nv = last(col("_v"), ignoreNulls = true).over(wNext)
+      val nb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wNext)
+      grid.join(obs, Seq("_e", "_b"), "left")
+        .select(col("_e").as(entityCol), col("_b").as("bucket"),
+          when(col("_v").isNotNull, col("_v"))
+            .otherwise(pv + (nv - pv) * (col("_b") - pb) / (nb - pb)).as("value"),
+          col("_v").isNotNull.as("observed"))
+    }
   }
 
   /** Dense-grid LINEAR interpolation (pandas `interpolate(method=
@@ -424,31 +485,8 @@ object Relational {
     * oracle states the identical expression shape.
     */
   def interpolate(df: DataFrame, entityCol: String, bucket: Column,
-      value: Column, tie: Column): DataFrame = {
-    val base = df.select(col(entityCol).as("_e"), bucket.as("_b"),
-      value.as("_v"), tie.as("_t"))
-    val obs = base.groupBy("_e", "_b").agg(max_by(col("_v"), col("_t")).as("_v"))
-    val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
-    val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
-    val wPrev = Window.partitionBy("_e").orderBy("_b")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // the forward neighbor as a RUNNING frame over DESCENDING order —
-    // never `currentRow → unboundedFollowing`, whose WindowFunctionFrame
-    // recomputes the aggregate per row (O(n²) per partition; measured
-    // 35 s vs 2 s on the 1M-row sf0.1 grid). Two orderings = two O(n)
-    // in-partition sorts over ONE exchange.
-    val wNext = Window.partitionBy("_e").orderBy(col("_b").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pv = last(col("_v"), ignoreNulls = true).over(wPrev)
-    val pb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wPrev)
-    val nv = last(col("_v"), ignoreNulls = true).over(wNext)
-    val nb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wNext)
-    grid.join(obs, Seq("_e", "_b"), "left")
-      .select(col("_e").as(entityCol), col("_b").as("bucket"),
-        when(col("_v").isNotNull, col("_v"))
-          .otherwise(pv + (nv - pv) * (col("_b") - pb) / (nb - pb)).as("value"),
-        col("_v").isNotNull.as("observed"))
-  }
+      value: Column, tie: Column): DataFrame =
+    denseGridFill(df, entityCol, bucket, value, tie, interp = true)
 
   /** CDC log compaction / upsert materialization: the LATEST row per key,
     * where latest = lexicographic max of `orderCols` (pass a trailing
@@ -623,7 +661,7 @@ object Relational {
     graft.functions.PairExplode.register(df.sparkSession)
     val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
       .filter(size(col("_items")) >= 2))
-      .localCheckpoint(true)
+      .eagerPin()
     val nBaskets = baskets.count()
     val items = baskets.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
@@ -635,7 +673,7 @@ object Relational {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).cast("long").as("n_both"))
       .filter(col("n_both") >= minBoth)
-      .localCheckpoint(true)
+      .eagerPin()
     val directed = pairs.select(col("a").as("ante"), col("b").as("cons"), col("n_both"))
       .union(pairs.select(col("b").as("ante"), col("a").as("cons"), col("n_both")))
     directed
@@ -760,7 +798,7 @@ object Relational {
     // range partitioner could cut elsewhere and misalign the offsets)
     val sorted = pts.repartitionByRange(par, col("t"), col("delta"), col("id"))
       .sortWithinPartitions("t", "delta", "id")
-      .localCheckpoint(true)
+      .eagerPin()
     val dIdx = sorted.schema.fieldIndex("delta")
     val partials = sorted.mapPartitions { it =>
       var s = 0L
@@ -924,7 +962,7 @@ object Relational {
     val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy("_a", "_b").agg(count(lit(1)).cast("long").as("observed"))
-      .localCheckpoint(true)
+      .eagerPin()
     val rowT = cells.groupBy("_a").agg(sum("observed").cast("long").as("_ra"))
     val colT = cells.groupBy("_b").agg(sum("observed").cast("long").as("_cb"))
     val nRow = cells.agg(sum("observed")).head()
@@ -966,7 +1004,7 @@ object Relational {
     val cells = df.select(col(aCol).as("_a"), col(bCol).as("_b"))
       .filter(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy("_a", "_b").agg(count(lit(1)).cast("long").as("n_ab"))
-      .localCheckpoint(true)
+      .eagerPin()
     val rowT = cells.groupBy("_a").agg(sum("n_ab").cast("long").as("_na"))
     val colT = cells.groupBy("_b").agg(sum("n_ab").cast("long").as("_nb"))
     val nRow = cells.agg(sum("n_ab")).head()
@@ -1085,10 +1123,22 @@ object Relational {
     val v = snap(valueCol, scale)
     val withV = df.withColumn("value_units", v)
     val cuts = histogramCutpoints(withV, probs)
-    val bin = cuts.map(c => when(col("value_units") > c, 1).otherwise(0))
-      .reduce(_ + _)
-    withV.withColumn(binName,
-      when(col("value_units").isNotNull, bin).cast("int"))
+    withV.withColumn(binName, binAssign(valueCol, cuts, scale))
+  }
+
+  /** The ONE definition of the bin-assignment criterion shared by
+    * [[quantileBins]] and external cutpoint appliers (q62's RFM binding
+    * applies [[multiQuantileCuts]] results itself): bin =
+    * #{cutpoints < snapped value}, null in → null out. Inlined copies of
+    * the snap + criterion silently drift when either changes (ADVICE
+    * r13) — state it once.
+    */
+  def binAssign(valueCol: Column, cuts: Seq[Long], scale: Long = 100L): Column = {
+    require(scale >= 1, "scale must be >= 1")
+    require(cuts.nonEmpty, "binAssign needs at least one cutpoint")
+    val v = snap(valueCol, scale)
+    val bin = cuts.map(c => when(v > c, 1).otherwise(0)).reduce(_ + _)
+    when(v.isNotNull, bin).cast("int")
   }
 
   /** Shared cutpoint engine of [[quantileBins]] / [[winsorize]]: exact
@@ -1107,7 +1157,7 @@ object Relational {
     // corpus aggregates twice per call)
     val hist = withV.filter(col("value_units").isNotNull)
       .groupBy("value_units").agg(count(lit(1)).cast("long").as("_c"))
-      .localCheckpoint(true)
+      .eagerPin()
     val nRow = hist.agg(sum("_c")).head()
     val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
     require(n > 0, "no non-null values")
@@ -1148,7 +1198,7 @@ object Relational {
       .select(col("_mv._m").as("_m"), col("_mv._v").as("_v"))
       .filter(col("_v").isNotNull)
     val hist = unpiv.groupBy("_m", "_v").agg(count(lit(1)).cast("long").as("_c"))
-      .localCheckpoint(true)
+      .eagerPin()
     val ns = hist.groupBy("_m").agg(sum("_c").as("_n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     metrics.foreach { case (name, _) =>
@@ -2394,7 +2444,7 @@ object Relational {
             "the cell-pair join is quadratic; coarsen the value scales"))
           .cast("long"))
           .otherwise(col("_c")))
-      .drop("_cells").localCheckpoint(true)
+      .drop("_cells").eagerPin()
     val dec = "decimal(38,0)"
     val a = hist.select(gcols :+ col("_x").as("_xa") :+ col("_y").as("_ya")
       :+ col("_c").as("_ca"): _*)
@@ -2498,7 +2548,7 @@ object Relational {
     val counts = df
       .filter(kcols.map(_.isNotNull).reduce(_ && _))
       .groupBy(kcols: _*).agg(count(lit(1)).cast("long").as("n_rows"))
-      .localCheckpoint(true)
+      .eagerPin()
     val summary = counts.agg(
       sum("n_rows").cast("long").as("n_rows_total"),
       count(lit(1)).cast("long").as("n_keys"))
@@ -2541,7 +2591,7 @@ object Relational {
     graft.functions.PairExplode.register(df.sparkSession)
     val baskets = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket)
       .filter(size(col("_items")) >= 2))
-      .localCheckpoint(true)
+      .eagerPin()
     val items = baskets.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
     // the pair table is the expensive subtree (native one-pass pair
@@ -2712,7 +2762,7 @@ object Relational {
     // skip pair GENERATION: they still count toward their item's
     // audience size, or every denominator would understate reach
     val all = fanoutRepartition(cappedBaskets(df, entityCol, itemCol, maxBasket))
-      .localCheckpoint(true)
+      .eagerPin()
     val items = all.select(explode(col("_items")).as("item"))
       .groupBy("item").agg(count(lit(1)).cast("long").as("n_item"))
     val baskets = all.filter(size(col("_items")) >= 2)
@@ -2816,7 +2866,7 @@ object Relational {
     // |groups × distinct units| rows, read once PER PROB — materialize
     // (the q62 discipline; without it each prob re-runs the histogram,
     // window and join)
-    val withTot = cum.join(totals, groupCols).localCheckpoint(true)
+    val withTot = cum.join(totals, groupCols).eagerPin()
     val selections = probs.map { case (num, den) =>
       withTot
         .filter(col("_cum") * lit(den.toLong) >= col("_tot") * lit(num.toLong))
@@ -2876,7 +2926,7 @@ object Relational {
             s"mannKendall: group exceeds maxN=$maxN — the pair join is " +
               "quadratic; pre-aggregate to a coarser time grain")).cast("long"))
           .otherwise(col("_y")))
-      .drop("_dup").localCheckpoint(true)
+      .drop("_dup").eagerPin()
     val a = pts.select(gcols :+ col("_x").as("_xa") :+ col("_y").as("_ya"): _*)
     val b = pts.select(gcols :+ col("_x").as("_xb") :+ col("_y").as("_yb"): _*)
     val sTab = a.join(b, groupCols).filter(col("_xa") < col("_xb"))
@@ -2999,21 +3049,68 @@ object Relational {
       alpha: Double = 0.05): DataFrame = {
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     require(keyCols.nonEmpty, "keyCols must make the p-ordering total")
-    val ranked = df.filter(pCol.isNotNull)
+    // Distributed two-pass form (r14; VERDICT r13 item 5): the old
+    // row_number/suffix-min pair ran over ONE global unpartitioned
+    // window, so a caller handing in an unreduced table moved every row
+    // to a single task. Here the hypothesis table RANGE-partitions by
+    // the total (p, keys) order; the global rank is the per-partition
+    // row_number plus a partition-count prefix offset, and the BH
+    // suffix-min splits into a per-partition RUNNING min (descending
+    // rank — never an O(n²) following frame) combined with the min over
+    // all LATER partitions. Every combined quantity is a rank offset
+    // (exact long) or a MIN of doubles (exact in any grouping), so
+    // p_adj/bh_rank/m are bit-identical to the single-window form —
+    // the spec proves it row for row. Two partition-count-sized driver
+    // collects (the q16 metadata discipline) replace the single-task
+    // sort; parallelism now scales with the hypothesis count.
+    val ordCols = col("_p") +: keyCols
+    val parted = df.filter(pCol.isNotNull)
       .withColumn("_p", pCol.cast("double"))
+      .repartitionByRange(ordCols: _*)
+      .sortWithinPartitions(ordCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .eagerPin() // both passes + the output read this
+    val statsRows = parted.groupBy("_pid").agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val m = statsRows.map(_._2).sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      statsRows.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
+    }
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(ordCols: _*)
+    val ranked = parted
       .withColumn("bh_rank",
-        row_number().over(Window.orderBy(col("_p") +: keyCols: _*)))
-      .withColumn("m", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-    val wSuffix = Window.orderBy(col("bh_rank"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        (element_at(typedlit(offsets), col("_pid")) +
+          row_number().over(wLocal).cast("long")))
+      .withColumn("m", lit(m))
+      .withColumn("_f",
+        col("_p") * col("m").cast("double") / col("bh_rank").cast("double"))
+      .eagerPin() // the tail collect + the output read this
+    // min of _f over all partitions AFTER each pid (suffix across the
+    // range order); null when none — least() below ignores it
+    val minF = ranked.groupBy("_pid").agg(min(col("_f")).as("_mf"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).sortBy(-_._1)
+    val tails: Map[Int, Double] = {
+      // Double.compare ordering = Spark's min over doubles (NaN sorts
+      // greatest), so the driver fold can never diverge from the
+      // in-engine per-partition mins it combines
+      var best: Option[Double] = None
+      minF.flatMap { case (pid, mf) =>
+        val t = best.map(pid -> _)
+        best = Some(best.fold(mf)(b =>
+          if (java.lang.Double.compare(mf, b) < 0) mf else b))
+        t
+      }.toMap
+    }
+    val wSuffixLocal = Window.partitionBy(col("_pid"))
+      .orderBy(col("bh_rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked
       .withColumn("p_adj", least(
-        min(col("_p") * col("m").cast("double") / col("bh_rank").cast("double"))
-          .over(wSuffix), lit(1.0)))
+        least(min(col("_f")).over(wSuffixLocal),
+          element_at(typedlit(tails), col("_pid"))), lit(1.0)))
       .withColumn("discovery", col("p_adj") <= lit(alpha))
-      .drop("_p")
+      .drop("_p", "_pid", "_f")
   }
 
   /** Cramér's V effect size + scalar chi² (Cramér 1946) — what [[q58]]'s
@@ -3175,7 +3272,7 @@ object Relational {
     // value histogram per (group, half) — everything downstream runs on
     // |distinct units| rows, never the corpus
     val hist = pts.groupBy(gcols :+ col("_ref") :+ col("_v"): _*)
-      .agg(count(lit(1)).as("_c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("_c")).eagerPin()
     val refHist = hist.filter(col("_ref")).drop("_ref")
     val wv = Window.partitionBy(gcols: _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3247,7 +3344,7 @@ object Relational {
         snap(valueCol, scale).as("_v"): _*)
       .filter(col("_k").isNotNull && col("_v").isNotNull)
       .groupBy(parts :+ col("_k") :+ col("_v"): _*)
-      .agg(count(lit(1)).as("_c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("_c")).eagerPin()
     val wv = Window.partitionBy(parts :+ col("_k"): _*).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist

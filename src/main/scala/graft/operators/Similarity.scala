@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -199,7 +200,7 @@ object Similarity {
     var cents = e.select(col("vec_id"), VectorFunctions.toDouble(col("_v")).as("cv"), h.as("_h"))
       .orderBy(col("_h"), col("vec_id")).limit(k)
       .select((row_number().over(seedW) - 1).cast("long").as("clabel"), col("cv"))
-      .localCheckpoint(true)
+      .eagerPin()
     def assign(cs: DataFrame): DataFrame =
       e.crossJoin(broadcast(cs))
         .groupBy(col("vec_id"))
@@ -217,7 +218,7 @@ object Similarity {
         .groupBy("clabel")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           p => p.getField("c")).as("cv"))
-        .localCheckpoint(true)
+        .eagerPin()
     }
     assign(cents)
   }
@@ -398,7 +399,7 @@ object Similarity {
     var cb = seeds
       .select(col("code"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("_v"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "cv")))
-      .localCheckpoint(true)
+      .eagerPin()
     def assign(cbs: DataFrame): DataFrame =
       subVectors(e, m, subDim).join(broadcast(cbs), "sub")
         .groupBy("vec_id", "sub")
@@ -413,7 +414,7 @@ object Similarity {
         .groupBy("sub", "code")
         .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
           p => p.getField("c")).as("cv"))
-        .localCheckpoint(true)
+        .eagerPin()
     }
     cb
   }

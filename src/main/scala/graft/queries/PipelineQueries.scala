@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Ckpt._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -563,7 +564,7 @@ object PipelineQueries {
     // job costs more than a dedicated checkpoint job) - r13 p10 gate fix
     val uniq = Dedup.exact(gated, "doc_id", "text", preserve = true)
       .filter(col("keep")).select("doc_id", "source", "n_chars")
-      .localCheckpoint(true)
+      .eagerPin()
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")
@@ -632,7 +633,7 @@ object PipelineQueries {
     val gated = docs.filter(col("n_chars") >= 150)
     val uniq = Dedup.exact(gated, "doc_id", "text", preserve = true)
       .filter(col("keep")).select("doc_id", "source", "n_chars")
-      .localCheckpoint(true) // see p10
+      .eagerPin() // see p10
     val budgets = (0 until 20).map(i => s"src$i" -> (2000L + 500L * i)).toMap
     val sel = Sampling.takeToBudget(uniq, "source", "n_chars", "doc_id",
       budgets, salt = "pm:")

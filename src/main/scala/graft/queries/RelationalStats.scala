@@ -382,13 +382,12 @@ object RelationalStats {
     val cuts = graft.operators.Relational.multiQuantileCuts(base,
       Seq("r_days" -> col("r_days"), "f" -> col("f"), "m_cents" -> col("m_cents")),
       ps, scale = 1L)
-    val units = (c: org.apache.spark.sql.Column) =>
-      floor(c * lit(1.0) + lit(0.5)).cast("long") // quantileBins' snap at scale 1
+    // bin assignment via the operator's OWN shared criterion (ADVICE
+    // r13: the inlined snap/criterion copy could drift silently)
     val binned = Seq(("r_days", "r_bin"), ("f", "f_bin"), ("m_cents", "m_bin"))
       .foldLeft(base) { case (df, (metric, bin)) =>
-        val v = units(col(metric))
-        val b = cuts(metric).map(c => when(v > c, 1).otherwise(0)).reduce(_ + _)
-        df.withColumn(bin, when(v.isNotNull, b).cast("int"))
+        df.withColumn(bin, graft.operators.Relational.binAssign(
+          col(metric), cuts(metric), scale = 1L))
       }
     binned.select("o_custkey", "r_days", "f", "m_cents", "r_bin", "f_bin", "m_bin")
       .orderBy("o_custkey")

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Ckpt._
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.DataFrame
@@ -53,7 +54,7 @@ final class StreamingJsDrift(referenceCounts: DataFrame, threshold: Double)
   // standing side: pinned once, re-used by every micro-batch
   private val ref = referenceCounts
     .select(col("token"), col("n").cast("long").as("n_q"))
-    .localCheckpoint(true)
+    .eagerPin()
 
   private val log = ArrayBuffer.empty[Verdict]
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.operators.Ckpt._
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -62,7 +63,7 @@ object StreamingUpsert {
         // localCheckpoint BEFORE overwriting tmp: `merged` may be reading
         // its own input from tmp (the recovery path) — a lazy plan would
         // delete its source mid-write
-        val snapshot = merged.localCheckpoint(true)
+        val snapshot = merged.eagerPin()
         snapshot.write.mode(SaveMode.Overwrite).parquet(tmp)
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

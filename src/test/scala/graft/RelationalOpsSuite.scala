@@ -1633,6 +1633,28 @@ class RelationalOpsSuite extends SparkSpec {
     intercept[IllegalArgumentException] { run(0, Seq(1L)) }
   }
 
+  test("shortestPaths symmetrize=true == caller-side union, incl. asymmetric two-way weights") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // both directions present with DIFFERENT weights (1<->2), parallel
+    // edges (1->2 twice), a one-way edge (2->3), a chain continuation —
+    // the case where internal symmetrization keeps one row per direction
+    // while the union form collapses to the cross-direction min; the
+    // relaxation output must be identical anyway (min over adjacency rows)
+    val e = Seq((1L, 2L, 5L), (1L, 2L, 9L), (2L, 1L, 3L), (2L, 3L, 1L),
+      (3L, 4L, 2L)).toDF("u", "v", "w")
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v"), col("w")))
+    for (rounds <- 1 to 3; seeds <- Seq(Seq(1L), Seq(3L), Seq(1L, 4L))) {
+      val viaUnion = Graph.shortestPaths(sym, "u", "v", "w",
+          seeds.toDF("s"), "s", rounds)
+        .as[(Long, Long)].collect().toMap
+      val viaFlag = Graph.shortestPaths(e, "u", "v", "w",
+          seeds.toDF("s"), "s", rounds, symmetrize = true)
+        .as[(Long, Long)].collect().toMap
+      assert(viaUnion == viaFlag, s"rounds=$rounds seeds=$seeds")
+    }
+  }
+
   test("tableChecksum: order/partitioning-invariant, row-sensitive, per-group") {
     import spark.implicits._
     val a = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("h", 3L, "z")).toDF("g", "id", "s")
@@ -1784,15 +1806,65 @@ class RelationalOpsSuite extends SparkSpec {
       ("a", 0L, 10.0, true), ("a", 1L, 12.0, false),
       ("a", 2L, 14.0, false), ("a", 3L, 16.0, true),
       ("b", 7L, 5.0, true)))
-    // both direction scans are RUNNING frames (no O(n²)
-    // unboundedFollowing frame) riding one entity exchange
+    // r14: double-valued series take the single-pass generator path —
+    // no window exchange, no grid⋈obs join, the graft_grid_fill
+    // generator emits the grid straight from the per-entity array
     val planDf = Relational.interpolate(df, "e", col("b"), col("v"), col("t"))
     planDf.collect()
     val plan = planDf.queryExecution.executedPlan.toString
-    assert(!plan.toLowerCase.contains("unboundedfollowing"), plan)
-    // every window frame is a running unboundedpreceding->currentrow frame
-    assert("specifiedwindowframe\\(RowFrame, unboundedpreceding".r
-      .findAllIn(plan).nonEmpty, plan)
+    assert(!plan.toLowerCase.contains("window"), plan)
+    assert(plan.toLowerCase.contains("graft_grid_fill"), plan)
+  }
+
+  test("gapFill/interpolate native grid == the window form, bit-for-bit, incl. null edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // nulls everywhere the window form has defined behavior: leading /
+    // interior / trailing null values (fill or null), a null entity
+    // (grid emits, values all null — the join-miss contract), a null
+    // bucket (ignored everywhere), plus ties and single-obs entities
+    val df = Seq(
+      ("a", Option(0L), Option(2.0), 1L), ("a", Option(4L), Option(10.0), 2L),
+      ("a", Option(2L), None: Option[Double], 3L), // interior null obs = a gap
+      ("c", Option(5L), None: Option[Double], 1L), // leading null
+      ("c", Option(7L), Option(3.0), 2L), ("c", Option(9L), None: Option[Double], 3L),
+      (null.asInstanceOf[String], Option(1L), Option(8.0), 1L),
+      (null.asInstanceOf[String], Option(4L), Option(9.0), 2L),
+      ("d", None: Option[Long], Option(7.0), 1L), // null bucket only -> no rows
+      ("e", Option(11L), Option(6.0), 1L))
+      .toDF("e", "b", "v", "t")
+    def windowForm(interp: Boolean): Set[(String, Long, Option[Double], Boolean)] = {
+      val base = df.select(col("e").as("_e"), col("b").as("_b"),
+        col("v").as("_v"), col("t").as("_t"))
+      val obs = base.groupBy("_e", "_b").agg(max_by(col("_v"), col("_t")).as("_v"))
+      val span = obs.groupBy("_e").agg(min("_b").as("_b0"), max("_b").as("_b1"))
+      val grid = span.select(col("_e"), explode(sequence(col("_b0"), col("_b1"))).as("_b"))
+      val wPrev = org.apache.spark.sql.expressions.Window.partitionBy("_e").orderBy("_b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wNext = org.apache.spark.sql.expressions.Window.partitionBy("_e")
+        .orderBy(col("_b").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val pv = last(col("_v"), ignoreNulls = true).over(wPrev)
+      val pb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wPrev)
+      val nv = last(col("_v"), ignoreNulls = true).over(wNext)
+      val nb = last(when(col("_v").isNotNull, col("_b")), ignoreNulls = true).over(wNext)
+      val value =
+        if (interp) when(col("_v").isNotNull, col("_v"))
+          .otherwise(pv + (nv - pv) * (col("_b") - pb) / (nb - pb))
+        else last(col("_v"), ignoreNulls = true).over(wPrev)
+      grid.join(obs, Seq("_e", "_b"), "left")
+        .select(col("_e").as("e"), col("_b").as("bucket"), value.as("value"),
+          col("_v").isNotNull.as("observed"))
+        .as[(String, Long, Option[Double], Boolean)].collect().toSet
+    }
+    val gotFill = Relational.gapFill(df, "e", col("b"), col("v"), col("t"))
+      .as[(String, Long, Option[Double], Boolean)].collect().toSet
+    val gotInterp = Relational.interpolate(df, "e", col("b"), col("v"), col("t"))
+      .as[(String, Long, Option[Double], Boolean)].collect().toSet
+    assert(gotFill == windowForm(interp = false))
+    assert(gotInterp == windowForm(interp = true))
   }
 
   test("intervalOverlapJoin: exactly the naive matches, exactly once, no nested loop") {
@@ -1901,7 +1973,7 @@ class RelationalOpsSuite extends SparkSpec {
       .toDF("id", "p")
     val got = Relational.bhAdjust(df, col("p"), Seq(col("id")), alpha = 0.045)
       .select("id", "bh_rank", "p_adj", "discovery")
-      .as[(String, Int, Double, Boolean)].collect().sortBy(_._2).toSeq
+      .as[(String, Long, Double, Boolean)].collect().sortBy(_._2).toSeq
     assert(got.map(_._1) == Seq("x", "z", "w", "y"), s"$got")
     assert(math.abs(got(0)._3 - 0.04) < 1e-12)
     got.tail.foreach(r => assert(math.abs(r._3 - 0.05) < 1e-12, s"$r"))
@@ -1911,6 +1983,41 @@ class RelationalOpsSuite extends SparkSpec {
         col("p"), Seq(col("id")))
       .select("p_adj").as[Double].collect()
     assert(capped.forall(_ <= 1.0), s"${capped.toSeq}")
+  }
+
+  test("bhAdjust distributed rank/suffix-min == the single global window, bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // enough rows to spread across many range partitions, with duplicate
+    // p values so the key tie-break decides ranks, and null p's dropped
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 500).map { i =>
+      val p = if (i % 97 == 0) None else Some(rnd.nextInt(40) / 40.0 + 0.001)
+      (i.toLong, p)
+    }.toDF("id", "p").repartition(13)
+    val gotRows = Relational.bhAdjust(df, col("p"), Seq(col("id")))
+      .select("id", "bh_rank", "m", "p_adj", "discovery")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    // reference: the pre-r14 single unpartitioned-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+    val ranked = df.filter(col("p").isNotNull)
+      .withColumn("_p", col("p").cast("double"))
+      .withColumn("bh_rank",
+        row_number().over(w.orderBy(col("_p"), col("id"))).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        w.partitionBy().rowsBetween(w.unboundedPreceding, w.unboundedFollowing)))
+    val wSuffix = w.orderBy(col("bh_rank"))
+      .rowsBetween(w.currentRow, w.unboundedFollowing)
+    val refRows = ranked
+      .withColumn("p_adj", least(
+        min(col("_p") * col("m").cast("double") / col("bh_rank").cast("double"))
+          .over(wSuffix), lit(1.0)))
+      .withColumn("discovery", col("p_adj") <= lit(0.05))
+      .select("id", "bh_rank", "m", "p_adj", "discovery")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(gotRows == refRows)
+    // and the distributed form actually split the ranking work
+    assert(gotRows.nonEmpty && gotRows.size == 500 - 500 / 97)
   }
 
   test("cramersV: perfect association -> 1, independence -> 0") {
