@@ -46,14 +46,29 @@ object ClusterPairPlan {
     Files.write(outDir.resolve("clusters_paired_round_plan_initial.txt"),
       paired.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
         .getBytes(StandardCharsets.UTF_8))
+    // the noop write runs its OWN QueryExecution — capture the executed
+    // (AQE-finalized) plan through the listener, not the lazy original
+    @volatile var finalPlan: String = null
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        finalPlan = qe.executedPlan.toString
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
     paired.write.format("noop").mode("overwrite").save()
-    val finalPlan = paired.queryExecution.executedPlan.toString
+    var waited = 0
+    while (finalPlan == null && waited < 100) { Thread.sleep(100); waited += 1 }
+    require(finalPlan != null, "listener never delivered the executed plan")
     Files.write(outDir.resolve("clusters_paired_round_plan_final.txt"),
       finalPlan.getBytes(StandardCharsets.UTF_8))
-    val reused = "ReusedExchange|ReusedQueryStage|reuses: \\d+".r
+    val reused = "ReusedExchange|ReusedQueryStage|ReusedShuffle".r
       .findAllIn(finalPlan).toSeq
-    println(s"[clusterpairplan] reuse markers in final plan: ${reused.size} " +
-      reused.take(5).mkString("[", ", ", "]"))
+    val stages = "ShuffleQueryStage (\\d+)".r.findAllMatchIn(finalPlan)
+      .map(_.group(1)).toSeq
+    println(s"[clusterpairplan] reuse markers: ${reused.size} " +
+      reused.take(5).mkString("[", ", ", "]") +
+      s"; shuffle stage refs ${stages.size}, distinct ${stages.distinct.size}")
     spark.stop()
   }
 }
