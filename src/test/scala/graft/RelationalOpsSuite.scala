@@ -1995,7 +1995,8 @@ class RelationalOpsSuite extends SparkSpec {
       val p = if (i % 97 == 0) None else Some(rnd.nextInt(40) / 40.0 + 0.001)
       (i.toLong, p)
     }.toDF("id", "p").repartition(13)
-    val gotRows = Relational.bhAdjust(df, col("p"), Seq(col("id")))
+    val gotRows = Relational.bhAdjust(df, col("p"), Seq(col("id")),
+        distributed = true)
       .select("id", "bh_rank", "m", "p_adj", "discovery")
       .as[(Long, Long, Long, Double, Boolean)].collect().toSet
     // reference: the pre-r14 single unpartitioned-window formulation
