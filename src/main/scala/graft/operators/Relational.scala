@@ -419,7 +419,12 @@ object Relational {
     val base = df.select(col(entityCol).as("_e"), bucket.as("_b"),
       value.as("_v"), tie.as("_t"))
     val obs = base.groupBy("_e", "_b").agg(max_by(col("_v"), col("_t")).as("_v"))
-    if (base.schema("_v").dataType == DoubleType) {
+    // native path needs exactly (bigint bucket, double value) — the
+    // generator reads primitive slots; any other input shape keeps the
+    // window plan (including int buckets, which the sequence() form
+    // accepted)
+    if (base.schema("_v").dataType == DoubleType &&
+        base.schema("_b").dataType == LongType) {
       graft.functions.GridFillGen.register(df.sparkSession)
       val series = obs.filter(col("_e").isNotNull && col("_b").isNotNull)
         .groupBy("_e")
